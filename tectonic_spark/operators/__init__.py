@@ -1,0 +1,12 @@
+"""Operator surface (SURVEY.md §2.B) — importing this package registers
+every declared query into :mod:`tectonic_spark.operators.registry`."""
+
+from tectonic_spark.operators import (  # noqa: F401
+    dedup,
+    relational,
+    similarity,
+    text,
+)
+from tectonic_spark.operators.registry import REGISTRY, Query, queries, oracle_sql
+
+__all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

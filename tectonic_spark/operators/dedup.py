@@ -1,0 +1,276 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` — the
+training-data-pipeline surface: exact hash dedup, n-gram Jaccard near-dup,
+MinHash+LSH near-dup, SimHash, and embedding-cosine near-dup.
+
+Scale design (100 TB):
+
+* exact dedup = hash-groupBy on a 256-bit digest — one shuffle on the hash,
+  uniformly distributed (no skew);
+* n-gram Jaccard uses an **inverted-index join on shingles** (explode →
+  shuffle on shingle → pair counts), never an O(n²) cross join;
+* MinHash+LSH shuffles on (band, band-hash) buckets — candidate generation
+  cost is linear in docs × bands, and only candidates pay the verification
+  cost. Hash functions are md5-based so the DuckDB oracle replicates them
+  bit-for-bit (the candidate sets — even LSH false-negatives — are identical
+  across engines, so verified output matches exactly);
+* SimHash packs tokens into a 60-bit signature (no oracle — bit-twiddling is
+  not portably SQL-expressible; driver does the rows-only check);
+* embedding near-dup verifies cosine on rounded doubles (round(…,6) keeps
+  last-ulp summation differences from flipping the hash).
+
+The O(n²) *oracle* SQL cross-joins — fine at sf0.01 — while the Spark path
+is the scalable plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tectonic_spark.operators.registry import register
+from tectonic_spark.operators.text import O_WORDS, o_shingles, shingles_col, words_col
+from tectonic_spark.tables import table
+
+JACCARD_THRESHOLD = 0.8
+N_PERM = 8  # minhash permutations
+N_BANDS = 4  # LSH bands (2 rows per band)
+
+_O_SHINGLE_BASE = f"""
+    WITH t AS (SELECT doc_id, {O_WORDS} AS w FROM documents),
+    sh AS (SELECT doc_id, {o_shingles('w')} AS shingles
+           FROM t WHERE len(w) >= 3)
+"""
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words_col()
+    return (
+        d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", shingles_col(w).alias("shingles"))
+    )
+
+
+@register(
+    "c01_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    doc="Exact dedup: group on sha256(text), keep lowest doc_id. One "
+    "uniformly-distributed shuffle; the digest (32 B) not the document "
+    "travels through the exchange.",
+)
+def c01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2(F.col("text"), 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "c01_ngram_jaccard",
+    oracle=_O_SHINGLE_BASE
+    + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+          >= {JACCARD_THRESHOLD}
+    """,
+    doc="3-gram Jaccard near-dup via inverted-index join: explode shingles, "
+    "pair docs sharing a shingle, count common, filter jaccard >= 0.8. "
+    "Shuffle key = shingle (bounded fan-out), not an O(n²) cross join.",
+)
+def c01_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _o_minhash_cols() -> str:
+    return ",\n           ".join(
+        f"min(md5('{j}|' || s)) AS mh{j}" for j in range(N_PERM)
+    )
+
+
+def _o_band_union() -> str:
+    selects = []
+    for b in range(N_BANDS):
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || mh{2 * b + 1}) AS bh FROM mh"
+        )
+    return "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "c01_minhash_lsh",
+    oracle=_O_SHINGLE_BASE
+    + f""",
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    mh AS (SELECT doc_id,
+           {_o_minhash_cols()}
+           FROM ex GROUP BY doc_id),
+    bands AS ({_o_band_union()}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles)))
+             AS jaccard
+    FROM cand c
+    JOIN sh x ON c.doc_a = x.doc_id
+    JOIN sh y ON c.doc_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles)))
+          >= {JACCARD_THRESHOLD}
+    """,
+    doc="MinHash ({np} md5 perms) + LSH ({nb} bands × 2 rows) near-dup: "
+    "candidates = docs sharing a band hash; exact-Jaccard verification on "
+    "candidates only. Deterministic md5 hashes → oracle-replicable.".format(
+        np=N_PERM, nb=N_BANDS
+    ),
+)
+def c01_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingle_df(spark, sf_dir)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
+            for j in range(N_PERM)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias("bh"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("x")).select(
+        "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = common.cast("double") / (F.size("sh_a") + F.size("sh_b") - common)
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@register(
+    "c01_simhash",
+    oracle=None,  # 60-bit bit-twiddling isn't portably SQL-expressible
+    doc="SimHash signatures: per-token 60-bit hash from md5 hex (conv base "
+    "16→10), per-bit ±1 votes aggregated JVM-side, sign-packed to a BIGINT. "
+    "Near-dup pairs then block on 15-bit sub-bands + hamming<=3 "
+    "(bit_count(xor)). Rows-only driver check.",
+)
+def c01_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    # token -> 60-bit integer hash (15 hex chars of md5 keeps it in signed range)
+    tok = d.select("doc_id", F.explode(F.array_distinct(w)).alias("t"))
+    tok = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    # per-bit vote: +1 if bit set else -1; simhash bit = 1 iff vote sum > 0
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(60)
+        ]
+    )
+    sig = sum(
+        (F.when(F.col(f"v{bit}") > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long")))
+        for bit in range(60)
+    )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+@register(
+    "c01_embedding_neardup",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+          FROM v)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                         i -> a.e[i] * b.e[i]))
+                 / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                        i -> a.e[i] * b.e[i]))
+                / (a.nrm * b.nrm), 6) >= 0.45
+    """,
+    doc="Embedding-cosine near-dup: pairs with cos >= 0.45. Spark path "
+    "computes dot/norms with zip_with/aggregate (JVM codegen); sim rounded "
+    "to 6 dp so last-ulp summation-order differences can't flip the hash.",
+)
+def c01_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    n = v.select("vec_id", "e", nrm.alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    sim = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+    )

@@ -1,0 +1,807 @@
+"""Relational operator surface (SURVEY.md §2.B b1-b13), delegated to
+Spark SQL / Catalyst.
+
+The reference (precog/tectonic) implements no relational operators — they
+live downstream in the Precog stack (SURVEY.md §2.A "Categories with NO
+implementation"). Our engine's idiomatic equivalent of "the Plate consumer
+decides what to compute" is to declare logical plans with the DataFrame API
+and let Catalyst/Tungsten pick physical strategies (broadcast vs SMJ,
+whole-stage codegen, AQE).
+
+Scale notes (100 TB design intent, reviewed per query):
+* fact-fact joins shuffle on join keys; dimension joins are broadcast
+  (``F.broadcast``) so no shuffle of the fact side is needed;
+* aggregations are partial (map-side combine) automatically for all
+  ``groupBy().agg()`` forms used here;
+* every scan is parquet → Catalyst pushes filters + prunes columns at the
+  source (verified in tests via ``explain``);
+* windows partition by bounded-cardinality keys (nation, custkey), never a
+  single global partition, except explicitly-global top-k which Spark
+  executes as TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tectonic_spark.operators.registry import davg, dsum, o_davg, o_dsum, register
+from tectonic_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# b1 projection / computed columns
+
+
+@register(
+    "b01_project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS rev,
+           CAST(l_quantity >= 25 AS BOOLEAN) AS bulk
+    FROM lineitem
+    """,
+    doc="Projection + computed columns; parquet scan must prune to 5 columns.",
+)
+def b01_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        (F.col("l_quantity") >= 25).alias("bulk"),
+    )
+
+
+# b2 filter / predicates
+
+
+@register(
+    "b02_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Conjunctive predicates; all three land in parquet PushedFilters.",
+)
+def b02_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_shipdate")
+
+
+# b3 equi-joins: inner / semi / anti
+
+
+@register(
+    "b03_join_star",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, n.n_name, r.r_name
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+    doc="Star join: fact → broadcast dims (customer/nation/region). At 100 TB "
+    "orders is the only shuffled side; nation/region broadcast at any SF.",
+)
+def b03_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "b03_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    doc="LEFT SEMI join (EXISTS).",
+)
+def b03_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "b03_join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT ANTI join (NOT EXISTS).",
+)
+def b03_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "b03_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    """,
+    doc="LEFT OUTER join with join-side predicate (kept in the ON clause).",
+)
+def b03_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 300000)
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+# b4 theta / range join
+
+
+@register(
+    "b04_range_join",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sum_qty} AS sum_qty
+    FROM lineitem l
+    JOIN part p
+      ON l.l_partkey = p.p_partkey
+     AND l.l_extendedprice BETWEEN p.p_retailprice * 0.5 AND p.p_retailprice * 20.0
+    GROUP BY p.p_brand
+    """.format(sum_qty=o_dsum("l.l_quantity")),
+    doc="Equi + range (theta) join. The equi key keeps it hash-joinable at "
+    "scale; the BETWEEN is a post-join residual — never a cartesian product.",
+)
+def b04_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        (l.l_partkey == p.p_partkey)
+        & (l.l_extendedprice >= p.p_retailprice * 0.5)
+        & (l.l_extendedprice <= p.p_retailprice * 20.0)
+    )
+    return (
+        l.join(F.broadcast(p), cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+    )
+
+
+# b5 hash aggregation + distinct
+
+
+@register(
+    "b05_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty} AS sum_qty,
+           {sum_base} AS sum_base_price,
+           {sum_disc} AS sum_disc_price,
+           {sum_charge} AS sum_charge,
+           {avg_qty} AS avg_qty,
+           {avg_price} AS avg_price,
+           {avg_disc} AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=o_dsum("l_quantity"),
+        sum_base=o_dsum("l_extendedprice"),
+        sum_disc=o_dsum("l_extendedprice * (1 - l_discount)"),
+        sum_charge=o_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+        avg_qty=o_davg("l_quantity"),
+        avg_price=o_davg("l_extendedprice"),
+        avg_disc=o_davg("l_discount"),
+    ),
+    doc="TPC-H Q1-style pricing summary (flagship). Partial aggregation "
+    "(map-side combine) on 6 grouping cells; scan prunes to 7 columns.",
+)
+def b05_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg(F.col("l_quantity"), "avg_qty"),
+        davg(F.col("l_extendedprice"), "avg_price"),
+        davg(F.col("l_discount"), "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "b05_distinct_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           {avg_total} AS avg_total
+    FROM orders GROUP BY o_orderpriority
+    """.format(avg_total=o_davg("o_totalprice")),
+    doc="COUNT DISTINCT inside grouped agg (Spark expands to two-phase plan).",
+)
+def b05_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        davg(F.col("o_totalprice"), "avg_total"),
+    )
+
+
+@register(
+    "b05_approx_distinct",
+    oracle=None,  # HLL sketch — engine-specific, rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for distinct "
+    "counts — no exact-distinct shuffle explosion. Not oracle-matchable.",
+)
+def b05_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# b6 rollup / cube / grouping sets
+
+
+@register(
+    "b06_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sum_qty} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """.format(sum_qty=o_dsum("l_quantity")),
+    doc="ROLLUP grouping sets (subtotals + grand total).",
+)
+def b06_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+@register(
+    "b06_cube",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sum_total} AS sum_total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """.format(sum_total=o_dsum("o_totalprice")),
+    doc="CUBE grouping sets.",
+)
+def b06_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "sum_total"),
+    )
+
+
+# b7 window functions
+
+
+@register(
+    "b07_topn_per_group",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name, c.c_custkey,
+             {rev} AS revenue
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY n.n_name, c.c_custkey
+    )
+    SELECT n_name, c_custkey, revenue, rn FROM (
+      SELECT n_name, c_custkey, revenue,
+             CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+                   ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rn
+      FROM rev) t
+    WHERE rn <= 3
+    """.format(rev=o_dsum("o.o_totalprice")),
+    doc="Top-3 customers by revenue per nation: ROW_NUMBER over bounded "
+    "partitions (25 nations). Revenue summed exactly (decimal) so the "
+    "window order is cross-engine deterministic; c_custkey tie-break.",
+)
+def b07_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    o = table(spark, sf_dir, "orders")
+    rev = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(dsum(F.col("o_totalprice"), "revenue"))
+    )
+    w = W.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "c_custkey", "revenue", "rn")
+    )
+
+
+@register(
+    "b07_running_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_total
+    FROM orders
+    """,
+    doc="Running sum + LAG per customer, unique (o_orderdate, o_orderkey) "
+    "ordering; running sum through decimal for exactness.",
+)
+def b07_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_total"),
+    )
+
+
+@register(
+    "b07_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS price_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS BIGINT) AS size_dense_rank,
+           CAST(NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS BIGINT) AS price_quartile
+    FROM part
+    """,
+    doc="RANK / DENSE_RANK / NTILE windows per brand.",
+)
+def b07_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    by_price_desc = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    by_size = W.partitionBy("p_brand").orderBy("p_size")
+    by_price = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(by_price_desc).cast("long").alias("price_rank"),
+        F.dense_rank().over(by_size).cast("long").alias("size_dense_rank"),
+        F.ntile(4).over(by_price).cast("long").alias("price_quartile"),
+    )
+
+
+# b8 sort / limit / top-k
+
+
+@register(
+    "b08_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k: Spark executes TakeOrderedAndProject (per-partition "
+    "heap + driver merge), never a full sort — the right plan at 100 TB.",
+)
+def b08_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# b9 set operations
+
+
+@register(
+    "b09_setops",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         big_spenders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                          WHERE o_totalprice > 250000)
+    SELECT 'intersect' AS op, c_custkey
+      FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big_spenders)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey
+      FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM big_spenders)
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL over customer-key sets.",
+)
+def b09_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = (
+        o.filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    inter = building.intersect(big).select(F.lit("intersect").alias("op"), "c_custkey")
+    exc = building.subtract(big).select(F.lit("except").alias("op"), "c_custkey")
+    return inter.unionAll(exc)
+
+
+# b10 scalar function library
+
+
+@register(
+    "b10_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           string_split(p_type, ' ')[1] AS type_head,
+           abs(p_retailprice - 1000.0) AS price_dev,
+           round(p_retailprice * 1.1, 2) AS price_bump,
+           sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+           CAST(p_partkey % 7 AS BIGINT) AS key_mod,
+           CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'mid'
+                ELSE 'small' END AS size_class
+    FROM part
+    """,
+    doc="String/math/conditional scalar functions — all JVM-side built-ins, "
+    "whole-stage-codegen'd; no Python in the hot path.",
+)
+def b10_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dev"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_bump"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        (F.col("p_partkey") % 7).cast("long").alias("key_mod"),
+        F.when(F.col("p_size") >= 25, "large")
+        .when(F.col("p_size") >= 10, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+    )
+
+
+@register(
+    "b10_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           date_trunc('month', o_orderdate) AS order_month_start
+    FROM orders
+    """,
+    doc="Datetime extraction + interval arithmetic (UTC session timezone).",
+)
+def b10_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+    )
+
+
+@register(
+    "b10_array_map_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           string_split(event_type, 'e')[1] AS type_head,
+           CAST(length(string_split(event_type, 'e')) AS INTEGER) AS type_parts,
+           CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                THEN 'absent' ELSE 'present' END AS missing_probe
+    FROM events
+    """,
+    doc="Semi-structured access: JSON path extraction on the events.props "
+    "string column (get_json_object ≈ json_extract_string) + array ops.",
+)
+def b10_array_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    parts = F.split(F.col("event_type"), "e")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        parts.getItem(0).alias("type_head"),
+        F.size(parts).alias("type_parts"),
+        F.when(F.get_json_object("props", "$.missing").isNull(), "absent")
+        .otherwise("present")
+        .alias("missing_probe"),
+    )
+
+
+# b11 time-window aggregation (batch-checkable flavor; streaming variant in
+# tectonic_spark.streaming)
+
+
+@register(
+    "b11_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sum_value} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """.format(sum_value=o_dsum("value")),
+    doc="Tumbling 1-hour windows over events (epoch-aligned, = streaming "
+    "window() semantics on static data).",
+)
+def b11_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "b11_session_window",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      -- Spark session windows are [start, last+gap): an event exactly at
+      -- prev+gap starts a NEW session, hence >= not >.
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30 min gap) per user — Spark session_window vs a "
+    "gaps-and-islands SQL oracle. Streaming flavor lives in streaming/.",
+)
+def b11_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+# b12 dedup
+
+
+@register(
+    "b12_dedup_distinct",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="Exact distinct on projected keys (dropDuplicates ≡ DISTINCT).",
+)
+def b12_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates()
+
+
+@register(
+    "b12_dedup_earliest",
+    oracle="""
+    SELECT user_id, event_type, MIN(ts) AS first_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes
+    FROM events GROUP BY user_id, event_type
+    """,
+    doc="Keep-earliest dedup, expressed as deterministic MIN/COUNT agg (the "
+    "order-dependent dropDuplicates() keep-first is not cross-engine stable).",
+)
+def b12_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    )
+
+
+# b13 UDF / UDAF surface (Arrow-vectorized pandas UDFs — the sanctioned slow path)
+
+
+@register(
+    "b13_pandas_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+    doc="Scalar pandas UDF (Arrow-batched, vectorized) computing the same "
+    "expression as the SQL oracle — identical IEEE double results. "
+    "Demonstrates the UDF surface; real queries keep this JVM-side.",
+)
+def b13_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(T.DoubleType())
+    def charge_udf(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+        return (price * (1 - discount)) * (1 + tax)
+
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge_udf("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@register(
+    "b13_grouped_map_udf",
+    oracle="""
+    SELECT l_returnflag,
+           {avg_price} AS mean_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """.format(avg_price=o_davg("l_extendedprice")),
+    doc="applyInPandas grouped-map UDAF: per-group pandas computation with "
+    "exact decimal mean (matches the SQL oracle bit-for-bit).",
+)
+def b13_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal
+
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("mean_price", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact decimal sum → double, same contract as registry.davg
+        total = sum(
+            (Decimal(repr(v)).quantize(Decimal("0.000001")) for v in pdf["l_extendedprice"]),
+            Decimal(0),
+        )
+        n = len(pdf)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "mean_price": [float(total) / n],
+                "n": [n],
+            }
+        )
+
+    l = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return l.groupBy("l_returnflag").applyInPandas(per_group, schema)
+
+
+# Multi-join analytical queries (bench headliners)
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           {rev} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """.format(rev=o_dsum("l.l_extendedprice * (1 - l.l_discount)")),
+    doc="TPC-H Q3-style shipping priority: selective dim filter → fact join "
+    "→ agg → top-k. Customer side filtered before the join (pushdown).",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           {rev} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """.format(rev=o_dsum("l.l_extendedprice * (1 - l.l_discount)")),
+    doc="TPC-H Q5-style 6-way join; region/nation/supplier broadcast, "
+    "orders⋈lineitem is the only big shuffle (co-keyed on orderkey).",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )

@@ -1,0 +1,159 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.B c2):
+brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed variant as the 100 TB scale path.
+
+Scale design:
+
+* Brute force is O(Q×N) — correct baseline, used with a bounded query set.
+  The candidate side stays a single broadcast-joined pass; dot products run
+  in JVM codegen via zip_with/aggregate (no Python).
+* The ANN path hashes every vector to a bucket via sign-bits against fixed
+  hyperplanes (deterministic, seeded) and only scores within-bucket pairs:
+  shuffle key = bucket id, cost linear in N × bucket occupancy. Multi-probe
+  (flipping one bit) bounds recall loss. This is the shape that survives
+  1000 executors; brute force does not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tectonic_spark.operators.registry import register
+from tectonic_spark.tables import table
+
+TOP_K = 5
+N_QUERIES = 50  # bound the brute-force query side: vec_id < 50
+N_PLANES = 8  # LSH hyperplanes → 256 buckets
+DIM = 64
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(e: str | Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+@register(
+    "c02_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+          FROM v),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(q.e) + 1),
+                                         i -> q.e[i] * c.e[i]))
+                   / (q.nrm * c.nrm) AS sim
+          FROM n q JOIN n c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES})
+    SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+      FROM p) t
+    WHERE rn <= {TOP_K}
+    """,
+    doc=f"Brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors: "
+    "exact ANN baseline. Neighbor order uses the unrounded sim (identical "
+    "up to last-ulp) with vec_id tie-break; output sim rounded to 6 dp.",
+)
+def c02_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    n = v.select("vec_id", "e", _norm("e").alias("nrm"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    sim = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rn")
+    )
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Fixed random hyperplanes (seeded — deterministic across runs)."""
+    rng = np.random.RandomState(42)
+    return rng.randn(N_PLANES, DIM).tolist()
+
+
+def bucket_col(e: str | Column) -> Column:
+    """Sign-bit LSH bucket id of an embedding column (array<double>)."""
+    planes = _hyperplanes()
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    e,
+                    F.array(*[F.lit(float(x)) for x in p]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+@register(
+    "c02_ann_lsh",
+    oracle=None,  # approximate by construction; driver rows-only check.
+    doc=f"ANN via random-hyperplane LSH: {N_PLANES} sign bits → bucket id; "
+    f"top-{TOP_K} cosine within each query's bucket only. Shuffle key = "
+    "bucket; linear scan cost per bucket. Recall is approximate — no oracle.",
+)
+def c02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    n = v.select("vec_id", "e", _norm("e").alias("nrm"), bucket_col("e").alias("bucket"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "bucket",
+    )
+    sim = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    pairs = (
+        q.join(c, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rn")
+    )

@@ -1,0 +1,187 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.B c3
+plus the training-data-pipeline surface: token stats, language-ID heuristic,
+quality scoring, document fingerprinting).
+
+All hot-path computation is JVM-side ``pyspark.sql.functions`` higher-order
+array functions (split/transform/aggregate/filter) — no Python UDFs — so at
+100 TB these run inside whole-stage codegen with the parquet scan pruned to
+(doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tectonic_spark.operators.registry import register
+from tectonic_spark.tables import table
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Consistency (Spark result == oracle result) is what the
+# correctness gate checks; the lists are deliberately small and public.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "est", "dans"],
+}
+
+
+def words_col(text: Column = None) -> Column:
+    """Whitespace tokenization (documents.text is space-separated)."""
+    return F.split(text if text is not None else F.col("text"), " ")
+
+
+def shingles_col(w: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token array (caller filters size>=k —
+    Spark's ``sequence`` would go DESCENDING for start>stop)."""
+    idx = F.sequence(F.lit(1), F.size(w) - F.lit(k - 1))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+        )
+    )
+
+
+O_WORDS = "string_split(text, ' ')"
+
+
+def o_shingles(w: str = "w", k: int = 3) -> str:
+    """DuckDB counterpart of :func:`shingles_col` (1-indexed lists)."""
+    cat = " || ' ' || ".join(f"{w}[i+{j}]" if j else f"{w}[i]" for j in range(k))
+    return f"list_distinct(list_transform(range(1, len({w}) - {k - 2}), i -> {cat}))"
+
+
+@register(
+    "c03_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {O_WORDS} AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+           CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w) AS avg_token_len,
+           n_chars
+    FROM t
+    """,
+    doc="Token counting: whitespace tokens, distinct tokens, mean token "
+    "length (exact integer sums, one double division).",
+)
+def c03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    tok_len_sum = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        (tok_len_sum.cast("double") / F.size(w)).alias("avg_token_len"),
+        "n_chars",
+    )
+
+
+def _hits(w: Column, lang: str) -> Column:
+    return F.size(F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in STOPWORDS[lang]]))).cast("long")
+
+
+def _o_hits(lang: str) -> str:
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+    return f"CAST(len(list_intersect(list_distinct(w), [{lst}])) AS BIGINT)"
+
+
+@register(
+    "c03_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {O_WORDS} AS w FROM documents),
+    h AS (SELECT doc_id,
+                 {_o_hits('en')} AS hits_en,
+                 {_o_hits('es')} AS hits_es,
+                 {_o_hits('de')} AS hits_de,
+                 {_o_hits('fr')} AS hits_fr
+          FROM t)
+    SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+           CASE WHEN hits_en = 0 AND hits_es = 0 AND hits_de = 0 AND hits_fr = 0 THEN 'unknown'
+                WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+                WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+                WHEN hits_de >= hits_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM h
+    """,
+    doc="Stopword-overlap language-ID heuristic; the CASE order is the "
+    "deterministic tie-break, identical in Spark and the oracle.",
+)
+def c03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    h = d.select(
+        "doc_id",
+        _hits(w, "en").alias("hits_en"),
+        _hits(w, "es").alias("hits_es"),
+        _hits(w, "de").alias("hits_de"),
+        _hits(w, "fr").alias("hits_fr"),
+    )
+    en, es, de, fr = [F.col(f"hits_{x}") for x in ("en", "es", "de", "fr")]
+    pred = (
+        F.when((en == 0) & (es == 0) & (de == 0) & (fr == 0), "unknown")
+        .when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return h.select("doc_id", "hits_en", "hits_es", "hits_de", "hits_fr", pred.alias("lang_pred"))
+
+
+@register(
+    "c03_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {O_WORDS} AS w FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+           CAST(len(list_filter(w, x -> length(x) > 3)) AS DOUBLE) / len(w) AS long_token_ratio,
+           0.5 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+             + 0.5 * (CAST(len(list_filter(w, x -> length(x) > 3)) AS DOUBLE) / len(w)) AS quality_score
+    FROM t
+    """,
+    doc="Quality scoring: lexical-diversity and long-token ratios combined "
+    "into one score (all integer counts; divisions deterministic).",
+)
+def c03_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    n = F.size(w)
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    long_ratio = F.size(F.filter(w, lambda x: F.length(x) > 3)).cast("double") / n
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n.cast("long").alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        long_ratio.alias("long_token_ratio"),
+        (0.5 * distinct_ratio + 0.5 * long_ratio).alias("quality_score"),
+    )
+
+
+@register(
+    "c03_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+           md5(string_split(text, ' ')[1]) AS head_hash
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 of whitespace-normalized lowercase text "
+    "(+ first-token hash). Grouping by fingerprint = exact-dup clustering.",
+)
+def c03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
+        F.md5(F.split(F.col("text"), " ").getItem(0)).alias("head_hash"),
+    )
