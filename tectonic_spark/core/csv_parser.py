@@ -83,12 +83,17 @@ class CsvParser(Generic[A]):
         plate: Plate[A],
         config: CsvConfig | None = None,
         projection: set[str] | None = None,
+        headers: list[str] | None = None,
     ):
         """``projection``: when set, cells whose column name is not in the
         set are not delivered to the plate (a ``skipped(n)`` metric is
         emitted instead) — the CSV analog of the JSON parser's SkipColumn
         pushdown. The reference's CSV parser discards signals entirely; we
-        extend pushdown to CSV at the parser level (SURVEY §2.B a2/a3)."""
+        extend pushdown to CSV at the parser level (SURVEY §2.B a2/a3).
+
+        ``headers``: preset column names, bypassing header-row parsing and
+        Excel inference — used by the DataSource for mid-file byte-range
+        splits, where the header row lives in a different split."""
         self.plate = plate
         self.config = config or CsvConfig()
         self.projection = projection
@@ -108,6 +113,11 @@ class CsvParser(Generic[A]):
         self._headers: list[str] = []
         self._header_cells: list[str] = []
         self._header_max = -1  # index of last column (header mode)
+        if headers is not None:
+            self._in_header = False
+            self._inferring = False
+            self._headers = list(headers)
+            self._header_max = len(headers) - 1
         # scan regex: stop at record sep, row1, or open quote (cell start only)
         self._cell_stop = re.compile(
             b"[" + re.escape(c.record + c.row1) + b"]"

@@ -128,6 +128,13 @@ class ValueBuilderPlate(Plate[list]):
         self._root = _UNSET
         self._stack.clear()
 
+    def abort_row(self) -> None:
+        """Discard the in-progress row without appending it (used by the
+        pushdown filter plate when a row fails its predicate only at
+        finish_row time — e.g. a filter column absent from the row)."""
+        self._root = _UNSET
+        self._stack.clear()
+
     def finish_batch(self, terminal: bool) -> list:
         out, self._rows = self._rows, []
         return out

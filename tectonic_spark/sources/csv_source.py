@@ -1,0 +1,201 @@
+"""``spark.read.format("tectonic-csv")`` — Python DataSourceV2 over the L1
+CSV parser core (SURVEY.md §2.B a2; reference S2, csv/Parser.scala:30-459).
+
+Config parity with the reference's ``Config`` (csv/Parser.scala:461-478)
+via options: ``header`` (default true; false ⇒ Excel-style inferred names
+``A,B,…,Z,AA,…`` — csv/Parser.scala:439-454, NOT Spark's ``_c0`` style),
+``sep`` (record delimiter), ``quote``/``escape``, ``lineSep`` ("\r\n" default
+like the reference; "\n" for unix). All columns are StringType — CSV rows
+are flat string objects in the reference's model (README.md:89); use
+``.withColumn(..., cast)`` or the relational layer for typing.
+
+Scale: with ``multiLine=false`` (default — no quoted newlines in the data,
+same contract as Spark's own CSV reader) files are planned as byte-range
+splits aligned to row delimiters, so a 100 TB directory fans out across
+executors. ``multiLine=true`` honors quoted newlines, one partition/file.
+
+Pushdown: column pruning maps to the parser-level ``projection`` (cells
+outside the scan schema are never delivered — ``skipped(n)`` metrics, a3
+parity for CSV which the reference never had); filter pushdown uses the
+same conservative SKIP-at-finish_row machinery as the JSON source (all
+cells are strings, so string predicates act; others stay Spark-side).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql.datasource import DataSource, DataSourceReader
+from pyspark.sql.types import StringType, StructField, StructType
+
+from tectonic_spark.core.csv_parser import CsvConfig, CsvParser, as_header
+from tectonic_spark.core.result import Failure
+from tectonic_spark.sources.arrow_batch import DEFAULT_BATCH_ROWS, rows_to_batches
+from tectonic_spark.sources.json_source import (
+    _CHUNK,
+    _DEFAULT_SPLIT,
+    FileSplit,
+    list_input_files,
+    plan_splits,
+    read_split_chunks,
+)
+from tectonic_spark.sources.pushdown import PushdownPlate, compile_filters
+
+
+def _bool_opt(options: dict, key: str, default: bool) -> bool:
+    v = options.get(key)
+    if v is None:
+        return default
+    return str(v).strip().lower() in ("true", "1", "yes")
+
+
+def csv_config_from_options(options: dict) -> CsvConfig:
+    header = _bool_opt(options, "header", True)
+    sep = options.get("sep", ",").encode()
+    quote = options.get("quote", '"').encode()
+    escape = options.get("escape", '"').encode()
+    line_sep = options.get("linesep", "\r\n")
+    if line_sep == "\r\n":
+        row1, row2 = b"\r", b"\n"
+    elif len(line_sep) == 1:
+        row1, row2 = line_sep.encode(), b""
+    elif len(line_sep) == 2:
+        row1, row2 = line_sep[0:1].encode(), line_sep[1:2].encode()
+    else:
+        raise ValueError("lineSep must be 1-2 characters")
+    return CsvConfig(
+        header=header,
+        record=sep,
+        row1=row1,
+        row2=row2,
+        open_quote=quote,
+        close_quote=quote,
+        escape=escape,
+    )
+
+
+def read_csv_header(path: str, config: CsvConfig) -> list[str]:
+    """Driver-side: parse just the header row (or infer Excel names from
+    the first row's cell count when header=false)."""
+    from tectonic_spark.core.value_builder import ValueBuilderPlate
+
+    plate = ValueBuilderPlate()
+    parser = CsvParser(plate, config)
+    rows: list[Any] = []
+    with open(path, "rb") as fh:
+        while not rows:
+            chunk = fh.read(64 * 1024)
+            res = parser.finish() if not chunk else parser.absorb(chunk)
+            if isinstance(res, Failure):
+                raise res.error
+            rows.extend(res.value)
+            if not chunk:
+                break
+    if not rows:
+        return []
+    first = rows[0]
+    return list(first.keys()) if isinstance(first, dict) else []
+
+
+class TectonicCsvDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tectonic-csv"
+
+    def schema(self) -> StructType:
+        files = list_input_files(self.options["path"])
+        config = csv_config_from_options(dict(self.options))
+        names = read_csv_header(files[0], config) if files else []
+        return StructType([StructField(n, StringType(), True) for n in names])
+
+    def reader(self, schema: StructType) -> "TectonicCsvReader":
+        return TectonicCsvReader(schema, dict(self.options))
+
+
+class TectonicCsvReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self.schema = schema
+        self.options = options
+        self.config = csv_config_from_options(options)
+        self.batch_rows = int(options.get("batchrows", DEFAULT_BATCH_ROWS))
+        self.multiline = _bool_opt(options, "multiline", False)
+        self._tests: dict | None = None
+        self.required = set(schema.fieldNames())
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        self._tests = compile_filters(list(filters), self.schema)
+        return filters  # all re-applied by Spark; skips are pure savings
+
+    def partitions(self) -> list[FileSplit]:
+        files = list_input_files(self.options["path"])
+        split_bytes = int(self.options.get("splitsizebytes", _DEFAULT_SPLIT))
+        # byte-range splits align on b"\n", so they need a \n-terminated
+        # row delimiter and no quoted newlines (multiLine=false contract)
+        splittable = not self.multiline and (
+            self.config.row2 == b"\n" or (self.config.row1, self.config.row2) == (b"\n", b"")
+        )
+        return plan_splits(files, split_bytes, splittable=splittable)
+
+    def read(self, partition: FileSplit):
+        names = list(self.schema.fieldNames())
+        filter_cols = set(self._tests or ())
+        projection = self.required | filter_cols
+        mid_file = partition.start > 0
+
+        plate = PushdownPlate(required=None, tests=self._tests)
+        # headerless split config for mid-file ranges: names pre-known,
+        # header row (if any) lives in split 0
+        config = self.config
+        if mid_file and config.header:
+            config = CsvConfig(
+                header=False,
+                record=config.record,
+                row1=config.row1,
+                row2=config.row2,
+                open_quote=config.open_quote,
+                close_quote=config.close_quote,
+                escape=config.escape,
+            )
+        parser = CsvParser(
+            plate,
+            config,
+            projection=projection,
+            headers=names if (mid_file or not self.config.header) else None,
+        )
+
+        def to_batches(rows: list[Any]):
+            def norm():
+                for r in rows:
+                    d = r if isinstance(r, dict) else {}
+                    yield {n: _as_str(d.get(n)) for n in names}
+
+            yield from rows_to_batches(norm(), self.schema, self.batch_rows)
+
+        whole_file = partition.start == 0 and partition.end == partition.file_size
+        chunks = _whole_file_chunks(partition) if whole_file else read_split_chunks(partition)
+        for chunk in chunks:
+            yield from to_batches(_drain(parser.absorb(chunk)))
+        yield from to_batches(_drain(parser.finish()))
+
+
+def _drain(res) -> list[Any]:
+    if isinstance(res, Failure):
+        raise res.error
+    # Partial only arises from BREAK_BATCH, which this plate never signals;
+    # its value is still this batch's rows
+    return res.value
+
+
+def _whole_file_chunks(partition: FileSplit):
+    with open(partition.file, "rb") as fh:
+        while True:
+            chunk = fh.read(_CHUNK)
+            if not chunk:
+                return
+            yield chunk
+
+
+def _as_str(v: Any) -> str | None:
+    if v is None:
+        return None
+    return v if isinstance(v, str) else str(v)

@@ -1,0 +1,363 @@
+"""``spark.read.format("tectonic-json")`` — Python DataSourceV2 over the L1
+JSON parser core (SURVEY.md §7.5-7.6; reference S1, json/Parser.scala:95-920).
+
+Framing modes (json/Parser.scala:922-936) map to the ``mode`` option:
+
+* ``lines`` (default) — newline-delimited values (VALUE_STREAM framing with
+  an NDJSON layout guarantee). **Splittable**: files are planned as byte
+  ranges of ``splitSizeBytes`` aligned to newlines, so a 100 TB directory
+  fans out across every executor — same split model as Spark's native JSON.
+* ``values`` — whitespace-separated top-level values, no layout guarantee;
+  one partition per file, constant-memory incremental absorb.
+* ``array`` — top-level ``[...]``, each element a row (UnwrapArray).
+* ``single`` — whole file is one value, one row (SingleValue).
+
+Pushdown:
+
+* **Projection** — the scan schema's top-level fields (user ``.schema()``
+  or the option ``columns``) become the parser's required set; any other
+  key is byte-skipped via SKIP_COLUMN (a3 parity).
+* **Filters** — Spark calls ``pushFilters`` (needs
+  ``spark.sql.python.filterPushdown.enabled=true``, set by
+  :func:`tectonic_spark.get_spark`); supported predicates compile into
+  SKIP_ROW byte-skips. All filters are reported back as unhandled so
+  Catalyst re-applies them — skips are pure I/O savings, provably safe.
+
+Malformed input (a6; ParseException parity, reference exceptions.scala:24):
+``parseMode`` = PERMISSIVE (default; bad *lines* in ``lines`` mode become
+all-null rows, captured raw in ``columnNameOfCorruptRecord`` if configured)
+| DROPMALFORMED | FAILFAST. Non-line modes cannot resync after an error and
+are always FAILFAST, like the reference parser itself.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StringType, StructField, StructType
+
+from tectonic_spark.core.json_parser import JsonParser, Mode
+from tectonic_spark.core.result import Failure, Partial
+from tectonic_spark.core.value_builder import ValueBuilderPlate
+from tectonic_spark.sources.arrow_batch import DEFAULT_BATCH_ROWS, rows_to_batches
+from tectonic_spark.sources.pushdown import PushdownPlate, compile_filters
+from tectonic_spark.sources.schema_infer import infer_spark_schema, normalize_row
+
+_MODES = {
+    "lines": Mode.VALUE_STREAM,
+    "values": Mode.VALUE_STREAM,
+    "array": Mode.UNWRAP_ARRAY,
+    "single": Mode.SINGLE_VALUE,
+}
+_DEFAULT_SPLIT = 128 * 1024 * 1024
+_CHUNK = 4 * 1024 * 1024
+_SAMPLE_BYTES = 8 * 1024 * 1024
+
+
+def list_input_files(path: str, suffix: str | None = None) -> list[str]:
+    """Expand a file / directory / glob into a sorted file list."""
+    import glob as _glob
+
+    if os.path.isfile(path):
+        return [path]
+    if os.path.isdir(path):
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.startswith((".", "_")):
+                    continue
+                if suffix is None or f.endswith(suffix):
+                    out.append(os.path.join(root, f))
+        return sorted(out)
+    hits = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+    if not hits:
+        raise FileNotFoundError(f"no input files match {path!r}")
+    return hits
+
+
+@dataclass
+class FileSplit(InputPartition):
+    """One planned byte range. ``start``>0 ⇒ skip to the first newline;
+    readers always finish the value that straddles ``end`` (standard
+    Hadoop text-split semantics, so every byte belongs to exactly one
+    split)."""
+
+    file: str
+    start: int
+    end: int
+    file_size: int
+
+
+def plan_splits(files: list[str], split_bytes: int, splittable: bool) -> list[FileSplit]:
+    out: list[FileSplit] = []
+    for f in files:
+        size = os.path.getsize(f)
+        if not splittable or size <= split_bytes:
+            out.append(FileSplit(f, 0, size, size))
+        else:
+            start = 0
+            while start < size:
+                end = min(start + split_bytes, size)
+                out.append(FileSplit(f, start, end, size))
+                start = end
+    return out
+
+
+def _aligned_start(fh, split: FileSplit) -> int:
+    """Seek ``fh`` to this split's first owned byte (start of a line)."""
+    if split.start == 0:
+        fh.seek(0)
+        return 0
+    fh.seek(split.start - 1)
+    if fh.read(1) == b"\n":
+        return split.start
+    return split.start + len(fh.readline())
+
+
+def read_split_chunks(split: FileSplit, chunk_bytes: int = _CHUNK) -> Iterator[bytes]:
+    """Yield ~chunk_bytes **newline-aligned** blocks covering exactly the
+    lines this split owns (the bulk-absorb fast path — one absorb per block,
+    not per line). Alignment means every block is a run of complete lines,
+    so a parse failure's blast radius is one block and the parser holds no
+    cross-block state."""
+    with open(split.file, "rb") as fh:
+        pos = _aligned_start(fh, split)
+        carry = b""
+        while pos < split.end:
+            take = min(chunk_bytes, split.end - pos)
+            chunk = fh.read(take)
+            if not chunk:
+                break
+            pos += len(chunk)
+            if pos >= split.end and not chunk.endswith(b"\n"):
+                tail = fh.readline()  # finish the straddling line
+                if tail:
+                    chunk += tail
+                    pos += len(tail)
+            chunk = carry + chunk
+            cut = chunk.rfind(b"\n")
+            if cut < 0:
+                carry = chunk
+                continue
+            carry = chunk[cut + 1 :]
+            yield chunk[: cut + 1]
+        if carry:
+            yield carry  # final line without trailing newline
+
+
+class TectonicJsonDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "tectonic-json"
+
+    def _mode(self) -> str:
+        m = self.options.get("mode", "lines")
+        if m not in _MODES:
+            raise ValueError(f"mode must be one of {sorted(_MODES)}, got {m!r}")
+        return m
+
+    def schema(self) -> StructType:
+        """Driver-side sampling inference over the first files' prefix."""
+        files = list_input_files(self.options["path"])
+        mode = self._mode()
+        sample_rows = int(self.options.get("samplingrows", 1000))
+        rows: list[Any] = []
+        for f in files[:4]:
+            rows.extend(_parse_file_prefix(f, mode, sample_rows - len(rows)))
+            if len(rows) >= sample_rows:
+                break
+        if not rows:
+            return StructType([StructField("value", StringType(), True)])
+        schema = infer_spark_schema(rows)
+        corrupt = self.options.get("columnnameofcorruptrecord")
+        if corrupt and corrupt not in schema.fieldNames():
+            schema = StructType(
+                list(schema.fields) + [StructField(corrupt, StringType(), True)]
+            )
+        return schema
+
+    def reader(self, schema: StructType) -> "TectonicJsonReader":
+        return TectonicJsonReader(schema, dict(self.options), self._mode())
+
+
+def _parse_file_prefix(path: str, mode: str, max_rows: int) -> list[Any]:
+    """Parse up to ``max_rows`` rows from the head of one file."""
+    if max_rows <= 0:
+        return []
+    if mode == "lines":
+        # per-line sampling: malformed lines don't abort inference
+        rows: list[Any] = []
+        with open(path, "rb") as fh:
+            read = 0
+            for line in fh:
+                read += len(line)
+                if not line.strip():
+                    continue
+                parser = JsonParser(ValueBuilderPlate(), Mode.VALUE_STREAM)
+                res = parser.parse_complete(line)
+                if not isinstance(res, Failure):
+                    rows.extend(res.value)
+                    while isinstance(res, Partial):
+                        res = parser.resume()
+                        if isinstance(res, Failure):
+                            break
+                        rows.extend(res.value)
+                if len(rows) >= max_rows or read >= _SAMPLE_BYTES:
+                    break
+        return rows[:max_rows]
+    plate = ValueBuilderPlate()
+    parser = JsonParser(plate, _MODES[mode])
+    rows: list[Any] = []
+    with open(path, "rb") as fh:
+        while len(rows) < max_rows:
+            chunk = fh.read(_CHUNK)
+            at_eof = not chunk
+            res = parser.finish() if at_eof else parser.absorb(chunk)
+            if isinstance(res, Failure):
+                # sampling is best-effort; a bad tail line doesn't block
+                break
+            rows.extend(res.value)
+            while isinstance(res, Partial) and len(rows) < max_rows:
+                res = parser.resume()
+                if isinstance(res, Failure):
+                    break
+                rows.extend(res.value)
+            if at_eof:
+                break
+    return rows[:max_rows]
+
+
+class TectonicJsonReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict, mode: str) -> None:
+        self.schema = schema
+        self.options = options
+        self.mode = mode
+        self.parse_mode = options.get("parsemode", "PERMISSIVE").upper()
+        self.corrupt_col = options.get("columnnameofcorruptrecord")
+        self.batch_rows = int(options.get("batchrows", DEFAULT_BATCH_ROWS))
+        self._tests: dict | None = None
+        # data schema = scan schema minus the corrupt-record column
+        self.data_schema = StructType(
+            [f for f in schema.fields if f.name != self.corrupt_col]
+        )
+        cols_opt = options.get("columns")
+        names = set(self.data_schema.fieldNames())
+        if cols_opt:
+            names &= {c.strip() for c in cols_opt.split(",")}
+        # single value-column scans have no top-level keys to prune
+        self.required = None if names == {"value"} else names
+
+    # Catalyst filter pushdown (gated on spark.sql.python.filterPushdown.enabled)
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        self._tests = compile_filters(list(filters), self.data_schema)
+        # report everything unhandled: Spark re-applies, our skips stay safe
+        return filters
+
+    def partitions(self) -> list[FileSplit]:
+        files = list_input_files(self.options["path"])
+        split_bytes = int(self.options.get("splitsizebytes", _DEFAULT_SPLIT))
+        return plan_splits(files, split_bytes, splittable=(self.mode == "lines"))
+
+    # ------------------------------------------------------------------ read
+
+    def read(self, partition: FileSplit):
+        if self.mode == "lines":
+            yield from self._read_lines(partition)
+        else:
+            yield from self._read_stream(partition)
+
+    def _new_plate(self) -> PushdownPlate:
+        return PushdownPlate(required=self.required, tests=self._tests)
+
+    def _read_stream(self, split: FileSplit):
+        """values/array/single: incremental absorb of the whole file,
+        batches streaming out per chunk (constant memory — the parser's
+        sliding-window buffer compaction keeps the live buffer bounded)."""
+        parser = JsonParser(self._new_plate(), _MODES[self.mode])
+        with open(split.file, "rb") as fh:
+            while True:
+                chunk = fh.read(_CHUNK)
+                res = parser.finish() if not chunk else parser.absorb(chunk)
+                rows: list[Any] = []
+                while not isinstance(res, Failure):
+                    rows.extend(res.value)
+                    if not isinstance(res, Partial):
+                        break
+                    res = parser.resume()
+                if isinstance(res, Failure):
+                    raise res.error
+                yield from self._to_batches(rows)
+                if not chunk:
+                    break
+
+    def _read_lines(self, split: FileSplit):
+        """lines mode: stream newline-aligned blocks through one parser;
+        a block that fails to parse is re-parsed line-by-line (PERMISSIVE /
+        DROPMALFORMED blast radius of a single line), then parsing resumes
+        with a fresh parser. Batches stream out per block — a split never
+        buffers more than one block of rows."""
+        parser = JsonParser(self._new_plate(), Mode.VALUE_STREAM)
+        for block in read_split_chunks(split):
+            rows: list[Any] = []
+            corrupt: list[str | None] | None = None
+            res = parser.absorb(block)
+            while not isinstance(res, Failure):
+                rows.extend(res.value)
+                if not isinstance(res, Partial):
+                    break
+                res = parser.resume()
+            if isinstance(res, Failure):
+                if self.parse_mode == "FAILFAST":
+                    raise res.error
+                rows, corrupt = self._reparse_block(block)
+                parser = JsonParser(self._new_plate(), Mode.VALUE_STREAM)
+            yield from self._to_batches(rows, corrupt)
+        res = parser.finish()
+        if isinstance(res, Failure):
+            if self.parse_mode == "FAILFAST":
+                raise res.error
+        else:
+            yield from self._to_batches(res.value)
+
+    def _reparse_block(self, block: bytes):
+        """Error-isolating slow path, only for blocks with malformed rows:
+        one parser per line (a6 parity — the reference can only FAILFAST,
+        exceptions.scala:24; per-line recovery is the Spark-reader model)."""
+        rows: list[Any] = []
+        corrupt: list[str | None] = []
+        for line in block.split(b"\n"):
+            if not line.strip():
+                continue
+            parser = JsonParser(self._new_plate(), Mode.VALUE_STREAM)
+            line_rows: list[Any] = []
+            res = parser.parse_complete(line)
+            while not isinstance(res, Failure):
+                line_rows.extend(res.value)
+                if not isinstance(res, Partial):
+                    break
+                res = parser.resume()
+            if not isinstance(res, Failure):
+                rows.extend(line_rows)
+                corrupt.extend([None] * len(line_rows))
+            elif self.parse_mode == "PERMISSIVE":
+                rows.append(None)  # all-null data columns
+                corrupt.append(line.decode("utf-8", errors="replace"))
+            # DROPMALFORMED: swallow the line
+        return rows, corrupt
+
+    def _to_batches(self, rows: list[Any], corrupt_raw: list[str | None] | None = None):
+        data_schema = self.data_schema
+        has_corrupt = self.corrupt_col and self.corrupt_col in self.schema.fieldNames()
+
+        def norm() -> Iterator[dict]:
+            for i, r in enumerate(rows):
+                d = normalize_row(r, data_schema)
+                if has_corrupt:
+                    d[self.corrupt_col] = corrupt_raw[i] if corrupt_raw else None
+                yield d
+
+        yield from rows_to_batches(norm(), self.schema, self.batch_rows)

@@ -10,7 +10,10 @@ SF_DIR_001 = "/root/testdata/sf0.001"
 def spark():
     from tectonic_spark import get_spark
 
+    from tectonic_spark.sources import register_tectonic_sources
+
     s = get_spark(app_name="tectonic-tests", cpus=4)
+    register_tectonic_sources(s)
     yield s
 
 

@@ -1,0 +1,335 @@
+"""DataSource layer tests (SURVEY.md §7.5-7.6): schema inference, Arrow
+batching, split planning/invariance, pushdown, malformed-row modes, CSV
+config parity — verified against json module / DuckDB ground truth."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql.datasource import EqualTo, GreaterThan, IsNull, StringStartsWith
+
+from tectonic_spark.core.json_parser import JsonParser, Mode
+from tectonic_spark.sources.json_source import (
+    FileSplit,
+    plan_splits,
+    read_split_chunks,
+)
+from tectonic_spark.sources.pushdown import PushdownPlate, compile_filters
+from tectonic_spark.sources.schema_infer import (
+    infer_spark_schema,
+    merge_types,
+    normalize_row,
+)
+
+
+# ---------------------------------------------------------------- inference
+
+
+class TestSchemaInference:
+    def test_flat_object(self):
+        s = infer_spark_schema([{"a": 1, "b": "x", "c": 1.5, "d": True, "e": None}])
+        assert s.simpleString() == "struct<a:bigint,b:string,c:double,d:boolean,e:string>"
+
+    def test_numeric_widening(self):
+        s = infer_spark_schema([{"a": 1}, {"a": 2.5}])
+        assert s["a"].dataType.simpleString() == "double"
+
+    def test_bigint_to_decimal(self):
+        s = infer_spark_schema([{"a": 2**70}])
+        assert s["a"].dataType.simpleString() == "decimal(38,0)"
+
+    def test_conflict_falls_back_to_string(self):
+        s = infer_spark_schema([{"a": 1}, {"a": [2]}])
+        assert s["a"].dataType.simpleString() == "string"
+
+    def test_struct_merge_keeps_order(self):
+        s = infer_spark_schema([{"a": {"x": 1}}, {"a": {"y": 2}}, {"b": 0}])
+        assert s.simpleString() == "struct<a:struct<x:bigint,y:bigint>,b:bigint>"
+
+    def test_arrays_merge_elementwise(self):
+        s = infer_spark_schema([{"a": [1, 2]}, {"a": [2.5]}])
+        assert s["a"].dataType.simpleString() == "array<double>"
+
+    def test_empty_containers_are_scalars(self):
+        # {} / [] (reference map()/arr() events) merge with richer siblings
+        s = infer_spark_schema([{"a": {}, "b": []}, {"a": {"x": 1}, "b": [2]}])
+        assert s.simpleString() == "struct<a:struct<x:bigint>,b:array<bigint>>"
+
+    def test_top_level_scalars_get_value_column(self):
+        s = infer_spark_schema([1, 2.5, None])
+        assert s.simpleString() == "struct<value:double>"
+
+    def test_mixed_object_scalar_degrades_to_value_string(self):
+        s = infer_spark_schema([{"a": 1}, 42])
+        assert s.simpleString() == "struct<value:string>"
+
+    def test_normalize_mismatch_to_null(self):
+        s = infer_spark_schema([{"a": 1}])
+        assert normalize_row({"a": "oops"}, s) == {"a": None}
+        assert normalize_row({"a": 3}, s) == {"a": 3}
+
+    def test_normalize_container_to_string_canonical(self):
+        s = infer_spark_schema([{"a": "x"}])
+        assert normalize_row({"a": {"k": [1, True]}}, s) == {"a": '{"k":[1,true]}'}
+
+    def test_merge_is_commutative_on_samples(self):
+        import itertools
+
+        samples = [
+            {"a": 1}, {"a": 2.5}, {"a": "s"}, {"a": [1]}, {"a": {"b": 1}},
+            {"a": None}, {"a": True},
+        ]
+        for x, y in itertools.combinations(samples, 2):
+            sx = infer_spark_schema([x, y])
+            sy = infer_spark_schema([y, x])
+            assert {f.name: f.dataType for f in sx} == {f.name: f.dataType for f in sy}
+
+
+# ------------------------------------------------------------------- splits
+
+
+class TestSplits:
+    def test_plan_splits_covers_file(self, tmp_path):
+        f = tmp_path / "x.json"
+        f.write_bytes(b"x" * 1000)
+        splits = plan_splits([str(f)], 300, splittable=True)
+        assert [(s.start, s.end) for s in splits] == [(0, 300), (300, 600), (600, 900), (900, 1000)]
+
+    def test_split_chunks_partition_lines_exactly_once(self, tmp_path):
+        lines = [json.dumps({"i": i, "pad": "p" * (i % 37)}).encode() for i in range(500)]
+        data = b"\n".join(lines) + b"\n"
+        f = tmp_path / "x.json"
+        f.write_bytes(data)
+        for split_bytes in (64, 256, 999, 10**6):
+            splits = plan_splits([str(f)], split_bytes, splittable=True)
+            got = b"".join(b"".join(read_split_chunks(s)) for s in splits)
+            assert got == data, f"split_bytes={split_bytes}"
+
+    def test_split_chunks_no_trailing_newline(self, tmp_path):
+        data = b'{"a":1}\n{"a":2}'
+        f = tmp_path / "x.json"
+        f.write_bytes(data)
+        splits = plan_splits([str(f)], 9, splittable=True)
+        got = b"".join(b"".join(read_split_chunks(s)) for s in splits)
+        assert got == data
+
+
+# ----------------------------------------------------------------- pushdown
+
+
+def _run_pushdown(data: bytes, required, tests):
+    plate = PushdownPlate(required=required, tests=tests)
+    p = JsonParser(plate, Mode.VALUE_STREAM)
+    rows = list(p.absorb(data).value)
+    rows += p.finish().value
+    return rows, p.skipped_bytes_total, plate
+
+
+class TestPushdownPlate:
+    DATA = b"\n".join(
+        json.dumps({"a": i, "b": f"s{i}", "huge": "Z" * 200, "n": {"x": i}}).encode()
+        for i in range(10)
+    )
+
+    def test_projection_skips_bytes(self):
+        rows, skipped, _ = _run_pushdown(self.DATA, {"a", "b"}, None)
+        assert rows == [{"a": i, "b": f"s{i}"} for i in range(10)]
+        assert skipped > 2000  # "huge" + "n" values byte-skipped
+
+    def test_filter_skip_row(self):
+        schema = infer_spark_schema([{"a": 1, "b": "s"}])
+        tests = compile_filters([GreaterThan(("a",), 6)], schema)
+        rows, _, plate = _run_pushdown(self.DATA, {"a", "b"}, tests)
+        assert [r["a"] for r in rows] == [7, 8, 9]
+        assert plate.rows_skipped_total == 7
+
+    def test_filter_on_missing_column_drops_row(self):
+        schema = infer_spark_schema([{"a": 1, "c": 1}])
+        tests = compile_filters([EqualTo(("c",), 5)], schema)
+        rows, _, _ = _run_pushdown(self.DATA, {"a"}, tests)
+        assert rows == []  # no row has c → null ≠ 5
+
+    def test_is_null_keeps_mismatch(self):
+        # "a" is long in schema; a string cell normalizes to null → IS NULL true
+        data = b'{"a": 1}\n{"a": "oops"}\n{"a": null}'
+        schema = infer_spark_schema([{"a": 1}])
+        tests = compile_filters([IsNull(("a",))], schema)
+        rows, _, _ = _run_pushdown(data, {"a"}, tests)
+        assert rows == [{"a": "oops"}, {"a": None}]  # raw values; Spark normalizes
+
+    def test_string_filters(self):
+        schema = infer_spark_schema([{"b": "s"}])
+        tests = compile_filters([StringStartsWith(("b",), "s")], schema)
+        rows, _, _ = _run_pushdown(self.DATA, {"b"}, tests)
+        assert len(rows) == 10
+
+    def test_unsupported_filter_ignored(self):
+        schema = infer_spark_schema([{"n": {"x": 1}}])
+        assert compile_filters([EqualTo(("n", "x"), 1)], schema) is None
+
+
+# ------------------------------------------------------- spark end-to-end
+
+
+@pytest.fixture(scope="module")
+def json_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("jsonl")
+    with open(d / "a.json", "w") as f:
+        for i in range(300):
+            f.write(
+                json.dumps(
+                    {"id": i, "name": f"n{i}", "score": i * 0.25, "tags": [i % 3, i % 5]}
+                )
+                + "\n"
+            )
+    with open(d / "b.json", "w") as f:
+        for i in range(300, 500):
+            f.write(json.dumps({"id": i, "name": f"n{i}", "score": None}) + "\n")
+    return str(d)
+
+
+class TestJsonDataSource:
+    def test_roundtrip_vs_duckdb(self, spark, json_dir):
+        df = spark.read.format("tectonic-json").load(json_dir)
+        got = sorted(
+            [(r.id, r.name, r.score) for r in df.select("id", "name", "score").collect()]
+        )
+        want = duckdb.sql(
+            f"SELECT id, name, score FROM read_json_auto('{json_dir}/*.json') ORDER BY id"
+        ).fetchall()
+        assert got == [tuple(w) for w in want]
+
+    def test_split_invariance(self, spark, json_dir):
+        base = spark.read.format("tectonic-json").load(json_dir)
+        tiny = (
+            spark.read.format("tectonic-json")
+            .option("splitSizeBytes", 512)
+            .load(json_dir)
+        )
+        assert tiny.rdd.getNumPartitions() > base.rdd.getNumPartitions()
+        assert sorted(base.select("id").rdd.map(tuple).collect()) == sorted(
+            tiny.select("id").rdd.map(tuple).collect()
+        )
+
+    def test_user_schema_prunes(self, spark, json_dir):
+        df = (
+            spark.read.format("tectonic-json")
+            .schema("id long, name string")
+            .load(json_dir)
+        )
+        assert df.columns == ["id", "name"]
+        assert df.count() == 500
+
+    def test_filter_results_correct(self, spark, json_dir):
+        df = spark.read.format("tectonic-json").load(json_dir)
+        got = df.filter("id >= 495").select("id", "name").orderBy("id").collect()
+        assert [(r.id, r.name) for r in got] == [(i, f"n{i}") for i in range(495, 500)]
+
+    def test_array_mode(self, spark, tmp_path):
+        p = tmp_path / "arr.json"
+        p.write_text(json.dumps([{"a": 1}, {"a": 2}, {"a": 3}]))
+        df = spark.read.format("tectonic-json").option("mode", "array").load(str(p))
+        assert sorted(r.a for r in df.collect()) == [1, 2, 3]
+
+    def test_single_mode(self, spark, tmp_path):
+        p = tmp_path / "one.json"
+        p.write_text(json.dumps({"a": 42, "b": [1, 2]}))
+        df = spark.read.format("tectonic-json").option("mode", "single").load(str(p))
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0].a == 42
+
+    def test_values_mode_pretty_printed(self, spark, tmp_path):
+        p = tmp_path / "vals.json"
+        p.write_text('{"a":\n 1}\n  {"a":\n2}')  # values straddle lines
+        df = spark.read.format("tectonic-json").option("mode", "values").load(str(p))
+        assert sorted(r.a for r in df.collect()) == [1, 2]
+
+    def test_permissive_corrupt_column(self, spark, tmp_path):
+        p = tmp_path / "bad.json"
+        p.write_text('{"a": 1}\n{"a": oops}\n{"a": 3}\n')
+        df = (
+            spark.read.format("tectonic-json")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .load(str(p))
+        )
+        rows = sorted(df.collect(), key=lambda r: (r.a is None, r.a))
+        assert [r.a for r in rows] == [1, 3, None]
+        assert rows[2]._corrupt == '{"a": oops}'
+
+    def test_dropmalformed(self, spark, tmp_path):
+        p = tmp_path / "bad.json"
+        p.write_text('{"a": 1}\n{"a": oops}\n{"a": 3}\n')
+        df = (
+            spark.read.format("tectonic-json")
+            .option("parseMode", "DROPMALFORMED")
+            .load(str(p))
+        )
+        assert sorted(r.a for r in df.collect()) == [1, 3]
+
+    def test_failfast(self, spark, tmp_path):
+        p = tmp_path / "bad.json"
+        p.write_text('{"a": 1}\n{"a": oops}\n')
+        df = (
+            spark.read.format("tectonic-json")
+            .option("parseMode", "FAILFAST")
+            .load(str(p))
+        )
+        with pytest.raises(Exception, match="(?i)expected|parse"):
+            df.collect()
+
+
+class TestCsvDataSource:
+    def test_roundtrip_unix(self, spark, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text("x,y\n1,a\n2,b\n3,c\n")
+        df = (
+            spark.read.format("tectonic-csv")
+            .option("lineSep", "\n")
+            .load(str(p))
+        )
+        assert sorted((r.x, r.y) for r in df.collect()) == [("1", "a"), ("2", "b"), ("3", "c")]
+
+    def test_headerless_excel_names(self, spark, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text("1,a\n2,b\n")
+        df = (
+            spark.read.format("tectonic-csv")
+            .option("header", "false")
+            .option("lineSep", "\n")
+            .load(str(p))
+        )
+        assert df.columns == ["A", "B"]
+
+    def test_quoted_cells(self, spark, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text('x,y\n"a,b","c""d"\n')
+        df = spark.read.format("tectonic-csv").option("lineSep", "\n").load(str(p))
+        r = df.collect()[0]
+        assert (r.x, r.y) == ("a,b", 'c"d')
+
+    def test_split_invariance_with_header(self, spark, tmp_path):
+        p = tmp_path / "big.csv"
+        with open(p, "w") as f:
+            f.write("k,v\n")
+            for i in range(400):
+                f.write(f"{i},val{i}\n")
+        base = spark.read.format("tectonic-csv").option("lineSep", "\n").load(str(p))
+        tiny = (
+            spark.read.format("tectonic-csv")
+            .option("lineSep", "\n")
+            .option("splitSizeBytes", 256)
+            .load(str(p))
+        )
+        assert tiny.rdd.getNumPartitions() > 1
+        assert sorted(base.rdd.map(tuple).collect()) == sorted(tiny.rdd.map(tuple).collect())
+        # the header row must not appear as data in any split
+        assert tiny.filter("k = 'k'").count() == 0
+
+    def test_crlf_default(self, spark, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_bytes(b"x,y\r\n1,a\r\n2,b\r\n")
+        df = spark.read.format("tectonic-csv").load(str(p))
+        assert sorted((r.x, r.y) for r in df.collect()) == [("1", "a"), ("2", "b")]
