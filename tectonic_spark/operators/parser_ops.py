@@ -1,0 +1,246 @@
+"""Reference-parity parser operators as registered queries (SURVEY.md §2.B
+a1-a6): the tectonic-json / tectonic-csv DataSources exercised end-to-end
+under the driver's DuckDB-oracle gate.
+
+Input fixtures are derived *deterministically* from the sf_dir's
+``documents`` parquet (sorted by doc_id, fixed formatting), so the oracle
+can be phrased against the pre-registered ``documents`` view. Fixtures are
+cached under /tmp keyed by sf_dir and written atomically (os.replace), so
+concurrent builders converge on identical bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tectonic_spark.operators.registry import register
+from tectonic_spark.sources.registration import register_tectonic_sources
+
+_FIXTURE_ROOT = os.path.join(tempfile.gettempdir(), "tectonic_fixtures")
+
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    d = os.path.join(_FIXTURE_ROOT, tag)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _docs_rows(sf_dir: str) -> list[tuple]:
+    import duckdb
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang, source, n_chars FROM '{path}' ORDER BY doc_id"
+    ).fetchall()
+
+
+def _write_atomic(path: str, data: bytes) -> None:
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def documents_jsonl(sf_dir: str, corrupt_every: int = 0) -> str:
+    """documents as JSONL; ``corrupt_every``>0 replaces rows whose
+    doc_id %% corrupt_every == 0 with a malformed line (a6 fixture)."""
+    name = f"documents_corrupt{corrupt_every}.jsonl" if corrupt_every else "documents.jsonl"
+    out = os.path.join(_fixture_dir(sf_dir), name)
+    if not os.path.exists(out):
+        lines = []
+        for doc_id, text, lang, source, n_chars in _docs_rows(sf_dir):
+            if corrupt_every and doc_id % corrupt_every == 0:
+                lines.append('{"doc_id": %d, broken' % doc_id)
+            else:
+                lines.append(
+                    json.dumps(
+                        {
+                            "doc_id": doc_id,
+                            "text": text,
+                            "lang": lang,
+                            "source": source,
+                            "n_chars": n_chars,
+                        },
+                        ensure_ascii=False,
+                    )
+                )
+        _write_atomic(out, ("\n".join(lines) + "\n").encode())
+    return out
+
+
+def documents_mixed_jsonl(sf_dir: str) -> str:
+    """a5 fixture: heterogeneous shapes the inference pass must reconcile —
+    ``score`` double only on doc_id%%3==0 rows; ``tags`` array only on
+    doc_id%%4==0 rows; n_chars stays long."""
+    out = os.path.join(_fixture_dir(sf_dir), "documents_mixed.jsonl")
+    if not os.path.exists(out):
+        lines = []
+        for doc_id, _text, lang, _source, n_chars in _docs_rows(sf_dir):
+            row = {"doc_id": doc_id, "lang": lang, "n_chars": n_chars}
+            if doc_id % 3 == 0:
+                row["score"] = n_chars + 0.5
+            if doc_id % 4 == 0:
+                row["tags"] = [lang, str(doc_id % 7)]
+            lines.append(json.dumps(row, ensure_ascii=False))
+        _write_atomic(out, ("\n".join(lines) + "\n").encode())
+    return out
+
+
+def documents_csv(sf_dir: str) -> str:
+    """documents as RFC-4180-ish CSV (quoted cells, \\n rows)."""
+    out = os.path.join(_fixture_dir(sf_dir), "documents.csv")
+    if not os.path.exists(out):
+
+        def q(v) -> str:
+            s = str(v)
+            return '"' + s.replace('"', '""') + '"'
+
+        lines = [",".join(_DOC_COLS)]
+        for row in _docs_rows(sf_dir):
+            lines.append(",".join(q(v) for v in row))
+        _write_atomic(out, ("\n".join(lines) + "\n").encode())
+    return out
+
+
+def _json_reader(spark: SparkSession):
+    register_tectonic_sources(spark)
+    return spark.read.format("tectonic-json")
+
+
+# ------------------------------------------------------------------ queries
+
+
+@register(
+    "a01_json_scan",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+    doc="Full-fidelity JSONL scan through the tectonic-json DataSource "
+    "(S1 parity: json/Parser.scala:95-920, lines framing = ValueStream).",
+)
+def a01_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = documents_jsonl(sf_dir)
+    return _json_reader(spark).load(path).select(*_DOC_COLS)
+
+
+@register(
+    "a02_csv_scan",
+    oracle=(
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source, "
+        "CAST(n_chars AS VARCHAR) AS n_chars FROM documents"
+    ),
+    doc="CSV scan through tectonic-csv (S2 parity: csv/Parser.scala:30-459; "
+    "all cells strings per README.md:89, quote/escape handling).",
+)
+def a02_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = documents_csv(sf_dir)
+    register_tectonic_sources(spark)
+    return (
+        spark.read.format("tectonic-csv")
+        .option("lineSep", "\n")
+        .load(path)
+        .select(*_DOC_COLS)
+    )
+
+
+@register(
+    "a03_projection_pushdown",
+    oracle="SELECT doc_id, lang FROM documents",
+    doc="Projection pushdown into the parse: user schema narrows the scan; "
+    "other top-level keys are byte-skipped via SKIP_COLUMN (rskip parity, "
+    "json/Parser.scala:821-879).",
+)
+def a03_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = documents_jsonl(sf_dir)
+    return (
+        _json_reader(spark)
+        .schema("doc_id long, lang string")
+        .load(path)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "a04_filter_pushdown",
+    oracle=(
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE n_chars >= 200 AND lang = 'en'"
+    ),
+    doc="Filter pushdown: Catalyst filters reach the parser as SKIP_ROW "
+    "byte-skips (Signal.scala:26 — declared in the reference, implemented "
+    "here); Spark re-applies above, skips are pure I/O savings.",
+)
+def a04_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = documents_jsonl(sf_dir)
+    df = _json_reader(spark).load(path)
+    return df.filter((df.n_chars >= 200) & (df.lang == "en")).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "a05_schema_inference",
+    oracle=(
+        "SELECT doc_id, lang, n_chars, "
+        "CASE WHEN doc_id % 3 = 0 THEN n_chars + 0.5 END AS score, "
+        "CASE WHEN doc_id % 4 = 0 THEN lang || ',' || CAST(doc_id % 7 AS VARCHAR) END AS tags "
+        "FROM documents"
+    ),
+    doc="Dynamic-schema inference over heterogeneous rows (a5): sampling "
+    "pass merges long/double to double, absent fields to nulls, arrays "
+    "elementwise (SURVEY §1.2 type lattice).",
+)
+def a05_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    path = documents_mixed_jsonl(sf_dir)
+    df = _json_reader(spark).load(path)
+    # array → csv string so the oracle can express it
+    return df.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "score",
+        F.array_join("tags", ",").alias("tags"),
+    )
+
+
+@register(
+    "a06_malformed_handling",
+    oracle=(
+        "SELECT CASE WHEN doc_id % 97 = 0 THEN '__corrupt__' ELSE lang END AS lang, "
+        "COUNT(*) AS n FROM documents GROUP BY 1"
+    ),
+    doc="PERMISSIVE malformed-row handling (a6; ParseException parity, "
+    "exceptions.scala:24): bad lines become all-null rows captured in "
+    "_corrupt; blast radius is one line, the rest of the split parses.",
+)
+def a06_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    path = documents_jsonl(sf_dir, corrupt_every=97)
+    df = (
+        _json_reader(spark)
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .load(path)
+    )
+    return (
+        df.withColumn(
+            "lang2",
+            F.when(F.col("_corrupt").isNotNull(), F.lit("__corrupt__")).otherwise(
+                F.col("lang")
+            ),
+        )
+        .groupBy(F.col("lang2").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -295,33 +295,41 @@ class TectonicJsonReader(DataSourceReader):
                     break
 
     def _read_lines(self, split: FileSplit):
-        """lines mode: stream newline-aligned blocks through one parser;
-        a block that fails to parse is re-parsed line-by-line (PERMISSIVE /
-        DROPMALFORMED blast radius of a single line), then parsing resumes
-        with a fresh parser. Batches stream out per block — a split never
-        buffers more than one block of rows."""
-        parser = JsonParser(self._new_plate(), Mode.VALUE_STREAM)
+        """lines mode: each newline-aligned block (a run of complete lines,
+        NDJSON contract) parses with its own parser; a block that fails
+        anywhere — including at finish, when a malformed value's extent
+        swallows the rest of the block — is re-parsed line-by-line
+        (PERMISSIVE / DROPMALFORMED blast radius of a single line).
+        Batches stream out per block — a split never buffers more than one
+        block of rows."""
         for block in read_split_chunks(split):
-            rows: list[Any] = []
             corrupt: list[str | None] | None = None
-            res = parser.absorb(block)
-            while not isinstance(res, Failure):
+            rows, error = self._parse_block(block)
+            if error is not None:
+                if self.parse_mode == "FAILFAST":
+                    raise error
+                rows, corrupt = self._reparse_block(block)
+            yield from self._to_batches(rows, corrupt)
+
+    def _parse_block(self, block: bytes):
+        """Parse one self-contained block: absorb + finish, draining any
+        BREAK_BATCH partials. Returns (rows, None) or (None, error)."""
+        parser = JsonParser(self._new_plate(), Mode.VALUE_STREAM)
+        rows: list[Any] = []
+
+        def phases():
+            yield parser.absorb(block)  # generator: finish() stays lazy
+            yield parser.finish()
+
+        for res in phases():
+            while True:
+                if isinstance(res, Failure):
+                    return None, res.error
                 rows.extend(res.value)
                 if not isinstance(res, Partial):
                     break
                 res = parser.resume()
-            if isinstance(res, Failure):
-                if self.parse_mode == "FAILFAST":
-                    raise res.error
-                rows, corrupt = self._reparse_block(block)
-                parser = JsonParser(self._new_plate(), Mode.VALUE_STREAM)
-            yield from self._to_batches(rows, corrupt)
-        res = parser.finish()
-        if isinstance(res, Failure):
-            if self.parse_mode == "FAILFAST":
-                raise res.error
-        else:
-            yield from self._to_batches(res.value)
+        return rows, None
 
     def _reparse_block(self, block: bytes):
         """Error-isolating slow path, only for blocks with malformed rows:
