@@ -3,6 +3,7 @@ every declared query into :mod:`tectonic_spark.operators.registry`."""
 
 from tectonic_spark.operators import (  # noqa: F401
     dedup,
+    multimodal,
     parser_ops,
     relational,
     similarity,

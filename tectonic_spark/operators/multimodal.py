@@ -1,0 +1,220 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata
+(north-star extension; no reference analog — the reference stops at byte
+parsing, SURVEY §2.A).
+
+Design for 100 TB:
+
+* Payloads are **opaque ``binary`` columns** with a sibling metadata struct
+  — the layout a real lakehouse uses (parquet BYTE_ARRAY chunks stay
+  columnar; metadata prunes without touching payload bytes).
+* Decode / feature-extract / resize / frame-sample run as **Arrow-batched
+  ``mapInPandas``** stages: one Python worker per partition-batch, payload
+  bytes never pass through the driver, batch size bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+* The actual codec calls are **STUBS** (``_decode_image_real`` raises
+  NotImplementedError — Pillow/librosa/ffmpeg are not in this container).
+  Tests and oracle queries run against ``fake=True``, a deterministic
+  header parser over the same plumbing, so the Spark-side schema,
+  partitioning, UDF signature, and batch shape are real and tested.
+
+The synthetic payload format (``_fake_payload``) is deterministic from the
+documents table, so every derived quantity is reproducible in ANSI SQL for
+the DuckDB oracle (m01/m02 in the registry).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC = b"TMM1"  # tectonic multimodal v1
+
+
+def _fake_payload(doc_id: int, n_chars: int, kind: str) -> bytes:
+    """Deterministic synthetic payload: 4-byte magic, kind byte, width,
+    height, n_frames (little-endian u32) + (n_chars % 251) filler bytes.
+    Every field derives from (doc_id, n_chars) so DuckDB can reproduce it.
+    """
+    kind_b = {"image": 0, "audio": 1, "video": 2}[kind]
+    width = 64 + (doc_id % 16) * 32
+    height = 64 + (doc_id % 9) * 32
+    n_frames = 1 if kind == "image" else 1 + (doc_id % 240)
+    body = bytes([(doc_id + i) % 256 for i in range(n_chars % 251)])
+    return (
+        _MAGIC
+        + bytes([kind_b])
+        + struct.pack("<III", width, height, n_frames)
+        + body
+    )
+
+
+def attach_fake_payloads(docs: DataFrame) -> DataFrame:
+    """documents → add ``media`` binary + ``media_kind`` columns (the
+    ingest shape: payload opaque, kind from metadata). Pure mapInPandas so
+    payload synthesis is distributed and Arrow-batched."""
+    schema = StructType(
+        list(docs.schema.fields)
+        + [
+            StructField("media", BinaryType(), True),
+            StructField("media_kind", StringType(), True),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            kind = [kinds[i % 3] for i in pdf["doc_id"]]
+            pdf = pdf.assign(
+                media=[
+                    _fake_payload(i, n, k)
+                    for i, n, k in zip(pdf["doc_id"], pdf["n_chars"], kind)
+                ],
+                media_kind=kind,
+            )
+            yield pdf
+
+    return docs.mapInPandas(gen, schema)
+
+
+_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("media_kind", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("payload_bytes", LongType(), True),
+    ]
+)
+
+
+def _decode_image_real(payload: bytes):  # pragma: no cover - container has no codecs
+    """Real decode path — STUB. A production build plugs Pillow/pyav here;
+    the mapInPandas plumbing above/below is unchanged."""
+    raise NotImplementedError(
+        "image/audio/video codecs are not available in this environment; "
+        "use fake=True (deterministic header parser) for tests"
+    )
+
+
+def extract_media_meta(with_media: DataFrame, fake: bool = True) -> DataFrame:
+    """Parse payload headers into a typed metadata frame (decode stage).
+
+    ``fake=True`` parses the deterministic TMM1 header; ``fake=False``
+    routes to the real-codec stub. Arrow-batched; only the binary column
+    and doc_id are shipped into Python (select narrow first — column
+    pruning keeps payload siblings out of the exchange).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, kind, payload in zip(
+                pdf["doc_id"], pdf["media_kind"], pdf["media"]
+            ):
+                if not fake:
+                    _decode_image_real(payload)
+                if payload is None or payload[:4] != _MAGIC:
+                    out.append((doc_id, kind, None, None, None, None))
+                    continue
+                width, height, n_frames = struct.unpack("<III", payload[5:17])
+                out.append((doc_id, kind, width, height, n_frames, len(payload)))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _META_SCHEMA.fields]
+            )
+
+    return with_media.select("doc_id", "media_kind", "media").mapInPandas(
+        decode, _META_SCHEMA
+    )
+
+
+def sample_frames(with_media: DataFrame, every_nth: int = 30, fake: bool = True) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame
+    (row-explosion stage). At scale this is the fan-out step before
+    per-frame feature extraction; output partitioning inherits the input's,
+    so repartition downstream if frame counts are skewed."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("frame_idx", LongType(), True),
+            StructField("frame", BinaryType(), True),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, kind, payload in zip(
+                pdf["doc_id"], pdf["media_kind"], pdf["media"]
+            ):
+                if kind != "video" or payload is None or payload[:4] != _MAGIC:
+                    continue
+                if not fake:
+                    _decode_image_real(payload)
+                (n_frames,) = struct.unpack("<I", payload[13:17])
+                for idx in range(0, n_frames, every_nth):
+                    # fake "frame": header + index (deterministic, tiny)
+                    rows.append((doc_id, idx, payload[:17] + struct.pack("<I", idx)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return with_media.select("doc_id", "media_kind", "media").mapInPandas(sample, schema)
+
+
+# ------------------------------------------------------------------ queries
+
+
+from tectonic_spark.operators.registry import register  # noqa: E402
+from tectonic_spark.tables import table  # noqa: E402
+
+
+@register(
+    "m01_media_metadata",
+    oracle=(
+        "SELECT doc_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind, "
+        "64 + (doc_id % 16) * 32 AS width, "
+        "64 + (doc_id % 9) * 32 AS height, "
+        "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + (doc_id % 240) END AS n_frames, "
+        "17 + (n_chars % 251) AS payload_bytes "
+        "FROM documents"
+    ),
+    doc="Binary media columns + typed metadata extraction through "
+    "Arrow-batched mapInPandas (decode stubbed deterministically; the "
+    "plumbing — schema, batching, pruning — is the real path).",
+)
+def m01_media_metadata(spark, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return extract_media_meta(attach_fake_payloads(docs)).select(
+        "doc_id", "media_kind", "width", "height", "n_frames", "payload_bytes"
+    )
+
+
+@register(
+    "m02_frame_sampling",
+    oracle=(
+        "WITH v AS (SELECT doc_id, 1 + (doc_id % 240) AS n_frames FROM documents "
+        "WHERE doc_id % 3 = 2), "
+        "idx AS (SELECT (g - 1) * 30 AS frame_idx FROM generate_series(1, 8) AS t(g)) "
+        "SELECT v.doc_id, idx.frame_idx, CAST(21 AS BIGINT) AS frame_bytes "
+        "FROM v JOIN idx ON idx.frame_idx < v.n_frames"
+    ),
+    doc="Per-frame fan-out: sample every 30th frame of each video payload "
+    "(mapInPandas row explosion; the pre-feature-extraction step).",
+)
+def m02_frame_sampling(spark, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    frames = sample_frames(attach_fake_payloads(docs), every_nth=30)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
+    )

@@ -183,6 +183,11 @@ class TectonicJsonDataSource(DataSource):
     def reader(self, schema: StructType) -> "TectonicJsonReader":
         return TectonicJsonReader(schema, dict(self.options), self._mode())
 
+    def streamReader(self, schema: StructType):  # noqa: N802 (Spark API name)
+        from tectonic_spark.streaming.json_stream import TectonicJsonStreamReader
+
+        return TectonicJsonStreamReader(schema, dict(self.options), self._mode())
+
 
 def _parse_file_prefix(path: str, mode: str, max_rows: int) -> list[Any]:
     """Parse up to ``max_rows`` rows from the head of one file."""

@@ -1,0 +1,73 @@
+"""Streaming flavor of the tectonic-json source (SURVEY.md §7.8).
+
+The reference's fs2 layer turns the incremental parser into
+``Stream[F, Byte] → Pipe → Stream[F, B]`` (fs2/StreamParser.scala:29-82);
+the Spark-idiomatic equivalent is a micro-batch file source:
+
+* **Offsets** are directory snapshots ``{"files": {path: size}}`` — files
+  are assumed immutable once visible (the standard Spark file-source
+  contract). An offset range's work is exactly the newly-appeared files.
+* **partitions(start, end)** plans the same byte-range :class:`FileSplit`
+  units as the batch reader, so a micro-batch containing a huge file still
+  fans out across executors — parsing never serializes onto the driver.
+* **read(partition)** runs on executors and reuses the batch reader's
+  block parser (projection pushdown included via the scan schema), emitting
+  tuples in schema order.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSourceStreamReader
+from pyspark.sql.types import StructType
+
+from tectonic_spark.sources.json_source import (
+    _DEFAULT_SPLIT,
+    FileSplit,
+    TectonicJsonReader,
+    list_input_files,
+    plan_splits,
+)
+
+
+class TectonicJsonStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict, mode: str) -> None:
+        self._batch_reader = TectonicJsonReader(schema, options, mode)
+        self.schema = schema
+        self.options = options
+        self.mode = mode
+        self._names = schema.fieldNames()
+
+    # ---------------------------------------------------------------- offsets
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        try:
+            files = list_input_files(self.options["path"])
+        except FileNotFoundError:
+            files = []
+        return {"files": {f: os.path.getsize(f) for f in files}}
+
+    def partitions(self, start: dict, end: dict) -> list[FileSplit]:
+        seen = set(start.get("files", {}))
+        new_files = [f for f in sorted(end.get("files", {})) if f not in seen]
+        split_bytes = int(self.options.get("splitsizebytes", _DEFAULT_SPLIT))
+        splits = plan_splits(new_files, split_bytes, splittable=(self.mode == "lines"))
+        # Spark requires ≥1 partition per micro-batch; use an empty marker
+        return splits or [FileSplit("", 0, 0, 0)]
+
+    # ------------------------------------------------------------------ read
+
+    def read(self, partition: FileSplit) -> Iterator[tuple]:
+        if not partition.file:
+            return
+        for batch in self._batch_reader.read(partition):
+            for row in batch.to_pylist():
+                yield tuple(row[n] for n in self._names)
+
+    def commit(self, end: dict) -> None:
+        return None

@@ -1,0 +1,63 @@
+"""Multimodal column plumbing tests: binary payload synthesis, metadata
+decode (stubbed deterministically), frame sampling fan-out, and the
+NotImplementedError gate on the real-codec path."""
+
+from __future__ import annotations
+
+import pytest
+
+from tectonic_spark.operators.multimodal import (
+    _fake_payload,
+    attach_fake_payloads,
+    extract_media_meta,
+    sample_frames,
+)
+from tectonic_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    docs = table(spark, SF, "documents").select("doc_id", "n_chars").limit(60)
+    return attach_fake_payloads(docs).cache()
+
+
+class TestMultimodal:
+    def test_payload_is_binary_and_deterministic(self, media_df):
+        rows = {r.doc_id: r for r in media_df.collect()}
+        assert isinstance(rows[1].media, bytearray | bytes)
+        kind = rows[1].media_kind
+        assert bytes(rows[1].media) == _fake_payload(1, rows[1].n_chars, kind)
+
+    def test_metadata_schema_and_values(self, media_df):
+        meta = extract_media_meta(media_df)
+        assert meta.schema.simpleString() == (
+            "struct<doc_id:bigint,media_kind:string,width:bigint,"
+            "height:bigint,n_frames:bigint,payload_bytes:bigint>"
+        )
+        r = {x.doc_id: x for x in meta.collect()}[5]
+        assert r.width == 64 + (5 % 16) * 32
+        assert r.height == 64 + (5 % 9) * 32
+
+    def test_images_have_one_frame(self, media_df):
+        meta = extract_media_meta(media_df)
+        img = meta.filter("media_kind = 'image'").collect()
+        assert img and all(r.n_frames == 1 for r in img)
+
+    def test_frame_sampling_counts(self, media_df):
+        frames = sample_frames(media_df, every_nth=30)
+        got = {
+            (r.doc_id, r.frame_idx) for r in frames.collect()
+        }
+        videos = {
+            r.doc_id: r.n_frames
+        for r in extract_media_meta(media_df).filter("media_kind='video'").collect()}
+        want = {
+            (d, i) for d, nf in videos.items() for i in range(0, nf, 30)
+        }
+        assert got == want
+
+    def test_real_decode_path_is_stubbed(self, media_df):
+        with pytest.raises(Exception, match="NotImplementedError|codecs"):
+            extract_media_meta(media_df, fake=False).collect()

@@ -1,0 +1,204 @@
+"""Structured Streaming tests (SURVEY.md §7.8): the tectonic-json stream
+source (offset tracking, incremental micro-batches, executor-side splits)
+and the watermark/window/dedup/stateful recipes, each checked against its
+batch equivalent on the same data."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tectonic_spark.streaming import (
+    stream_dedup,
+    stream_tumbling_counts,
+)
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+def _write_events(path, lo, hi, fname):
+    with open(path / fname, "w") as f:
+        for i in range(lo, hi):
+            f.write(
+                json.dumps(
+                    {
+                        "event_id": i,
+                        "ts": f"2024-01-01 {i % 24:02d}:{i % 60:02d}:00",
+                        "user_id": i % 7,
+                        "event_type": ["click", "view", "buy"][i % 3],
+                        "value": round(i * 0.5, 2),
+                    }
+                )
+                + "\n"
+            )
+
+
+def _typed(df):
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def _run_available_now(stream_df, name, checkpoint):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+class TestJsonStreamSource:
+    def test_stream_reads_files_and_tracks_offsets(self, spark, tmp_path):
+        data = tmp_path / "in"
+        data.mkdir()
+        _write_events(data, 0, 50, "a.json")
+
+        schema = "event_id long, ts string, user_id long, event_type string, value double"
+        stream = (
+            spark.readStream.format("tectonic-json").schema(schema).load(str(data))
+        )
+        assert stream.isStreaming
+        out_dir = tmp_path / "out"
+
+        def run_once():
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", str(out_dir))
+                .option("checkpointLocation", str(tmp_path / "ck1"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        assert spark.read.parquet(str(out_dir)).count() == 50
+
+        # second run, same checkpoint: only the NEW file is processed —
+        # if a.json were re-read, its ids would appear twice in the sink
+        _write_events(data, 50, 80, "b.json")
+        run_once()
+        ids = [r.event_id for r in spark.read.parquet(str(out_dir)).collect()]
+        assert sorted(ids) == list(range(80))
+
+    def test_stream_empty_dir_then_data(self, spark, tmp_path):
+        data = tmp_path / "in"
+        data.mkdir()
+        schema = "event_id long, ts string"
+        stream = (
+            spark.readStream.format("tectonic-json").schema(schema).load(str(data))
+        )
+        q = _run_available_now(stream, "s_empty", tmp_path / "ck_e")
+        assert spark.sql("SELECT count(*) c FROM s_empty").collect()[0].c == 0
+
+
+class TestStreamingOps:
+    def test_tumbling_counts_match_batch(self, spark, tmp_path):
+        data = tmp_path / "in"
+        data.mkdir()
+        _write_events(data, 0, 200, "a.json")
+        schema = "event_id long, ts string, user_id long, event_type string, value double"
+
+        stream = _typed(
+            spark.readStream.format("tectonic-json").schema(schema).load(str(data))
+        )
+        out = stream_tumbling_counts(stream, window="1 hour", watermark="10 hours")
+        # append mode only emits windows the watermark has passed, which
+        # needs a follow-up micro-batch; complete mode shows every window
+        # and is the honest single-batch comparison against the batch plan
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tumble")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.w_start, r.event_type): (r.n, r.sum_value)
+            for r in spark.sql("SELECT * FROM tumble").collect()
+        }
+
+        batch = _typed(
+            spark.read.format("tectonic-json").schema(schema).load(str(data))
+        )
+        want = {
+            (r.w_start, r.event_type): (r.n, r.sum_value)
+            for r in (
+                batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(27,6)"))
+                    .cast("double")
+                    .alias("sum_value"),
+                )
+                .select(
+                    F.col("w.start").alias("w_start"),
+                    "event_type",
+                    "n",
+                    "sum_value",
+                )
+            ).collect()
+        }
+        assert got == want
+        assert len(got) > 5
+
+    def test_stream_dedup_within_watermark(self, spark, tmp_path):
+        data = tmp_path / "in"
+        data.mkdir()
+        # duplicate event_ids across two files
+        _write_events(data, 0, 60, "a.json")
+        _write_events(data, 0, 60, "b.json")
+        schema = "event_id long, ts string, user_id long, event_type string, value double"
+        stream = _typed(
+            spark.readStream.format("tectonic-json").schema(schema).load(str(data))
+        )
+        out = stream_dedup(stream, ["event_id"], watermark="10 hours")
+        _run_available_now(out, "dedup", tmp_path / "ck3")
+        rows = spark.sql("SELECT event_id FROM dedup").collect()
+        assert sorted(r.event_id for r in rows) == list(range(60))
+
+    def test_sessionize_with_state_emits_on_timeout(self, spark, tmp_path):
+        from tectonic_spark.streaming import sessionize_with_state
+
+        data = tmp_path / "in"
+        data.mkdir()
+        _write_events(data, 0, 70, "a.json")
+        schema = "event_id long, ts string, user_id long, event_type string, value double"
+        stream = _typed(
+            spark.readStream.format("tectonic-json").schema(schema).load(str(data))
+        )
+        out = sessionize_with_state(stream, timeout_ms=2_000)
+        # processing-time timeouts need a live query: idle micro-batches
+        # after the data batch let the 2 s timeout fire per user
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sess")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck4"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            want_users = set(range(7))
+            while time.time() < deadline:
+                got = {r.user_id for r in spark.sql("SELECT user_id FROM sess").collect()}
+                if got == want_users:
+                    break
+                time.sleep(2)
+        finally:
+            q.stop()
+        rows = spark.sql(
+            "SELECT user_id, n, sum_value, closed_by FROM sess"
+        ).collect()
+        by_user = {r.user_id: r for r in rows}
+        assert set(by_user) == set(range(7))
+        assert all(r.closed_by == "timeout" for r in rows)
+        assert by_user[0].n == 10  # 70 events, user_id = i % 7
