@@ -28,14 +28,52 @@ HEADLINE = [
 ]
 
 
+def _skip_speedup(sf_dir: str) -> dict[str, float]:
+    """BASELINE.md dimension (a): single-threaded parse of a wide-row JSONL
+    fixture projecting ONE column, with SKIP_COLUMN byte-skips on vs off —
+    the reference reports 3.47x on ugh10k (README.md:267-272)."""
+    from tectonic_spark.core.json_parser import JsonParser, Mode
+    from tectonic_spark.operators.parser_ops import documents_wide_jsonl
+    from tectonic_spark.sources.pushdown import PushdownPlate
+
+    path = documents_wide_jsonl(sf_dir)
+    with open(path, "rb") as f:
+        data = f.read()
+
+    def run(required) -> float:
+        t0 = time.perf_counter()
+        parser = JsonParser(PushdownPlate(required=required), Mode.VALUE_STREAM)
+        parser.absorb(data)
+        parser.finish()
+        return time.perf_counter() - t0
+
+    run({"doc_id"})  # warm
+    t_skip = min(run({"doc_id"}) for _ in range(3))
+    t_full = min(run(None) for _ in range(3))
+    mb = len(data) / 1e6
+    return {
+        "json_skip_on_sec": round(t_skip, 4),
+        "json_skip_off_sec": round(t_full, 4),
+        "json_skip_speedup": round(t_full / t_skip, 2),
+        "json_full_parse_mb_per_sec": round(mb / t_full, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = "/root/testdata/sf0.001"
     import tectonic_spark.operators as ops
     from tectonic_spark import get_spark
 
     spark = get_spark(app_name="tectonic-bench")
-    # Warm the JVM/session with a trivial action so q1 isn't charged startup.
+    # Warm-up: run every headline plan once at the smallest sf so codegen,
+    # parquet footer reads, and JIT are not charged to the timed pass
+    # (steady-state throughput is the dimension BASELINE.md compares).
     spark.range(1).count()
+    for name in HEADLINE:
+        ops.REGISTRY[name].builder(spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -51,6 +89,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
+        "extras": _skip_speedup(sf_dir),
     }
     print(json.dumps(out))
     spark.stop()

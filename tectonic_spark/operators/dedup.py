@@ -44,6 +44,12 @@ _O_SHINGLE_BASE = f"""
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Shingle construction is CPU-heavy relative to the tiny text scan: a
+    # small file arrives as ONE input split, which would serialize all the
+    # downstream hashing onto one core. Spreading by doc_id costs a shuffle
+    # of raw text (cheap vs the compute) and holds at scale: at 100 TB the
+    # scan already yields thousands of splits and this keeps them even.
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     w = words_col()
     return (
         d.filter(F.size(F.split(F.col("text"), " ")) >= 3)
@@ -112,9 +118,15 @@ def c01_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o_minhash_cols() -> str:
-    return ",\n           ".join(
-        f"min(md5('{j}|' || s)) AS mh{j}" for j in range(N_PERM)
-    )
+    # 8 "permutations" from 2 md5 digests: 4 non-overlapping 8-hex windows
+    # each (32-bit hashes). 2 digest computations per shingle instead of 8;
+    # the windows are independent enough for minhash and bit-for-bit
+    # reproducible in DuckDB.
+    cols = []
+    for j in range(N_PERM):
+        src = "md5(s)" if j < 4 else "md5('x' || s)"
+        cols.append(f"min(substr({src}, {(j % 4) * 8 + 1}, 8)) AS mh{j}")
+    return ",\n           ".join(cols)
 
 
 def _o_band_union() -> str:
@@ -156,11 +168,16 @@ def _o_band_union() -> str:
     ),
 )
 def c01_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingle_df(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # shingles feed three sub-plans (sketching + both verification sides):
+    # persist instead of recomputing the CPU-heavy shingle construction 3x
+    sh = _shingle_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    h1, h2 = F.md5("s"), F.md5(F.concat(F.lit("x"), F.col("s")))
     mh = ex.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
+            F.min(F.substring(h1 if j < 4 else h2, (j % 4) * 8 + 1, 8)).alias(f"mh{j}")
             for j in range(N_PERM)
         ]
     )

@@ -98,6 +98,25 @@ def documents_mixed_jsonl(sf_dir: str) -> str:
     return out
 
 
+def documents_wide_jsonl(sf_dir: str, n_extra: int = 19) -> str:
+    """Skip-benchmark fixture (ugh10k scenario, README.md:263-272): wide
+    rows — doc_id first, then ``n_extra`` filler fields — projecting one
+    column exercises the rskip byte-skip path per remaining field."""
+    out = os.path.join(_fixture_dir(sf_dir), f"documents_wide{n_extra}.jsonl")
+    if not os.path.exists(out):
+        lines = []
+        for doc_id, text, lang, source, n_chars in _docs_rows(sf_dir):
+            row = {"doc_id": doc_id}
+            words = text.split(" ")
+            for k in range(n_extra):
+                row[f"f{k:02d}"] = " ".join(
+                    words[(doc_id + k) % max(1, len(words) - 3) : (doc_id + k) % max(1, len(words) - 3) + 3]
+                )
+            lines.append(json.dumps(row, ensure_ascii=False))
+        _write_atomic(out, ("\n".join(lines) + "\n").encode())
+    return out
+
+
 def documents_csv(sf_dir: str) -> str:
     """documents as RFC-4180-ish CSV (quoted cells, \\n rows)."""
     out = os.path.join(_fixture_dir(sf_dir), "documents.csv")

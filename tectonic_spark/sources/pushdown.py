@@ -216,6 +216,13 @@ class PushdownPlate(Plate[list]):
         self._seen_cols: set[str] = set()
         self._row_skipped = False
         self.rows_skipped_total = 0
+        # early row exit (projection-only): once every required column has
+        # been seen, the Rest of the row is skipped in ONE rskip scan
+        # instead of per-column skips. Unsound with filters pending (a test
+        # column might still arrive), so only armed when tests is empty.
+        self._early_exit = required is not None and not self.tests
+        self._req_n = len(required) if required is not None else 0
+        self._req_seen: set[str] = set()
 
     # ---------------------------------------------------------------- tests
 
@@ -280,8 +287,14 @@ class PushdownPlate(Plate[list]):
     def nest_map(self, key: str) -> Signal:
         if self._depth == 0:
             if self.required is not None and key not in self.required:
+                if self._early_exit and len(self._req_seen) == self._req_n:
+                    # all required columns in hand: skip to end of row
+                    # (finish_row still fires; the row is KEPT)
+                    return Signal.SKIP_ROW
                 self._swallow_unnest += 1
                 return Signal.SKIP_COLUMN
+            if self._early_exit:
+                self._req_seen.add(key)
             if key in self.tests:
                 self._capture_col = key
         elif self._capture_col is not None and self._depth == 1:
@@ -326,6 +339,7 @@ class PushdownPlate(Plate[list]):
                     break
         self._seen_cols = set()
         self._row_skipped = False
+        self._req_seen = set()
         if dropped:
             self.builder.abort_row()
         else:
