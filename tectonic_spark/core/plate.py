@@ -132,6 +132,23 @@ class DelegatingPlate(Plate[A]):
         self.delegate.skipped(n_bytes)
 
 
+class MappedPlate(DelegatingPlate[A]):
+    """Functor map over the batch result type (``Plate#mapDelegate``,
+    Plate.scala:43-64): same event behavior, ``finish_batch`` post-composed
+    with ``fn``. Spark analog: ``df.transform``."""
+
+    def __init__(self, delegate: Plate, fn):
+        super().__init__(delegate)
+        self._fn = fn
+
+    def finish_batch(self, terminal: bool):
+        return self._fn(self.delegate.finish_batch(terminal))
+
+
+def map_delegate(plate: Plate, fn) -> MappedPlate:
+    return MappedPlate(plate, fn)
+
+
 class MultiplexingPlate(Plate[A]):
     """Tee one event stream into main + side consumers; signals merged with
     ``signal_and`` (side evaluated first, result comes from main — matches

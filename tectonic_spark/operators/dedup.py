@@ -121,11 +121,14 @@ def _o_minhash_cols() -> str:
     # 8 "permutations" from 2 md5 digests: 4 non-overlapping 8-hex windows
     # each (32-bit hashes). 2 digest computations per shingle instead of 8;
     # the windows are independent enough for minhash and bit-for-bit
-    # reproducible in DuckDB.
+    # reproducible in DuckDB. Computed with list_min over the shingle array
+    # (no unnest + re-aggregate), mirroring the Spark plan's shape.
     cols = []
     for j in range(N_PERM):
-        src = "md5(s)" if j < 4 else "md5('x' || s)"
-        cols.append(f"min(substr({src}, {(j % 4) * 8 + 1}, 8)) AS mh{j}")
+        src = "h1" if j < 4 else "h2"
+        cols.append(
+            f"list_min(list_transform({src}, d -> substr(d, {(j % 4) * 8 + 1}, 8))) AS mh{j}"
+        )
     return ",\n           ".join(cols)
 
 
@@ -142,10 +145,13 @@ def _o_band_union() -> str:
     "c01_minhash_lsh",
     oracle=_O_SHINGLE_BASE
     + f""",
-    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    hs AS (SELECT doc_id,
+           list_transform(shingles, s -> md5(s)) AS h1,
+           list_transform(shingles, s -> md5('x' || s)) AS h2
+           FROM sh),
     mh AS (SELECT doc_id,
            {_o_minhash_cols()}
-           FROM ex GROUP BY doc_id),
+           FROM hs),
     bands AS ({_o_band_union()}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
@@ -173,13 +179,25 @@ def c01_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles feed three sub-plans (sketching + both verification sides):
     # persist instead of recomputing the CPU-heavy shingle construction 3x
     sh = _shingle_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    h1, h2 = F.md5("s"), F.md5(F.concat(F.lit("x"), F.col("s")))
-    mh = ex.groupBy("doc_id").agg(
+    # sketch per row with array kernels — NO explode + groupBy shuffle:
+    # min over a transform of the shingle array is whole-stage-codegen'd
+    # and the sketch never leaves its partition
+    hs = sh.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.md5(s)).alias("h1"),
+        F.transform("shingles", lambda s: F.md5(F.concat(F.lit("x"), s))).alias("h2"),
+    )
+    mh = hs.select(
+        "doc_id",
         *[
-            F.min(F.substring(h1 if j < 4 else h2, (j % 4) * 8 + 1, 8)).alias(f"mh{j}")
+            F.array_min(
+                F.transform(
+                    "h1" if j < 4 else "h2",
+                    lambda d, _j=j: F.substring(d, (_j % 4) * 8 + 1, 8),
+                )
+            ).alias(f"mh{j}")
             for j in range(N_PERM)
-        ]
+        ],
     )
     band_structs = [
         F.struct(

@@ -789,6 +789,38 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q5-style 6-way join; region/nation/supplier broadcast, "
     "orders⋈lineitem is the only big shuffle (co-keyed on orderkey).",
 )
+@register(
+    "b13_udtf",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE doc_id < 100)
+    SELECT doc_id, unnest(ws) AS word,
+           CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
+    FROM t
+    """,
+    doc="Python UDTF (Spark 3.5+): one input row → many output rows via a "
+    "lateral join; arrow-optimized eval. The explode-with-ordinality shape "
+    "the registry's other UDFs can't express.",
+)
+def b13_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, word string, pos bigint")
+    class SplitWords:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            for i, w in enumerate(text.split(" ")):
+                yield doc_id, w, i + 1
+
+    spark.udtf.register("tect_split_words", SplitWords)
+    table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT s.doc_id, s.word, s.pos "
+        "FROM _udtf_docs d, LATERAL tect_split_words(d.doc_id, d.text) s"
+    )
+
+
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")

@@ -111,6 +111,16 @@ class TectonicCsvDataSource(DataSource):
     def reader(self, schema: StructType) -> "TectonicCsvReader":
         return TectonicCsvReader(schema, dict(self.options))
 
+    def streamReader(self, schema: StructType):  # noqa: N802 (Spark API name)
+        from tectonic_spark.streaming.json_stream import TectonicFileStreamReader
+
+        reader = TectonicCsvReader(schema, dict(self.options))
+        splittable = not reader.multiline and (
+            reader.config.row2 == b"\n"
+            or (reader.config.row1, reader.config.row2) == (b"\n", b"")
+        )
+        return TectonicFileStreamReader(reader, schema, dict(self.options), splittable)
+
 
 class TectonicCsvReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict) -> None:

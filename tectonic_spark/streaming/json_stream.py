@@ -1,4 +1,4 @@
-"""Streaming flavor of the tectonic-json source (SURVEY.md §7.8).
+"""Streaming flavor of the tectonic sources (SURVEY.md §7.8).
 
 The reference's fs2 layer turns the incremental parser into
 ``Stream[F, Byte] → Pipe → Stream[F, B]`` (fs2/StreamParser.scala:29-82);
@@ -13,6 +13,10 @@ the Spark-idiomatic equivalent is a micro-batch file source:
 * **read(partition)** runs on executors and reuses the batch reader's
   block parser (projection pushdown included via the scan schema), emitting
   tuples in schema order.
+
+One generic reader serves both formats: the JSON and CSV DataSources pass
+their batch reader (which owns format config and the ``read(FileSplit)``
+loop) plus a splittability flag.
 """
 
 from __future__ import annotations
@@ -26,18 +30,18 @@ from pyspark.sql.types import StructType
 from tectonic_spark.sources.json_source import (
     _DEFAULT_SPLIT,
     FileSplit,
-    TectonicJsonReader,
     list_input_files,
     plan_splits,
 )
 
 
-class TectonicJsonStreamReader(DataSourceStreamReader):
-    def __init__(self, schema: StructType, options: dict, mode: str) -> None:
-        self._batch_reader = TectonicJsonReader(schema, options, mode)
-        self.schema = schema
+class TectonicFileStreamReader(DataSourceStreamReader):
+    """Micro-batch tail of a directory through any tectonic batch reader."""
+
+    def __init__(self, batch_reader, schema: StructType, options: dict, splittable: bool) -> None:
+        self._batch_reader = batch_reader
         self.options = options
-        self.mode = mode
+        self.splittable = splittable
         self._names = schema.fieldNames()
 
     # ---------------------------------------------------------------- offsets
@@ -56,7 +60,7 @@ class TectonicJsonStreamReader(DataSourceStreamReader):
         seen = set(start.get("files", {}))
         new_files = [f for f in sorted(end.get("files", {})) if f not in seen]
         split_bytes = int(self.options.get("splitsizebytes", _DEFAULT_SPLIT))
-        splits = plan_splits(new_files, split_bytes, splittable=(self.mode == "lines"))
+        splits = plan_splits(new_files, split_bytes, splittable=self.splittable)
         # Spark requires ≥1 partition per micro-batch; use an empty marker
         return splits or [FileSplit("", 0, 0, 0)]
 
@@ -71,3 +75,14 @@ class TectonicJsonStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         return None
+
+
+def TectonicJsonStreamReader(schema: StructType, options: dict, mode: str) -> TectonicFileStreamReader:
+    from tectonic_spark.sources.json_source import TectonicJsonReader
+
+    return TectonicFileStreamReader(
+        TectonicJsonReader(schema, options, mode),
+        schema,
+        options,
+        splittable=(mode == "lines"),
+    )

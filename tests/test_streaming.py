@@ -86,6 +86,20 @@ class TestJsonStreamSource:
         ids = [r.event_id for r in spark.read.parquet(str(out_dir)).collect()]
         assert sorted(ids) == list(range(80))
 
+    def test_csv_stream_source(self, spark, tmp_path):
+        data = tmp_path / "in"
+        data.mkdir()
+        (data / "a.csv").write_text("k,v\n1,x\n2,y\n")
+        stream = (
+            spark.readStream.format("tectonic-csv")
+            .schema("k string, v string")
+            .option("lineSep", "\n")
+            .load(str(data))
+        )
+        q = _run_available_now(stream, "csv_s", tmp_path / "ck_csv")
+        got = sorted((r.k, r.v) for r in spark.sql("SELECT * FROM csv_s").collect())
+        assert got == [("1", "x"), ("2", "y")]
+
     def test_stream_empty_dir_then_data(self, spark, tmp_path):
         data = tmp_path / "in"
         data.mkdir()
