@@ -789,6 +789,24 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q5-style 6-way join; region/nation/supplier broadcast, "
     "orders⋈lineitem is the only big shuffle (co-keyed on orderkey).",
 )
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
 @register(
     "b13_udtf",
     oracle="""
@@ -818,22 +836,4 @@ def b13_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.doc_id, s.word, s.pos "
         "FROM _udtf_docs d, LATERAL tect_split_words(d.doc_id, d.text) s"
-    )
-
-
-def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
-    l = table(spark, sf_dir, "lineitem")
-    s = F.broadcast(table(spark, sf_dir, "supplier"))
-    n = F.broadcast(table(spark, sf_dir, "nation"))
-    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )

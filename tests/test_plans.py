@@ -48,3 +48,31 @@ def test_codegen_in_hot_path(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen subtrees" in plan
     assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    # the equi key must carry the join; BETWEEN is a residual — a nested
+    # loop or cartesian here would be quadratic at scale
+    plan = physical_plan(build(spark, sf_dir, "b04_range_join"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q05_six_way_join_broadcasts_dims(spark, sf_dir):
+    plan = physical_plan(build(spark, sf_dir, "q05_local_supplier_volume"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_sketch_has_no_explode_shuffle(spark, sf_dir):
+    # sketching runs on array kernels inside the partition; the only
+    # exchanges left are the repartition spread + LSH band join + verify
+    plan = physical_plan(build(spark, sf_dir, "c01_minhash_lsh"))
+    assert "explode(shingles" not in plan  # sketch never explodes shingles
+    assert "array_min" in plan  # min over transform, inside the partition
+
+
+def test_exact_dedup_single_exchange(spark, sf_dir):
+    plan = physical_plan(build(spark, sf_dir, "c01_dedup_exact"))
+    # partial agg -> single hash exchange -> final agg
+    assert plan.count("Exchange hashpartitioning") == 1
