@@ -56,7 +56,30 @@ def _skip_speedup(sf_dir: str) -> dict[str, float]:
         "json_skip_off_sec": round(t_full, 4),
         "json_skip_speedup": round(t_full / t_skip, 2),
         "json_full_parse_mb_per_sec": round(mb / t_full, 1),
+        **_csv_throughput(sf_dir),
     }
+
+
+def _csv_throughput(sf_dir: str) -> dict[str, float]:
+    """BASELINE.md dimension (b): single-threaded CSV parse MB/s through
+    the counting plate (reference: ~71 MB/s on worldcitiespop, JVM)."""
+    from tectonic_spark.core.csv_parser import CsvConfig, CsvParser
+    from tectonic_spark.core.plate import RowCountPlate
+    from tectonic_spark.operators.parser_ops import documents_csv
+
+    data = open(documents_csv(sf_dir), "rb").read()
+    cfg = CsvConfig.unix()
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        p = CsvParser(RowCountPlate(), cfg)
+        p.absorb(data)
+        p.finish()
+        return time.perf_counter() - t0
+
+    run()
+    t = min(run() for _ in range(3))
+    return {"csv_parse_mb_per_sec": round(len(data) / 1e6 / t, 1)}
 
 
 def main() -> None:

@@ -18,4 +18,42 @@ from tectonic_spark.session import get_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+
+def read_json(spark, path: str, schema=None, **options):
+    """``spark.read.format("tectonic-json")`` with registration handled.
+
+    Options (see :mod:`tectonic_spark.sources.json_source`): ``mode``
+    (lines|values|array|single), ``parseMode``, ``columnNameOfCorruptRecord``,
+    ``splitSizeBytes``, ``samplingRows``, ``batchRows``.
+    """
+    from tectonic_spark.sources import register_tectonic_sources
+
+    register_tectonic_sources(spark)
+    reader = spark.read.format("tectonic-json")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def read_csv(spark, path: str, schema=None, **options):
+    """``spark.read.format("tectonic-csv")`` with registration handled.
+
+    Options (see :mod:`tectonic_spark.sources.csv_source`): ``header``,
+    ``sep``, ``quote``, ``escape``, ``lineSep``, ``multiLine``,
+    ``splitSizeBytes``, ``batchRows``. All columns are strings (reference
+    CSV model); cast downstream.
+    """
+    from tectonic_spark.sources import register_tectonic_sources
+
+    register_tectonic_sources(spark)
+    reader = spark.read.format("tectonic-csv")
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+__all__ = ["get_spark", "read_csv", "read_json", "__version__"]
