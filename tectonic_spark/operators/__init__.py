@@ -7,6 +7,7 @@ from tectonic_spark.operators import (  # noqa: F401
     parser_ops,
     relational,
     similarity,
+    skew,
     text,
 )
 from tectonic_spark.operators.registry import REGISTRY, Query, queries, oracle_sql

@@ -837,3 +837,52 @@ def b13_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.doc_id, s.word, s.pos "
         "FROM _udtf_docs d, LATERAL tect_split_words(d.doc_id, d.text) s"
     )
+
+
+@register(
+    "b06_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty} AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """.format(sum_qty=o_dsum("l_quantity")),
+    doc="Explicit GROUPING SETS (beyond rollup/cube): three set shapes in "
+    "one pass; Spark expands then aggregates once.",
+)
+def b06_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "b05_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS q50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (Spark `percentile` == DuckDB "
+    "quantile_cont), rounded to 4 dp for cross-engine float stability. "
+    "The approximate scale path is percentile_approx/approx_count_distinct "
+    "(b05_approx_distinct).",
+)
+def b05_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(name)
+            for p, name in [(0.25, "q25"), (0.50, "q50"), (0.75, "q75")]
+        ]
+    )
