@@ -82,6 +82,32 @@ def _csv_throughput(sf_dir: str) -> dict[str, float]:
     return {"csv_parse_mb_per_sec": round(len(data) / 1e6 / t, 1)}
 
 
+def _parallel_scan_mbps(spark, sf_dir: str) -> dict[str, float]:
+    """End-to-end tectonic-json Spark scan throughput across all cores
+    (small splitSizeBytes forces fan-out on the single fixture file) —
+    the number that actually scales with executors at 100 TB."""
+    from tectonic_spark.operators.parser_ops import documents_wide_jsonl_x
+    from tectonic_spark.sources import register_tectonic_sources
+
+    register_tectonic_sources(spark)
+    path = documents_wide_jsonl_x(sf_dir)
+    size_mb = os.path.getsize(path) / 1e6
+    n_splits = int(spark.sparkContext.defaultParallelism)
+    df = (
+        spark.read.format("tectonic-json")
+        .option("splitSizeBytes", max(64 * 1024, int(size_mb * 1e6 / n_splits)))
+        .load(path)
+    )
+    df.count()  # warm (python workers + codegen); schema inference done at load
+    t0 = time.perf_counter()
+    n = df.count()
+    dt = time.perf_counter() - t0
+    return {
+        "json_spark_scan_mb_per_sec": round(size_mb / dt, 1),
+        "json_spark_scan_rows": n,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = "/root/testdata/sf0.001"
@@ -112,7 +138,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
-        "extras": _skip_speedup(sf_dir),
+        "extras": {**_skip_speedup(sf_dir), **_parallel_scan_mbps(spark, sf_dir)},
     }
     print(json.dumps(out))
     spark.stop()

@@ -117,6 +117,17 @@ def documents_wide_jsonl(sf_dir: str, n_extra: int = 19) -> str:
     return out
 
 
+def documents_wide_jsonl_x(sf_dir: str, repeat: int = 8) -> str:
+    """The wide fixture repeated ``repeat`` times (parallel-scan benchmark
+    needs enough bytes to amortize per-task overhead)."""
+    base = documents_wide_jsonl(sf_dir)
+    out = os.path.join(_fixture_dir(sf_dir), f"documents_wide_x{repeat}.jsonl")
+    if not os.path.exists(out):
+        data = open(base, "rb").read()
+        _write_atomic(out, data * repeat)
+    return out
+
+
 def documents_csv(sf_dir: str) -> str:
     """documents as RFC-4180-ish CSV (quoted cells, \\n rows)."""
     out = os.path.join(_fixture_dir(sf_dir), "documents.csv")
