@@ -102,9 +102,34 @@ def _parallel_scan_mbps(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.perf_counter()
     n = df.count()
     dt = time.perf_counter() - t0
+    # per-core end-to-end reader rate (parse -> prune -> Arrow), the number
+    # that multiplies by executor-cores at scale (reference single-thread
+    # JSON parse ≈ 30 MB/s)
+    import json as _json
+
+    from tectonic_spark.sources.json_source import FileSplit, TectonicJsonReader
+    from tectonic_spark.sources.schema_infer import infer_spark_schema
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = [
+            _json.loads(ln) for ln in f.read(1 << 20).split(b"\n")[:200] if ln.strip()
+        ]
+    reader_1 = TectonicJsonReader(infer_spark_schema(head), {"path": path}, "lines")
+    split = FileSplit(path, 0, size, size)
+
+    def run_core() -> float:
+        t1 = time.perf_counter()
+        for _ in reader_1.read(split):
+            pass
+        return time.perf_counter() - t1
+
+    run_core()
+    t_core = min(run_core() for _ in range(2))
     return {
         "json_spark_scan_mb_per_sec": round(size_mb / dt, 1),
         "json_spark_scan_rows": n,
+        "json_reader_mb_per_sec_per_core": round(size_mb / t_core, 1),
     }
 
 

@@ -195,6 +195,9 @@ def a03_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _json_reader(spark)
         .schema("doc_id long, lang string")
+        # exercise the event parser's SKIP_COLUMN byte-skips (the default
+        # lines fast path would dict-prune instead)
+        .option("fastPath", "false")
         .load(path)
         .select("doc_id", "lang")
     )
@@ -212,7 +215,8 @@ def a03_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a04_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = documents_jsonl(sf_dir)
-    df = _json_reader(spark).load(path)
+    # event parser so Catalyst filters land as SKIP_ROW byte-skips
+    df = _json_reader(spark).option("fastPath", "false").load(path)
     return df.filter((df.n_chars >= 200) & (df.lang == "en")).select(
         "doc_id", "lang", "n_chars"
     )

@@ -194,23 +194,20 @@ def _parse_file_prefix(path: str, mode: str, max_rows: int) -> list[Any]:
     if max_rows <= 0:
         return []
     if mode == "lines":
-        # per-line sampling: malformed lines don't abort inference
+        # per-line sampling via the C json parser: malformed lines don't
+        # abort inference
+        import json as _json
+
         rows: list[Any] = []
         with open(path, "rb") as fh:
             read = 0
             for line in fh:
                 read += len(line)
-                if not line.strip():
-                    continue
-                parser = JsonParser(ValueBuilderPlate(), Mode.VALUE_STREAM)
-                res = parser.parse_complete(line)
-                if not isinstance(res, Failure):
-                    rows.extend(res.value)
-                    while isinstance(res, Partial):
-                        res = parser.resume()
-                        if isinstance(res, Failure):
-                            break
-                        rows.extend(res.value)
+                if line.strip():
+                    try:
+                        rows.append(_json.loads(line))
+                    except ValueError:
+                        pass
                 if len(rows) >= max_rows or read >= _SAMPLE_BYTES:
                     break
         return rows[:max_rows]
@@ -244,6 +241,12 @@ class TectonicJsonReader(DataSourceReader):
         self.parse_mode = options.get("parsemode", "PERMISSIVE").upper()
         self.corrupt_col = options.get("columnnameofcorruptrecord")
         self.batch_rows = int(options.get("batchrows", DEFAULT_BATCH_ROWS))
+        # lines-mode fast path: complete NDJSON rows parse through the
+        # C-accelerated json module (~20x the Python event loop); the event
+        # parser stays the semantics/pushdown engine (values/array/single
+        # modes, skipped-bytes metrics, golden event tests) and is forced
+        # with fastPath=false
+        self.fast_path = str(options.get("fastpath", "true")).lower() != "false"
         self._tests: dict | None = None
         # data schema = scan schema minus the corrupt-record column
         self.data_schema = StructType(
@@ -307,6 +310,9 @@ class TectonicJsonReader(DataSourceReader):
         (PERMISSIVE / DROPMALFORMED blast radius of a single line).
         Batches stream out per block — a split never buffers more than one
         block of rows."""
+        if self.fast_path:
+            yield from self._read_lines_fast(split)
+            return
         for block in read_split_chunks(split):
             corrupt: list[str | None] | None = None
             rows, error = self._parse_block(block)
@@ -315,6 +321,51 @@ class TectonicJsonReader(DataSourceReader):
                     raise error
                 rows, corrupt = self._reparse_block(block)
             yield from self._to_batches(rows, corrupt)
+
+    def _read_lines_fast(self, split: FileSplit):
+        """Fast lines path: complete rows through the C json parser; the
+        compiled pushdown tests (same three-valued semantics as the event
+        path) drop failing rows before Arrow conversion."""
+        import json as _json
+
+        from tectonic_spark.sources.pushdown import _CONTAINER
+
+        tests = self._tests
+        has_corrupt = bool(self.corrupt_col) and self.corrupt_col in self.schema.fieldNames()
+
+        def row_passes(row: Any) -> bool:
+            if not tests or not isinstance(row, dict):
+                return True
+            for col, ts in tests.items():
+                v = row.get(col)
+                if isinstance(v, (dict, list)):
+                    v = _CONTAINER
+                for t in ts:
+                    if not t(v):
+                        return False
+            return True
+
+        for block in read_split_chunks(split):
+            rows: list[Any] = []
+            corrupt: list[str | None] = []
+            for line in block.split(b"\n"):
+                if not line.strip():
+                    continue
+                try:
+                    row = _json.loads(line)
+                except ValueError as e:
+                    if self.parse_mode == "FAILFAST":
+                        raise ValueError(
+                            f"failed to parse JSON line ({e}): {line[:120]!r}"
+                        ) from e
+                    if self.parse_mode == "PERMISSIVE":
+                        rows.append(None)
+                        corrupt.append(line.decode("utf-8", errors="replace"))
+                    continue  # DROPMALFORMED swallows the line
+                if row_passes(row):
+                    rows.append(row)
+                    corrupt.append(None)
+            yield from self._to_batches(rows, corrupt if has_corrupt else None)
 
     def _parse_block(self, block: bytes):
         """Parse one self-contained block: absorb + finish, draining any
@@ -365,6 +416,33 @@ class TectonicJsonReader(DataSourceReader):
     def _to_batches(self, rows: list[Any], corrupt_raw: list[str | None] | None = None):
         data_schema = self.data_schema
         has_corrupt = self.corrupt_col and self.corrupt_col in self.schema.fieldNames()
+
+        if not has_corrupt and data_schema.fieldNames() != ["value"]:
+            # fast path: raw dicts straight into Arrow (from_pylist matches
+            # by name, fills missing keys with null, ignores extras) — the
+            # normalization pass costs as much as the parse itself. Any
+            # type surprise (unsampled conflict, >int64, container in a
+            # scalar column) raises and that batch falls back to the exact
+            # normalizing path.
+            import pyarrow as pa
+
+            from tectonic_spark.sources.arrow_batch import arrow_schema_for
+
+            arrow_schema = arrow_schema_for(self.schema)
+            for lo in range(0, len(rows), self.batch_rows):
+                chunk = rows[lo : lo + self.batch_rows]
+                try:
+                    yield pa.RecordBatch.from_pylist(
+                        [r if isinstance(r, dict) else {} for r in chunk],
+                        schema=arrow_schema,
+                    )
+                except (pa.ArrowException, OverflowError, TypeError, ValueError):
+                    yield from rows_to_batches(
+                        (normalize_row(r, data_schema) for r in chunk),
+                        self.schema,
+                        self.batch_rows,
+                    )
+            return
 
         def norm() -> Iterator[dict]:
             for i, r in enumerate(rows):

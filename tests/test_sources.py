@@ -228,6 +228,32 @@ class TestJsonDataSource:
         got = df.filter("id >= 495").select("id", "name").orderBy("id").collect()
         assert [(r.id, r.name) for r in got] == [(i, f"n{i}") for i in range(495, 500)]
 
+    def test_fast_path_equals_event_parser(self, spark, json_dir):
+        fast = spark.read.format("tectonic-json").load(json_dir)
+        slow = (
+            spark.read.format("tectonic-json")
+            .option("fastPath", "false")
+            .load(json_dir)
+        )
+        assert fast.schema == slow.schema
+        assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+    def test_fast_path_equality_with_filters_and_corrupt(self, spark, tmp_path):
+        p = tmp_path / "mix.json"
+        p.write_text('{"a": 1, "b": "x"}\n{"a": oops}\n{"a": 3}\n{"b": "y"}\n')
+        frames = []
+        for fp in ("true", "false"):
+            df = (
+                spark.read.format("tectonic-json")
+                .option("fastPath", fp)
+                .option("columnNameOfCorruptRecord", "_c")
+                .load(str(p))
+            )
+            frames.append(
+                sorted(map(tuple, df.filter("a > 0 OR a IS NULL").collect()), key=repr)
+            )
+        assert frames[0] == frames[1]
+
     def test_array_mode(self, spark, tmp_path):
         p = tmp_path / "arr.json"
         p.write_text(json.dumps([{"a": 1}, {"a": 2}, {"a": 3}]))
