@@ -354,6 +354,40 @@ class TestCsvDataSource:
         # the header row must not appear as data in any split
         assert tiny.filter("k = 'k'").count() == 0
 
+    def test_narrowed_schema_on_split_file_maps_positionally(self, spark, tmp_path):
+        # user selects 2 of 4 columns; mid-file splits must still map cells
+        # by the FULL header positions, not the narrowed schema
+        p = tmp_path / "wide.csv"
+        with open(p, "w") as f:
+            f.write("a,b,c,d\n")
+            for i in range(300):
+                f.write(f"{i},bee{i},cee{i},dee{i}\n")
+        for fp in ("true", "false"):
+            df = (
+                spark.read.format("tectonic-csv")
+                .schema("b string, d string")
+                .option("lineSep", "\n")
+                .option("splitSizeBytes", 256)
+                .option("fastPath", fp)
+                .load(str(p))
+            )
+            rows = sorted((r.b, r.d) for r in df.collect())
+            assert rows == sorted((f"bee{i}", f"dee{i}") for i in range(300)), fp
+
+    def test_fast_path_equals_event_parser(self, spark, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text('x,y\n"a,1",plain\n"q""q",2\n,\n')
+        got = {}
+        for fp in ("true", "false"):
+            df = (
+                spark.read.format("tectonic-csv")
+                .option("lineSep", "\n")
+                .option("fastPath", fp)
+                .load(str(p))
+            )
+            got[fp] = sorted(map(tuple, df.collect()), key=repr)
+        assert got["true"] == got["false"]
+
     def test_crlf_default(self, spark, tmp_path):
         p = tmp_path / "t.csv"
         p.write_bytes(b"x,y\r\n1,a\r\n2,b\r\n")
