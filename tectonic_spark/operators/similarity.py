@@ -157,3 +157,92 @@ def c02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rn")
     )
+
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def _l2(a, b) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "c02_ann_ivf",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {N_CENTROIDS}),
+    d AS (SELECT v.vec_id, c.cid,
+                 list_sum(list_transform(range(1, len(v.e) + 1),
+                          i -> (v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i]))) AS dist
+          FROM v, cent c),
+    asg AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              FROM d) t WHERE rn = 1),
+    probes AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                 FROM d WHERE vec_id < {N_QUERIES}) t WHERE rn <= {N_PROBE}),
+    n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+    pairs AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+                     list_sum(list_transform(range(1, len(q.e) + 1),
+                              i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS sim
+              FROM probes p
+              JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+              JOIN n q ON q.vec_id = p.vec_id
+              JOIN n c ON c.vec_id = a.vec_id)
+    SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+      FROM pairs) t
+    WHERE rn <= {TOP_K}
+    """,
+    doc=f"IVF-style ANN: coarse-quantize every vector to its nearest of "
+    f"{N_CENTROIDS} deterministic seed centroids (the vec_id<{N_CENTROIDS} "
+    f"embeddings); queries probe their {N_PROBE} nearest cells; exact "
+    f"cosine top-{TOP_K} within probed cells. Deterministic construction "
+    "⇒ fully oracle-checkable, unlike typical trained IVF. Scale path: "
+    "assignment is a broadcast N×K pass; search shuffles on cell id only.",
+)
+def c02_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = F.broadcast(
+        v.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+        )
+    )
+    d = v.crossJoin(cent).select(
+        "vec_id", "cid", "e", _l2("e", "ce").alias("dist")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy("dist", "cid")
+    ranked = d.withColumn("rn", F.row_number().over(w_assign))
+    asg = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        .select("vec_id", "cid")
+    )
+    n = v.select("vec_id", "e", _norm("e").alias("nrm"))
+    q = n.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    c = n.select(F.col("vec_id").alias("nid"), F.col("e").alias("ce2"), F.col("nrm").alias("cn"))
+    pairs = (
+        probes.alias("p")
+        .join(asg.alias("a"), (F.col("a.cid") == F.col("p.cid")) & (F.col("a.vec_id") != F.col("p.vec_id")))
+        .select(F.col("p.vec_id").alias("query_id"), F.col("a.vec_id").alias("neighbor_id"))
+        .join(q, F.col("query_id") == F.col("qid"))
+        .join(c, F.col("neighbor_id") == F.col("nid"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("qe", "ce2") / (F.col("qn") * F.col("cn"))).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rn")
+    )
