@@ -281,10 +281,41 @@ class TectonicJsonReader(DataSourceReader):
     def _new_plate(self) -> PushdownPlate:
         return PushdownPlate(required=self.required, tests=self._tests)
 
+    # files up to this size take the whole-document C parse in array/single
+    # modes; larger ones stream through the incremental event parser
+    _FAST_WHOLE_DOC_MAX = 256 * 1024 * 1024
+
     def _read_stream(self, split: FileSplit):
         """values/array/single: incremental absorb of the whole file,
         batches streaming out per chunk (constant memory — the parser's
-        sliding-window buffer compaction keeps the live buffer bounded)."""
+        sliding-window buffer compaction keeps the live buffer bounded).
+        array/single fast path: files under 256 MB parse as one C
+        json.loads call (the event parser keeps huge files, the values
+        mode's multi-document framing, and fastPath=false)."""
+        if (
+            self.fast_path
+            and self.mode in ("array", "single")
+            and split.file_size <= self._FAST_WHOLE_DOC_MAX
+        ):
+            import json as _json
+
+            with open(split.file, "rb") as fh:
+                try:
+                    doc = _json.loads(fh.read())
+                except ValueError as e:
+                    raise ValueError(
+                        f"failed to parse JSON document {split.file!r}: {e}"
+                    ) from e
+            if self.mode == "array":
+                if not isinstance(doc, list):
+                    raise ValueError(
+                        f"array mode expects a top-level JSON array in {split.file!r}"
+                    )
+                rows = doc
+            else:
+                rows = [doc]
+            yield from self._to_batches([r for r in rows if self._row_passes(r)])
+            return
         parser = JsonParser(self._new_plate(), _MODES[self.mode])
         with open(split.file, "rb") as fh:
             while True:
@@ -322,28 +353,29 @@ class TectonicJsonReader(DataSourceReader):
                 rows, corrupt = self._reparse_block(block)
             yield from self._to_batches(rows, corrupt)
 
-    def _read_lines_fast(self, split: FileSplit):
-        """Fast lines path: complete rows through the C json parser; the
-        compiled pushdown tests (same three-valued semantics as the event
-        path) drop failing rows before Arrow conversion."""
-        import json as _json
-
+    def _row_passes(self, row: Any) -> bool:
+        """Compiled pushdown tests on a raw parsed row — same three-valued
+        semantics as the event path's capture, applied pre-Arrow."""
+        tests = self._tests
+        if not tests or not isinstance(row, dict):
+            return True
         from tectonic_spark.sources.pushdown import _CONTAINER
 
-        tests = self._tests
-        has_corrupt = bool(self.corrupt_col) and self.corrupt_col in self.schema.fieldNames()
+        for col, ts in tests.items():
+            v = row.get(col)
+            if isinstance(v, (dict, list)):
+                v = _CONTAINER
+            for t in ts:
+                if not t(v):
+                    return False
+        return True
 
-        def row_passes(row: Any) -> bool:
-            if not tests or not isinstance(row, dict):
-                return True
-            for col, ts in tests.items():
-                v = row.get(col)
-                if isinstance(v, (dict, list)):
-                    v = _CONTAINER
-                for t in ts:
-                    if not t(v):
-                        return False
-            return True
+    def _read_lines_fast(self, split: FileSplit):
+        """Fast lines path: complete rows through the C json parser; the
+        compiled pushdown tests drop failing rows before Arrow conversion."""
+        import json as _json
+
+        has_corrupt = bool(self.corrupt_col) and self.corrupt_col in self.schema.fieldNames()
 
         for block in read_split_chunks(split):
             rows: list[Any] = []
@@ -362,7 +394,7 @@ class TectonicJsonReader(DataSourceReader):
                         rows.append(None)
                         corrupt.append(line.decode("utf-8", errors="replace"))
                     continue  # DROPMALFORMED swallows the line
-                if row_passes(row):
+                if self._row_passes(row):
                     rows.append(row)
                     corrupt.append(None)
             yield from self._to_batches(rows, corrupt if has_corrupt else None)

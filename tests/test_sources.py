@@ -267,6 +267,20 @@ class TestJsonDataSource:
         rows = df.collect()
         assert len(rows) == 1 and rows[0].a == 42
 
+    def test_array_mode_fast_equals_event(self, spark, tmp_path):
+        p = tmp_path / "arr2.json"
+        p.write_text(json.dumps([{"a": i, "b": {"c": [i, i + 1]}} for i in range(50)]))
+        got = {}
+        for fp in ("true", "false"):
+            df = (
+                spark.read.format("tectonic-json")
+                .option("mode", "array")
+                .option("fastPath", fp)
+                .load(str(p))
+            )
+            got[fp] = sorted(map(tuple, df.collect()), key=repr)
+        assert got["true"] == got["false"] and len(got["true"]) == 50
+
     def test_values_mode_pretty_printed(self, spark, tmp_path):
         p = tmp_path / "vals.json"
         p.write_text('{"a":\n 1}\n  {"a":\n2}')  # values straddle lines
