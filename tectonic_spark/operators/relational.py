@@ -886,3 +886,32 @@ def b05_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, name in [(0.25, "q25"), (0.50, "q50"), (0.75, "q75")]
         ]
     )
+
+
+@register(
+    "b10_map_functions",
+    oracle="""
+    SELECT event_id,
+           event_type AS t,
+           CAST(user_id AS VARCHAR) AS u,
+           'type,user' AS ks,
+           CAST(2 AS BIGINT) AS n
+    FROM events WHERE event_id < 2000
+    """,
+    doc="MapType construction + access: map_from_arrays, element_at by "
+    "key, sorted map_keys, size — all JVM-side; oracle states the "
+    "equivalent values directly.",
+)
+def b10_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("user")),
+        F.array(F.col("event_type"), F.col("user_id").cast("string")),
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("t"),
+        F.element_at(m, "user").alias("u"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("ks"),
+        F.size(m).cast("long").alias("n"),
+    )
