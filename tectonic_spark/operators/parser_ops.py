@@ -278,3 +278,65 @@ def a06_malformed_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lang2").alias("lang"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "a07_parquet_sink_roundtrip",
+    oracle="SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang",
+    doc="Sink path: write documents partitioned by lang to parquet "
+    "(partition pruning layout for the dominant filter column), read back, "
+    "aggregate. The reference has no sinks (SURVEY §2.A); Spark's writers "
+    "are the engine's sink surface.",
+)
+def a07_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    out = os.path.join(_fixture_dir(sf_dir), "docs_by_lang.parquet")
+    (
+        table(spark, sf_dir, "documents")
+        .write.partitionBy("lang")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "a08_csv_sink_roundtrip",
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang"
+    ),
+    doc="CSV sink → tectonic-csv source round-trip: Spark's CSV writer "
+    "produces the files, our DataSource reads them back (string cells "
+    "cast), aggregate must match the original table.",
+)
+def a08_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    out = os.path.join(_fixture_dir(sf_dir), "docs_csv_sink")
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .write.option("header", True)
+        .mode("overwrite")
+        .csv(out)
+    )
+    register_tectonic_sources(spark)
+    df = (
+        spark.read.format("tectonic-csv")
+        .option("lineSep", "\n")
+        .load(out)
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars"),
+    )
