@@ -915,3 +915,31 @@ def b10_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("ks"),
         F.size(m).cast("long").alias("n"),
     )
+
+
+@register(
+    "b07_lag_lead",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           round(value - COALESCE(lag(value) OVER w, 0.0), 6) AS delta,
+           lead(event_type) OVER w AS next_type,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Offset window functions: lag-delta, lead, ntile per user ordered "
+    "by (ts, event_id) — unique tie-break keeps cross-engine order stable.",
+)
+def b07_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 6
+        ).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

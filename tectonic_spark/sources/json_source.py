@@ -294,6 +294,32 @@ class TectonicJsonReader(DataSourceReader):
         mode's multi-document framing, and fastPath=false)."""
         if (
             self.fast_path
+            and self.mode == "values"
+            and split.file_size <= self._FAST_WHOLE_DOC_MAX
+        ):
+            # whitespace-separated documents via C-backed raw_decode loop
+            import json as _json
+
+            decoder = _json.JSONDecoder()
+            with open(split.file, "rb") as fh:
+                text = fh.read().decode("utf-8")
+            rows: list[Any] = []
+            i, n_len = 0, len(text)
+            while i < n_len:
+                while i < n_len and text[i] in " \t\r\n":
+                    i += 1
+                if i >= n_len:
+                    break
+                doc, i = decoder.raw_decode(text, i)  # ValueError on malformed
+                if self._row_passes(doc):
+                    rows.append(doc)
+                if len(rows) >= self.batch_rows:
+                    yield from self._to_batches(rows)
+                    rows = []
+            yield from self._to_batches(rows)
+            return
+        if (
+            self.fast_path
             and self.mode in ("array", "single")
             and split.file_size <= self._FAST_WHOLE_DOC_MAX
         ):

@@ -284,8 +284,14 @@ class TestJsonDataSource:
     def test_values_mode_pretty_printed(self, spark, tmp_path):
         p = tmp_path / "vals.json"
         p.write_text('{"a":\n 1}\n  {"a":\n2}')  # values straddle lines
-        df = spark.read.format("tectonic-json").option("mode", "values").load(str(p))
-        assert sorted(r.a for r in df.collect()) == [1, 2]
+        for fp in ("true", "false"):  # raw_decode fast path and event parser
+            df = (
+                spark.read.format("tectonic-json")
+                .option("mode", "values")
+                .option("fastPath", fp)
+                .load(str(p))
+            )
+            assert sorted(r.a for r in df.collect()) == [1, 2], fp
 
     def test_permissive_corrupt_column(self, spark, tmp_path):
         p = tmp_path / "bad.json"
