@@ -187,3 +187,29 @@ def c03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
         F.md5(F.split(F.col("text"), " ").getItem(0)).alias("head_hash"),
     )
+
+
+@register(
+    "c03_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(
+                regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+                AS BIGINT) AS n_unique
+    FROM documents
+    """,
+    doc="BPE-ish pre-tokenization: letter runs | digit runs | single "
+    "punctuation (the GPT-2 pre-tokenizer shape, simplified to a pattern "
+    "with identical semantics in Java regex and RE2). Token counts feed "
+    "length filtering / cost estimation in a training-data pipeline.",
+)
+def c03_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+    )
