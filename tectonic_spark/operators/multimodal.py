@@ -218,3 +218,128 @@ def m02_frame_sampling(spark, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
     )
+
+
+def resize_media(with_media: DataFrame, max_side: int = 128, fake: bool = True) -> DataFrame:
+    """Resize stage: clamp the longer side to ``max_side`` preserving
+    aspect (integer floor). STUBBED decode — the fake path rewrites the
+    TMM1 header dims and truncates the body proportionally, so the
+    resize arithmetic and the mapInPandas plumbing are real and
+    oracle-checkable; a production build decodes + rescales here."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("media", BinaryType(), True),
+        ]
+    )
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None or payload[:4] != _MAGIC:
+                    out.append((doc_id, None, None, None))
+                    continue
+                if not fake:
+                    _decode_image_real(payload)
+                w, h, nf = struct.unpack("<III", payload[5:17])
+                scale_num, scale_den = (max_side, max(w, h)) if max(w, h) > max_side else (1, 1)
+                nw, nh = w * scale_num // scale_den, h * scale_num // scale_den
+                body = payload[17:]
+                keep = len(body) * scale_num // scale_den
+                new_payload = payload[:5] + struct.pack("<III", nw, nh, nf) + body[:keep]
+                out.append((doc_id, nw, nh, new_payload))
+            yield pd.DataFrame(out, columns=["doc_id", "width", "height", "media"])
+
+    return with_media.select("doc_id", "media").mapInPandas(rs, schema)
+
+
+def extract_features(with_media: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+    """Feature extraction stage: payload → float vector. STUBBED model —
+    the fake path emits deterministic byte-derived features (mean of body
+    byte values per stride), keeping the vectorized plumbing and output
+    schema (array<double>) real; a production build runs the encoder here."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("features", ArrayType(DoubleType()), True),
+        ]
+    )
+
+    def fx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                if payload is None or payload[:4] != _MAGIC:
+                    out.append((doc_id, None))
+                    continue
+                if not fake:
+                    _decode_image_real(payload)
+                body = payload[17:]
+                feats = []
+                for k in range(dim):
+                    sl = body[k::dim]
+                    feats.append(float(sum(sl)) / len(sl) if sl else 0.0)
+                out.append((doc_id, feats))
+            yield pd.DataFrame(out, columns=["doc_id", "features"])
+
+    return with_media.select("doc_id", "media").mapInPandas(fx, schema)
+
+
+@register(
+    "m03_resize",
+    oracle="""
+    WITH m AS (SELECT doc_id,
+                      64 + (doc_id % 16) * 32 AS w,
+                      64 + (doc_id % 9) * 32 AS h,
+                      n_chars % 251 AS body
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(w, h) > 128 THEN (w * 128) // greatest(w, h) ELSE w END AS width,
+           CASE WHEN greatest(w, h) > 128 THEN (h * 128) // greatest(w, h) ELSE h END AS height,
+           17 + CASE WHEN greatest(w, h) > 128 THEN (body * 128) // greatest(w, h) ELSE body END
+             AS payload_bytes
+    FROM m
+    """,
+    doc="Resize stage over binary media (decode stubbed; aspect-preserving "
+    "integer arithmetic + body truncation are the real plumbing).",
+)
+def m03_resize(spark, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    resized = resize_media(attach_fake_payloads(docs), max_side=128)
+    return resized.select(
+        "doc_id", "width", "height", F.length("media").cast("long").alias("payload_bytes")
+    )
+
+
+@register(
+    "m04_feature_extract",
+    oracle="""
+    WITH m AS (SELECT doc_id, n_chars % 251 AS blen FROM documents)
+    SELECT doc_id,
+           CASE WHEN blen > 0 THEN CAST(list_sum(list_transform(range(0, blen, 8), j -> (doc_id + j) % 256)) AS DOUBLE) / len(range(0, blen, 8)) ELSE 0.0 END AS f0,
+           CASE WHEN blen > 1 THEN CAST(list_sum(list_transform(range(1, blen, 8), j -> (doc_id + j) % 256)) AS DOUBLE) / len(range(1, blen, 8)) ELSE 0.0 END AS f1,
+           CASE WHEN blen > 2 THEN CAST(list_sum(list_transform(range(2, blen, 8), j -> (doc_id + j) % 256)) AS DOUBLE) / len(range(2, blen, 8)) ELSE 0.0 END AS f2,
+           CASE WHEN blen > 3 THEN CAST(list_sum(list_transform(range(3, blen, 8), j -> (doc_id + j) % 256)) AS DOUBLE) / len(range(3, blen, 8)) ELSE 0.0 END AS f3,
+           CASE WHEN blen > 4 THEN CAST(list_sum(list_transform(range(4, blen, 8), j -> (doc_id + j) % 256)) AS DOUBLE) / len(range(4, blen, 8)) ELSE 0.0 END AS f4,
+           CASE WHEN blen > 5 THEN CAST(list_sum(list_transform(range(5, blen, 8), j -> (doc_id + j) % 256)) AS DOUBLE) / len(range(5, blen, 8)) ELSE 0.0 END AS f5,
+           CASE WHEN blen > 6 THEN CAST(list_sum(list_transform(range(6, blen, 8), j -> (doc_id + j) % 256)) AS DOUBLE) / len(range(6, blen, 8)) ELSE 0.0 END AS f6,
+           CASE WHEN blen > 7 THEN CAST(list_sum(list_transform(range(7, blen, 8), j -> (doc_id + j) % 256)) AS DOUBLE) / len(range(7, blen, 8)) ELSE 0.0 END AS f7
+    FROM m
+    """,
+    doc="Feature-extraction stage over binary media (encoder stubbed with "
+    "deterministic byte statistics; array<double> plumbing, Arrow-batched "
+    "mapInPandas, exact oracle on the byte arithmetic).",
+)
+def m04_feature_extract(spark, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    feats = extract_features(attach_fake_payloads(docs), dim=8)
+    return feats.select(
+        "doc_id",
+        *[F.element_at("features", k + 1).alias(f"f{k}".format(k=k)) for k in range(8)],
+    )
+
