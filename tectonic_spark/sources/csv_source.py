@@ -175,7 +175,10 @@ class TectonicCsvReader(DataSourceReader):
         )
 
     def read(self, partition: FileSplit):
-        if self.fast_path and self._stdlib_dialect_ok():
+        # multiLine=true allows quoted newlines: block-splitting at \n
+        # would cut records mid-cell, so that mode stays on the
+        # incremental event parser (which is quoted-newline-exact)
+        if self.fast_path and not self.multiline and self._stdlib_dialect_ok():
             yield from self._read_fast(partition)
         else:
             yield from self._read_events(partition)

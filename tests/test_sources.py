@@ -408,6 +408,21 @@ class TestCsvDataSource:
             got[fp] = sorted(map(tuple, df.collect()), key=repr)
         assert got["true"] == got["false"]
 
+    def test_multiline_quoted_newlines(self, spark, tmp_path):
+        # quoted cells may contain row delimiters (reference semantics);
+        # multiLine=true must route to the event parser, never the
+        # block-split fast path
+        p = tmp_path / "ml.csv"
+        p.write_text('x,y\n"line1\nline2",a\n"single",b\n')
+        df = (
+            spark.read.format("tectonic-csv")
+            .option("lineSep", "\n")
+            .option("multiLine", "true")
+            .load(str(p))
+        )
+        rows = sorted((r.x, r.y) for r in df.collect())
+        assert rows == [("line1\nline2", "a"), ("single", "b")]
+
     def test_crlf_default(self, spark, tmp_path):
         p = tmp_path / "t.csv"
         p.write_bytes(b"x,y\r\n1,a\r\n2,b\r\n")
