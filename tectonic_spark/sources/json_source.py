@@ -233,6 +233,47 @@ def _parse_file_prefix(path: str, mode: str, max_rows: int) -> list[Any]:
     return rows[:max_rows]
 
 
+def _float_in_long_checker(schema):
+    """Build row -> bool detecting a float value anywhere an integer
+    (Long/Decimal) cell lives in ``schema``; only the top-level fields that
+    can contain such cells are walked. Returns None when the schema has no
+    integer paths (no check needed)."""
+    from pyspark.sql.types import ArrayType, DecimalType, LongType, StructType
+
+    def walk(v, t):
+        if v is None:
+            return False
+        if isinstance(t, (LongType, DecimalType)):
+            return isinstance(v, float)
+        if isinstance(t, StructType):
+            return isinstance(v, dict) and any(
+                walk(v.get(f.name), f.dataType) for f in t.fields
+            )
+        if isinstance(t, ArrayType):
+            return isinstance(v, list) and any(walk(x, t.elementType) for x in v)
+        return False
+
+    def has_long(t):
+        if isinstance(t, (LongType, DecimalType)):
+            return True
+        if isinstance(t, StructType):
+            return any(has_long(f.dataType) for f in t.fields)
+        if isinstance(t, ArrayType):
+            return has_long(t.elementType)
+        return False
+
+    fields = [(f.name, f.dataType) for f in schema.fields if has_long(f.dataType)]
+    if not fields:
+        return None
+
+    def check(row) -> bool:
+        if not isinstance(row, dict):
+            return False
+        return any(walk(row.get(n), t) for n, t in fields)
+
+    return check
+
+
 class TectonicJsonReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict, mode: str) -> None:
         self.schema = schema
@@ -478,18 +519,23 @@ class TectonicJsonReader(DataSourceReader):
         if not has_corrupt and data_schema.fieldNames() != ["value"]:
             # fast path: raw dicts straight into Arrow (from_pylist matches
             # by name, fills missing keys with null, ignores extras) — the
-            # normalization pass costs as much as the parse itself. Any
-            # type surprise (unsampled conflict, >int64, container in a
-            # scalar column) raises and that batch falls back to the exact
-            # normalizing path.
+            # normalization pass costs as much as the parse itself. Type
+            # surprises (unsampled conflict, >int64, container in a scalar
+            # column) raise and that batch falls back to the exact
+            # normalizing path — EXCEPT float-in-integer, which pyarrow
+            # silently truncates (1.5 -> 1) where normalization yields
+            # null; those cells are detected explicitly first.
             import pyarrow as pa
 
             from tectonic_spark.sources.arrow_batch import arrow_schema_for
 
             arrow_schema = arrow_schema_for(self.schema)
+            float_check = _float_in_long_checker(data_schema)
             for lo in range(0, len(rows), self.batch_rows):
                 chunk = rows[lo : lo + self.batch_rows]
                 try:
+                    if float_check is not None and any(map(float_check, chunk)):
+                        raise TypeError("float in integer column")
                     yield pa.RecordBatch.from_pylist(
                         [r if isinstance(r, dict) else {} for r in chunk],
                         schema=arrow_schema,
