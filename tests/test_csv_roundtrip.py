@@ -89,3 +89,34 @@ def test_roundtrip_chunk_invariant(t, chunk):
     names, rows = t
     data = _write_csv(names, rows)
     assert _parse(data, chunk=chunk) == _parse(data)
+
+
+@settings(max_examples=30, deadline=None)
+@given(tables())
+def test_reader_fast_path_equals_event_path(t):
+    """The stdlib-csv fast path and the event parser produce identical
+    Arrow output for arbitrary quoted content."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from tectonic_spark.sources.csv_source import TectonicCsvReader
+    from tectonic_spark.sources.json_source import FileSplit
+
+    names, rows = t
+    data = _write_csv(names, rows)
+    with tempfile.NamedTemporaryFile(suffix=".csv", delete=False) as f:
+        f.write(data)
+        p = f.name
+    try:
+        schema = StructType([StructField(n, StringType(), True) for n in names])
+        split = FileSplit(p, 0, os.path.getsize(p), os.path.getsize(p))
+        out = {}
+        for fp in ("true", "false"):
+            r = TectonicCsvReader(schema, {"path": p, "linesep": "\n", "fastpath": fp})
+            out[fp] = [row for b in r.read(split) for row in b.to_pylist()]
+        assert out["true"] == out["false"]
+        assert out["true"] == [dict(zip(names, row)) for row in rows]
+    finally:
+        os.unlink(p)
