@@ -105,6 +105,7 @@ class CsvParser(Generic[A]):
         self._nl_before = 0
         self._last_nl_abs = -1
         self._done = False
+        self._bom_done = False
         self._failed: ParseException | None = None
         self._state = _RECORD
         self._column = 0
@@ -126,12 +127,22 @@ class CsvParser(Generic[A]):
 
     # ------------------------------------------------------------------ API
 
+    _BOM = b"\xef\xbb\xbf"
+
     def absorb(self, data: bytes | str) -> Complete[A] | Partial[A] | Failure:
         if self._failed is not None:
             return Failure(self._failed)
         if isinstance(data, str):
             data = data.encode("utf-8")
         self._buf += data
+        # strip a UTF-8 BOM once at stream start (BaseParser.scala:78-91
+        # does this for every reference parser; wait on a partial BOM)
+        if self._base == 0 and self._pos == 0 and not self._bom_done:
+            if len(self._buf) < 3 and self._buf == self._BOM[: len(self._buf)]:
+                return Complete(self.plate.finish_batch(False))
+            if self._buf.startswith(self._BOM):
+                self._buf = self._buf[3:]
+            self._bom_done = True
         return self._churn_result(False)
 
     def finish(self) -> Complete[A] | Partial[A] | Failure:
@@ -144,6 +155,9 @@ class CsvParser(Generic[A]):
         if isinstance(data, str):
             data = data.encode("utf-8")
         self._buf += data
+        if not self._bom_done and self._buf.startswith(self._BOM):
+            self._buf = self._buf[3:]
+        self._bom_done = True
         self._done = True
         return self._churn_result(True)
 

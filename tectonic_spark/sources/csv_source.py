@@ -208,6 +208,8 @@ class TectonicCsvReader(DataSourceReader):
         )
         whole_file = partition.start == 0 and partition.end == partition.file_size
         chunks = _whole_file_chunks(partition) if whole_file else read_split_chunks(partition)
+        if partition.start == 0:
+            chunks = _strip_leading_bom(chunks)
         at_eof = partition.end >= partition.file_size
         skip_first = partition.start == 0 and c.header
         full = self.full_names
@@ -323,6 +325,19 @@ def _drain(res) -> list[Any]:
     # Partial only arises from BREAK_BATCH, which this plate never signals;
     # its value is still this batch's rows
     return res.value
+
+
+def _strip_leading_bom(chunks):
+    """Drop a UTF-8 BOM from the first chunk (BaseParser parity — the
+    event parsers strip it; stdlib csv would fold it into the first cell)."""
+    first = True
+    for chunk in chunks:
+        if first:
+            first = False
+            if chunk.startswith(b"\xef\xbb\xbf"):
+                chunk = chunk[3:]
+        if chunk:
+            yield chunk
 
 
 def _whole_file_chunks(partition: FileSplit):

@@ -343,7 +343,7 @@ class TectonicJsonReader(DataSourceReader):
 
             decoder = _json.JSONDecoder()
             with open(split.file, "rb") as fh:
-                text = fh.read().decode("utf-8")
+                text = fh.read().decode("utf-8").lstrip("\ufeff")
             rows: list[Any] = []
             i, n_len = 0, len(text)
             while i < n_len:

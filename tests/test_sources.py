@@ -254,6 +254,17 @@ class TestJsonDataSource:
             )
         assert frames[0] == frames[1]
 
+    def test_json_bom_both_paths(self, spark, tmp_path):
+        p = tmp_path / "bom.json"
+        p.write_bytes(b'\xef\xbb\xbf{"a": 1}\n{"a": 2}\n')
+        for fp in ("true", "false"):
+            df = (
+                spark.read.format("tectonic-json")
+                .option("fastPath", fp)
+                .load(str(p))
+            )
+            assert sorted(r.a for r in df.collect()) == [1, 2], fp
+
     def test_array_mode(self, spark, tmp_path):
         p = tmp_path / "arr.json"
         p.write_text(json.dumps([{"a": 1}, {"a": 2}, {"a": 3}]))
@@ -407,6 +418,21 @@ class TestCsvDataSource:
             )
             got[fp] = sorted(map(tuple, df.collect()), key=repr)
         assert got["true"] == got["false"]
+
+    def test_bom_stripped_both_paths(self, spark, tmp_path):
+        # BaseParser strips a UTF-8 BOM at stream start (reference parity);
+        # neither path may fold it into the first header name
+        p = tmp_path / "bom.csv"
+        p.write_bytes(b"\xef\xbb\xbfx,y\n1,a\n")
+        for fp in ("true", "false"):
+            df = (
+                spark.read.format("tectonic-csv")
+                .option("lineSep", "\n")
+                .option("fastPath", fp)
+                .load(str(p))
+            )
+            assert df.columns == ["x", "y"], fp
+            assert [(r.x, r.y) for r in df.collect()] == [("1", "a")], fp
 
     def test_multiline_quoted_newlines(self, spark, tmp_path):
         # quoted cells may contain row delimiters (reference semantics);
