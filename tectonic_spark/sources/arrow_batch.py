@@ -27,6 +27,14 @@ def arrow_schema_for(schema: StructType) -> pa.Schema:
     return to_arrow_schema(schema)
 
 
+def empty_schema_batch(n_rows: int) -> pa.RecordBatch:
+    """A zero-column batch that still carries its row count (an all-``{}``
+    dataset infers an empty struct schema; ``from_pylist`` would lose N)."""
+    return pa.RecordBatch.from_struct_array(
+        pa.array([{}] * n_rows, type=pa.struct([]))
+    )
+
+
 def rows_to_batches(
     rows: Iterable[dict[str, Any]],
     schema: StructType,
@@ -34,11 +42,20 @@ def rows_to_batches(
 ) -> Iterator[pa.RecordBatch]:
     """Chunk normalized dict-rows into Arrow RecordBatches of ``batch_rows``."""
     arrow_schema = arrow_schema_for(schema)
+    zero_col = len(arrow_schema) == 0
     buf: list[dict[str, Any]] = []
     for row in rows:
         buf.append(row)
         if len(buf) >= batch_rows:
-            yield pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
+            yield (
+                empty_schema_batch(len(buf))
+                if zero_col
+                else pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
+            )
             buf = []
     if buf:
-        yield pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
+        yield (
+            empty_schema_batch(len(buf))
+            if zero_col
+            else pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
+        )

@@ -530,6 +530,12 @@ class TectonicJsonReader(DataSourceReader):
             from tectonic_spark.sources.arrow_batch import arrow_schema_for
 
             arrow_schema = arrow_schema_for(self.schema)
+            if len(arrow_schema) == 0:
+                from tectonic_spark.sources.arrow_batch import empty_schema_batch
+
+                for lo in range(0, len(rows), self.batch_rows):
+                    yield empty_schema_batch(len(rows[lo : lo + self.batch_rows]))
+                return
             float_check = _float_in_long_checker(data_schema)
             for lo in range(0, len(rows), self.batch_rows):
                 chunk = rows[lo : lo + self.batch_rows]
