@@ -34,6 +34,43 @@ value = st.recursive(
 row_st = st.dictionaries(st.sampled_from(["a", "b", "c"]), value, max_size=3)
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(row_st, min_size=1, max_size=10),
+    st.integers(min_value=4, max_value=200),
+    st.booleans(),
+)
+def test_split_invariance(rows, split_bytes, fast):
+    """Byte-range splits partition the rows exactly once for ANY split
+    size, on both paths (Hadoop text-split semantics)."""
+    from tectonic_spark.sources.json_source import plan_splits
+
+    schema = infer_spark_schema(rows)
+    if schema.fieldNames() == ["value"]:
+        return
+    data = ("\n".join(json.dumps(r) for r in rows) + "\n").encode()
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+        f.write(data)
+        p = f.name
+    try:
+        opts = {"path": p, "fastpath": "true" if fast else "false"}
+        whole = TectonicJsonReader(schema, opts, "lines")
+        base = [
+            row
+            for b in whole.read(FileSplit(p, 0, len(data), len(data)))
+            for row in b.to_pylist()
+        ]
+        split_rows = []
+        for s in plan_splits([p], split_bytes, splittable=True):
+            r = TectonicJsonReader(schema, opts, "lines")
+            split_rows += [row for b in r.read(s) for row in b.to_pylist()]
+        key = lambda r: json.dumps(r, sort_keys=True, default=str)  # noqa: E731
+        assert sorted(map(key, split_rows)) == sorted(map(key, base))
+        assert len(base) == len(rows)
+    finally:
+        os.unlink(p)
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.lists(row_st, min_size=1, max_size=8))
 def test_fast_path_equals_event_path(rows):
