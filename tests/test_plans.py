@@ -76,3 +76,18 @@ def test_exact_dedup_single_exchange(spark, sf_dir):
     plan = physical_plan(build(spark, sf_dir, "c01_dedup_exact"))
     # partial agg -> single hash exchange -> final agg
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    # the a07 sink layout (partitionBy lang) must let a lang filter prune
+    # entire directories: the scan's PartitionFilters carry the predicate
+    from tectonic_spark.tables import table
+
+    out = str(tmp_path / "docs_by_lang")
+    table(spark, sf_dir, "documents").write.partitionBy("lang").mode(
+        "overwrite"
+    ).parquet(out)
+    df = spark.read.parquet(out).filter("lang = 'en'").select("doc_id")
+    plan = explain_str(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "lang" in pf[0]
