@@ -353,7 +353,7 @@ class TectonicJsonReader(DataSourceReader):
                     break
                 doc, i = decoder.raw_decode(text, i)  # ValueError on malformed
                 if self._row_passes(doc):
-                    rows.append(doc)
+                    rows.append(self._maybe_prune(doc))
                 if len(rows) >= self.batch_rows:
                     yield from self._to_batches(rows)
                     rows = []
@@ -381,7 +381,9 @@ class TectonicJsonReader(DataSourceReader):
                 rows = doc
             else:
                 rows = [doc]
-            yield from self._to_batches([r for r in rows if self._row_passes(r)])
+            yield from self._to_batches(
+                [self._maybe_prune(r) for r in rows if self._row_passes(r)]
+            )
             return
         parser = JsonParser(self._new_plate(), _MODES[self.mode])
         with open(split.file, "rb") as fh:
@@ -419,6 +421,23 @@ class TectonicJsonReader(DataSourceReader):
                     raise error
                 rows, corrupt = self._reparse_block(block)
             yield from self._to_batches(rows, corrupt)
+
+    @property
+    def _prune_keys(self) -> set | None:
+        """Non-None when the required set is narrower than the scan schema
+        (the ``columns`` option): fast-path rows must drop the other keys
+        to match the event path's SKIP_COLUMN semantics."""
+        if self.required is None:
+            return None
+        if self.required == set(self.data_schema.fieldNames()):
+            return None
+        return self.required
+
+    def _maybe_prune(self, row: Any) -> Any:
+        keys = self._prune_keys
+        if keys is None or not isinstance(row, dict):
+            return row
+        return {k: v for k, v in row.items() if k in keys}
 
     def _row_passes(self, row: Any) -> bool:
         """Compiled pushdown tests on a raw parsed row — same three-valued
@@ -462,7 +481,7 @@ class TectonicJsonReader(DataSourceReader):
                         corrupt.append(line.decode("utf-8", errors="replace"))
                     continue  # DROPMALFORMED swallows the line
                 if self._row_passes(row):
-                    rows.append(row)
+                    rows.append(self._maybe_prune(row))
                     corrupt.append(None)
             yield from self._to_batches(rows, corrupt if has_corrupt else None)
 

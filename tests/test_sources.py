@@ -214,6 +214,17 @@ class TestJsonDataSource:
             tiny.select("id").rdd.map(tuple).collect()
         )
 
+    def test_columns_option_prunes(self, spark, json_dir):
+        df = (
+            spark.read.format("tectonic-json")
+            .option("columns", "id,score")
+            .load(json_dir)
+        )
+        # full inferred schema is visible; the option narrows what the
+        # parser materializes — other cells come back null
+        rows = df.filter("id = 10").collect()
+        assert rows[0].name is None and rows[0].id == 10
+
     def test_user_schema_prunes(self, spark, json_dir):
         df = (
             spark.read.format("tectonic-json")
