@@ -340,3 +340,32 @@ def a08_csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("n_chars").cast("long")).alias("chars"),
     )
+
+
+@register(
+    "a09_json_sink_roundtrip",
+    oracle=(
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source"
+    ),
+    doc="JSON sink → tectonic-json source round-trip: Spark's JSON writer "
+    "produces NDJSON part files, our DataSource reads the directory back "
+    "(schema inference across parts), aggregate must match the original.",
+)
+def a09_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    out = os.path.join(_fixture_dir(sf_dir), "docs_json_sink")
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite")
+        .json(out)
+    )
+    df = _json_reader(spark).load(out)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars"),
+    )
