@@ -265,25 +265,101 @@ def c01_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-@register(
-    "c01_embedding_neardup",
-    oracle="""
+_ND_BANDS = 8  # band-OR candidate blocking: P(candidate) = 1-(1-p^bits)^bands
+_ND_BITS = 4  # sign bits per band → 16 buckets/band (raise at higher SF so
+#              band buckets stay executor-sized; candidates scale ~N²/2^bits)
+_ND_DIM = 64
+
+
+def _nd_planes() -> list[list[float]]:
+    """Fixed seeded hyperplanes shared verbatim by the Spark path (as
+    column literals) and the oracle SQL (as list literals) — the same
+    determinism contract as the md5 minhash above."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    return rng.randn(_ND_BANDS * _ND_BITS, _ND_DIM).tolist()
+
+
+def _nd_plane_dot(e, plane: list[float]):
+    """round(dot(e, plane), 6) — rounding keeps a last-ulp summation-order
+    difference between engines from flipping the sign bit."""
+    arr = F.array(*[F.lit(float(x)) for x in plane])
+    return F.round(
+        F.aggregate(
+            F.zip_with(e, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        ),
+        6,
+    )
+
+
+def _nd_band_cols(e) -> list:
+    """One int column per band: the band's sign bits packed MSB-first."""
+    planes = _nd_planes()
+    bands = []
+    for j in range(_ND_BANDS):
+        val = F.lit(0)
+        for k in range(_ND_BITS):
+            bit = (
+                F.when(_nd_plane_dot(e, planes[j * _ND_BITS + k]) >= 0, 1)
+                .otherwise(0)
+            )
+            val = val * 2 + bit
+        bands.append(val.cast("int"))
+    return bands
+
+
+def _nd_oracle() -> str:
+    """DuckDB replica of the banded near-dup: identical plane literals,
+    identical 6-dp rounding before the sign test, band-OR candidate join."""
+    planes = _nd_planes()
+
+    def lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bit_sql = [
+        "CASE WHEN round(list_sum(list_transform(range(1, len(e) + 1), "
+        f"i -> e[i] * ({lit(p)})[i])), 6) >= 0 THEN 1 ELSE 0 END"
+        for p in planes
+    ]
+    band_sql = []
+    for j in range(_ND_BANDS):
+        parts = [
+            f"({bit_sql[j * _ND_BITS + k]}) * {1 << (_ND_BITS - 1 - k)}"
+            for k in range(_ND_BITS)
+        ]
+        band_sql.append(" + ".join(parts) + f" AS band{j}")
+    cond = " OR ".join(f"a.band{j} = b.band{j}" for j in range(_ND_BANDS))
+    bands = ",\n                 ".join(band_sql)
+    return f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     n AS (SELECT vec_id, e,
-                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+                 {bands}
           FROM v)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_sum(list_transform(range(1, len(a.e) + 1),
                                          i -> a.e[i] * b.e[i]))
                  / (a.nrm * b.nrm), 6) AS cos_sim
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    FROM n a JOIN n b ON a.vec_id < b.vec_id AND ({cond})
     WHERE round(list_sum(list_transform(range(1, len(a.e) + 1),
                                         i -> a.e[i] * b.e[i]))
                 / (a.nrm * b.nrm), 6) >= 0.45
-    """,
-    doc="Embedding-cosine near-dup: pairs with cos >= 0.45. Spark path "
-    "computes dot/norms with zip_with/aggregate (JVM codegen); sim rounded "
-    "to 6 dp so last-ulp summation-order differences can't flip the hash.",
+    """
+
+
+@register(
+    "c01_embedding_neardup",
+    oracle=_nd_oracle(),
+    doc="Embedding-cosine near-dup via sign-LSH band blocking: candidate "
+    "pairs share at least one of the band bucket ids; cosine >= 0.45 "
+    "verified within candidates only. The oracle replicates the exact same "
+    "banding (identical plane literals, dots rounded to 6 dp before the "
+    "sign test), so even LSH false-negatives match bit-for-bit — the "
+    "c01_minhash_lsh determinism trick applied to vectors. Scale: the join "
+    "key is (band_idx, band_val) — a hash shuffle, never a cartesian; at "
+    "100 TB raise _ND_BITS so band buckets stay executor-sized (the 4-bit "
+    "setting here keeps sf0.01 buckets statistically meaningful).",
 )
 def c01_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
@@ -293,19 +369,39 @@ def c01_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
-    n = v.select("vec_id", "e", nrm.alias("nrm"))
-    a = n.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    n = v.select(
+        "vec_id",
+        "e",
+        nrm.alias("nrm"),
+        F.array(*_nd_band_cols("e")).alias("bands"),
     )
-    b = n.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    # one candidate row per (vector, band); vectors ride along so the
+    # verify step needs no join-back (B× replication through one shuffle)
+    cand = n.select(
+        "vec_id", "e", "nrm", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    a = cand.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "band_idx",
+        "band_val",
+    )
+    b = cand.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "band_idx",
+        "band_val",
     )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     sim = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.45)
+        .distinct()  # a pair can collide in several bands
     )

@@ -36,7 +36,16 @@ def salted_join(
     result equals the unsalted join — verified by the b03_join_salted
     oracle. Cost: small side inflates n×; worth it when a hot key would
     otherwise pin one task.
+
+    Only ``inner`` and ``left`` are multiplicity-preserving: with
+    right/full, an unmatched small-side row would surface once per salt
+    replica (n duplicates), so those modes are rejected.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "unmatched small-side rows would appear once per salt replica"
+        )
     big_s = big.withColumn(_SALT, F.floor(F.rand(seed) * n_salt).cast("int"))
     small_s = small.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

@@ -41,8 +41,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("TECTONIC_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # let Catalyst hand filters to our Python DataSources (static conf)
-        .config("spark.sql.python.filterPushdown.enabled", "true")
+        # let Catalyst hand filters to our Python DataSources (static conf;
+        # TECTONIC_FILTER_PUSHDOWN=false replicates sessions built without
+        # it — e.g. the correctness driver's — for local gate runs)
+        .config(
+            "spark.sql.python.filterPushdown.enabled",
+            os.environ.get("TECTONIC_FILTER_PUSHDOWN", "true"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

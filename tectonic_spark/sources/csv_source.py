@@ -108,8 +108,18 @@ class TectonicCsvDataSource(DataSource):
         names = read_csv_header(files[0], config) if files else []
         return StructType([StructField(n, StringType(), True) for n in names])
 
+    # see TectonicJsonDataSource.pushdown_default — same driver-side choice
+    pushdown_default = False
+
+    def _pushdown_enabled(self) -> bool:
+        opt = self.options.get("filterpushdown")
+        if opt is None:
+            return self.pushdown_default
+        return str(opt).lower() == "true"
+
     def reader(self, schema: StructType) -> "TectonicCsvReader":
-        return TectonicCsvReader(schema, dict(self.options))
+        cls = TectonicCsvPushdownReader if self._pushdown_enabled() else TectonicCsvReader
+        return cls(schema, dict(self.options))
 
     def streamReader(self, schema: StructType):  # noqa: N802 (Spark API name)
         from tectonic_spark.streaming.json_stream import TectonicFileStreamReader
@@ -145,10 +155,6 @@ class TectonicCsvReader(DataSourceReader):
                     self.full_names = read_csv_header(files[0], self.config)
             except (FileNotFoundError, OSError):
                 self.full_names = None
-
-    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        self._tests = compile_filters(list(filters), self.schema)
-        return filters  # all re-applied by Spark; skips are pure savings
 
     def partitions(self) -> list[FileSplit]:
         files = list_input_files(self.options["path"])
@@ -353,3 +359,21 @@ def _as_str(v: Any) -> str | None:
     if v is None:
         return None
     return v if isinstance(v, str) else str(v)
+
+
+class TectonicCsvPushdownReader(TectonicCsvReader):
+    """Reader variant that participates in Catalyst filter pushdown — a
+    subclass because PySpark's planning worker rejects any reader class
+    overriding ``pushFilters`` when the static conf
+    ``spark.sql.python.filterPushdown.enabled`` is false (the default)."""
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        self._tests = compile_filters(list(filters), self.schema)
+        return filters  # all re-applied by Spark; skips are pure savings
+
+
+class TectonicCsvPushdownDataSource(TectonicCsvDataSource):
+    """Same format name; registered instead of the base class when the
+    session was built with filter pushdown enabled (see registration.py)."""
+
+    pushdown_default = True

@@ -92,10 +92,17 @@ class FileSplit(InputPartition):
     file_size: int
 
 
-def plan_splits(files: list[str], split_bytes: int, splittable: bool) -> list[FileSplit]:
+def plan_splits(
+    files: list[str],
+    split_bytes: int,
+    splittable: bool,
+    sizes: dict[str, int] | None = None,
+) -> list[FileSplit]:
+    """Byte-range splits. ``sizes`` pins each file's length (streaming
+    replay plans from offset-snapshot sizes, not the live filesystem)."""
     out: list[FileSplit] = []
     for f in files:
-        size = os.path.getsize(f)
+        size = sizes[f] if sizes is not None else os.path.getsize(f)
         if not splittable or size <= split_bytes:
             out.append(FileSplit(f, 0, size, size))
         else:
@@ -180,8 +187,24 @@ class TectonicJsonDataSource(DataSource):
             )
         return schema
 
+    # Whether readers expose ``pushFilters``. PySpark 4 *rejects* a reader
+    # that implements pushFilters when the static conf
+    # ``spark.sql.python.filterPushdown.enabled`` is false (the default), and
+    # the conf is not visible from the worker that instantiates the reader —
+    # so the choice is made driver-side: ``register_tectonic_sources`` probes
+    # the active session and registers the Pushdown subclass only when the
+    # conf is on. The per-read option ``filterPushdown`` overrides either way.
+    pushdown_default = False
+
+    def _pushdown_enabled(self) -> bool:
+        opt = self.options.get("filterpushdown")
+        if opt is None:
+            return self.pushdown_default
+        return str(opt).lower() == "true"
+
     def reader(self, schema: StructType) -> "TectonicJsonReader":
-        return TectonicJsonReader(schema, dict(self.options), self._mode())
+        cls = TectonicJsonPushdownReader if self._pushdown_enabled() else TectonicJsonReader
+        return cls(schema, dict(self.options), self._mode())
 
     def streamReader(self, schema: StructType):  # noqa: N802 (Spark API name)
         from tectonic_spark.streaming.json_stream import TectonicJsonStreamReader
@@ -300,12 +323,6 @@ class TectonicJsonReader(DataSourceReader):
         # single value-column scans have no top-level keys to prune
         self.required = None if names == {"value"} else names
 
-    # Catalyst filter pushdown (gated on spark.sql.python.filterPushdown.enabled)
-    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        self._tests = compile_filters(list(filters), self.data_schema)
-        # report everything unhandled: Spark re-applies, our skips stay safe
-        return filters
-
     def partitions(self) -> list[FileSplit]:
         files = list_input_files(self.options["path"])
         split_bytes = int(self.options.get("splitsizebytes", _DEFAULT_SPLIT))
@@ -320,7 +337,13 @@ class TectonicJsonReader(DataSourceReader):
             yield from self._read_stream(partition)
 
     def _new_plate(self) -> PushdownPlate:
-        return PushdownPlate(required=self.required, tests=self._tests)
+        # single-value-column scans carry their tests as ``value_col`` so
+        # top-level scalar rows are captured as the 'value' cell (not treated
+        # as an absent column and over-dropped)
+        value_col = "value" if self.data_schema.fieldNames() == ["value"] else None
+        return PushdownPlate(
+            required=self.required, tests=self._tests, value_col=value_col
+        )
 
     # files up to this size take the whole-document C parse in array/single
     # modes; larger ones stream through the incremental event parser
@@ -443,10 +466,17 @@ class TectonicJsonReader(DataSourceReader):
         """Compiled pushdown tests on a raw parsed row — same three-valued
         semantics as the event path's capture, applied pre-Arrow."""
         tests = self._tests
-        if not tests or not isinstance(row, dict):
+        if not tests:
             return True
         from tectonic_spark.sources.pushdown import _CONTAINER
 
+        if self.data_schema.fieldNames() == ["value"]:
+            # value-column scan: the whole row IS the 'value' cell
+            # (containers are undecidable → kept)
+            v = _CONTAINER if isinstance(row, (dict, list)) else row
+            return all(t(v) for t in tests.get("value", ()))
+        if not isinstance(row, dict):
+            return True
         for col, ts in tests.items():
             v = row.get(col)
             if isinstance(v, (dict, list)):
@@ -581,3 +611,24 @@ class TectonicJsonReader(DataSourceReader):
                 yield d
 
         yield from rows_to_batches(norm(), self.schema, self.batch_rows)
+
+
+class TectonicJsonPushdownReader(TectonicJsonReader):
+    """Reader variant that participates in Catalyst filter pushdown.
+
+    Kept as a *subclass* (not a method on the base): PySpark's planning
+    worker refuses any reader whose class overrides ``pushFilters`` when
+    ``spark.sql.python.filterPushdown.enabled`` is false, so the base reader
+    must not carry the attribute at all."""
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        self._tests = compile_filters(list(filters), self.data_schema)
+        # report everything unhandled: Spark re-applies, our skips stay safe
+        return filters
+
+
+class TectonicJsonPushdownDataSource(TectonicJsonDataSource):
+    """Same format name; registered instead of the base class when the
+    session was built with filter pushdown enabled (see registration.py)."""
+
+    pushdown_default = True

@@ -51,6 +51,9 @@ Test = Callable[[Any], bool]
 
 _UNDECIDED = object()
 
+_I64_MIN = -(2**63)
+_I64_MAX = 2**63 - 1
+
 
 def _norm_scalar(v: Any, t: DataType) -> Any:
     """What ``v`` becomes after normalization into a cell of type ``t`` —
@@ -70,7 +73,12 @@ def _norm_scalar(v: Any, t: DataType) -> Any:
         return v if isinstance(v, str) else canonical_json(v)
     if isinstance(t, BooleanType):
         return v if isinstance(v, bool) else None
-    if isinstance(t, (LongType, DecimalType)):
+    if isinstance(t, LongType):
+        # mirror _coerce exactly: out-of-int64-range ints normalize to null
+        if isinstance(v, int) and not isinstance(v, bool) and _I64_MIN <= v <= _I64_MAX:
+            return v
+        return None
+    if isinstance(t, DecimalType):
         return v if isinstance(v, int) and not isinstance(v, bool) else None
     if isinstance(t, DoubleType):
         if isinstance(v, (int, float)) and not isinstance(v, bool):
@@ -204,9 +212,14 @@ class PushdownPlate(Plate[list]):
         self,
         required: set[str] | None = None,
         tests: dict[str, list[Test]] | None = None,
+        value_col: str | None = None,
     ) -> None:
         self.builder = ValueBuilderPlate()
         self.tests = tests or {}
+        # single-value-column scans: top-level *scalar* rows never fire
+        # nest_map, so the value itself is the cell — capture it here or
+        # finish_row would treat the column as absent and over-drop
+        self.value_col = value_col if self.tests else None
         if required is not None:
             required = required | set(self.tests)
         self.required = required
@@ -229,6 +242,15 @@ class PushdownPlate(Plate[list]):
     def _fails(self, col: str, value: Any) -> bool:
         return any(not t(value) for t in self.tests.get(col, ()))
 
+    def _value_row(self, v: Any, sig: Signal) -> Signal:
+        """A top-level value arrived on a value-column scan: it IS the
+        'value' cell. Containers pass _CONTAINER (undecidable → kept)."""
+        self._seen_cols.add(self.value_col)
+        if not self._row_skipped and self._fails(self.value_col, v):
+            self._row_skipped = True
+            self.rows_skipped_total += 1
+        return sig
+
     def _capture(self, value: Any) -> Signal:
         """A scalar arrived directly under a captured filter column."""
         col, self._capture_col = self._capture_col, None
@@ -245,30 +267,40 @@ class PushdownPlate(Plate[list]):
         s = self.builder.nul()
         if self._capture_col is not None and self._depth == 1:
             return self._capture(None)
+        if self.value_col is not None and self._depth == 0:
+            return self._value_row(None, s)
         return s
 
     def fls(self) -> Signal:
         s = self.builder.fls()
         if self._capture_col is not None and self._depth == 1:
             return self._capture(False)
+        if self.value_col is not None and self._depth == 0:
+            return self._value_row(False, s)
         return s
 
     def tru(self) -> Signal:
         s = self.builder.tru()
         if self._capture_col is not None and self._depth == 1:
             return self._capture(True)
+        if self.value_col is not None and self._depth == 0:
+            return self._value_row(True, s)
         return s
 
     def map(self) -> Signal:
         s = self.builder.map()
         if self._capture_col is not None and self._depth == 1:
             return self._capture(_CONTAINER)
+        if self.value_col is not None and self._depth == 0:
+            return self._value_row(_CONTAINER, s)
         return s
 
     def arr(self) -> Signal:
         s = self.builder.arr()
         if self._capture_col is not None and self._depth == 1:
             return self._capture(_CONTAINER)
+        if self.value_col is not None and self._depth == 0:
+            return self._value_row(_CONTAINER, s)
         return s
 
     def num(self, s: str, dec_idx: int, exp_idx: int) -> Signal:
@@ -276,16 +308,25 @@ class PushdownPlate(Plate[list]):
         if self._capture_col is not None and self._depth == 1:
             v = int(s) if dec_idx == -1 and exp_idx == -1 else float(s)
             return self._capture(v)
+        if self.value_col is not None and self._depth == 0:
+            v = int(s) if dec_idx == -1 and exp_idx == -1 else float(s)
+            return self._value_row(v, sig)
         return sig
 
     def str(self, s: str) -> Signal:
         sig = self.builder.str(s)
         if self._capture_col is not None and self._depth == 1:
             return self._capture(s)
+        if self.value_col is not None and self._depth == 0:
+            return self._value_row(s, sig)
         return sig
 
     def nest_map(self, key: str) -> Signal:
         if self._depth == 0:
+            if self.value_col is not None:
+                # object row on a value-column scan: the whole object is the
+                # cell — undecidable for any test, so mark seen and keep
+                self._seen_cols.add(self.value_col)
             if self.required is not None and key not in self.required:
                 if self._early_exit and len(self._req_seen) == self._req_n:
                     # all required columns in hand: skip to end of row
@@ -308,6 +349,8 @@ class PushdownPlate(Plate[list]):
         if self._capture_col is not None and self._depth == 1:
             self._seen_cols.add(self._capture_col)
             self._capture_col = None
+        if self.value_col is not None and self._depth == 0:
+            self._seen_cols.add(self.value_col)
         self._depth += 1
         return self.builder.nest_arr()
 

@@ -58,9 +58,18 @@ class TectonicFileStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[FileSplit]:
         seen = set(start.get("files", {}))
-        new_files = [f for f in sorted(end.get("files", {})) if f not in seen]
+        end_files = end.get("files", {})
+        new_files = [f for f in sorted(end_files) if f not in seen]
         split_bytes = int(self.options.get("splitsizebytes", _DEFAULT_SPLIT))
-        splits = plan_splits(new_files, split_bytes, splittable=self.splittable)
+        # plan from the sizes snapshotted in the END offset, not the live
+        # filesystem: replaying a committed micro-batch after failure must
+        # read the exact same byte ranges even if a file grew since
+        splits = plan_splits(
+            new_files,
+            split_bytes,
+            splittable=self.splittable,
+            sizes={f: end_files[f] for f in new_files},
+        )
         # Spark requires ≥1 partition per micro-batch; use an empty marker
         return splits or [FileSplit("", 0, 0, 0)]
 

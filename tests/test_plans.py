@@ -72,6 +72,15 @@ def test_minhash_sketch_has_no_explode_shuffle(spark, sf_dir):
     assert "array_min" in plan  # min over transform, inside the partition
 
 
+def test_embedding_neardup_is_banded_not_allpairs(spark, sf_dir):
+    # candidate generation joins on (band_idx, band_val) — a hash shuffle.
+    # The round-1 all-pairs vec_a < vec_b cartesian is the O(n²) shape that
+    # dies at 100 TB; it must never come back.
+    plan = physical_plan(build(spark, sf_dir, "c01_embedding_neardup"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_exact_dedup_single_exchange(spark, sf_dir):
     plan = physical_plan(build(spark, sf_dir, "c01_dedup_exact"))
     # partial agg -> single hash exchange -> final agg

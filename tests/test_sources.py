@@ -465,3 +465,138 @@ class TestCsvDataSource:
         p.write_bytes(b"x,y\r\n1,a\r\n2,b\r\n")
         df = spark.read.format("tectonic-csv").load(str(p))
         assert sorted((r.x, r.y) for r in df.collect()) == [("1", "a"), ("2", "b")]
+
+
+# ----------------------------------------------- pushdown gating (round 2)
+
+
+class TestPushdownGating:
+    """PySpark's planning worker rejects any reader whose class overrides
+    pushFilters when spark.sql.python.filterPushdown.enabled (a static
+    conf, off by default — the correctness driver's session) is false. The
+    reader class is therefore chosen driver-side; these tests pin the exact
+    invariant the worker checks (plan_data_source_read.py)."""
+
+    def _implements_pushdown(self, reader) -> bool:
+        from pyspark.sql.datasource import DataSourceReader
+
+        return (
+            getattr(reader.pushFilters, "__func__", None)
+            is not DataSourceReader.pushFilters
+        )
+
+    def test_json_base_reader_is_worker_safe(self, tmp_path):
+        from tectonic_spark.sources.json_source import (
+            TectonicJsonDataSource,
+            TectonicJsonPushdownDataSource,
+            TectonicJsonPushdownReader,
+        )
+
+        p = tmp_path / "x.jsonl"
+        p.write_text('{"a": 1}\n')
+        schema = infer_spark_schema([{"a": 1}])
+        base = TectonicJsonDataSource(options={"path": str(p)})
+        assert not self._implements_pushdown(base.reader(schema))
+        pd = TectonicJsonPushdownDataSource(options={"path": str(p)})
+        r = pd.reader(schema)
+        assert isinstance(r, TectonicJsonPushdownReader)
+        assert self._implements_pushdown(r)
+        # per-read option overrides the registered default either way
+        forced_off = TectonicJsonPushdownDataSource(
+            options={"path": str(p), "filterpushdown": "false"}
+        )
+        assert not self._implements_pushdown(forced_off.reader(schema))
+        forced_on = TectonicJsonDataSource(
+            options={"path": str(p), "filterpushdown": "true"}
+        )
+        assert self._implements_pushdown(forced_on.reader(schema))
+
+    def test_csv_base_reader_is_worker_safe(self, tmp_path):
+        from tectonic_spark.sources.csv_source import (
+            TectonicCsvDataSource,
+            TectonicCsvPushdownDataSource,
+            TectonicCsvPushdownReader,
+        )
+
+        p = tmp_path / "x.csv"
+        p.write_text("a,b\n1,x\n")
+        base = TectonicCsvDataSource(options={"path": str(p), "linesep": "\n"})
+        schema = base.schema()
+        assert not self._implements_pushdown(base.reader(schema))
+        pd = TectonicCsvPushdownDataSource(options={"path": str(p), "linesep": "\n"})
+        r = pd.reader(schema)
+        assert isinstance(r, TectonicCsvPushdownReader)
+        assert self._implements_pushdown(r)
+
+    def test_registration_matches_session_conf(self, spark):
+        # the pytest session is built with filterPushdown=true, so
+        # registration must pick the Pushdown variants
+        from tectonic_spark.sources.registration import _filter_pushdown_on
+
+        assert _filter_pushdown_on(spark) is True
+
+    def test_reads_work_with_pushdown_option_off(self, spark, tmp_path):
+        # a reader without pushFilters must produce identical results —
+        # Catalyst just applies the filters above the scan
+        p = tmp_path / "d.jsonl"
+        p.write_text("\n".join(json.dumps({"a": i, "b": f"s{i}"}) for i in range(20)))
+        base = (
+            spark.read.format("tectonic-json")
+            .option("filterPushdown", "false")
+            .load(str(p))
+        )
+        got = sorted(r.a for r in base.filter("a >= 15 and b is not null").collect())
+        assert got == [15, 16, 17, 18, 19]
+
+
+class TestValueColumnPushdown:
+    """Top-level scalar rows ARE the 'value' cell: filters on a
+    single-value-column scan must test the scalar itself, never treat the
+    column as absent (which over-dropped every row)."""
+
+    def test_plate_captures_top_level_scalars(self):
+        schema = infer_spark_schema([5])
+        assert schema.fieldNames() == ["value"]
+        from pyspark.sql.datasource import IsNotNull
+
+        tests = compile_filters([IsNotNull(("value",))], schema)
+        plate = PushdownPlate(required=None, tests=tests, value_col="value")
+        p = JsonParser(plate, Mode.VALUE_STREAM)
+        rows = list(p.absorb(b"5\n6\n7\n").value)
+        rows += p.finish().value
+        assert rows == [5, 6, 7]
+
+    def test_plate_skips_failing_scalars(self):
+        schema = infer_spark_schema([5])
+        tests = compile_filters([GreaterThan(("value",), 5)], schema)
+        plate = PushdownPlate(required=None, tests=tests, value_col="value")
+        p = JsonParser(plate, Mode.VALUE_STREAM)
+        rows = list(p.absorb(b"5\n6\n7\nnull\n").value)
+        rows += p.finish().value
+        assert rows == [6, 7]
+        assert plate.rows_skipped_total == 2
+
+    def test_plate_keeps_container_values(self):
+        # containers are undecidable → kept (Spark re-filters above)
+        schema = infer_spark_schema([5])
+        tests = compile_filters([GreaterThan(("value",), 5)], schema)
+        plate = PushdownPlate(required=None, tests=tests, value_col="value")
+        p = JsonParser(plate, Mode.VALUE_STREAM)
+        rows = list(p.absorb(b'[1,2]\n{"x":1}\n3\n99\n').value)
+        rows += p.finish().value
+        assert rows == [[1, 2], {"x": 1}, 99]
+
+    def test_end_to_end_scalar_ndjson_filter(self, spark, tmp_path):
+        p = tmp_path / "scalars.jsonl"
+        p.write_text("5\n6\n7\n")
+        # event path (fastPath=false) — the exact ADVICE repro
+        df = (
+            spark.read.format("tectonic-json")
+            .option("fastPath", "false")
+            .load(str(p))
+        )
+        got = sorted(r.value for r in df.filter("value is not null").collect())
+        assert got == [5, 6, 7]
+        # fast path too
+        df2 = spark.read.format("tectonic-json").load(str(p))
+        assert sorted(r.value for r in df2.filter("value > 5").collect()) == [6, 7]

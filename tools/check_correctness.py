@@ -63,8 +63,19 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--no-pushdown",
+        action="store_true",
+        help="build the session like the correctness driver does: "
+        "spark.sql.python.filterPushdown.enabled=false (Spark's default)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+
+    if args.no_pushdown:
+        import os
+
+        os.environ["TECTONIC_FILTER_PUSHDOWN"] = "false"
 
     import tectonic_spark.operators as ops
     from tectonic_spark import get_spark
