@@ -60,6 +60,46 @@ def _skip_speedup(sf_dir: str) -> dict[str, float]:
     }
 
 
+def _probe_speedup(sf_dir: str) -> dict[str, float]:
+    """Byte-level pre-parse filtering on the PRODUCTION fast path (the
+    round-1 skip win existed only on the 10x-slower event path): selective
+    EqualTo over documents.jsonl, line probe on vs off, single core."""
+    from pyspark.sql.datasource import EqualTo
+
+    from tectonic_spark.operators.parser_ops import documents_jsonl
+    from tectonic_spark.sources.json_source import (
+        FileSplit,
+        TectonicJsonPushdownDataSource,
+    )
+
+    path = documents_jsonl(sf_dir)
+    size = os.path.getsize(path)
+    split = FileSplit(path, 0, size, size)
+
+    def run(lineprobe: str) -> tuple[float, int]:
+        ds = TectonicJsonPushdownDataSource(
+            options={"path": path, "lineprobe": lineprobe}
+        )
+        r = ds.reader(ds.schema())
+        r.pushFilters([EqualTo(("source",), "src7")])
+        t0 = time.perf_counter()
+        n = 0
+        for b in r.read(split):
+            n += b.num_rows
+        return time.perf_counter() - t0, n
+
+    run("true")  # warm
+    t_on, n_on = min(run("true") for _ in range(3))
+    t_off, n_off = min(run("false") for _ in range(3))
+    assert n_on == n_off, f"probe changed row count: {n_on} != {n_off}"
+    mb = size / 1e6
+    return {
+        "json_probe_on_mb_per_sec": round(mb / t_on, 1),
+        "json_probe_off_mb_per_sec": round(mb / t_off, 1),
+        "json_probe_speedup": round(t_off / t_on, 2),
+    }
+
+
 def _csv_throughput(sf_dir: str) -> dict[str, float]:
     """BASELINE.md dimension (b): single-threaded CSV parse MB/s through
     the counting plate (reference: ~71 MB/s on worldcitiespop, JVM)."""
@@ -163,7 +203,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
-        "extras": {**_skip_speedup(sf_dir), **_parallel_scan_mbps(spark, sf_dir)},
+        "extras": {
+            **_skip_speedup(sf_dir),
+            **_probe_speedup(sf_dir),
+            **_parallel_scan_mbps(spark, sf_dir),
+        },
     }
     print(json.dumps(out))
     spark.stop()

@@ -312,6 +312,7 @@ class TectonicJsonReader(DataSourceReader):
         # with fastPath=false
         self.fast_path = str(options.get("fastpath", "true")).lower() != "false"
         self._tests: dict | None = None
+        self._raw_filters: list | None = None
         # data schema = scan schema minus the corrupt-record column
         self.data_schema = StructType(
             [f for f in schema.fields if f.name != self.corrupt_col]
@@ -486,18 +487,111 @@ class TectonicJsonReader(DataSourceReader):
                     return False
         return True
 
+    def _build_line_probe(self):
+        """Byte-level pre-filter for the fast lines path (the Mison key-hint
+        idea, reference README.md:7,101, applied pre-``json.loads``): from
+        the pushed filters, derive byte patterns a MATCHING line must
+        contain — the filter column's ``"key"`` bytes when a null cell
+        definitively fails the filter, plus the encoded needle for string
+        equality / IN / contains / prefix / suffix. A line missing a
+        required pattern is dropped without parsing.
+
+        Soundness is absolute, not heuristic: the probe only reasons about
+        lines containing **no backslash** (no escapes possible, so encoded
+        bytes are literal); any line with a backslash bypasses the probe
+        and parses normally. Probe-dropped lines are exactly lines whose
+        cell is absent/mismatched (→ null-or-failing under the compiled
+        test → Spark's re-applied filter drops the row) or malformed (→
+        all-null row → same null-failing test drops it; disabled entirely
+        when a corrupt-record column must capture malformed lines).
+        ``lineProbe=false`` opts out."""
+        if (
+            not self._tests
+            or not self._raw_filters
+            or self.corrupt_col
+            or str(self.options.get("lineprobe", "true")).lower() == "false"
+            or self.data_schema.fieldNames() == ["value"]  # scalars: no key bytes
+        ):
+            return None
+        import json as _json
+
+        from pyspark.sql.datasource import (
+            EqualTo,
+            In,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        def enc(s: str) -> bytes | None:
+            b = _json.dumps(s, ensure_ascii=False).encode()
+            return None if b"\\" in b else b  # needle needs escaping → no probe
+
+        # conjunction of any-of alternative sets; value needles are checked
+        # before key probes (a key like "source" appears on every line —
+        # the selective needle should short-circuit the conjunction)
+        pats: list[list[bytes]] = []
+        key_pats: list[list[bytes]] = []
+        for f in self._raw_filters:
+            attr = getattr(f, "attribute", None)
+            if not (isinstance(attr, tuple) and len(attr) == 1):
+                continue
+            col = attr[0]
+            ts = self._tests.get(col)
+            # the key probe (and malformed-line dropping) is sound only when
+            # a null cell definitively fails this column's conjuncts
+            if not ts or all(t(None) for t in ts):
+                continue
+            key_pat = enc(col)
+            if key_pat is not None:
+                key_pats.append([key_pat])
+            if isinstance(f, EqualTo) and isinstance(f.value, str):
+                vp = enc(f.value)
+                if vp is not None:
+                    pats.append([vp])
+            elif isinstance(f, In) and all(isinstance(v, str) for v in f.value):
+                vps = [enc(v) for v in f.value]
+                if vps and all(v is not None for v in vps):
+                    pats.append(vps)
+            elif isinstance(f, StringContains) and isinstance(f.value, str):
+                vp = enc(f.value)
+                if vp is not None:
+                    pats.append([vp[1:-1]])
+            elif isinstance(f, StringStartsWith) and isinstance(f.value, str):
+                vp = enc(f.value)
+                if vp is not None:
+                    pats.append([vp[:-1]])
+            elif isinstance(f, StringEndsWith) and isinstance(f.value, str):
+                vp = enc(f.value)
+                if vp is not None:
+                    pats.append([vp[1:]])
+        pats += key_pats
+        if not pats:
+            return None
+
+        def probe(line: bytes) -> bool:
+            if b"\\" in line:
+                return True  # escapes possible — raw bytes prove nothing
+            return all(any(a in line for a in alts) for alts in pats)
+
+        return probe
+
     def _read_lines_fast(self, split: FileSplit):
-        """Fast lines path: complete rows through the C json parser; the
-        compiled pushdown tests drop failing rows before Arrow conversion."""
+        """Fast lines path: complete rows through the C json parser; a
+        byte-level probe drops definitively non-matching lines pre-parse,
+        then the compiled pushdown tests drop failing rows pre-Arrow."""
         import json as _json
 
         has_corrupt = bool(self.corrupt_col) and self.corrupt_col in self.schema.fieldNames()
+        probe = self._build_line_probe()
 
         for block in read_split_chunks(split):
             rows: list[Any] = []
             corrupt: list[str | None] = []
             for line in block.split(b"\n"):
                 if not line.strip():
+                    continue
+                if probe is not None and not probe(line):
                     continue
                 try:
                     row = _json.loads(line)
@@ -622,7 +716,8 @@ class TectonicJsonPushdownReader(TectonicJsonReader):
     must not carry the attribute at all."""
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        self._tests = compile_filters(list(filters), self.data_schema)
+        self._raw_filters = list(filters)
+        self._tests = compile_filters(self._raw_filters, self.data_schema)
         # report everything unhandled: Spark re-applies, our skips stay safe
         return filters
 

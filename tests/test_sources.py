@@ -600,3 +600,91 @@ class TestValueColumnPushdown:
         # fast path too
         df2 = spark.read.format("tectonic-json").load(str(p))
         assert sorted(r.value for r in df2.filter("value > 5").collect()) == [6, 7]
+
+
+class TestLineProbe:
+    """Byte-level pre-parse filter on the fast lines path: results must be
+    identical probe-on vs probe-off for every supported shape, including
+    escape-bearing lines (which bypass the probe entirely)."""
+
+    def _reader(self, path, filters, **opts):
+        from pyspark.sql.datasource import DataSourceReader  # noqa: F401
+        from tectonic_spark.sources.json_source import (
+            TectonicJsonPushdownDataSource,
+        )
+
+        ds = TectonicJsonPushdownDataSource(options={"path": str(path), **opts})
+        r = ds.reader(ds.schema())
+        r.pushFilters(filters)
+        return r
+
+    def _rows(self, reader):
+        out = []
+        for split in reader.partitions():
+            for batch in reader.read(split):
+                out.extend(batch.to_pylist())
+        return out
+
+    def test_probe_equivalence_and_skips(self, tmp_path):
+        from pyspark.sql.datasource import EqualTo
+
+        p = tmp_path / "d.jsonl"
+        rows = [
+            {"a": i, "lang": "en" if i % 7 == 0 else "de", "t": f"text {i}"}
+            for i in range(200)
+        ]
+        # a row where 'en' appears in ANOTHER column (probe keeps, test drops)
+        rows.append({"a": 999, "lang": "fr", "t": 'note: "en" inside'})
+        # escape-bearing line: must bypass the probe and still match
+        rows.append({"a": 1000, "lang": "en", "t": "tab\there"})
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        f = [EqualTo(("lang",), "en")]
+        on = self._rows(self._reader(p, f))
+        off = self._rows(self._reader(p, f, lineprobe="false"))
+        assert on == off
+        assert {r["a"] for r in on} == {i for i in range(200) if i % 7 == 0} | {1000}
+
+    def test_probe_key_presence_isnotnull(self, tmp_path):
+        from pyspark.sql.datasource import IsNotNull
+
+        p = tmp_path / "d.jsonl"
+        p.write_text(
+            '{"a": 1, "opt": "x"}\n{"a": 2}\n{"a": 3, "opt": null}\n'
+        )
+        r = self._reader(p, [IsNotNull(("opt",))])
+        probe = r._build_line_probe()
+        assert probe is not None
+        rows = self._rows(r)
+        # row 2 (no key) probe-dropped; row 3 has the key (null) — probe
+        # keeps it, the compiled test drops it post-parse
+        assert [x["a"] for x in rows] == [1]
+
+    def test_probe_disabled_with_corrupt_col(self, tmp_path):
+        from pyspark.sql.datasource import IsNotNull
+
+        p = tmp_path / "d.jsonl"
+        p.write_text('{"a": 1}\nBROKEN\n')
+        r = self._reader(p, [IsNotNull(("a",))], columnnameofcorruptrecord="_c")
+        assert r._build_line_probe() is None
+
+    def test_probe_string_shapes(self, tmp_path):
+        from pyspark.sql.datasource import In, StringContains, StringStartsWith
+
+        p = tmp_path / "d.jsonl"
+        data = [
+            {"i": 0, "s": "alpha"},
+            {"i": 1, "s": "beta"},
+            {"i": 2, "s": "alphabet"},
+            {"i": 3, "s": "gamma"},
+            {"i": 4},
+        ]
+        p.write_text("\n".join(json.dumps(r) for r in data))
+        for filters, expect in [
+            ([In(("s",), ("alpha", "gamma"))], {0, 3}),
+            ([StringStartsWith(("s",), "alph")], {0, 2}),
+            ([StringContains(("s",), "et")], {1, 2}),  # "beta", "alphabet"
+        ]:
+            on = self._rows(self._reader(p, filters))
+            off = self._rows(self._reader(p, filters, lineprobe="false"))
+            assert on == off, filters
+            assert {r["i"] for r in on} == expect, filters
