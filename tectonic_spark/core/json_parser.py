@@ -89,9 +89,21 @@ class _BreakBatch(Exception):
 
 
 class JsonParser(Generic[A]):
-    def __init__(self, plate: Plate[A], mode: Mode = Mode.VALUE_STREAM):
+    def __init__(
+        self,
+        plate: Plate[A],
+        mode: Mode = Mode.VALUE_STREAM,
+        max_value_bytes: int | None = None,
+    ):
+        """``max_value_bytes`` bounds the buffered tail of one incomplete
+        top-level value: the extent-scan design must hold a whole value in
+        memory (documented deviation from the reference's 1 MiB mid-value
+        window, BaseParser.scala:159-171), so a multi-GB single document
+        would otherwise grow the buffer until OOM. When the bound is hit
+        the parse fails with a clean ParseException instead."""
         self.plate = plate
         self.mode = mode
+        self.max_value_bytes = max_value_bytes
         self._buf = b""
         self._pos = 0  # consumed-prefix cursor into _buf
         self._base = 0  # absolute offset of _buf[0]
@@ -189,6 +201,16 @@ class JsonParser(Generic[A]):
         except _Incomplete:
             if self._done:
                 raise self._exc("unexpected end of input", len(self._buf))
+            if (
+                self.max_value_bytes is not None
+                and self.buffered_len() > self.max_value_bytes
+            ):
+                raise self._exc(
+                    "buffered value exceeds maxValueBytes="
+                    f"{self.max_value_bytes} ({self.buffered_len()} bytes "
+                    "pending); raise the option or split the input",
+                    self._pos,
+                )
             return
 
     def _churn_value_stream(self) -> None:

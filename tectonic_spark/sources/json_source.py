@@ -55,6 +55,7 @@ _MODES = {
 }
 _DEFAULT_SPLIT = 128 * 1024 * 1024
 _CHUNK = 4 * 1024 * 1024
+_DEFAULT_MAX_VALUE_BYTES = 1 << 30  # streaming event path: bound, don't OOM
 _SAMPLE_BYTES = 8 * 1024 * 1024
 
 
@@ -168,15 +169,35 @@ class TectonicJsonDataSource(DataSource):
         return m
 
     def schema(self) -> StructType:
-        """Driver-side sampling inference over the first files' prefix."""
+        """Driver-side sampling inference, spread across the whole file
+        list: ``samplingRows`` total rows are divided over an evenly-spaced
+        deterministic subset of up to ``samplingFiles`` files (default: all
+        of them), reading at most ``samplingBytes`` from each. A field that
+        first appears in a late shard is therefore seen (the round-1
+        ``files[:4]`` prefix silently dropped it — unsampled keys don't
+        reach the schema and ``from_pylist`` ignores them at read time)."""
         files = list_input_files(self.options["path"])
         mode = self._mode()
         sample_rows = int(self.options.get("samplingrows", 1000))
+        sample_bytes = int(self.options.get("samplingbytes", _SAMPLE_BYTES))
+        n_opt = self.options.get("samplingfiles")
         rows: list[Any] = []
-        for f in files[:4]:
-            rows.extend(_parse_file_prefix(f, mode, sample_rows - len(rows)))
-            if len(rows) >= sample_rows:
-                break
+        if files:
+            n_files = len(files) if n_opt is None else max(1, min(int(n_opt), len(files)))
+            # even spread anchored at BOTH ends — first and last shard are
+            # always sampled (a late-only field usually lives at the tail)
+            if n_files == 1:
+                idxs = [0]
+            else:
+                last = len(files) - 1
+                idxs = sorted({(i * last) // (n_files - 1) for i in range(n_files)})
+            sampled = [files[i] for i in idxs]
+            per_file = max(1, sample_rows // len(sampled))
+            for f in sampled:
+                want = min(per_file, sample_rows - len(rows))
+                rows.extend(_parse_file_prefix(f, mode, want, sample_bytes))
+                if len(rows) >= sample_rows:
+                    break
         if not rows:
             return StructType([StructField("value", StringType(), True)])
         schema = infer_spark_schema(rows)
@@ -212,7 +233,9 @@ class TectonicJsonDataSource(DataSource):
         return TectonicJsonStreamReader(schema, dict(self.options), self._mode())
 
 
-def _parse_file_prefix(path: str, mode: str, max_rows: int) -> list[Any]:
+def _parse_file_prefix(
+    path: str, mode: str, max_rows: int, max_bytes: int = _SAMPLE_BYTES
+) -> list[Any]:
     """Parse up to ``max_rows`` rows from the head of one file."""
     if max_rows <= 0:
         return []
@@ -231,7 +254,7 @@ def _parse_file_prefix(path: str, mode: str, max_rows: int) -> list[Any]:
                         rows.append(_json.loads(line))
                     except ValueError:
                         pass
-                if len(rows) >= max_rows or read >= _SAMPLE_BYTES:
+                if len(rows) >= max_rows or read >= max_bytes:
                     break
         return rows[:max_rows]
     plate = ValueBuilderPlate()
@@ -311,6 +334,8 @@ class TectonicJsonReader(DataSourceReader):
         # modes, skipped-bytes metrics, golden event tests) and is forced
         # with fastPath=false
         self.fast_path = str(options.get("fastpath", "true")).lower() != "false"
+        mvb = options.get("maxvaluebytes")
+        self.max_value_bytes = int(mvb) if mvb is not None else None
         self._tests: dict | None = None
         self._raw_filters: list | None = None
         # data schema = scan schema minus the corrupt-record column
@@ -409,7 +434,18 @@ class TectonicJsonReader(DataSourceReader):
                 [self._maybe_prune(r) for r in rows if self._row_passes(r)]
             )
             return
-        parser = JsonParser(self._new_plate(), _MODES[self.mode])
+        # incremental absorb keeps memory ~one pending value; a single value
+        # larger than maxValueBytes (default 1 GiB — executor-memory scale)
+        # fails with a clean ParseException instead of growing until OOM
+        parser = JsonParser(
+            self._new_plate(),
+            _MODES[self.mode],
+            max_value_bytes=(
+                self.max_value_bytes
+                if self.max_value_bytes is not None
+                else _DEFAULT_MAX_VALUE_BYTES
+            ),
+        )
         with open(split.file, "rb") as fh:
             while True:
                 chunk = fh.read(_CHUNK)

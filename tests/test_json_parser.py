@@ -461,3 +461,70 @@ def test_chunked_equals_unchunked(value, n_cuts):
     step = max(1, len(text) // n_cuts)
     chunks = [text[i : i + step] for i in range(0, len(text), step)]
     assert ok_events(None, mode=Mode.SINGLE_VALUE, chunks=chunks) == expected
+
+
+class TestMaxValueBytes:
+    """A value larger than the bound fails with a clean ParseException at
+    absorb time (never an OOM); values under the bound stream normally.
+    Reference parity note: BaseParser.scala:159-171 solves this with a
+    1 MiB mid-value window; the extent-scan design bounds-and-errors."""
+
+    def test_oversized_value_fails_cleanly(self):
+        from tectonic_spark.core.result import Failure
+        from tectonic_spark.core.value_builder import ValueBuilderPlate
+
+        p = JsonParser(ValueBuilderPlate(), Mode.SINGLE_VALUE, max_value_bytes=1024)
+        res = None
+        # feed an unterminated 1 MiB string in 4 KiB chunks: must fail as
+        # soon as the pending tail crosses the bound, not at finish
+        chunk = b'"' + b"x" * 4095
+        res = p.absorb(chunk)
+        for _ in range(10):
+            if isinstance(res, Failure):
+                break
+            res = p.absorb(b"y" * 4096)
+        assert isinstance(res, Failure)
+        assert "maxValueBytes" in str(res.error)
+
+    def test_under_limit_value_streams(self):
+        from tectonic_spark.core.result import Complete
+        from tectonic_spark.core.value_builder import ValueBuilderPlate
+
+        p = JsonParser(ValueBuilderPlate(), Mode.VALUE_STREAM, max_value_bytes=1 << 20)
+        out = []
+        data = b"\n".join(b'{"a": %d, "pad": "%s"}' % (i, b"z" * 100) for i in range(50))
+        for off in range(0, len(data), 997):
+            r = p.absorb(data[off : off + 997])
+            assert not isinstance(r, Failure)
+            out.extend(r.value)
+        r = p.finish()
+        assert isinstance(r, Complete)
+        out.extend(r.value)
+        assert [row["a"] for row in out] == list(range(50))
+
+    def test_reader_option_bounds_stream_mode(self, tmp_path):
+        import pytest
+
+        from tectonic_spark.sources.json_source import (
+            FileSplit,
+            TectonicJsonDataSource,
+        )
+
+        big = tmp_path / "big.json"
+        # one 9 MiB document (spans multiple 4 MiB absorb chunks, so the
+        # incomplete value is pending at a chunk boundary); bound 1 MiB,
+        # fastPath off so the incremental event parser handles it
+        big.write_text('{"k": "' + "a" * (9 << 20) + '"}')
+        ds = TectonicJsonDataSource(
+            options={
+                "path": str(big),
+                "mode": "single",
+                "fastpath": "false",
+                "maxvaluebytes": str(1 << 20),
+            }
+        )
+        reader = ds.reader(ds.schema())
+        size = big.stat().st_size
+        with pytest.raises(Exception, match="maxValueBytes"):
+            for _ in reader.read(FileSplit(str(big), 0, size, size)):
+                pass

@@ -688,3 +688,46 @@ class TestLineProbe:
             off = self._rows(self._reader(p, filters, lineprobe="false"))
             assert on == off, filters
             assert {r["i"] for r in on} == expect, filters
+
+
+class TestInferenceSpread:
+    """Sampling must cover the whole file list, not a files[:4] prefix:
+    a field first appearing in a late shard has to reach the schema."""
+
+    def _write_parts(self, tmp_path, n=6, late_at=4):
+        paths = []
+        for p in range(n):
+            f = tmp_path / f"part-{p:04d}.jsonl"
+            rows = []
+            for i in range(50):
+                row = {"doc_id": p * 100 + i, "lang": "en"}
+                if p >= late_at:
+                    row["late"] = f"L{p}-{i}"
+                rows.append(json.dumps(row))
+            f.write_text("\n".join(rows) + "\n")
+            paths.append(f)
+        return paths
+
+    def test_late_field_reaches_schema(self, tmp_path):
+        from tectonic_spark.sources.json_source import TectonicJsonDataSource
+
+        self._write_parts(tmp_path)
+        ds = TectonicJsonDataSource(options={"path": str(tmp_path)})
+        names = ds.schema().fieldNames()
+        assert "late" in names, names
+
+    def test_sampling_files_option_caps_spread(self, tmp_path):
+        from tectonic_spark.sources.json_source import TectonicJsonDataSource
+
+        self._write_parts(tmp_path)
+        # an even 2-file spread over 6 files still reaches the back half
+        ds = TectonicJsonDataSource(
+            options={"path": str(tmp_path), "samplingfiles": "2"}
+        )
+        assert "late" in ds.schema().fieldNames()
+
+    def test_end_to_end_late_field(self, spark, tmp_path):
+        self._write_parts(tmp_path)
+        df = spark.read.format("tectonic-json").load(str(tmp_path))
+        assert "late" in df.columns
+        assert df.filter("late is not null").count() == 100
