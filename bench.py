@@ -173,6 +173,61 @@ def _parallel_scan_mbps(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
+SF1_SUBSET = [
+    "b05_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "b07_topn_per_group",
+    "c01_minhash_lsh",
+    "c03_token_stats",
+]
+
+
+def _sf1_headroom(spark, sf_dir: str, base: dict[str, float]) -> dict:
+    """Scale-headroom row (VERDICT r1 item 8): run a scan/join/LSH subset
+    at 10x the bench SF (fact-scaled synthetic, tools/sf_scale.py) and
+    report each query's time against the linear extrapolation
+    ``10 x t_sf0.1`` — a ratio well above ~2 flags quadratic/skew behavior
+    the small SF hides. The banded embedding near-dup runs with its scale
+    knob turned (bits=10 so band buckets stay ~20 rows at 20k vectors)."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "1":
+        return {}
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from sf_scale import ensure_scaled
+
+        import tectonic_spark.operators as ops
+        from tectonic_spark.operators.dedup import embedding_neardup_df
+
+        factor = 10
+        scaled = ensure_scaled(sf_dir, factor)
+        timings: dict[str, float] = {}
+        for name in SF1_SUBSET:
+            t0 = time.perf_counter()
+            ops.REGISTRY[name].builder(spark, scaled).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        embedding_neardup_df(
+            spark, scaled, n_bits=10, sketch="pandas"
+        ).write.format("noop").mode("overwrite").save()
+        timings["c01_embedding_neardup[bits=10]"] = round(time.perf_counter() - t0, 3)
+        ratios = {
+            n: round(t / (factor * base[n]), 2)
+            for n, t in timings.items()
+            if n in base and base[n] > 0
+        }
+        return {
+            "sf1_factor": factor,
+            "sf1_queries_sec": timings,
+            "sf1_total_sec": round(sum(timings.values()), 3),
+            "sf1_vs_linear_ratio": ratios,
+        }
+    except Exception as e:  # noqa: BLE001 — headroom row must not kill bench
+        return {"sf1_error": f"{type(e).__name__}: {e}"[:300]}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = "/root/testdata/sf0.001"
@@ -207,6 +262,7 @@ def main() -> None:
             **_skip_speedup(sf_dir),
             **_probe_speedup(sf_dir),
             **_parallel_scan_mbps(spark, sf_dir),
+            **_sf1_headroom(spark, sf_dir, timings),
         },
     }
     print(json.dumps(out))

@@ -24,6 +24,7 @@ is the scalable plan.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -271,14 +272,14 @@ _ND_BITS = 4  # sign bits per band → 16 buckets/band (raise at higher SF so
 _ND_DIM = 64
 
 
-def _nd_planes() -> list[list[float]]:
+def _nd_planes(n_planes: int = _ND_BANDS * _ND_BITS) -> list[list[float]]:
     """Fixed seeded hyperplanes shared verbatim by the Spark path (as
     column literals) and the oracle SQL (as list literals) — the same
     determinism contract as the md5 minhash above."""
     import numpy as np
 
     rng = np.random.RandomState(7)
-    return rng.randn(_ND_BANDS * _ND_BITS, _ND_DIM).tolist()
+    return rng.randn(n_planes, _ND_DIM).tolist()
 
 
 def _nd_plane_dot(e, plane: list[float]):
@@ -293,15 +294,15 @@ def _nd_plane_dot(e, plane: list[float]):
     )
 
 
-def _nd_band_cols(e) -> list:
+def _nd_band_cols(e, n_bands: int = _ND_BANDS, n_bits: int = _ND_BITS) -> list:
     """One int column per band: the band's sign bits packed MSB-first."""
-    planes = _nd_planes()
+    planes = _nd_planes(n_bands * n_bits)
     bands = []
-    for j in range(_ND_BANDS):
+    for j in range(n_bands):
         val = F.lit(0)
-        for k in range(_ND_BITS):
+        for k in range(n_bits):
             bit = (
-                F.when(_nd_plane_dot(e, planes[j * _ND_BITS + k]) >= 0, 1)
+                F.when(_nd_plane_dot(e, planes[j * n_bits + k]) >= 0, 1)
                 .otherwise(0)
             )
             val = val * 2 + bit
@@ -362,6 +363,45 @@ def _nd_oracle() -> str:
     "setting here keeps sf0.01 buckets statistically meaningful).",
 )
 def c01_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_df(spark, sf_dir)
+
+
+def _nd_band_udf(n_bands: int, n_bits: int):
+    """Arrow-batched band sketch: one BLAS matmul per batch replaces
+    bands*bits separate fold expressions (the JVM fold path interprets
+    ~P x DIM lambda steps per row — fine at 32 planes, 10x too slow at 80).
+    Same formula (round(dot, 6) >= 0, MSB-first packing); summation order
+    inside the matmul may differ in the last ulp from the left fold, so the
+    ORACLE-matched registered query keeps the fold sketch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = np.asarray(_nd_planes(n_bands * n_bits)).T  # (DIM, P)
+    weights = (1 << np.arange(n_bits - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf("array<integer>")
+    def band_ids(e: pd.Series) -> pd.Series:
+        m = np.stack(e.to_numpy())  # (n, DIM)
+        bits = (np.round(m @ planes_t, 6) >= 0).astype(np.int64)  # (n, P)
+        bands = bits.reshape(len(m), n_bands, n_bits) @ weights  # (n, B)
+        return pd.Series(list(bands.astype(np.int32)))
+
+    return band_ids
+
+
+def embedding_neardup_df(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = _ND_BANDS,
+    n_bits: int = _ND_BITS,
+    sketch: str = "fold",
+) -> DataFrame:
+    """Parameterized banded near-dup: ``n_bits`` is the scale knob — band
+    buckets hold ~N/2^bits vectors, so candidate volume is ~bands x N²/2^bits
+    x 1/2. The registered query pins (8, 4, fold-sketch) to match the static
+    oracle at sf0.01; larger corpora call this directly with bits sized so
+    buckets stay executor-sized and ``sketch='pandas'`` (vectorized matmul —
+    the sf1 bench row runs bits=10 that way)."""
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     nrm = F.sqrt(
@@ -369,39 +409,46 @@ def c01_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
         )
     )
+    if sketch == "pandas":
+        bands_col = _nd_band_udf(n_bands, n_bits)("e")
+    else:
+        bands_col = F.array(*_nd_band_cols("e", n_bands, n_bits))
     n = v.select(
         "vec_id",
         "e",
         nrm.alias("nrm"),
-        F.array(*_nd_band_cols("e")).alias("bands"),
+        bands_col.alias("bands"),
     )
-    # one candidate row per (vector, band); vectors ride along so the
-    # verify step needs no join-back (B× replication through one shuffle)
-    cand = n.select(
-        "vec_id", "e", "nrm", F.posexplode("bands").alias("band_idx", "band_val")
+    # candidate generation carries ONLY (vec_id, band): the band-join
+    # exchange moves 16-byte rows, not kilobyte vectors; a pair colliding
+    # in several bands is deduped BEFORE the 64-term cosine verify, so
+    # each distinct pair pays the dot product exactly once. Vectors come
+    # back via two id-joins (broadcast-able when the table fits; plain
+    # hash joins at scale).
+    cand = n.select("vec_id", F.posexplode("bands").alias("band_idx", "band_val"))
+    pairs = (
+        cand.alias("x")
+        .join(cand.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
     )
-    a = cand.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-        "band_idx",
-        "band_val",
+    vecs = n.select("vec_id", "e", "nrm")
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
-    b = cand.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-        "band_idx",
-        "band_val",
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
     )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     sim = F.round(dot / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
         .select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.45)
-        .distinct()  # a pair can collide in several bands
     )

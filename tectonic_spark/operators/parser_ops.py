@@ -369,3 +369,110 @@ def a09_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("n_chars").cast("long")).alias("chars"),
     )
+
+
+@register(
+    "s01_stream_jsonl_to_parquet",
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang"
+    ),
+    doc="Structured Streaming evidence for the driver (s1): the documents "
+    "JSONL fixture streams through the tectonic-json "
+    "DataSourceStreamReader (directory-snapshot offsets, executor-side "
+    "byte-range splits) into a checkpointed parquet sink, and the sink is "
+    "aggregated — so the streaming source's output sits under the same "
+    "DuckDB oracle as a batch scan. Python sources fall back to a single "
+    "micro-batch under availableNow; offset continuation is covered by "
+    "tests/test_streaming.py.",
+)
+def s01_stream_jsonl_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    path = documents_jsonl(sf_dir)
+    register_tectonic_sources(spark)
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s01_sink")
+    ck = os.path.join(base, "s01_ck")
+    for d in (out, ck):  # deterministic fresh run per invocation
+        shutil.rmtree(d, ignore_errors=True)
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .load(path)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
+@register(
+    "s02_stream_csv_to_parquet",
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang"
+    ),
+    doc="CSV streaming evidence: the documents CSV fixture streams through "
+    "the tectonic-csv DataSourceStreamReader (same generic "
+    "TectonicFileStreamReader, byte-range-splittable with unix rows) into "
+    "a checkpointed parquet sink; string cells cast back for the "
+    "aggregate. Pairs with s01 so both formats have a driver-green "
+    "streaming row.",
+)
+def s02_stream_csv_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    path = documents_csv(sf_dir)
+    register_tectonic_sources(spark)
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s02_sink")
+    ck = os.path.join(base, "s02_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = (
+        spark.readStream.format("tectonic-csv")
+        .option("lineSep", "\n")
+        .schema(
+            "doc_id string, text string, lang string, source string, n_chars string"
+        )
+        .load(path)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").cast("long")).alias("chars"),
+        )
+    )

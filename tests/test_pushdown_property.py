@@ -136,3 +136,47 @@ def test_pushdown_soundness(rows, required, fkind, fcol, rhs):
     for k in got_keys:
         assert k in pool
         pool.remove(k)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(value, min_size=0, max_size=8),
+    st.sampled_from(["eq", "gt", "le", "nn", "nu", "sw"]),
+    st.one_of(st.integers(min_value=-5, max_value=5), st.text(alphabet="ax", max_size=2)),
+)
+def test_pushdown_soundness_value_column(rows, fkind, rhs):
+    """Top-level scalar rows ARE the 'value' cell (ADVICE r1, high): the
+    same soundness property over single-value-column scans — the shape
+    that previously over-dropped every scalar row under pushdown."""
+    data = ("\n".join(json.dumps(r) for r in rows) + "\n").encode()
+    schema = infer_spark_schema(rows) if rows else None
+    if schema is None or schema.fieldNames() != ["value"]:
+        return  # only the value-column scan shape is under test here
+    filt = _mk_filter(fkind, "value", rhs)
+    tests = compile_filters([filt], schema)
+
+    plate = PushdownPlate(required=None, tests=tests, value_col="value")
+    parser = JsonParser(plate, Mode.VALUE_STREAM)
+    res = parser.absorb(data)
+    assert not isinstance(res, Failure)
+    got = list(res.value)
+    fin = parser.finish()
+    assert not isinstance(fin, Failure)
+    got += fin.value
+
+    def key(r):
+        return json.dumps(normalize_row(r, schema), sort_keys=True, default=str)
+
+    kept = [
+        r
+        for r in rows
+        if _sql_eval(normalize_row(r, schema)["value"], fkind, rhs)
+    ]
+    remaining = sorted(key(r) for r in got)
+    for k in sorted(key(r) for r in kept):
+        assert k in remaining, f"value-column pushdown dropped a kept row: {k}"
+        remaining.remove(k)
+    pool = sorted(key(r) for r in rows)
+    for k in sorted(key(r) for r in got):
+        assert k in pool
+        pool.remove(k)
