@@ -476,3 +476,67 @@ def s02_stream_csv_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("long")).alias("chars"),
         )
     )
+
+
+@register(
+    "a10_tectonic_json_writer",
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang"
+    ),
+    doc="Engine-native JSON SINK: documents written through the "
+    "tectonic-json DataSourceArrowWriter (unique part names, keep-exactly-"
+    "committed protocol, _SUCCESS marker) and read back through the "
+    "tectonic-json reader — full write+read round-trip inside one engine.",
+)
+def a10_tectonic_json_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    register_tectonic_sources(spark)
+    out = os.path.join(_fixture_dir(sf_dir), "a10_json_writer")
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .write.format("tectonic-json")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = spark.read.format("tectonic-json").load(out)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+@register(
+    "a11_tectonic_csv_writer",
+    oracle=(
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source"
+    ),
+    doc="Engine-native CSV SINK: documents written through the "
+    "tectonic-csv DataSourceArrowWriter (config-parity quoting/lineSep, "
+    "per-part headers) and read back through the tectonic-csv reader "
+    "(string cells cast for the aggregate).",
+)
+def a11_tectonic_csv_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    register_tectonic_sources(spark)
+    out = os.path.join(_fixture_dir(sf_dir), "a11_csv_writer")
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .write.format("tectonic-csv")
+        .mode("overwrite")
+        .save(out)
+    )
+    df = spark.read.format("tectonic-csv").load(out)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars"),
+    )

@@ -1212,3 +1212,80 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue")
         )
     )
+
+
+@register(
+    "b06_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           {a} AS qty_a,
+           {n} AS qty_n,
+           {r} AS qty_r
+    FROM lineitem
+    GROUP BY l_returnflag
+    """.format(
+        a=o_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END"),
+        n=o_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END"),
+        r=o_dsum("CASE WHEN l_linestatus = 'P' THEN l_quantity END"),
+    ),
+    doc="Pivot (wide aggregation): linestatus values become columns. "
+    "Spark's pivot with an explicit value list compiles to conditional "
+    "aggregates — one pass, partial-agg map-side, no extra shuffle vs a "
+    "plain groupBy.",
+)
+def b06_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    piv = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("qty_a"),
+        F.col("O").alias("qty_n"),
+        F.col("P").alias("qty_r"),
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {qty} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """.format(qty=o_dsum("l.l_quantity")),
+    doc="TPC-H Q18 (large-volume customer): HAVING-filtered aggregate keys "
+    "feed a semi-join on the fact table, then re-aggregate with dims. The "
+    "'big orders' set is tiny after the HAVING cut, so its join side "
+    "broadcasts; top-100 is TakeOrdered, never a global sort.",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

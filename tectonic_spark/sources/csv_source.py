@@ -131,6 +131,13 @@ class TectonicCsvDataSource(DataSource):
         )
         return TectonicFileStreamReader(reader, schema, dict(self.options), splittable)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        from tectonic_spark.sources.writers import TectonicCsvWriter
+
+        return TectonicCsvWriter(
+            dict(self.options), overwrite, list(schema.fieldNames())
+        )
+
 
 class TectonicCsvReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict) -> None:

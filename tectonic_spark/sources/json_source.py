@@ -232,6 +232,11 @@ class TectonicJsonDataSource(DataSource):
 
         return TectonicJsonStreamReader(schema, dict(self.options), self._mode())
 
+    def writer(self, schema: StructType, overwrite: bool):
+        from tectonic_spark.sources.writers import TectonicJsonWriter
+
+        return TectonicJsonWriter(dict(self.options), overwrite)
+
 
 def _parse_file_prefix(
     path: str, mode: str, max_rows: int, max_bytes: int = _SAMPLE_BYTES

@@ -1,0 +1,172 @@
+"""Writer half of the tectonic DataSources (``df.write.format("tectonic-json"
+| "tectonic-csv")``) — the engine's own sink surface.
+
+The reference has no sinks (SURVEY.md §2.A); round 1 used Spark's built-in
+writers as the sink story. These writers complete the switch story — a user
+of the engine reads AND writes both formats through the same registered
+source names, with the CSV config surface (sep/quote/escape/lineSep/header)
+shared with the reader.
+
+Commit protocol (Arrow-batched, ``DataSourceArrowWriter``): each task
+writes one uniquely-named part file directly into the target directory and
+reports it in its commit message; ``commit`` keeps exactly the reported
+files (removing orphans from failed/speculative attempts) and drops a
+``_SUCCESS`` marker; ``abort`` deletes whatever completed tasks wrote.
+Unique names make concurrent attempts safe on any shared filesystem —
+the same protocol shape as Hadoop's v2 file committer.
+
+Nulls: JSON writes ``null`` cells faithfully; CSV writes the empty string
+(Spark's own CSV writer default — the reader's all-strings model cannot
+distinguish them either, csv/Parser.scala model per README.md:89).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql.datasource import DataSourceArrowWriter, WriterCommitMessage
+
+
+@dataclass
+class FileCommit(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+def _clear_parts(path: str) -> None:
+    for f in os.listdir(path):
+        if f.startswith("part-") or f == "_SUCCESS":
+            os.unlink(os.path.join(path, f))
+
+
+def _json_default(v: Any):
+    """JSON encoding for Arrow-surfaced non-JSON scalars (timestamps,
+    dates, Decimals) — ISO text, matching Spark's JSON writer."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (bytes, bytearray)):
+        import base64
+
+        return base64.b64encode(bytes(v)).decode()
+    raise TypeError(f"not JSON serializable: {type(v).__name__}")
+
+
+class _PartFileWriter(DataSourceArrowWriter):
+    """Shared task/commit plumbing; subclasses provide ``_write_part``."""
+
+    suffix = ".txt"
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.options = options
+        self.path = options["path"]
+        # driver-side construction: prepare the directory and mint a job id
+        # (shared by all tasks via pickling) so commit's orphan sweep only
+        # touches THIS job's attempts — append must not disturb prior parts
+        self.job_id = uuid.uuid4().hex[:12]
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            _clear_parts(self.path)
+
+    def write(self, iterator) -> FileCommit:
+        part = os.path.join(
+            self.path, f"part-{self.job_id}-{uuid.uuid4().hex}{self.suffix}"
+        )
+        rows = self._write_part(part, iterator)
+        if rows == 0:
+            # no part file for an empty partition (Spark writer behavior;
+            # header-only CSV parts would also poison header inference)
+            if os.path.exists(part):
+                os.unlink(part)
+            return FileCommit(path="", rows=0)
+        return FileCommit(path=part, rows=rows)
+
+    def _write_part(self, part: str, iterator) -> int:
+        raise NotImplementedError
+
+    def commit(self, messages) -> None:
+        keep = {
+            os.path.basename(m.path) for m in messages if m is not None and m.path
+        }
+        mine = f"part-{self.job_id}-"
+        for f in os.listdir(self.path):
+            if f.startswith(mine) and f not in keep:
+                os.unlink(os.path.join(self.path, f))  # orphaned attempts
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.unlink(m.path)
+
+
+class TectonicJsonWriter(_PartFileWriter):
+    """NDJSON part files (the reader's ``lines`` framing)."""
+
+    suffix = ".json"
+
+    def _write_part(self, part: str, iterator) -> int:
+        import json as _json
+
+        n = 0
+        with open(part, "w", encoding="utf-8") as fh:
+            for batch in iterator:
+                for row in batch.to_pylist():
+                    fh.write(
+                        _json.dumps(row, ensure_ascii=False, default=_json_default)
+                    )
+                    fh.write("\n")
+                    n += 1
+        return n
+
+
+class TectonicCsvWriter(_PartFileWriter):
+    """CSV part files under the reader's config surface (sep/quote/escape/
+    lineSep/header); every part file carries its own header row, like
+    Spark's CSV writer."""
+
+    suffix = ".csv"
+
+    def __init__(self, options: dict, overwrite: bool, columns: list[str]) -> None:
+        super().__init__(options, overwrite)
+        self.columns = columns
+        self.sep = options.get("sep", ",")
+        self.quote = options.get("quote", '"')
+        self.escape = options.get("escape", '"')
+        self.line_sep = options.get("linesep", "\r\n")
+        self.header = str(options.get("header", "true")).lower() != "false"
+
+    def _write_part(self, part: str, iterator) -> int:
+        import csv as _csv
+
+        n = 0
+        with open(part, "w", encoding="utf-8", newline="") as fh:
+            w = _csv.writer(
+                fh,
+                delimiter=self.sep,
+                quotechar=self.quote,
+                doublequote=(self.escape == self.quote),
+                escapechar=None if self.escape == self.quote else self.escape,
+                lineterminator=self.line_sep,
+                quoting=_csv.QUOTE_MINIMAL,
+            )
+            if self.header:
+                w.writerow(self.columns)
+            for batch in iterator:
+                for row in batch.to_pylist():
+                    w.writerow(
+                        [
+                            "" if row[c] is None else str(row[c])
+                            for c in self.columns
+                        ]
+                    )
+                    n += 1
+        return n
