@@ -1289,3 +1289,226 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q07_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, {rev} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """.format(rev=o_dsum("volume")),
+    doc="TPC-H Q7 (volume shipping between two nations): lineitem joins "
+    "supplier+orders+customer, both nation dims broadcast twice under "
+    "different roles; the nation-pair disjunction prunes early. Facts "
+    "shuffle on their join keys only.",
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(vol, "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "b07_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           {s} AS trailing_30d_spend
+    FROM orders
+    """.format(
+        s="CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    ),
+    doc="RANGE-framed window (time-based, not row-based): per customer, "
+    "the trailing-30-day spend at each order. Spark expresses the range "
+    "frame over the epoch-seconds ordering column; decimal-exact sum "
+    "keeps frames hash-stable cross-engine.",
+)
+def b07_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_30d_spend"),
+    )
+
+
+@register(
+    "b06_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size_val,
+             p_retailprice AS price_val
+      FROM part
+    ) UNPIVOT (val FOR metric IN (size_val AS 'size', price_val AS 'price'))
+    """,
+    doc="Unpivot (long-form melt): the inverse of b06_pivot, via Spark's "
+    "unpivot/stack — two metric columns become (metric, val) rows; no "
+    "shuffle, a pure row-expanding projection.",
+)
+def b06_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").alias("price"),
+        )
+        .unpivot("p_partkey", ["size", "price"], "metric", "val")
+    )
+
+
+@register(
+    "b05_argmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice + o_orderkey / 1e9) AS best_order,
+           max(o_totalprice) AS best_price,
+           arg_min(o_orderkey, o_orderdate + to_microseconds(CAST(o_orderkey AS BIGINT))) AS first_order
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="Selector aggregates (max_by/min_by ≈ arg_max/arg_min): per "
+    "customer, the order id at the price maximum and the earliest order. "
+    "Tie-breaks are made unique by folding the key into the ordering "
+    "expression, so both engines select identical winners.",
+)
+def b05_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr("max_by(o_orderkey, o_totalprice + o_orderkey / 1e9)").alias(
+            "best_order"
+        ),
+        F.max("o_totalprice").alias("best_price"),
+        F.expr(
+            "min_by(o_orderkey, o_orderdate + make_interval(0,0,0,0,0,0,o_orderkey/1e6))"
+        ).alias("first_order"),
+    )
+
+
+@register(
+    "b03_above_avg",
+    oracle="""
+    WITH nat_avg AS (
+      SELECT c.c_nationkey AS nk, AVG(o.o_totalprice) AS avg_price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    )
+    SELECT o.o_orderkey, c.c_nationkey, o.o_totalprice
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nat_avg a ON a.nk = c.c_nationkey
+    WHERE o.o_totalprice > 1.5 * a.avg_price
+    """,
+    doc="Correlated scalar subquery shape ('orders 50% above their "
+    "nation's average'), decorrelated to aggregate + re-join — the plan "
+    "Catalyst produces for the subquery form. The per-nation average is "
+    "tiny and broadcasts.",
+)
+def b03_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    oc = o.join(c, o.o_custkey == c.c_custkey)
+    nat_avg = oc.groupBy("c_nationkey").agg(
+        F.avg("o_totalprice").alias("avg_price")
+    )
+    return (
+        oc.join(
+            F.broadcast(nat_avg.withColumnRenamed("c_nationkey", "nk")),
+            F.col("c_nationkey") == F.col("nk"),
+        )
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_price"))
+        .select("o_orderkey", "c_nationkey", "o_totalprice")
+    )
+
+
+@register(
+    "b10_null_functions",
+    oracle="""
+    SELECT e.event_id,
+           COALESCE(u.c_name, 'anonymous') AS who,
+           CASE WHEN u.c_name IS NULL THEN e.user_id END AS missing_uid,
+           IFNULL(u.c_name, CAST(e.user_id AS VARCHAR)) AS who2,
+           CAST(u.c_name IS NOT DISTINCT FROM NULL AS BOOLEAN) AS is_anon,
+           GREATEST(e.value, 10.0) AS v_floor,
+           LEAST(e.value, 90.0) AS v_cap
+    FROM events e
+    LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 60) u
+      ON e.user_id = u.c_custkey
+    """,
+    doc="Null-handling scalar functions over an outer join's null side: "
+    "coalesce, nullif-style CASE, ifnull, null-safe equality, "
+    "greatest/least.",
+)
+def b10_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    u = F.broadcast(
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 60)
+        .select("c_custkey", "c_name")
+    )
+    j = e.join(u, e.user_id == u.c_custkey, "left")
+    return j.select(
+        "event_id",
+        F.coalesce("c_name", F.lit("anonymous")).alias("who"),
+        F.when(F.col("c_name").isNull(), F.col("user_id")).alias("missing_uid"),
+        F.ifnull(F.col("c_name"), F.col("user_id").cast("string")).alias("who2"),
+        F.col("c_name").eqNullSafe(F.lit(None)).alias("is_anon"),
+        F.greatest("value", F.lit(10.0)).alias("v_floor"),
+        F.least("value", F.lit(90.0)).alias("v_cap"),
+    )

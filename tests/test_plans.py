@@ -81,6 +81,22 @@ def test_embedding_neardup_is_banded_not_allpairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q07_broadcasts_all_dims(spark, sf_dir):
+    # supplier + both nation roles broadcast; the only hash exchange is the
+    # final group-by — lineitem never shuffles for the joins
+    plan = physical_plan(build(spark, sf_dir, "q07_volume_shipping"))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q18_semi_join_broadcasts(spark, sf_dir):
+    plan = physical_plan(build(spark, sf_dir, "q18_large_volume_customer"))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan  # top-100, never a global sort
+    assert "CartesianProduct" not in plan
+
+
 def test_exact_dedup_single_exchange(spark, sf_dir):
     plan = physical_plan(build(spark, sf_dir, "c01_dedup_exact"))
     # partial agg -> single hash exchange -> final agg
