@@ -452,3 +452,77 @@ def embedding_neardup_df(
         .select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.45)
     )
+
+
+_O_PAIRS = (
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) "
+    "/ (len(a.shingles) + len(b.shingles) "
+    f"- len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}"
+)
+
+
+@register(
+    "c01_dedup_clusters",
+    oracle="WITH RECURSIVE"
+    + _O_SHINGLE_BASE.split("WITH", 1)[1]
+    + f""",
+    pairs AS ({_O_PAIRS}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, dst) AS (
+        SELECT node, node FROM nodes
+      UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+    doc="Near-dup CLUSTER formation — connected components over the "
+    "Jaccard>=0.8 pair graph by iterative min-label propagation (the step "
+    "a real dedup pipeline runs after pair generation: keep one doc per "
+    "component). Spark side loops label = min(label, neighbors' labels) "
+    "with per-iteration localCheckpoint (bounded lineage); converges in "
+    "O(component diameter) rounds — near-dup components are shallow, and "
+    "the alternating large-star/small-star variant is the documented "
+    "upgrade for adversarially deep graphs. The oracle computes the same "
+    "components via a recursive-CTE transitive closure (tractable at "
+    "oracle SF). Driver control is iteration-only — no data crosses the "
+    "driver.",
+)
+def c01_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = c01_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(30):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "doc_b"), "doc_b"
+        ).select(F.col("doc_a").alias("node"), "label")
+        new = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id")
+    )

@@ -343,3 +343,66 @@ def m04_feature_extract(spark, sf_dir: str) -> DataFrame:
         *[F.element_at("features", k + 1).alias(f"f{k}".format(k=k)) for k in range(8)],
     )
 
+
+
+_AUDIO_WIN = 64  # samples per analysis window
+
+
+def audio_window_stats(with_media: DataFrame, win: int = _AUDIO_WIN) -> DataFrame:
+    """Audio analysis shape: payload body → u8 PCM samples → fixed-size
+    windows → per-window features (count / sum / max). One output row per
+    (doc, window); numpy does the windowed reductions per Arrow batch —
+    the decode/window/feature pipeline a real audio path runs, with the
+    codec swapped for the deterministic byte body."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("window_id", LongType(), True),
+            StructField("n_samples", LongType(), True),
+            StructField("sum_amp", LongType(), True),
+            StructField("max_amp", LongType(), True),
+        ]
+    )
+
+    def wstats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "window_id", "n_samples", "sum_amp", "max_amp")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                body = np.frombuffer(payload, dtype=np.uint8)[17:].astype(np.int64)
+                for w0 in range(0, len(body), win):
+                    chunk = body[w0 : w0 + win]
+                    rows["doc_id"].append(doc_id)
+                    rows["window_id"].append(w0 // win)
+                    rows["n_samples"].append(len(chunk))
+                    rows["sum_amp"].append(int(chunk.sum()))
+                    rows["max_amp"].append(int(chunk.max()))
+            yield pd.DataFrame(rows)
+
+    return with_media.filter(F.col("media_kind") == "audio").mapInPandas(
+        wstats, out_schema
+    )
+
+
+@register(
+    "m05_audio_window_stats",
+    oracle=(
+        "SELECT d.doc_id, "
+        f"CAST(r.i // {_AUDIO_WIN} AS BIGINT) AS window_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_samples, "
+        "CAST(SUM((d.doc_id + r.i) % 256) AS BIGINT) AS sum_amp, "
+        "CAST(MAX((d.doc_id + r.i) % 256) AS BIGINT) AS max_amp "
+        "FROM documents d JOIN range(0, 251) r(i) ON r.i < d.n_chars % 251 "
+        "WHERE d.doc_id % 3 = 1 "
+        f"GROUP BY d.doc_id, r.i // {_AUDIO_WIN}"
+    ),
+    doc="Windowed audio-sample statistics (m-surface breadth): audio "
+    "payload bodies as u8 PCM, 64-sample windows, per-window count/sum/"
+    "max via numpy inside mapInPandas. The oracle regenerates the "
+    "deterministic sample bytes with a static range join (lateral "
+    "generate_series is not DuckDB-expressible).",
+)
+def m05_audio_window_stats(spark, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return audio_window_stats(attach_fake_payloads(docs))

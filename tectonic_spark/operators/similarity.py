@@ -246,3 +246,58 @@ def c02_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rn")
     )
+
+
+@register(
+    "c02_filtered_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, label, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+          FROM v),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                 list_sum(list_transform(range(1, len(q.e) + 1),
+                                         i -> q.e[i] * c.e[i]))
+                   / (q.nrm * c.nrm) AS sim
+          FROM n q JOIN n c ON c.vec_id <> q.vec_id AND c.label = 1
+          WHERE q.vec_id < {N_QUERIES})
+    SELECT query_id, neighbor_id, round(sim, 6) AS cos_sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+      FROM p) t
+    WHERE rn <= {TOP_K}
+    """,
+    doc="Metadata-FILTERED vector search (the RAG-pipeline shape: top-k "
+    "among candidates satisfying a predicate): label = 1 filters the "
+    "candidate side BEFORE similarity scoring — pre-filtering, the "
+    "strategy that stays exact under any selectivity, vs post-filtering "
+    "an ANN result which can return < k rows. The predicate reaches the "
+    "parquet scan (PushedFilters), so the scored set is already pruned.",
+)
+def c02_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n = v.select("vec_id", "label", "e", _norm("e").alias("nrm"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = n.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    sim = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rn")
+    )
