@@ -84,6 +84,7 @@ class CsvParser(Generic[A]):
         config: CsvConfig | None = None,
         projection: set[str] | None = None,
         headers: list[str] | None = None,
+        max_value_bytes: int | None = None,
     ):
         """``projection``: when set, cells whose column name is not in the
         set are not delivered to the plate (a ``skipped(n)`` metric is
@@ -97,6 +98,10 @@ class CsvParser(Generic[A]):
         self.plate = plate
         self.config = config or CsvConfig()
         self.projection = projection
+        # bound on one pending (suspended) row's buffered bytes — a
+        # pathological multi-GB quoted cell fails clean instead of OOM
+        # (same contract as JsonParser.max_value_bytes)
+        self.max_value_bytes = max_value_bytes
         self._skipped_bytes_total = 0
         c = self.config
         self._buf = b""
@@ -178,6 +183,15 @@ class CsvParser(Generic[A]):
         except _Incomplete:
             if self._done:
                 self._handle_eof()  # completes the final row or raises
+                return
+            pending = len(self._buf) - self._pos
+            if self.max_value_bytes is not None and pending > self.max_value_bytes:
+                raise self._exc(
+                    "buffered row exceeds maxValueBytes="
+                    f"{self.max_value_bytes} ({pending} bytes pending); "
+                    "raise the option or split the input",
+                    self._pos,
+                )
             return
 
     def _parse_loop(self) -> None:

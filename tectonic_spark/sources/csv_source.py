@@ -310,11 +310,17 @@ class TectonicCsvReader(DataSourceReader):
         preset = None
         if mid_file and self.config.header:
             preset = self.full_names or names
+        mvb = self.options.get("maxvaluebytes")
         parser = CsvParser(
             plate,
             config,
             projection=projection,
             headers=preset,
+            # multiLine reads absorb the whole file incrementally — bound
+            # one pending row (1 GiB default) so a pathological quoted
+            # cell errors clean instead of OOM; split-bounded paths keep
+            # the same guard harmlessly
+            max_value_bytes=int(mvb) if mvb is not None else 1 << 30,
         )
 
         def to_batches(rows: list[Any]):

@@ -206,3 +206,33 @@ def test_projection_pushdown():
         ("skipped", 1), ("nest_map", "b"), ("str", "5"), ("unnest",),
         ("skipped", 1), ("finish_row",),
     ]
+
+
+def test_max_value_bytes_bounds_pending_row():
+    from tectonic_spark.core.plate import RowCountPlate
+    from tectonic_spark.core.result import Failure
+
+    p = CsvParser(RowCountPlate(), CsvConfig.unix(), max_value_bytes=1024)
+    # unterminated quoted cell growing past the bound in small chunks
+    res = p.absorb(b'a,b\n"' + b"x" * 512)
+    for _ in range(10):
+        if isinstance(res, Failure):
+            break
+        res = p.absorb(b"y" * 512)
+    assert isinstance(res, Failure)
+    assert "maxValueBytes" in str(res.error)
+
+
+def test_max_value_bytes_allows_normal_rows():
+    from tectonic_spark.core.result import Failure
+    from tectonic_spark.core.value_builder import ValueBuilderPlate
+
+    p = CsvParser(ValueBuilderPlate(), CsvConfig.unix(), max_value_bytes=1 << 20)
+    rows = []
+    data = b"a,b\n" + b"\n".join(b"v%d,w%d" % (i, i) for i in range(200)) + b"\n"
+    for off in range(0, len(data), 97):
+        r = p.absorb(data[off : off + 97])
+        assert not isinstance(r, Failure)
+        rows.extend(r.value)
+    rows.extend(p.finish().value)
+    assert len(rows) == 200
