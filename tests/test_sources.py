@@ -639,10 +639,16 @@ class TestLineProbe:
         rows.append({"a": 1000, "lang": "en", "t": "tab\there"})
         p.write_text("\n".join(json.dumps(r) for r in rows))
         f = [EqualTo(("lang",), "en")]
-        on = self._rows(self._reader(p, f))
+        r_on = self._reader(p, f)
+        on = self._rows(r_on)
         off = self._rows(self._reader(p, f, lineprobe="false"))
-        assert on == off
-        assert {r["a"] for r in on} == {i for i in range(200) if i % 7 == 0} | {1000}
+        # the reader may return a superset (Spark re-applies all filters);
+        # after the Spark-equivalent filter both paths are identical, and
+        # the probe never drops a matching row
+        on_f = [r for r in on if r_on._row_passes(r)]
+        off_f = [r for r in off if r_on._row_passes(r)]
+        assert on_f == off_f
+        assert {r["a"] for r in on_f} == {i for i in range(200) if i % 7 == 0} | {1000}
 
     def test_probe_key_presence_isnotnull(self, tmp_path):
         from pyspark.sql.datasource import IsNotNull
@@ -654,9 +660,9 @@ class TestLineProbe:
         r = self._reader(p, [IsNotNull(("opt",))])
         probe = r._build_line_probe()
         assert probe is not None
-        rows = self._rows(r)
-        # row 2 (no key) probe-dropped; row 3 has the key (null) — probe
-        # keeps it, the compiled test drops it post-parse
+        rows = [x for x in self._rows(r) if r._row_passes(x)]
+        # row 2 (no key) probe-dropped pre-parse; row 3 has the key (null)
+        # — probe keeps it, the (re-applied) filter drops it
         assert [x["a"] for x in rows] == [1]
 
     def test_probe_disabled_with_corrupt_col(self, tmp_path):
@@ -684,8 +690,13 @@ class TestLineProbe:
             ([StringStartsWith(("s",), "alph")], {0, 2}),
             ([StringContains(("s",), "et")], {1, 2}),  # "beta", "alphabet"
         ]:
-            on = self._rows(self._reader(p, filters))
-            off = self._rows(self._reader(p, filters, lineprobe="false"))
+            r_on = self._reader(p, filters)
+            on = [r for r in self._rows(r_on) if r_on._row_passes(r)]
+            off = [
+                r
+                for r in self._rows(self._reader(p, filters, lineprobe="false"))
+                if r_on._row_passes(r)
+            ]
             assert on == off, filters
             assert {r["i"] for r in on} == expect, filters
 
