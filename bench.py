@@ -100,6 +100,30 @@ def _probe_speedup(sf_dir: str) -> dict[str, float]:
     }
 
 
+def _csv_reader_mbps(sf_dir: str) -> dict[str, float]:
+    """End-to-end tectonic-csv reader rate, single core (parse → string
+    cells → Arrow) — the pyarrow.csv block path on a clean fixture."""
+    from tectonic_spark.operators.parser_ops import documents_csv
+    from tectonic_spark.sources.csv_source import TectonicCsvDataSource
+    from tectonic_spark.sources.json_source import FileSplit
+
+    path = documents_csv(sf_dir)
+    size = os.path.getsize(path)
+    ds = TectonicCsvDataSource(options={"path": path, "linesep": "\n"})
+    reader = ds.reader(ds.schema())
+    split = FileSplit(path, 0, size, size)
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        for _ in reader.read(split):
+            pass
+        return time.perf_counter() - t0
+
+    run()
+    t = min(run() for _ in range(3))
+    return {"csv_reader_mb_per_sec_per_core": round(size / 1e6 / t, 1)}
+
+
 def _csv_throughput(sf_dir: str) -> dict[str, float]:
     """BASELINE.md dimension (b): single-threaded CSV parse MB/s through
     the counting plate (reference: ~71 MB/s on worldcitiespop, JVM)."""
@@ -261,6 +285,7 @@ def main() -> None:
         "extras": {
             **_skip_speedup(sf_dir),
             **_probe_speedup(sf_dir),
+            **_csv_reader_mbps(sf_dir),
             **_parallel_scan_mbps(spark, sf_dir),
             **_sf1_headroom(spark, sf_dir, timings),
         },

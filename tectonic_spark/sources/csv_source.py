@@ -258,6 +258,39 @@ class TectonicCsvReader(DataSourceReader):
 
             yield from rows_to_batches(gen(), self.schema, self.batch_rows)
 
+        arrow_cfg = self._arrow_csv_cfg(names)
+
+        def emit(block: bytes, last: bool, skip: bool):
+            """One newline-aligned block → batches. Clean blocks parse
+            whole through pyarrow.csv (C++); any arrow rejection (ragged
+            row, EOF-short final row) falls back to the stdlib path, whose
+            semantics (errors, EOF padding, Excel leniency, pushdown
+            tests) are authoritative."""
+            if arrow_cfg is not None:
+                data = block
+                if skip:
+                    nl = data.find(b"\n")
+                    data = data[nl + 1 :] if nl >= 0 else b""
+                if data.strip():
+                    import pyarrow as pa
+                    import pyarrow.csv as pacsv
+
+                    try:
+                        table = pacsv.read_csv(pa.BufferReader(data), **arrow_cfg)
+                    except pa.ArrowInvalid:
+                        pass  # stdlib semantics decide this block
+                    else:
+                        for lo in range(0, table.num_rows, self.batch_rows):
+                            chunk = table.slice(lo, self.batch_rows).combine_chunks()
+                            yield from chunk.to_batches()
+                        return
+                elif skip:
+                    return  # header-only block
+            rows = list(_csv.reader(_io.StringIO(block.decode("utf-8")), **dialect))
+            if skip:
+                rows = rows[1:]
+            yield from finish_rows([r for r in rows if r], last_block=last)
+
         carry = b""
         blocks: list[bytes] = []
         for chunk in chunks:
@@ -270,19 +303,49 @@ class TectonicCsvReader(DataSourceReader):
             blocks.append(chunk[: cut + 1])
             if len(blocks) > 1:
                 prev = blocks.pop(0)
-                rows = list(_csv.reader(_io.StringIO(prev.decode("utf-8")), **dialect))
-                if skip_first:
-                    rows = rows[1:]
-                    skip_first = False
-                yield from finish_rows([r for r in rows if r], last_block=False)
+                yield from emit(prev, last=False, skip=skip_first)
+                skip_first = False
         if carry:
             blocks.append(carry)
         tail = b"".join(blocks)
         if tail:
-            rows = list(_csv.reader(_io.StringIO(tail.decode("utf-8")), **dialect))
-            if skip_first:
-                rows = rows[1:]
-            yield from finish_rows([r for r in rows if r], last_block=True)
+            yield from emit(tail, last=True, skip=skip_first)
+
+    def _arrow_csv_cfg(self, names: list[str]) -> dict | None:
+        """pyarrow.csv options reproducing this reader's dialect, or None
+        when the config (or pushdown-test application, which arrow skips —
+        Spark re-applies every filter anyway) can't take the arrow route.
+        All columns read as literal strings: no null inference, empty cell
+        stays ''."""
+        c = self.config
+        if not self._stdlib_dialect_ok():
+            return None
+        try:
+            import pyarrow as pa
+            import pyarrow.csv as pacsv
+        except ImportError:  # pragma: no cover
+            return None
+        col_names = self.full_names if self.full_names is not None else names
+        if len(set(col_names)) != len(col_names):
+            return None  # duplicate headers: positional dict semantics differ
+        return dict(
+            read_options=pacsv.ReadOptions(column_names=col_names, use_threads=False),
+            parse_options=pacsv.ParseOptions(
+                delimiter=c.record.decode(),
+                quote_char=c.open_quote.decode(),
+                double_quote=(c.escape == c.close_quote),
+                escape_char=(
+                    False if c.escape == c.close_quote else c.escape.decode()
+                ),
+                newlines_in_values=False,
+            ),
+            convert_options=pacsv.ConvertOptions(
+                column_types={n: pa.string() for n in col_names},
+                include_columns=names,
+                null_values=[],
+                strings_can_be_null=False,
+            ),
+        )
 
     # ------------------------------------------------------ event parser path
 
