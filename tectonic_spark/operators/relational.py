@@ -1512,3 +1512,41 @@ def b10_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("value", F.lit(10.0)).alias("v_floor"),
         F.least("value", F.lit(90.0)).alias("v_cap"),
     )
+
+
+@register(
+    "b14_sql_surface",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           {rev} AS revenue
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """.format(rev=o_dsum("o.o_totalprice")),
+    doc="The SQL entry point: the same engine surface through "
+    "spark.sql(...) over register_views(...) temp views — Catalyst "
+    "compiles identical plans from SQL text and DataFrame code; this row "
+    "proves the text path end-to-end under the oracle gate.",
+)
+def b14_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tectonic_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+                 AS revenue
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o   ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )
