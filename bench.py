@@ -164,7 +164,9 @@ def _parallel_scan_mbps(spark, sf_dir: str) -> dict[str, float]:
     from tectonic_spark.sources import register_tectonic_sources
 
     register_tectonic_sources(spark)
-    path = documents_wide_jsonl_x(sf_dir)
+    # big enough that aggregate throughput, not the ~0.3-0.5 s fixed local
+    # job/worker latency, dominates the wall clock
+    path = documents_wide_jsonl_x(sf_dir, repeat=32)
     size_mb = os.path.getsize(path) / 1e6
     n_splits = int(spark.sparkContext.defaultParallelism)
     df = (

@@ -1550,3 +1550,33 @@ def b14_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name
         """
     )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT {rev} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_type = 'PROMO'    AND l.l_quantity BETWEEN 1  AND 11)
+       OR (p.p_type = 'STANDARD' AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_type = 'ECONOMY'  AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY 1 = 1
+    """.format(rev=o_dsum("l.l_extendedprice * (1 - l.l_discount)")),
+    doc="TPC-H Q19 shape (disjunctive predicates over a join): three OR'd "
+    "conjunct groups mixing both sides' columns. The join stays a broadcast "
+    "hash join on the equi key; the disjunction is a post-join residual "
+    "plus per-side partial pushdown where derivable.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(table(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    cond = (
+        ((F.col("p_type") == "PROMO") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_type") == "STANDARD") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_type") == "ECONOMY") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
