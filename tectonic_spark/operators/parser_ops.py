@@ -540,3 +540,38 @@ def a11_tectonic_csv_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("n_chars").cast("long")).alias("chars"),
     )
+
+
+@register(
+    "a12_catalog_table_roundtrip",
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents "
+        "WHERE n_chars >= 100 GROUP BY lang"
+    ),
+    doc="Catalog surface: documents saved as a MANAGED table "
+    "(saveAsTable -> warehouse parquet + catalog entry), read back via "
+    "spark.table, filtered and aggregated — the metastore-backed workflow "
+    "(CREATE/INSERT/SELECT by name) a warehouse user runs.",
+)
+def a12_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    name = "tectonic_docs_catalog"
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .saveAsTable(name)
+    )
+    return (
+        spark.table(name)
+        .filter(F.col("n_chars") >= 100)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
