@@ -559,7 +559,16 @@ def a12_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from tectonic_spark.tables import table
 
+    import shutil
+
     name = "tectonic_docs_catalog"
+    # the catalog entry dies with the session but the managed LOCATION
+    # persists on disk — a fresh session's saveAsTable refuses to reuse it
+    # (LOCATION_ALREADY_EXISTS), so drop both explicitly
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), name)
+    shutil.rmtree(loc, ignore_errors=True)
     (
         table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "n_chars")
