@@ -130,7 +130,10 @@ def compile_filters(filters: list, schema: StructType) -> dict[str, list[Test]] 
                     return False  # NULL cmp anything = unknown → Spark drops
                 try:
                     return bool(op(x, rhs))
-                except TypeError:
+                except (TypeError, AttributeError):
+                    # cross-type comparison (or a string op on a non-string
+                    # cell, e.g. startswith against a boolean column) is
+                    # undecidable here — keep the row, Spark decides
                     return True
 
             return test
@@ -159,7 +162,7 @@ def compile_filters(filters: list, schema: StructType) -> dict[str, list[Test]] 
                     return (x is None) == (rhs is None)
                 try:
                     return bool(x == rhs)
-                except TypeError:
+                except (TypeError, AttributeError):
                     return True
 
             return test
