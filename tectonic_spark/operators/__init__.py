@@ -10,6 +10,14 @@ from tectonic_spark.operators import (  # noqa: F401
     skew,
     text,
 )
-from tectonic_spark.operators.registry import REGISTRY, Query, queries, oracle_sql
+from tectonic_spark.operators.registry import (
+    REGISTRY,
+    Query,
+    finalize_order,
+    queries,
+    oracle_sql,
+)
+
+finalize_order()
 
 __all__ = ["REGISTRY", "Query", "queries", "oracle_sql"]

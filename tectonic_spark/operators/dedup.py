@@ -488,67 +488,149 @@ _O_PAIRS = (
     f"- len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}"
 )
 
+# Unrolled min-label rounds in the DuckDB oracle.  The previous oracle was a
+# recursive-CTE transitive closure — O(sum of component-size²) rows, which
+# is intractable at sf0.1.  Plain label propagation is linear per round
+# (|nodes| + |edges| rows), so R chained CTEs cost R·|E| total.  R bounds
+# the graph diameter the oracle can certify; if the fixpoint is NOT reached
+# after R rounds the query raises via DuckDB error() (lazily evaluated:
+# the poison branch scans an empty set when converged) instead of silently
+# emitting wrong labels.
+_CC_ORACLE_ROUNDS = 64
+
+
+def _cc_oracle_sql(rounds: int = _CC_ORACLE_ROUNDS) -> str:
+    # Every CTE is AS MATERIALIZED: DuckDB 1.0 INLINES multiply-referenced
+    # CTEs, so without it each round's two references to the previous round
+    # expand 2^rounds copies of the base parquet scan (observed as "too
+    # many open files" long before any tuple flows).
+    ctes = [
+        f"pairs AS MATERIALIZED ({_O_PAIRS})",
+        "edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM edges)",
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"l{k} AS MATERIALIZED (SELECT node, MIN(label) AS label FROM ("
+            f"SELECT node, label FROM l{k - 1} "
+            f"UNION ALL "
+            f"SELECT e.b AS node, l.label FROM l{k - 1} l "
+            f"JOIN edges e ON l.node = e.a) GROUP BY node)"
+        )
+    ctes.append(
+        f"poison AS (SELECT 1 AS x FROM l{rounds} a JOIN l{rounds - 1} b "
+        "ON a.node = b.node AND a.label <> b.label)"
+    )
+    return (
+        _O_SHINGLE_BASE
+        + ", "
+        + ", ".join(ctes)
+        + f"""
+    SELECT node AS doc_id, CAST(label AS BIGINT) AS cluster_id FROM l{rounds}
+    UNION ALL
+    SELECT CAST(error('cc oracle: not converged in {rounds} rounds') AS BIGINT),
+           CAST(NULL AS BIGINT) FROM poison
+    """
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_rounds: int = 60
+) -> tuple[DataFrame, int]:
+    """Connected components over an undirected pair list by the Alternating
+    large-star / small-star algorithm (Kiveris et al., *Connected Components
+    in MapReduce and Beyond*, SoCC'14 — public). Returns ``(labels, rounds)``
+    where ``labels`` has columns ``(node, label)`` and ``label`` is the
+    component minimum.
+
+    Why not plain min-label propagation: that converges in O(diameter)
+    rounds, so a chain component of depth d needs d shuffles — and any
+    fixed cap silently mislabels deeper graphs. The alternating algorithm
+    contracts toward stars, converging in O(log n) rounds in practice
+    (O(log² n) proven), and every intermediate edge set stays ≤ 2|E| with
+    edges always pointing big→small — so each round is two bounded
+    ``groupBy(node)`` shuffles regardless of topology. Per-round
+    ``localCheckpoint`` bounds lineage; only the convergence flag crosses
+    the driver. Raises ``RuntimeError`` if ``max_rounds`` is exhausted
+    instead of returning partial labels.
+    """
+    nodes = (
+        pairs.selectExpr("doc_a AS node")
+        .union(pairs.selectExpr("doc_b AS node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # large-star: every neighbor LARGER than u links to the minimum of
+        # u's closed neighborhood (min over least(u, v) of the symmetric
+        # adjacency == min(Γ(u) ∪ {u}))
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min(F.least("u", "v")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: all (smaller) neighbors and u itself link to the
+        # minimum of the closed neighborhood (edges point big→small, so
+        # m = min(v) ≤ every neighbor)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            small.exceptAll(edges).union(edges.exceptAll(small)).isEmpty()
+        )
+        edges = small
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} "
+            "large-star/small-star rounds — refusing to return partial labels"
+        )
+    labels = (
+        nodes.join(edges.withColumnsRenamed({"u": "node", "v": "label"}), "node", "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+    )
+    return labels, rounds
+
 
 @register(
     "c01_dedup_clusters",
-    oracle="WITH RECURSIVE"
-    + _O_SHINGLE_BASE.split("WITH", 1)[1]
-    + f""",
-    pairs AS ({_O_PAIRS}),
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-              UNION ALL SELECT doc_b, doc_a FROM pairs),
-    nodes AS (SELECT DISTINCT a AS node FROM edges),
-    reach(src, dst) AS (
-        SELECT node, node FROM nodes
-      UNION
-        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-    )
-    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY src
-    """,
+    oracle=_cc_oracle_sql(),
     doc="Near-dup CLUSTER formation — connected components over the "
-    "Jaccard>=0.8 pair graph by iterative min-label propagation (the step "
-    "a real dedup pipeline runs after pair generation: keep one doc per "
-    "component). Spark side loops label = min(label, neighbors' labels) "
-    "with per-iteration localCheckpoint (bounded lineage); converges in "
-    "O(component diameter) rounds — near-dup components are shallow, and "
-    "the alternating large-star/small-star variant is the documented "
-    "upgrade for adversarially deep graphs. The oracle computes the same "
-    "components via a recursive-CTE transitive closure (tractable at "
-    "oracle SF). Driver control is iteration-only — no data crosses the "
-    "driver.",
+    "Jaccard>=0.8 pair graph (the step a real dedup pipeline runs after "
+    "pair generation: keep one doc per component). Spark side runs the "
+    "Alternating large-star/small-star algorithm (Kiveris et al. SoCC'14): "
+    "O(log n) rounds, two bounded groupBy-node shuffles per round, raises "
+    "rather than mislabel if the fixpoint is not reached. The oracle runs "
+    "unrolled min-label propagation (linear per round, tractable at sf0.1, "
+    "unlike the O(n²) recursive-CTE closure) and error()s if 64 rounds "
+    "don't reach a fixpoint. Driver control is iteration-only — no data "
+    "crosses the driver.",
 )
 def c01_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = c01_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(30):
-        nbr = edges.join(
-            labels.withColumnRenamed("node", "doc_b"), "doc_b"
-        ).select(F.col("doc_a").alias("node"), "label")
-        new = (
-            labels.union(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    edges.unpersist()
+    labels, _ = connected_components(pairs)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id")
     )

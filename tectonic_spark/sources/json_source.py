@@ -544,12 +544,14 @@ class TectonicJsonReader(DataSourceReader):
         cell is absent/mismatched (→ null-or-failing under the compiled
         test → Spark's re-applied filter drops the row) or malformed (→
         all-null row → same null-failing test drops it; disabled entirely
-        when a corrupt-record column must capture malformed lines).
-        ``lineProbe=false`` opts out."""
+        when a corrupt-record column must capture malformed lines, and
+        under FAILFAST, where a malformed line must raise — not be
+        silently probe-dropped). ``lineProbe=false`` opts out."""
         if (
             not self._tests
             or not self._raw_filters
             or self.corrupt_col
+            or self.parse_mode == "FAILFAST"
             or str(self.options.get("lineprobe", "true")).lower() == "false"
             or self.data_schema.fieldNames() == ["value"]  # scalars: no key bytes
         ):

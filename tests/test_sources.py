@@ -665,6 +665,21 @@ class TestLineProbe:
         # — probe keeps it, the (re-applied) filter drops it
         assert [x["a"] for x in rows] == [1]
 
+    def test_probe_disabled_under_failfast(self, tmp_path):
+        """FAILFAST + pushed string filters must still raise on a malformed
+        line — the probe may not silently drop it pre-parse (a malformed
+        line lacking the needle bytes would otherwise vanish instead of
+        erroring, changing error semantics)."""
+        import pytest
+        from pyspark.sql.datasource import EqualTo
+
+        p = tmp_path / "d.jsonl"
+        p.write_text('{"a": 1, "lang": "en"}\nBROKEN LINE\n')
+        r = self._reader(p, [EqualTo(("lang",), "en")], parsemode="FAILFAST")
+        assert r._build_line_probe() is None
+        with pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+            self._rows(r)
+
     def test_probe_disabled_with_corrupt_col(self, tmp_path):
         from pyspark.sql.datasource import IsNotNull
 
