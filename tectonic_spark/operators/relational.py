@@ -808,6 +808,124 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+        SELECT ps.l_partkey, ps.ps_supplycost, s.s_name, s.s_acctbal, n.n_name
+        FROM ps
+        JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'),
+    mn AS (SELECT l_partkey, MIN(ps_supplycost) AS min_cost
+           FROM eu GROUP BY l_partkey)
+    SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+           p.p_partkey, p.p_type, eu.ps_supplycost
+    FROM eu
+    JOIN mn ON eu.l_partkey = mn.l_partkey AND eu.ps_supplycost = mn.min_cost
+    JOIN part p ON p.p_partkey = eu.l_partkey
+    WHERE p.p_size <= 25 AND p.p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2-style min-cost supplier. The schema has no partsupp "
+    "table, so the part-supplier cost relation is derived from lineitem "
+    "(min observed unit price per (part, supplier)); the decorrelation "
+    "shape is Q2's: a correlated MIN over the part's EUROPE suppliers, "
+    "decorrelated into a per-partkey window min (one extra shuffle on "
+    "partkey, no join-back). Part filter applied after the correlated min "
+    "(Q2 semantics: the min ranges over suppliers of the part regardless "
+    "of part attributes). Dims broadcast; MIN over doubles is "
+    "order-insensitive so no decimal detour is needed.",
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = table(spark, sf_dir, "lineitem")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    eu = (
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    p = F.broadcast(
+        table(spark, sf_dir, "part").filter(
+            (F.col("p_size") <= 25) & (F.col("p_type") == "LARGE")
+        )
+    )
+    return (
+        eu.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost"
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH g AS (
+        SELECT l.l_partkey, l.l_extendedprice * (1 - l.l_discount) AS v
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3')
+    SELECT l_partkey AS ps_partkey, {v} AS part_value
+    FROM g GROUP BY l_partkey
+    HAVING {v} > (SELECT {v} * 0.001 FROM g)
+    ORDER BY part_value DESC, ps_partkey
+    """.format(v=o_dsum("v")),
+    doc="TPC-H Q11-style important stock: per-part value share over one "
+    "nation's suppliers, HAVING a scalar subquery over the global total "
+    "(value derived from lineitem revenue — no partsupp in the schema). "
+    "Decorrelated Spark-side into a broadcast crossJoin of the 1-row "
+    "global aggregate; both per-part and total sums go through exact "
+    "DECIMAL so the > comparison is bit-identical across engines.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    )
+    g = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+        )
+    )
+    per_part = g.groupBy("l_partkey").agg(dsum(F.col("v"), "part_value"))
+    total = g.agg(dsum(F.col("v"), "_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_total") * 0.001)
+        .select(F.col("l_partkey").alias("ps_partkey"), "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@register(
     "b13_udtf",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws

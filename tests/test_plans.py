@@ -29,6 +29,23 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q02_dims_broadcast_no_smj(spark, sf_dir):
+    """Q2-shape: supplier/nation/region/part all broadcast; the only
+    shuffles are the ps aggregation and the per-partkey window min."""
+    plan = physical_plan(build(spark, sf_dir, "q02_min_cost_supplier"))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_total_is_broadcast_not_cartesian(spark, sf_dir):
+    """Q11-shape: the global-total scalar joins in as a broadcast 1-row
+    crossJoin (BroadcastNestedLoopJoin), never a CartesianProduct."""
+    plan = physical_plan(build(spark, sf_dir, "q11_important_stock"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_topk_is_take_ordered(spark, sf_dir):
     plan = physical_plan(build(spark, sf_dir, "b08_topk"))
     assert "TakeOrderedAndProject" in plan
