@@ -203,6 +203,60 @@ def a03_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def documents_nested_jsonl(sf_dir: str) -> str:
+    """Nested-pushdown fixture: doc fields folded into a deep ``meta``
+    object with fat sibling keys, so projecting one nested leaf leaves
+    most of each row's bytes skippable."""
+    out = os.path.join(_fixture_dir(sf_dir), "documents_nested.jsonl")
+    if not os.path.exists(out):
+        lines = []
+        for doc_id, text, lang, source, n_chars in _docs_rows(sf_dir):
+            row = {
+                "doc_id": doc_id,
+                "meta": {
+                    "lang": lang,
+                    "pad": text,
+                    "src": {"host": source, "raw": text[::-1]},
+                },
+                "body": text,
+            }
+            lines.append(json.dumps(row, ensure_ascii=False))
+        _write_atomic(out, ("\n".join(lines) + "\n").encode())
+    return out
+
+
+@register(
+    "a13_nested_pushdown",
+    oracle="SELECT doc_id, lang, source AS host FROM documents",
+    doc="NESTED projection pushdown (depth generalization of a03; the "
+    "reference parser honors SkipColumn at any depth, "
+    "json/Parser.scala:764-794): the user schema narrows struct columns, "
+    "so the parser byte-skips unneeded subtrees (meta.pad, meta.src.raw, "
+    "body) without parsing them — required paths {doc_id, meta.lang, "
+    "meta.src.host} derive from the read schema.",
+)
+def a13_nested_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    path = documents_nested_jsonl(sf_dir)
+    schema = (
+        "doc_id long, meta struct<lang: string, src: struct<host: string>>"
+    )
+    return (
+        _json_reader(spark)
+        .schema(schema)
+        # event parser so the SKIP_COLUMN byte-skips actually execute
+        # (the lines fast path dict-prunes post-parse instead)
+        .option("fastPath", "false")
+        .load(path)
+        .select(
+            "doc_id",
+            F.col("meta.lang").alias("lang"),
+            F.col("meta.src.host").alias("host"),
+        )
+    )
+
+
 @register(
     "a04_filter_pushdown",
     oracle=(

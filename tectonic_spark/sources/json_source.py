@@ -325,6 +325,61 @@ def _float_in_long_checker(schema):
     return check
 
 
+def _schema_paths(
+    data_schema: StructType, names: set, cols_opt: str | None
+) -> set[tuple[str, ...]] | None:
+    """Required key paths for nested projection pushdown, or None when the
+    scan is flat (no struct columns, no dotted ``columns`` entries) — the
+    flat top-level ``required`` set then carries the whole projection.
+
+    Paths derive from the read schema: a struct column lists one path per
+    (recursive) leaf field, so a user schema ``meta struct<lang:string>``
+    byte-skips every other key inside ``meta``. Dotted ``columns`` entries
+    (``meta.lang``) refine further and win over the schema-derived subtree
+    for their head column. Arrays are transparent (a path applies to each
+    element); map-typed columns are leaves (their keys are data)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    def walk(t, prefix: tuple, out: set) -> None:
+        if isinstance(t, StructType) and t.fields:
+            for f in t.fields:
+                walk(f.dataType, prefix + (f.name,), out)
+        elif isinstance(t, ArrayType):
+            walk(t.elementType, prefix, out)
+        elif isinstance(t, MapType):
+            out.add(prefix)
+        else:
+            out.add(prefix)
+
+    dotted: dict[str, set[tuple[str, ...]]] = {}
+    if cols_opt:
+        for c in cols_opt.split(","):
+            parts = tuple(p.strip() for p in c.strip().split("."))
+            if len(parts) > 1:
+                dotted.setdefault(parts[0], set()).add(parts)
+    has_struct = any(
+        isinstance(f.dataType, StructType)
+        or (
+            isinstance(f.dataType, ArrayType)
+            and isinstance(f.dataType.elementType, StructType)
+        )
+        for f in data_schema.fields
+    )
+    if not dotted and not has_struct:
+        return None
+    paths: set[tuple[str, ...]] = set()
+    for f in data_schema.fields:
+        if f.name not in names:
+            continue
+        if f.name in dotted:
+            paths |= dotted[f.name]
+        else:
+            sub: set[tuple[str, ...]] = set()
+            walk(f.dataType, (f.name,), sub)
+            paths |= sub
+    return paths
+
+
 class TectonicJsonReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict, mode: str) -> None:
         self.schema = schema
@@ -350,9 +405,19 @@ class TectonicJsonReader(DataSourceReader):
         cols_opt = options.get("columns")
         names = set(self.data_schema.fieldNames())
         if cols_opt:
-            names &= {c.strip() for c in cols_opt.split(",")}
+            names &= {c.strip().split(".", 1)[0] for c in cols_opt.split(",")}
         # single value-column scans have no top-level keys to prune
         self.required = None if names == {"value"} else names
+        # nested projection pushdown: when the read schema narrows a struct
+        # column (user schema or dotted ``columns`` entries), the parser
+        # byte-skips unneeded subtrees at any depth instead of parse-then-
+        # drop (the post-parse _coerce keeps output identical either way).
+        # Value-column scans (non-object rows) have no keys to prune.
+        self.required_paths = (
+            None
+            if self.required is None
+            else _schema_paths(self.data_schema, names, cols_opt)
+        )
 
     def partitions(self) -> list[FileSplit]:
         files = list_input_files(self.options["path"])
@@ -373,7 +438,10 @@ class TectonicJsonReader(DataSourceReader):
         # as an absent column and over-dropped)
         value_col = "value" if self.data_schema.fieldNames() == ["value"] else None
         return PushdownPlate(
-            required=self.required, tests=self._tests, value_col=value_col
+            required=self.required,
+            tests=self._tests,
+            value_col=value_col,
+            required_paths=self.required_paths,
         )
 
     # files up to this size take the whole-document C parse in array/single

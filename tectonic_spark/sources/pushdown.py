@@ -200,11 +200,45 @@ def compile_filters(filters: list, schema: StructType) -> dict[str, list[Test]] 
     return out or None
 
 
+def build_path_trie(
+    paths: set[tuple[str, ...]] | None,
+    force_all: set[str] | None = None,
+) -> dict | None:
+    """Build a projection trie from required key *paths*.
+
+    Node = dict of key → child; a ``None`` child means "take the whole
+    subtree". Union semantics: a whole-subtree requirement absorbs any
+    deeper refinement of the same key (order-independent). ``force_all``
+    keys (filter columns — their values must be observable by the pushed
+    tests) are whole-subtree at top level."""
+    if paths is None:
+        return None
+    root: dict = {}
+    for p in paths:
+        node = root
+        for i, k in enumerate(p):
+            if i == len(p) - 1:
+                node[k] = None  # take-all below the leaf
+            else:
+                if k in node and node[k] is None:
+                    break  # already whole-subtree
+                node = node.setdefault(k, {})
+    for c in force_all or ():
+        root[c] = None
+    return root
+
+
 class PushdownPlate(Plate[list]):
     """Wraps a ValueBuilderPlate with projection + filter pushdown.
 
     ``required``: top-level columns to materialize (None = all). Filter
     columns are force-included so tests can observe them.
+    ``required_paths``: nested key paths (e.g. ``{("meta", "lang")}``) —
+    when given, they define the projection as a trie and unneeded subtrees
+    are byte-skipped at ANY depth (the parser honors SKIP_COLUMN below top
+    level, core/json_parser.py:527; reference semantics
+    json/Parser.scala:764-794 — its demo plate is top-level-only). Arrays
+    are transparent to paths (a path applies to each struct element).
     ``tests``: {column: [conjunct tests]} from :func:`compile_filters`.
     Rows that fail are byte-skipped (SKIP_ROW) when failure is detected
     mid-row, or aborted at finish_row (absent filter column ⇒ null cell ⇒
@@ -216,6 +250,7 @@ class PushdownPlate(Plate[list]):
         required: set[str] | None = None,
         tests: dict[str, list[Test]] | None = None,
         value_col: str | None = None,
+        required_paths: set[tuple[str, ...]] | None = None,
     ) -> None:
         self.builder = ValueBuilderPlate()
         self.tests = tests or {}
@@ -223,9 +258,15 @@ class PushdownPlate(Plate[list]):
         # nest_map, so the value itself is the cell — capture it here or
         # finish_row would treat the column as absent and over-drop
         self.value_col = value_col if self.tests else None
-        if required is not None:
+        self._trie = build_path_trie(required_paths, set(self.tests))
+        if self._trie is not None:
+            required = set(self._trie)
+        elif required is not None:
             required = required | set(self.tests)
         self.required = required
+        # stack of trie nodes tracking the current nesting (None=take-all);
+        # arrays push the same node so paths see through them
+        self._node_stack: list = []
         self._depth = 0
         self._swallow_unnest = 0
         self._capture_col: str | None = None
@@ -341,10 +382,22 @@ class PushdownPlate(Plate[list]):
                 self._req_seen.add(key)
             if key in self.tests:
                 self._capture_col = key
-        elif self._capture_col is not None and self._depth == 1:
-            # captured column holds a container → undecidable, stop capturing
-            self._seen_cols.add(self._capture_col)
-            self._capture_col = None
+            self._node_stack.append(
+                self._trie[key] if self._trie is not None else None
+            )
+        else:
+            node = self._node_stack[-1] if self._node_stack else None
+            if node is not None and key not in node:
+                # unneeded subtree below top level: byte-skip it (the
+                # parser emits skipped(n) + a balancing unnest we swallow)
+                self._swallow_unnest += 1
+                return Signal.SKIP_COLUMN
+            if self._capture_col is not None and self._depth == 1:
+                # captured column holds a container → undecidable, stop
+                # capturing
+                self._seen_cols.add(self._capture_col)
+                self._capture_col = None
+            self._node_stack.append(node[key] if node is not None else None)
         self._depth += 1
         return self.builder.nest_map(key)
 
@@ -354,10 +407,14 @@ class PushdownPlate(Plate[list]):
             self._capture_col = None
         if self.value_col is not None and self._depth == 0:
             self._seen_cols.add(self.value_col)
+        # arrays are transparent to projection paths: each element filters
+        # through the same trie node
+        self._node_stack.append(self._node_stack[-1] if self._node_stack else None)
         self._depth += 1
         return self.builder.nest_arr()
 
     def nest_meta(self, key: str) -> Signal:
+        self._node_stack.append(None)
         self._depth += 1
         return self.builder.nest_meta(key)
 
@@ -366,6 +423,8 @@ class PushdownPlate(Plate[list]):
             self._swallow_unnest -= 1
             return CONTINUE
         self._depth -= 1
+        if self._node_stack:
+            self._node_stack.pop()
         if self._depth == 1 and self._capture_col is not None:
             self._capture_col = None
         return self.builder.unnest()
@@ -374,6 +433,7 @@ class PushdownPlate(Plate[list]):
         self._depth = 0
         self._swallow_unnest = 0
         self._capture_col = None
+        self._node_stack = []
         dropped = self._row_skipped
         if not dropped and self.tests:
             # columns never seen in this row are null cells; IS NOT NULL /

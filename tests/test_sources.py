@@ -171,6 +171,113 @@ class TestPushdownPlate:
         assert compile_filters([EqualTo(("n", "x"), 1)], schema) is None
 
 
+def _run_nested(data: bytes, paths, tests=None, required=None):
+    plate = PushdownPlate(required=required, tests=tests, required_paths=paths)
+    p = JsonParser(plate, Mode.VALUE_STREAM)
+    rows = list(p.absorb(data).value)
+    rows += p.finish().value
+    return rows, p.skipped_bytes_total, plate
+
+
+class TestNestedProjectionPushdown:
+    """Required *paths* byte-skip unneeded subtrees below top level
+    (reference semantics json/Parser.scala:764-794; its demo plate is
+    top-level-only — this is the depth generalization)."""
+
+    DATA = b"\n".join(
+        json.dumps(
+            {
+                "a": i,
+                "meta": {
+                    "lang": "en",
+                    "pad": "Z" * 300,
+                    "src": {"host": f"h{i}", "junk": "J" * 200},
+                },
+                "huge": "Y" * 250,
+            }
+        ).encode()
+        for i in range(10)
+    )
+
+    def test_nested_paths_skip_bytes(self):
+        rows, skipped, _ = _run_nested(
+            self.DATA, {("a",), ("meta", "lang"), ("meta", "src", "host")}
+        )
+        assert rows == [
+            {"a": i, "meta": {"lang": "en", "src": {"host": f"h{i}"}}}
+            for i in range(10)
+        ]
+        # pad (300B) + junk (200B) + huge (250B) per row
+        assert skipped > 10 * 700
+
+    def test_whole_subtree_leaf(self):
+        rows, skipped, _ = _run_nested(self.DATA, {("meta",)})
+        assert rows[0]["meta"]["pad"] == "Z" * 300  # take-all below leaf
+        assert "huge" not in rows[0] and "a" not in rows[0]
+        assert skipped > 10 * 250  # only top-level a/huge skipped
+
+    def test_paths_transparent_through_arrays(self):
+        data = b"\n".join(
+            json.dumps(
+                {"id": i, "xs": [{"k": j, "drop": "D" * 100} for j in range(3)]}
+            ).encode()
+            for i in range(5)
+        )
+        rows, skipped, _ = _run_nested(data, {("id",), ("xs", "k")})
+        assert rows == [
+            {"id": i, "xs": [{"k": 0}, {"k": 1}, {"k": 2}]} for i in range(5)
+        ]
+        assert skipped > 5 * 3 * 100
+
+    def test_filter_column_force_included_whole(self):
+        schema = infer_spark_schema([{"a": 1}])
+        tests = compile_filters([GreaterThan(("a",), 6)], schema)
+        rows, _, plate = _run_nested(self.DATA, {("meta", "lang")}, tests=tests)
+        assert [r["a"] for r in rows] == [7, 8, 9]
+        assert plate.rows_skipped_total == 7
+        assert all(set(r["meta"]) == {"lang"} for r in rows)
+
+    def test_fast_and_event_paths_agree(self, spark, tmp_path):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        p = tmp_path / "n.jsonl"
+        p.write_bytes(self.DATA)
+        schema = StructType(
+            [
+                StructField("a", LongType()),
+                StructField(
+                    "meta",
+                    StructType(
+                        [
+                            StructField("lang", StringType()),
+                            StructField(
+                                "src",
+                                StructType([StructField("host", StringType())]),
+                            ),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        fast = (
+            spark.read.format("tectonic-json").schema(schema).load(str(p)).collect()
+        )
+        event = (
+            spark.read.format("tectonic-json")
+            .schema(schema)
+            .option("fastPath", "false")
+            .load(str(p))
+            .collect()
+        )
+        assert sorted(map(str, fast)) == sorted(map(str, event))
+        assert fast[0].meta.src.host == "h0"
+
+
 # ------------------------------------------------------- spark end-to-end
 
 
