@@ -1304,7 +1304,6 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
       AND l.l_shipdate < TIMESTAMP '1997-10-01'
-    GROUP BY 1 = 1
     """,
     doc="TPC-H Q14 (promotion effect): one month of lineitem joined to "
     "part (broadcast — part is dimension-sized), conditional revenue "
@@ -1678,7 +1677,6 @@ def b14_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (p.p_type = 'PROMO'    AND l.l_quantity BETWEEN 1  AND 11)
        OR (p.p_type = 'STANDARD' AND l.l_quantity BETWEEN 10 AND 20)
        OR (p.p_type = 'ECONOMY'  AND l.l_quantity BETWEEN 20 AND 30)
-    GROUP BY 1 = 1
     """.format(rev=o_dsum("l.l_extendedprice * (1 - l.l_discount)")),
     doc="TPC-H Q19 shape (disjunctive predicates over a join): three OR'd "
     "conjunct groups mixing both sides' columns. The join stays a broadcast "

@@ -42,21 +42,62 @@ def _clear_parts(path: str) -> None:
             os.unlink(os.path.join(path, f))
 
 
+def _iso_timestamp(v) -> str:
+    """Spark writer default rendering (`yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]`):
+    tz-aware values normalize to UTC with millis + 'Z'; TIMESTAMP_NTZ
+    (naive) values render without an offset."""
+    import datetime
+
+    if v.tzinfo is not None:
+        v = v.astimezone(datetime.timezone.utc)
+        return v.strftime("%Y-%m-%dT%H:%M:%S") + f".{v.microsecond // 1000:03d}Z"
+    return v.isoformat(sep="T")
+
+
 def _json_default(v: Any):
     """JSON encoding for Arrow-surfaced non-JSON scalars (timestamps,
-    dates, Decimals) — ISO text, matching Spark's JSON writer."""
+    dates) — ISO-8601 'T' text, matching Spark's JSON writer defaults.
+    Decimals are handled before dumps (see :func:`_encode_json_row`) so
+    they stay exact numbers rather than lossy floats."""
     import datetime
-    import decimal
 
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
-    if isinstance(v, decimal.Decimal):
-        return float(v)
+    if isinstance(v, datetime.datetime):
+        return _iso_timestamp(v)
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         import base64
 
         return base64.b64encode(bytes(v)).decode()
     raise TypeError(f"not JSON serializable: {type(v).__name__}")
+
+
+def _encode_json_row(row: Any) -> str:
+    """``json.dumps`` with Decimals inlined as their exact decimal text
+    (Spark's JSON writer emits decimal columns as exact numbers; a float
+    round-trip silently loses >15-significant-digit values). Decimals are
+    swapped for unique placeholder strings pre-dump and the quoted
+    placeholders replaced with raw number text post-dump."""
+    import decimal
+    import json as _json
+
+    decimals: list[str] = []
+    token = f"\x7fdec{uuid.uuid4().hex}:"
+
+    def swap(v: Any) -> Any:
+        if isinstance(v, decimal.Decimal):
+            decimals.append(format(v, "f"))
+            return f"{token}{len(decimals) - 1}"
+        if isinstance(v, dict):
+            return {k: swap(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [swap(x) for x in v]
+        return v
+
+    text = _json.dumps(swap(row), ensure_ascii=False, default=_json_default)
+    for i, d in enumerate(decimals):
+        text = text.replace(f'"{token}{i}"', d)
+    return text
 
 
 class _PartFileWriter(DataSourceArrowWriter):
@@ -114,15 +155,11 @@ class TectonicJsonWriter(_PartFileWriter):
     suffix = ".json"
 
     def _write_part(self, part: str, iterator) -> int:
-        import json as _json
-
         n = 0
         with open(part, "w", encoding="utf-8") as fh:
             for batch in iterator:
                 for row in batch.to_pylist():
-                    fh.write(
-                        _json.dumps(row, ensure_ascii=False, default=_json_default)
-                    )
+                    fh.write(_encode_json_row(row))
                     fh.write("\n")
                     n += 1
         return n
@@ -162,11 +199,28 @@ class TectonicCsvWriter(_PartFileWriter):
                 w.writerow(self.columns)
             for batch in iterator:
                 for row in batch.to_pylist():
-                    w.writerow(
-                        [
-                            "" if row[c] is None else str(row[c])
-                            for c in self.columns
-                        ]
-                    )
+                    w.writerow([_csv_cell(row[c]) for c in self.columns])
                     n += 1
         return n
+
+
+def _csv_cell(v: Any) -> str:
+    """Scalar → CSV text matching Spark's CSV writer conventions:
+    lowercase booleans, ISO-8601 'T' timestamps, exact decimal text —
+    not Python ``str()`` (which yields 'True'/'False' and repr formats)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return ""
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, datetime.datetime):
+        return _iso_timestamp(v)
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return format(v, "f")
+    return v if isinstance(v, str) else str(v)

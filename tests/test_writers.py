@@ -43,12 +43,32 @@ class TestJsonWriter:
         assert spark.read.format("tectonic-json").load(out).count() == 2
 
     def test_timestamps_serialize_iso(self, spark, tmp_path):
+        # ISO-8601 'T' separator, matching Spark's JSON writer default
         out = str(tmp_path / "j5")
         df = spark.sql("SELECT timestamp'2024-03-01 12:30:00' AS ts, 1 AS i")
         df.write.format("tectonic-json").mode("append").save(out)
         part = [f for f in os.listdir(out) if f.startswith("part-")][0]
         row = json.loads(open(os.path.join(out, part)).read().strip())
-        assert row["ts"].startswith("2024-03-01 12:30:00")
+        assert row["ts"].startswith("2024-03-01T12:30:00")
+
+    def test_decimal_exact_number(self, spark, tmp_path):
+        # >15-significant-digit decimal must survive as an exact JSON
+        # number (a float round-trip would corrupt the last digits)
+        out = str(tmp_path / "j6")
+        df = spark.sql(
+            "SELECT CAST('1234567890123456.789' AS DECIMAL(25,6)) AS d, "
+            "ARRAY(CAST('0.1234567890123456789' AS DECIMAL(30,20))) AS xs"
+        )
+        df.write.format("tectonic-json").mode("append").save(out)
+        part = [f for f in os.listdir(out) if f.startswith("part-")][0]
+        text = open(os.path.join(out, part)).read().strip()
+        assert '"d": 1234567890123456.789000' in text
+        assert "0.12345678901234567890" in text
+        # and it parses as JSON with full precision via Decimal
+        import decimal
+
+        row = json.loads(text, parse_float=decimal.Decimal)
+        assert row["d"] == decimal.Decimal("1234567890123456.789000")
 
 
 class TestCsvWriter:
@@ -88,6 +108,25 @@ class TestCsvWriter:
         )
         assert set(back.columns) == {"A", "B"}
         assert back.count() == 2
+
+    def test_typed_scalar_formatting(self, spark, tmp_path):
+        # Spark CSV writer conventions: lowercase booleans, ISO-8601 'T'
+        # timestamps, exact decimal text — not Python str()/repr
+        out = str(tmp_path / "c4")
+        df = spark.sql(
+            "SELECT true AS t, false AS f, "
+            "timestamp'2024-03-01 12:30:00' AS ts, "
+            "CAST('1234567890123456.78' AS DECIMAL(20,2)) AS d"
+        )
+        (
+            df.write.format("tectonic-csv")
+            .option("lineSep", "\n")
+            .mode("append")
+            .save(out)
+        )
+        part = [f for f in os.listdir(out) if f.startswith("part-")][0]
+        lines = open(os.path.join(out, part)).read().strip().split("\n")
+        assert lines[1] == "true,false,2024-03-01T12:30:00.000Z,1234567890123456.78"
 
     def test_custom_sep(self, spark, tmp_path):
         out = str(tmp_path / "c3")
