@@ -277,6 +277,32 @@ def a04_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a14_csv_filter_pushdown",
+    oracle=(
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source "
+        "FROM documents WHERE lang = 'en' AND source IN ('src1', 'src2', 'src3')"
+    ),
+    doc="CSV filter pushdown (a4 parity for CSV — beyond the reference, "
+    "whose CSV parser discards all Signal returns, csv/Parser.scala:291): "
+    "pushed Catalyst filters become one vectorized pyarrow.compute mask "
+    "per block on the C++ fast path (rows dropped before crossing into "
+    "Spark) and SKIP_ROW byte-skips on the event path; Spark re-applies "
+    "all filters above, so skips are pure savings.",
+)
+def a14_csv_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = documents_csv(sf_dir)
+    register_tectonic_sources(spark)
+    df = (
+        spark.read.format("tectonic-csv")
+        .option("lineSep", "\n")
+        .load(path)
+    )
+    return df.filter(
+        (df.lang == "en") & df.source.isin("src1", "src2", "src3")
+    ).select("doc_id", "lang", "source")
+
+
+@register(
     "a05_schema_inference",
     oracle=(
         "SELECT doc_id, lang, n_chars, "

@@ -139,6 +139,84 @@ class TectonicCsvDataSource(DataSource):
         )
 
 
+def compile_arrow_mask(filters: list, colnames: list[str]):
+    """Translate pushed Catalyst Filters into a vectorized pyarrow.compute
+    mask builder over the block table (CSV cells are all strings, so only
+    string-valued predicates translate; Spark string comparison is binary
+    UTF-8 order, which matches Arrow's bytewise utf8 comparisons).
+
+    Conservative-correct like :func:`pushdown.compile_filters`: a row is
+    dropped only when it definitively fails a translated conjunct; every
+    filter is re-applied by Spark above the scan, so drops are pure
+    I/O/transfer savings. Returns ``fn(table) -> BooleanArray`` or None
+    when nothing is actionable."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
+
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+    except ImportError:  # pragma: no cover
+        return None
+
+    names = set(colnames)
+    cmp_ops = {
+        EqualTo: pc.equal,
+        GreaterThan: pc.greater,
+        GreaterThanOrEqual: pc.greater_equal,
+        LessThan: pc.less,
+        LessThanOrEqual: pc.less_equal,
+    }
+    str_ops = {
+        StringStartsWith: pc.starts_with,
+        StringEndsWith: pc.ends_with,
+        StringContains: pc.match_substring,
+    }
+    builders = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not (isinstance(attr, tuple) and len(attr) == 1 and attr[0] in names):
+            continue
+        col = attr[0]
+        if type(f) in cmp_ops and isinstance(f.value, str):
+            builders.append(
+                lambda t, c=col, v=f.value, op=cmp_ops[type(f)]: op(t.column(c), v)
+            )
+        elif type(f) in str_ops and isinstance(f.value, str):
+            builders.append(
+                lambda t, c=col, v=f.value, op=str_ops[type(f)]: op(
+                    t.column(c), pattern=v
+                )
+            )
+        elif isinstance(f, In) and all(isinstance(v, str) for v in f.value):
+            builders.append(
+                lambda t, c=col, vs=pa.array(sorted(set(f.value)), pa.string()): pc.is_in(
+                    t.column(c), value_set=vs
+                )
+            )
+    if not builders:
+        return None
+
+    def mask(table):
+        import pyarrow.compute as pc
+
+        m = builders[0](table)
+        for b in builders[1:]:
+            m = pc.and_(m, b(table))
+        return m
+
+    return mask
+
+
 class TectonicCsvReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict) -> None:
         self.schema = schema
@@ -148,6 +226,8 @@ class TectonicCsvReader(DataSourceReader):
         self.multiline = _bool_opt(options, "multiline", False)
         self.fast_path = str(options.get("fastpath", "true")).lower() != "false"
         self._tests: dict | None = None
+        self._raw_filters: list | None = None
+        self.rows_skipped_fast = 0
         self.required = set(schema.fieldNames())
         # Full positional column list (driver-side, once): a user-narrowed
         # schema must NOT become the positional header map for mid-file
@@ -253,12 +333,21 @@ class TectonicCsvReader(DataSourceReader):
                     if tests and any(
                         not t(d.get(col)) for col, ts in tests.items() for t in ts
                     ):
+                        self.rows_skipped_fast += 1
                         continue
                     yield {n: d.get(n) for n in names}
 
             yield from rows_to_batches(gen(), self.schema, self.batch_rows)
 
         arrow_cfg = self._arrow_csv_cfg(names)
+        # row-filter pushdown on the C++ block path: pushed filters become
+        # one vectorized mask per block (a4 parity for CSV — rows dropped
+        # before they ever cross into Spark)
+        mask_fn = (
+            compile_arrow_mask(self._raw_filters, names)
+            if self._raw_filters and arrow_cfg is not None
+            else None
+        )
 
         def emit(block: bytes, last: bool, skip: bool):
             """One newline-aligned block → batches. Clean blocks parse
@@ -280,6 +369,10 @@ class TectonicCsvReader(DataSourceReader):
                     except pa.ArrowInvalid:
                         pass  # stdlib semantics decide this block
                     else:
+                        if mask_fn is not None:
+                            before = table.num_rows
+                            table = table.filter(mask_fn(table))
+                            self.rows_skipped_fast += before - table.num_rows
                         for lo in range(0, table.num_rows, self.batch_rows):
                             chunk = table.slice(lo, self.batch_rows).combine_chunks()
                             yield from chunk.to_batches()
@@ -444,7 +537,10 @@ class TectonicCsvPushdownReader(TectonicCsvReader):
     ``spark.sql.python.filterPushdown.enabled`` is false (the default)."""
 
     def pushFilters(self, filters):  # noqa: N802 (Spark API name)
-        self._tests = compile_filters(list(filters), self.schema)
+        filters = list(filters)
+        self._tests = compile_filters(filters, self.schema)
+        # raw filters kept for the arrow block path's vectorized mask
+        self._raw_filters = filters
         return filters  # all re-applied by Spark; skips are pure savings
 
 
