@@ -559,6 +559,105 @@ def s02_stream_csv_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s03_stream_multibatch",
+    oracle=(
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY lang"
+    ),
+    doc="MULTI-batch streaming continuation under the correctness gate: "
+    "the documents fixture is split across 4 source files and streamed "
+    "with maxFilesPerTrigger=2, so the query must commit ≥2 micro-batches "
+    "— offset continuation (directory high-water mark advancing across "
+    "triggers) produces the sink, and the builder raises unless the "
+    "checkpoint recorded ≥2 batches AND the sink holds every row. "
+    "Reference analog: the fs2 pull loop re-entering absorb/churn per "
+    "chunk (fs2/StreamParser.scala:52-68).",
+)
+def s03_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    register_tectonic_sources(spark)
+    base = _fixture_dir(sf_dir)
+
+    # fixture: documents JSONL split round-robin-free (contiguous quarters)
+    # into 4 part files so maxFilesPerTrigger=2 forces exactly 2 data batches
+    src = os.path.join(base, "s03_src")
+    done = os.path.join(src, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        lines = open(documents_jsonl(sf_dir), "rb").read().splitlines(keepends=True)
+        quarter = (len(lines) + 3) // 4
+        for i in range(4):
+            part = b"".join(lines[i * quarter : (i + 1) * quarter])
+            _write_atomic(os.path.join(src, f"in-{i}.jsonl"), part)
+        _write_atomic(done, b"")
+
+    out = os.path.join(base, "s03_sink")
+    ck = os.path.join(base, "s03_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    expected = sum(1 for line in open(documents_jsonl(sf_dir), "rb") if line.strip())
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        sink_rows = 0
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            if sink_rows >= expected:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    offsets_dir = os.path.join(ck, "offsets")
+    commits_dir = os.path.join(ck, "commits")
+    n_commits = (
+        len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+        if os.path.isdir(commits_dir)
+        else 0
+    )
+    if sink_rows < expected:
+        raise RuntimeError(
+            f"s03: sink has {sink_rows} rows, expected {expected} "
+            f"(offsets={os.listdir(offsets_dir) if os.path.isdir(offsets_dir) else []})"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s03: only {n_commits} committed micro-batches — "
+            "maxFilesPerTrigger continuation did not engage"
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
+@register(
     "a10_tectonic_json_writer",
     oracle=(
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "

@@ -43,6 +43,19 @@ class TectonicFileStreamReader(DataSourceStreamReader):
         self.options = options
         self.splittable = splittable
         self._names = schema.fieldNames()
+        # maxFilesPerTrigger: rate-limit each micro-batch to N new files
+        # (Spark file-source parity). latestOffset advances by at most N
+        # files per call, so a directory of M files drains over ⌈M/N⌉
+        # micro-batches — offset continuation exercised for real, not just
+        # one availableNow snapshot.
+        mft = options.get("maxfilespertrigger")
+        self.max_files = int(mft) if mft is not None else None
+        # monotonic high-water mark of files already surfaced in an offset.
+        # Driver-side state: after a restart it resets and the first
+        # latestOffset may trail the committed offset — partitions() then
+        # sees no new files and later calls catch up monotonically, so
+        # replay stays exactly-once.
+        self._known: dict[str, int] = {}
 
     # ---------------------------------------------------------------- offsets
 
@@ -54,7 +67,14 @@ class TectonicFileStreamReader(DataSourceStreamReader):
             files = list_input_files(self.options["path"])
         except FileNotFoundError:
             files = []
-        return {"files": {f: os.path.getsize(f) for f in files}}
+        sizes = {f: os.path.getsize(f) for f in files}
+        if self.max_files is None:
+            return {"files": sizes}
+        new = sorted(f for f in sizes if f not in self._known)[: self.max_files]
+        snap = dict(self._known)
+        snap.update({f: sizes[f] for f in new})
+        self._known = snap
+        return {"files": dict(snap)}
 
     def partitions(self, start: dict, end: dict) -> list[FileSplit]:
         seen = set(start.get("files", {}))

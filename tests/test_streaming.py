@@ -100,6 +100,73 @@ class TestJsonStreamSource:
         got = sorted((r.k, r.v) for r in spark.sql("SELECT * FROM csv_s").collect())
         assert got == [("1", "x"), ("2", "y")]
 
+    def test_max_files_per_trigger_rate_limits_offsets(self, tmp_path):
+        # unit: latestOffset advances by ≤N new files per call, monotonic
+        from pyspark.sql.types import StructType
+
+        from tectonic_spark.streaming.json_stream import TectonicFileStreamReader
+
+        data = tmp_path / "in"
+        data.mkdir()
+        for i in range(5):
+            (data / f"f{i}.jsonl").write_text('{"a": %d}\n' % i)
+        reader = TectonicFileStreamReader(
+            batch_reader=None,
+            schema=StructType([]),
+            options={"path": str(data), "maxfilespertrigger": "2"},
+            splittable=True,
+        )
+        seen = []
+        prev = reader.initialOffset()
+        for _ in range(4):
+            cur = reader.latestOffset()
+            new = sorted(set(cur["files"]) - set(prev["files"]))
+            seen.append(len(new))
+            assert set(prev["files"]) <= set(cur["files"])  # monotonic
+            prev = cur
+        assert seen == [2, 2, 1, 0]
+        assert len(prev["files"]) == 5
+
+    def test_max_files_per_trigger_multibatch_end_to_end(self, spark, tmp_path):
+        data = tmp_path / "in"
+        data.mkdir()
+        _write_events(data, 0, 30, "a.json")
+        _write_events(data, 30, 60, "b.json")
+        _write_events(data, 60, 90, "c.json")
+        schema = "event_id long, ts string"
+        stream = (
+            spark.readStream.format("tectonic-json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(str(data))
+        )
+        out = tmp_path / "out"
+        ck = tmp_path / "ck_mft"
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(str(out)).count() >= 90:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        ids = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
+        assert ids == list(range(90))
+        commits = [f for f in (ck / "commits").iterdir() if not f.name.startswith(".")]
+        assert len(commits) >= 3  # one data batch per file, rate-limited
+
     def test_stream_empty_dir_then_data(self, spark, tmp_path):
         data = tmp_path / "in"
         data.mkdir()
