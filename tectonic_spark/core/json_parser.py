@@ -56,6 +56,7 @@ A = TypeVar("A")
 
 WS = b" \t\r\n"
 _WS_RE = re.compile(rb"[ \t\r\n]*")
+_WS_RE_S = re.compile(r"[ \t\r\n]*")
 _NUM_RE = re.compile(rb"-?(?:0|[1-9][0-9]*)(?:(\.)[0-9]+)?(?:([eE])[+-]?[0-9]+)?")
 _STRUCT_RE = re.compile(rb'["{}\[\]]')
 _ATOM_END_RE = re.compile(rb'[ \t\r\n,\]}"{\[:]')
@@ -80,6 +81,18 @@ class Mode(Enum):
     SINGLE_VALUE = "single_value"
 
 
+def _reject_constant(name: str):
+    """json.loads must not accept NaN/Infinity/-Infinity — the event
+    grammar rejects them, so the direct path must too."""
+    raise ValueError(f"non-standard JSON constant {name}")
+
+
+def _json_loads(data: bytes):
+    import json as _json
+
+    return _json.loads(data, parse_constant=_reject_constant)
+
+
 class _Incomplete(Exception):
     """Internal: ran past buffer end while more input may arrive."""
 
@@ -94,6 +107,7 @@ class JsonParser(Generic[A]):
         plate: Plate[A],
         mode: Mode = Mode.VALUE_STREAM,
         max_value_bytes: int | None = None,
+        direct_values: bool = True,
     ):
         """``max_value_bytes`` bounds the buffered tail of one incomplete
         top-level value: the extent-scan design must hold a whole value in
@@ -119,6 +133,19 @@ class JsonParser(Generic[A]):
         self._skipped_bytes_total = 0
         self._bb_pending = False
         self._single_pass = False
+        # Direct-value fast path: when the plate declares it only wants the
+        # rebuilt Python value (no pushdown, no event observation), each
+        # scanned extent is decoded by C ``json.loads`` instead of the
+        # Python event walker — events are only re-derived (fallback) when
+        # loads rejects the extent, so error positions/semantics stay
+        # byte-identical with the walker. ``direct_values=False`` forces
+        # the event path (benchmarks compare apples-to-apples with it).
+        recv = getattr(plate, "direct_value_receiver", None)
+        self._direct = recv() if (direct_values and recv is not None) else None
+        if self._direct is not None:
+            import json as _json
+
+            self._decoder = _json.JSONDecoder(parse_constant=_reject_constant)
 
     # ------------------------------------------------------------------ API
 
@@ -213,7 +240,93 @@ class JsonParser(Generic[A]):
                 )
             return
 
+    def _deliver(self, i: int) -> int:
+        """Emit one complete value starting at buf[i] to the plate by the
+        fastest available route; returns its end position."""
+        if self._direct is not None:
+            end = self._scan_value(i)
+            try:
+                v = _json_loads(self._buf[i:end])
+            except (ValueError, RecursionError):
+                # walker decides: same value (where it's lenient) or the
+                # exact golden ParseException (where both reject)
+                self._emit_value(i, end)
+            else:
+                self._direct(v)
+            return end
+        if self._single_pass:
+            return self._emit_value(i, None)
+        end = self._scan_value(i)
+        self._emit_value(i, end)
+        return end
+
+    def _churn_direct_stream(self) -> bool:
+        """Direct-mode VALUE_STREAM drain: one utf-8 decode of the tail,
+        then C ``raw_decode`` per value finds the end AND builds the value
+        in a single pass (no Python extent scan at all). Returns True when
+        the tail is fully consumed (or only an incomplete suffix awaits
+        more input); False hands the next value to the generic loop, which
+        re-derives the exact outcome (golden ParseException for malformed
+        input, _Incomplete for a split value, walker semantics for
+        anything json.loads rejects)."""
+        start = self._pos
+        tail = self._buf[start:] if start else self._buf
+        if not tail:
+            return True
+        is_ascii = tail.isascii()
+        try:
+            text = tail.decode("utf-8")
+        except UnicodeDecodeError as ue:
+            if (
+                not self._done
+                and ue.start >= len(tail) - 3
+                and ue.reason == "unexpected end of data"
+            ):
+                # chunk ends mid-multibyte character: decode the complete
+                # prefix, leave the partial char for the next absorb
+                text = tail[: ue.start].decode("utf-8")
+            else:
+                return False  # invalid utf-8 — generic loop pinpoints it
+        raw_decode = self._decoder.raw_decode
+        direct = self._direct
+        finish_row = self.plate.finish_row
+        spos = 0
+        n = len(text)
+        while True:
+            spos = _WS_RE_S.match(text, spos).end()
+            if spos >= n:
+                break
+            try:
+                v, endp = raw_decode(text, spos)
+            except (ValueError, RecursionError):
+                break
+            if text[endp - 1] not in '"}]':
+                # Atom (number/literal): raw_decode matches the maximal
+                # VALID prefix (`12.` → 12, `01` → 0), so it's only a whole
+                # value when followed by a definitive terminator
+                # (_ATOM_END_RE parity). Flush against the buffer end it
+                # may extend into the next chunk (`42` + `0`) — defer;
+                # otherwise hand to the generic loop for the exact walker
+                # outcome (malformed-number error / _Incomplete).
+                # Strings/containers end at a closer: always complete.
+                if endp >= n:
+                    if not self._done:
+                        break
+                elif text[endp] not in ' \t\r\n,]}"{[:':
+                    break
+            direct(v)
+            finish_row()
+            spos = endp
+        if spos:
+            self._pos = start + (
+                spos if is_ascii else len(text[:spos].encode("utf-8"))
+            )
+            self._maybe_compact()
+        return spos >= n
+
     def _churn_value_stream(self) -> None:
+        if self._direct is not None and self._churn_direct_stream():
+            return
         while True:
             i = _WS_RE.match(self._buf, self._pos).end()
             self._pos = i
@@ -221,11 +334,7 @@ class JsonParser(Generic[A]):
                 return
             # atoms at buffer end raise _Incomplete from the scan (`42`+`0`
             # could extend); complete strings/containers emit immediately
-            if self._single_pass:
-                end = self._emit_value(i, None)
-            else:
-                end = self._scan_value(i)
-                self._emit_value(i, end)
+            end = self._deliver(i)
             self.plate.finish_row()
             self._pos = end
             self._maybe_compact()
@@ -252,11 +361,7 @@ class JsonParser(Generic[A]):
                     self._frame_state = 2
                     self._pos = i + 1
                     continue
-                if self._single_pass:
-                    end = self._emit_value(i, None)
-                else:
-                    end = self._scan_value(i)
-                    self._emit_value(i, end)
+                end = self._deliver(i)
                 self.plate.finish_row()
                 self._frame_state = 3
                 self._pos = end
@@ -285,11 +390,7 @@ class JsonParser(Generic[A]):
             return
         if self._frame_state == 1:
             raise self._exc(f"expected end of input got {chr(buf[i])!r}", i)
-        if self._single_pass:
-            end = self._emit_value(i, None)
-        else:
-            end = self._scan_value(i)
-            self._emit_value(i, end)
+        end = self._deliver(i)
         self.plate.finish_row()
         self._frame_state = 1
         self._pos = end

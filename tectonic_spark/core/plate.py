@@ -80,6 +80,20 @@ class Plate(Generic[A]):
         SKIP signal (byte count approximate, as in the reference)."""
         return None
 
+    def direct_value_receiver(self):
+        """Optional fast-path capability: return a ``callable(value)`` that
+        accepts one complete top-level value as a Python object in place of
+        its event stream, or None when this plate needs the events.
+
+        A producer MAY (never must) use this to bypass event emission for
+        a whole top-level value when it can build the identical value more
+        cheaply (e.g. the JSON parser handing a scanned extent to C
+        ``json.loads``); ``finish_row``/``finish_batch`` still fire as
+        usual. Plates that observe or transform individual events (reified
+        golden plates, pushdown plates with live projections/filters,
+        multiplexers) must return None, which is the base default."""
+        return None
+
 
 class DelegatingPlate(Plate[A]):
     """Identity wrapper for selective override — the reference's operator

@@ -138,3 +138,12 @@ class ValueBuilderPlate(Plate[list]):
     def finish_batch(self, terminal: bool) -> list:
         out, self._rows = self._rows, []
         return out
+
+    def direct_value_receiver(self):
+        """This plate only rebuilds the Python value, so a producer may
+        hand it the value directly (finish_row still appends it)."""
+
+        def receive(value: Any) -> None:
+            self._root = value
+
+        return receive

@@ -456,3 +456,12 @@ class PushdownPlate(Plate[list]):
 
     def skipped(self, n_bytes: int) -> None:
         self.builder.skipped(n_bytes)
+
+    def direct_value_receiver(self):
+        """Pure pass-through (no projection, no filters) degenerates to the
+        wrapped builder — the producer may deliver whole values directly.
+        With any pushdown live, events are required (skips/tests observe
+        them), so the capability is withheld."""
+        if self.required is None and not self.tests and self._trie is None:
+            return self.builder.direct_value_receiver()
+        return None

@@ -528,3 +528,96 @@ class TestMaxValueBytes:
         with pytest.raises(Exception, match="maxValueBytes"):
             for _ in reader.read(FileSplit(str(big), 0, size, size)):
                 pass
+
+
+class TestDirectValuePath:
+    """The direct fast path (extent → C json.loads / raw_decode) must be
+    observationally identical to the event walker for value-building
+    plates: same rows, same batch boundaries, same golden errors."""
+
+    @staticmethod
+    def _both(data, chunks=None, mode=Mode.VALUE_STREAM):
+        from tectonic_spark.core.value_builder import ValueBuilderPlate
+
+        out = {}
+        for direct in (True, False):
+            plate = ValueBuilderPlate()
+            p = JsonParser(plate, mode, direct_values=direct)
+            batches, err = [], None
+            pieces = chunks if chunks is not None else [data]
+            for c in pieces:
+                r = p.absorb(c)
+                if isinstance(r, Failure):
+                    err = r.error
+                    break
+                batches.append(list(r.value))
+            if err is None:
+                r = p.finish()
+                if isinstance(r, Failure):
+                    err = r.error
+                else:
+                    batches.append(list(r.value))
+            out[direct] = (batches, err)
+        return out[True], out[False]
+
+    def test_rows_and_batch_boundaries_match(self):
+        data = b'{"a": 1, "b": [1, {"c": "x"}]}\n"s"\n42\nnull\ntrue\n[]\n{}\n'
+        (b1, e1), (b2, e2) = self._both(data)
+        assert e1 is None and e2 is None
+        assert b1 == b2
+
+    def test_chunk_splits_match_everywhere(self):
+        data = b'{"k": "\\u00e9\\n"}  12.5e3  "\xc3\xa9"  [1,2]'
+        for cut in range(1, len(data)):
+            (b1, e1), (b2, e2) = self._both(data, chunks=[data[:cut], data[cut:]])
+            assert e1 is None and e2 is None, cut
+            assert b1 == b2, cut
+
+    def test_atom_at_chunk_end_defers(self):
+        # `42` + `0` must parse as 420 on BOTH paths
+        (b1, e1), (b2, e2) = self._both(b"420", chunks=[b"42", b"0"])
+        assert e1 is None and e2 is None
+        assert b1 == b2
+        assert [v for batch in b1 for v in batch] == [420]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            b'{"a": 1,}',          # trailing comma
+            b"[1, 2",              # unterminated (finish)
+            b"01",                 # leading zero
+            b"Infinity",           # non-standard constant
+            b"NaN",
+            b'{"a" 1}',            # missing colon
+            b'"unterminated',
+            b'"bad \x01 ctrl"',
+            b"tru",
+        ],
+    )
+    def test_error_parity_with_walker(self, bad):
+        (b1, e1), (b2, e2) = self._both(bad)
+        assert e1 is not None and e2 is not None
+        assert (e1.index, e1.line, e1.col) == (e2.index, e2.line, e2.col)
+        assert e1.args[0] == e2.args[0]
+
+    def test_non_ascii_positions(self):
+        # multibyte chars before a malformed value: byte positions agree
+        data = '{"k": "héllo"}\n{"x": Infinity}'.encode()
+        (b1, e1), (b2, e2) = self._both(data)
+        assert e1 is not None and e2 is not None
+        assert (e1.index, e1.line, e1.col) == (e2.index, e2.line, e2.col)
+
+    def test_unwrap_array_direct(self):
+        data = b'[{"a": 1}, 2, "x", [3]]'
+        (b1, e1), (b2, e2) = self._both(data, mode=Mode.UNWRAP_ARRAY)
+        assert e1 is None and e2 is None
+        assert b1 == b2
+        assert [v for batch in b1 for v in batch] == [{"a": 1}, 2, "x", [3]]
+
+    def test_reified_plate_still_gets_events(self):
+        # event-observing plates must be untouched by the fast path
+        plate = ReifiedPlate()
+        p = JsonParser(plate, Mode.VALUE_STREAM)
+        evs = list(p.absorb(b'{"a": 1}').value)
+        evs += p.finish().value
+        assert ("nest_map", "a") in evs
