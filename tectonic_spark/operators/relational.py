@@ -1696,3 +1696,340 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H dashboard breadth (round 3): q08 q09 q13 q15 q17 q22
+
+
+@register(
+    "q08_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           ROUND({nat} / {all_}, 6) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+      AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    GROUP BY 1 ORDER BY 1
+    """.format(
+        nat=o_dsum(
+            "CASE WHEN sn.n_name = 'NATION_3' "
+            "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END"
+        ),
+        all_=o_dsum("l.l_extendedprice * (1 - l.l_discount)"),
+    ),
+    doc="TPC-H Q8 (national market share): one nation's share of PROMO "
+    "revenue sold into ASIA customers over two years. Two nation roles "
+    "(customer-side region filter, supplier-side share tag) — nation is "
+    "joined twice under different aliases. Facts (lineitem, orders) "
+    "shuffle on orderkey; every dimension broadcasts. Share = exact "
+    "decimal sums, one double division, ROUND(6) pinned cross-engine.",
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31 23:59:59")
+    )
+    c = F.broadcast(table(spark, sf_dir, "customer"))
+    cn = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    sn = F.broadcast(
+        table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_nationkey"),
+            F.col("n_name").alias("sn_name"),
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, c.c_nationkey == cn.n_nationkey)
+        .join(r, cn.n_regionkey == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("rev"),
+            F.when(F.col("sn_name") == "NATION_3", rev).otherwise(F.lit(0.0)).alias("nat_rev"),
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(F.col("nat_rev").cast("decimal(27,6)")).alias("_n"),
+            F.sum(F.col("rev").cast("decimal(27,6)")).alias("_d"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("_n").cast("double") / F.col("_d").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q09_product_type_profit",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice) * 0.1 AS ps_supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT sn.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           {profit} AS sum_profit
+    FROM lineitem l
+    JOIN ps         ON ps.l_partkey = l.l_partkey AND ps.l_suppkey = l.l_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY sn.n_name, 2 ORDER BY nation, o_year DESC
+    """.format(
+        profit=o_dsum(
+            "l.l_extendedprice * (1 - l.l_discount) "
+            "- ps.ps_supplycost * l.l_quantity"
+        )
+    ),
+    doc="TPC-H Q9 (product-type profit): profit per supplier nation per "
+    "year. No partsupp in the schema, so supply cost is proxied from "
+    "lineitem (10% of the min observed line price per part+supplier) "
+    "and joins back on the composite (partkey, suppkey) — a self-derived "
+    "fact-fact shuffle join; orders co-shuffles on orderkey; "
+    "part/supplier/nation broadcast. The proxy is deliberately "
+    "DIVISION-FREE: prices are exact 2-decimal values and quantities "
+    "integral, so every per-row profit lies on a 3-decimal grid and the "
+    "DECIMAL(27,6) casts never hit a rounding tie cross-engine (a "
+    "unit-price division puts rows exactly on 7-digit .5 boundaries "
+    "where Spark's shortest-repr HALF_UP and DuckDB's exact-binary "
+    "rounding disagree).",
+)
+def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        (F.min("l_extendedprice") * 0.1).alias("ps_supplycost")
+    ).withColumnsRenamed({"l_partkey": "ps_partkey", "l_suppkey": "ps_suppkey"})
+    p = F.broadcast(
+        table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    sn = F.broadcast(table(spark, sf_dir, "nation"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        l.join(
+            ps,
+            (l.l_partkey == F.col("ps_partkey")) & (l.l_suppkey == F.col("ps_suppkey")),
+        )
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit.alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum(F.col("profit"), "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 (customer order-count distribution): LEFT OUTER join "
+    "keeps order-less customers (c_count 0), double aggregation builds "
+    "the histogram. The orders-side predicate lives in the JOIN condition "
+    "(outer-join semantics: filtering after the join would drop the NULL "
+    "rows). The schema has no o_comment, so the NOT-LIKE becomes a "
+    "priority exclusion. Shuffles: custkey (join + 1st agg, one "
+    "exchange), then the tiny histogram agg.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no, {rev} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """.format(rev=o_dsum("l_extendedprice * (1 - l_discount)")),
+    doc="TPC-H Q15 (top supplier): quarterly revenue per supplier, keep "
+    "the max-revenue supplier(s). The view + scalar-subquery MAX "
+    "decorrelates into a broadcast 1-row crossJoin (same pattern as "
+    "q11's HAVING); revenue through exact decimal so the = comparison "
+    "is bit-identical cross-engine. One shuffle on suppkey; supplier "
+    "broadcasts.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max"))
+    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_max"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH a AS (
+        SELECT l_partkey, {avg_qty} AS avg_qty
+        FROM lineitem GROUP BY l_partkey)
+    SELECT ROUND({rev} / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN a      ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+      AND l.l_quantity < 0.2 * a.avg_qty
+    """.format(
+        avg_qty=o_davg("l_quantity"),
+        rev=o_dsum("l.l_extendedprice"),
+    ),
+    doc="TPC-H Q17 (small-quantity-order revenue): correlated per-part "
+    "AVG(l_quantity) subquery, decorrelated into a groupBy-then-join on "
+    "partkey (lineitem joins its own aggregate — both sides shuffle on "
+    "partkey once). The avg goes through exact decimal sum / count so "
+    "the 0.2* threshold compares bit-identically cross-engine; part "
+    "broadcasts. Global single-row aggregate (Q14-style, no GROUP BY).",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    a = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        davg(F.col("l_quantity"), "avg_qty")
+    )
+    p = F.broadcast(
+        table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+        )
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(a, l.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT {avg_} AS a FROM customer WHERE c_acctbal > 0.0)
+    SELECT n.n_name AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {tot} AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name ORDER BY cntrycode
+    """.format(
+        avg_=o_davg("c_acctbal"),
+        tot=o_dsum("c.c_acctbal"),
+    ),
+    doc="TPC-H Q22 (global sales opportunity): customers richer than the "
+    "global positive-balance average with no RECENT orders (every "
+    "synthetic customer has some order, so 'never ordered' would be "
+    "empty — the cutoff keeps the NOT-EXISTS shape with real survivors), "
+    "grouped by nation (no c_phone in the schema, so the country-code "
+    "prefix becomes the nation dimension). Shapes: scalar-subquery AVG "
+    "as a broadcast 1-row crossJoin, NOT EXISTS as a left_anti join "
+    "shuffling both sides on custkey (the date predicate pushed to the "
+    "orders scan first); nation broadcasts.",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal"), "a")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -133,3 +133,51 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     plan = explain_str(df)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "lang" in pf[0]
+
+
+def test_q08_two_nation_roles_broadcast(spark, sf_dir):
+    # part/customer/nation(x2)/region/supplier all broadcast; facts
+    # (lineitem, orders) meet in ONE shuffle join on orderkey at most
+    plan = physical_plan(build(spark, sf_dir, "q08_market_share"))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_q09_composite_self_join_shuffles_once(spark, sf_dir):
+    # lineitem joins its own (partkey, suppkey) aggregate: both sides
+    # hash-shuffle on the composite key; dims broadcast, no cartesian
+    plan = physical_plan(build(spark, sf_dir, "q09_product_type_profit"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q13_outer_join_keeps_condition_inside(spark, sf_dir):
+    plan = physical_plan(build(spark, sf_dir, "q13_customer_distribution"))
+    assert "CartesianProduct" not in plan
+    # the priority exclusion must NOT filter customer rows (outer side)
+    assert "LeftOuter" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q15_max_is_broadcast_scalar(spark, sf_dir):
+    plan = physical_plan(build(spark, sf_dir, "q15_top_supplier"))
+    assert "CartesianProduct" not in plan
+    # the 1-row max either stays a broadcast nested loop or (better)
+    # Catalyst rewrites crossJoin+equality-filter into a broadcast HASH
+    # join keyed on the normalized double — assert it broadcast either way
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q17_decorrelated_avg_joins_on_partkey(spark, sf_dir):
+    plan = physical_plan(build(spark, sf_dir, "q17_small_quantity_revenue"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_anti_join_not_nested_loop(spark, sf_dir):
+    plan = physical_plan(build(spark, sf_dir, "q22_global_sales_opportunity"))
+    assert "CartesianProduct" not in plan
+    # NOT EXISTS must be a hash anti join (shuffle or broadcast), and the
+    # scalar avg a broadcast nested loop — both may appear; the anti join
+    # itself must not be the nested-loop one
+    assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan
