@@ -2033,3 +2033,91 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: as-of join, sliding windows (batch form)
+
+
+@register(
+    "b04_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    buys AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'buy')
+    SELECT b.event_id, b.user_id, b.ts, c.ts AS last_click_ts
+    FROM buys b ASOF LEFT JOIN clicks c
+      ON b.user_id = c.user_id AND b.ts >= c.ts
+    """,
+    doc="AS-OF join (the time-series operator Spark lacks natively; the "
+    "oracle uses DuckDB's built-in ASOF JOIN): for every 'buy' event, the "
+    "latest 'click' by the same user at-or-before it. Implemented "
+    "Spark-side as the scalable union-and-carry composition: tag both "
+    "streams, sort within user_id on (ts, tag) — clicks before buys at "
+    "equal ts, matching >= semantics — and carry the last non-null click "
+    "timestamp forward with last(ignorenulls) over a running window. ONE "
+    "shuffle on user_id, no range join, no per-row lookup; at 100 TB "
+    "this is a single exchange + sort per partition key, the plan a "
+    "dedicated as-of operator would produce.",
+)
+def b04_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(0).alias("_src"),
+        F.col("ts").alias("_click_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    buys = e.filter(F.col("event_type") == "buy").select(
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(1).alias("_src"),
+        F.lit(None).cast(e.schema["ts"].dataType).alias("_click_ts"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ev_ts", "_src")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        clicks.unionByName(buys)
+        .withColumn("last_click_ts", F.last("_click_ts", ignorenulls=True).over(w))
+        .filter(F.col("_src") == 1)
+        .select("event_id", "user_id", F.col("ev_ts").alias("ts"), "last_click_ts")
+    )
+
+
+@register(
+    "b11_sliding_window",
+    oracle="""
+    SELECT ws AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sum_value} AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS ws,
+               value
+        FROM events)
+    GROUP BY ws
+    """.format(sum_value=o_dsum("value")),
+    doc="Sliding windows, batch form (streaming window() with slide < "
+    "duration): 2-hour windows every 1 hour — each event lands in exactly "
+    "two window instances. The oracle replicates Spark's epoch-aligned "
+    "instance assignment as a UNION ALL of the two shifted hour buckets. "
+    "Spark expands instances with an internal explode before one "
+    "partial-final aggregation — still a single shuffle.",
+)
+def b11_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), "sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
