@@ -2045,14 +2045,14 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH clicks AS (
         SELECT user_id, ts FROM events WHERE event_type = 'click'),
     buys AS (
-        SELECT event_id, user_id, ts FROM events WHERE event_type = 'buy')
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
     SELECT b.event_id, b.user_id, b.ts, c.ts AS last_click_ts
     FROM buys b ASOF LEFT JOIN clicks c
       ON b.user_id = c.user_id AND b.ts >= c.ts
     """,
     doc="AS-OF join (the time-series operator Spark lacks natively; the "
-    "oracle uses DuckDB's built-in ASOF JOIN): for every 'buy' event, the "
-    "latest 'click' by the same user at-or-before it. Implemented "
+    "oracle uses DuckDB's built-in ASOF JOIN): for every 'purchase' event, the "
+    "latest 'click' by the same user at-or-before each 'purchase'. Implemented "
     "Spark-side as the scalable union-and-carry composition: tag both "
     "streams, sort within user_id on (ts, tag) — clicks before buys at "
     "equal ts, matching >= semantics — and carry the last non-null click "
@@ -2070,7 +2070,7 @@ def b04_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("_click_ts"),
         F.lit(None).cast("long").alias("event_id"),
     )
-    buys = e.filter(F.col("event_type") == "buy").select(
+    buys = e.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("ts").alias("ev_ts"),
         F.lit(1).alias("_src"),
