@@ -5,6 +5,7 @@ from tectonic_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     parser_ops,
+    pipeline,
     relational,
     similarity,
     skew,

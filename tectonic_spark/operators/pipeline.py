@@ -1,0 +1,313 @@
+"""Training-data-pipeline operators beyond the reference surface (c4):
+repetition-based quality signals, deterministic sequence packing, and
+weighted source-mixture sampling — the three ops a pre-training data
+pipeline runs between dedup (c1) and tokenized shards.
+
+100 TB design notes (per-op details in each docstring):
+
+* ``c04_repetition`` is a pure per-row computation — whole-stage codegen,
+  zero shuffles, scan pruned to (doc_id, text, n_chars).
+* ``c04_sequence_packing`` needs a *global* token offset per document; a
+  naive ``Window.orderBy(doc_id)`` cumulative sum collapses to ONE
+  partition. We instead run the classic two-level exclusive scan: bucket
+  documents by ``doc_id // 1024``, aggregate per-bucket token totals
+  (tiny: N/1024 rows), prefix-sum those on the driver-side-free tiny
+  window, broadcast the bucket offsets back, and finish with a
+  *per-bucket* (parallel) window. Result is bit-identical to the global
+  cumsum the oracle runs, but every stage is bounded and parallel.
+* ``c04_mixture_sampling`` is a stateless hash filter — no shuffle, and
+  the md5-based keep/drop decision is reproducible across engines,
+  re-runs, and cluster sizes (the property a training pipeline needs so
+  a resumed job samples the same documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tectonic_spark.operators.registry import register
+from tectonic_spark.tables import table
+
+SEQ_LEN = 128  # tokens per packed training sequence
+PACK_BUCKET = 1024  # documents per offset bucket in the two-level scan
+
+
+def grams_col(w: Column, k: int) -> Column:
+    """Non-distinct k-word shingles (repetition counting needs duplicates,
+    unlike the dedup shingle helper which distincts)."""
+    n_sh = F.size(w) - F.lit(k - 1)
+    shifted = [F.slice(w, i + 1, n_sh) for i in range(k)]
+    acc = shifted[0]
+    for nxt in shifted[1:]:
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return acc
+
+
+def _run_length_stats(grams: Column) -> Column:
+    """Single-pass run-length scan over a SORTED gram array returning
+    ``struct(best_run, best_gram, dup_chars)`` where ``best`` is the most
+    frequent gram (ties broken toward the lexicographically LARGER gram so
+    both engines agree) and ``dup_chars`` sums ``count * length(gram)``
+    over grams occurring more than once.
+
+    O(n log n) sort + O(n) fold entirely inside codegen — the equivalent
+    explode → groupBy(doc_id, gram) plan would shuffle every gram of every
+    document; this shuffles nothing.
+    """
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_run"),
+        F.lit("").alias("best"),
+        F.lit(0).cast("long").alias("dup_chars"),
+    )
+
+    def close(acc):
+        # fold the in-flight run into best/dup_chars (used on gram change
+        # and once more in finish for the trailing run)
+        better = (acc["run"] > acc["best_run"]) | (
+            (acc["run"] == acc["best_run"]) & (acc["prev"] > acc["best"])
+        )
+        return (
+            F.when(better, acc["run"]).otherwise(acc["best_run"]),
+            F.when(better, acc["prev"]).otherwise(acc["best"]),
+            acc["dup_chars"]
+            + F.when(
+                acc["run"] > 1, acc["run"] * F.length(acc["prev"]).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    def step(acc, g):
+        same = acc["prev"] == g
+        best_run, best, dup = close(acc)
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["best_run"]).otherwise(best_run).alias("best_run"),
+            F.when(same, acc["best"]).otherwise(best).alias("best"),
+            F.when(same, acc["dup_chars"]).otherwise(dup).alias("dup_chars"),
+        )
+
+    def finish(acc):
+        best_run, best, dup = close(acc)
+        return F.struct(
+            best_run.alias("best_run"), best.alias("best_gram"), dup.alias("dup_chars")
+        )
+
+    return F.aggregate(F.array_sort(grams), zero, step, finish)
+
+
+# DuckDB mirrors the run-length scan with the explode → group → window
+# formulation (the oracle optimizes for clarity, not scale).
+_REP_ORACLE = """
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
+),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM t WHERE len(w) >= 2
+),
+c2 AS (
+  SELECT doc_id, gram, count(*) AS cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY count(*) DESC, gram DESC) AS rn
+  FROM g2 GROUP BY doc_id, gram
+),
+top2 AS (
+  SELECT doc_id, cnt * length(gram) AS top_chars FROM c2 WHERE rn = 1
+),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM t WHERE len(w) >= 3
+),
+c3 AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram
+),
+dup3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+  FROM c3 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       1.0 - CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w) AS dup_word_frac,
+       CAST(COALESCE(top2.top_chars, 0) AS DOUBLE) / t.n_chars AS top_2gram_frac,
+       CAST(COALESCE(dup3.dup_chars, 0) AS DOUBLE) / t.n_chars AS dup_3gram_frac
+FROM t
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN dup3 USING (doc_id)
+"""
+
+
+@register(
+    "c04_repetition",
+    oracle=_REP_ORACLE,
+    doc="Repetition-based quality signals in the style of the Gopher data "
+    "pipeline (Rae et al. 2021, public): duplicate-word fraction, fraction "
+    "of characters in the most frequent 2-gram, fraction of characters in "
+    "duplicated 3-grams. Pure per-row higher-order-function computation — "
+    "no shuffle, no Python; the gram counting is a sort + run-length fold "
+    "inside codegen rather than an explode/groupBy shuffle.",
+)
+def c04_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    s2 = _run_length_stats(grams_col(w, 2))
+    s3 = _run_length_stats(grams_col(w, 3))
+    n_chars = F.col("n_chars").cast("double")
+    return d.select(
+        "doc_id",
+        (
+            F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.size(w)
+        ).alias("dup_word_frac"),
+        F.when(
+            F.size(w) >= 2,
+            (s2["best_run"] * F.length(s2["best_gram"])).cast("double") / n_chars,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_2gram_frac"),
+        F.when(F.size(w) >= 3, s3["dup_chars"].cast("double") / n_chars)
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+o AS (
+  SELECT doc_id, w,
+         COALESCE(SUM(len(w)) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+),
+tok AS (
+  SELECT doc_id, s.gpos, s.tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(w)),
+                  i -> struct_pack(gpos := off + i, tok := w[i+1]))) AS s
+    FROM o
+  )
+)
+SELECT CAST(gpos // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_hash
+FROM tok
+GROUP BY 1
+"""
+
+
+@register(
+    "c04_sequence_packing",
+    oracle=_PACK_ORACLE,
+    doc=f"Deterministic sequence packing: concatenate all documents in "
+    f"doc_id order and cut into fixed {SEQ_LEN}-token training sequences "
+    f"(documents span sequence boundaries, GPT-style). The global token "
+    f"offset is computed with a two-level exclusive scan (per-bucket "
+    f"totals -> tiny prefix window -> broadcast join -> per-bucket "
+    f"parallel window) so no stage ever runs on a single partition — "
+    f"bit-identical to the oracle's global cumulative sum.",
+)
+def c04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn("n", F.size("w").cast("long"))
+        .withColumn("bucket", F.floor(F.col("doc_id") / PACK_BUCKET))
+    )
+    # level 1: per-bucket token totals (N/1024 rows — tiny at any SF)
+    totals = d.groupBy("bucket").agg(F.sum("n").alias("bn"))
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("bn").over(w_bucket), F.lit(0).cast("long")).alias("boff")
+    )
+    # level 2: per-bucket window (parallel across buckets) + broadcast offsets
+    w_doc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = d.join(F.broadcast(offsets), "bucket").withColumn(
+        "off", F.col("boff") + F.coalesce(F.sum("n").over(w_doc), F.lit(0).cast("long"))
+    )
+    tok = d.select("doc_id", "off", F.posexplode("w").alias("pos", "tok")).select(
+        "doc_id", (F.col("off") + F.col("pos")).alias("gpos"), "tok"
+    )
+    return (
+        tok.withColumn("seq_id", F.floor(F.col("gpos") / SEQ_LEN))
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("seq_hash"),
+        )
+    )
+
+
+# hex -> uint32 for the first 8 md5 hex chars, DuckDB-side (no conv() there)
+_O_HEX32 = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "CAST(strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)"
+    " * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT))))"
+)
+
+_MIX_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS INT) % 4 AS m,
+         md5(CAST(doc_id AS VARCHAR) || ':' || source) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         CASE m WHEN 0 THEN 10000 WHEN 1 THEN 5000
+                WHEN 2 THEN 2500 ELSE 1000 END AS rate_bp,
+         {_O_HEX32} AS hv
+  FROM t
+)
+SELECT doc_id, source, CAST(rate_bp AS BIGINT) AS rate_bp
+FROM r WHERE hv % 10000 < rate_bp
+"""
+
+
+@register(
+    "c04_mixture_sampling",
+    oracle=_MIX_ORACLE,
+    doc="Deterministic weighted source-mixture sampling: each source gets "
+    "a sampling rate (10000/5000/2500/1000 basis points by source index "
+    "mod 4) and a document is kept iff uint32(md5(doc_id:source)[:8]) % "
+    "10000 < rate. Stateless hash filter — no shuffle, pushes the scan "
+    "down to (doc_id, source), and the same documents are selected "
+    "regardless of partitioning, cluster size, or re-runs (the "
+    "reproducibility property mixture-weighted pre-training data needs).",
+)
+def c04_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    m = F.substring("source", 4, 10).cast("int") % 4
+    rate_bp = (
+        F.when(m == 0, 10000).when(m == 1, 5000).when(m == 2, 2500).otherwise(1000)
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return d.where(h % 10000 < rate_bp).select(
+        "doc_id", "source", rate_bp.cast("long").alias("rate_bp")
+    )

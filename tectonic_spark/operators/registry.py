@@ -90,7 +90,6 @@ PRIORITY: list[str] = [
     "b09_setops",
     "b10_scalar_functions",
     "b11_tumbling_window",
-    "b11_session_window",
     "b12_dedup_distinct",
     "b13_pandas_udf",
     "b14_sql_surface",
@@ -115,8 +114,10 @@ PRIORITY: list[str] = [
     "c03_token_stats",
     "c03_lang_id",
     "c03_quality_score",
-    "c03_fingerprint",
-    "c03_bpe_tokens",
+    # LLM-pipeline: quality / packing / mixture (beyond-reference c4)
+    "c04_repetition",
+    "c04_sequence_packing",
+    "c04_mixture_sampling",
     # multimodal
     "m01_media_metadata",
     "m02_frame_sampling",
