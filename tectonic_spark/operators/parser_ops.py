@@ -657,6 +657,152 @@ def s03_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_src(sf_dir: str) -> tuple[str, int]:
+    """Events as 4 ts-quartered JSONL part files plus a ``z-flush`` sentinel
+    file holding one far-future event. Returns (src_dir, expected_groups):
+    the number of (1-hour window, event_type) groups the watermarked
+    streaming agg must eventually emit."""
+    import duckdb
+
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "s04_src")
+    done = os.path.join(src, "_DONE")
+    path = os.path.join(sf_dir, "events.parquet")
+    expected = duckdb.sql(
+        f"SELECT COUNT(*) FROM (SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts), "
+        f"event_type FROM '{path}')"
+    ).fetchone()[0]
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        rows = duckdb.sql(
+            f"SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value "
+            f"FROM '{path}' ORDER BY ts, event_id"
+        ).fetchall()
+        quarter = (len(rows) + 3) // 4
+        for i in range(4):
+            part = "\n".join(
+                json.dumps(
+                    {"event_id": e, "ts_us": t, "event_type": et, "value": v}
+                )
+                for e, t, et, v in rows[i * quarter : (i + 1) * quarter]
+            )
+            _write_atomic(os.path.join(src, f"in-{i}.jsonl"), (part + "\n").encode())
+        max_ts = max(t for _e, t, _et, _v in rows)
+        sentinel = json.dumps(
+            {
+                "event_id": -1,
+                "ts_us": max_ts + 86_400_000_000,  # +1 day >> watermark delay
+                "event_type": "__flush__",
+                "value": 0.0,
+            }
+        )
+        _write_atomic(os.path.join(src, "z-flush.jsonl"), (sentinel + "\n").encode())
+        _write_atomic(done, b"")
+    return src, expected
+
+
+@register(
+    "s04_stream_watermark",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Watermarked event-time windowed aggregation under TRUE append-mode "
+    "emission semantics: events stream in ts order across ≥3 rate-limited "
+    "micro-batches, the agg groups by window(ts, 1h) × event_type behind "
+    "withWatermark(30 min), and a far-future sentinel event in the final "
+    "file pushes the watermark past every real window so append mode "
+    "finalizes and emits them (the sentinel's own window stays open and is "
+    "never emitted — exactly the late-data contract). The builder raises "
+    "unless ≥2 micro-batches committed and every expected group reached "
+    "the sink. Reference analog: the fs2 incremental pipeline; Spark-side "
+    "this is Structured Streaming state store + event-time watermark.",
+)
+def s04_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    register_tectonic_sources(spark)
+    src, expected = _events_stream_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s04_sink")
+    ck = os.path.join(base, "s04_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema("event_id long, ts_us long, event_type string, value double")
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+    )
+    agg = (
+        stream.select(
+            F.timestamp_micros("ts_us").alias("ts"), "event_type", "value"
+        )
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        sink_rows = 0
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            if sink_rows >= expected:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    commits_dir = os.path.join(ck, "commits")
+    n_commits = (
+        len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+        if os.path.isdir(commits_dir)
+        else 0
+    )
+    if sink_rows < expected:
+        raise RuntimeError(
+            f"s04: sink has {sink_rows} finalized groups, expected {expected} — "
+            "watermark did not close every real window"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s04: only {n_commits} committed micro-batches — rate-limited "
+            "continuation did not engage"
+        )
+    return spark.read.parquet(out).where(F.col("event_type") != "__flush__")
+
+
 @register(
     "a10_tectonic_json_writer",
     oracle=(

@@ -72,12 +72,12 @@ PRIORITY: list[str] = [
     "a05_schema_inference",
     "a06_malformed_handling",
     "a07_parquet_sink_roundtrip",
-    "a10_tectonic_json_writer",
     "a12_catalog_table_roundtrip",
     # streaming
     "s01_stream_jsonl_to_parquet",
     "s02_stream_csv_to_parquet",
     "s03_stream_multibatch",
+    "s04_stream_watermark",
     # relational b1-b14 (one per component)
     "b01_project_compute",
     "b02_filter_pushdown",
