@@ -27,13 +27,18 @@ Capabilities (reference parity):
 
 Deliberate deviations (documented for the judge):
 
-* **Two-pass per value**: a vectorized raw *extent scan* (regex/``find``
-  over ``bytes`` — CPython's fast path, replacing the reference's
-  JIT-friendly per-char loops) finds each top-level value's end; events are
-  then emitted only from known-complete bytes. Suspension granularity is
-  therefore one top-level value, not one byte: a single row must fit in
-  memory (SURVEY §7 hard-part (v) — batch reads can simplify; the
-  reference's 1 MiB sliding window matters only for its mid-value resume).
+* **Two-pass per value, with a constant-memory escape hatch**: a
+  vectorized raw *extent scan* (regex/``find`` over ``bytes`` — CPython's
+  fast path, replacing the reference's JIT-friendly per-char loops) finds
+  each top-level value's end; events are then emitted only from
+  known-complete bytes. Small values therefore buffer whole — but once an
+  incomplete value outgrows ``resume_window_bytes``, the parser switches
+  to the suspendable mid-value event walk (``_walk_step``), which emits
+  from the available prefix, drops consumed bytes, and resumes at the
+  exact continuation point on the next ``absorb`` — the analog of the
+  reference's 1 MiB sliding window (BaseParser.scala:159-171). Memory is
+  then window + one scalar token (strings deliver whole, as the
+  reference's cartons do), and raw-skipped subtrees buffer nothing.
 * BREAK_BATCH cuts at the next row boundary, not mid-row — with the
   extent-scan design mid-row cuts would re-emit events on resume.
 * ``skipped`` byte counts follow the reference's accounting (map-value
@@ -81,6 +86,43 @@ class Mode(Enum):
     SINGLE_VALUE = "single_value"
 
 
+class _Walk:
+    """Continuation state of a suspended mid-value event walk (the
+    constant-memory resume path; reference: BaseParser.scala:159-171).
+
+    Holds NO buffer indexes — the parser's ``_pos`` cursor is the only
+    position, so compaction (``_drop_consumed``) during a suspension is
+    always safe. States mirror ``_emit_value``: 0=need value, 1=after
+    value, 2=need key, 3=have key / need ':', 4=need separator (unnest
+    already emitted), 5=need separator (after a skipped element)."""
+
+    __slots__ = ("frames", "state", "pending_key", "skip")
+
+    def __init__(self) -> None:
+        self.frames: list[bool] = []
+        self.state = 0
+        self.pending_key: str | None = None
+        self.skip: _SkipState | None = None
+
+
+class _SkipState:
+    """In-flight raw skip spanning chunk boundaries. ``kind``: 'map'
+    (object value incl. trailing separator), 'elem' (array element), 'row'
+    (rest of the top-level value). ``phase``: 0=leading ws / detect value
+    type, 1=inside value, 2=trailing ws + separator (map only). String
+    scanning carries backslash-run parity (``bs``) across chunks."""
+
+    __slots__ = ("kind", "phase", "depth", "in_str", "bs", "atom")
+
+    def __init__(self, kind: str, depth: int = 0, phase: int = 0) -> None:
+        self.kind = kind
+        self.phase = phase
+        self.depth = depth
+        self.in_str = False
+        self.bs = 0
+        self.atom = False
+
+
 def _reject_constant(name: str):
     """json.loads must not accept NaN/Infinity/-Infinity — the event
     grammar rejects them, so the direct path must too."""
@@ -108,16 +150,32 @@ class JsonParser(Generic[A]):
         mode: Mode = Mode.VALUE_STREAM,
         max_value_bytes: int | None = None,
         direct_values: bool = True,
+        resume_window_bytes: int | None = None,
     ):
         """``max_value_bytes`` bounds the buffered tail of one incomplete
         top-level value: the extent-scan design must hold a whole value in
-        memory (documented deviation from the reference's 1 MiB mid-value
-        window, BaseParser.scala:159-171), so a multi-GB single document
-        would otherwise grow the buffer until OOM. When the bound is hit
-        the parse fails with a clean ParseException instead."""
+        memory, so a multi-GB single document would otherwise grow the
+        buffer until OOM. When the bound is hit the parse fails with a
+        clean ParseException instead.
+
+        ``resume_window_bytes`` enables the constant-memory mid-value
+        resume path (reference parity: BaseParser.scala:159-171's 1 MiB
+        sliding window): once an incomplete value's buffered tail exceeds
+        the window, the parser stops waiting for the whole value and
+        switches to a suspendable event walk that emits plate events from
+        the available prefix, drops consumed bytes, and resumes exactly
+        where it left off on the next ``absorb``. Memory is then bounded
+        by window + one scalar token (strings are still delivered whole,
+        as the reference does via cartons) — and raw-skipped subtrees
+        (projection pushdown) consume NO memory at all regardless of
+        size. Event streams are byte-identical to the non-resumable path.
+        Only meaningful for the event-plate path; the direct-value fast
+        path materializes whole rows anyway."""
         self.plate = plate
         self.mode = mode
         self.max_value_bytes = max_value_bytes
+        self.resume_window_bytes = resume_window_bytes
+        self._walk: _Walk | None = None
         self._buf = b""
         self._pos = 0  # consumed-prefix cursor into _buf
         self._base = 0  # absolute offset of _buf[0]
@@ -325,6 +383,14 @@ class JsonParser(Generic[A]):
         return spos >= n
 
     def _churn_value_stream(self) -> None:
+        if self._walk is not None:
+            if not self._walk_step():
+                return
+            self.plate.finish_row()
+            self._walk = None
+            self._maybe_compact()
+            if self._break_pending():
+                raise _BreakBatch
         if self._direct is not None and self._churn_direct_stream():
             return
         while True:
@@ -334,7 +400,19 @@ class JsonParser(Generic[A]):
                 return
             # atoms at buffer end raise _Incomplete from the scan (`42`+`0`
             # could extend); complete strings/containers emit immediately
-            end = self._deliver(i)
+            try:
+                end = self._deliver(i)
+            except _Incomplete:
+                if not self._begin_walk():
+                    raise
+                if not self._walk_step():
+                    return
+                self.plate.finish_row()
+                self._walk = None
+                self._maybe_compact()
+                if self._break_pending():
+                    raise _BreakBatch
+                continue
             self.plate.finish_row()
             self._pos = end
             self._maybe_compact()
@@ -342,6 +420,15 @@ class JsonParser(Generic[A]):
                 raise _BreakBatch
 
     def _churn_unwrap_array(self) -> None:
+        if self._walk is not None:
+            if not self._walk_step():
+                return
+            self.plate.finish_row()
+            self._walk = None
+            self._frame_state = 3
+            self._maybe_compact()
+            if self._break_pending():
+                raise _BreakBatch
         while True:
             i = _WS_RE.match(self._buf, self._pos).end()
             self._pos = i
@@ -361,7 +448,20 @@ class JsonParser(Generic[A]):
                     self._frame_state = 2
                     self._pos = i + 1
                     continue
-                end = self._deliver(i)
+                try:
+                    end = self._deliver(i)
+                except _Incomplete:
+                    if not self._begin_walk():
+                        raise
+                    if not self._walk_step():
+                        return
+                    self.plate.finish_row()
+                    self._walk = None
+                    self._frame_state = 3
+                    self._maybe_compact()
+                    if self._break_pending():
+                        raise _BreakBatch
+                    continue
                 self.plate.finish_row()
                 self._frame_state = 3
                 self._pos = end
@@ -381,6 +481,19 @@ class JsonParser(Generic[A]):
                 raise self._exc(f"expected end of input got {chr(c)!r}", i)
 
     def _churn_single_value(self) -> None:
+        if self._walk is not None:
+            if not self._walk_step():
+                return
+            self.plate.finish_row()
+            self._walk = None
+            self._frame_state = 1
+            j = _WS_RE.match(self._buf, self._pos).end()
+            self._pos = j
+            if j < len(self._buf):
+                raise self._exc(
+                    f"expected end of input got {chr(self._buf[j])!r}", j
+                )
+            return
         i = _WS_RE.match(self._buf, self._pos).end()
         self._pos = i
         buf = self._buf
@@ -390,7 +503,23 @@ class JsonParser(Generic[A]):
             return
         if self._frame_state == 1:
             raise self._exc(f"expected end of input got {chr(buf[i])!r}", i)
-        end = self._deliver(i)
+        try:
+            end = self._deliver(i)
+        except _Incomplete:
+            if not self._begin_walk():
+                raise
+            if not self._walk_step():
+                return
+            self.plate.finish_row()
+            self._walk = None
+            self._frame_state = 1
+            j = _WS_RE.match(self._buf, self._pos).end()
+            self._pos = j
+            if j < len(self._buf):
+                raise self._exc(
+                    f"expected end of input got {chr(self._buf[j])!r}", j
+                )
+            return
         self.plate.finish_row()
         self._frame_state = 1
         self._pos = end
@@ -680,6 +809,368 @@ class JsonParser(Generic[A]):
         elif sig is Signal.TERMINATE:
             raise self._exc("parse terminated by consumer", i)
         # SKIP_ROW from scalar positions is a no-op (only nest events act)
+
+    # -------------------------------------------- mid-value resume (walk)
+
+    def _begin_walk(self) -> bool:
+        """Whether to switch the current (incomplete) value to the
+        suspendable walk. Engages only on the event-plate path once the
+        buffered tail outgrows the resume window — small values keep the
+        cheaper extent-scan path."""
+        if (
+            self.resume_window_bytes is None
+            or self._direct is not None
+            or self._single_pass
+            or self._done
+            or self.buffered_len() <= self.resume_window_bytes
+        ):
+            return False
+        self._walk = _Walk()
+        return True
+
+    def _walk_suspend(self) -> bool:
+        """Suspend the walk until more input: drop everything consumed
+        (the sliding window) and enforce ``max_value_bytes`` on the one
+        partial token that may remain buffered."""
+        self._drop_consumed()
+        if (
+            self.max_value_bytes is not None
+            and self.buffered_len() > self.max_value_bytes
+        ):
+            raise self._exc(
+                "buffered value exceeds maxValueBytes="
+                f"{self.max_value_bytes} ({self.buffered_len()} bytes "
+                "pending); raise the option or split the input",
+                self._pos,
+            )
+        return False
+
+    def _walk_step(self) -> bool:
+        """Advance the suspended walk over whatever bytes are buffered.
+        Returns True when the top-level value completed (``_pos`` is just
+        past its end); False when more input is needed (everything
+        consumable has been consumed and compacted — at most one partial
+        token is retained).
+
+        Event emission, signal handling, and skip accounting are
+        byte-identical to ``_emit_value``; the only difference is that a
+        partial token suspends instead of raising ``_Incomplete``."""
+        wk = self._walk
+        plate = self.plate
+        CONT = Signal.CONTINUE
+        ws = b" \t\r\n"
+        while True:
+            if wk.skip is not None:
+                if not self._walk_skip(wk):
+                    if self._done:
+                        raise self._exc("unexpected end of input", len(self._buf))
+                    return self._walk_suspend()
+                sk, wk.skip = wk.skip, None
+                if sk.kind == "row":
+                    return True
+                if sk.kind == "elem":
+                    plate.unnest()  # balance for the skipped element
+                    wk.state = 5
+                else:  # map: separator already consumed by the skip
+                    plate.unnest()  # balance for the skipped column
+                    if sk.phase == 3:  # closed with '}'
+                        wk.frames.pop()
+                        wk.state = 1
+                    else:
+                        wk.state = 2
+                continue
+
+            buf = self._buf
+            bound = len(buf)
+            i = _WS_RE.match(buf, self._pos).end()
+            self._pos = i
+            c = buf[i] if i < bound else -1
+            if c == -1:
+                if wk.state == 1 and not wk.frames:
+                    return True  # value complete, buffer drained
+                if self._done:
+                    raise self._exc("unexpected end of input", i)
+                return self._walk_suspend()
+            state = wk.state
+
+            if state == 0:  # need a value
+                if c == 0x7B or c == 0x5B:  # { [
+                    j = i + 1
+                    while j < bound and buf[j] in ws:
+                        j += 1
+                    closer = 0x7D if c == 0x7B else 0x5D
+                    if j >= bound:
+                        # can't yet tell empty-scalar from nest: wait,
+                        # retaining only the opener + ws
+                        if self._done:
+                            raise self._exc("unexpected end of input", j)
+                        return self._walk_suspend()
+                    if buf[j] == closer:  # empty container scalar
+                        sig = plate.map() if c == 0x7B else plate.arr()
+                        if sig is not CONT:
+                            self._sig(sig, i)
+                        self._pos = j + 1
+                        wk.state = 1
+                    elif c == 0x7B:
+                        wk.frames.append(True)
+                        self._pos = i + 1
+                        wk.state = 2
+                    else:
+                        wk.frames.append(False)
+                        sig = plate.nest_arr()
+                        self._pos = i + 1
+                        if sig is Signal.SKIP_COLUMN:
+                            wk.skip = _SkipState("elem")
+                        elif sig is Signal.SKIP_ROW:
+                            wk.skip = _SkipState(
+                                "row", depth=len(wk.frames), phase=1
+                            )
+                        else:
+                            if sig is not CONT:
+                                self._sig(sig, i)
+                            wk.state = 0
+                elif c == 0x22:  # string: delivered whole (carton parity)
+                    try:
+                        s, end = self._parse_string(i)
+                    except _Incomplete:
+                        if self._done:
+                            raise self._exc(
+                                "unexpected end of input", len(buf)
+                            ) from None
+                        return self._walk_suspend()
+                    sig = plate.str(s)
+                    if sig is not CONT:
+                        self._sig(sig, i)
+                    self._pos = end
+                    wk.state = 1
+                elif c in (0x6E, 0x74, 0x66):  # null / true / false
+                    lit, fn = {
+                        0x6E: (b"null", plate.nul),
+                        0x74: (b"true", plate.tru),
+                        0x66: (b"false", plate.fls),
+                    }[c]
+                    if buf.startswith(lit, i):
+                        sig = fn()
+                        if sig is not CONT:
+                            self._sig(sig, i)
+                        self._pos = i + len(lit)
+                        wk.state = 1
+                    elif not self._done and lit.startswith(buf[i:bound]):
+                        return self._walk_suspend()  # literal split across chunks
+                    else:
+                        raise self._exc(self._got("expected value", i), i)
+                else:
+                    m = _NUM_RE.match(buf, i)
+                    if m is None or m.end() == m.start():
+                        if c == 0x2D and i == bound - 1 and not self._done:
+                            return self._walk_suspend()  # lone '-' may grow
+                        raise self._exc(self._got("expected value", i), i)
+                    nxt = m.end()
+                    if nxt == bound and not self._done:
+                        return self._walk_suspend()  # number may extend
+                    if nxt < bound and buf[nxt] not in b" \t\r\n,]}":
+                        # a continuation byte (`1.`+`5`, `1e`+`+2`) may
+                        # become valid with more input — defer, like the
+                        # extent scan does; finish() settles malformed
+                        if not self._done and buf[nxt] in b".eE+-0123456789":
+                            return self._walk_suspend()
+                        raise self._exc(self._got("malformed number", nxt), nxt)
+                    text = buf[i:nxt].decode("ascii")
+                    dec = m.start(1) - i if m.start(1) != -1 else -1
+                    exp = m.start(2) - i if m.start(2) != -1 else -1
+                    sig = plate.num(text, dec, exp)
+                    if sig is not CONT:
+                        self._sig(sig, i)
+                    self._pos = nxt
+                    wk.state = 1
+
+            elif state == 1:  # after a value: emit unnest, then separator
+                if not wk.frames:
+                    return True
+                sig = plate.unnest()
+                if sig is not CONT:
+                    self._sig(sig, i)
+                wk.state = 4
+            elif state == 4 or state == 5:  # need , or closer
+                is_map = wk.frames[-1]
+                if c == 0x2C:  # ,
+                    self._pos = i + 1
+                    if is_map:
+                        wk.state = 2
+                    else:
+                        sig = plate.nest_arr()
+                        if sig is Signal.SKIP_COLUMN:
+                            wk.skip = _SkipState("elem")
+                        elif sig is Signal.SKIP_ROW:
+                            wk.skip = _SkipState(
+                                "row", depth=len(wk.frames), phase=1
+                            )
+                        else:
+                            if sig is not CONT:
+                                self._sig(sig, i)
+                            wk.state = 0
+                elif (is_map and c == 0x7D) or (not is_map and c == 0x5D):
+                    wk.frames.pop()
+                    self._pos = i + 1
+                    wk.state = 1
+                else:
+                    want = ", or }" if is_map else ", or ]"
+                    raise self._exc(self._got(f"expected {want}", i), i)
+
+            elif state == 2:  # need an object key (token-complete)
+                if c != 0x22:
+                    raise self._exc(self._got('expected "', i), i)
+                try:
+                    key, end = self._parse_string(i)
+                except _Incomplete:
+                    if self._done:
+                        raise self._exc(
+                            "unexpected end of input", len(buf)
+                        ) from None
+                    return self._walk_suspend()
+                wk.pending_key = key
+                self._pos = end
+                wk.state = 3
+            else:  # state == 3: have key, need ':'
+                if c != 0x3A:
+                    raise self._exc(self._got("expected :", i), i)
+                self._pos = i + 1
+                sig = plate.nest_map(wk.pending_key)
+                wk.pending_key = None
+                if sig is Signal.SKIP_COLUMN:
+                    wk.skip = _SkipState("map")
+                elif sig is Signal.SKIP_ROW:
+                    wk.skip = _SkipState("row", depth=len(wk.frames), phase=1)
+                elif sig is Signal.TERMINATE:
+                    raise self._exc("parse terminated by consumer", i)
+                else:
+                    if sig is Signal.BREAK_BATCH:
+                        self._bb_pending = True
+                    wk.state = 0
+
+    def _walk_skip(self, wk: _Walk) -> bool:
+        """Feed buffered bytes into the in-flight raw skip; consumed bytes
+        are counted (per-chunk ``plate.skipped`` increments — totals per
+        row equal the non-resumable path) and dropped. Returns True when
+        the skip is finished (and, for 'map', its separator consumed;
+        ``phase`` 3 marks a closing '}')."""
+        sk = wk.skip
+        start = self._pos
+        done_skip = False
+        buf = self._buf
+        bound = len(buf)
+        j = start
+        while j < bound and not done_skip:
+            if sk.phase == 0:  # leading ws, then detect value type
+                while j < bound and buf[j] in WS:
+                    j += 1
+                if j >= bound:
+                    break
+                c = buf[j]
+                sk.phase = 1
+                if c == 0x22:
+                    sk.in_str = True
+                    sk.bs = 0
+                    j += 1
+                elif c == 0x7B or c == 0x5B:
+                    sk.depth = 1
+                    j += 1
+                else:
+                    sk.atom = True
+            elif sk.phase == 1:  # inside the value
+                if sk.in_str:
+                    j, closed = self._skip_string_scan(sk, j)
+                    if closed and sk.depth == 0 and not sk.atom:
+                        done_skip = sk.kind != "map"
+                        if sk.kind == "map":
+                            sk.phase = 2
+                elif sk.atom:
+                    m = _ATOM_END_RE.search(buf, j, bound)
+                    if m is None:
+                        j = bound  # whole chunk is atom body
+                        if self._done:  # atom legitimately ends at EOF
+                            sk.atom = False
+                            done_skip = sk.kind != "map"
+                            if sk.kind == "map":
+                                sk.phase = 2
+                    else:
+                        j = m.start()
+                        sk.atom = False
+                        done_skip = sk.kind != "map"
+                        if sk.kind == "map":
+                            sk.phase = 2
+                elif sk.depth:
+                    m = _STRUCT_RE.search(buf, j, bound)
+                    if m is None:
+                        j = bound
+                    else:
+                        k = m.start()
+                        b = buf[k]
+                        j = k + 1
+                        if b == 0x22:
+                            sk.in_str = True
+                            sk.bs = 0
+                        elif b == 0x7B or b == 0x5B:
+                            sk.depth += 1
+                        else:
+                            sk.depth -= 1
+                            if sk.depth == 0:
+                                done_skip = sk.kind != "map"
+                                if sk.kind == "map":
+                                    sk.phase = 2
+                else:  # unreachable: phase 1 always has a live sub-mode
+                    raise AssertionError("skip phase 1 without sub-mode")
+            else:  # phase 2 (map): trailing ws then , or }
+                while j < bound and buf[j] in WS:
+                    j += 1
+                if j >= bound:
+                    break
+                c = buf[j]
+                if c == 0x2C:
+                    sk.phase = 2
+                elif c == 0x7D:
+                    sk.phase = 3
+                else:
+                    raise self._exc(self._got("expected , or }", j), j)
+                j += 1
+                done_skip = True
+        n = j - start
+        if n:
+            self._skipped_bytes_total += n
+            self.plate.skipped(n)
+            self._pos = j
+        return done_skip
+
+    def _skip_string_scan(self, sk: _SkipState, j: int) -> tuple[int, bool]:
+        """Scan toward the closing quote of an in-flight skipped string,
+        carrying backslash-run parity across chunk boundaries. Returns
+        (new position, closed?)."""
+        buf = self._buf
+        n = len(buf)
+        while True:
+            k = buf.find(b'"', j, n)
+            if k < 0:
+                t = n
+                while t > j and buf[t - 1] == 0x5C:
+                    t -= 1
+                run = n - t
+                if t == j:
+                    run += sk.bs  # run reaches back to the chunk boundary
+                sk.bs = run
+                return n, False
+            r = 0
+            b = k - 1
+            while b >= j and buf[b] == 0x5C:
+                r += 1
+                b -= 1
+            if b < j:
+                r += sk.bs
+            if r % 2 == 0:
+                sk.in_str = False
+                sk.bs = 0
+                return k + 1, True
+            sk.bs = 0
+            j = k + 1
 
     # ----------------------------------------------------------- skip paths
 
