@@ -51,15 +51,33 @@ class TectonicFileStreamReader(DataSourceStreamReader):
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
         # monotonic high-water mark of files already surfaced in an offset.
-        # Driver-side state: after a restart it resets and the first
-        # latestOffset may trail the committed offset — partitions() then
-        # sees no new files and later calls catch up monotonically, so
-        # replay stays exactly-once.
+        # Driver-side state: after a restart it resets, so the first
+        # rate-limited latestOffset may REGRESS below the committed offset
+        # — and once that regressed offset is logged as a batch end, it
+        # becomes the next batch's start and previously-processed files
+        # would re-enter as "new" (observed: duplicate sink rows). The
+        # engine never hands a fresh reader the committed offset before
+        # calling latestOffset (the runner protocol is exactly
+        # initial/latest/partitions/commit), so the reader self-heals from
+        # what it does see: every file in a ``partitions()`` START offset
+        # was the end of an earlier logged batch (write-ahead: a logged
+        # batch always executes or replays), i.e. already planned —
+        # ``_processed`` pins those so they are never planned again, and
+        # they rejoin ``_known`` so latestOffset stops regressing.
         self._known: dict[str, int] = {}
+        self._processed: set[str] = set()
 
     # ---------------------------------------------------------------- offsets
 
+    def _dbg(self, *a) -> None:
+        import os as _os
+        p = _os.environ.get("TECTONIC_STREAM_DEBUG")
+        if p:
+            with open(p, "a") as f:
+                f.write(" ".join(str(x) for x in a) + "\n")
+
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        self._dbg("initialOffset")
         return {"files": {}}
 
     def latestOffset(self) -> dict:  # noqa: N802 (Spark API name)
@@ -74,12 +92,33 @@ class TectonicFileStreamReader(DataSourceStreamReader):
         snap = dict(self._known)
         snap.update({f: sizes[f] for f in new})
         self._known = snap
+        self._dbg("latestOffset ->", sorted(snap))
         return {"files": dict(snap)}
 
     def partitions(self, start: dict, end: dict) -> list[FileSplit]:
-        seen = set(start.get("files", {}))
+        self._dbg("partitions start=", sorted(start.get("files", {})), "end=", sorted(end.get("files", {})))
+        start_files = start.get("files", {})
+        seen = set(start_files)
         end_files = end.get("files", {})
-        new_files = [f for f in sorted(end_files) if f not in seen]
+        # exclude _processed as well: after a restart, a regressed offset in
+        # the log can make an already-processed file reappear in end-start
+        # (see __init__ docstring) — replaying it would duplicate sink rows
+        new_files = [
+            f for f in sorted(end_files) if f not in seen and f not in self._processed
+        ]
+        # start==end is an engine-generated no-op planning call (seen first
+        # thing after a restart, covering the last logged batch): it plans
+        # nothing and proves nothing about commits — in particular its
+        # files may include the uncommitted batch about to be REPLAYED, so
+        # marking them processed here would skip the replay (observed:
+        # missing sink rows). Only a strict start⊂end advance marks its
+        # start as processed.
+        if set(start_files) != set(end_files):
+            self._processed.update(start_files)
+        for f, sz in start_files.items():
+            self._known.setdefault(f, sz)
+        for f, sz in end_files.items():
+            self._known.setdefault(f, sz)
         split_bytes = int(self.options.get("splitsizebytes", _DEFAULT_SPLIT))
         # plan from the sizes snapshotted in the END offset, not the live
         # filesystem: replaying a committed micro-batch after failure must
@@ -103,6 +142,7 @@ class TectonicFileStreamReader(DataSourceStreamReader):
                 yield tuple(row[n] for n in self._names)
 
     def commit(self, end: dict) -> None:
+        self._dbg("commit", sorted(end.get("files", {})))
         return None
 
 

@@ -167,6 +167,66 @@ class TestJsonStreamSource:
         commits = [f for f in (ck / "commits").iterdir() if not f.name.startswith(".")]
         assert len(commits) >= 3  # one data batch per file, rate-limited
 
+    def test_checkpoint_restart_exactly_once(self, spark, tmp_path):
+        """Stop a rate-limited stream mid-way, restart from the same
+        checkpoint: the sink must hold every row exactly once. Exercises
+        the reader's restart contract — the fresh reader's high-water mark
+        trails the committed offset, and planning from committed offsets
+        must neither skip nor replay files into the sink."""
+        data = tmp_path / "in"
+        data.mkdir()
+        for i, name in enumerate(("a.json", "b.json", "c.json", "d.json")):
+            _write_events(data, i * 20, (i + 1) * 20, name)
+        schema = "event_id long, ts string"
+        out = tmp_path / "out_restart"
+        ck = tmp_path / "ck_restart"
+
+        def start():
+            return (
+                spark.readStream.format("tectonic-json")
+                .schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .load(str(data))
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ck))
+                .outputMode("append")
+                .trigger(processingTime="50 milliseconds")
+                .start()
+            )
+
+        q = start()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(str(out)).count() >= 20:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        partial = spark.read.parquet(str(out)).count()
+        assert partial >= 20  # at least one committed batch before the stop
+
+        q = start()  # fresh reader instance, same checkpoint
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(str(out)).count() >= 80:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        ids = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
+        assert ids == list(range(80))  # every row exactly once, no replay
+
     def test_stream_empty_dir_then_data(self, spark, tmp_path):
         data = tmp_path / "in"
         data.mkdir()
