@@ -224,6 +224,11 @@ SF1_SUBSET = [
     "b07_topn_per_group",
     "c01_minhash_lsh",
     "c03_token_stats",
+    # round-3 additions: heaviest TPC-H join shape + the two new pipeline
+    # ops with scale-relevant structure (global pack shuffle / per-row fold)
+    "q21_suppliers_who_kept_orders_waiting",
+    "c04_sequence_packing",
+    "c04_repetition",
 ]
 
 

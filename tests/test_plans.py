@@ -181,3 +181,35 @@ def test_q22_anti_join_not_nested_loop(spark, sf_dir):
     # scalar avg a broadcast nested loop — both may appear; the anti join
     # itself must not be the nested-loop one
     assert "LeftAnti, BuildRight" in plan or "LeftAnti" in plan
+
+
+def test_c04_repetition_no_shuffle(spark, sf_dir):
+    """Repetition signals are a pure per-row computation: the plan must
+    contain no Exchange at all (scan -> project)."""
+    plan = physical_plan(build(spark, sf_dir, "c04_repetition"))
+    assert "Exchange" not in plan
+
+
+def test_c04_mixture_sampling_no_shuffle_and_pruned(spark, sf_dir):
+    """Hash-filter sampling: no Exchange, and the parquet scan reads only
+    (doc_id, source) — not text."""
+    plan = physical_plan(build(spark, sf_dir, "c04_mixture_sampling"))
+    assert "Exchange" not in plan
+    full = explain_str(ops.REGISTRY["c04_mixture_sampling"].builder(spark, sf_dir))
+    read_schema = [ln for ln in full.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" not in read_schema[0]
+
+
+def test_c04_packing_windows_are_bucket_partitioned(spark, sf_dir):
+    """The two-level exclusive scan: the per-document running sum must be
+    a window PARTITIONED by bucket (parallel), and the bucket-offset join
+    must broadcast. Exactly one window in the plan may be global — the
+    tiny N/1024-row bucket-totals prefix sum."""
+    plan = physical_plan(build(spark, sf_dir, "c04_sequence_packing"))
+    assert "BroadcastHashJoin" in plan
+    # the per-doc window partitions by bucket
+    import re as _re
+
+    windows = [ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
+    partitioned = [w for w in windows if "bucket" in w]
+    assert partitioned, windows
