@@ -27,10 +27,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tectonic_spark.operators.registry import register
+from tectonic_spark.operators.text import o_shingles, shingles_col
 from tectonic_spark.tables import table
 
 SEQ_LEN = 128  # tokens per packed training sequence
 PACK_BUCKET = 1024  # documents per offset bucket in the two-level scan
+DECON_K = 4  # shingle width for benchmark decontamination
+DECON_MOD = 50  # doc_id % DECON_MOD == 0 plays the held-out benchmark set
 
 
 def grams_col(w: Column, k: int) -> Column:
@@ -310,4 +313,58 @@ def c04_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     return d.where(h % 10000 < rate_bp).select(
         "doc_id", "source", rate_bp.cast("long").alias("rate_bp")
+    )
+
+
+_DECON_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+b AS (
+  SELECT DISTINCT unnest({o_shingles("w", DECON_K)}) AS sh
+  FROM w WHERE doc_id % {DECON_MOD} = 0 AND len(w) >= {DECON_K}
+),
+t AS (
+  SELECT doc_id, unnest({o_shingles("w", DECON_K)}) AS sh
+  FROM w WHERE doc_id % {DECON_MOD} <> 0 AND len(w) >= {DECON_K}
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_shingles
+FROM t JOIN b USING (sh)
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "c04_decontamination",
+    oracle=_DECON_ORACLE,
+    doc=f"Benchmark decontamination — the step a pre-training pipeline runs "
+    f"so evaluation data never leaks into the training set: flag every "
+    f"training document sharing at least one distinct {DECON_K}-word "
+    f"shingle with the held-out benchmark set (docs with doc_id % "
+    f"{DECON_MOD} == 0 play the benchmark here), reporting how many of "
+    f"its shingles are contaminated. 100 TB shape: the benchmark side is "
+    f"small by construction (eval sets are thousands of docs, not "
+    f"billions) so its distinct-shingle set BROADCASTS; training shingles "
+    f"explode linearly and semi-join against it with no shuffle of the "
+    f"corpus — the only exchange is the final per-doc count on doc_id. "
+    f"Plan-asserted broadcast, no SortMergeJoin.",
+)
+def c04_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    docs = d.select("doc_id", shingles_col(w, DECON_K).alias("sh")).where(
+        F.size(w) >= DECON_K
+    )
+    bench = (
+        docs.where(F.col("doc_id") % DECON_MOD == 0)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+    )
+    train = docs.where(F.col("doc_id") % DECON_MOD != 0).select(
+        "doc_id", F.explode("sh").alias("sh")
+    )
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )

@@ -168,3 +168,49 @@ def test_repetition_detects_repeats(spark):
     assert out[0].dup_3gram_frac > 0.5
     assert out[1].dup_word_frac == 0.0
     assert out[1].dup_3gram_frac == 0.0
+
+
+def test_decontamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark shingle set must broadcast (no SortMergeJoin of the
+    corpus against it) — the property that keeps decontamination linear
+    at 100 TB."""
+    from tectonic_spark.plans import physical_plan
+
+    plan = physical_plan(
+        ops.REGISTRY["c04_decontamination"].builder(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontamination_flags_planted_leak(spark, tmp_path):
+    """Plant an exact benchmark passage inside a training doc: it must be
+    flagged; an unrelated doc must not."""
+    import pandas as pd
+
+    from tectonic_spark.operators.pipeline import DECON_K, DECON_MOD
+
+    passage = " ".join(f"w{i}" for i in range(DECON_K))
+    rows = [
+        # doc_id 0: benchmark member (0 % DECON_MOD == 0)
+        {"doc_id": 0, "text": passage + " tail tokens here"},
+        # doc_id 1: training doc leaking the passage
+        {"doc_id": 1, "text": "prefix " + passage + " suffix"},
+        # doc_id 2: clean training doc
+        {"doc_id": 2, "text": "totally different words only " + " ".join(
+            f"z{i}" for i in range(DECON_K))},
+    ]
+    df = pd.DataFrame(rows)
+    df["lang"] = "en"
+    df["source"] = "src0"
+    df["n_chars"] = df["text"].str.len()
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r.doc_id: r.n_contaminated_shingles
+        for r in ops.REGISTRY["c04_decontamination"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert out.get(1, 0) >= 1
+    assert 2 not in out
+    assert 0 not in out  # benchmark docs are not reported
