@@ -213,3 +213,24 @@ def test_c04_packing_windows_are_bucket_partitioned(spark, sf_dir):
     windows = [ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
     partitioned = [w for w in windows if "bucket" in w]
     assert partitioned, windows
+
+
+def test_q16_q20_dims_broadcast(spark, sf_dir):
+    """q16/q20 shapes: every join side that is dimension-scale broadcasts;
+    no SortMergeJoin, no CartesianProduct."""
+    for name in ("q16_parts_supplier_relationship", "q20_potential_part_promotion"):
+        plan = physical_plan(build(spark, sf_dir, name))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 2, name
+
+
+def test_q21_anti_join_is_sort_merge_on_orderkey(spark, sf_dir):
+    """q21's NOT-EXISTS probe is lineitem-vs-lineitem — big-big, so the
+    RIGHT plan at scale is a SortMergeJoin anti on the orderkey shuffle
+    (broadcasting a fact table would be the scale bug), with supplier /
+    orders / nation still broadcast."""
+    plan = physical_plan(build(spark, sf_dir, "q21_suppliers_who_kept_orders_waiting"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
