@@ -368,3 +368,97 @@ def c04_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )
+
+
+_CURATION_ORACLE = f"""
+WITH dedup AS (  -- exact dedup: keep the earliest doc per text digest
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                 ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+q2 AS (          -- cheap quality gate: length + duplicate-word fraction
+  SELECT doc_id, lang, source,
+         CAST(len(w) AS BIGINT) AS n_tokens
+  FROM (SELECT *, string_split(text, ' ') AS w FROM dedup)
+  WHERE len(w) >= 15
+    AND 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) < 0.6
+),
+contaminated AS ( -- benchmark leak set (same rule as c04_decontamination)
+  SELECT DISTINCT t.doc_id FROM (
+    SELECT doc_id, unnest({o_shingles("w", DECON_K)}) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE doc_id % {DECON_MOD} <> 0 AND len(w) >= {DECON_K}
+  ) t JOIN (
+    SELECT DISTINCT unnest({o_shingles("w", DECON_K)}) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE doc_id % {DECON_MOD} = 0 AND len(w) >= {DECON_K}
+  ) b USING (sh)
+),
+sampled AS (      -- weighted mixture sampling (same rule as c04_mixture)
+  SELECT q2.*,
+         CASE CAST(substr(source, 4) AS INT) % 4
+              WHEN 0 THEN 10000 WHEN 1 THEN 5000
+              WHEN 2 THEN 2500 ELSE 1000 END AS rate_bp,
+         md5(CAST(doc_id AS VARCHAR) || ':' || source) AS h
+  FROM q2
+)
+SELECT doc_id, lang, source, n_tokens
+FROM sampled
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND {_O_HEX32} % 10000 < rate_bp
+"""
+
+
+@register(
+    "c05_corpus_curation",
+    oracle=_CURATION_ORACLE,
+    doc=f"End-to-end corpus curation as ONE DataFrame program — the "
+    f"composition a real pre-training pipeline runs: exact dedup (earliest "
+    f"doc per sha256, one digest shuffle) -> quality gate (>=15 tokens, "
+    f"dup-word fraction < 0.6; per-row, no shuffle) -> benchmark "
+    f"decontamination (broadcast anti join against the eval shingle set) "
+    f"-> weighted mixture sampling (stateless md5 filter). Demonstrates "
+    f"that the c-surface operators compose inside a single Catalyst plan: "
+    f"filters stay pushed, the only corpus-sized shuffles are the dedup "
+    f"digest and the window, and every probability/threshold is "
+    f"deterministic so the oracle replicates the whole pipeline.",
+)
+def c05_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    # 1. exact dedup: earliest doc_id per digest
+    rn = F.row_number().over(
+        W.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    )
+    deduped = d.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn")
+    # 2. quality gate
+    w = F.split(F.col("text"), " ")
+    q = deduped.select(
+        "doc_id", "lang", "source", "text", F.size(w).cast("long").alias("n_tokens")
+    ).where(
+        (F.size(w) >= 15)
+        & (F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.size(w) < 0.6)
+    )
+    # 3. decontamination: anti join against the contaminated-doc set
+    contaminated = c04_decontamination(spark, sf_dir).select("doc_id")
+    clean = q.join(contaminated, "doc_id", "left_anti")
+    # 4. mixture sampling
+    m = F.substring("source", 4, 10).cast("int") % 4
+    rate_bp = (
+        F.when(m == 0, 10000).when(m == 1, 5000).when(m == 2, 2500).otherwise(1000)
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return clean.where(h % 10000 < rate_bp).select(
+        "doc_id", "lang", "source", "n_tokens"
+    )

@@ -114,10 +114,10 @@ PRIORITY: list[str] = [
     "c03_token_stats",
     "c03_lang_id",
     "c03_quality_score",
-    # LLM-pipeline: quality / packing / mixture (beyond-reference c4)
+    # LLM-pipeline: quality / packing / mixture / curation (beyond-reference)
     "c04_repetition",
     "c04_sequence_packing",
-    "c04_mixture_sampling",
+    "c05_corpus_curation",
     # multimodal
     "m01_media_metadata",
     "m02_frame_sampling",

@@ -214,3 +214,33 @@ def test_decontamination_flags_planted_leak(spark, tmp_path):
     assert out.get(1, 0) >= 1
     assert 2 not in out
     assert 0 not in out  # benchmark docs are not reported
+
+
+def test_curation_oracle_parity(spark, sf_dir, con):
+    q = ops.REGISTRY["c05_corpus_curation"]
+    sdf = q.builder(spark, sf_dir).toPandas()
+    odf = con.execute(q.oracle).fetchdf()
+    problems = compare("c05_corpus_curation", sdf, odf)
+    assert not problems, problems
+
+
+def test_curation_composes_in_one_plan(spark, sf_dir):
+    """The four stages fuse into one Catalyst plan: no CartesianProduct,
+    the decontamination anti probe broadcasts, and the curated subset is a
+    strict subset of the mixture-sampled set."""
+    from tectonic_spark.plans import physical_plan
+
+    df = ops.REGISTRY["c05_corpus_curation"].builder(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    curated = {r.doc_id for r in df.select("doc_id").collect()}
+    sampled = {
+        r.doc_id
+        for r in ops.REGISTRY["c04_mixture_sampling"]
+        .builder(spark, sf_dir)
+        .select("doc_id")
+        .collect()
+    }
+    assert curated <= sampled
+    assert curated
