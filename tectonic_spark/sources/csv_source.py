@@ -29,7 +29,7 @@ from pyspark.sql.datasource import DataSource, DataSourceReader
 from pyspark.sql.types import StringType, StructField, StructType
 
 from tectonic_spark.core.csv_parser import CsvConfig, CsvParser, as_header
-from tectonic_spark.core.result import Failure
+from tectonic_spark.core.result import Failure, ParseException
 from tectonic_spark.sources.arrow_batch import DEFAULT_BATCH_ROWS, rows_to_batches
 from tectonic_spark.sources.json_source import (
     _CHUNK,
@@ -241,6 +241,12 @@ class TectonicCsvReader(DataSourceReader):
                 if files:
                     self.full_names = read_csv_header(files[0], self.config)
             except (FileNotFoundError, OSError):
+                self.full_names = None
+            except ParseException:
+                # e.g. unix newlines under the default \r\n row delimiter:
+                # don't fail at construction (Spark wraps that as an opaque
+                # planning error) — the read itself raises the same
+                # ParseException with file/offset context
                 self.full_names = None
 
     def partitions(self) -> list[FileSplit]:

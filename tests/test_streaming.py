@@ -167,26 +167,45 @@ class TestJsonStreamSource:
         commits = [f for f in (ck / "commits").iterdir() if not f.name.startswith(".")]
         assert len(commits) >= 3  # one data batch per file, rate-limited
 
-    def test_checkpoint_restart_exactly_once(self, spark, tmp_path):
+    @pytest.mark.parametrize("fmt", ["tectonic-json", "tectonic-csv"])
+    def test_checkpoint_restart_exactly_once(self, spark, tmp_path, fmt):
         """Stop a rate-limited stream mid-way, restart from the same
         checkpoint: the sink must hold every row exactly once. Exercises
-        the reader's restart contract — the fresh reader's high-water mark
-        trails the committed offset, and planning from committed offsets
-        must neither skip nor replay files into the sink."""
+        the shared reader's restart contract for BOTH formats — the fresh
+        reader's high-water mark trails the committed offset, and planning
+        from committed offsets must neither skip nor replay files into the
+        sink."""
         data = tmp_path / "in"
         data.mkdir()
-        for i, name in enumerate(("a.json", "b.json", "c.json", "d.json")):
-            _write_events(data, i * 20, (i + 1) * 20, name)
-        schema = "event_id long, ts string"
+        if fmt == "tectonic-json":
+            for i, name in enumerate(("a.json", "b.json", "c.json", "d.json")):
+                _write_events(data, i * 20, (i + 1) * 20, name)
+        else:
+            for i, name in enumerate(("a.csv", "b.csv", "c.csv", "d.csv")):
+                rows = "".join(
+                    f"{e},t{e}\n" for e in range(i * 20, (i + 1) * 20)
+                )
+                (data / name).write_text("event_id,ts\n" + rows)
+        # the CSV surface is string-typed (reference parity): read ids as
+        # strings there and compare as ints below
+        schema = (
+            "event_id long, ts string"
+            if fmt == "tectonic-json"
+            else "event_id string, ts string"
+        )
         out = tmp_path / "out_restart"
         ck = tmp_path / "ck_restart"
 
         def start():
-            return (
-                spark.readStream.format("tectonic-json")
+            reader = (
+                spark.readStream.format(fmt)
                 .schema(schema)
                 .option("maxFilesPerTrigger", "1")
-                .load(str(data))
+            )
+            if fmt == "tectonic-csv":
+                reader = reader.option("lineSep", "\n")
+            return (
+                reader.load(str(data))
                 .writeStream.format("parquet")
                 .option("path", str(out))
                 .option("checkpointLocation", str(ck))
@@ -224,7 +243,9 @@ class TestJsonStreamSource:
         finally:
             q.stop()
             q.awaitTermination(60)
-        ids = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
+        ids = sorted(
+            int(r.event_id) for r in spark.read.parquet(str(out)).collect()
+        )
         assert ids == list(range(80))  # every row exactly once, no replay
 
     def test_stream_empty_dir_then_data(self, spark, tmp_path):
