@@ -98,18 +98,26 @@ def _hyperplanes() -> list[list[float]]:
 
 
 def bucket_col(e: str | Column) -> Column:
-    """Sign-bit LSH bucket id of an embedding column (array<double>)."""
+    """Sign-bit LSH bucket id of an embedding column (array<double>).
+
+    The plane dot is rounded to 6 dp before the sign test — the
+    c01_embedding_neardup determinism contract — so the DuckDB oracle's
+    identical plane literals produce the identical buckets and the
+    "approximate" LSH result is still exactly reproducible."""
     planes = _hyperplanes()
     bits = [
         F.when(
-            F.aggregate(
-                F.zip_with(
-                    e,
-                    F.array(*[F.lit(float(x)) for x in p]),
-                    lambda x, y: x * y,
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        e,
+                        F.array(*[F.lit(float(x)) for x in p]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
                 ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+                6,
             )
             > 0,
             F.lit(1 << i).cast("long"),
@@ -122,12 +130,53 @@ def bucket_col(e: str | Column) -> Column:
     return out
 
 
+def _ann_lsh_oracle() -> str:
+    """DuckDB replica of c02_ann_lsh: identical plane literals, identical
+    6-dp rounding before the sign test, identical rounded-sim ranking."""
+    planes = _hyperplanes()
+
+    def lit(p: list[float]) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket = " + ".join(
+        "CASE WHEN round(list_sum(list_transform(range(1, len(e) + 1), "
+        f"i -> e[i] * ({lit(p)})[i])), 6) > 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+                 CAST({bucket} AS BIGINT) AS bucket
+          FROM v),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.e) + 1),
+                                           i -> q.e[i] * c.e[i]))
+                   / (q.nrm * c.nrm), 6) AS sim
+      FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, sim AS cos_sim, rn FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rn
+      FROM pairs) t
+    WHERE rn <= {TOP_K}
+    """
+
+
 @register(
     "c02_ann_lsh",
-    oracle=None,  # approximate by construction; driver rows-only check.
+    oracle=_ann_lsh_oracle(),
     doc=f"ANN via random-hyperplane LSH: {N_PLANES} sign bits → bucket id; "
     f"top-{TOP_K} cosine within each query's bucket only. Shuffle key = "
-    "bucket; linear scan cost per bucket. Recall is approximate — no oracle.",
+    "bucket; linear scan cost per bucket. Recall is approximate, but the "
+    "RESULT is exactly reproducible: identical plane literals + 6-dp "
+    "rounding before every sign test and before the ranking sim, so the "
+    "oracle replicates the bucketing (including LSH misses) bit-for-bit — "
+    "the c01_embedding_neardup determinism contract, upgrading this from "
+    "a rows-only check to an exact oracle.",
 )
 def c02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
@@ -145,7 +194,10 @@ def c02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
         "bucket",
     )
-    sim = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    # rank on the 6-dp-rounded sim (ties broken by neighbor_id): raw-double
+    # ranking could order last-ulp-different sims differently across
+    # engines; rounding first makes the ranking oracle-reproducible
+    sim = F.round(_dot("qe", "ce") / (F.col("qn") * F.col("cn")), 6)
     pairs = (
         q.join(c, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -155,7 +207,7 @@ def c02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rn")
+        .select("query_id", "neighbor_id", F.col("sim").alias("cos_sim"), "rn")
     )
 
 
