@@ -260,13 +260,43 @@ def c01_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+),
+h AS (  -- first 15 md5 hex chars -> BIGINT (= Spark conv(_, 16, 10))
+  SELECT doc_id, list_sum(list_transform(range(1, 16), i ->
+      CAST(strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1)) - 1
+           AS BIGINT)
+      * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INT)))) AS hv
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, bb.bit,
+         SUM(CASE WHEN (hv >> CAST(bb.bit AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(0, 60)) AS bit) bb
+  GROUP BY doc_id, bb.bit
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0
+                     THEN CAST(1 AS BIGINT) << CAST(bit AS INT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
 @register(
     "c01_simhash",
-    oracle=None,  # 60-bit bit-twiddling isn't portably SQL-expressible
+    oracle=_SIMHASH_ORACLE,
     doc="SimHash signatures: per-token 60-bit hash from md5 hex (conv base "
     "16→10), per-bit ±1 votes aggregated JVM-side, sign-packed to a BIGINT. "
     "Near-dup pairs then block on 15-bit sub-bands + hamming<=3 "
-    "(bit_count(xor)). Rows-only driver check.",
+    "(bit_count(xor)). The md5 token hash makes even this bit-twiddling "
+    "exactly reproducible in SQL: the oracle rebuilds the 60-bit hash from "
+    "the same 15 md5 hex chars (hex->BIGINT fold), replays the ±1 votes "
+    "per bit, and packs the same sign bits — upgraded from rows-only.",
 )
 def c01_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
