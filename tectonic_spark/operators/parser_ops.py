@@ -665,7 +665,7 @@ def _events_stream_src(sf_dir: str) -> tuple[str, int]:
     import duckdb
 
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, "s04_src")
+    src = os.path.join(base, "s04_src2")
     done = os.path.join(src, "_DONE")
     path = os.path.join(sf_dir, "events.parquet")
     expected = duckdb.sql(
@@ -678,23 +678,30 @@ def _events_stream_src(sf_dir: str) -> tuple[str, int]:
         shutil.rmtree(src, ignore_errors=True)
         os.makedirs(src, exist_ok=True)
         rows = duckdb.sql(
-            f"SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value "
-            f"FROM '{path}' ORDER BY ts, event_id"
+            f"SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id, "
+            f"event_type, value FROM '{path}' ORDER BY ts, event_id"
         ).fetchall()
         quarter = (len(rows) + 3) // 4
         for i in range(4):
             part = "\n".join(
                 json.dumps(
-                    {"event_id": e, "ts_us": t, "event_type": et, "value": v}
+                    {
+                        "event_id": e,
+                        "ts_us": t,
+                        "user_id": u,
+                        "event_type": et,
+                        "value": v,
+                    }
                 )
-                for e, t, et, v in rows[i * quarter : (i + 1) * quarter]
+                for e, t, u, et, v in rows[i * quarter : (i + 1) * quarter]
             )
             _write_atomic(os.path.join(src, f"in-{i}.jsonl"), (part + "\n").encode())
-        max_ts = max(t for _e, t, _et, _v in rows)
+        max_ts = max(t for _e, t, _u, _et, _v in rows)
         sentinel = json.dumps(
             {
                 "event_id": -1,
                 "ts_us": max_ts + 86_400_000_000,  # +1 day >> watermark delay
+                "user_id": -1,
                 "event_type": "__flush__",
                 "value": 0.0,
             }
@@ -801,6 +808,111 @@ def s04_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "continuation did not engage"
         )
     return spark.read.parquet(out).where(F.col("event_type") != "__flush__")
+
+
+@register(
+    "s05_stream_sessionization",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      -- Spark session windows are [start, last+gap): an event exactly at
+      -- prev+gap starts a NEW session, hence >= not >.
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="STATEFUL streaming sessionization under the correctness gate: the "
+    "same rate-limited event stream as s04 feeds session_window(ts, 30 min) "
+    "per user behind a 30-minute watermark in append mode — Spark's "
+    "streaming session-state store merges sessions across micro-batches, "
+    "and the flush sentinel closes every real session so the emitted set "
+    "equals the batch gaps-and-islands oracle exactly. This is the s2 "
+    "component's first driver-green row (previously tests-only): real "
+    "multi-batch session state, driver-collectable because event-time "
+    "semantics (not processing-time timeouts) decide emission.",
+)
+def s05_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    register_tectonic_sources(spark)
+    src, _ = _events_stream_src(sf_dir)
+    path = os.path.join(sf_dir, "events.parquet")
+    expected = duckdb.sql(
+        f"""
+        WITH lagged AS (
+          SELECT user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM '{path}')
+        SELECT COUNT(*) FROM lagged
+        WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+        """
+    ).fetchone()[0]
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s05_sink")
+    ck = os.path.join(base, "s05_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema("event_id long, ts_us long, user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+    )
+    agg = (
+        stream.select(F.timestamp_micros("ts_us").alias("ts"), "user_id")
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        sink_rows = 0
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            if sink_rows >= expected:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    if sink_rows < expected:
+        raise RuntimeError(
+            f"s05: sink has {sink_rows} finalized sessions, expected "
+            f"{expected} — watermark did not close every real session"
+        )
+    return spark.read.parquet(out).where(F.col("user_id") >= 0)
 
 
 @register(

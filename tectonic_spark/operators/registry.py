@@ -73,11 +73,12 @@ PRIORITY: list[str] = [
     "a06_malformed_handling",
     "a07_parquet_sink_roundtrip",
     "a12_catalog_table_roundtrip",
-    # streaming
+    # streaming (incl. s05: stateful session store under the gate)
     "s01_stream_jsonl_to_parquet",
     "s02_stream_csv_to_parquet",
     "s03_stream_multibatch",
     "s04_stream_watermark",
+    "s05_stream_sessionization",
     # relational b1-b14 (one per component)
     "b01_project_compute",
     "b02_filter_pushdown",
@@ -102,7 +103,6 @@ PRIORITY: list[str] = [
     "c01_dedup_exact",
     "c01_ngram_jaccard",
     "c01_minhash_lsh",
-    "c01_simhash",
     "c01_embedding_neardup",
     "c01_dedup_clusters",
     # LLM-pipeline: similarity search
