@@ -98,6 +98,40 @@ def documents_mixed_jsonl(sf_dir: str) -> str:
     return out
 
 
+def documents_heterotype_dir(sf_dir: str) -> str:
+    """a15 fixture: the SAME field changes type ACROSS FILES — ``val`` is
+    long in part-0, double in part-1, string in part-2 (rows assigned by
+    doc_id %% 3). Inference must sample beyond the first file (the spread
+    sampler always includes first + last) and widen long→double→string to
+    STRING, then coerce every file's cells to canonical JSON text."""
+    out = os.path.join(_fixture_dir(sf_dir), "documents_heterotype")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        parts: list[list[str]] = [[], [], []]
+        for doc_id, _text, lang, _source, n_chars in _docs_rows(sf_dir):
+            k = doc_id % 3
+            if k == 0:
+                val = n_chars  # long
+            elif k == 1:
+                val = n_chars + 0.25  # double
+            else:
+                val = f"v{doc_id}"  # string
+            parts[k].append(
+                json.dumps(
+                    {"doc_id": doc_id, "lang": lang, "val": val},
+                    ensure_ascii=False,
+                )
+            )
+        for k, lines in enumerate(parts):
+            _write_atomic(
+                os.path.join(out, f"part-{k}.jsonl"),
+                ("\n".join(lines) + "\n").encode(),
+            )
+        _write_atomic(marker, b"ok\n")
+    return out
+
+
 def documents_wide_jsonl(sf_dir: str, n_extra: int = 19) -> str:
     """Skip-benchmark fixture (ugh10k scenario, README.md:263-272): wide
     rows — doc_id first, then ``n_extra`` filler fields — projecting one
@@ -327,6 +361,31 @@ def a05_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.array_join("tags", ",").alias("tags"),
     )
+
+
+@register(
+    "a15_heterotype_widening",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE doc_id % 3
+             WHEN 0 THEN CAST(n_chars AS VARCHAR)
+             WHEN 1 THEN CAST(CAST(n_chars AS DOUBLE) + 0.25 AS VARCHAR)
+             ELSE 'v' || CAST(doc_id AS VARCHAR)
+           END AS val
+    FROM documents
+    """,
+    doc="Cross-FILE type widening (a5 gap closed, VERDICT r3 item 10): the "
+    "``val`` field is long in part-0, double in part-1, string in part-2 of "
+    "a 3-file scan. The spread sampler (json_source.py:173) must see more "
+    "than the first file, merge long∨double∨string → STRING via the type "
+    "lattice (schema_infer.py:76), and normalize_row must render numeric "
+    "cells as canonical JSON text — matching DuckDB's read_json_auto "
+    "widening (cross-checked in tests/test_parser_ops.py).",
+)
+def a15_heterotype_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = documents_heterotype_dir(sf_dir)
+    df = _json_reader(spark).load(path)
+    return df.select("doc_id", "lang", "val")
 
 
 @register(

@@ -50,6 +50,13 @@ class TectonicFileStreamReader(DataSourceStreamReader):
         # one availableNow snapshot.
         mft = options.get("maxfilespertrigger")
         self.max_files = int(mft) if mft is not None else None
+        # maxBytesPerTrigger: byte-based admission (Delta/file-source
+        # parity). New files are admitted in sorted order until their
+        # cumulative size would exceed the cap; always ≥1 file per call so
+        # a single over-cap file still makes progress. Composes with
+        # maxFilesPerTrigger (both caps apply).
+        mbt = options.get("maxbytespertrigger")
+        self.max_bytes = int(mbt) if mbt is not None else None
         # monotonic high-water mark of files already surfaced in an offset.
         # Driver-side state: after a restart it resets, so the first
         # rate-limited latestOffset may REGRESS below the committed offset
@@ -86,9 +93,20 @@ class TectonicFileStreamReader(DataSourceStreamReader):
         except FileNotFoundError:
             files = []
         sizes = {f: os.path.getsize(f) for f in files}
-        if self.max_files is None:
+        if self.max_files is None and self.max_bytes is None:
             return {"files": sizes}
-        new = sorted(f for f in sizes if f not in self._known)[: self.max_files]
+        new = sorted(f for f in sizes if f not in self._known)
+        if self.max_files is not None:
+            new = new[: self.max_files]
+        if self.max_bytes is not None:
+            admitted: list[str] = []
+            total = 0
+            for f in new:
+                if admitted and total + sizes[f] > self.max_bytes:
+                    break
+                admitted.append(f)
+                total += sizes[f]
+            new = admitted
         snap = dict(self._known)
         snap.update({f: sizes[f] for f in new})
         self._known = snap

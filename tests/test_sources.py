@@ -951,3 +951,40 @@ class TestInferenceSpread:
         df = spark.read.format("tectonic-json").load(str(tmp_path))
         assert "late" in df.columns
         assert df.filter("late is not null").count() == 100
+
+
+class TestHeterotypeWidening:
+    """a15: same field changes type across files (long→double→string).
+
+    The registered oracle recomputes expected text from the documents view;
+    this test is the independent cross-check VERDICT r3 item 10 asked for —
+    DuckDB's own read_json_auto widening over the actual fixture bytes."""
+
+    def test_val_widens_to_string(self, spark, sf_dir):
+        from tectonic_spark.operators.parser_ops import documents_heterotype_dir
+
+        d = documents_heterotype_dir(sf_dir)
+        df = spark.read.format("tectonic-json").load(d)
+        assert dict(df.dtypes)["val"] == "string"
+
+    def test_matches_duckdb_read_json_auto(self, spark, sf_dir):
+        import duckdb
+
+        from tectonic_spark.operators.parser_ops import documents_heterotype_dir
+
+        d = documents_heterotype_dir(sf_dir)
+        sdf = (
+            spark.read.format("tectonic-json")
+            .load(d)
+            .select("doc_id", "val")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        odf = duckdb.sql(
+            f"SELECT doc_id, val->>'$' AS val "
+            f"FROM read_json_auto('{d}/part-*.jsonl', union_by_name=true) "
+            "ORDER BY doc_id"
+        ).fetchdf()
+        assert sdf["doc_id"].tolist() == odf["doc_id"].tolist()
+        assert sdf["val"].tolist() == odf["val"].tolist()

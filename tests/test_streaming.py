@@ -364,3 +364,177 @@ class TestStreamingOps:
         assert set(by_user) == set(range(7))
         assert all(r.closed_by == "timeout" for r in rows)
         assert by_user[0].n == 10  # 70 events, user_id = i % 7
+
+
+class TestStreamFaults:
+    """Byte-based admission + fault injection (VERDICT r3 item 7): the
+    exactly-once story the restart fix started, completed — a crash in the
+    window between the sink writing batch N and the engine logging
+    ``commits/N`` must replay N without duplicating sink rows."""
+
+    def test_max_bytes_per_trigger_rate_limits_offsets(self, tmp_path):
+        from pyspark.sql.types import StructType
+
+        from tectonic_spark.streaming.json_stream import TectonicFileStreamReader
+
+        data = tmp_path / "in"
+        data.mkdir()
+        # 5 files × ~120 bytes each; cap at 250 bytes → 2 files per call
+        for i in range(5):
+            (data / f"f{i}.jsonl").write_text(
+                '{"a": %d, "pad": "%s"}\n' % (i, "x" * 100)
+            )
+        size = (data / "f0.jsonl").stat().st_size
+        reader = TectonicFileStreamReader(
+            batch_reader=None,
+            schema=StructType([]),
+            options={"path": str(data), "maxbytespertrigger": str(2 * size)},
+            splittable=True,
+        )
+        seen = []
+        prev = reader.initialOffset()
+        for _ in range(4):
+            cur = reader.latestOffset()
+            seen.append(len(set(cur["files"]) - set(prev["files"])))
+            assert set(prev["files"]) <= set(cur["files"])
+            prev = cur
+        assert seen == [2, 2, 1, 0]
+
+    def test_max_bytes_always_admits_one_oversized_file(self, tmp_path):
+        from pyspark.sql.types import StructType
+
+        from tectonic_spark.streaming.json_stream import TectonicFileStreamReader
+
+        data = tmp_path / "in"
+        data.mkdir()
+        (data / "big.jsonl").write_text('{"a": 1, "pad": "%s"}\n' % ("y" * 4096))
+        reader = TectonicFileStreamReader(
+            batch_reader=None,
+            schema=StructType([]),
+            options={"path": str(data), "maxbytespertrigger": "10"},
+            splittable=True,
+        )
+        cur = reader.latestOffset()
+        assert len(cur["files"]) == 1  # progress despite cap < file size
+
+    def test_max_bytes_end_to_end_multibatch(self, spark, tmp_path):
+        data = tmp_path / "in"
+        data.mkdir()
+        _write_events(data, 0, 30, "a.json")
+        _write_events(data, 30, 60, "b.json")
+        _write_events(data, 60, 90, "c.json")
+        per_file = (data / "a.json").stat().st_size
+        out = tmp_path / "out"
+        ck = tmp_path / "ck_mbt"
+        q = (
+            spark.readStream.format("tectonic-json")
+            .schema("event_id long, ts string")
+            .option("maxBytesPerTrigger", str(per_file))  # one file per batch
+            .load(str(data))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(str(out)).count() >= 90:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        ids = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
+        assert ids == list(range(90))
+        commits = [f for f in (ck / "commits").iterdir() if not f.name.startswith(".")]
+        assert len(commits) >= 3  # byte cap forced ≥3 data batches
+
+    def test_crash_between_sink_write_and_commit_log(self, spark, tmp_path):
+        """Inject the worst-case fault: after the stream stops, delete the
+        newest ``commits/N`` entry — exactly the state a process kill leaves
+        when the sink already wrote batch N but the engine died before
+        logging the commit. On restart the engine replays batch N; the
+        file-sink transaction log + our reader's replay contract must yield
+        every row exactly once."""
+        import os
+
+        data = tmp_path / "in"
+        data.mkdir()
+        for i, name in enumerate(("a.json", "b.json", "c.json", "d.json")):
+            _write_events(data, i * 20, (i + 1) * 20, name)
+        out = tmp_path / "out_crash"
+        ck = tmp_path / "ck_crash"
+
+        def start():
+            return (
+                spark.readStream.format("tectonic-json")
+                .schema("event_id long, ts string")
+                .option("maxFilesPerTrigger", "1")
+                .load(str(data))
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ck))
+                .outputMode("append")
+                .trigger(processingTime="50 milliseconds")
+                .start()
+            )
+
+        q = start()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(str(out)).count() >= 40:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        # the engine holds a per-output-path lock until the query fully
+        # deregisters; starting the "restarted process" before that raises
+        # multiStreamingQueriesUsingPathConcurrently
+        deadline = time.time() + 60
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.1)
+        assert not q.isActive
+        assert spark.read.parquet(str(out)).count() >= 40
+
+        commits = sorted(
+            (f for f in (ck / "commits").iterdir() if not f.name.startswith(".")),
+            key=lambda p: int(p.name),
+        )
+        assert commits, "no committed batches before fault injection"
+        # the kill window: sink wrote, commit log lost. A real kill leaves
+        # NO trace of commits/N — including the ChecksumFs .N.crc sidecar
+        # (leaving it makes the replay's rename fail as "concurrent query")
+        os.unlink(commits[-1])
+        crc = commits[-1].parent / f".{commits[-1].name}.crc"
+        if crc.exists():
+            os.unlink(crc)
+
+        q = start()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(str(out)).count() >= 80:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+        ids = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
+        assert ids == list(range(80)), (
+            f"exactly-once violated: {len(ids)} rows, "
+            f"dups={len(ids) - len(set(ids))}"
+        )
