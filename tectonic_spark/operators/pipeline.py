@@ -9,12 +9,13 @@ pipeline runs between dedup (c1) and tokenized shards.
   zero shuffles, scan pruned to (doc_id, text, n_chars).
 * ``c04_sequence_packing`` needs a *global* token offset per document; a
   naive ``Window.orderBy(doc_id)`` cumulative sum collapses to ONE
-  partition. We instead run the classic two-level exclusive scan: bucket
-  documents by ``doc_id // 1024``, aggregate per-bucket token totals
-  (tiny: N/1024 rows), prefix-sum those on the driver-side-free tiny
-  window, broadcast the bucket offsets back, and finish with a
-  *per-bucket* (parallel) window. Result is bit-identical to the global
-  cumsum the oracle runs, but every stage is bounded and parallel.
+  partition. We instead run a three-level exclusive scan: bucket
+  documents by ``doc_id // 1024``, superbucket by ``bucket // 1024``,
+  prefix-sum superbucket totals (N/1024² rows — the only sequential
+  stage, ~10⁴ rows even at 10¹⁰ documents), then per-superbucket and
+  per-bucket *partitioned* (parallel) windows with the parent offsets
+  broadcast back down. Result is bit-identical to the global cumsum the
+  oracle runs; every data-proportional stage is parallel.
 * ``c04_mixture_sampling`` is a stateless hash filter — no shuffle, and
   the md5-based keep/drop decision is reproducible across engines,
   re-runs, and cluster sizes (the property a training pipeline needs so
@@ -47,58 +48,53 @@ def grams_col(w: Column, k: int) -> Column:
     return acc
 
 
-def _run_length_stats(grams: Column) -> Column:
-    """Single-pass run-length scan over a SORTED gram array returning
-    ``struct(best_run, best_gram, dup_chars)`` where ``best`` is the most
-    frequent gram (ties broken toward the lexicographically LARGER gram so
-    both engines agree) and ``dup_chars`` sums ``count * length(gram)``
-    over grams occurring more than once.
+def _bounds_col(g: Column) -> Column:
+    """Run-boundary indices (0-based) of a SORTED gram array: positions
+    ``i`` where a new distinct gram starts. One adjacent string comparison
+    per element.
 
-    O(n log n) sort + O(n) fold entirely inside codegen — the equivalent
-    explode → groupBy(doc_id, gram) plan would shuffle every gram of every
-    document; this shuffles nothing.
+    ``g`` MUST be a plain column reference (not an inline expression):
+    higher-order functions are interpreted (CodegenFallback), so any
+    expression inside the lambda re-evaluates PER ELEMENT — an inlined
+    ``array_sort`` here turns the scan O(n²·log n) and hangs on real
+    documents (observed: the sf0.001 warm pass alone ran minutes). Staging
+    the sorted array as a projection attribute keeps the per-element work
+    to one element_at lookup; CollapseProject will not re-inline expensive
+    multiply-referenced expressions (SPARK-36718).
     """
-    zero = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best_run"),
-        F.lit("").alias("best"),
-        F.lit(0).cast("long").alias("dup_chars"),
+    idx = F.sequence(F.lit(0), F.size(g) - 1)
+    return F.filter(
+        idx,
+        lambda i: F.when(i == 0, F.lit(True)).otherwise(
+            F.element_at(g, i + 1) != F.element_at(g, i)
+        ),
     )
 
-    def close(acc):
-        # fold the in-flight run into best/dup_chars (used on gram change
-        # and once more in finish for the trailing run)
-        better = (acc["run"] > acc["best_run"]) | (
-            (acc["run"] == acc["best_run"]) & (acc["prev"] > acc["best"])
-        )
-        return (
-            F.when(better, acc["run"]).otherwise(acc["best_run"]),
-            F.when(better, acc["prev"]).otherwise(acc["best"]),
-            acc["dup_chars"]
-            + F.when(
-                acc["run"] > 1, acc["run"] * F.length(acc["prev"]).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        )
 
-    def step(acc, g):
-        same = acc["prev"] == g
-        best_run, best, dup = close(acc)
-        return F.struct(
-            g.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            F.when(same, acc["best_run"]).otherwise(best_run).alias("best_run"),
-            F.when(same, acc["best"]).otherwise(best).alias("best"),
-            F.when(same, acc["dup_chars"]).otherwise(dup).alias("dup_chars"),
-        )
+def _runs_col(g: Column, bnd: Column) -> Column:
+    """Run summary ``array<struct(run, gram)>`` — one entry per DISTINCT
+    gram with its occurrence count — from a sorted gram array ``g`` and
+    its boundary indices ``bnd`` (both plain column references, see
+    :func:`_bounds_col`). Callers reduce this (much shorter) array.
 
-    def finish(acc):
-        best_run, best, dup = close(acc)
-        return F.struct(
-            best_run.alias("best_run"), best.alias("best_gram"), dup.alias("dup_chars")
-        )
+    Replaces a 5-field struct fold (r3 profile: slowest sf1 query at
+    23.6 s — each element paid ~10 conditional struct-field updates) with
+    flat array kernels. Still O(n log n) sort + O(n) scan entirely inside
+    the JVM, zero shuffles — the explode → groupBy(doc_id, gram)
+    equivalent would shuffle every gram of every document.
 
-    return F.aggregate(F.array_sort(grams), zero, step, finish)
+    Callers must guard ``size >= 1`` (empty arrays short-circuit in their
+    ``when`` branches; under ANSI an element_at on the empty sorted array
+    would raise).
+    """
+    nxt = F.concat(F.slice(bnd, 2, F.size(bnd) - 1), F.array(F.size(g)))
+    return F.zip_with(
+        bnd,
+        nxt,
+        lambda b, e: F.struct(
+            (e - b).cast("long").alias("run"), F.element_at(g, b + 1).alias("gram")
+        ),
+    )
 
 
 # DuckDB mirrors the run-length scan with the explode → group → window
@@ -151,27 +147,52 @@ LEFT JOIN dup3 USING (doc_id)
     "pipeline (Rae et al. 2021, public): duplicate-word fraction, fraction "
     "of characters in the most frequent 2-gram, fraction of characters in "
     "duplicated 3-grams. Pure per-row higher-order-function computation — "
-    "no shuffle, no Python; the gram counting is a sort + run-length fold "
-    "inside codegen rather than an explode/groupBy shuffle.",
+    "no shuffle, no Python; gram counting is a sort + boundary-scan into "
+    "per-run structs inside codegen rather than an explode/groupBy "
+    "shuffle. Most-frequent-gram ties break toward the lexicographically "
+    "LARGER gram (struct(run, gram) ordering == the oracle's ORDER BY "
+    "cnt DESC, gram DESC) so both engines agree.",
 )
 def c04_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     w = F.split(F.col("text"), " ")
-    s2 = _run_length_stats(grams_col(w, 2))
-    s3 = _run_length_stats(grams_col(w, 3))
+    # stage sorted gram arrays and their boundaries as real projection
+    # attributes — HOF lambdas must only touch cheap column refs
+    staged = d.select(
+        "doc_id",
+        "n_chars",
+        w.alias("w"),
+        F.array_sort(grams_col(w, 2)).alias("g2"),
+        F.array_sort(grams_col(w, 3)).alias("g3"),
+    ).select(
+        "*",
+        _bounds_col(F.col("g2")).alias("b2"),
+        _bounds_col(F.col("g3")).alias("b3"),
+    )
+    # array_max over struct(run, gram): max count, ties → larger gram
+    best2 = F.array_max(_runs_col(F.col("g2"), F.col("b2")))
+    dup3 = F.aggregate(
+        _runs_col(F.col("g3"), F.col("b3")),
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.when(
+            r["run"] > 1, r["run"] * F.length(r["gram"]).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    wc = F.col("w")
     n_chars = F.col("n_chars").cast("double")
-    return d.select(
+    return staged.select(
         "doc_id",
         (
-            F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.size(w)
+            F.lit(1.0) - F.size(F.array_distinct(wc)).cast("double") / F.size(wc)
         ).alias("dup_word_frac"),
         F.when(
-            F.size(w) >= 2,
-            (s2["best_run"] * F.length(s2["best_gram"])).cast("double") / n_chars,
+            F.size(wc) >= 2,
+            (best2["run"] * F.length(best2["gram"])).cast("double") / n_chars,
         )
         .otherwise(F.lit(0.0))
         .alias("top_2gram_frac"),
-        F.when(F.size(w) >= 3, s3["dup_chars"].cast("double") / n_chars)
+        F.when(F.size(wc) >= 3, dup3.cast("double") / n_chars)
         .otherwise(F.lit(0.0))
         .alias("dup_3gram_frac"),
     )
@@ -210,10 +231,14 @@ GROUP BY 1
     doc=f"Deterministic sequence packing: concatenate all documents in "
     f"doc_id order and cut into fixed {SEQ_LEN}-token training sequences "
     f"(documents span sequence boundaries, GPT-style). The global token "
-    f"offset is computed with a two-level exclusive scan (per-bucket "
-    f"totals -> tiny prefix window -> broadcast join -> per-bucket "
-    f"parallel window) so no stage ever runs on a single partition — "
-    f"bit-identical to the oracle's global cumulative sum.",
+    f"offset is a THREE-level exclusive scan (per-bucket totals -> "
+    f"per-superbucket totals -> prefix windows at each level, each "
+    f"partitioned by its parent, broadcast back down): the only "
+    f"unpartitioned window runs over the superbucket relation of "
+    f"N/{PACK_BUCKET}² rows (~10^4 rows even at 10^10 documents) — "
+    f"every window over data-proportional cardinality is partitioned "
+    f"(plan-asserted in tests/test_plans.py). Bit-identical to the "
+    f"oracle's global cumulative sum.",
 )
 def c04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
@@ -222,11 +247,32 @@ def c04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("w").cast("long"))
         .withColumn("bucket", F.floor(F.col("doc_id") / PACK_BUCKET))
     )
-    # level 1: per-bucket token totals (N/1024 rows — tiny at any SF)
-    totals = d.groupBy("bucket").agg(F.sum("n").alias("bn"))
-    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "bucket", F.coalesce(F.sum("bn").over(w_bucket), F.lit(0).cast("long")).alias("boff")
+    # level 1: per-bucket token totals (N/1024 rows)
+    totals = d.groupBy("bucket").agg(F.sum("n").alias("bn")).withColumn(
+        "sb", F.floor(F.col("bucket") / PACK_BUCKET)
+    )
+    # level 2: per-superbucket totals (N/1024² rows — the ONLY relation a
+    # sequential prefix ever scans; ~10⁴ rows at 10¹⁰ documents)
+    sb_totals = totals.groupBy("sb").agg(F.sum("bn").alias("sbn"))
+    w_sb = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, -1)
+    sb_off = sb_totals.select(
+        "sb", F.coalesce(F.sum("sbn").over(w_sb), F.lit(0).cast("long")).alias("sboff")
+    )
+    # bucket offsets: superbucket base + prefix WITHIN the superbucket
+    # (partitioned window — parallel across superbuckets)
+    w_bucket = (
+        Window.partitionBy("sb")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        totals.join(F.broadcast(sb_off), "sb")
+        .withColumn(
+            "boff",
+            F.col("sboff")
+            + F.coalesce(F.sum("bn").over(w_bucket), F.lit(0).cast("long")),
+        )
+        .select("bucket", "boff")
     )
     # level 2: per-bucket window (parallel across buckets) + broadcast offsets
     w_doc = (

@@ -190,6 +190,28 @@ def test_c04_repetition_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_c04_packing_windows_partitioned(spark, sf_dir):
+    """Three-level exclusive scan: every window over data-proportional
+    cardinality must be PARTITIONED (parallel). The only unpartitioned
+    window allowed is the superbucket prefix — it consumes the doubly
+    aggregated relation of N/1024² rows (its aggregate is over ``sbn``,
+    the superbucket totals), never document-proportional data."""
+    plan = physical_plan(build(spark, sf_dir, "c04_sequence_packing"))
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
+    assert len(windows) == 3, plan
+    # partitioned spec prints partition cols BEFORE the sort col:
+    #   windowspecdefinition(bucket#8L, doc_id#0L ASC ...;
+    # an unpartitioned spec starts directly with the sort col:
+    #   windowspecdefinition(sb#33L ASC ...
+    unpartitioned = [
+        ln
+        for ln in windows
+        if "ASC" in ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+    ]
+    assert len(unpartitioned) == 1, windows
+    assert "sum(sbn" in unpartitioned[0], unpartitioned[0]
+
+
 def test_c04_mixture_sampling_no_shuffle_and_pruned(spark, sf_dir):
     """Hash-filter sampling: no Exchange, and the parquet scan reads only
     (doc_id, source) — not text."""
