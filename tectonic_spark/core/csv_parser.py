@@ -129,6 +129,11 @@ class CsvParser(Generic[A]):
             b"[" + re.escape(c.record + c.row1) + b"]"
         )
         self._row_delim = c.row1 + c.row2
+        # bulk fast path control: retry after each slow-path row, but stop
+        # attempting after 3 consecutive zero-consumption tries so a file
+        # of all-dirty rows costs O(n), not O(n²) region re-splits
+        self._try_fast = False
+        self._fast_misses = 0
 
     # ------------------------------------------------------------------ API
 
@@ -179,6 +184,7 @@ class CsvParser(Generic[A]):
 
     def _churn(self) -> None:
         try:
+            self._fast_rows()
             self._parse_loop()
         except _Incomplete:
             if self._done:
@@ -194,6 +200,89 @@ class CsvParser(Generic[A]):
                 )
             return
 
+    def _fast_rows(self) -> None:
+        """Bulk fast path over the COMPLETE rows currently buffered (the
+        CSV analog of the JSON parser's C ``raw_decode`` trick, VERDICT r3
+        item 9): split the region on the row delimiter at C level and
+        accept a row only when it is provably clean —
+
+        * fully quoted: ``"c1","c2",...,"cN"`` with exactly the header's
+          column count and NO quote/escape byte inside any split cell
+          (catches doubling, stray quotes, and the fragments a quoted
+          embedded newline produces — those fail validation and fall back);
+        * fully unquoted: no open-quote byte anywhere in the row (split on
+          the record separator IS the grammar then).
+
+        On the first row that fails validation, stop with ``_pos`` at that
+        row's start — the suspendable event loop continues from there with
+        byte-identical semantics (including error positions). Events
+        emitted per cell are identical to :meth:`_emit_cell`.
+        """
+        if self._in_header or self._state != _RECORD or self._column != 0:
+            return
+        if self._fast_misses >= 3:
+            return
+        buf = self._buf
+        pos = self._pos
+        rd = self._row_delim
+        rd_len = len(rd)
+        end = buf.rfind(rd)
+        if end < pos:
+            return
+        region = buf[pos : end + rd_len]
+        cfg = self.config
+        oq, cq, rec, esc = cfg.open_quote, cfg.close_quote, cfg.record, cfg.escape
+        sep = cq + rec + oq
+        inferring = self._inferring
+        width = self._header_max + 1
+        # oq==cq==esc (the default Excel-doubling dialect): a clean fully
+        # quoted row has EXACTLY 2·(ncells-1) quote bytes between the outer
+        # pair — one cq+oq per separator; any doubling/stray/escape adds
+        # more. One C-level count replaces a per-cell scan.
+        simple = oq == cq == esc
+        consumed = 0
+        for row in region.split(rd)[:-1]:
+            if row[:1] == oq and row[-1:] == cq and len(row) >= 2:
+                interior = row[1:-1]
+                cells = interior.split(sep)
+                if (inferring or len(cells) == width) and (
+                    interior.count(cq) == 2 * (len(cells) - 1)
+                    if simple
+                    else not any(oq in c or cq in c or esc in c for c in cells)
+                ):
+                    self._emit_fast_row(cells)
+                    consumed += len(row) + rd_len
+                    continue
+            elif oq not in row:
+                cells = row.split(rec)
+                if inferring or len(cells) == width:
+                    self._emit_fast_row(cells)
+                    consumed += len(row) + rd_len
+                    continue
+            break  # this row needs the event machinery
+        self._fast_misses = self._fast_misses + 1 if consumed == 0 else 0
+        self._pos = pos + consumed
+
+    def _emit_fast_row(self, cells: list[bytes]) -> None:
+        """Per-cell events exactly as _emit_cell + _end_row produce them."""
+        if self._inferring:
+            while len(self._headers) < len(cells):
+                self._headers.append(as_header(len(self._headers)))
+        headers = self._headers
+        proj = self.projection
+        plate = self.plate
+        for i, cb in enumerate(cells):
+            text = cb.decode("utf-8")
+            if proj is not None and headers[i] not in proj:
+                n = len(text)
+                self._skipped_bytes_total += n
+                plate.skipped(n)
+                continue
+            plate.nest_map(headers[i])
+            plate.str(text)
+            plate.unnest()
+        plate.finish_row()
+
     def _parse_loop(self) -> None:
         buf = self._buf
         cfg = self.config
@@ -204,6 +293,11 @@ class CsvParser(Generic[A]):
         r1 = cfg.row1[0]
 
         while True:
+            if self._try_fast:
+                # a row just completed (header or slow-path fallback row):
+                # give the bulk path another shot at the remaining buffer
+                self._try_fast = False
+                self._fast_rows()
             pos = self._pos
             n = len(buf)
             if pos >= n:
@@ -343,6 +437,7 @@ class CsvParser(Generic[A]):
             self.plate.finish_row()
         self._column = 0
         self._state = _RECORD
+        self._try_fast = True
         # NOTE: no compaction here — _parse_loop holds a local buffer ref;
         # compaction happens once per absorb in _churn_result.
 
