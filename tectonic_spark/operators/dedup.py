@@ -79,19 +79,41 @@ def c01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_O_PREF_CAND = f""",
+    ex AS MATERIALIZED (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfreq AS MATERIALIZED (SELECT s, count(*) AS df FROM ex GROUP BY s),
+    pref AS MATERIALIZED (SELECT doc_id, s FROM (
+        SELECT e.doc_id, e.s,
+               row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.s) AS rn,
+               count(*) OVER (PARTITION BY e.doc_id) AS n_sh
+        FROM ex e JOIN dfreq d USING (s)
+    ) WHERE rn <= n_sh - CEIL({JACCARD_THRESHOLD} * n_sh) + 1),
+    cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id)
+"""
+
+# Exact verified pairs from prefix-filtered candidates. Output is IDENTICAL
+# to the O(n²) pairwise formulation (prefix filtering has no false
+# negatives at threshold t under any global shingle order), but the oracle
+# stays tractable on duplicate-heavy corpora — the sf1 sweep caught the
+# old cross-join grinding for 45+ min on 500k docs (r4).
+_O_PAIRS_SELECT = f"""
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles)))
+             AS jaccard
+    FROM cand c
+    JOIN sh x ON c.doc_a = x.doc_id
+    JOIN sh y ON c.doc_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles)))
+          >= {JACCARD_THRESHOLD}
+"""
+
+
 @register(
     "c01_ngram_jaccard",
-    oracle=_O_SHINGLE_BASE
-    + f"""
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
-             AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
-          >= {JACCARD_THRESHOLD}
-    """,
+    oracle=_O_SHINGLE_BASE + _O_PREF_CAND + _O_PAIRS_SELECT,
     doc="3-gram Jaccard near-dup via PREFIX-FILTERED inverted index (the "
     "AllPairs/PPJoin family): each doc indexes only its |d| - ceil(t*|d|) "
     "+ 1 globally-rarest shingles — provably no false negatives at "
@@ -510,13 +532,9 @@ def embedding_neardup_df(
     )
 
 
-_O_PAIRS = (
-    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
-    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-    "WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) "
-    "/ (len(a.shingles) + len(b.shingles) "
-    f"- len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}"
-)
+# prefix-filtered candidates + exact verify (see _O_PREF_CAND: identical
+# output to the pairwise cross join, tractable at sf1)
+_O_PAIRS = f"SELECT doc_a, doc_b FROM ({_O_PAIRS_SELECT})"
 
 # Unrolled min-label rounds in the DuckDB oracle.  The previous oracle was a
 # recursive-CTE transitive closure — O(sum of component-size²) rows, which
@@ -555,6 +573,7 @@ def _cc_oracle_sql(rounds: int = _CC_ORACLE_ROUNDS) -> str:
     )
     return (
         _O_SHINGLE_BASE
+        + _O_PREF_CAND
         + ", "
         + ", ".join(ctes)
         + f"""

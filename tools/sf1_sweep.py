@@ -1,0 +1,145 @@
+"""Full-registry correctness sweep at sf1 (10x fact-scaled sf0.1,
+tools/sf_scale.py) with per-query wall-clock budgets — VERDICT r3 item 1.
+
+Same compare as tools/check_correctness.py (row count, column set,
+order-insensitive exact values) but each side runs under a watchdog:
+a query that exceeds the budget gets its Spark jobs cancelled / its DuckDB
+connection interrupted and is recorded as a timeout instead of wedging the
+sweep (the first attempt sat 45+ min inside one O(n²) oracle).
+
+Writes JSON results to --out (default /tmp/sf1_sweep.json); SF1SWEEP.md is
+generated from that.
+
+Usage: python tools/sf1_sweep.py [--sf-dir DIR] [--timeout SEC] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from check_correctness import compare, duck_con  # noqa: E402
+
+
+class _Watchdog:
+    """Run ``fn`` with a wall budget; on expiry call ``cancel`` and report."""
+
+    def __init__(self, budget: float, cancel) -> None:
+        self.budget = budget
+        self.cancel = cancel
+        self.fired = False
+
+    def run(self, fn):
+        timer = threading.Timer(self.budget, self._fire)
+        timer.daemon = True
+        timer.start()
+        try:
+            return fn()
+        finally:
+            timer.cancel()
+
+    def _fire(self) -> None:
+        self.fired = True
+        try:
+            self.cancel()
+        except Exception:  # noqa: BLE001 — cancellation is best-effort
+            pass
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default="/tmp/tectonic_scaled/root_testdata_sf0.1_x10"
+    )
+    ap.add_argument("--timeout", type=float, default=900.0)
+    ap.add_argument("--out", default="/tmp/sf1_sweep.json")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import tectonic_spark.operators as ops
+    from tectonic_spark import get_spark
+
+    spark = get_spark(app_name="tectonic-sf1-sweep")
+    con = duck_con(args.sf_dir)
+
+    names = args.names or list(ops.REGISTRY)
+    results: dict[str, dict] = {}
+    n_pass = n_fail = n_timeout = n_rows_only = 0
+    for name in names:
+        q = ops.REGISTRY[name]
+        rec: dict = {}
+        results[name] = rec
+
+        t0 = time.perf_counter()
+        wd = _Watchdog(args.timeout, spark.sparkContext.cancelAllJobs)
+        try:
+            sdf = wd.run(lambda: q.builder(spark, args.sf_dir).toPandas())
+        except Exception as e:  # noqa: BLE001
+            rec["status"] = "spark_timeout" if wd.fired else "spark_error"
+            rec["err"] = f"{type(e).__name__}: {e}"[:300]
+            rec["spark_sec"] = round(time.perf_counter() - t0, 1)
+            n_timeout += wd.fired
+            n_fail += not wd.fired
+            print(f"{rec['status'].upper():14s} {name} ({rec['spark_sec']}s)")
+            continue
+        rec["spark_sec"] = round(time.perf_counter() - t0, 1)
+        rec["spark_rows"] = len(sdf)
+
+        if q.oracle is None:
+            rec["status"] = "rows_only"
+            n_rows_only += 1
+            print(f"rows_only      {name}: {len(sdf)} rows ({rec['spark_sec']}s)")
+            continue
+
+        t0 = time.perf_counter()
+        wd = _Watchdog(args.timeout, con.interrupt)
+        try:
+            odf = wd.run(lambda: con.execute(q.oracle).fetchdf())
+        except Exception as e:  # noqa: BLE001
+            rec["status"] = "oracle_timeout" if wd.fired else "oracle_error"
+            rec["err"] = f"{type(e).__name__}: {e}"[:300]
+            rec["oracle_sec"] = round(time.perf_counter() - t0, 1)
+            n_timeout += wd.fired
+            n_fail += not wd.fired
+            print(f"{rec['status'].upper():14s} {name} ({rec['oracle_sec']}s)")
+            continue
+        rec["oracle_sec"] = round(time.perf_counter() - t0, 1)
+        rec["oracle_rows"] = len(odf)
+
+        problems = compare(name, sdf, odf)
+        if problems:
+            rec["status"] = "mismatch"
+            rec["err"] = "; ".join(problems)[:500]
+            n_fail += 1
+            print(f"MISMATCH       {name}: {rec['err'][:160]}")
+        else:
+            rec["status"] = "pass"
+            n_pass += 1
+            print(
+                f"ok             {name}: {len(sdf)} rows "
+                f"(spark {rec['spark_sec']}s, oracle {rec['oracle_sec']}s)"
+            )
+
+    summary = {
+        "sf_dir": args.sf_dir,
+        "timeout_sec": args.timeout,
+        "n_queries": len(names),
+        "n_pass": n_pass,
+        "n_rows_only": n_rows_only,
+        "n_timeout": n_timeout,
+        "n_fail": n_fail,
+    }
+    with open(args.out, "w") as f:
+        json.dump({"summary": summary, "queries": results}, f, indent=1)
+    print(json.dumps(summary))
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
