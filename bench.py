@@ -9,6 +9,7 @@ Each query is fully materialized via the noop sink (no driver collect).
 from __future__ import annotations
 
 import json
+import math
 import os
 import statistics
 import sys
@@ -262,6 +263,29 @@ def _sf1_headroom(spark, sf_dir: str, base: dict[str, float]) -> dict:
             spark, scaled, n_bits=10, sketch="pandas"
         ).write.format("noop").mode("overwrite").save()
         timings["c01_embedding_neardup[bits=10]"] = round(time.perf_counter() - t0, 3)
+        # dedup-cluster formation at sf1 (VERDICT r3 item 6): rounds to
+        # converge + wall time for alternating large-star/small-star CC.
+        # Pairs come from the minhash-LSH generator (seconds at sf1) so the
+        # metric isolates CC itself, not the ~10-min exact-Jaccard pair
+        # generation; the graph is the same near-dup topology. The
+        # rounds <= log2(n)+c bound is asserted in tests/test_dedup_cc.py.
+        from tectonic_spark.operators.dedup import (
+            c01_minhash_lsh,
+            connected_components,
+        )
+
+        t0 = time.perf_counter()
+        pairs = c01_minhash_lsh(spark, scaled).select("doc_a", "doc_b")
+        labels, cc_rounds = connected_components(pairs)
+        cc_nodes = labels.count()
+        timings_extra = {
+            "cc_sf1_rounds": cc_rounds,
+            "cc_sf1_nodes": cc_nodes,
+            "cc_sf1_sec": round(time.perf_counter() - t0, 3),
+            "cc_sf1_bound_ok": bool(
+                cc_rounds <= math.ceil(math.log2(max(cc_nodes, 2))) + 4
+            ),
+        }
         ratios = {
             n: round(t / (factor * base[n]), 2)
             for n, t in timings.items()
@@ -272,6 +296,7 @@ def _sf1_headroom(spark, sf_dir: str, base: dict[str, float]) -> dict:
             "sf1_queries_sec": timings,
             "sf1_total_sec": round(sum(timings.values()), 3),
             "sf1_vs_linear_ratio": ratios,
+            **timings_extra,
         }
     except Exception as e:  # noqa: BLE001 — headroom row must not kill bench
         return {"sf1_error": f"{type(e).__name__}: {e}"[:300]}

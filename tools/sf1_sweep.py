@@ -2,10 +2,13 @@
 tools/sf_scale.py) with per-query wall-clock budgets — VERDICT r3 item 1.
 
 Same compare as tools/check_correctness.py (row count, column set,
-order-insensitive exact values) but each side runs under a watchdog:
-a query that exceeds the budget gets its Spark jobs cancelled / its DuckDB
-connection interrupted and is recorded as a timeout instead of wedging the
-sweep (the first attempt sat 45+ min inside one O(n²) oracle).
+order-insensitive exact values) but both sides are bounded:
+
+* the Spark phase runs under a cancel-jobs watchdog;
+* the DuckDB oracle runs in a SUBPROCESS that COPYs its result to
+  parquet — ``duckdb.interrupt()`` from a timer thread proved unable to
+  stop a long-running operator tree (observed: 25+ min past the budget),
+  and a subprocess can always be SIGKILLed.
 
 Writes JSON results to --out (default /tmp/sf1_sweep.json); SF1SWEEP.md is
 generated from that.
@@ -17,13 +20,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import threading
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
-from check_correctness import compare, duck_con  # noqa: E402
+from check_correctness import TABLES, compare  # noqa: E402
 
 
 class _Watchdog:
@@ -51,6 +57,41 @@ class _Watchdog:
             pass
 
 
+_ORACLE_RUNNER = """
+import sys, duckdb
+sf_dir, out = sys.argv[1], sys.argv[2]
+sql = sys.stdin.read()
+con = duckdb.connect()
+for t in {tables!r}:
+    con.execute(
+        f"CREATE VIEW {{t}} AS SELECT * FROM read_parquet('{{sf_dir}}/{{t}}.parquet')"
+    )
+con.execute(f"COPY ({{sql}}) TO '{{out}}' (FORMAT PARQUET)")
+""".format(tables=TABLES)
+
+
+def run_oracle(sql: str, sf_dir: str, timeout: float):
+    """Execute oracle SQL in a killable subprocess → pandas frame."""
+    import pandas as pd
+
+    fd, out = tempfile.mkstemp(suffix=".parquet")
+    os.close(fd)
+    os.unlink(out)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _ORACLE_RUNNER, sf_dir, out],
+            input=sql.encode(),
+            capture_output=True,
+            timeout=timeout,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(proc.stderr.decode()[-300:])
+        return pd.read_parquet(out)
+    finally:
+        if os.path.exists(out):
+            os.unlink(out)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -65,7 +106,6 @@ def main() -> int:
     from tectonic_spark import get_spark
 
     spark = get_spark(app_name="tectonic-sf1-sweep")
-    con = duck_con(args.sf_dir)
 
     names = args.names or list(ops.REGISTRY)
     results: dict[str, dict] = {}
@@ -97,16 +137,20 @@ def main() -> int:
             continue
 
         t0 = time.perf_counter()
-        wd = _Watchdog(args.timeout, con.interrupt)
         try:
-            odf = wd.run(lambda: con.execute(q.oracle).fetchdf())
+            odf = run_oracle(q.oracle, args.sf_dir, args.timeout)
+        except subprocess.TimeoutExpired:
+            rec["status"] = "oracle_timeout"
+            rec["oracle_sec"] = round(time.perf_counter() - t0, 1)
+            n_timeout += 1
+            print(f"ORACLE_TIMEOUT {name} ({rec['oracle_sec']}s)")
+            continue
         except Exception as e:  # noqa: BLE001
-            rec["status"] = "oracle_timeout" if wd.fired else "oracle_error"
+            rec["status"] = "oracle_error"
             rec["err"] = f"{type(e).__name__}: {e}"[:300]
             rec["oracle_sec"] = round(time.perf_counter() - t0, 1)
-            n_timeout += wd.fired
-            n_fail += not wd.fired
-            print(f"{rec['status'].upper():14s} {name} ({rec['oracle_sec']}s)")
+            n_fail += 1
+            print(f"ORACLE_ERROR   {name} ({rec['oracle_sec']}s): {rec['err'][:120]}")
             continue
         rec["oracle_sec"] = round(time.perf_counter() - t0, 1)
         rec["oracle_rows"] = len(odf)
