@@ -236,14 +236,21 @@ def c01_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("shingles", lambda s: F.md5(s)).alias("h1"),
         F.transform("shingles", lambda s: F.md5(F.concat(F.lit("x"), s))).alias("h2"),
     )
+    # NOTE: the per-permutation offset must be baked via a CLOSURE FACTORY,
+    # not a defaulted second lambda parameter — PySpark dispatches on lambda
+    # ARITY, and a 2-arg lambda receives (element, array_index), silently
+    # overriding the default. That bug made all 4 windows per digest rotate
+    # by element index; small-SF sweeps never caught it because both
+    # engines' candidate sets still covered every (high-jaccard) true pair
+    # — the sf1 sweep surfaced it as 793 missing borderline pairs (r4).
+    def _sub8(off: int):
+        return lambda d: F.substring(d, off, 8)
+
     mh = hs.select(
         "doc_id",
         *[
             F.array_min(
-                F.transform(
-                    "h1" if j < 4 else "h2",
-                    lambda d, _j=j: F.substring(d, (_j % 4) * 8 + 1, 8),
-                )
+                F.transform("h1" if j < 4 else "h2", _sub8((j % 4) * 8 + 1))
             ).alias(f"mh{j}")
             for j in range(N_PERM)
         ],
