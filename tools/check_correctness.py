@@ -10,10 +10,15 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 
 import duckdb
 import pandas as pd
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)  # repo root → tectonic_spark importable without PYTHONPATH
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 

@@ -27,7 +27,9 @@ import tempfile
 import threading
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 1)[0])
+_TOOLS_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _TOOLS_DIR)
+sys.path.insert(0, os.path.dirname(_TOOLS_DIR))  # repo root → tectonic_spark
 
 from check_correctness import TABLES, compare  # noqa: E402
 
