@@ -1080,3 +1080,38 @@ def a12_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars"),
         )
     )
+
+
+@register(
+    "a16_orc_sink_roundtrip",
+    oracle=(
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source"
+    ),
+    doc="ORC sink round-trip: write documents as ORC (Spark's built-in "
+    "columnar alternative to parquet, zlib-compressed by default), read "
+    "back, aggregate by source. Completes the sink matrix "
+    "(parquet/CSV/JSON/engine-native/catalog/ORC); the oracle aggregates "
+    "the source-of-truth parquet, so any write/read corruption flips the "
+    "value hash.",
+)
+def a16_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    out = os.path.join(_fixture_dir(sf_dir), "docs_orc_sink")
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return (
+        spark.read.orc(out)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").cast("long")).alias("chars"),
+        )
+    )

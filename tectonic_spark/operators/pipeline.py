@@ -508,3 +508,44 @@ def c05_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.where(h % 10000 < rate_bp).select(
         "doc_id", "lang", "source", "n_tokens"
     )
+
+
+STRAT_K = 25  # per-stratum quota
+
+
+_STRAT_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || lang), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {STRAT_K}
+"""
+
+
+@register(
+    "c04_stratified_sample",
+    oracle=_STRAT_ORACLE,
+    doc=f"Stratified sampling: exactly {STRAT_K} documents per (lang, "
+    f"source) stratum, chosen by ranking on md5(doc_id:lang) — a uniform "
+    "random draw that is deterministic across partitionings and re-runs "
+    "(how eval/holdout splits and per-language quota mixes are cut from a "
+    "pre-training corpus). 100 TB shape: one hash-partitioned exchange on "
+    "the stratum key; stratum count is bounded (langs x sources), and the "
+    "rank sort's key is 32 hex chars + doc_id, so AQE splits any skewed "
+    "stratum. Same window shape as b07_topn_per_group, which is "
+    "plan-asserted.",
+)
+def c04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("lang")))
+    w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= STRAT_K)
+        .select("doc_id", "lang", "source", F.col("rk").cast("long").alias("rk"))
+    )

@@ -213,3 +213,88 @@ def c03_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
     )
+
+
+CHUNK_W, CHUNK_S = 64, 48  # window width / stride (16-token overlap)
+
+
+@register(
+    "c03_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {O_WORDS} AS w FROM documents),
+    s AS (SELECT doc_id, w, unnest(range(0, len(w), {CHUNK_S})) AS start FROM t)
+    SELECT doc_id,
+           CAST(start // {CHUNK_S} AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(w, start + 1, start + {CHUNK_W}), ' ') AS chunk_text,
+           CAST(len(list_slice(w, start + 1, start + {CHUNK_W})) AS BIGINT) AS n_chunk_tokens
+    FROM s
+    """,
+    doc=f"Overlapping token-window chunking ({CHUNK_W}-token windows, "
+    f"stride {CHUNK_S}): the standard long-document → training-sequence "
+    "split. One generate (posexplode over a sequence of starts) per doc — "
+    "no shuffle at all; output is partition-local to the scan.",
+)
+def c03_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(0), F.size(F.col("w")) - 1, F.lit(CHUNK_S))
+    chunk = F.slice(F.col("w"), F.col("start") + 1, F.lit(CHUNK_W))
+    return (
+        d.select("doc_id", words_col().alias("w"))
+        .select(
+            "doc_id", "w", F.posexplode(starts).alias("chunk_idx", "start")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+# Redaction patterns: identical semantics in Java regex (Spark) and RE2
+# (DuckDB) — character classes, bounded repetition, no backrefs.
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_NUM_PAT = r"[0-9]{6,}"
+
+
+@register(
+    "c03_redaction",
+    oracle=f"""
+    WITH fx AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ref ' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+               AS full_text
+      FROM documents),
+    e AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(full_text, '{_EMAIL_PAT}')) AS BIGINT) AS n_emails,
+                 regexp_replace(full_text, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS t1
+          FROM fx)
+    SELECT doc_id, n_emails,
+           CAST(len(regexp_extract_all(t1, '{_NUM_PAT}')) AS BIGINT) AS n_longnums,
+           regexp_replace(t1, '{_NUM_PAT}', '<NUM>', 'g') AS redacted
+    FROM e
+    """,
+    doc="PII-style scrubbing: emails → <EMAIL> first (so their digit runs "
+    "can't double-count), then 6+-digit runs → <NUM>. The PII is injected "
+    "deterministically from doc_id because the synthetic corpus contains "
+    "none — the injection makes every row exercise both patterns. Pure "
+    "regexp_replace: codegen'd, shuffle-free, scan-pruned to (doc_id, text).",
+)
+def c03_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+    )
+    t1 = F.regexp_replace(full, _EMAIL_PAT, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(full, F.lit(_EMAIL_PAT), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(_NUM_PAT), F.lit(0))).cast("long").alias("n_longnums"),
+        F.regexp_replace(t1, _NUM_PAT, "<NUM>").alias("redacted"),
+    )

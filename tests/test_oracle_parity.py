@@ -24,6 +24,8 @@ FAST_SUBSET = [
     "c01_minhash_lsh",
     "c02_cosine_topk",
     "c03_lang_id",
+    "c03_chunking",
+    "c03_redaction",
 ]
 
 
@@ -39,3 +41,38 @@ def test_oracle_parity(spark, sf_dir, con, name):
     odf = con.execute(q.oracle).fetchdf()
     problems = compare(name, sdf, odf)
     assert not problems, problems
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Stitching the stride-prefix of each chunk (full chunk for the last)
+    reconstructs the original token stream exactly."""
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.operators.text import CHUNK_S, c03_chunking
+    from tectonic_spark.tables import table
+
+    chunks = c03_chunking(spark, sf_dir)
+    rebuilt = (
+        chunks.withColumn("w", F.split("chunk_text", " "))
+        .withColumn(
+            "prefix",
+            F.array_join(F.slice("w", 1, CHUNK_S), " "),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "prefix"))),
+                    lambda s: s["prefix"],
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    orig = table(spark, sf_dir, "documents").select("doc_id", "text")
+    bad = (
+        rebuilt.join(orig, "doc_id")
+        .where(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0

@@ -27,7 +27,13 @@ def con(sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["c04_repetition", "c04_sequence_packing", "c04_mixture_sampling"]
+    "name",
+    [
+        "c04_repetition",
+        "c04_sequence_packing",
+        "c04_mixture_sampling",
+        "c04_stratified_sample",
+    ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
     q = ops.REGISTRY[name]
@@ -244,3 +250,31 @@ def test_curation_composes_in_one_plan(spark, sf_dir):
     }
     assert curated <= sampled
     assert curated
+
+
+def test_stratified_sample_quota_and_invariance(spark, sf_dir):
+    from tectonic_spark.operators.pipeline import STRAT_K, c04_stratified_sample
+
+    out = c04_stratified_sample(spark, sf_dir)
+    per = out.groupBy("lang", "source").count().toPandas()
+    assert (per["count"] <= STRAT_K).all()
+    # every stratum with >= K docs is filled exactly to quota
+    from tectonic_spark.tables import table
+
+    totals = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .count()
+        .withColumnRenamed("count", "n_total")
+        .toPandas()
+    )
+    merged = per.merge(totals, on=["lang", "source"])
+    full = merged[merged["n_total"] >= STRAT_K]
+    assert (full["count"] == STRAT_K).all()
+    # deterministic across runs: same doc_ids selected
+    base = {r.doc_id for r in out.select("doc_id").collect()}
+    again = {
+        r.doc_id
+        for r in c04_stratified_sample(spark, sf_dir).select("doc_id").collect()
+    }
+    assert base == again
