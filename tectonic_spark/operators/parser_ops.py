@@ -776,7 +776,8 @@ def _events_stream_src(sf_dir: str) -> tuple[str, int]:
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -873,19 +874,23 @@ def s04_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s05_stream_sessionization",
     oracle="""
     WITH lagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events),
     flagged AS (
       -- Spark session windows are [start, last+gap): an event exactly at
       -- prev+gap starts a NEW session, hence >= not >.
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM lagged),
     sessions AS (
+      -- event_id tie-break: duplicate timestamps are real at scale (sf1
+      -- replicates every ts 10x) and an order-underdetermined cumulative
+      -- sum lets tied rows land before the flagged session opener,
+      -- splitting sessions arbitrarily (caught by the sf1 sweep).
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged)
     SELECT user_id, MIN(ts) AS session_start,

@@ -157,9 +157,18 @@ def davg(col: Column, alias: str) -> Column:
 
 
 def o_dsum(expr: str) -> str:
-    """DuckDB-side counterpart of :func:`dsum` (alias added by caller)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE)"
+    """DuckDB-side counterpart of :func:`dsum` (alias added by caller).
+
+    The decimal→double hop goes through VARCHAR: DuckDB's direct cast
+    computes int128→double then ÷10^scale — two roundings, off by one ulp
+    when ulp(sum) > 10^-scale (first seen at sf1, where b05's sum_charge
+    ≈2.8e10 has ulp 3.8e-6). Double.parseDouble-style string conversion is
+    correctly rounded, matching Spark's BigDecimal.doubleValue()."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def o_davg(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS DOUBLE) / COUNT({expr})"
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )

@@ -618,19 +618,23 @@ def b11_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b11_session_window",
     oracle="""
     WITH lagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events),
     flagged AS (
       -- Spark session windows are [start, last+gap): an event exactly at
       -- prev+gap starts a NEW session, hence >= not >.
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM lagged),
     sessions AS (
+      -- event_id tie-break: duplicate timestamps are real at scale (sf1
+      -- replicates every ts 10x) and an order-underdetermined cumulative
+      -- sum lets tied rows land before the flagged session opener,
+      -- splitting sessions arbitrarily (caught by the sf1 sweep).
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged)
     SELECT user_id, MIN(ts) AS session_start,
@@ -1315,11 +1319,11 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-    SELECT round(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    SELECT round(100.00 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))
-                 ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                 AS DECIMAL(27,6))) AS DOUBLE), 4) AS promo_revenue
+                 ELSE CAST(0 AS DECIMAL(27,6)) END) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE), 4) AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
       AND l.l_shipdate < TIMESTAMP '1997-10-01'

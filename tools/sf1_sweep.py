@@ -88,7 +88,19 @@ def run_oracle(sql: str, sf_dir: str, timeout: float):
         )
         if proc.returncode != 0:
             raise RuntimeError(proc.stderr.decode()[-300:])
-        return pd.read_parquet(out)
+        df = pd.read_parquet(out)
+        # parity with the driver's fetchdf path: parquet DATE comes back as
+        # datetime.date objects, fetchdf as datetime64 — canonicalize so
+        # date-typed oracle columns stringify identically ('1995-01-01
+        # 00:00:00' both ways); duckdb.fetchdf is what the real gate uses.
+        import datetime
+
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(
+                lambda v: v is None or isinstance(v, datetime.date)
+            ).all() and df[c].notna().any():
+                df[c] = pd.to_datetime(df[c])
+        return df
     finally:
         if os.path.exists(out):
             os.unlink(out)
