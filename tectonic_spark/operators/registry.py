@@ -94,11 +94,13 @@ PRIORITY: list[str] = [
     "b12_dedup_distinct",
     "b13_pandas_udf",
     "b14_sql_surface",
-    # TPC-H dashboard shapes
-    "q02_min_cost_supplier",
+    # TPC-H dashboard shapes (q02/q11 driver-green in r2-r3; their slots
+    # now give the round-4 operators first driver rows — all 22 shapes
+    # stay under the local + sf1-sweep gates)
     "q03_shipping_priority",
     "q05_local_supplier_volume",
-    "q11_important_stock",
+    "c03_chunking",
+    "c04_stratified_sample",
     # LLM-pipeline: dedup
     "c01_dedup_exact",
     "c01_ngram_jaccard",
