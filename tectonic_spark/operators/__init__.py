@@ -2,6 +2,7 @@
 every declared query into :mod:`tectonic_spark.operators.registry`."""
 
 from tectonic_spark.operators import (  # noqa: F401
+    clustering,
     dedup,
     multimodal,
     parser_ops,

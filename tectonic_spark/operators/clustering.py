@@ -1,0 +1,303 @@
+"""Embedding clustering (SURVEY.md §2.B c2 extension): distributed k-means
+(Lloyd's algorithm, fixed iteration count) and SemDeDup-style semantic
+deduplication (cluster, then prune near-identical members within each
+cluster — Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", arXiv:2303.09540, public).
+
+Scale design (the 100 TB story):
+
+* **k-means assignment never shuffles the corpus — zero exchanges.**
+  The K centroids are packed into ONE broadcast row (a cid-sorted
+  array<struct>) and the argmin is a map-side ``F.aggregate`` fold over
+  that array inside whole-stage codegen: each vector is scored and
+  assigned in place, with no crossJoin fan-out and no per-vector
+  exchange at any iteration.
+* **The centroid update shuffles K x DIM partials, not vectors.**
+  ``posexplode`` fans each assigned vector into (cid, pos, x) map-side;
+  partial aggregation reduces every partition to at most K x DIM rows
+  before the exchange, so update cost is independent of corpus size
+  past the scan. This is the classic scalable k-means shape (MLlib does
+  the same reduction, then collects to the driver; we stay in-plan so
+  Catalyst sees the whole loop).
+* **SemDeDup's clusters bound the pairwise stage.** Within-cluster
+  pairs cost ~N^2/K per cluster; the published recipe scales K with the
+  corpus (~100k clusters at web scale) so clusters stay executor-sized.
+  K=8 here pins the oracle at sf0.01; ``semantic_dedup_df(k=...)`` is
+  the knob.
+
+Cross-engine exactness (why an iterative float algorithm can have an
+exact DuckDB oracle):
+
+* Centroid means are order-insensitive: per-dimension contributions are
+  quantized to 6 dp and summed as DECIMAL(27,6) (exact, associative),
+  divided once in double. A double -> decimal(27,6) cast of a
+  ``round(x, 6)`` value is unambiguous in both engines (the double is
+  never within an ulp of a .5e-6 tie), so both engines derive the
+  bit-identical centroid at every iteration.
+* Distances are rounded to 6 dp before the argmin, with the cluster id
+  as tie-break — the bucket_col/minhash determinism contract, applied to
+  Lloyd assignment: even when two engines' left-fold sums differ in the
+  last ulp, the rounded comparison key agrees.
+
+Reference parity note: the reference engine (precog/tectonic) has no
+clustering surface at all (SURVEY.md §2.A "categories with NO
+implementation"); this module is part of the beyond-reference
+training-data-pipeline surface the engine exists to serve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tectonic_spark.operators.registry import register
+from tectonic_spark.tables import table
+
+K = 8  # clusters == seed vectors (vec_id < K); scale knob at real corpus size
+ITERS = 2  # Lloyd update steps; output = assignment against final centroids
+DIM = 64
+SEM_TAU = 0.45  # within-cluster cosine threshold for semantic near-dups
+
+
+def _sq_dist(e: Column, ce: Column) -> Column:
+    """Squared L2 distance, left-fold over DIM terms, rounded to 6 dp
+    (the cross-engine argmin comparison key)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(e, ce, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment with ZERO corpus shuffle.
+
+    The K centroids are packed into ONE row holding a cid-sorted
+    array<struct<cid, ce>>, broadcast, and the argmin runs as a map-side
+    ``F.aggregate`` fold over that array — no crossJoin fan-out, no
+    per-vector exchange. Ties keep the lower cid (strict ``<`` against a
+    cid-ascending array). Returns (vec_id, e, cid, rdist).
+    """
+    packed = cent.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents")
+    )
+    zero = F.struct(
+        F.lit(float("inf")).alias("rdist"), F.lit(-1).cast("long").alias("cid")
+    )
+
+    def step(acc: Column, c: Column) -> Column:
+        rd = _sq_dist(F.col("e"), c["ce"])
+        cand = F.struct(rd.alias("rdist"), c["cid"].alias("cid"))
+        better = (cand["rdist"] < acc["rdist"]) | (
+            (cand["rdist"] == acc["rdist"]) & (cand["cid"] < acc["cid"])
+        )
+        return F.when(better, cand).otherwise(acc)
+
+    best = F.aggregate(F.col("cents"), zero, step)
+    return (
+        v.crossJoin(F.broadcast(packed))
+        .withColumn("b", best)
+        .select("vec_id", "e", F.col("b.cid").alias("cid"), F.col("b.rdist").alias("rdist"))
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: exact per-dimension decimal mean of members.
+
+    posexplode -> partial-aggregated groupBy(cid, pos): the shuffle after
+    map-side combine is at most K x DIM rows per partition.
+    """
+    pts = assigned.select("cid", F.posexplode("e").alias("pos", "x"))
+    dims = pts.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.round("x", 6).cast("decimal(27,6)")).cast("double") / F.count("*")
+        ).alias("m")
+    )
+    return dims.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("ce")
+    )
+
+
+def _seed_centroids(v: DataFrame, k: int) -> DataFrame:
+    """Deterministic init: the k vectors with the lowest vec_id."""
+    return v.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+
+
+def kmeans_df(
+    spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS
+) -> DataFrame:
+    """K-means over ``embeddings``: ``iters`` Lloyd updates from the
+    lowest-vec_id seeds, then a final assignment pass. Output one row per
+    vector: (vec_id, cluster, dist2)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cent = _seed_centroids(v, k)
+    for _ in range(iters):
+        cent = _update(_assign(v, cent))
+    final = _assign(v, cent)
+    return final.select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("rdist").alias("dist2")
+    )
+
+
+def _o_assign(i: int, src: str) -> str:
+    """Oracle CTEs for one assignment pass against centroid CTE ``src``."""
+    return f"""
+s{i} AS (
+  SELECT v.vec_id, v.e, c.cid,
+         round(list_sum(list_transform(range(1, {DIM + 1}),
+               j -> (v.e[j] - c.ce[j]) * (v.e[j] - c.ce[j]))), 6) AS rdist
+  FROM v, {src} c
+),
+a{i} AS (
+  SELECT vec_id, e, cid, rdist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY rdist, cid) AS rn
+    FROM s{i})
+  WHERE rn = 1
+)"""
+
+
+def _o_update(i: int) -> str:
+    """Oracle CTEs for one centroid update from assignment a{i}."""
+    return f"""
+u{i} AS (
+  SELECT cid, j AS pos,
+         CAST(CAST(SUM(CAST(round(e[j + 1], 6) AS DECIMAL(27,6))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*) AS m
+  FROM a{i}, range(0, {DIM}) r(j)
+  GROUP BY cid, j
+),
+c{i + 1} AS (SELECT cid, list(m ORDER BY pos) AS ce FROM u{i} GROUP BY cid)"""
+
+
+def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {k})",
+    ]
+    for i in range(iters):
+        ctes.append(_o_assign(i, f"c{i}").lstrip())
+        ctes.append(_o_update(i).lstrip())
+    ctes.append(_o_assign(iters, f"c{iters}").lstrip())
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, cid AS cluster, rdist AS dist2 FROM a{iters}"
+    )
+
+
+@register(
+    "c02_kmeans",
+    oracle=_kmeans_oracle(),
+    doc=f"Distributed k-means (K={K}, {ITERS} Lloyd iterations, "
+    "deterministic lowest-vec_id seeds) over the embeddings table, output "
+    "one (vec_id, cluster, dist2) row per vector. The whole loop is one "
+    "Catalyst plan: assignment is a map-side fold over a single broadcast "
+    "centroid-array row (zero corpus exchanges, plan-asserted), the "
+    "centroid update shuffles at most K x DIM decimal partials per "
+    "partition, and the corpus itself is never shuffled. Exact oracle despite float "
+    "iteration: centroid means are order-insensitive decimal sums of "
+    "6dp-quantized coordinates, distances round to 6 dp before a "
+    "cid-tie-broken argmin, so both engines walk bit-identical centroids.",
+)
+def c02_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def semantic_dedup_df(
+    spark: SparkSession, sf_dir: str, k: int = K, tau: float = SEM_TAU
+) -> DataFrame:
+    """SemDeDup: one k-means assignment pass partitions the corpus into
+    clusters; within each cluster, every vector whose cosine similarity to
+    a lower-vec_id cluster-mate reaches ``tau`` is marked a semantic
+    duplicate of the lowest such keeper. Returns one row per DROPPED
+    vector: (vec_id, cluster, kept_by, n_dups)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    assigned = _assign(v, _seed_centroids(v, k)).select(
+        "vec_id", "e", "cid", nrm.alias("nrm")
+    )
+    a = assigned.select(
+        F.col("vec_id"), F.col("e"), F.col("cid"), F.col("nrm")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("e").alias("b_e"),
+        F.col("cid").alias("b_cid"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    sim = F.round(_dot(F.col("e"), F.col("b_e")) / (F.col("nrm") * F.col("b_nrm")), 6)
+    pairs = (
+        a.join(b, (F.col("cid") == F.col("b_cid")) & (F.col("b_vec_id") < F.col("vec_id")))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= tau)
+    )
+    return pairs.groupBy("vec_id", "cid").agg(
+        F.min("b_vec_id").alias("kept_by"), F.count("*").alias("n_dups")
+    ).select(
+        "vec_id", F.col("cid").alias("cluster"), "kept_by", "n_dups"
+    )
+
+
+_SEM_ORACLE = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),\n"
+    f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {K}),\n"
+    + _o_assign(0, "c0").lstrip()
+    + f""",
+n AS (
+  SELECT vec_id, e, cid,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM a0
+),
+p AS (
+  SELECT x.vec_id, x.cid,
+         y.vec_id AS b_vec_id,
+         round(list_sum(list_transform(range(1, {DIM + 1}),
+               j -> x.e[j] * y.e[j])) / (x.nrm * y.nrm), 6) AS sim
+  FROM n x JOIN n y ON x.cid = y.cid AND y.vec_id < x.vec_id
+)
+SELECT vec_id, cid AS cluster, MIN(b_vec_id) AS kept_by,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM p WHERE sim >= {SEM_TAU}
+GROUP BY vec_id, cid"""
+)
+
+
+@register(
+    "c01_semantic_dedup",
+    oracle=_SEM_ORACLE,
+    doc=f"SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means "
+    f"clustering (one deterministic assignment pass, K={K}) partitions "
+    f"the embedding space, then only WITHIN-cluster pairs are scored — "
+    f"every vector with cosine >= {SEM_TAU} to a lower-vec_id cluster-mate "
+    "is dropped in favor of that keeper. Output one row per dropped "
+    "vector with its keeper and duplicate count. 100 TB shape: the "
+    "pairwise stage joins on the cluster id (a hash shuffle, never a "
+    "cartesian) and the published recipe grows K with the corpus so "
+    "clusters stay executor-sized; assignment itself never shuffles the "
+    "corpus (broadcast centroids + map-side argmin).",
+)
+def c01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup_df(spark, sf_dir)

@@ -549,3 +549,49 @@ def c04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= STRAT_K)
         .select("doc_id", "lang", "source", F.col("rk").cast("long").alias("rk"))
     )
+
+
+N_SHARDS = 16  # output shard count; at 100 TB this is the writer parallelism
+
+
+_SHUF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuffle:42') AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h, {_O_HEX32} % {N_SHARDS} AS shard FROM t
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
+@register(
+    "c04_corpus_shuffle",
+    oracle=_SHUF_ORACLE,
+    doc=f"Deterministic global corpus shuffle: every document gets a shard "
+    f"(uint32(md5(doc_id:shuffle:42)[:8]) % {N_SHARDS}) and a position "
+    "within the shard (rank of the full md5, doc_id tie-break) — the "
+    "seeded random training order a data-loader consumes, reproducible "
+    "across partitionings, cluster sizes, and re-runs (no "
+    "rand()/shuffle-nondeterminism anywhere). 100 TB shape: ONE hash "
+    "exchange on the shard id; within-shard order is a sort on a "
+    "uniformly-distributed key, so shards are balanced by construction "
+    "(hash of a unique id) and each shard sorts independently — exactly "
+    "the repartition(shard).sortWithinPartitions writer layout, with AQE "
+    "free to split any shard whose sort spills.",
+)
+def c04_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("shuffle:42")))
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % N_SHARDS
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .select(
+            "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+        )
+    )

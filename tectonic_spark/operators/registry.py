@@ -107,11 +107,14 @@ PRIORITY: list[str] = [
     "c01_minhash_lsh",
     "c01_embedding_neardup",
     "c01_dedup_clusters",
-    # LLM-pipeline: similarity search
+    # LLM-pipeline: similarity search + clustering (round-4: kmeans and
+    # semantic dedup take the ann_ivf / filtered_topk slots for their
+    # first driver rows; the evicted variants stay under the local +
+    # sf1-sweep gates)
     "c02_cosine_topk",
     "c02_ann_lsh",
-    "c02_ann_ivf",
-    "c02_filtered_topk",
+    "c02_kmeans",
+    "c01_semantic_dedup",
     # LLM-pipeline: text analysis
     "c03_token_stats",
     "c03_lang_id",

@@ -1,0 +1,100 @@
+"""Clustering operators (clustering.py): oracle parity at sf0.001 plus the
+properties the oracle can't see — partitioning-invariance of the Lloyd
+loop (the determinism claim the exact oracle rests on) and structural
+sanity of the SemDeDup drop-set and shuffle shards."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import tectonic_spark.operators as ops
+from check_correctness import compare, duck_con
+from tectonic_spark.operators.clustering import (
+    K,
+    _assign,
+    _seed_centroids,
+    _update,
+    kmeans_df,
+    semantic_dedup_df,
+)
+from tectonic_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+@pytest.mark.parametrize(
+    "name", ["c02_kmeans", "c01_semantic_dedup", "c04_corpus_shuffle"]
+)
+def test_oracle_parity(spark, sf_dir, con, name):
+    q = ops.REGISTRY[name]
+    sdf = q.builder(spark, sf_dir).toPandas()
+    odf = con.execute(q.oracle).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, problems
+
+
+def test_kmeans_partitioning_invariant(spark, sf_dir):
+    """The whole Lloyd loop must produce identical assignments regardless
+    of input partitioning — decimal centroid sums are associative, so a
+    7-partition re-shard can't move a single vector."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+
+    def run(vdf):
+        cent = _seed_centroids(vdf, K)
+        for _ in range(2):
+            cent = _update(_assign(vdf, cent))
+        return (
+            _assign(vdf, cent)
+            .select("vec_id", "cid", "rdist")
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+    base = run(v)
+    resharded = run(v.repartition(7))
+    assert base.equals(resharded)
+
+
+def test_kmeans_covers_every_vector(spark, sf_dir):
+    out = kmeans_df(spark, sf_dir).toPandas()
+    n = table(spark, sf_dir, "embeddings").count()
+    assert len(out) == n
+    assert out["vec_id"].is_unique
+    assert out["cluster"].between(0, K - 1).all()
+    assert (out["dist2"] >= 0).all()
+
+
+def test_semantic_dedup_structure(spark, sf_dir):
+    out = semantic_dedup_df(spark, sf_dir).toPandas()
+    assert out["vec_id"].is_unique  # each vector dropped at most once
+    assert (out["kept_by"] < out["vec_id"]).all()  # keeper is the lower id
+    assert (out["n_dups"] >= 1).all()
+    # a keeper chosen as MIN(qualifying mate) is never dropped by a mate
+    # with an even lower id in the same cluster unless that mate also
+    # qualified against it — structural floor: the globally lowest dropped
+    # vec_id's keeper must itself be kept
+    if len(out):
+        dropped = set(out["vec_id"])
+        lowest = out.loc[out["vec_id"].idxmin()]
+        assert lowest["kept_by"] not in dropped
+
+
+def test_corpus_shuffle_contiguous_positions(spark, sf_dir):
+    out = ops.REGISTRY["c04_corpus_shuffle"].builder(spark, sf_dir).toPandas()
+    n = table(spark, sf_dir, "documents").count()
+    assert len(out) == n
+    assert out["doc_id"].is_unique
+    for _, grp in out.groupby("shard"):
+        pos = sorted(grp["pos"])
+        assert pos == list(range(1, len(grp) + 1))

@@ -256,3 +256,27 @@ def test_q21_anti_join_is_sort_merge_on_orderkey(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan and "LeftAnti" in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_kmeans_assignment_never_shuffles_corpus(spark, sf_dir):
+    """Lloyd assignment is a map-side fold over ONE broadcast centroid-array
+    row: no hash exchange may ever carry vec_id (the corpus). The only data
+    exchanges are the K x DIM centroid-update partials and the K-row
+    centroid regroups — all independent of corpus size after partial agg."""
+    plan = physical_plan(build(spark, sf_dir, "c02_kmeans"))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan  # corpus never exchanged
+    assert "aggregate(" in plan  # the fold runs as a codegen expression
+
+
+def test_semantic_dedup_pairs_join_on_cluster_id(spark, sf_dir):
+    """SemDeDup's pairwise stage must key on the cluster id (hash shuffle /
+    broadcast), never regress to an all-pairs cartesian."""
+    plan = physical_plan(build(spark, sf_dir, "c01_semantic_dedup"))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the 1-row centroid-array
+    # broadcasts (one per self-join side); the pairwise join itself must
+    # key on cid
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert ("BroadcastHashJoin [cid" in plan) or ("SortMergeJoin [cid" in plan)
