@@ -230,6 +230,10 @@ SF1_SUBSET = [
     "q21_suppliers_who_kept_orders_waiting",
     "c04_sequence_packing",
     "c04_repetition",
+    # round-4 addition: the iterative clustering loop (3 scans + K x DIM
+    # partial shuffles); semantic dedup runs below with its scale knob
+    # turned (k=64) like embedding_neardup[bits=10]
+    "c02_kmeans",
 ]
 
 
@@ -263,6 +267,13 @@ def _sf1_headroom(spark, sf_dir: str, base: dict[str, float]) -> dict:
             spark, scaled, n_bits=10, sketch="pandas"
         ).write.format("noop").mode("overwrite").save()
         timings["c01_embedding_neardup[bits=10]"] = round(time.perf_counter() - t0, 3)
+        from tectonic_spark.operators.clustering import semantic_dedup_scaled_df
+
+        t0 = time.perf_counter()
+        semantic_dedup_scaled_df(spark, scaled, k=64).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["c01_semantic_dedup[k=64]"] = round(time.perf_counter() - t0, 3)
         # dedup-cluster formation at sf1 (VERDICT r3 item 6): rounds to
         # converge + wall time for alternating large-star/small-star CC.
         # Pairs come from the minhash-LSH generator (seconds at sf1) so the

@@ -47,6 +47,8 @@ training-data-pipeline surface the engine exists to serve.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -283,6 +285,78 @@ SELECT vec_id, cid AS cluster, MIN(b_vec_id) AS kept_by,
 FROM p WHERE sim >= {SEM_TAU}
 GROUP BY vec_id, cid"""
 )
+
+
+def semantic_dedup_scaled_df(
+    spark: SparkSession, sf_dir: str, k: int = 64, tau: float = SEM_TAU
+) -> DataFrame:
+    """Scale variant of SemDeDup (the bench sf1 row): same semantics —
+    cluster against the k lowest-vec_id seeds, drop any vector with
+    cosine >= tau to a lower-vec_id cluster-mate — but on the
+    Arrow/numpy path, with ``k`` as the scale knob (per-cluster pair
+    volume is ~N^2/k; the published recipe uses ~100k clusters at web
+    scale).
+
+    * Assignment: one vectorized matmul per Arrow batch against the
+      broadcast (k x DIM) seed matrix — argmin of squared distance with
+      index tie-break, no fold expression, no corpus shuffle.
+    * Pairwise: ``applyInPandas`` per cluster — an (n_c x n_c) cosine
+      matmul inside the executor; the only exchange keys on the cluster
+      id. Cluster width n_c ~ N/k is the executor-memory bound; raise
+      ``k`` with the corpus.
+    * The driver only ever holds the k x DIM seed matrix (the same
+      bounded-metadata concession MLlib's k-means makes every
+      iteration); the corpus never crosses the driver.
+
+    The registered ``c01_semantic_dedup`` keeps the fold path at K=8 to
+    match its static oracle; this variant exists for corpora where the
+    fold's interpreted lambdas and small-K pair volume both stop scaling.
+    Cluster labels are seed INDICES (0..k-1) here, seed vec_ids there —
+    the drop-set semantics are identical for identical k.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    C = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)  # (k, DIM)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("integer")
+    def assign(e: pd.Series) -> pd.Series:
+        m = np.stack(e.to_numpy()).astype(np.float64)  # (n, DIM)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin ties -> lowest idx
+        d = -2.0 * (m @ C.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    assigned = emb.select(
+        "vec_id", "embedding", assign("embedding").alias("cid")
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        s = (m @ m.T) / np.outer(nrm, nrm)
+        keep_rows = []
+        ids = pdf["vec_id"].to_numpy()
+        for i in range(1, len(pdf)):
+            qual = np.nonzero(np.round(s[i, :i], 6) >= tau)[0]
+            if len(qual):
+                keep_rows.append(
+                    (int(ids[i]), int(pdf["cid"].iloc[i]), int(ids[qual[0]]), len(qual))
+                )
+        return pd.DataFrame(
+            keep_rows, columns=["vec_id", "cluster", "kept_by", "n_dups"]
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        prune, "vec_id long, cluster long, kept_by long, n_dups long"
+    )
 
 
 @register(

@@ -98,3 +98,25 @@ def test_corpus_shuffle_contiguous_positions(spark, sf_dir):
     for _, grp in out.groupby("shard"):
         pos = sorted(grp["pos"])
         assert pos == list(range(1, len(grp) + 1))
+
+
+def test_semantic_dedup_scaled_variant_agrees_with_fold(spark, sf_dir):
+    """The Arrow/numpy scale variant must produce the same drop-set
+    (vec_id, kept_by, n_dups) as the oracle-matched fold path at the same
+    k — only the cluster LABELS differ (seed indices vs seed vec_ids)."""
+    from tectonic_spark.operators.clustering import semantic_dedup_scaled_df
+
+    cols = ["vec_id", "kept_by", "n_dups"]
+    fold = (
+        semantic_dedup_df(spark, sf_dir)
+        .toPandas()[cols]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    scaled = (
+        semantic_dedup_scaled_df(spark, sf_dir, k=K)
+        .toPandas()[cols]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert fold.astype("int64").equals(scaled.astype("int64"))
