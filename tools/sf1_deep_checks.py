@@ -18,6 +18,10 @@ Per query:
 * ``c01_dedup_clusters`` — exact graph invariants: every pair edge's
   endpoints share a label; every component's label IS the component's
   minimum member id (so labels are canonical, not merely consistent).
+* ``c01_semantic_dedup[k=64]`` — the SemDeDup SCALE path (the registered
+  K=8 fold config is O(N^2/K) by construction and excluded at sf1):
+  per-pair cosine soundness via an independent join path, plus an exact
+  drop-set recompute with a direct-distance cluster reassignment.
 
 Usage: python tools/sf1_deep_checks.py [--sf-dir DIR] [--sample N]
 Writes JSON to --out (default /tmp/sf1_deep_checks.json).
@@ -227,6 +231,133 @@ def check_dedup_clusters(spark, sf_dir: str) -> dict:
     }
 
 
+def check_semantic_dedup(spark, sf_dir: str, k: int = 64) -> dict:
+    """sf1 evidence for the SemDeDup scale path (the registered fold
+    config is oracle-pinned at K=8, whose O(N^2/K) pair volume is
+    intractable at sf1 by construction — this is the named exclusion).
+
+    * soundness: every emitted (vec_id, kept_by) pair is rejoined to its
+      raw embeddings and the cosine recomputed in a mapInPandas (per-pair
+      row dot, not the per-cluster matmul the operator used); it must
+      reach tau, and kept_by < vec_id must hold.
+    * exactness: the full drop-set is recomputed independently — the
+      cluster assignment re-derived with the direct ||x-c||^2 formula
+      (chunked numpy broadcasting, not the -2xc+c^2 expansion), the
+      within-cluster prune re-run per cluster — and compared as SETS
+      (both anti-join directions plus kept_by/n_dups value equality).
+    """
+    import numpy as np
+
+    from tectonic_spark.operators.clustering import (
+        SEM_TAU,
+        semantic_dedup_scaled_df,
+    )
+    from tectonic_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    t0 = time.perf_counter()
+    out = semantic_dedup_scaled_df(spark, sf_dir, k=k).localCheckpoint()
+    n_dropped = out.count()
+    run_sec = round(time.perf_counter() - t0, 1)
+
+    ea = emb.select(F.col("vec_id"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(
+        F.col("vec_id").alias("kept_by"), F.col("embedding").alias("emb_b")
+    )
+    joined = out.join(ea, "vec_id").join(eb, "kept_by")
+
+    def verify(batches):
+        for p in batches:
+            a = np.stack(p["emb_a"].to_numpy()).astype("float64")
+            b = np.stack(p["emb_b"].to_numpy()).astype("float64")
+            cos = np.round(
+                (a * b).sum(1)
+                / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)),
+                6,
+            )
+            bad = int(
+                ((cos < SEM_TAU - 1e-5)
+                 | (p["kept_by"].to_numpy() >= p["vec_id"].to_numpy())).sum()
+            )
+            yield pd.DataFrame({"bad": [bad], "n": [len(p)]})
+
+    sound = (
+        joined.mapInPandas(verify, "bad long, n long")
+        .agg(F.sum("bad").alias("bad"), F.sum("n").alias("n"))
+        .collect()[0]
+    )
+
+    # --- independent full recompute (direct-distance assignment)
+    seeds = (
+        emb.filter(F.col("vec_id") < k).toPandas().sort_values("vec_id")
+    )
+    C = np.stack(seeds["embedding"].to_numpy()).astype("float64")
+    bc = spark.sparkContext.broadcast(C)
+
+    def reassign(batches):
+        cm = bc.value
+        for p in batches:
+            m = np.stack(p["embedding"].to_numpy()).astype("float64")
+            cids = np.empty(len(m), dtype="int64")
+            for lo in range(0, len(m), 1024):
+                chunk = m[lo : lo + 1024]
+                d = ((chunk[:, None, :] - cm[None, :, :]) ** 2).sum(-1)
+                cids[lo : lo + len(chunk)] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": p["vec_id"],
+                    "embedding": p["embedding"],
+                    "cid": cids,
+                }
+            )
+
+    def reprune(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        nrm = np.linalg.norm(m, axis=1)
+        s = (m @ m.T) / np.outer(nrm, nrm)
+        ids = pdf["vec_id"].to_numpy()
+        rows = [
+            (int(ids[i]), int(pdf["cid"].iloc[i]), int(ids[q[0]]), len(q))
+            for i in range(1, len(pdf))
+            if len(q := np.nonzero(np.round(s[i, :i], 6) >= SEM_TAU)[0])
+        ]
+        return pd.DataFrame(
+            rows, columns=["vec_id", "cluster", "kept_by", "n_dups"]
+        )
+
+    truth = (
+        emb.mapInPandas(reassign, "vec_id long, embedding array<float>, cid long")
+        .groupBy("cid")
+        .applyInPandas(reprune, "vec_id long, cluster long, kept_by long, n_dups long")
+        .localCheckpoint()
+    )
+    n_truth = truth.count()
+    missing = truth.join(out, "vec_id", "left_anti").count()
+    spurious = out.join(truth, "vec_id", "left_anti").count()
+    value_mismatch = (
+        out.alias("o")
+        .join(truth.alias("t"), "vec_id")
+        .where(
+            (F.col("o.kept_by") != F.col("t.kept_by"))
+            | (F.col("o.n_dups") != F.col("t.n_dups"))
+            | (F.col("o.cluster") != F.col("t.cluster"))
+        )
+        .count()
+    )
+    return {
+        "k": k,
+        "n_dropped": n_dropped,
+        "run_sec": run_sec,
+        "soundness_checked": sound.n,
+        "soundness_bad": sound.bad,
+        "recompute_dropped": n_truth,
+        "missing_from_output": missing,
+        "spurious_in_output": spurious,
+        "value_mismatches_bad": value_mismatch,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -250,6 +381,9 @@ def main() -> int:
             spark, args.sf_dir, args.vec_sample
         ),
         "c01_dedup_clusters": lambda: check_dedup_clusters(spark, args.sf_dir),
+        "c01_semantic_dedup[k=64]": lambda: check_semantic_dedup(
+            spark, args.sf_dir, k=64
+        ),
     }
     names = args.names or list(checks)
     ok = True
