@@ -329,10 +329,12 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # Per-query median of 3 timed passes: a single contended pass on a
-    # co-tenant machine once produced a phantom 29% "regression" (r2);
-    # the median kills that ambiguity at ~2x wall cost.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # Per-query median of 5 timed passes: a single contended pass on a
+    # co-tenant machine once produced a phantom 29% "regression" (r2), and
+    # 3 passes still let a slow not-yet-steady-state first pass drag the
+    # median on a cold JVM (observed r4: b07 medians 1.13 at 3 passes vs
+    # 0.81 at steady state). The median of 5 kills both at ~3x wall cost.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = ops.REGISTRY[name]
