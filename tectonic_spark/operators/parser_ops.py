@@ -979,6 +979,273 @@ def s05_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).where(F.col("user_id") >= 0)
 
 
+def _events_dup_stream_src(sf_dir: str) -> tuple[str, int, int]:
+    """Events as 4 ts-quartered JSONL files with INJECTED duplicates: the
+    last 50 rows of each quarter are repeated verbatim at the head of the
+    next file (cross-micro-batch duplicates — the case that needs streaming
+    state, not per-batch distinct) and the first 25 rows of each quarter
+    are repeated inside their own file (the easy case). Returns
+    (src_dir, n_distinct_events, n_injected_dups)."""
+    import duckdb
+    import shutil
+
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "s06_src")
+    done = os.path.join(src, "_DONE")
+    path = os.path.join(sf_dir, "events.parquet")
+    n_distinct = duckdb.sql(f"SELECT COUNT(*) FROM '{path}'").fetchone()[0]
+    if not os.path.exists(done):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        rows = duckdb.sql(
+            f"SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id, "
+            f"event_type, value FROM '{path}' ORDER BY ts, event_id"
+        ).fetchall()
+        lines = [
+            json.dumps(
+                {
+                    "event_id": e,
+                    "ts_us": t,
+                    "user_id": u,
+                    "event_type": et,
+                    "value": v,
+                }
+            )
+            for e, t, u, et, v in rows
+        ]
+        quarter = (len(lines) + 3) // 4
+        n_dups = 0
+        carried: list[str] = []
+        for i in range(4):
+            part = lines[i * quarter : (i + 1) * quarter]
+            body = carried + part + part[:25]  # in-file dups
+            n_dups += len(carried) + min(25, len(part))
+            carried = part[-50:]  # cross-batch dups for the NEXT file
+            _write_atomic(
+                os.path.join(src, f"in-{i}.jsonl"),
+                ("\n".join(body) + "\n").encode(),
+            )
+        _write_atomic(done, json.dumps({"n_dups": n_dups}).encode())
+    n_dups = json.loads(open(done).read())["n_dups"]
+    return src, n_distinct, n_dups
+
+
+@register(
+    "s06_stream_dedup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="STREAMING exact dedup (continuous-ingestion dedup, the streaming "
+    "face of c1/b12): the event stream arrives with injected duplicates — "
+    "cross-micro-batch copies (the last 50 rows of each file repeated at "
+    "the head of the next) and in-file copies — and "
+    "dropDuplicatesWithinWatermark(event_id) behind a 2-day watermark "
+    "must drop every one across batch boundaries via the streaming state "
+    "store. The builder raises unless >0 dups were injected, >=2 "
+    "micro-batches committed, and the sink holds EXACTLY the distinct "
+    "count — then aggregates the sink under the batch oracle. 100 TB "
+    "shape: state is keyed by event_id and evicted at ts+delay < "
+    "watermark, so state size is bounded by key arrival rate x delay, "
+    "not stream length.",
+)
+def s06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    register_tectonic_sources(spark)
+    src, n_distinct, n_dups = _events_dup_stream_src(sf_dir)
+    if n_dups <= 0:
+        raise RuntimeError("s06: fixture injected no duplicates")
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s06_sink")
+    ck = os.path.join(base, "s06_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema(
+            "event_id long, ts_us long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+    )
+    deduped = (
+        stream.select(
+            "event_id",
+            F.timestamp_micros("ts_us").alias("ts"),
+            "event_type",
+            "value",
+        )
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        sink_rows, n_commits = 0, 0
+        commits_dir = os.path.join(ck, "commits")
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            n_commits = (
+                len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+                if os.path.isdir(commits_dir)
+                else 0
+            )
+            if sink_rows >= n_distinct and n_commits >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    if sink_rows < n_distinct:
+        raise RuntimeError(
+            f"s06: sink has {sink_rows} rows, expected {n_distinct}"
+        )
+    if sink_rows > n_distinct:
+        raise RuntimeError(
+            f"s06: sink has {sink_rows} rows > {n_distinct} distinct — "
+            f"streaming dedup let duplicates through ({n_dups} injected)"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s06: only {n_commits} committed micro-batches — duplicates "
+            "never crossed a batch boundary"
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "s07_stream_static_join",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Stream-static ENRICHMENT join (the lookup-table pattern of every "
+    "continuous ingestion pipeline): the rate-limited event stream joins "
+    "per micro-batch against the static customer->nation dimension "
+    "(broadcast — the static side is re-planned per batch, never "
+    "shuffled), lands enriched rows in a checkpointed parquet sink, and "
+    "the sink aggregates per nation under the batch oracle. The flush "
+    "sentinel (user_id = -1) falls out of the inner join by design. The "
+    "builder raises unless >=2 micro-batches committed and every "
+    "enriched row arrived.",
+)
+def s07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    register_tectonic_sources(spark)
+    src, _ = _events_stream_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s07_sink")
+    ck = os.path.join(base, "s07_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    expected = table(spark, sf_dir, "events").count()  # sentinel excluded
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(
+            table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("user_id", F.col("n_name").alias("nation"))
+    )
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema(
+            "event_id long, ts_us long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "nation", "value"
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        sink_rows, n_commits = 0, 0
+        commits_dir = os.path.join(ck, "commits")
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            n_commits = (
+                len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+                if os.path.isdir(commits_dir)
+                else 0
+            )
+            if sink_rows >= expected and n_commits >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    if sink_rows < expected:
+        raise RuntimeError(
+            f"s07: sink has {sink_rows} enriched rows, expected {expected}"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s07: only {n_commits} committed micro-batches — rate-limited "
+            "continuation did not engage"
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 @register(
     "a10_tectonic_json_writer",
     oracle=(

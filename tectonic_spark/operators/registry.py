@@ -73,10 +73,13 @@ PRIORITY: list[str] = [
     "a06_malformed_handling",
     "a07_parquet_sink_roundtrip",
     "a12_catalog_table_roundtrip",
-    # streaming (incl. s05: stateful session store under the gate)
+    # streaming (incl. s05: stateful session store under the gate; round-4:
+    # s06 streaming dedup takes s03's slot — s03's >=2-commit continuation
+    # evidence is now asserted inside every s04-s07 builder, and s03 stays
+    # under the local + sf1-sweep gates)
     "s01_stream_jsonl_to_parquet",
     "s02_stream_csv_to_parquet",
-    "s03_stream_multibatch",
+    "s06_stream_dedup",
     "s04_stream_watermark",
     "s05_stream_sessionization",
     # relational b1-b14 (one per component)
