@@ -120,3 +120,38 @@ def test_semantic_dedup_scaled_variant_agrees_with_fold(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert fold.astype("int64").equals(scaled.astype("int64"))
+
+
+def test_quantization_kernel_cross_engine_parity(spark):
+    """The kmeans oracle's exactness rests on round(x, 6) -> DECIMAL(27,6)
+    agreeing between Spark and DuckDB for ANY double. Hammer the kernel
+    with adversarial values sitting on/near the .5e-6 rounding tie, exact
+    binary fractions, negatives, huge and tiny magnitudes."""
+    import duckdb
+
+    vals = [
+        0.1234565, 0.1234575, -0.1234565, -0.1234575,
+        1.0000005, -1.0000005, 0.9999995, -0.9999995,
+        2.5e-7, -2.5e-7, 4.999999999e-7, 5.000000001e-7,
+        0.125, -0.125, 0.0078125,  # exact binary fractions
+        12345.6789115, -12345.6789115,
+        1e-20, -1e-20, 0.0, 1234567890.1234565,
+        0.3333333333333333, 0.6666666666666666, -0.7071067811865476,
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    from pyspark.sql import functions as F
+
+    got = [
+        str(r.q)
+        for r in sdf.select(
+            F.round("x", 6).cast("decimal(27,6)").alias("q")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        str(con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE), 6) AS DECIMAL(27,6))", [v]
+        ).fetchone()[0])
+        for v in vals
+    ]
+    assert got == want, list(zip(vals, got, want))
