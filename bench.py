@@ -267,13 +267,21 @@ def _sf1_headroom(spark, sf_dir: str, base: dict[str, float]) -> dict:
             spark, scaled, n_bits=10, sketch="pandas"
         ).write.format("noop").mode("overwrite").save()
         timings["c01_embedding_neardup[bits=10]"] = round(time.perf_counter() - t0, 3)
-        from tectonic_spark.operators.clustering import semantic_dedup_scaled_df
+        from tectonic_spark.operators.clustering import (
+            kmeans_scaled_df,
+            semantic_dedup_scaled_df,
+        )
 
         t0 = time.perf_counter()
         semantic_dedup_scaled_df(spark, scaled, k=64).write.format("noop").mode(
             "overwrite"
         ).save()
         timings["c01_semantic_dedup[k=64]"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        kmeans_scaled_df(spark, scaled).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["c02_kmeans[pandas]"] = round(time.perf_counter() - t0, 3)
         # dedup-cluster formation at sf1 (VERDICT r3 item 6): rounds to
         # converge + wall time for alternating large-star/small-star CC.
         # Pairs come from the minhash-LSH generator (seconds at sf1) so the

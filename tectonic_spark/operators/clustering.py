@@ -213,6 +213,64 @@ def c02_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_df(spark, sf_dir)
 
 
+def kmeans_scaled_df(
+    spark: SparkSession, sf_dir: str, k: int = K, iters: int = ITERS
+) -> DataFrame:
+    """Scale variant of the Lloyd loop (the big-corpus path): assignment
+    runs as ONE numpy matmul-free chunked distance per Arrow batch
+    against the current centroid matrix, with distances rounded to 6 dp
+    and argmin tie-broken by centroid order — the same comparison key as
+    the fold, so assignments agree wherever the two summation orders
+    round alike (everywhere, in practice; the registered ``c02_kmeans``
+    keeps the left-fold to stay bit-bound to its static oracle).
+
+    The centroid UPDATE is the identical DataFrame decimal path, but each
+    iteration's K x DIM centroid matrix is collected to the driver to be
+    re-broadcast into the next assignment — the same bounded-metadata
+    concession MLlib's k-means makes every iteration; the corpus itself
+    never crosses the driver and never shuffles.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+
+    def collect_centroids(cent_df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        pdf = cent_df.toPandas().sort_values("cid")
+        return (
+            np.stack(pdf["ce"].to_numpy()).astype(np.float64),
+            pdf["cid"].to_numpy().astype(np.int64),
+        )
+
+    def assign_with(cm: np.ndarray, cids: np.ndarray) -> DataFrame:
+        @pandas_udf("struct<cid: long, rdist: double>")
+        def best(e: pd.Series) -> pd.DataFrame:
+            m = np.stack(e.to_numpy()).astype(np.float64)
+            n = len(m)
+            cid_out = np.empty(n, dtype=np.int64)
+            rd_out = np.empty(n, dtype=np.float64)
+            for lo in range(0, n, 1024):
+                chunk = m[lo : lo + 1024]
+                d = np.round(
+                    ((chunk[:, None, :] - cm[None, :, :]) ** 2).sum(-1), 6
+                )
+                idx = np.argmin(d, axis=1)  # first min wins == lowest cid
+                cid_out[lo : lo + len(chunk)] = cids[idx]
+                rd_out[lo : lo + len(chunk)] = d[np.arange(len(chunk)), idx]
+            return pd.DataFrame({"cid": cid_out, "rdist": rd_out})
+
+        return v.withColumn("b", best("e")).select(
+            "vec_id", "e", F.col("b.cid").alias("cid"), F.col("b.rdist").alias("rdist")
+        )
+
+    cm, cids = collect_centroids(_seed_centroids(v, k))
+    for _ in range(iters):
+        cm, cids = collect_centroids(_update(assign_with(cm, cids)))
+    return assign_with(cm, cids).select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("rdist").alias("dist2")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup
 

@@ -155,3 +155,20 @@ def test_quantization_kernel_cross_engine_parity(spark):
         for v in vals
     ]
     assert got == want, list(zip(vals, got, want))
+
+
+def test_kmeans_scaled_variant_agrees_with_fold(spark, sf_dir):
+    """The matmul scale variant must reproduce the fold variant's final
+    assignment exactly on the fixed test corpus (same 6dp-rounded
+    comparison key, same tie-break, bit-identical decimal centroids)."""
+    from tectonic_spark.operators.clustering import kmeans_scaled_df
+
+    fold = kmeans_df(spark, sf_dir).toPandas().sort_values("vec_id").reset_index(drop=True)
+    fast = (
+        kmeans_scaled_df(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert fold[["vec_id", "cluster"]].equals(fast[["vec_id", "cluster"]])
+    assert (fold["dist2"] - fast["dist2"]).abs().max() <= 1e-6
