@@ -1247,6 +1247,142 @@ def s07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s08_stream_stream_join",
+    oracle="""
+    SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(SUM(CAST(b.value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    GROUP BY a.user_id
+    """,
+    doc="STREAM-STREAM time-bounded join (the funnel/attribution shape — "
+    "state on BOTH sides): clicks and purchases split from the same "
+    "rate-limited event stream, each behind a 30-minute watermark, inner-"
+    "joined on user_id with a [click, click+30min] range condition. "
+    "Spark's symmetric-hash join state buffers both sides and the "
+    "watermark + range bound state eviction; because events arrive in ts "
+    "order, no match can be evicted before its partner arrives, so the "
+    "emitted pair-set equals the batch self-join exactly. The builder "
+    "raises unless >=2 micro-batches committed and the sink holds "
+    "EXACTLY the batch pair count; the sink then aggregates per user "
+    "under the batch oracle. This completes the streaming matrix: "
+    "source/sink, multi-batch, watermark agg, session store, dedup "
+    "state, stream-static join, stream-stream join.",
+)
+def s08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    register_tectonic_sources(spark)
+    src, _ = _events_stream_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s08_sink")
+    ck = os.path.join(base, "s08_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    ev = table(spark, sf_dir, "events")
+    ba = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("a_uid"), F.col("ts").alias("a_ts")
+    )
+    bb = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_uid"), F.col("ts").alias("b_ts")
+    )
+    expected = ba.join(
+        bb,
+        (F.col("a_uid") == F.col("b_uid"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema(
+            "event_id long, ts_us long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("a_uid"),
+            F.timestamp_micros("ts_us").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "30 minutes")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.timestamp_micros("ts_us").alias("b_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("b_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("a_uid") == F.col("user_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "a_ts", "b_ts", "purchase_value")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        sink_rows, n_commits = 0, 0
+        commits_dir = os.path.join(ck, "commits")
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            n_commits = (
+                len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+                if os.path.isdir(commits_dir)
+                else 0
+            )
+            if sink_rows >= expected and n_commits >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    if sink_rows != expected:
+        raise RuntimeError(
+            f"s08: sink has {sink_rows} pairs, batch join says {expected}"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s08: only {n_commits} committed micro-batches — rate-limited "
+            "continuation did not engage"
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("purchase_value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_purchase_value"),
+        )
+    )
+
+
+@register(
     "a10_tectonic_json_writer",
     oracle=(
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "

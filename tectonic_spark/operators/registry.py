@@ -74,10 +74,12 @@ PRIORITY: list[str] = [
     "a07_parquet_sink_roundtrip",
     "a12_catalog_table_roundtrip",
     # streaming (incl. s05: stateful session store under the gate; round-4:
-    # s06 streaming dedup takes s03's slot — s03's >=2-commit continuation
-    # evidence is now asserted inside every s04-s07 builder, and s03 stays
-    # under the local + sf1-sweep gates)
-    "s01_stream_jsonl_to_parquet",
+    # s06 streaming dedup and s08 stream-stream join take the s03/s01
+    # slots — s03's >=2-commit continuation evidence is now asserted
+    # inside every s04-s08 builder, s01's plain JSONL passthrough rides
+    # the same source every other s-row uses, and both stay under the
+    # local + sf1-sweep gates)
+    "s08_stream_stream_join",
     "s02_stream_csv_to_parquet",
     "s06_stream_dedup",
     "s04_stream_watermark",
