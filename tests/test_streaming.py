@@ -538,3 +538,78 @@ class TestStreamFaults:
             f"exactly-once violated: {len(ids)} rows, "
             f"dups={len(ids) - len(set(ids))}"
         )
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state must recover from the
+    checkpoint: a duplicate of a pre-restart row arriving in a
+    post-restart micro-batch can only be dropped if the state store was
+    restored, not rebuilt empty. Files carry the previous file's last 5
+    rows as cross-batch duplicates; the final sink must hold every id
+    exactly once."""
+    import json as _json
+
+    data = tmp_path / "in_dd"
+    data.mkdir()
+    prev_tail = []
+    for i, name in enumerate(("a.json", "b.json", "c.json", "d.json")):
+        rows = [
+            {
+                "event_id": e,
+                "ts": f"2024-01-01 {e % 24:02d}:{e % 60:02d}:00",
+            }
+            for e in range(i * 20, (i + 1) * 20)
+        ]
+        body = prev_tail + rows
+        prev_tail = rows[-5:]
+        (data / name).write_text(
+            "\n".join(_json.dumps(r) for r in body) + "\n"
+        )
+    out = tmp_path / "out_dd"
+    ck = tmp_path / "ck_dd"
+
+    from pyspark.sql import functions as F
+
+    def start():
+        return (
+            spark.readStream.format("tectonic-json")
+            .schema("event_id long, ts string")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(data))
+            .select("event_id", F.to_timestamp("ts").alias("ts"))
+            .withWatermark("ts", "1 day")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .outputMode("append")
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+
+    def wait_rows(n):
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(str(out)).count() >= n:
+                    return
+            except Exception:
+                pass
+            time.sleep(0.2)
+
+    q = start()
+    try:
+        wait_rows(20)  # first batch committed
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert spark.read.parquet(str(out)).count() >= 20
+
+    q = start()  # fresh query, same checkpoint -> state restore
+    try:
+        wait_rows(80)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    ids = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
+    assert ids == list(range(80))  # every id once: dups dropped ACROSS restart
