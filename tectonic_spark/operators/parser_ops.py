@@ -1383,6 +1383,121 @@ def s08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a17_partitioned_sink_pruning",
+    oracle=(
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars FROM documents "
+        "WHERE lang = 'en' GROUP BY source"
+    ),
+    doc="Hive-style partitioned sink + partition PRUNING round-trip — the "
+    "100 TB table layout tool: documents written partitionBy(lang), read "
+    "back with a lang predicate, and the builder RAISES unless the scan's "
+    "PartitionFilters actually carry the predicate (whole directories "
+    "skipped, not row-filtered). The pruned read then aggregates under "
+    "the batch oracle.",
+)
+def a17_partitioned_sink_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.plans import explain_str
+    from tectonic_spark.tables import table
+
+    out = os.path.join(_fixture_dir(sf_dir), "a17_docs_by_lang")
+    (
+        table(spark, sf_dir, "documents")
+        .write.partitionBy("lang")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    df = spark.read.parquet(out).filter(F.col("lang") == "en")
+    pf = [
+        ln
+        for ln in explain_str(df.select("doc_id")).splitlines()
+        if "PartitionFilters" in ln
+    ]
+    if not (pf and "lang" in pf[0]):
+        raise RuntimeError(
+            "a17: lang predicate did not reach PartitionFilters — "
+            "partition pruning is not engaging"
+        )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+@register(
+    "a18_bucketed_join_no_shuffle",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS VARCHAR)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Bucketed (co-partitioned) catalog tables + shuffle-free fact-fact "
+    "join — the layout that amortizes the big-join shuffle at 100 TB: "
+    "lineitem and orders both bucketBy(8, orderkey), and with broadcast "
+    "disabled the builder RAISES unless the SortMergeJoin plan contains "
+    "ZERO Exchange operators (bucket co-location replaces both shuffles "
+    "and both sorts come from sortBy). The joined aggregate sits under "
+    "the batch oracle.",
+)
+def a18_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.plans import physical_plan
+    from tectonic_spark.tables import table
+
+    import shutil
+
+    # the catalog entry dies with the session but the managed LOCATION
+    # persists on disk — drop both (see a12_catalog_table_roundtrip)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for name in ("a18_li_b", "a18_ord_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(
+            os.path.join(wh.removeprefix("file:"), name), ignore_errors=True
+        )
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("a18_li_b")
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("a18_ord_b")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.table("a18_li_b")
+        ord_ = spark.table("a18_ord_b")
+        joined = li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        plan = physical_plan(joined)
+        if "SortMergeJoin" not in plan or "Exchange" in plan:
+            raise RuntimeError(
+                "a18: co-bucketed join still shuffles — bucket layout "
+                "is not being used"
+            )
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@register(
     "a10_tectonic_json_writer",
     oracle=(
         "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "

@@ -71,8 +71,12 @@ PRIORITY: list[str] = [
     "a14_csv_filter_pushdown",
     "a05_schema_inference",
     "a06_malformed_handling",
-    "a07_parquet_sink_roundtrip",
-    "a12_catalog_table_roundtrip",
+    # round-4: a17/a18 take the a07/a12 slots — each is a strict superset
+    # (a17 = parquet sink + partitionBy + pruning-asserted read; a18 =
+    # catalog saveAsTable + bucketBy + shuffle-free-join-asserted); the
+    # evicted rows stay under the local + sf1-sweep gates
+    "a17_partitioned_sink_pruning",
+    "a18_bucketed_join_no_shuffle",
     # streaming (incl. s05: stateful session store under the gate; round-4:
     # s06 streaming dedup and s08 stream-stream join take the s03/s01
     # slots — s03's >=2-commit continuation evidence is now asserted
