@@ -1382,6 +1382,180 @@ def s08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S09_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap, micros
+
+
+def _s09_sessionize(key, pdfs, state):
+    """applyInPandasWithState kernel: per-user session state with
+    EVENT-TIME timeouts. Sessions that provably closed inside the batch
+    (a later event >= gap after the last) are emitted immediately; the
+    one still-open session is kept in state with a timeout at
+    last + gap, which the watermark (pushed by the flush sentinel) fires
+    deterministically — no processing-time clocks anywhere, so the
+    emitted set is exactly the batch gaps-and-islands result."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [{"user_id": user_id, "start_us": start_us, "n_events": n}]
+        )
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"])
+    cur = list(state.get) if state.exists else None
+    closed = []
+    for ts in rows["ts_us"]:
+        ts = int(ts)
+        if cur is None:
+            cur = [ts, ts, 1]
+        elif ts - cur[1] >= _S09_GAP_US:
+            closed.append(cur)
+            cur = [ts, ts, 1]
+        else:
+            cur[1] = ts
+            cur[2] += 1
+    state.update(tuple(cur))
+    # fire when the watermark passes the session's close boundary
+    state.setTimeoutTimestamp((cur[1] + _S09_GAP_US) // 1000)
+    if closed:
+        yield pd.DataFrame(
+            [
+                {"user_id": user_id, "start_us": s, "n_events": n}
+                for s, _l, n in closed
+            ]
+        )
+
+
+@register(
+    "s09_custom_stateful_sessions",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="CUSTOM stateful streaming operator (applyInPandasWithState) with "
+    "EVENT-TIME timeouts under the exact-oracle gate — the arbitrary-"
+    "state API itself, not a built-in window: per-user session tuples "
+    "(start, last, n) live in the state store across micro-batches, "
+    "in-batch gap splits emit immediately, and still-open sessions close "
+    "when the watermark (pushed by the flush sentinel) fires their "
+    "event-time timeout — deterministic because no processing-time clock "
+    "is consulted, which is what kept this API tests-only before. "
+    "Emitted set equals the batch gaps-and-islands oracle exactly "
+    "(same oracle as s05, which uses the built-in session_window). "
+    "100 TB shape: state is per-user O(1), exchanges key on user_id, "
+    "Arrow-batched both directions.",
+)
+def s09_custom_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    register_tectonic_sources(spark)
+    src, _ = _events_stream_src(sf_dir)
+    path = os.path.join(sf_dir, "events.parquet")
+    expected = duckdb.sql(
+        f"""
+        WITH lagged AS (
+          SELECT user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM '{path}')
+        SELECT COUNT(*) FROM lagged
+        WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+        """
+    ).fetchone()[0]
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s09_sink")
+    ck = os.path.join(base, "s09_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema(
+            "event_id long, ts_us long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+    )
+    sessions = (
+        stream.select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.timestamp_micros("ts_us").alias("ts"),
+        )
+        .withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _s09_sessionize,
+            outputStructType="user_id long, start_us long, n_events long",
+            stateStructType="start_us long, last_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        sink_rows = 0
+        while time.time() < deadline:
+            try:
+                sink_rows = (
+                    spark.read.parquet(out).where(F.col("user_id") >= 0).count()
+                )
+            except Exception:
+                sink_rows = 0
+            if sink_rows >= expected:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    if sink_rows < expected:
+        raise RuntimeError(
+            f"s09: sink has {sink_rows} closed sessions, expected {expected} "
+            "— event-time timeouts did not flush every session"
+        )
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.timestamp_micros("start_us").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 @register(
     "a17_partitioned_sink_pruning",
     oracle=(

@@ -87,7 +87,7 @@ PRIORITY: list[str] = [
     "s02_stream_csv_to_parquet",
     "s06_stream_dedup",
     "s04_stream_watermark",
-    "s05_stream_sessionization",
+    "s09_custom_stateful_sessions",
     # relational b1-b14 (one per component)
     "b01_project_compute",
     "b02_filter_pushdown",
