@@ -34,7 +34,10 @@ def main() -> int:
         with open(args.deep) as f:
             deep = json.load(f)
 
-    n = len(queries)
+    n_skip = sum(
+        1 for v in queries.values() if v["status"] == "skipped_named_exclusion"
+    )
+    n = len(queries) - n_skip
     n_pass = sum(1 for v in queries.values() if v["status"] == "pass")
     n_timeout = sum(1 for v in queries.values() if "timeout" in v["status"])
     n_other = n - n_pass - n_timeout

@@ -121,8 +121,21 @@ def main() -> int:
 
     spark = get_spark(app_name="tectonic-sf1-sweep")
 
-    names = args.names or list(ops.REGISTRY)
+    # Named exclusions: configs that are intractable at sf1 BY CONSTRUCTION
+    # (not by accident) — skipped in full sweeps so the budget isn't burned
+    # rediscovering them, still runnable by naming them explicitly. Each
+    # must have independent sf1 coverage in tools/sf1_deep_checks.py.
+    skip_at_sf1 = {
+        "c01_semantic_dedup": "O(N^2/K) pair volume at the oracle-pinned "
+        "K=8; scale path (semantic_dedup_scaled_df, k=64) is deep-checked",
+    }
+
+    names = args.names or [n for n in ops.REGISTRY if n not in skip_at_sf1]
     results: dict[str, dict] = {}
+    if not args.names:
+        for n, why in skip_at_sf1.items():
+            results[n] = {"status": "skipped_named_exclusion", "err": why}
+            print(f"SKIP           {n}: {why[:90]}")
     n_pass = n_fail = n_timeout = n_rows_only = 0
     for name in names:
         q = ops.REGISTRY[name]
