@@ -595,3 +595,75 @@ def c04_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
         )
     )
+
+
+_DELTA_ORACLE = """
+WITH cur AS (
+  SELECT doc_id, md5(text) AS digest FROM documents
+),
+prev AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 5 THEN md5(text || ' OLD')
+              ELSE md5(text) END AS digest
+  FROM documents WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, md5(text) AS digest
+  FROM documents WHERE doc_id % 13 = 7
+)
+SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id,
+       CASE WHEN prev.doc_id IS NULL THEN 'added'
+            WHEN cur.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id
+WHERE prev.doc_id IS NULL OR cur.doc_id IS NULL
+   OR cur.digest <> prev.digest
+"""
+
+
+@register(
+    "c04_snapshot_delta",
+    oracle=_DELTA_ORACLE,
+    doc="Incremental snapshot diff — the change-detection pass an "
+    "incremental ingestion pipeline runs before reprocessing a corpus "
+    "crawl: current vs previous snapshot full-outer-joined on doc_id "
+    "with content digests, emitting added / changed / removed rows only "
+    "(unchanged documents — the overwhelming majority at 100 TB — are "
+    "filtered before anything downstream runs). The previous snapshot "
+    "is derived deterministically from the corpus (every 17th doc "
+    "missing -> added, every 11th text-perturbed -> changed, every 13th "
+    "mirrored at a shifted id -> removed) so the delta is non-trivial in "
+    "all three classes and exactly oracle-checkable. 100 TB shape: "
+    "digests are computed in the scan projection (only doc_id+digest "
+    "shuffle, never text), ONE doc_id-keyed exchange per side feeds the "
+    "SortMergeJoin, and the output is delta-sized, not corpus-sized.",
+)
+def c04_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cur = d.select("doc_id", F.md5("text").alias("digest"))
+    prev_kept = d.where(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 5, F.md5(F.concat(F.col("text"), F.lit(" OLD")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("digest"),
+    )
+    prev_removed = d.where(F.col("doc_id") % 13 == 7).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.md5("text").alias("digest"),
+    )
+    prev = prev_kept.unionAll(prev_removed).select(
+        F.col("doc_id").alias("p_doc_id"), F.col("digest").alias("p_digest")
+    )
+    joined = cur.join(prev, cur.doc_id == prev.p_doc_id, "full_outer")
+    return joined.where(
+        F.col("p_doc_id").isNull()
+        | F.col("doc_id").isNull()
+        | (F.col("digest") != F.col("p_digest"))
+    ).select(
+        F.coalesce("doc_id", "p_doc_id").alias("doc_id"),
+        F.when(F.col("p_doc_id").isNull(), "added")
+        .when(F.col("doc_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+    )
