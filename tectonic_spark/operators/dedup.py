@@ -690,3 +690,86 @@ def c01_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id")
     )
+
+
+# --- C4-style duplicate-span removal (sub-document exact dedup) ----------
+
+SPAN_K = 10  # tokens per non-overlapping span ("line" analog)
+
+_LINE_DEDUP_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, w,
+             unnest(range(0, (len(w) + {SPAN_K - 1}) // {SPAN_K})) AS span_idx
+      FROM t),
+sp AS (SELECT doc_id, span_idx,
+              array_to_string(
+                list_slice(w, CAST(span_idx * {SPAN_K} + 1 AS INT),
+                              CAST(span_idx * {SPAN_K} + {SPAN_K} AS INT)),
+                ' ') AS span
+       FROM s),
+f AS (SELECT doc_id, span_idx, span,
+             row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, span_idx) = 1 AS keep
+      FROM sp)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN span END, ' '
+                           ORDER BY span_idx), '') AS kept_text
+FROM f GROUP BY doc_id
+"""
+
+
+@register(
+    "c01_line_dedup",
+    oracle=_LINE_DEDUP_ORACLE,
+    doc=f"C4-style duplicate-span removal (Raffel et al. 2020, "
+    f"arXiv:1910.10683 §2.2 deduplicates repeated three-sentence spans "
+    f"corpus-wide): documents are cut into non-overlapping {SPAN_K}-token "
+    "spans, every span occurrence after the first — globally, ordered by "
+    "(doc_id, span_idx) — is dropped, and each document is reassembled "
+    "from its surviving spans. Output: per-doc span counts plus the "
+    "cleaned text. 100 TB shape: the winner per span value is a "
+    "map-side-combinable MIN(struct(doc_id, span_idx)) aggregation (NOT a "
+    "row_number window — a window would serialize each hot boilerplate "
+    "span onto one task with no partial aggregation; min-struct "
+    "pre-reduces hot spans inside each map task), followed by one "
+    "span-keyed join (AQE splits residual skew) and one doc_id shuffle to "
+    "reassemble. Only span text + two longs ever travel.",
+)
+def c01_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = words_col()
+    n_sp = F.ceil(F.size(w) / F.lit(SPAN_K)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_sp - 1),
+        lambda i: F.array_join(F.slice(w, i * SPAN_K + 1, SPAN_K), " "),
+    )
+    s = d.select("doc_id", F.posexplode(spans).alias("span_idx", "span"))
+    winners = s.groupBy("span").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("first")
+    )
+    flagged = s.join(winners, "span").select(
+        "doc_id",
+        "span_idx",
+        "span",
+        (
+            (F.col("first.doc_id") == F.col("doc_id"))
+            & (F.col("first.span_idx") == F.col("span_idx"))
+        ).alias("keep"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("span_idx", "span"))
+                    )
+                ),
+                lambda x: x["span"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )

@@ -306,11 +306,15 @@ def c04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # hex -> uint32 for the first 8 md5 hex chars, DuckDB-side (no conv() there)
-_O_HEX32 = (
-    "list_sum(list_transform(range(1, 9), i -> "
-    "CAST(strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1 AS BIGINT)"
-    " * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT))))"
-)
+def _o_hex32(col: str = "h") -> str:
+    return (
+        "list_sum(list_transform(range(1, 9), i -> "
+        f"CAST(strpos('0123456789abcdef', substr({col}, CAST(i AS INT), 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INT))))"
+    )
+
+
+_O_HEX32 = _o_hex32("h")
 
 _MIX_ORACLE = f"""
 WITH t AS (
@@ -666,4 +670,102 @@ def c04_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id").isNull(), "removed")
         .otherwise("changed")
         .alias("change"),
+    )
+
+
+# --- DSIR importance resampling (data selection for LM pre-training) ------
+
+DSIR_BUCKETS = 256
+DSIR_K = 100
+
+_DSIR_ORACLE = f"""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+bt AS (SELECT doc_id, lang, {_o_hex32('md5(tok)')} % {DSIR_BUCKETS} AS b
+       FROM tok),
+raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rcnt FROM bt GROUP BY b),
+tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tcnt
+        FROM bt WHERE lang = 'en' GROUP BY b),
+tots AS (SELECT (SELECT COUNT(*) FROM bt) AS r_tot,
+                (SELECT COUNT(*) FROM bt WHERE lang = 'en') AS t_tot),
+lr AS (SELECT raw.b,
+              ln(COALESCE(tgt.tcnt, 0) + 1) - ln(t_tot + {DSIR_BUCKETS})
+              - ln(raw.rcnt + 1) + ln(r_tot + {DSIR_BUCKETS}) AS logratio
+       FROM raw LEFT JOIN tgt USING (b), tots),
+w AS (SELECT bt.doc_id, bt.lang,
+             round(SUM(lr.logratio), 6) AS dsir_weight
+      FROM bt JOIN lr USING (b)
+      GROUP BY bt.doc_id, bt.lang)
+SELECT doc_id, lang, dsir_weight,
+       CAST(row_number() OVER (ORDER BY dsir_weight DESC, doc_id)
+            AS BIGINT) AS sel_rank
+FROM w ORDER BY dsir_weight DESC, doc_id LIMIT {DSIR_K}
+"""
+
+
+@register(
+    "c04_dsir",
+    oracle=_DSIR_ORACLE,
+    doc=f"DSIR data selection (Xie et al. 2023, arXiv:2302.03169 — "
+    "Data Selection for LMs via Importance Resampling, public): hashed "
+    f"unigram features (uint32(md5(token)[:8]) mod {DSIR_BUCKETS} "
+    "buckets), bag-of-buckets importance weight ln p_target/p_raw with "
+    "add-one smoothing (target domain = lang='en' documents, raw = whole "
+    f"corpus), top-{DSIR_K} selection by (rounded weight, doc_id) — the "
+    "deterministic stand-in for the paper's Gumbel resampling. 100 TB "
+    f"shape: both histograms are {DSIR_BUCKETS}-row map-side-combined "
+    "aggregates; the per-bucket log-ratio table broadcasts; per-doc "
+    "weights are one doc_id-keyed aggregation over the token stream "
+    "(no token-keyed join at all, unlike the NB scorer); the global "
+    "top-K is TakeOrderedAndProject (per-partition heaps, never a full "
+    "sort). Only K rows ever see a single task.",
+)
+def c04_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    b = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    bt = tok.select("doc_id", "lang", b.alias("b"))
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("rcnt"))
+    tgt = (
+        bt.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+    )
+    tots = bt.agg(
+        F.count(F.lit(1)).alias("r_tot"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_tot"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(F.coalesce(F.col("tcnt"), F.lit(0)) + 1)
+                - F.log(F.col("t_tot") + DSIR_BUCKETS)
+                - F.log(F.col("rcnt") + 1)
+                + F.log(F.col("r_tot") + DSIR_BUCKETS)
+            ).alias("logratio"),
+        )
+    )
+    w = (
+        bt.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum("logratio"), 6).alias("dsir_weight"))
+    )
+    top = w.orderBy(F.col("dsir_weight").desc(), F.col("doc_id")).limit(DSIR_K)
+    # rank assignment runs on the K surviving rows only (constant-size)
+    rank_win = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        "lang",
+        "dsir_weight",
+        F.row_number().over(rank_win).cast("long").alias("sel_rank"),
     )

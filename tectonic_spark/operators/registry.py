@@ -68,7 +68,10 @@ PRIORITY: list[str] = [
     "a03_projection_pushdown",
     "a13_nested_pushdown",
     "a04_filter_pushdown",
-    "a14_csv_filter_pushdown",
+    # round-4b: a14 (second a4-component row) cedes its slot to c04_dsir —
+    # the a4 component keeps a04's driver row; a14 stays under the local +
+    # sf1-sweep gates
+    "c04_dsir",
     "a05_schema_inference",
     "a06_malformed_handling",
     # round-4: a17/a18 take the a07/a12 slots — each is a strict superset
@@ -110,8 +113,11 @@ PRIORITY: list[str] = [
     "q05_local_supplier_volume",
     "c03_chunking",
     "c04_stratified_sample",
-    # LLM-pipeline: dedup
-    "c01_dedup_exact",
+    # LLM-pipeline: dedup (round-4b: C4-style span dedup takes the
+    # c01_dedup_exact slot — it is the same exact-hash dedup at span
+    # granularity plus reassembly; the whole-doc variant stays under the
+    # local + sf1-sweep gates)
+    "c01_line_dedup",
     "c01_ngram_jaccard",
     "c01_minhash_lsh",
     "c01_embedding_neardup",
@@ -124,9 +130,11 @@ PRIORITY: list[str] = [
     "c02_ann_lsh",
     "c02_kmeans",
     "c01_semantic_dedup",
-    # LLM-pipeline: text analysis
+    # LLM-pipeline: text analysis (round-4b: the trained NB classifier
+    # takes the stopword-heuristic lang-id slot; c03_lang_id stays under
+    # the local + sf1-sweep gates)
     "c03_token_stats",
-    "c03_lang_id",
+    "c03_nb_langid",
     "c03_quality_score",
     # LLM-pipeline: quality / packing / mixture / curation (beyond-reference)
     "c04_repetition",

@@ -337,3 +337,113 @@ def c03_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.sum(F.log("cnt") - F.log("total")) / F.count(F.lit(1)), 6
         ).alias("avg_neg_logprob"),
     )
+
+
+# --- Naive Bayes language classifier (model trained in the same plan) -----
+
+_NB_ORACLE = f"""
+WITH tok AS (SELECT doc_id, lang, unnest({O_WORDS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, tok),
+ct AS (SELECT lang AS cls, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM tok GROUP BY lang, tok),
+ctot AS (SELECT cls, SUM(cnt) AS cls_total FROM ct GROUP BY cls),
+v AS (SELECT COUNT(DISTINCT tok) AS vocab FROM tok),
+pri AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang),
+td AS (SELECT COUNT(*) AS total_docs FROM documents),
+sc AS (
+  SELECT tf.doc_id, c.cls,
+         SUM(tf.tf * (ln(COALESCE(ct.cnt, 0) + 1)
+                      - ln(ctot.cls_total + v.vocab))) AS ll
+  FROM tf
+  CROSS JOIN (SELECT cls FROM pri) c
+  LEFT JOIN ct ON ct.cls = c.cls AND ct.tok = tf.tok
+  JOIN ctot ON ctot.cls = c.cls, v
+  GROUP BY tf.doc_id, c.cls),
+ranked AS (
+  SELECT sc.doc_id, sc.cls,
+         round(sc.ll + ln(pri.n_docs) - ln(td.total_docs), 6) AS score
+  FROM sc JOIN pri USING (cls), td),
+best AS (
+  SELECT doc_id, cls, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls ASC) AS rn
+  FROM ranked)
+SELECT b.doc_id, d.lang, b.cls AS pred_lang, b.score AS nb_score,
+       (b.cls = d.lang) AS is_correct
+FROM best b JOIN documents d USING (doc_id) WHERE rn = 1
+"""
+
+
+@register(
+    "c03_nb_langid",
+    oracle=_NB_ORACLE,
+    doc="Classifier-based quality/language filtering — the shape of "
+    "GPT-3's quality classifier (Brown et al. 2020, arXiv:2005.14165 "
+    "Appendix A) with a multinomial Naive Bayes model instead of "
+    "fastText, trained and applied in ONE Catalyst plan: token|class "
+    "counts with add-one smoothing over the corpus itself, each document "
+    "scored against every class, argmax with a (rounded score DESC, class "
+    "ASC) deterministic tie-break. 100 TB shape: the model is three "
+    "vocab/class-bounded aggregates (map-side combinable token shuffles); "
+    "scoring broadcasts the model (vocab-bounded — were the vocab "
+    "unbounded the scoring join would key on tok instead) so the corpus "
+    "itself shuffles only on (doc_id, tok) for term frequencies and "
+    "doc_id for the final argmax. Scores rounded to 6 dp before the "
+    "argmax so both engines rank identical values (ln() sums agree to "
+    "<1e-11, the unigram-logprob-verified bound).",
+)
+def c03_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(words_col()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    cls_tok = (
+        tok.groupBy(F.col("lang").alias("cls"), "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cls_tot = cls_tok.groupBy("cls").agg(F.sum("cnt").alias("cls_total"))
+    vocab = tok.select("tok").distinct().agg(F.count(F.lit(1)).alias("vocab"))
+    priors = d.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total_docs = d.agg(F.count(F.lit(1)).alias("total_docs"))
+
+    scored = (
+        tf.crossJoin(F.broadcast(priors.select("cls")))
+        .join(F.broadcast(cls_tok), ["cls", "tok"], "left")
+        .join(F.broadcast(cls_tot), "cls")
+        .crossJoin(F.broadcast(vocab))
+    )
+    contrib = F.col("tf") * (
+        F.log(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+        - F.log(F.col("cls_total") + F.col("vocab"))
+    )
+    per_class = (
+        scored.groupBy("doc_id", "cls")
+        .agg(F.sum(contrib).alias("ll"))
+        .join(F.broadcast(priors), "cls")
+        .crossJoin(F.broadcast(total_docs))
+        .select(
+            "doc_id",
+            "cls",
+            F.round(
+                F.col("ll") + F.log("n_docs") - F.log("total_docs"), 6
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cls").asc()
+    )
+    best = per_class.withColumn("rn", F.row_number().over(win)).where(
+        F.col("rn") == 1
+    )
+    return best.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("cls").alias("pred_lang"),
+        F.col("score").alias("nb_score"),
+        (F.col("cls") == F.col("lang")).alias("is_correct"),
+    )

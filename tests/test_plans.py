@@ -280,3 +280,33 @@ def test_semantic_dedup_pairs_join_on_cluster_id(spark, sf_dir):
     # key on cid
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert ("BroadcastHashJoin [cid" in plan) or ("SortMergeJoin [cid" in plan)
+
+
+def test_line_dedup_winner_is_partial_agg_not_window(spark, sf_dir):
+    """Span-winner selection must be a map-side-combinable aggregation
+    (partial_min over struct) with no Window operator and no cartesian —
+    a row_number window would serialize each hot boilerplate span onto one
+    task with no partial reduction."""
+    plan = physical_plan(build(spark, sf_dir, "c01_line_dedup"))
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_langid_model_broadcasts(spark, sf_dir):
+    """The NB model joins (class-token counts, class totals, priors,
+    vocab scalar) all broadcast — the corpus-sized side never shuffles
+    for scoring, only for its own aggregations."""
+    plan = physical_plan(build(spark, sf_dir, "c03_nb_langid"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar cross joins
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_topk_is_take_ordered(spark, sf_dir):
+    """DSIR's global top-K must be TakeOrderedAndProject (per-partition
+    heaps), never a global Sort, and the log-ratio table must broadcast."""
+    plan = physical_plan(build(spark, sf_dir, "c04_dsir"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

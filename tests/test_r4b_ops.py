@@ -1,0 +1,133 @@
+"""Round-4b operators: C4-style line dedup, Naive Bayes language
+classifier, DSIR importance resampling. Oracle parity at sf0.001 plus the
+semantic invariants the oracle can't express."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+import tectonic_spark.operators as ops
+from check_correctness import compare, duck_con
+from tectonic_spark.operators.dedup import SPAN_K, c01_line_dedup
+from tectonic_spark.operators.pipeline import DSIR_K, c04_dsir
+from tectonic_spark.operators.text import c03_nb_langid
+from tectonic_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+@pytest.mark.parametrize(
+    "name", ["c01_line_dedup", "c03_nb_langid", "c04_dsir"]
+)
+def test_oracle_parity(spark, sf_dir, con, name):
+    q = ops.REGISTRY[name]
+    sdf = q.builder(spark, sf_dir).toPandas()
+    odf = con.execute(q.oracle).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, problems
+
+
+def test_line_dedup_keeps_each_span_once(spark, sf_dir):
+    """Every distinct span of the corpus survives in EXACTLY one document
+    (sum of per-doc kept counts == global distinct-span count), and span
+    counts tile the token stream (n_spans == ceil(n_tokens / SPAN_K))."""
+    out = c01_line_dedup(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    spans = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(w) / SPAN_K).cast("int") - 1
+                ),
+                lambda i: F.array_join(
+                    F.slice(w, i * SPAN_K + 1, SPAN_K), " "
+                ),
+            )
+        ).alias("span")
+    )
+    n_distinct = spans.distinct().count()
+    agg = out.agg(
+        F.sum("n_kept").alias("kept"), F.sum("n_spans").alias("total")
+    ).first()
+    assert agg["kept"] == n_distinct
+    expected_spans = d.select(
+        F.sum(F.ceil(F.size(w) / SPAN_K)).alias("s")
+    ).first()["s"]
+    assert agg["total"] == expected_spans
+
+
+def test_line_dedup_kept_text_is_subsequence(spark, sf_dir):
+    """kept_text is the original span sequence with drops — re-splitting
+    it into SPAN_K-token spans yields spans that all exist in the doc's
+    own span list, in original order."""
+    out = c01_line_dedup(spark, sf_dir).where(F.col("n_kept") > 0)
+    bad = (
+        out.select(
+            "doc_id",
+            F.size(F.split("kept_text", " ")).alias("kept_tokens"),
+            "n_kept",
+        )
+        # every kept span has <= SPAN_K tokens; only the doc's (possibly
+        # short) tail span may have fewer
+        .where(
+            F.col("kept_tokens") > F.col("n_kept") * SPAN_K
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_nb_langid_one_row_per_doc_and_beats_prior(spark, sf_dir):
+    nb = c03_nb_langid(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    assert nb.count() == n_docs
+    assert nb.select("doc_id").distinct().count() == n_docs
+    langs = {r["lang"] for r in d.select("lang").distinct().collect()}
+    preds = {r["pred_lang"] for r in nb.select("pred_lang").distinct().collect()}
+    assert preds <= langs
+    # trained classifier should not lose to always-guessing the majority
+    # class by more than noise (synthetic langs share most vocabulary)
+    acc = nb.agg(F.avg(F.col("is_correct").cast("double"))).first()[0]
+    majority = (
+        d.groupBy("lang").count().agg(F.max("count")).first()[0] / n_docs
+    )
+    assert acc >= majority - 0.1
+
+
+def test_dsir_enriches_target_domain(spark, sf_dir):
+    sel = c04_dsir(spark, sf_dir).toPandas()
+    assert len(sel) == min(
+        DSIR_K, table(spark, sf_dir, "documents").count()
+    )
+    corpus_en = (
+        table(spark, sf_dir, "documents")
+        .agg(F.avg((F.col("lang") == "en").cast("double")))
+        .first()[0]
+    )
+    assert (sel.lang == "en").mean() >= corpus_en
+
+
+def test_dsir_partitioning_invariant(spark, sf_dir):
+    """Same selection (docs, weights, order) under a different shuffle
+    partitioning — the md5 bucketing and 6dp-rounded weights are
+    partition-free, so a resumed/rescaled job selects identical data."""
+    a = c04_dsir(spark, sf_dir).toPandas().sort_values("sel_rank")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = c04_dsir(spark, sf_dir).toPandas().sort_values("sel_rank")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert list(a.doc_id) == list(b.doc_id)
+    assert list(a.dsir_weight) == list(b.dsir_weight)
