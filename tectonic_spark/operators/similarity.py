@@ -353,3 +353,151 @@ def c02_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rn")
     )
+
+
+# --- Product quantization + asymmetric distance computation ---------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = DIM // PQ_M  # dims per subspace
+PQ_K = 16  # centroids per subspace (codebook = the vec_id < PQ_K seeds)
+PQ_QUERIES = 20
+PQ_TOPK = 5
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cbt AS (SELECT list(e ORDER BY vec_id) AS cb FROM v WHERE vec_id < {PQ_K}),
+    ds AS (SELECT v.vec_id,
+             list_transform(range(0, {PQ_M}), m ->
+               list_transform(range(0, {PQ_K}), k ->
+                 round(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+                   i -> (e[m * {PQ_SUBDIM} + i] - cb[k + 1][m * {PQ_SUBDIM} + i])
+                      * (e[m * {PQ_SUBDIM} + i] - cb[k + 1][m * {PQ_SUBDIM} + i]))),
+                   6))) AS t
+           FROM v, cbt),
+    enc AS (SELECT vec_id,
+                   list_transform(t, d -> list_position(d, list_min(d))) AS pos,
+                   t
+            FROM ds),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, {PQ_M + 1}),
+                                           m -> q.t[m][c.pos[m]])), 6) AS pq_dist
+      FROM enc q JOIN enc c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {PQ_QUERIES})
+    SELECT query_id, neighbor_id, pq_dist, rn FROM (
+      SELECT query_id, neighbor_id, pq_dist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY pq_dist, neighbor_id) AS BIGINT) AS rn
+      FROM pairs) t WHERE rn <= {PQ_TOPK}
+    """
+
+
+@register(
+    "c02_pq_adc",
+    oracle=_pq_oracle(),
+    doc=f"Product quantization + asymmetric distance computation (Jégou "
+    f"et al. 2011, TPAMI — the FAISS IndexPQ shape): split each {DIM}-dim "
+    f"vector into {PQ_M} subspaces of {PQ_SUBDIM} dims, quantize every "
+    f"subvector to its nearest of {PQ_K} codebook entries (deterministic "
+    f"seed codebook = the vec_id<{PQ_K} embeddings, the c02_ann_ivf "
+    "convention; a trained codebook plugs in c02_kmeans per subspace), "
+    f"then answer {PQ_QUERIES} queries by summing per-subspace "
+    f"query-to-centroid distance-table lookups (ADC) and taking top-"
+    f"{PQ_TOPK}. The 100 TB point: the scan side touches only the "
+    f"{PQ_M}-byte codes (32x compression at {DIM} floats), the codebook "
+    "and the per-query distance tables broadcast, and encoding is pure "
+    "per-row JVM array kernels — no shuffle anywhere before the "
+    "Q-bounded final window. Every distance is rounded to 6 dp before "
+    "argmin/ranking (tie-break: first/lowest index) so the quantization "
+    "— including its errors — replays identically in the oracle.",
+)
+def c02_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = pq_codes(spark, sf_dir)
+    q = enc.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("t").alias("qt")
+    )
+    c = enc.select(F.col("vec_id").alias("neighbor_id"), "pos")
+    adc = F.round(
+        F.aggregate(
+            F.zip_with("qt", "pos", lambda t, p: F.element_at(t, p.cast("int"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("pq_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy("pq_dist", "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select("query_id", "neighbor_id", "pq_dist", "rn")
+    )
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every embedding: per-subspace distance tables ``t``
+    (array<array<double>>, rounded 6 dp) and 1-based code positions
+    ``pos`` (array<long>). Pure per-row JVM kernels after one broadcast
+    of the codebook row — the stage a real pipeline writes out as the
+    compressed index."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    cbt = v.filter(F.col("vec_id") < PQ_K).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "e"))),
+            lambda s: s["e"],
+        ).alias("cb")
+    )
+    # stage subvectors and per-subspace codebooks as projection attributes
+    # (HOF lambdas re-evaluate inline expressions per element — see
+    # pipeline._bounds_col)
+    def cbs(m: int):
+        # factory closure, NOT `lambda c, m=m`: a second lambda parameter
+        # makes PySpark pass the element INDEX into it, silently shadowing
+        # the default
+        return F.transform(
+            "cb", lambda c: F.slice(c, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        )
+
+    staged = v.crossJoin(F.broadcast(cbt)).select(
+        "vec_id",
+        *[
+            F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(f"sub{m}")
+            for m in range(PQ_M)
+        ],
+        *[cbs(m).alias(f"cbs{m}") for m in range(PQ_M)],
+    )
+
+    def ds(m: int):
+        """16 rounded squared distances: subvector m vs each codebook entry."""
+        return F.transform(
+            F.col(f"cbs{m}"),
+            lambda c: F.round(
+                F.aggregate(
+                    F.zip_with(F.col(f"sub{m}"), c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+
+    tabs = staged.select(
+        "vec_id", *[ds(m).alias(f"t{m}") for m in range(PQ_M)]
+    )
+    return tabs.select(
+        "vec_id",
+        F.array(*[F.col(f"t{m}") for m in range(PQ_M)]).alias("t"),
+        F.array(
+            *[
+                F.array_position(F.col(f"t{m}"), F.array_min(F.col(f"t{m}")))
+                for m in range(PQ_M)
+            ]
+        ).alias("pos"),
+    )

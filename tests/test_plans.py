@@ -310,3 +310,12 @@ def test_dsir_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_scan_side_is_broadcast_no_shuffle(spark, sf_dir):
+    """PQ search: codebook + query tables broadcast; the code-table scan
+    side reaches the final Q-bounded window without any join shuffle."""
+    plan = physical_plan(build(spark, sf_dir, "c02_pq_adc"))
+    assert "BroadcastNestedLoopJoin" in plan  # Q-row broadcast cross join
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

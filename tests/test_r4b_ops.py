@@ -131,3 +131,40 @@ def test_dsir_partitioning_invariant(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert list(a.doc_id) == list(b.doc_id)
     assert list(a.dsir_weight) == list(b.dsir_weight)
+
+
+def test_pq_oracle_parity(spark, sf_dir, con):
+    q = ops.REGISTRY["c02_pq_adc"]
+    sdf = q.builder(spark, sf_dir).toPandas()
+    odf = con.execute(q.oracle).fetchdf()
+    problems = compare("c02_pq_adc", sdf, odf)
+    assert not problems, problems
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark, sf_dir):
+    """A codebook seed vector is at squared distance 0 from itself in
+    every subspace, so its code must be its own index — the basic
+    self-consistency of the quantizer."""
+    from tectonic_spark.operators.similarity import PQ_K, pq_codes
+
+    codes = pq_codes(spark, sf_dir).filter(F.col("vec_id") < PQ_K).collect()
+    assert len(codes) == PQ_K
+    for r in codes:
+        assert all(p == r["vec_id"] + 1 for p in r["pos"]), (
+            r["vec_id"],
+            list(r["pos"]),
+        )
+
+
+def test_pq_output_shape(spark, sf_dir):
+    from tectonic_spark.operators.similarity import (
+        PQ_QUERIES,
+        PQ_TOPK,
+        c02_pq_adc,
+    )
+
+    out = c02_pq_adc(spark, sf_dir).toPandas()
+    assert len(out) == PQ_QUERIES * PQ_TOPK
+    assert (out.query_id != out.neighbor_id).all()
+    assert set(out.rn) == set(range(1, PQ_TOPK + 1))
+    assert (out.pq_dist >= 0).all()
