@@ -414,7 +414,16 @@ def _pq_oracle() -> str:
     "— including its errors — replays identically in the oracle.",
 )
 def c02_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    enc = pq_codes(spark, sf_dir)
+    return _pq_search(pq_codes(spark, sf_dir))
+
+
+def pq_adc_scaled_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same search over the Arrow/numpy-encoded codes — the sf1+ bench
+    path (test-pinned byte-identical to :func:`c02_pq_adc`)."""
+    return _pq_search(pq_codes_scaled(spark, sf_dir))
+
+
+def _pq_search(enc: DataFrame) -> DataFrame:
     q = enc.filter(F.col("vec_id") < PQ_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("t").alias("qt")
     )
@@ -500,4 +509,53 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for m in range(PQ_M)
             ]
         ).alias("pos"),
+    )
+
+
+def pq_codes_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy scale variant of :func:`pq_codes` — identical output
+    (test-pinned at equal input), one vectorized mapInPandas pass instead
+    of the interpreted HOF fold (sf1: ~26 s → ~2 s). Only the bounded
+    {PQ_K}-row codebook crosses the driver (the c02_kmeans centroid
+    convention); np.argmin's first-min tie-break matches array_position
+    of array_min. np.round's last-place behavior is pinned equal to
+    Spark's round by the parity test, the kmeans[pandas] precedent."""
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    # encoding is CPU-heavy vs the tiny scan: a small file arrives as few
+    # input splits, which would serialize the numpy batches onto few
+    # cores (the _shingle_df rationale; at 100 TB the scan already yields
+    # thousands of splits and this keeps them even)
+    v = v.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    cb_rows = v.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    sub_cb = (
+        np.array([r["e"] for r in cb_rows], dtype=np.float64)
+        .reshape(PQ_K, PQ_M, PQ_SUBDIM)
+        .transpose(1, 0, 2)  # M x K x SUBDIM
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            S = E.reshape(len(E), PQ_M, PQ_SUBDIM)
+            # T[b, m, k] = rounded squared distance of subvector m to
+            # codebook entry k
+            T = np.round(
+                ((S[:, :, None, :] - sub_cb[None]) ** 2).sum(-1), 6
+            )
+            pos = T.argmin(-1) + 1
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "t": list(T.tolist()),
+                    "pos": list(pos.tolist()),
+                }
+            )
+
+    return v.mapInPandas(
+        encode, "vec_id long, t array<array<double>>, pos array<bigint>"
     )

@@ -168,3 +168,38 @@ def test_pq_output_shape(spark, sf_dir):
     assert (out.query_id != out.neighbor_id).all()
     assert set(out.rn) == set(range(1, PQ_TOPK + 1))
     assert (out.pq_dist >= 0).all()
+
+
+def test_pq_scaled_codes_identical_to_fold(spark, sf_dir):
+    """The numpy mapInPandas encoder must produce byte-identical tables
+    and codes to the JVM HOF fold (same rounding, same tie-break)."""
+    from tectonic_spark.operators.similarity import pq_codes, pq_codes_scaled
+
+    a = pq_codes(spark, sf_dir).toPandas().set_index("vec_id").sort_index()
+    b = (
+        pq_codes_scaled(spark, sf_dir)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert list(a.index) == list(b.index)
+    for vid in a.index:
+        assert [list(x) for x in a.loc[vid, "t"]] == [
+            list(x) for x in b.loc[vid, "t"]
+        ], vid
+        assert list(a.loc[vid, "pos"]) == list(b.loc[vid, "pos"]), vid
+
+
+def test_pq_scaled_search_identical(spark, sf_dir):
+    from tectonic_spark.operators.similarity import (
+        c02_pq_adc,
+        pq_adc_scaled_df,
+    )
+
+    a = c02_pq_adc(spark, sf_dir).toPandas().sort_values(
+        ["query_id", "rn"]
+    )
+    b = pq_adc_scaled_df(spark, sf_dir).toPandas().sort_values(
+        ["query_id", "rn"]
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
