@@ -1812,3 +1812,192 @@ def a16_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast("long")).alias("chars"),
         )
     )
+
+
+# --- s10: streaming corpus curation (dedup state + quality filter) --------
+
+S10_QUALITY_MIN = 0.45  # distinct-token-ratio floor (~corpus median)
+
+
+def _docs_dup_stream_src(sf_dir: str) -> tuple[str, int, int]:
+    """Documents as 4 JSONL files with INJECTED exact-copy duplicates:
+    the last 50 rows of each quarter repeat verbatim at the head of the
+    next file (cross-micro-batch — needs streaming state) and the first
+    25 rows of each quarter repeat inside their own file. Returns
+    (src_dir, n_docs, n_injected_dups)."""
+    import shutil
+
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "s10_src")
+    done = os.path.join(src, "_DONE")
+    rows = _docs_rows(sf_dir)
+    if not os.path.exists(done):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        lines = [
+            json.dumps(
+                {
+                    "doc_id": d,
+                    "text": t,
+                    "lang": lg,
+                    "source": s,
+                    "n_chars": n,
+                }
+            )
+            for d, t, lg, s, n in rows
+        ]
+        quarter = (len(lines) + 3) // 4
+        n_dups = 0
+        carried: list[str] = []
+        for i in range(4):
+            part = lines[i * quarter : (i + 1) * quarter]
+            body = carried + part + part[:25]
+            n_dups += len(carried) + min(25, len(part))
+            carried = part[-50:]
+            _write_atomic(
+                os.path.join(src, f"in-{i}.jsonl"),
+                ("\n".join(body) + "\n").encode(),
+            )
+        _write_atomic(done, json.dumps({"n_dups": n_dups}).encode())
+    n_dups = json.loads(open(done).read())["n_dups"]
+    return src, len(rows), n_dups
+
+
+@register(
+    "s10_stream_curation",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents),
+    q AS (SELECT doc_id, lang, CAST(len(w) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dr
+          FROM t)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CAST(SUM(CAST(dr AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_distinct_ratio
+    FROM q WHERE dr >= {S10_QUALITY_MIN} GROUP BY lang
+    """,
+    doc="STREAMING corpus curation — the c05 composition in continuous "
+    "form: the document stream arrives with injected exact duplicates "
+    "(cross-micro-batch and in-file), and ONE streaming query runs "
+    "dedup-within-watermark (state keyed on md5(doc_id:text)) -> in-"
+    "stream token/quality scoring -> quality filter -> parquet sink. The "
+    "builder raises unless >0 dups were injected, >=2 micro-batches "
+    "committed, and the sink holds EXACTLY the filtered distinct count — "
+    "then aggregates the sink under the batch oracle. The dedup runs "
+    "BEFORE the filter so the state store sees every arrival (the "
+    "harder-state order). 100 TB shape: dedup state is bounded by "
+    "arrival rate x watermark delay; scoring/filtering are stateless "
+    "row-local codegen; the sink is append-only parquet.",
+)
+def s10_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    register_tectonic_sources(spark)
+    src, n_docs, n_dups = _docs_dup_stream_src(sf_dir)
+    if n_dups <= 0:
+        raise RuntimeError("s10: fixture injected no duplicates")
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s10_sink")
+    ck = os.path.join(base, "s10_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    w = F.split("text", " ")
+    dr = F.size(F.array_distinct(w)).cast("double") / F.size(w)
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+    )
+    curated = (
+        stream.select(
+            "doc_id",
+            "text",
+            "lang",
+            # +1e12 us: keep every synthetic event time strictly past the
+            # epoch-0 initial watermark (doc_id 0 would otherwise be
+            # dropped as late before any state exists)
+            F.timestamp_micros(F.col("doc_id") * 1000000 + 10**12).alias("ts"),
+            F.md5(
+                F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text"))
+            ).alias("digest"),
+        )
+        .withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark(["digest"])
+        .select(
+            "doc_id",
+            "lang",
+            F.size(w).cast("long").alias("n_tokens"),
+            dr.alias("dr"),
+        )
+        .where(F.col("dr") >= S10_QUALITY_MIN)
+    )
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    expected = None
+    try:
+        expected = (
+            spark.read.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .json(src)
+            .select(
+                F.countDistinct(
+                    F.when(dr >= S10_QUALITY_MIN, F.col("doc_id"))
+                )
+            )
+            .first()[0]
+        )
+        deadline = time.time() + 240
+        sink_rows, n_commits = 0, 0
+        commits_dir = os.path.join(ck, "commits")
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            n_commits = (
+                len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+                if os.path.isdir(commits_dir)
+                else 0
+            )
+            if sink_rows >= expected and n_commits >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    if sink_rows != expected:
+        raise RuntimeError(
+            f"s10: sink has {sink_rows} rows, expected exactly {expected} "
+            f"(dedup state or quality filter failed; {n_dups} dups injected)"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s10: only {n_commits} committed micro-batches — duplicates "
+            "never crossed a batch boundary"
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("dr").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_distinct_ratio"),
+        )
+    )

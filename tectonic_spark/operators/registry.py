@@ -88,7 +88,11 @@ PRIORITY: list[str] = [
     # local + sf1-sweep gates)
     "s08_stream_stream_join",
     "s02_stream_csv_to_parquet",
-    "s06_stream_dedup",
+    # round-4b: the streaming-curation composition takes the s06 slot —
+    # it exercises the same dropDuplicatesWithinWatermark state PLUS the
+    # stateless scoring/filter stages in one query; s06 stays under the
+    # local + sf1-sweep gates
+    "s10_stream_curation",
     "s04_stream_watermark",
     "s09_custom_stateful_sessions",
     # relational b1-b14 (one per component)

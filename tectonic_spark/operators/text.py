@@ -447,3 +447,68 @@ def c03_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("nb_score"),
         (F.col("cls") == F.col("lang")).alias("is_correct"),
     )
+
+
+# --- TF-IDF keyword extraction --------------------------------------------
+
+TFIDF_TOPK = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({O_WORDS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (SELECT tf.doc_id, tf.term,
+              round(tf.tf * (ln(n.n_docs) - ln(df.df)), 6) AS tfidf
+       FROM tf JOIN df USING (term), n),
+r AS (SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
+      FROM sc)
+SELECT doc_id, term, tfidf, rk FROM r WHERE rk <= {TFIDF_TOPK}
+"""
+
+
+@register(
+    "c03_tfidf_keywords",
+    oracle=_TFIDF_ORACLE,
+    doc=f"TF-IDF keyword extraction: top-{TFIDF_TOPK} terms per document "
+    "by tf x ln(N/df) (Sparck Jones 1972 idf) — the per-document salient-"
+    "term summary feeding search indexing / topic labeling in a corpus "
+    "pipeline. Ranking uses 6dp-rounded scores with a term-ASC tie-break "
+    "so both engines pick identical keywords. 100 TB shape: term "
+    "frequencies shuffle on (doc_id, term) with map-side combine; the "
+    "document-frequency table is vocab-bounded and broadcasts; the final "
+    "top-k is a doc_id-partitioned window over per-doc-sized groups.",
+)
+def c03_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(words_col()).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    sc = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * (F.log("n_docs") - F.log("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        sc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tfidf", "rk")
+    )

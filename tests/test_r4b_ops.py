@@ -203,3 +203,32 @@ def test_pq_scaled_search_identical(spark, sf_dir):
         ["query_id", "rn"]
     )
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+@pytest.mark.parametrize("name", ["c03_tfidf_keywords"])
+def test_tfidf_oracle_parity(spark, sf_dir, con, name):
+    q = ops.REGISTRY[name]
+    sdf = q.builder(spark, sf_dir).toPandas()
+    odf = con.execute(q.oracle).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, problems
+
+
+def test_tfidf_keywords_are_rare_terms(spark, sf_dir):
+    """A doc's top keyword must have an idf above the corpus median idf —
+    tf-idf should surface discriminative terms, not stopword-like ones."""
+    from tectonic_spark.operators.text import c03_tfidf_keywords
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    med = df.agg(F.expr("percentile_approx(df, 0.5)")).first()[0]
+    top1 = (
+        c03_tfidf_keywords(spark, sf_dir)
+        .where(F.col("rk") == 1)
+        .join(df, "term")
+    )
+    frac_rare = top1.agg(
+        F.avg((F.col("df") <= med).cast("double"))
+    ).first()[0]
+    assert frac_rare >= 0.5
