@@ -2001,3 +2001,48 @@ def s10_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_distinct_ratio"),
         )
     )
+
+
+@register(
+    "a19_merge_schema_evolution",
+    oracle="""
+    WITH split AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS mid FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id >= split.mid THEN 1 END) AS BIGINT)
+             AS n_with_chars,
+           CAST(SUM(CASE WHEN doc_id >= split.mid THEN n_chars END)
+                AS BIGINT) AS chars
+    FROM documents, split GROUP BY lang
+    """,
+    doc="Parquet schema EVOLUTION read (the 100 TB table-lifecycle case: "
+    "a column added mid-history must not force a rewrite): generation 1 "
+    "files carry (doc_id, lang), generation 2 adds n_chars; "
+    "spark.read.option('mergeSchema', true) reconciles the footers and "
+    "nulls the missing column for old files. The aggregate counts "
+    "non-null n_chars per lang so a silently-dropped or zero-filled "
+    "column cannot pass. Schema merge is a footer-only planning step — "
+    "no data rewrite, no shuffle beyond the final aggregation.",
+)
+def a19_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    out = os.path.join(_fixture_dir(sf_dir), "docs_evolved.parquet")
+    d = table(spark, sf_dir, "documents")
+    mid = d.count() // 2
+    gen1 = d.where(F.col("doc_id") < mid).select("doc_id", "lang")
+    gen2 = d.where(F.col("doc_id") >= mid).select("doc_id", "lang", "n_chars")
+    gen1.write.mode("overwrite").parquet(os.path.join(out, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(out, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(out)
+    if "n_chars" not in merged.columns:
+        raise RuntimeError("a19: mergeSchema did not surface the new column")
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum("n_chars").alias("chars"),
+    )

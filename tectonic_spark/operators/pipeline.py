@@ -769,3 +769,87 @@ def c04_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsir_weight",
         F.row_number().over(rank_win).cast("long").alias("sel_rank"),
     )
+
+
+# --- incremental aggregate maintenance (materialized-view update) ---------
+
+_INC_ROLLUP_ORACLE = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY lang, source
+"""
+
+
+@register(
+    "c04_incremental_rollup",
+    oracle=_INC_ROLLUP_ORACLE,
+    doc="Incremental aggregate maintenance (materialized-view update, the "
+    "warehouse-side dual of c04_snapshot_delta): the maintained rollup "
+    "per (lang, source) — doc count + total chars — is NOT recomputed "
+    "from the current snapshot; it is derived as prev_rollup merged with "
+    "delta contributions (+1/+chars for added, -1/-chars for removed, "
+    "0/chars-diff for changed), where the previous snapshot uses the "
+    "snapshot_delta derivation rules (every 17th doc missing, every 11th "
+    "chars-perturbed, every 13th mirrored at a shifted id). The oracle "
+    "aggregates the CURRENT snapshot directly, so any error in the "
+    "incremental algebra — a missed class, a sign flip, double-applying "
+    "changed rows — mismatches. 100 TB shape: the delta join shuffles "
+    "(doc_id, two longs) once per side; the merge aggregates "
+    "group-cardinality-sized inputs (prev rollup) plus delta-sized "
+    "contributions — the full corpus is scanned but never re-shuffled "
+    "on the group key.",
+)
+def c04_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    cur = d.select("doc_id", "lang", "source", "n_chars")
+    prev_kept = d.where(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(F.col("doc_id") % 11 == 5, F.col("n_chars") + 7)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars"),
+    )
+    prev_removed = d.where(F.col("doc_id") % 13 == 7).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    prev = prev_kept.unionAll(prev_removed)
+
+    prev_agg = prev.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    p = prev.select(
+        F.col("doc_id").alias("p_doc_id"),
+        F.col("lang").alias("p_lang"),
+        F.col("source").alias("p_source"),
+        F.col("n_chars").alias("p_chars"),
+    )
+    joined = cur.join(p, cur.doc_id == p.p_doc_id, "full_outer")
+    delta = joined.where(
+        F.col("p_doc_id").isNull()
+        | F.col("doc_id").isNull()
+        | (F.col("n_chars") != F.col("p_chars"))
+    ).select(
+        F.coalesce("lang", "p_lang").alias("lang"),
+        F.coalesce("source", "p_source").alias("source"),
+        F.when(F.col("p_doc_id").isNull(), F.lit(1))
+        .when(F.col("doc_id").isNull(), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_docs"),
+        (
+            F.coalesce("n_chars", F.lit(0)) - F.coalesce("p_chars", F.lit(0))
+        ).alias("chars"),
+    )
+    return (
+        prev_agg.unionAll(delta)
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("chars").alias("chars")
+        )
+        .where(F.col("n_docs") > 0)
+    )

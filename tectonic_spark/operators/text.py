@@ -512,3 +512,76 @@ def c03_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TFIDF_TOPK)
         .select("doc_id", "term", "tfidf", "rk")
     )
+
+
+# --- bigram LM quality scoring ---------------------------------------------
+
+_BIGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {O_WORDS} AS w FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(w)),
+                                    i -> w[i] || ' ' || w[i + 1])) AS big
+       FROM t WHERE len(w) >= 2),
+bc AS (SELECT big, CAST(COUNT(*) AS BIGINT) AS bcnt FROM bg GROUP BY big),
+u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ucnt
+      FROM (SELECT unnest({O_WORDS}) AS tok FROM documents) GROUP BY tok),
+v AS (SELECT COUNT(*) AS vocab FROM u)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(-SUM(ln(bc.bcnt + 1)
+                  - ln(u.ucnt + v.vocab)) / COUNT(*), 6)
+         AS avg_neg_logprob
+FROM bg
+JOIN bc USING (big)
+JOIN u ON u.tok = string_split(bg.big, ' ')[1], v
+GROUP BY bg.doc_id
+"""
+
+
+@register(
+    "c03_bigram_logprob",
+    oracle=_BIGRAM_ORACLE,
+    doc="Bigram-LM quality scoring — the unigram CCNet scorer "
+    "(c03_unigram_logprob) upgraded to conditional probabilities: "
+    "per-doc mean negative ln p(w_i | w_{{i-1}}) under the corpus's own "
+    "add-one-smoothed bigram model (p = (c(ab)+1)/(c(a)+V)). Bigram "
+    "surprisal separates shuffled-word junk from fluent text, which "
+    "unigram frequency alone cannot. 100 TB shape: the bigram and "
+    "unigram count passes are map-side-combined token-keyed shuffles "
+    "(bigram vocab bounded by observed pairs); scoring re-joins the "
+    "bigram stream on its own key plus the prev-token key, then one "
+    "doc_id aggregation. 6dp-rounded output, the verified unigram "
+    "cross-engine ln() bound.",
+)
+def c03_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+    n_b = F.size(w) - 1
+    bigs = F.zip_with(
+        F.slice(w, 1, n_b),
+        F.slice(w, 2, n_b),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        d.where(F.size(w) >= 2)
+        .select("doc_id", F.explode(bigs).alias("big"))
+    )
+    bc = bg.groupBy("big").agg(F.count(F.lit(1)).alias("bcnt"))
+    u = (
+        d.select(F.explode(w).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    vocab = u.agg(F.count(F.lit(1)).alias("vocab"))
+    scored = (
+        bg.join(bc, "big")
+        .join(u, F.split(F.col("big"), " ").getItem(0) == F.col("tok"))
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            -F.sum(F.log(F.col("bcnt") + 1) - F.log(F.col("ucnt") + F.col("vocab")))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_neg_logprob"),
+    )

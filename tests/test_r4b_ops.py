@@ -26,7 +26,15 @@ def con(sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["c01_line_dedup", "c03_nb_langid", "c04_dsir"]
+    "name",
+    [
+        "c01_line_dedup",
+        "c03_nb_langid",
+        "c04_dsir",
+        "a19_merge_schema_evolution",
+        "c04_incremental_rollup",
+        "c03_bigram_logprob",
+    ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
     q = ops.REGISTRY[name]
