@@ -2344,3 +2344,57 @@ def q21_suppliers_who_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> D
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# --- b7 extension: EWMA (ordered fold, not expressible as a SQL window) ---
+
+EWMA_ALPHA = 0.25  # exactly representable in binary => cross-engine exact
+
+
+@register(
+    "b07_ewma",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(CASE WHEN len(vals) = 1 THEN vals[1]
+                 ELSE list_reduce(vals, (acc, x) ->
+                        CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc)
+                 END, 6) AS ewma
+    FROM s
+    """,
+    doc="Exponentially-weighted moving average per user over the event "
+    "stream (s_1 = v_1; s_i = 0.25 v_i + 0.75 s_{i-1}) — the classic "
+    "time-decayed feature a recursive definition keeps OUT of SQL window "
+    "functions (no associative combiner exists), so both engines run an "
+    "ordered left fold: Spark aggregate() over the (ts, event_id)-sorted "
+    "value array, DuckDB list_reduce with the same seed and literal "
+    "DOUBLE coefficients. alpha = 0.25 is exactly representable in "
+    "binary, so the two folds execute the identical IEEE op sequence — "
+    "exact equality needs no tolerance, only the house 6dp output "
+    "rounding. 100 TB shape: one user_id shuffle, per-user arrays "
+    "bounded by per-key activity (chunk the fold by time range if a key "
+    "is pathological).",
+)
+def b07_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda r: r["value"],
+        ).alias("vals")
+    )
+    n = F.size("vals")
+    ewma = F.aggregate(
+        F.slice("vals", 2, n - 1),
+        F.element_at("vals", 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1.0 - EWMA_ALPHA) * acc,
+    )
+    return s.select(
+        "user_id",
+        n.cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )

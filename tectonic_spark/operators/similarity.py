@@ -559,3 +559,94 @@ def pq_codes_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.mapInPandas(
         encode, "vec_id long, t array<array<double>>, pos array<bigint>"
     )
+
+
+# --- k-NN label propagation (embedding-based auto-labeling) ---------------
+
+
+@register(
+    "c02_knn_classify",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, label, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+          FROM v),
+    p AS (SELECT q.vec_id AS query_id, q.label AS true_label,
+                 c.label AS nb_label,
+                 list_sum(list_transform(range(1, len(q.e) + 1),
+                                         i -> q.e[i] * c.e[i]))
+                   / (q.nrm * c.nrm) AS sim,
+                 c.vec_id AS neighbor_id
+          FROM n q JOIN n c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES}),
+    topk AS (SELECT query_id, true_label, nb_label FROM (
+               SELECT query_id, true_label, nb_label,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rn
+               FROM p) t WHERE rn <= {TOP_K}),
+    votes AS (SELECT query_id, true_label, nb_label,
+                     CAST(COUNT(*) AS BIGINT) AS votes
+              FROM topk GROUP BY query_id, true_label, nb_label)
+    SELECT query_id, true_label, nb_label AS pred_label, votes,
+           (nb_label = true_label) AS is_correct
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY votes DESC, nb_label ASC) AS vr
+          FROM votes) t
+    WHERE vr = 1
+    """,
+    doc=f"k-NN label propagation (embedding-based auto-labeling — the "
+    "semi-supervised label-spreading step of a curation pipeline): each "
+    f"of {N_QUERIES} query vectors takes the majority label among its "
+    f"top-{TOP_K} cosine neighbors (exact ranking, vec_id tie-break; "
+    "vote ties break toward the smaller label). Built on the "
+    "c02_cosine_topk kernel, so at 100 TB the candidate scan swaps to "
+    "the LSH/IVF/PQ index paths — the vote aggregation itself is "
+    "Q-bounded and trivial.",
+)
+def c02_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    n = v.select("vec_id", "label", "e", _norm("e").alias("nrm"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nb_label"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    sim = _dot("qe", "ce") / (F.col("qn") * F.col("cn"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "true_label", "nb_label", sim.alias("sim"), "neighbor_id")
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    topk = pairs.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= TOP_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nb_label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("nb_label").alias("pred_label"),
+            "votes",
+            (F.col("nb_label") == F.col("true_label")).alias("is_correct"),
+        )
+    )

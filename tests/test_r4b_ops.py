@@ -34,6 +34,8 @@ def con(sf_dir):
         "a19_merge_schema_evolution",
         "c04_incremental_rollup",
         "c03_bigram_logprob",
+        "b07_ewma",
+        "c02_knn_classify",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
