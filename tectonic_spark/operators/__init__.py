@@ -4,6 +4,7 @@ every declared query into :mod:`tectonic_spark.operators.registry`."""
 from tectonic_spark.operators import (  # noqa: F401
     clustering,
     dedup,
+    graph,
     multimodal,
     parser_ops,
     pipeline,

@@ -1,0 +1,136 @@
+"""Graph operators (beyond SURVEY §2.B, alongside dedup's connected
+components): deterministic PageRank over the customer↔supplier
+interaction graph derived from orders⋈lineitem.
+
+Determinism strategy: ALL arithmetic is 64-bit integer ("micro-rank"
+units, base 10^12) with floor division — no floats anywhere, so Spark
+and DuckDB produce bit-identical scores with no rounding tolerance and
+no summation-order concerns (integer sums are associative). The floor
+divisions make this a *defined* deterministic dynamical system rather
+than ideal real-valued PageRank; both engines run the same system.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tectonic_spark.operators.registry import register
+from tectonic_spark.tables import table
+
+PR_BASE = 10**12  # micro-rank units
+PR_ITERS = 4
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
+
+
+def _pr_oracle() -> str:
+    head = f"""
+    WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+                                l.l_suppkey * 2 + 1 AS dst
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM e GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+    p0 AS (SELECT node, CAST({PR_BASE} // n.n_nodes AS BIGINT) AS p
+           FROM deg, n),
+    tele AS (SELECT CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_BASE} // n.n_nodes))
+                         // {PR_DAMP_DEN} AS BIGINT) AS t FROM n)
+    """
+    iters = ""
+    prev = "p0"
+    for i in range(1, PR_ITERS + 1):
+        iters += f""",
+    p{i} AS (SELECT e.dst AS node,
+                    CAST(tele.t + ({PR_DAMP_NUM} * SUM({prev}.p // deg.deg))
+                         // {PR_DAMP_DEN} AS BIGINT) AS p
+             FROM e
+             JOIN {prev} ON {prev}.node = e.src
+             JOIN deg ON deg.node = e.src, tele
+             GROUP BY e.dst, tele.t)"""
+        prev = f"p{i}"
+    return (
+        head
+        + iters
+        + f"""
+    SELECT node,
+           CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           p AS rank_micro
+    FROM {prev}
+    """
+    )
+
+
+@register(
+    "c06_pagerank",
+    oracle=_pr_oracle(),
+    doc=f"Deterministic PageRank ({PR_ITERS} iterations, damping "
+    f"{PR_DAMP_NUM}/{PR_DAMP_DEN}) over the bipartite customer↔supplier "
+    "graph (edges = distinct orders⋈lineitem pairs, mirrored both "
+    "directions so no node dangles) — the entity-importance ranking of "
+    "a relationship graph (Page et al. 1999; the Kiveris-CC companion "
+    "in this repo's graph surface). ALL arithmetic is 64-bit integer "
+    f"micro-rank units (base 10^12) with floor division — zero floats, "
+    "so scores are bit-identical across engines, partitionings, and "
+    "re-runs with NO rounding tolerance (integer sums are associative; "
+    "the floor-div dynamics are the defined algorithm on both sides). "
+    "100 TB shape: per iteration ONE shuffle keyed on dst for the "
+    "contribution aggregation (map-side combinable BIGINT sums); the "
+    "edge list is computed once and reused across iterations; scores "
+    "are 16 bytes/node. The iteration count is a compile-time constant "
+    "— nothing crosses the driver.",
+)
+def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    e = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    scalars = n.select(
+        F.expr(f"CAST({PR_BASE} div n_nodes AS BIGINT)").alias("p_init"),
+        F.expr(
+            f"CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_BASE} div n_nodes))"
+            f" div {PR_DAMP_DEN} AS BIGINT)"
+        ).alias("tele"),
+    )
+    p = deg.crossJoin(F.broadcast(scalars)).select(
+        F.col("src").alias("node"), F.col("p_init").alias("p")
+    )
+    ed = e.join(
+        deg.select(F.col("src"), F.col("deg")), "src"
+    )  # (src, dst, deg)
+    for _ in range(PR_ITERS):
+        contrib = ed.join(
+            p.select(F.col("node").alias("src"), F.col("p").alias("ps")),
+            "src",
+        ).select("dst", F.expr("ps div deg").alias("c"))
+        p = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(scalars))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST(tele + ({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"
+                    " AS BIGINT)"
+                ).alias("p"),
+            )
+        )
+    return p.select(
+        "node",
+        F.when(F.col("node") % 2 == 0, "customer")
+        .otherwise("supplier")
+        .alias("node_type"),
+        F.col("p").alias("rank_micro"),
+    )

@@ -116,7 +116,11 @@ PRIORITY: list[str] = [
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "c03_chunking",
-    "c04_stratified_sample",
+    # round-4b: the graph family's first driver row (deterministic
+    # integer PageRank) takes the stratified-sample slot; c04 keeps
+    # repetition/packing/dsir rows in the window and stratified stays
+    # under the local + sf1-sweep gates
+    "c06_pagerank",
     # LLM-pipeline: dedup (round-4b: C4-style span dedup takes the
     # c01_dedup_exact slot — it is the same exact-hash dedup at span
     # granularity plus reassembly; the whole-doc variant stays under the

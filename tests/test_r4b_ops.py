@@ -242,3 +242,25 @@ def test_tfidf_keywords_are_rare_terms(spark, sf_dir):
         F.avg((F.col("df") <= med).cast("double"))
     ).first()[0]
     assert frac_rare >= 0.5
+
+
+def test_pagerank_exact_and_mass_bounded(spark, sf_dir):
+    """Integer PageRank: identical output under different shuffle
+    partitioning (bit-exact integer arithmetic), total rank mass stays
+    within floor-division loss of the initial mass."""
+    from tectonic_spark.operators.graph import PR_BASE, c06_pagerank
+
+    a = c06_pagerank(spark, sf_dir).toPandas().sort_values("node")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        b = c06_pagerank(spark, sf_dir).toPandas().sort_values("node")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert list(a.node) == list(b.node)
+    assert list(a.rank_micro) == list(b.rank_micro)
+    total = a.rank_micro.sum()
+    # teleport floor + per-edge contribution floors only ever LOSE mass
+    assert total <= PR_BASE
+    assert total >= PR_BASE * 0.9
+    assert set(a.node_type) == {"customer", "supplier"}
