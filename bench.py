@@ -234,6 +234,9 @@ SF1_SUBSET = [
     # partial shuffles); semantic dedup runs below with its scale knob
     # turned (k=64) like embedding_neardup[bits=10]
     "c02_kmeans",
+    # round-4b: the iterative integer-PageRank loop (4 dst-keyed shuffles
+    # over the reused edge list)
+    "c06_pagerank",
 ]
 
 
