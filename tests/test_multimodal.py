@@ -61,3 +61,25 @@ class TestMultimodal:
     def test_real_decode_path_is_stubbed(self, media_df):
         with pytest.raises(Exception, match="NotImplementedError|codecs"):
             extract_media_meta(media_df, fake=False).collect()
+
+
+def test_scene_detection_boundaries_every_scene_len(spark, sf_dir):
+    """Decoded scene boundaries land exactly at multiples of SCENE_LEN
+    (and nowhere else), and within-scene mad is exactly 0 — the decode
+    path reproduces the constructed dynamics bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.operators.multimodal import (
+        SCENE_LEN,
+        m06_scene_detection,
+    )
+
+    out = m06_scene_detection(spark, sf_dir)
+    bad_boundary = out.where(
+        F.col("is_scene_start") != (F.col("frame_idx") % SCENE_LEN == 0)
+    ).count()
+    assert bad_boundary == 0
+    nonzero_within = out.where(
+        (~F.col("is_scene_start")) & (F.col("mad") != 0.0)
+    ).count()
+    assert nonzero_within == 0
