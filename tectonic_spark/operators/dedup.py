@@ -738,7 +738,14 @@ FROM f GROUP BY doc_id
     "reassemble. Only span text + two longs ever travel.",
 )
 def c01_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return line_dedup_df(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def line_dedup_df(d: DataFrame) -> DataFrame:
+    """Core C4-style span dedup over any (doc_id, text) frame — split out
+    so the Hypothesis property suite can drive it on generated corpora."""
     w = words_col()
     n_sp = F.ceil(F.size(w) / F.lit(SPAN_K)).cast("int")
     spans = F.transform(

@@ -1,0 +1,49 @@
+"""Shuffle-budget regression guard: pin the Exchange count of each
+headline query's physical plan. A refactor that silently adds a shuffle
+(lost broadcast, lost partial agg, a repartition sneaking in) fails here
+long before it shows up as an sf1 timing regression.
+
+Budgets are CEILINGS measured from the current (reviewed) plans — going
+under is fine; going over means a plan shape changed and must be
+re-justified.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import tectonic_spark.operators as ops
+from tectonic_spark.plans import physical_plan
+
+# name -> max "Exchange" substring count in the plan string (the plan
+# text mentions each operator more than once, so these are STRING counts
+# pinned to the current reviewed plans, not operator counts — the guard
+# property is identical: a new shuffle strictly increases the count)
+EXCHANGE_BUDGET = {
+    "b05_pricing_summary": 1,  # one partial->final agg shuffle
+    "q03_shipping_priority": 3,
+    "q05_local_supplier_volume": 6,  # dims broadcast; facts shuffle
+    "b03_join_star": 3,
+    "b04_range_join": 2,
+    "b07_topn_per_group": 4,
+    "b08_topk": 0,  # TakeOrderedAndProject, no exchange
+    "c01_dedup_exact": 1,  # digest groupBy only
+    "c01_minhash_lsh": 8,
+    "c02_cosine_topk": 2,
+    "c03_token_stats": 0,  # pure per-row projection
+    "c04_repetition": 0,  # per-row fold, zero shuffles
+    "c04_mixture_sampling": 0,  # stateless hash filter
+    "c03_chunking": 0,  # posexplode, partition-local
+    "c04_dsir": 7,
+    "c06_pagerank": 84,  # 4 iterations over the reused edge/deg subplans
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
+def test_exchange_budget(spark, sf_dir, name):
+    plan = physical_plan(ops.REGISTRY[name].builder(spark, sf_dir))
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= EXCHANGE_BUDGET[name], (
+        f"{name}: {n_exchanges} Exchange ops > budget "
+        f"{EXCHANGE_BUDGET[name]} — a shuffle crept into the plan"
+    )
