@@ -853,3 +853,148 @@ def c04_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 0)
     )
+
+
+# --- c05 v2: the round-4b curation chain in ONE plan ----------------------
+
+CUR2_QUALITY_MIN = 0.45  # distinct-ratio floor on the deduped text
+CUR2_K = 150  # final DSIR selection size
+
+_CUR2_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (SELECT doc_id, w,
+             unnest(range(0, (len(w) + 9) // 10)) AS span_idx
+      FROM t),
+sp AS (SELECT doc_id, span_idx,
+              array_to_string(
+                list_slice(w, CAST(span_idx * 10 + 1 AS INT),
+                              CAST(span_idx * 10 + 10 AS INT)), ' ') AS span
+       FROM s),
+f AS (SELECT doc_id, span_idx, span,
+             row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, span_idx) = 1 AS keep
+      FROM sp),
+ld AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              COALESCE(string_agg(CASE WHEN keep THEN span END, ' '
+                                  ORDER BY span_idx), '') AS kept_text
+       FROM f GROUP BY doc_id),
+kept AS (SELECT d.lang, ld.doc_id, ld.n_kept, ld.kept_text
+         FROM ld JOIN documents d USING (doc_id)
+         WHERE ld.n_kept >= 2
+           AND CAST(len(list_distinct(string_split(ld.kept_text, ' ')))
+                    AS DOUBLE) / len(string_split(ld.kept_text, ' '))
+               >= {CUR2_QUALITY_MIN}),
+tok AS (SELECT doc_id, lang, unnest(string_split(kept_text, ' ')) AS tok
+        FROM kept),
+bt AS (SELECT doc_id, lang, {_o_hex32('md5(tok)')} % {DSIR_BUCKETS} AS b
+       FROM tok),
+raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rcnt FROM bt GROUP BY b),
+tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tcnt
+        FROM bt WHERE lang = 'en' GROUP BY b),
+tots AS (SELECT (SELECT COUNT(*) FROM bt) AS r_tot,
+                (SELECT COUNT(*) FROM bt WHERE lang = 'en') AS t_tot),
+lr AS (SELECT raw.b,
+              ln(COALESCE(tgt.tcnt, 0) + 1) - ln(t_tot + {DSIR_BUCKETS})
+              - ln(raw.rcnt + 1) + ln(r_tot + {DSIR_BUCKETS}) AS logratio
+       FROM raw LEFT JOIN tgt USING (b), tots),
+wt AS (SELECT bt.doc_id, bt.lang,
+              round(SUM(lr.logratio), 6) AS dsir_weight
+       FROM bt JOIN lr USING (b)
+       GROUP BY bt.doc_id, bt.lang),
+sel AS (SELECT wt.doc_id, wt.lang, k.n_kept, wt.dsir_weight
+        FROM wt JOIN kept k USING (doc_id)
+        ORDER BY wt.dsir_weight DESC, wt.doc_id LIMIT {CUR2_K})
+SELECT doc_id, lang, n_kept, dsir_weight,
+       CAST(row_number() OVER (ORDER BY dsir_weight DESC, doc_id)
+            AS BIGINT) AS sel_rank
+FROM sel
+"""
+
+
+@register(
+    "c05_curation_v2",
+    oracle=_CUR2_ORACLE,
+    doc="The round-4b curation chain composed in ONE Catalyst plan — the "
+    "modern pipeline shape (C4 -> classifier filter -> DSIR, cf. "
+    "Raffel 2020 / Brown 2020 / Xie 2023): (1) corpus-wide duplicate-"
+    "span removal reassembles every document from its surviving spans; "
+    "(2) a lexical-diversity gate on the DEDUPED text drops low-quality "
+    f"docs (distinct-ratio >= {CUR2_QUALITY_MIN}, >=2 surviving spans); "
+    f"(3) DSIR importance weights over the deduped text select the top-"
+    f"{CUR2_K} target-domain-like documents. Each stage consumes the "
+    "previous stage's OUTPUT (the quality gate and the DSIR histograms "
+    "see post-dedup text, not raw text), so stage coupling — the thing "
+    "a composition can get wrong silently — is exactly oracle-checked. "
+    "100 TB shape: the span stage's min-struct agg + span join, one "
+    "doc_id reassembly shuffle, stateless gate, bounded histograms, "
+    "TakeOrdered top-K; at warehouse scale you materialize between "
+    "stages — every stage's keep/drop is deterministic so the split "
+    "plan produces identical bytes.",
+)
+def c05_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tectonic_spark.operators.dedup import line_dedup_df
+
+    d = table(spark, sf_dir, "documents")
+    ld = line_dedup_df(d.select("doc_id", "text"))
+    kw = F.split("kept_text", " ")
+    kept = (
+        ld.join(d.select("doc_id", "lang"), "doc_id")
+        .where(
+            (F.col("n_kept") >= 2)
+            & (
+                F.size(F.array_distinct(kw)).cast("double") / F.size(kw)
+                >= CUR2_QUALITY_MIN
+            )
+        )
+        .select("doc_id", "lang", "n_kept", "kept_text")
+    )
+    tok = kept.select(
+        "doc_id", "lang", F.explode(F.split("kept_text", " ")).alias("tok")
+    )
+    b = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    bt = tok.select("doc_id", "lang", b.alias("b"))
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("rcnt"))
+    tgt = (
+        bt.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+    )
+    tots = bt.agg(
+        F.count(F.lit(1)).alias("r_tot"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_tot"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(F.coalesce(F.col("tcnt"), F.lit(0)) + 1)
+                - F.log(F.col("t_tot") + DSIR_BUCKETS)
+                - F.log(F.col("rcnt") + 1)
+                + F.log(F.col("r_tot") + DSIR_BUCKETS)
+            ).alias("logratio"),
+        )
+    )
+    wt = (
+        bt.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum("logratio"), 6).alias("dsir_weight"))
+    )
+    sel = (
+        wt.join(kept.select("doc_id", "n_kept"), "doc_id")
+        .orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
+        .limit(CUR2_K)
+    )
+    rank_win = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
+    return sel.select(
+        "doc_id",
+        "lang",
+        "n_kept",
+        "dsir_weight",
+        F.row_number().over(rank_win).cast("long").alias("sel_rank"),
+    )
