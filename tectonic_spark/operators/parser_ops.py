@@ -2046,3 +2046,78 @@ def a19_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").alias("n_with_chars"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+def _docs_gz_mixed_src(sf_dir: str) -> str:
+    """documents as 4 JSONL shards, two plain and two gzip-compressed —
+    the mixed layout of a real crawl drop."""
+    import gzip
+
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "a20_src")
+    done = os.path.join(src, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        rows = _docs_rows(sf_dir)
+        lines = [
+            json.dumps(
+                {"doc_id": d, "text": t, "lang": lg, "source": s, "n_chars": n}
+            )
+            for d, t, lg, s, n in rows
+        ]
+        quarter = (len(lines) + 3) // 4
+        for i in range(4):
+            body = ("\n".join(lines[i * quarter : (i + 1) * quarter]) + "\n").encode()
+            if i % 2 == 0:
+                _write_atomic(os.path.join(src, f"part-{i}.jsonl"), body)
+            else:
+                _write_atomic(
+                    os.path.join(src, f"part-{i}.jsonl.gz"), gzip.compress(body)
+                )
+        _write_atomic(done, b"ok")
+    return src
+
+
+@register(
+    "a20_gzip_scan",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Compressed ingestion: a directory mixing plain and GZIP NDJSON "
+    "shards (the layout of a real web-crawl drop) scans through the same "
+    "tectonic-json source — .gz files stream-decompress in the executor "
+    "and plan as ONE whole-file split each (gzip is not block-"
+    "splittable; plain shards keep their byte-range splits). The "
+    "aggregate must equal the uncompressed table exactly. The builder "
+    "raises unless the planner actually produced both split kinds.",
+)
+def a20_gzip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.sources.json_source import list_input_files, plan_splits
+
+    register_tectonic_sources(spark)
+    src = _docs_gz_mixed_src(sf_dir)
+    files = list_input_files(src)
+    splits = plan_splits(files, split_bytes=16 * 1024, splittable=True)
+    gz = [sp for sp in splits if sp.file.endswith(".gz")]
+    plain = [sp for sp in splits if not sp.file.endswith(".gz")]
+    if not gz or not plain:
+        raise RuntimeError("a20: fixture must plan both gz and plain splits")
+    if any(sp.start != 0 or sp.end != sp.file_size for sp in gz):
+        raise RuntimeError("a20: gz files must plan as whole-file splits")
+    d = (
+        spark.read.format("tectonic-json")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("splitSizeBytes", str(16 * 1024))
+        .load(src)
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )

@@ -36,6 +36,7 @@ from tectonic_spark.sources.json_source import (
     _DEFAULT_SPLIT,
     FileSplit,
     list_input_files,
+    open_input,
     plan_splits,
     read_split_chunks,
 )
@@ -82,7 +83,7 @@ def read_csv_header(path: str, config: CsvConfig) -> list[str]:
     plate = ValueBuilderPlate()
     parser = CsvParser(plate, config)
     rows: list[Any] = []
-    with open(path, "rb") as fh:
+    with open_input(path) as fh:
         while not rows:
             chunk = fh.read(64 * 1024)
             res = parser.finish() if not chunk else parser.absorb(chunk)
@@ -522,7 +523,7 @@ def _strip_leading_bom(chunks):
 
 
 def _whole_file_chunks(partition: FileSplit):
-    with open(partition.file, "rb") as fh:
+    with open_input(partition.file) as fh:
         while True:
             chunk = fh.read(_CHUNK)
             if not chunk:

@@ -81,6 +81,17 @@ def list_input_files(path: str, suffix: str | None = None) -> list[str]:
     return hits
 
 
+def open_input(path: str):
+    """Binary handle; ``.gz`` transparently stream-decompresses (gzip is
+    not block-splittable, so gz files always plan as ONE whole-file split
+    and the read paths treat their end bound as EOF)."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
 @dataclass
 class FileSplit(InputPartition):
     """One planned byte range. ``start``>0 ⇒ skip to the first newline;
@@ -105,7 +116,7 @@ def plan_splits(
     out: list[FileSplit] = []
     for f in files:
         size = sizes[f] if sizes is not None else os.path.getsize(f)
-        if not splittable or size <= split_bytes:
+        if not splittable or f.endswith(".gz") or size <= split_bytes:
             out.append(FileSplit(f, 0, size, size))
         else:
             start = 0
@@ -133,6 +144,25 @@ def read_split_chunks(split: FileSplit, chunk_bytes: int = _CHUNK) -> Iterator[b
     not per line). Alignment means every block is a run of complete lines,
     so a parse failure's blast radius is one block and the parser holds no
     cross-block state."""
+    if split.file.endswith(".gz"):
+        # whole-file split over the DECOMPRESSED stream: the split's byte
+        # bounds are compressed-size bookkeeping only, so read to EOF
+        with open_input(split.file) as fh:
+            carry = b""
+            while True:
+                chunk = fh.read(chunk_bytes)
+                if not chunk:
+                    break
+                chunk = carry + chunk
+                cut = chunk.rfind(b"\n")
+                if cut < 0:
+                    carry = chunk
+                    continue
+                carry = chunk[cut + 1 :]
+                yield chunk[: cut + 1]
+            if carry:
+                yield carry
+        return
     with open(split.file, "rb") as fh:
         pos = _aligned_start(fh, split)
         carry = b""
@@ -251,7 +281,7 @@ def _parse_file_prefix(
         import json as _json
 
         rows: list[Any] = []
-        with open(path, "rb") as fh:
+        with open_input(path) as fh:
             read = 0
             for line in fh:
                 read += len(line)
@@ -266,7 +296,7 @@ def _parse_file_prefix(
     plate = ValueBuilderPlate()
     parser = JsonParser(plate, _MODES[mode])
     rows: list[Any] = []
-    with open(path, "rb") as fh:
+    with open_input(path) as fh:
         while len(rows) < max_rows:
             chunk = fh.read(_CHUNK)
             at_eof = not chunk
@@ -473,7 +503,7 @@ class TectonicJsonReader(DataSourceReader):
             import json as _json
 
             decoder = _json.JSONDecoder()
-            with open(split.file, "rb") as fh:
+            with open_input(split.file) as fh:
                 text = fh.read().decode("utf-8").lstrip("\ufeff")
             rows: list[Any] = []
             i, n_len = 0, len(text)
@@ -497,7 +527,7 @@ class TectonicJsonReader(DataSourceReader):
         ):
             import json as _json
 
-            with open(split.file, "rb") as fh:
+            with open_input(split.file) as fh:
                 try:
                     doc = _json.loads(fh.read())
                 except ValueError as e:
@@ -529,7 +559,7 @@ class TectonicJsonReader(DataSourceReader):
             ),
             resume_window_bytes=self.resume_window_bytes,
         )
-        with open(split.file, "rb") as fh:
+        with open_input(split.file) as fh:
             while True:
                 chunk = fh.read(_CHUNK)
                 res = parser.finish() if not chunk else parser.absorb(chunk)

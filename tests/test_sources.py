@@ -988,3 +988,73 @@ class TestHeterotypeWidening:
         ).fetchdf()
         assert sdf["doc_id"].tolist() == odf["doc_id"].tolist()
         assert sdf["val"].tolist() == odf["val"].tolist()
+
+
+class TestGzipInput:
+    """.gz ingestion: transparent stream-decompression, whole-file splits."""
+
+    def _write_docs(self, tmp_path, gz: bool):
+        import gzip as _gz
+        import json as _json
+
+        lines = "\n".join(
+            _json.dumps({"a": i, "b": f"x{i}"}) for i in range(500)
+        ) + "\n"
+        if gz:
+            p = tmp_path / "d.jsonl.gz"
+            p.write_bytes(_gz.compress(lines.encode()))
+        else:
+            p = tmp_path / "d.jsonl"
+            p.write_bytes(lines.encode())
+        return str(p)
+
+    def test_gz_rows_equal_plain(self, spark, tmp_path):
+        (tmp_path / "p").mkdir()
+        (tmp_path / "g").mkdir()
+        plain = self._write_docs(tmp_path / "p", False)
+        gz = self._write_docs(tmp_path / "g", True)
+        schema = "a long, b string"
+        a = spark.read.format("tectonic-json").schema(schema).load(plain)
+        b = spark.read.format("tectonic-json").schema(schema).load(gz)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        assert b.count() == 500
+
+    def test_gz_plans_whole_file_split(self, tmp_path):
+        from tectonic_spark.sources.json_source import plan_splits
+
+        import gzip as _gz
+
+        p = tmp_path / "big.jsonl.gz"
+        p.write_bytes(_gz.compress(b"x" * 100_000))
+        splits = plan_splits([str(p)], split_bytes=1024, splittable=True)
+        assert len(splits) == 1
+        assert splits[0].start == 0 and splits[0].end == splits[0].file_size
+
+    def test_gz_filter_pushdown_still_correct(self, spark, tmp_path):
+        gz = self._write_docs(tmp_path, True)
+        df = (
+            spark.read.format("tectonic-json")
+            .schema("a long, b string")
+            .option("filterPushdown", "true")
+            .load(gz)
+            .where("a >= 490")
+        )
+        assert df.count() == 10
+
+    def test_gz_csv_roundtrip(self, spark, tmp_path):
+        import gzip as _gz
+
+        body = "a,b\r\n" + "".join(f"{i},v{i}\r\n" for i in range(100))
+        p = tmp_path / "t.csv.gz"
+        p.write_bytes(_gz.compress(body.encode()))
+        df = spark.read.format("tectonic-csv").load(str(p))
+        assert df.count() == 100
+        assert sorted(r["a"] for r in df.collect()) == sorted(
+            str(i) for i in range(100)
+        )
+
+    def test_gz_schema_inference(self, spark, tmp_path):
+        gz = self._write_docs(tmp_path, True)
+        df = spark.read.format("tectonic-json").load(gz)  # infer
+        assert set(df.columns) == {"a", "b"}
+        assert df.count() == 500
