@@ -2090,7 +2090,7 @@ def _docs_gz_mixed_src(sf_dir: str) -> str:
     """,
     doc="Compressed ingestion: a directory mixing plain and GZIP NDJSON "
     "shards (the layout of a real web-crawl drop) scans through the same "
-    "tectonic-json source — .gz files stream-decompress in the executor "
+    "tectonic-json source — .gz (and .bz2/.xz) files stream-decompress in the executor "
     "and plan as ONE whole-file split each (gzip is not block-"
     "splittable; plain shards keep their byte-range splits). The "
     "aggregate must equal the uncompressed table exactly. The builder "

@@ -81,14 +81,26 @@ def list_input_files(path: str, suffix: str | None = None) -> list[str]:
     return hits
 
 
+_COMPRESSED_EXTS = (".gz", ".bz2", ".xz")
+
+
 def open_input(path: str):
-    """Binary handle; ``.gz`` transparently stream-decompresses (gzip is
-    not block-splittable, so gz files always plan as ONE whole-file split
-    and the read paths treat their end bound as EOF)."""
+    """Binary handle; ``.gz``/``.bz2``/``.xz`` transparently
+    stream-decompress (none are block-splittable, so compressed files
+    always plan as ONE whole-file split and the read paths treat their
+    end bound as EOF)."""
     if path.endswith(".gz"):
         import gzip
 
         return gzip.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rb")
+    if path.endswith(".xz"):
+        import lzma
+
+        return lzma.open(path, "rb")
     return open(path, "rb")
 
 
@@ -116,7 +128,7 @@ def plan_splits(
     out: list[FileSplit] = []
     for f in files:
         size = sizes[f] if sizes is not None else os.path.getsize(f)
-        if not splittable or f.endswith(".gz") or size <= split_bytes:
+        if not splittable or f.endswith(_COMPRESSED_EXTS) or size <= split_bytes:
             out.append(FileSplit(f, 0, size, size))
         else:
             start = 0
@@ -144,7 +156,7 @@ def read_split_chunks(split: FileSplit, chunk_bytes: int = _CHUNK) -> Iterator[b
     not per line). Alignment means every block is a run of complete lines,
     so a parse failure's blast radius is one block and the parser holds no
     cross-block state."""
-    if split.file.endswith(".gz"):
+    if split.file.endswith(_COMPRESSED_EXTS):
         # whole-file split over the DECOMPRESSED stream: the split's byte
         # bounds are compressed-size bookkeeping only, so read to EOF
         with open_input(split.file) as fh:

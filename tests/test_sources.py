@@ -1058,3 +1058,60 @@ class TestGzipInput:
         df = spark.read.format("tectonic-json").load(gz)  # infer
         assert set(df.columns) == {"a", "b"}
         assert df.count() == 500
+
+    def test_bz2_and_xz_rows_equal_plain(self, spark, tmp_path):
+        import bz2 as _bz2
+        import json as _json
+        import lzma as _lzma
+
+        lines = ("\n".join(
+            _json.dumps({"a": i, "b": f"x{i}"}) for i in range(200)
+        ) + "\n").encode()
+        (tmp_path / "d.jsonl.bz2").write_bytes(_bz2.compress(lines))
+        (tmp_path / "e.jsonl.xz").write_bytes(_lzma.compress(lines))
+        schema = "a long, b string"
+        for f in ("d.jsonl.bz2", "e.jsonl.xz"):
+            df = (
+                spark.read.format("tectonic-json")
+                .schema(schema)
+                .load(str(tmp_path / f))
+            )
+            assert df.count() == 200
+
+    def test_streaming_ingests_gz(self, spark, tmp_path):
+        import gzip as _gz
+        import json as _json
+        import time as _time
+
+        src = tmp_path / "src"
+        src.mkdir()
+        for part in range(2):
+            body = ("\n".join(
+                _json.dumps({"a": part * 100 + i}) for i in range(100)
+            ) + "\n").encode()
+            (src / f"in-{part}.jsonl.gz").write_bytes(_gz.compress(body))
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = (
+            spark.readStream.format("tectonic-json")
+            .schema("a long")
+            .option("maxFilesPerTrigger", "1")
+            .load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="50 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            n = 0
+            while _time.time() < deadline and n < 200:
+                try:
+                    n = spark.read.parquet(out).count()
+                except Exception:
+                    n = 0
+                _time.sleep(0.5)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        assert n == 200
