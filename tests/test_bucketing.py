@@ -40,7 +40,10 @@ def bucketed(spark):
 class TestBucketedJoin:
     def test_cobucketed_join_has_no_exchange(self, spark, bucketed):
         li, ord_ = bucketed
-        # disable broadcast so the join strategy decision is about shuffles
+        # disable broadcast so the join strategy decision is about shuffles;
+        # restore the SESSION's original value, not a hardcoded one — a
+        # wrong restore here once shifted later tests' plan shapes
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             joined = li.join(ord_, li.l_orderkey == ord_.o_orderkey).select(
@@ -50,9 +53,7 @@ class TestBucketedJoin:
             assert "SortMergeJoin" in plan
             assert "Exchange" not in plan  # bucket co-location removes both
         finally:
-            spark.conf.set(
-                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     def test_bucketed_results_match_unbucketed(self, spark, bucketed):
         li, ord_ = bucketed

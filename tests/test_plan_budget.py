@@ -39,6 +39,22 @@ EXCHANGE_BUDGET = {
 }
 
 
+@pytest.fixture(autouse=True)
+def _pin_plan_confs(spark):
+    """Budgets were measured under the session defaults; pin the confs
+    other tests may mutate so suite ordering can't shift plan shapes."""
+    pins = {
+        "spark.sql.autoBroadcastJoinThreshold": "10485760",
+        "spark.sql.adaptive.enabled": "true",
+    }
+    old = {k: spark.conf.get(k) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        spark.conf.set(k, v)
+
+
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
 def test_exchange_budget(spark, sf_dir, name):
     plan = physical_plan(ops.REGISTRY[name].builder(spark, sf_dir))
