@@ -58,6 +58,9 @@ def _pin_plan_confs(spark):
 @pytest.mark.parametrize("name", sorted(EXCHANGE_BUDGET))
 def test_exchange_budget(spark, sf_dir, name):
     plan = physical_plan(ops.REGISTRY[name].builder(spark, sf_dir))
+    # after any same-session execution, AQE stage reuse makes toString
+    # append an "== Initial Plan ==" section — count only the current plan
+    plan = plan.split("== Initial Plan ==")[0]
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= EXCHANGE_BUDGET[name], (
         f"{name}: {n_exchanges} Exchange ops > budget "
