@@ -2121,3 +2121,48 @@ def a20_gzip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+@register(
+    "a21_gzip_sink_roundtrip",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Compressed SINK round-trip (completes the a20 story: emit AND "
+    "ingest): the engine-native NDJSON writer produces .json.gz part "
+    "files (each task compresses its own part — no driver involvement), "
+    "the tectonic-json source reads them back through the shared "
+    "decompression path, and the aggregate must equal the source table. "
+    "The builder raises unless every part actually carries the .gz "
+    "extension.",
+)
+def a21_gzip_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    register_tectonic_sources(spark)
+    out = os.path.join(_fixture_dir(sf_dir), "a21_sink")
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .write.format("tectonic-json")
+        .mode("overwrite")
+        .option("path", out)
+        .option("compression", "gzip")
+        .save()
+    )
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    if not parts or not all(f.endswith(".json.gz") for f in parts):
+        raise RuntimeError(f"a21: expected only .json.gz parts, got {parts}")
+    d = (
+        spark.read.format("tectonic-json")
+        .schema("doc_id long, lang string, n_chars long")
+        .load(out)
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )

@@ -105,9 +105,17 @@ class _PartFileWriter(DataSourceArrowWriter):
 
     suffix = ".txt"
 
+    _COMP_EXT = {"none": "", "gzip": ".gz", "bz2": ".bz2", "xz": ".xz"}
+
     def __init__(self, options: dict, overwrite: bool) -> None:
         self.options = options
         self.path = options["path"]
+        self.compression = str(options.get("compression", "none")).lower()
+        if self.compression not in self._COMP_EXT:
+            raise ValueError(
+                f"unsupported compression {self.compression!r} "
+                f"(one of {sorted(self._COMP_EXT)})"
+            )
         # driver-side construction: prepare the directory and mint a job id
         # (shared by all tasks via pickling) so commit's orphan sweep only
         # touches THIS job's attempts — append must not disturb prior parts
@@ -118,7 +126,9 @@ class _PartFileWriter(DataSourceArrowWriter):
 
     def write(self, iterator) -> FileCommit:
         part = os.path.join(
-            self.path, f"part-{self.job_id}-{uuid.uuid4().hex}{self.suffix}"
+            self.path,
+            f"part-{self.job_id}-{uuid.uuid4().hex}{self.suffix}"
+            + self._COMP_EXT[self.compression],
         )
         rows = self._write_part(part, iterator)
         if rows == 0:
@@ -131,6 +141,24 @@ class _PartFileWriter(DataSourceArrowWriter):
 
     def _write_part(self, part: str, iterator) -> int:
         raise NotImplementedError
+
+    def _open_text(self, part: str, newline: str | None = None):
+        """Text handle honoring the ``compression`` option — parts write
+        compressed in the task, mirroring the sources' open_input."""
+        kw = dict(encoding="utf-8", newline=newline)
+        if self.compression == "gzip":
+            import gzip
+
+            return gzip.open(part, "wt", **kw)
+        if self.compression == "bz2":
+            import bz2
+
+            return bz2.open(part, "wt", **kw)
+        if self.compression == "xz":
+            import lzma
+
+            return lzma.open(part, "wt", **kw)
+        return open(part, "w", **kw)
 
     def commit(self, messages) -> None:
         keep = {
@@ -156,7 +184,7 @@ class TectonicJsonWriter(_PartFileWriter):
 
     def _write_part(self, part: str, iterator) -> int:
         n = 0
-        with open(part, "w", encoding="utf-8") as fh:
+        with self._open_text(part) as fh:
             for batch in iterator:
                 for row in batch.to_pylist():
                     fh.write(_encode_json_row(row))
@@ -185,7 +213,7 @@ class TectonicCsvWriter(_PartFileWriter):
         import csv as _csv
 
         n = 0
-        with open(part, "w", encoding="utf-8", newline="") as fh:
+        with self._open_text(part, newline="") as fh:
             w = _csv.writer(
                 fh,
                 delimiter=self.sep,

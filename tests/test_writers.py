@@ -136,3 +136,37 @@ class TestCsvWriter:
             spark.read.format("tectonic-csv").option("sep", "|").load(out)
         )
         assert [(r.a, r.b) for r in back.collect()] == [("1", "x|y")]
+
+
+class TestCompressedWriter:
+    def test_gzip_csv_writer_roundtrip(self, spark, tmp_path):
+        out = str(tmp_path / "csvgz")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(50)], "a long, b string"
+        )
+        (
+            df.write.format("tectonic-csv")
+            .mode("overwrite")
+            .option("path", out)
+            .option("compression", "gzip")
+            .save()
+        )
+        import os as _os
+
+        parts = [f for f in _os.listdir(out) if f.startswith("part-")]
+        assert parts and all(f.endswith(".csv.gz") for f in parts)
+        back = spark.read.format("tectonic-csv").load(out)
+        assert back.count() == 50
+
+    def test_unknown_compression_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1,)], "a long")
+        with _pytest.raises(Exception, match="unsupported compression"):
+            (
+                df.write.format("tectonic-json")
+                .mode("overwrite")
+                .option("path", str(tmp_path / "bad"))
+                .option("compression", "snappy")
+                .save()
+            )
