@@ -2006,7 +2006,7 @@ def s10_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a19_merge_schema_evolution",
     oracle="""
-    WITH split AS (SELECT CAST(COUNT(*) / 2 AS BIGINT) AS mid FROM documents)
+    WITH split AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS mid FROM documents)
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(CASE WHEN doc_id >= split.mid THEN 1 END) AS BIGINT)

@@ -678,9 +678,9 @@ def c04_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_BUCKETS = 256
 DSIR_K = 100
 
-_DSIR_ORACLE = f"""
-WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-             FROM documents),
+# DSIR weight CTE chain, shared by c04_dsir and c05_curation_v2 —
+# assumes a preceding CTE ``tok`` with (doc_id, lang, tok)
+_O_DSIR_CTES = f"""
 bt AS (SELECT doc_id, lang, {_o_hex32('md5(tok)')} % {DSIR_BUCKETS} AS b
        FROM tok),
 raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rcnt FROM bt GROUP BY b),
@@ -695,7 +695,14 @@ lr AS (SELECT raw.b,
 w AS (SELECT bt.doc_id, bt.lang,
              round(SUM(lr.logratio), 6) AS dsir_weight
       FROM bt JOIN lr USING (b)
-      GROUP BY bt.doc_id, bt.lang)
+      GROUP BY bt.doc_id, bt.lang)"""
+
+_O_DSIR_CTES_TAIL = _O_DSIR_CTES + ","
+
+_DSIR_ORACLE = f"""
+WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+{_O_DSIR_CTES}
 SELECT doc_id, lang, dsir_weight,
        CAST(row_number() OVER (ORDER BY dsir_weight DESC, doc_id)
             AS BIGINT) AS sel_rank
@@ -703,30 +710,10 @@ FROM w ORDER BY dsir_weight DESC, doc_id LIMIT {DSIR_K}
 """
 
 
-@register(
-    "c04_dsir",
-    oracle=_DSIR_ORACLE,
-    doc=f"DSIR data selection (Xie et al. 2023, arXiv:2302.03169 — "
-    "Data Selection for LMs via Importance Resampling, public): hashed "
-    f"unigram features (uint32(md5(token)[:8]) mod {DSIR_BUCKETS} "
-    "buckets), bag-of-buckets importance weight ln p_target/p_raw with "
-    "add-one smoothing (target domain = lang='en' documents, raw = whole "
-    f"corpus), top-{DSIR_K} selection by (rounded weight, doc_id) — the "
-    "deterministic stand-in for the paper's Gumbel resampling. 100 TB "
-    f"shape: both histograms are {DSIR_BUCKETS}-row map-side-combined "
-    "aggregates; the per-bucket log-ratio table broadcasts; per-doc "
-    "weights are one doc_id-keyed aggregation over the token stream "
-    "(no token-keyed join at all, unlike the NB scorer); the global "
-    "top-K is TakeOrderedAndProject (per-partition heaps, never a full "
-    "sort). Only K rows ever see a single task.",
-)
-def c04_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
-    )
+def dsir_weights_df(tok: "DataFrame") -> "DataFrame":
+    """Per-doc DSIR importance weights from a (doc_id, lang, tok) frame —
+    the shared core of c04_dsir and c05_curation_v2 (target = lang='en',
+    add-one smoothing, 6dp-rounded)."""
     b = (
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
         % DSIR_BUCKETS
@@ -755,11 +742,38 @@ def c04_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logratio"),
         )
     )
-    w = (
+    return (
         bt.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "lang")
         .agg(F.round(F.sum("logratio"), 6).alias("dsir_weight"))
     )
+
+
+@register(
+    "c04_dsir",
+    oracle=_DSIR_ORACLE,
+    doc=f"DSIR data selection (Xie et al. 2023, arXiv:2302.03169 — "
+    "Data Selection for LMs via Importance Resampling, public): hashed "
+    f"unigram features (uint32(md5(token)[:8]) mod {DSIR_BUCKETS} "
+    "buckets), bag-of-buckets importance weight ln p_target/p_raw with "
+    "add-one smoothing (target domain = lang='en' documents, raw = whole "
+    f"corpus), top-{DSIR_K} selection by (rounded weight, doc_id) — the "
+    "deterministic stand-in for the paper's Gumbel resampling. 100 TB "
+    f"shape: both histograms are {DSIR_BUCKETS}-row map-side-combined "
+    "aggregates; the per-bucket log-ratio table broadcasts; per-doc "
+    "weights are one doc_id-keyed aggregation over the token stream "
+    "(no token-keyed join at all, unlike the NB scorer); the global "
+    "top-K is TakeOrderedAndProject (per-partition heaps, never a full "
+    "sort). Only K rows ever see a single task.",
+)
+def c04_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    w = dsir_weights_df(tok)
     top = w.orderBy(F.col("dsir_weight").desc(), F.col("doc_id")).limit(DSIR_K)
     # rank assignment runs on the K surviving rows only (constant-size)
     rank_win = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
@@ -887,24 +901,10 @@ kept AS (SELECT d.lang, ld.doc_id, ld.n_kept, ld.kept_text
                >= {CUR2_QUALITY_MIN}),
 tok AS (SELECT doc_id, lang, unnest(string_split(kept_text, ' ')) AS tok
         FROM kept),
-bt AS (SELECT doc_id, lang, {_o_hex32('md5(tok)')} % {DSIR_BUCKETS} AS b
-       FROM tok),
-raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rcnt FROM bt GROUP BY b),
-tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tcnt
-        FROM bt WHERE lang = 'en' GROUP BY b),
-tots AS (SELECT (SELECT COUNT(*) FROM bt) AS r_tot,
-                (SELECT COUNT(*) FROM bt WHERE lang = 'en') AS t_tot),
-lr AS (SELECT raw.b,
-              ln(COALESCE(tgt.tcnt, 0) + 1) - ln(t_tot + {DSIR_BUCKETS})
-              - ln(raw.rcnt + 1) + ln(r_tot + {DSIR_BUCKETS}) AS logratio
-       FROM raw LEFT JOIN tgt USING (b), tots),
-wt AS (SELECT bt.doc_id, bt.lang,
-              round(SUM(lr.logratio), 6) AS dsir_weight
-       FROM bt JOIN lr USING (b)
-       GROUP BY bt.doc_id, bt.lang),
-sel AS (SELECT wt.doc_id, wt.lang, k.n_kept, wt.dsir_weight
-        FROM wt JOIN kept k USING (doc_id)
-        ORDER BY wt.dsir_weight DESC, wt.doc_id LIMIT {CUR2_K})
+{_O_DSIR_CTES_TAIL}
+sel AS (SELECT w.doc_id, w.lang, k.n_kept, w.dsir_weight
+        FROM w JOIN kept k USING (doc_id)
+        ORDER BY w.dsir_weight DESC, w.doc_id LIMIT {CUR2_K})
 SELECT doc_id, lang, n_kept, dsir_weight,
        CAST(row_number() OVER (ORDER BY dsir_weight DESC, doc_id)
             AS BIGINT) AS sel_rank
@@ -952,39 +952,7 @@ def c05_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = kept.select(
         "doc_id", "lang", F.explode(F.split("kept_text", " ")).alias("tok")
     )
-    b = (
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-        % DSIR_BUCKETS
-    )
-    bt = tok.select("doc_id", "lang", b.alias("b"))
-    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("rcnt"))
-    tgt = (
-        bt.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tcnt"))
-    )
-    tots = bt.agg(
-        F.count(F.lit(1)).alias("r_tot"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_tot"),
-    )
-    lr = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            (
-                F.log(F.coalesce(F.col("tcnt"), F.lit(0)) + 1)
-                - F.log(F.col("t_tot") + DSIR_BUCKETS)
-                - F.log(F.col("rcnt") + 1)
-                + F.log(F.col("r_tot") + DSIR_BUCKETS)
-            ).alias("logratio"),
-        )
-    )
-    wt = (
-        bt.join(F.broadcast(lr), "b")
-        .groupBy("doc_id", "lang")
-        .agg(F.round(F.sum("logratio"), 6).alias("dsir_weight"))
-    )
+    wt = dsir_weights_df(tok)
     sel = (
         wt.join(kept.select("doc_id", "n_kept"), "doc_id")
         .orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))

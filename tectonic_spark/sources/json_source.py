@@ -89,15 +89,16 @@ def open_input(path: str):
     stream-decompress (none are block-splittable, so compressed files
     always plan as ONE whole-file split and the read paths treat their
     end bound as EOF)."""
-    if path.endswith(".gz"):
+    low = path.lower()
+    if low.endswith(".gz"):
         import gzip
 
         return gzip.open(path, "rb")
-    if path.endswith(".bz2"):
+    if low.endswith(".bz2"):
         import bz2
 
         return bz2.open(path, "rb")
-    if path.endswith(".xz"):
+    if low.endswith(".xz"):
         import lzma
 
         return lzma.open(path, "rb")
@@ -128,7 +129,7 @@ def plan_splits(
     out: list[FileSplit] = []
     for f in files:
         size = sizes[f] if sizes is not None else os.path.getsize(f)
-        if not splittable or f.endswith(_COMPRESSED_EXTS) or size <= split_bytes:
+        if not splittable or f.lower().endswith(_COMPRESSED_EXTS) or size <= split_bytes:
             out.append(FileSplit(f, 0, size, size))
         else:
             start = 0
@@ -156,7 +157,7 @@ def read_split_chunks(split: FileSplit, chunk_bytes: int = _CHUNK) -> Iterator[b
     not per line). Alignment means every block is a run of complete lines,
     so a parse failure's blast radius is one block and the parser holds no
     cross-block state."""
-    if split.file.endswith(_COMPRESSED_EXTS):
+    if split.file.lower().endswith(_COMPRESSED_EXTS):
         # whole-file split over the DECOMPRESSED stream: the split's byte
         # bounds are compressed-size bookkeeping only, so read to EOF
         with open_input(split.file) as fh:

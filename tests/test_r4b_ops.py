@@ -4,6 +4,7 @@ semantic invariants the oracle can't express."""
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -36,6 +37,13 @@ def con(sf_dir):
         "c03_bigram_logprob",
         "b07_ewma",
         "c02_knn_classify",
+        "c06_pagerank",
+        "c05_curation_v2",
+        "m06_scene_detection",
+        "a19_merge_schema_evolution",
+        "a20_gzip_scan",
+        "a21_gzip_sink_roundtrip",
+        "s10_stream_curation",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
@@ -264,3 +272,30 @@ def test_pagerank_exact_and_mass_bounded(spark, sf_dir):
     assert total <= PR_BASE
     assert total >= PR_BASE * 0.9
     assert set(a.node_type) == {"customer", "supplier"}
+
+
+def test_a19_schema_evolution_parity_on_odd_corpus(spark, tmp_path):
+    """Regression: the generation split must use FLOOR division in both
+    engines — DuckDB's CAST(x/2 AS BIGINT) ROUNDS, which diverges from
+    the builder's // for odd document counts (caught in review; every
+    shipped fixture happens to be even)."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    odd = tmp_path / "odd_sf"
+    odd.mkdir()
+    for f in os.listdir(src):
+        shutil.copy(os.path.join(src, f), odd / f)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}/documents.parquet') "
+        f"LIMIT 49) TO '{odd}/documents.parquet' (FORMAT PARQUET)"
+    )
+    q = ops.REGISTRY["a19_merge_schema_evolution"]
+    sdf = q.builder(spark, str(odd)).toPandas()
+    ocon = duck_con(str(odd))
+    odf = ocon.execute(q.oracle).fetchdf()
+    problems = compare("a19_odd", sdf, odf)
+    assert not problems, problems

@@ -1115,3 +1115,23 @@ class TestGzipInput:
             q.stop()
             q.awaitTermination(30)
         assert n == 200
+
+    def test_uppercase_gz_extension_decompresses(self, spark, tmp_path):
+        """Review regression: .GZ from external tooling must decompress,
+        not parse as raw bytes (case-insensitive extension detection)."""
+        import gzip as _gz
+        import json as _json
+
+        from tectonic_spark.sources.json_source import plan_splits
+
+        lines = ("\n".join(
+            _json.dumps({"a": i}) for i in range(100)
+        ) + "\n").encode()
+        p = tmp_path / "d.jsonl.GZ"
+        p.write_bytes(_gz.compress(lines))
+        splits = plan_splits([str(p)], split_bytes=64, splittable=True)
+        assert len(splits) == 1  # non-splittable despite tiny split size
+        df = (
+            spark.read.format("tectonic-json").schema("a long").load(str(p))
+        )
+        assert df.count() == 100
