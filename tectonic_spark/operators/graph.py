@@ -134,3 +134,107 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("node_type"),
         F.col("p").alias("rank_micro"),
     )
+
+
+# --- triangle counting (degree-ordered wedge join) ------------------------
+
+_TRI_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+und AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM und GROUP BY u),
+oriented AS (
+  SELECT CASE WHEN (du.deg, p.u) < (dv.deg, p.v) THEN p.u ELSE p.v END AS s,
+         CASE WHEN (du.deg, p.u) < (dv.deg, p.v) THEN p.v ELSE p.u END AS t
+  FROM pairs p
+  JOIN deg du ON du.node = p.u
+  JOIN deg dv ON dv.node = p.v
+),
+tri AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM oriented e1
+  JOIN oriented e2 ON e2.s = e1.t
+  JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node AS supp_node, d.deg,
+       COALESCE(p.n_triangles, 0) AS n_triangles
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+"""
+
+
+@register(
+    "c06_triangle_count",
+    oracle=_TRI_ORACLE,
+    doc="Per-node triangle counting over the supplier co-occurrence graph "
+    "(suppliers sharing an order) with DEGREE-ORDERED edge orientation "
+    "(Suri & Vassilvitskii WWW'11, the MapReduce triangle-counting "
+    "paper): every edge points from its lower-(degree, id) endpoint to "
+    "the higher, so each triangle is enumerated exactly once and — the "
+    "scale point — wedge fan-out concentrates on LOW-degree nodes: a "
+    "celebrity node of degree d contributes O(d) oriented out-wedges "
+    "only through neighbors that out-rank it, not O(d²). Shuffles: the "
+    "edge self-join on the wedge midpoint and the closing-edge hash "
+    "join, both on bounded keys. Integer counts — exact cross-engine.",
+)
+def c06_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    und = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    p = pairs.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = p.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = oriented.select(F.col("s").alias("a2"), F.col("t").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    per_node = nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            F.col("node").alias("supp_node"),
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )

@@ -44,6 +44,7 @@ def con(sf_dir):
         "a20_gzip_scan",
         "a21_gzip_sink_roundtrip",
         "s10_stream_curation",
+        "c06_triangle_count",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
