@@ -643,3 +643,81 @@ def m06_scene_detection(spark, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(detect, schema)
+
+
+# --- m07: audio resampling (integer decimation) over REAL WAV decode ------
+
+RESAMPLE_FACTOR = 4
+
+
+@register(
+    "m07_audio_resample",
+    oracle=f"""
+    SELECT d.doc_id,
+           CAST(d.n_chars % 251 AS BIGINT) AS n_in,
+           CAST((d.n_chars % 251 + {RESAMPLE_FACTOR - 1}) // {RESAMPLE_FACTOR}
+                AS BIGINT) AS n_out,
+           CAST(44 + (d.n_chars % 251 + {RESAMPLE_FACTOR - 1})
+                // {RESAMPLE_FACTOR} AS BIGINT) AS out_bytes,
+           CAST(COALESCE(SUM(CASE WHEN r.i % {RESAMPLE_FACTOR} = 0
+                             THEN (d.doc_id + r.i) % 256 END), 0) AS BIGINT)
+             AS sum_out
+    FROM documents d LEFT JOIN range(0, 251) r(i) ON r.i < d.n_chars % 251
+    WHERE d.doc_id % 3 = 1
+    GROUP BY d.doc_id, d.n_chars
+    """,
+    doc=f"Audio resampling over REAL WAV payloads: decode actual RIFF/PCM "
+    f"u8 bytes, decimate 1-in-{RESAMPLE_FACTOR} in numpy (8 kHz → 2 kHz), "
+    "and RE-ENCODE a valid WAV with the vendored codec — the sample-rate "
+    "normalization step of an audio training-data pipeline, with both "
+    "codec directions exercised per row. Output counts, re-encoded byte "
+    "size (44-byte header + samples), and the decimated amplitude sum; "
+    "the oracle predicts all four in closed form from the deterministic "
+    "fixture, so a wrong chunk walk, off-by-one decimation phase, or "
+    "header size mismatches. Arrow-batched mapInPandas; payloads never "
+    "leave executors.",
+)
+def m07_audio_resample(spark, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from tectonic_spark.operators import codecs
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    with_media = attach_real_payloads(docs).where(
+        F.col("media_kind") == "audio"
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_in", LongType(), True),
+            StructField("n_out", LongType(), True),
+            StructField("out_bytes", LongType(), True),
+            StructField("sum_out", LongType(), True),
+        ]
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                rate, samples = codecs.decode_wav(bytes(payload))
+                arr = np.frombuffer(samples, dtype=np.uint8)
+                dec = arr[::RESAMPLE_FACTOR]
+                out = codecs.encode_wav(
+                    dec.tobytes(), sample_rate=rate // RESAMPLE_FACTOR
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(arr),
+                        len(dec),
+                        len(out),
+                        int(dec.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_in", "n_out", "out_bytes", "sum_out"],
+            )
+
+    return with_media.mapInPandas(resample, schema)

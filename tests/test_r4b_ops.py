@@ -45,6 +45,7 @@ def con(sf_dir):
         "a21_gzip_sink_roundtrip",
         "s10_stream_curation",
         "c06_triangle_count",
+        "m07_audio_resample",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
