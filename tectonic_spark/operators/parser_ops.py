@@ -2166,3 +2166,137 @@ def a21_gzip_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+@register(
+    "s11_stream_rollup_maintenance",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="STREAMING incremental rollup maintenance — the foreachBatch "
+    "merge/upsert pattern (the streaming face of c04_incremental_rollup): "
+    "each micro-batch aggregates its own delta per event_type and MERGES "
+    "it into a maintained parquet rollup (old state ∪ delta → "
+    "re-aggregate → atomic directory swap), never re-reading the source. "
+    "Sums travel as DECIMAL(27,6) so merge order cannot flip a bit. The "
+    "builder raises unless >=2 micro-batches committed and the number of "
+    "merge invocations matches the commit count (state was built "
+    "incrementally, not in one gulp). The maintained state — not a "
+    "re-aggregation of the sink — is what the oracle checks. 100 TB "
+    "shape: state is group-cardinality-sized; each merge shuffles one "
+    "micro-batch plus the (tiny) state; at warehouse scale the same "
+    "foreachBatch body targets a MERGE INTO-capable table format.",
+)
+def s11_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    register_tectonic_sources(spark)
+    src, _ = _events_stream_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    state = os.path.join(base, "s11_state")
+    ck = os.path.join(base, "s11_ck")
+    for d in (state, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(state, exist_ok=True)
+    cur = os.path.join(state, "cur")
+    nxt = os.path.join(state, "nxt")
+    n_merges = {"n": 0}
+
+    def merge(batch_df, batch_id: int) -> None:
+        delta = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_value"),
+        )
+        if os.path.exists(cur):
+            old = batch_df.sparkSession.read.parquet(cur)
+            merged = (
+                old.unionByName(delta)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        else:
+            merged = delta
+        shutil.rmtree(nxt, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(cur, ignore_errors=True)
+        os.replace(nxt, cur)  # atomic state swap
+        n_merges["n"] += 1
+
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema(
+            "event_id long, ts_us long, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+    )
+    # exclude the far-future watermark-flush sentinel row the shared
+    # fixture carries (event_id < 0)
+    expected = (
+        spark.read.schema(
+            "event_id long, ts_us long, user_id long, event_type string, value double"
+        )
+        .json(src)
+        .where(F.col("event_id") >= 0)
+        .count()
+    )
+    q = (
+        stream.where(F.col("event_id") >= 0)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    import time
+
+    commits_dir = os.path.join(ck, "commits")
+    try:
+        deadline = time.time() + 240
+        total, n_commits = 0, 0
+        while time.time() < deadline:
+            try:
+                total = (
+                    spark.read.parquet(cur)
+                    .agg(F.sum("n_events"))
+                    .first()[0]
+                    or 0
+                )
+            except Exception:
+                total = 0
+            n_commits = (
+                len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+                if os.path.isdir(commits_dir)
+                else 0
+            )
+            if total >= expected and n_commits >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    if total != expected:
+        raise RuntimeError(
+            f"s11: maintained rollup holds {total} events, expected {expected}"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s11: only {n_commits} committed micro-batches — the rollup "
+            "was not maintained incrementally"
+        )
+    if n_merges["n"] != n_commits:
+        raise RuntimeError(
+            f"s11: {n_merges['n']} merge invocations != {n_commits} commits"
+        )
+    return spark.read.parquet(cur).select(
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )

@@ -46,6 +46,7 @@ def con(sf_dir):
         "s10_stream_curation",
         "c06_triangle_count",
         "m07_audio_resample",
+        "s11_stream_rollup_maintenance",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
