@@ -2300,3 +2300,54 @@ def s11_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "a22_dynamic_partition_overwrite",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN n_chars + 1000000
+                         ELSE n_chars END) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Dynamic partition overwrite (spark.sql.sources.partitionOverwrite"
+    "Mode=dynamic — the warehouse partition-replace op): write the full "
+    "lang-partitioned table, then overwrite ONLY the 'en' partition with "
+    "revised rows (n_chars + 1e6). Static overwrite mode would TRUNCATE "
+    "every other partition; the oracle's per-lang aggregate — original "
+    "values for every non-en lang, revised for en — fails loudly if the "
+    "untouched partitions were clobbered or the en rewrite was appended "
+    "instead of replaced. At 100 TB this is the idempotent daily-"
+    "partition reload: one partition's files rewrite, the rest of the "
+    "table is never touched.",
+)
+def a22_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    out = os.path.join(_fixture_dir(sf_dir), "a22_table")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.write.partitionBy("lang").mode("overwrite").parquet(out)
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        revised = d.where(F.col("lang") == "en").withColumn(
+            "n_chars", F.col("n_chars") + 1_000_000
+        )
+        revised.write.partitionBy("lang").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    back = spark.read.parquet(out)
+    langs = {r["lang"] for r in back.select("lang").distinct().collect()}
+    if langs == {"en"}:
+        raise RuntimeError(
+            "a22: dynamic overwrite truncated the non-en partitions"
+        )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )

@@ -47,6 +47,7 @@ def con(sf_dir):
         "c06_triangle_count",
         "m07_audio_resample",
         "s11_stream_rollup_maintenance",
+        "a22_dynamic_partition_overwrite",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
