@@ -966,3 +966,85 @@ def c05_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsir_weight",
         F.row_number().over(rank_win).cast("long").alias("sel_rank"),
     )
+
+
+# --- training-mixture epoch planning --------------------------------------
+
+EPOCH_TOKEN_BUDGET = 1_000_000  # total training tokens to allocate
+
+
+_EPOCH_ORACLE = f"""
+WITH t AS (SELECT source,
+                  CAST(substr(source, 4) AS INT) % 4 AS m,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+avail AS (SELECT source, ANY_VALUE(m) AS m,
+                 SUM(n_tokens) AS available_tokens
+          FROM t GROUP BY source),
+wtd AS (SELECT source, available_tokens,
+               CASE m WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 1 END
+                 AS weight
+        FROM avail),
+tot AS (SELECT SUM(weight) AS w_total FROM wtd)
+SELECT w.source,
+       CAST(w.available_tokens AS BIGINT) AS available_tokens,
+       CAST(w.weight AS BIGINT) AS weight,
+       CAST(({EPOCH_TOKEN_BUDGET} * w.weight) // tot.w_total AS BIGINT)
+         AS target_tokens,
+       CAST((({EPOCH_TOKEN_BUDGET} * w.weight) // tot.w_total) * 1000
+            // w.available_tokens AS BIGINT) AS epochs_x1000
+FROM wtd w, tot
+"""
+
+
+@register(
+    "c04_epoch_plan",
+    oracle=_EPOCH_ORACLE,
+    doc=f"Training-mixture epoch planning — the data-mixing arithmetic of "
+    "LLM pre-training (the 'epochs over each source' tables of LLaMA / "
+    "Gopher): per-source available tokens (one aggregation), integer "
+    "target weights by source class, and a {EPOCH_TOKEN_BUDGET:,}-token "
+    "budget allocated proportionally; epochs = target/available in "
+    "x1000 fixed point. ALL integer floor arithmetic — bit-exact across "
+    "engines with no rounding tolerance. epochs_x1000 > 1000 flags "
+    "sources the plan would repeat (the upsampling Gopher applies to "
+    "high-quality sets); the planner itself is one token-count "
+    "aggregation plus source-cardinality-sized math — free at any "
+    "corpus scale.".format(EPOCH_TOKEN_BUDGET=EPOCH_TOKEN_BUDGET),
+)
+def c04_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    m = F.substring("source", 4, 10).cast("int") % 4
+    t = d.select(
+        "source",
+        m.alias("m"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    avail = t.groupBy("source").agg(
+        F.first("m").alias("m"),
+        F.sum("n_tokens").alias("available_tokens"),
+    )
+    weight = (
+        F.when(F.col("m") == 0, 4)
+        .when(F.col("m") == 1, 3)
+        .when(F.col("m") == 2, 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    wtd = avail.select("source", "available_tokens", weight.alias("weight"))
+    tot = wtd.agg(F.sum("weight").alias("w_total"))
+    return (
+        wtd.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "available_tokens",
+            "weight",
+            F.expr(
+                f"CAST(({EPOCH_TOKEN_BUDGET} * weight) div w_total AS BIGINT)"
+            ).alias("target_tokens"),
+            F.expr(
+                f"CAST((({EPOCH_TOKEN_BUDGET} * weight) div w_total) * 1000"
+                " div available_tokens AS BIGINT)"
+            ).alias("epochs_x1000"),
+        )
+    )

@@ -48,6 +48,7 @@ def con(sf_dir):
         "m07_audio_resample",
         "s11_stream_rollup_maintenance",
         "a22_dynamic_partition_overwrite",
+        "c04_epoch_plan",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
