@@ -2168,6 +2168,55 @@ def a21_gzip_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_merger(state: str, n_merges: dict | None = None):
+    """foreachBatch merge closure maintaining a per-event_type rollup in
+    ``state`` (parquet dir + atomic swap + last-applied-batch-id guard).
+    Module-level so the crash-replay test drives the PRODUCTION merge
+    body, not a copy. foreachBatch is AT-LEAST-once: after a crash
+    between sink commit and checkpoint commit the same batch_id replays;
+    the guard folds each batch in exactly once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    cur = os.path.join(state, "cur")
+    nxt = os.path.join(state, "nxt")
+    applied_marker = os.path.join(state, "applied_batch")
+
+    def merge(batch_df, batch_id: int) -> None:
+        if os.path.exists(applied_marker):
+            with open(applied_marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed batch — already folded into state
+        delta = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_value"),
+        )
+        if os.path.exists(cur):
+            old = batch_df.sparkSession.read.parquet(cur)
+            merged = (
+                old.unionByName(delta)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("sum_value").alias("sum_value"),
+                )
+            )
+        else:
+            merged = delta
+        shutil.rmtree(nxt, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(cur, ignore_errors=True)
+        os.replace(nxt, cur)  # atomic state swap
+        with open(applied_marker + ".tmp", "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(applied_marker + ".tmp", applied_marker)
+        if n_merges is not None:
+            n_merges["n"] += 1
+
+    return merge
+
+
 @register(
     "s11_stream_rollup_maintenance",
     oracle="""
@@ -2204,31 +2253,8 @@ def s11_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(state, exist_ok=True)
     cur = os.path.join(state, "cur")
-    nxt = os.path.join(state, "nxt")
     n_merges = {"n": 0}
-
-    def merge(batch_df, batch_id: int) -> None:
-        delta = batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_value"),
-        )
-        if os.path.exists(cur):
-            old = batch_df.sparkSession.read.parquet(cur)
-            merged = (
-                old.unionByName(delta)
-                .groupBy("event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_value").alias("sum_value"),
-                )
-            )
-        else:
-            merged = delta
-        shutil.rmtree(nxt, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(nxt)
-        shutil.rmtree(cur, ignore_errors=True)
-        os.replace(nxt, cur)  # atomic state swap
-        n_merges["n"] += 1
+    merge = rollup_merger(state, n_merges)
 
     stream = (
         spark.readStream.format("tectonic-json")

@@ -613,3 +613,94 @@ def test_dedup_state_survives_restart(spark, tmp_path):
         q.awaitTermination(60)
     ids = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
     assert ids == list(range(80))  # every id once: dups dropped ACROSS restart
+
+
+class TestRollupMaintenanceReplay:
+    def test_replayed_batch_folds_exactly_once(self, spark, tmp_path):
+        """Crash-replay fault for the foreachBatch rollup: delete the
+        newest commits/N after the stream finishes (the state a kill
+        between sink commit and checkpoint commit leaves), restart — the
+        engine replays batch N and the last-applied-batch-id guard must
+        skip it, leaving the maintained totals unchanged."""
+        import json as _json
+        import os as _os
+
+        from tectonic_spark.operators.parser_ops import rollup_merger
+
+        data = tmp_path / "in"
+        data.mkdir()
+        for part in range(3):
+            lines = "\n".join(
+                _json.dumps(
+                    {
+                        "event_id": part * 50 + i,
+                        "event_type": f"t{i % 3}",
+                        "value": float(i),
+                    }
+                )
+                for i in range(50)
+            )
+            (data / f"in-{part}.json").write_text(lines + "\n")
+        state = tmp_path / "state"
+        state.mkdir()
+        ck = tmp_path / "ck"
+
+        def start():
+            return (
+                spark.readStream.format("tectonic-json")
+                .schema("event_id long, event_type string, value double")
+                .option("maxFilesPerTrigger", "1")
+                .load(str(data))
+                .writeStream.foreachBatch(rollup_merger(str(state)))
+                .option("checkpointLocation", str(ck))
+                .trigger(processingTime="50 milliseconds")
+                .start()
+            )
+
+        def total():
+            try:
+                return (
+                    spark.read.parquet(str(state / "cur"))
+                    .agg(F.sum("n_events"))
+                    .first()[0]
+                    or 0
+                )
+            except Exception:
+                return 0
+
+        q = start()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and total() < 150:
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        assert total() == 150
+        commits = sorted(
+            f
+            for f in _os.listdir(ck / "commits")
+            if not f.startswith(".")
+        )
+        # crash injection: newest commit vanishes -> batch replays
+        # (drop the hadoop .crc sibling too, or the re-commit rename fails)
+        _os.unlink(ck / "commits" / commits[-1])
+        crc = ck / "commits" / f".{commits[-1]}.crc"
+        if crc.exists():
+            _os.unlink(crc)
+        q = start()
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                done = sorted(
+                    f
+                    for f in _os.listdir(ck / "commits")
+                    if not f.startswith(".")
+                )
+                if len(done) >= len(commits):
+                    break
+                time.sleep(0.2)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        assert total() == 150  # replayed batch did NOT double-count
