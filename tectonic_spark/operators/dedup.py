@@ -780,3 +780,72 @@ def line_dedup_df(d: DataFrame) -> DataFrame:
             " ",
         ).alias("kept_text"),
     )
+
+
+# --- incremental cross-snapshot dedup -------------------------------------
+
+_XSNAP_ORACLE = """
+WITH prev AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 17 <> 3
+),
+incoming AS (
+  SELECT doc_id, md5(text) AS digest
+  FROM documents WHERE doc_id % 17 = 3
+  UNION ALL
+  SELECT doc_id + 2000000000 AS doc_id, md5(text) AS digest
+  FROM documents WHERE doc_id % 23 = 11 AND doc_id % 17 <> 3
+)
+SELECT i.doc_id,
+       CASE WHEN MIN(p.doc_id) IS NULL THEN 'new_unique'
+            ELSE 'dup_of_prev' END AS status,
+       MIN(p.doc_id) AS match_doc_id
+FROM incoming i LEFT JOIN prev p ON p.digest = i.digest
+GROUP BY i.doc_id
+"""
+
+
+@register(
+    "c01_cross_snapshot_dedup",
+    oracle=_XSNAP_ORACLE,
+    doc="INCREMENTAL dedup — a new crawl batch checked against the "
+    "EXISTING corpus index, never corpus-vs-corpus (the production "
+    "steady state: after the initial dedup, every subsequent batch is "
+    "delta-sized). The incoming batch = the docs absent from the "
+    "previous snapshot (the snapshot_delta 'added' class) plus mirrored "
+    "exact copies of existing docs (injected so the dup branch is "
+    "non-trivial — the corpus has no natural exact dups); each incoming "
+    "doc left-joins the prev digest index and reports new_unique or "
+    "dup_of_prev with the lowest matching prev doc_id. 100 TB shape: "
+    "only (doc_id, 16-byte digest) ever shuffles, the join keys on the "
+    "digest (uniform, no skew), and cost is O(batch + index probe) per "
+    "ingestion cycle — not O(corpus²) and not even O(corpus) re-hash "
+    "when the index digests are persisted (here both sides derive from "
+    "the same table so the oracle stays self-contained).",
+)
+def c01_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    prev = d.where(F.col("doc_id") % 17 != 3).select(
+        F.col("doc_id").alias("p_doc_id"), F.md5("text").alias("digest")
+    )
+    added = d.where(F.col("doc_id") % 17 == 3).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    mirrored = d.where(
+        (F.col("doc_id") % 23 == 11) & (F.col("doc_id") % 17 != 3)
+    ).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+        F.md5("text").alias("digest"),
+    )
+    incoming = added.unionAll(mirrored)
+    return (
+        incoming.join(prev, "digest", "left")
+        .groupBy("doc_id")
+        .agg(F.min("p_doc_id").alias("match_doc_id"))
+        .select(
+            "doc_id",
+            F.when(F.col("match_doc_id").isNull(), "new_unique")
+            .otherwise("dup_of_prev")
+            .alias("status"),
+            "match_doc_id",
+        )
+    )

@@ -49,6 +49,7 @@ def con(sf_dir):
         "s11_stream_rollup_maintenance",
         "a22_dynamic_partition_overwrite",
         "c04_epoch_plan",
+        "c01_cross_snapshot_dedup",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
