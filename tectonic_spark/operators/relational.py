@@ -2398,3 +2398,74 @@ def b07_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_events"),
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+# --- b15: sequential event-funnel analysis --------------------------------
+
+
+@register(
+    "b15_event_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT v.user_id,
+           (c.user_id IS NOT NULL) AS clicked,
+           (p.user_id IS NOT NULL) AS purchased,
+           CAST(CASE WHEN p.user_id IS NOT NULL
+                THEN epoch_us(CAST(t3 AS TIMESTAMP))
+                     - epoch_us(CAST(t1 AS TIMESTAMP)) END AS BIGINT)
+             AS us_to_convert
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    doc="Sequential funnel analysis (view → click → purchase, the product-"
+    "analytics conversion query): each stage's entry time is the MIN "
+    "event time STRICTLY AFTER the previous stage's — ordering matters, "
+    "a click before the first view does not count. Per-user output: "
+    "stage flags + exact microsecond time-to-convert (integer timestamp "
+    "arithmetic, no tolerance). 100 TB shape: three stage aggregations "
+    "and two stage joins, ALL keyed on user_id — one partitioning "
+    "reused across every stage (co-partitioned joins after the first "
+    "shuffle), and each stage's frame shrinks monotonically.",
+)
+def b15_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c.select("user_id", "t2"), "user_id", "left")
+        .join(p.select("user_id", "t3"), "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t2").isNotNull().alias("clicked"),
+            F.col("t3").isNotNull().alias("purchased"),
+            F.when(
+                F.col("t3").isNotNull(),
+                F.unix_micros(F.col("t3").cast("timestamp"))
+                - F.unix_micros(F.col("t1").cast("timestamp")),
+            ).alias("us_to_convert"),
+        )
+    )

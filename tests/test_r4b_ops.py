@@ -50,6 +50,7 @@ def con(sf_dir):
         "a22_dynamic_partition_overwrite",
         "c04_epoch_plan",
         "c01_cross_snapshot_dedup",
+        "b15_event_funnel",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
