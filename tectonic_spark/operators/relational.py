@@ -2469,3 +2469,85 @@ def b15_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("us_to_convert"),
         )
     )
+
+
+# --- b16: cohort retention matrix -----------------------------------------
+
+
+@register(
+    "b16_retention_cohorts",
+    oracle="""
+    WITH su AS (SELECT user_id,
+                       date_trunc('week', CAST(MIN(ts) AS TIMESTAMP))
+                         AS cohort_week
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    act AS (SELECT DISTINCT e.user_id,
+                   CAST(datediff('week',
+                                 date_trunc('week', CAST(su.cohort_week AS TIMESTAMP)),
+                                 date_trunc('week', CAST(e.ts AS TIMESTAMP)))
+                        AS BIGINT) AS week_n
+            FROM events e JOIN su ON su.user_id = e.user_id
+            WHERE e.event_type <> 'signup'
+              AND e.ts >= su.cohort_week),
+    base AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+             FROM su GROUP BY cohort_week)
+    SELECT CAST(CAST(su.cohort_week AS DATE) AS VARCHAR) AS cohort_week,
+           act.week_n,
+           CAST(COUNT(DISTINCT su.user_id) AS BIGINT) AS active_users,
+           ANY_VALUE(base.cohort_size) AS cohort_size
+    FROM su
+    JOIN act ON act.user_id = su.user_id
+    JOIN base ON base.cohort_week = su.cohort_week
+    WHERE act.week_n BETWEEN 0 AND 8
+    GROUP BY su.cohort_week, act.week_n
+    """,
+    doc="Cohort retention matrix — the product-analytics companion to the "
+    "b15 funnel: users cohorted by signup week, activity bucketed by "
+    "whole weeks since cohort start (weeks 0-8), distinct active users "
+    "and cohort size per cell. All date_trunc/datediff integer "
+    "arithmetic — exact cross-engine, no tolerance. 100 TB shape: the "
+    "signup pass and the activity join both key on user_id (one "
+    "partitioning reused), the matrix itself is "
+    "cohorts × 9 cells — driver-trivial output from corpus-sized input.",
+)
+def b16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts").cast("timestamp")).alias("cohort_week"))
+    )
+    act = (
+        e.where(F.col("event_type") != "signup")
+        .join(su, "user_id")
+        .where(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts").cast("timestamp")),
+                    F.date_trunc("week", F.col("cohort_week")),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    base = su.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.where(F.col("week_n").between(0, 8))
+        .groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(base, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_n",
+            "active_users",
+            "cohort_size",
+        )
+    )

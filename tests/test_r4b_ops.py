@@ -51,6 +51,7 @@ def con(sf_dir):
         "c04_epoch_plan",
         "c01_cross_snapshot_dedup",
         "b15_event_funnel",
+        "b16_retention_cohorts",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
