@@ -203,7 +203,9 @@ def c06_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    p = pairs.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # plain equi-joins: deg is node-cardinality (NOT bounded) — forcing a
+    # broadcast here would collect it to the driver at scale; let AQE pick
+    p = pairs.join(du, "u").join(dv, "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )

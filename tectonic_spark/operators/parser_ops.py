@@ -2168,31 +2168,49 @@ def a21_gzip_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_state_path(state: str) -> str | None:
+    """Path of the currently committed rollup version, or None."""
+    ptr = os.path.join(state, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return os.path.join(state, fh.read().strip())
+
+
+def _rollup_applied_batch(state: str) -> int:
+    ptr = os.path.join(state, "CURRENT")
+    if not os.path.exists(ptr):
+        return -1
+    with open(ptr) as fh:
+        return int(fh.read().strip().removeprefix("v"))
+
+
 def rollup_merger(state: str, n_merges: dict | None = None):
     """foreachBatch merge closure maintaining a per-event_type rollup in
-    ``state`` (parquet dir + atomic swap + last-applied-batch-id guard).
-    Module-level so the crash-replay test drives the PRODUCTION merge
-    body, not a copy. foreachBatch is AT-LEAST-once: after a crash
-    between sink commit and checkpoint commit the same batch_id replays;
-    the guard folds each batch in exactly once."""
+    ``state`` with SINGLE-RENAME commits: each batch writes a fresh
+    versioned parquet dir ``v<batch_id>`` and then atomically swings the
+    ``CURRENT`` pointer file to it — state content and the last-applied
+    batch id commit in ONE os.replace, so a kill anywhere leaves either
+    the old consistent version (batch replays and re-merges) or the new
+    one (replay is skipped); there is no window where the marker and the
+    state disagree or where the accumulated state is lost. Module-level
+    so the crash-replay test drives the PRODUCTION merge body, not a
+    copy. foreachBatch is AT-LEAST-once: after a crash between sink
+    commit and checkpoint commit the same batch_id replays; the pointer
+    doubles as the idempotence guard."""
     import shutil
 
     from pyspark.sql import functions as F
 
-    cur = os.path.join(state, "cur")
-    nxt = os.path.join(state, "nxt")
-    applied_marker = os.path.join(state, "applied_batch")
-
     def merge(batch_df, batch_id: int) -> None:
-        if os.path.exists(applied_marker):
-            with open(applied_marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # replayed batch — already folded into state
+        if batch_id <= _rollup_applied_batch(state):
+            return  # replayed batch — already folded into state
         delta = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_value"),
         )
-        if os.path.exists(cur):
+        cur = rollup_state_path(state)
+        if cur is not None:
             old = batch_df.sparkSession.read.parquet(cur)
             merged = (
                 old.unionByName(delta)
@@ -2204,13 +2222,16 @@ def rollup_merger(state: str, n_merges: dict | None = None):
             )
         else:
             merged = delta
-        shutil.rmtree(nxt, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(nxt)
-        shutil.rmtree(cur, ignore_errors=True)
-        os.replace(nxt, cur)  # atomic state swap
-        with open(applied_marker + ".tmp", "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(applied_marker + ".tmp", applied_marker)
+        vdir = os.path.join(state, f"v{batch_id}")
+        shutil.rmtree(vdir, ignore_errors=True)  # leftover failed attempt
+        merged.write.mode("overwrite").parquet(vdir)
+        ptr_tmp = os.path.join(state, "CURRENT.tmp")
+        with open(ptr_tmp, "w") as fh:
+            fh.write(f"v{batch_id}")
+        os.replace(ptr_tmp, os.path.join(state, "CURRENT"))  # THE commit
+        # best-effort GC of superseded versions (never the committed one)
+        if cur is not None:
+            shutil.rmtree(cur, ignore_errors=True)
         if n_merges is not None:
             n_merges["n"] += 1
 
@@ -2252,7 +2273,6 @@ def s11_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     for d in (state, ck):
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(state, exist_ok=True)
-    cur = os.path.join(state, "cur")
     n_merges = {"n": 0}
     merge = rollup_merger(state, n_merges)
 
@@ -2289,12 +2309,11 @@ def s11_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         total, n_commits = 0, 0
         while time.time() < deadline:
             try:
+                cur = rollup_state_path(state)
                 total = (
-                    spark.read.parquet(cur)
-                    .agg(F.sum("n_events"))
-                    .first()[0]
+                    spark.read.parquet(cur).agg(F.sum("n_events")).first()[0]
                     or 0
-                )
+                ) if cur else 0
             except Exception:
                 total = 0
             n_commits = (
@@ -2308,6 +2327,17 @@ def s11_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
         q.awaitTermination(60)
+    # re-read AFTER the stream fully stopped: the poll loop can break on a
+    # stale commit count while the final (sentinel-only) batch is mid-merge
+    n_commits = (
+        len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+        if os.path.isdir(commits_dir)
+        else 0
+    )
+    cur = rollup_state_path(state)
+    total = (
+        spark.read.parquet(cur).agg(F.sum("n_events")).first()[0] or 0
+    ) if cur else 0
     if total != expected:
         raise RuntimeError(
             f"s11: maintained rollup holds {total} events, expected {expected}"
@@ -2321,7 +2351,7 @@ def s11_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         raise RuntimeError(
             f"s11: {n_merges['n']} merge invocations != {n_commits} commits"
         )
-    return spark.read.parquet(cur).select(
+    return spark.read.parquet(rollup_state_path(state)).select(
         "event_type",
         "n_events",
         F.col("sum_value").cast("double").alias("sum_value"),

@@ -1000,17 +1000,17 @@ FROM wtd w, tot
 @register(
     "c04_epoch_plan",
     oracle=_EPOCH_ORACLE,
-    doc=f"Training-mixture epoch planning — the data-mixing arithmetic of "
+    doc="Training-mixture epoch planning — the data-mixing arithmetic of "
     "LLM pre-training (the 'epochs over each source' tables of LLaMA / "
     "Gopher): per-source available tokens (one aggregation), integer "
-    "target weights by source class, and a {EPOCH_TOKEN_BUDGET:,}-token "
+    f"target weights by source class, and a {EPOCH_TOKEN_BUDGET:,}-token "
     "budget allocated proportionally; epochs = target/available in "
     "x1000 fixed point. ALL integer floor arithmetic — bit-exact across "
     "engines with no rounding tolerance. epochs_x1000 > 1000 flags "
     "sources the plan would repeat (the upsampling Gopher applies to "
     "high-quality sets); the planner itself is one token-count "
     "aggregation plus source-cardinality-sized math — free at any "
-    "corpus scale.".format(EPOCH_TOKEN_BUDGET=EPOCH_TOKEN_BUDGET),
+    "corpus scale.",
 )
 def c04_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")

@@ -282,7 +282,7 @@ def test_pagerank_exact_and_mass_bounded(spark, sf_dir):
     assert set(a.node_type) == {"customer", "supplier"}
 
 
-def test_a19_schema_evolution_parity_on_odd_corpus(spark, tmp_path):
+def test_a19_schema_evolution_parity_on_odd_corpus(spark, sf_dir, tmp_path):
     """Regression: the generation split must use FLOOR division in both
     engines — DuckDB's CAST(x/2 AS BIGINT) ROUNDS, which diverges from
     the builder's // for odd document counts (caught in review; every
@@ -291,7 +291,7 @@ def test_a19_schema_evolution_parity_on_odd_corpus(spark, tmp_path):
 
     import duckdb
 
-    src = "/root/testdata/sf0.001"
+    src = sf_dir
     odd = tmp_path / "odd_sf"
     odd.mkdir()
     for f in os.listdir(src):

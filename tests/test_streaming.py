@@ -625,7 +625,10 @@ class TestRollupMaintenanceReplay:
         import json as _json
         import os as _os
 
-        from tectonic_spark.operators.parser_ops import rollup_merger
+        from tectonic_spark.operators.parser_ops import (
+            rollup_merger,
+            rollup_state_path,
+        )
 
         data = tmp_path / "in"
         data.mkdir()
@@ -659,8 +662,11 @@ class TestRollupMaintenanceReplay:
 
         def total():
             try:
+                cur = rollup_state_path(str(state))
+                if cur is None:
+                    return 0
                 return (
-                    spark.read.parquet(str(state / "cur"))
+                    spark.read.parquet(cur)
                     .agg(F.sum("n_events"))
                     .first()[0]
                     or 0
