@@ -650,3 +650,53 @@ def c02_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nb_label") == F.col("true_label")).alias("is_correct"),
         )
     )
+
+
+# --- maximum inner-product search (recommendation retrieval) --------------
+
+
+@register(
+    "c02_mips_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+                 list_sum(list_transform(range(1, len(q.e) + 1),
+                                         i -> q.e[i] * c.e[i])) AS score
+          FROM v q JOIN v c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES})
+    SELECT query_id, item_id, round(score, 6) AS ip_score, rn FROM (
+      SELECT query_id, item_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, item_id) AS BIGINT) AS rn
+      FROM p) t
+    WHERE rn <= {TOP_K}
+    """,
+    doc=f"Maximum inner-product search (MIPS) top-{TOP_K} — the "
+    "recommendation-retrieval scoring where magnitude MATTERS (user x "
+    "item factor models rank by raw dot product; cosine's normalization "
+    f"would erase item popularity). Exact baseline over {N_QUERIES} "
+    "queries; at scale the standard reduction appends sqrt(M² - ||x||²) "
+    "as an extra dimension, turning MIPS into the cosine problem this "
+    "repo's LSH/IVF/PQ index paths already serve (Bachrach et al. "
+    "RecSys'14). Same broadcast-Q / window shape as c02_cosine_topk; "
+    "unrounded ranking with item tie-break, 6dp-rounded output.",
+)
+def c02_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = v.select(F.col("vec_id").alias("item_id"), F.col("e").alias("ce"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id", _dot("qe", "ce").alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("item_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "item_id", F.round("score", 6).alias("ip_score"), "rn")
+    )

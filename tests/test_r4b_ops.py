@@ -52,6 +52,7 @@ def con(sf_dir):
         "c01_cross_snapshot_dedup",
         "b15_event_funnel",
         "b16_retention_cohorts",
+        "c02_mips_topk",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
