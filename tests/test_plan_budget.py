@@ -36,6 +36,16 @@ EXCHANGE_BUDGET = {
     "c03_chunking": 0,  # posexplode, partition-local
     "c04_dsir": 7,
     "c06_pagerank": 84,  # 4 iterations over the reused edge/deg subplans
+    # round-4b additions (measured ceilings, same string-count metric)
+    "b15_event_funnel": 10,
+    "b16_retention_cohorts": 7,
+    "c02_mips_topk": 2,
+    "c04_epoch_plan": 4,
+    "c01_cross_snapshot_dedup": 2,
+    "c06_triangle_count": 144,  # 3-way oriented-edge self-join fan-out
+    "c01_line_dedup": 3,
+    "c03_nb_langid": 18,
+    "b07_ewma": 1,
 }
 
 

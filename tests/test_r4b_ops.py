@@ -308,3 +308,39 @@ def test_a19_schema_evolution_parity_on_odd_corpus(spark, sf_dir, tmp_path):
     odf = ocon.execute(q.oracle).fetchdf()
     problems = compare("a19_odd", sdf, odf)
     assert not problems, problems
+
+
+def test_funnel_stage_monotonicity(spark, sf_dir):
+    """purchased ⇒ clicked (the strictly-after semantics can never let a
+    user reach a later stage without the earlier one), and conversion
+    times are positive."""
+    from tectonic_spark.operators.relational import b15_event_funnel
+
+    f = b15_event_funnel(spark, sf_dir)
+    assert f.where(F.col("purchased") & ~F.col("clicked")).count() == 0
+    assert f.where(F.col("us_to_convert") <= 0).count() == 0
+
+
+def test_retention_cells_bounded_by_cohort(spark, sf_dir):
+    from tectonic_spark.operators.relational import b16_retention_cohorts
+
+    r = b16_retention_cohorts(spark, sf_dir)
+    assert r.where(F.col("active_users") > F.col("cohort_size")).count() == 0
+    assert r.where(~F.col("week_n").between(0, 8)).count() == 0
+
+
+def test_cross_snapshot_dedup_classes(spark, sf_dir):
+    """Every mirrored copy (doc_id >= 2e9) must resolve dup_of_prev to
+    its own original; every genuinely-new doc must be new_unique (the
+    corpus has no natural exact dups)."""
+    from tectonic_spark.operators.dedup import c01_cross_snapshot_dedup
+
+    out = c01_cross_snapshot_dedup(spark, sf_dir)
+    mirrored = out.where(F.col("doc_id") >= 2_000_000_000)
+    bad = mirrored.where(
+        (F.col("status") != "dup_of_prev")
+        | (F.col("match_doc_id") != F.col("doc_id") - 2_000_000_000)
+    ).count()
+    assert bad == 0
+    added = out.where(F.col("doc_id") < 2_000_000_000)
+    assert added.where(F.col("status") != "new_unique").count() == 0
