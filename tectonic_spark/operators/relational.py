@@ -2551,3 +2551,70 @@ def b16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_size",
         )
     )
+
+
+# --- b17: statistical anomaly flags (z-score outliers) --------------------
+
+
+@register(
+    "b17_anomaly_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR)
+                  AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))
+                           * CAST(value AS DECIMAL(27,6))) AS VARCHAR)
+                  AS DOUBLE) AS s2
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, m.n,
+           round(m.s1 / m.n, 6) AS mean_value,
+           CAST(COUNT(CASE WHEN m.n > 1 AND
+                     (e.value - m.s1 / m.n) * (e.value - m.s1 / m.n)
+                       > 4 * ((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))
+                     THEN 1 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN m ON m.user_id = e.user_id
+    GROUP BY e.user_id, m.n, m.s1, m.s2
+    """,
+    doc="Per-user anomaly flags — |value − μ| > 2σ outlier counting, the "
+    "data-quality screen of an event pipeline. The moments are derived "
+    "from EXACT decimal sums (Σx and Σx² as DECIMAL(27,6), associative "
+    "— order-insensitive), then converted to double ONCE via the "
+    "correctly-rounded string hop; every per-row comparison after that "
+    "is identical IEEE arithmetic on bit-identical inputs, so the "
+    "outlier counts are exact cross-engine with no tolerance (the "
+    "repo's decimal-moments trick extended from sums to variances). "
+    "100 TB shape: one user_id-keyed moment aggregation (map-side "
+    "combined) re-joined to the stream on the same key — the second "
+    "pass reuses the first's partitioning.",
+)
+def b17_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "value")
+    dec = F.col("value").cast("decimal(27,6)")
+    m = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    dev2 = (F.col("value") - mu) * (F.col("value") - mu)
+    return (
+        e.join(m, "user_id")
+        .groupBy("user_id", "n", "s1", "s2")
+        .agg(
+            F.count(
+                F.when((F.col("n") > 1) & (dev2 > 4 * var), 1)
+            ).alias("n_outliers")
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round(mu, 6).alias("mean_value"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+        )
+    )

@@ -53,6 +53,7 @@ def con(sf_dir):
         "b15_event_funnel",
         "b16_retention_cohorts",
         "c02_mips_topk",
+        "b17_anomaly_zscore",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
