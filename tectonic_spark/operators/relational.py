@@ -2618,3 +2618,45 @@ def b17_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_outliers").cast("long").alias("n_outliers"),
         )
     )
+
+
+# --- b18: event transition matrix (Markov counts) -------------------------
+
+
+@register(
+    "b18_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="First-order event transition matrix — per-user event streams "
+    "ordered by (ts, event_id), adjacent pairs counted per (from, to) "
+    "type: the Markov-chain summary behind next-action prediction and "
+    "journey analysis. Pure integer counts over a deterministic "
+    "ordering — exact cross-engine. 100 TB shape: ONE user_id shuffle "
+    "for the LEAD window (per-user partitions are activity-bounded), "
+    "then a 25-cell aggregation — output is type² rows regardless of "
+    "corpus size.",
+)
+def b18_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

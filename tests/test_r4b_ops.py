@@ -54,6 +54,7 @@ def con(sf_dir):
         "b16_retention_cohorts",
         "c02_mips_topk",
         "b17_anomaly_zscore",
+        "b18_event_transitions",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
