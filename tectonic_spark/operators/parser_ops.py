@@ -2326,18 +2326,28 @@ def s11_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
             time.sleep(0.5)
     finally:
         q.stop()
-        q.awaitTermination(60)
-    # re-read AFTER the stream fully stopped: the poll loop can break on a
-    # stale commit count while the final (sentinel-only) batch is mid-merge
+        if not q.awaitTermination(60):
+            q.awaitTermination(120)  # loaded host: give the final batch time
+    # re-read AFTER the stream stopped: the poll loop can break on a stale
+    # commit count while the final (sentinel-only) batch is mid-merge; the
+    # read retries because a concurrent merge GC can remove a superseded
+    # version dir between pointer read and parquet open
     n_commits = (
         len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
         if os.path.isdir(commits_dir)
         else 0
     )
-    cur = rollup_state_path(state)
-    total = (
-        spark.read.parquet(cur).agg(F.sum("n_events")).first()[0] or 0
-    ) if cur else 0
+    total = 0
+    for _ in range(5):
+        try:
+            cur = rollup_state_path(state)
+            total = (
+                spark.read.parquet(cur).agg(F.sum("n_events")).first()[0]
+                or 0
+            ) if cur else 0
+            break
+        except Exception:
+            time.sleep(0.5)
     if total != expected:
         raise RuntimeError(
             f"s11: maintained rollup holds {total} events, expected {expected}"
@@ -2347,9 +2357,13 @@ def s11_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
             f"s11: only {n_commits} committed micro-batches — the rollup "
             "was not maintained incrementally"
         )
-    if n_merges["n"] != n_commits:
+    # q.stop() can abort a batch AFTER its merge committed the pointer but
+    # BEFORE the checkpoint commit file landed — allow that one-off; any
+    # larger gap (or a double merge, which the exact total above would also
+    # catch) still raises
+    if not (n_commits <= n_merges["n"] <= n_commits + 1):
         raise RuntimeError(
-            f"s11: {n_merges['n']} merge invocations != {n_commits} commits"
+            f"s11: {n_merges['n']} merge invocations vs {n_commits} commits"
         )
     return spark.read.parquet(rollup_state_path(state)).select(
         "event_type",

@@ -2564,8 +2564,12 @@ def b16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS VARCHAR)
                   AS DOUBLE) AS s1,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(27,6))
-                           * CAST(value AS DECIMAL(27,6))) AS VARCHAR)
+             -- DECIMAL(18,6) squares keep full scale-12 products in BOTH
+             -- engines (27,6 would force Spark to round each square to
+             -- 6dp while DuckDB kept 12 — latent divergence for >3dp
+             -- values, caught in review)
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
+                           * CAST(value AS DECIMAL(18,6))) AS VARCHAR)
                   AS DOUBLE) AS s2
       FROM events GROUP BY user_id
     )
@@ -2592,11 +2596,13 @@ def b16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def b17_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select("user_id", "value")
-    dec = F.col("value").cast("decimal(27,6)")
+    # decimal(18,6) squares: 18+18+1 = 37 digits at scale 12 fits Spark's
+    # 38-digit cap WITHOUT scale truncation, matching DuckDB exactly
+    sq = F.col("value").cast("decimal(18,6)")
     m = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec).cast("double").alias("s1"),
-        F.sum(dec * dec).cast("double").alias("s2"),
+        dsum(F.col("value"), "s1"),
+        F.sum(sq * sq).cast("double").alias("s2"),
     )
     mu = F.col("s1") / F.col("n")
     var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (

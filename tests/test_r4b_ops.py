@@ -346,3 +346,23 @@ def test_cross_snapshot_dedup_classes(spark, sf_dir):
     assert bad == 0
     added = out.where(F.col("doc_id") < 2_000_000_000)
     assert added.where(F.col("status") != "new_unique").count() == 0
+
+
+def test_anomaly_moments_exact_on_high_precision_values(spark):
+    """Review regression: DECIMAL(27,6) squares silently round to 6dp on
+    the Spark side while DuckDB keeps scale 12 — divergent for values
+    with >3 decimal places. The DECIMAL(18,6) formulation must keep the
+    engines bit-equal on adversarial inputs like 0.001001."""
+    import duckdb
+
+    vals = [0.001001, 123.456789, 0.000001, 999.999999, 42.000001]
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    sq = F.col("value").cast("decimal(18,6)")
+    s2_spark = df.agg(F.sum(sq * sq).cast("double")).first()[0]
+    con = duckdb.connect()
+    s2_duck = con.execute(
+        "SELECT CAST(CAST(SUM(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6)))"
+        " AS VARCHAR) AS DOUBLE) FROM (SELECT unnest(?) AS v)",
+        [vals],
+    ).fetchone()[0]
+    assert s2_spark == s2_duck
