@@ -55,6 +55,7 @@ def con(sf_dir):
         "c02_mips_topk",
         "b17_anomaly_zscore",
         "b18_event_transitions",
+        "c06_alpha_beta_core",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
