@@ -1048,3 +1048,78 @@ def c04_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs_x1000"),
         )
     )
+
+
+# --- corpus datasheet (dataset-card statistics) ----------------------------
+
+_DATASHEET_ORACLE = """
+WITH t AS (SELECT doc_id, lang, source, n_chars,
+                  string_split(text, ' ') AS w,
+                  md5(text) AS digest
+           FROM documents),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(SUM(len(w)) AS BIGINT) AS total_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(MIN(len(w)) AS BIGINT) AS min_tokens,
+         CAST(MAX(len(w)) AS BIGINT) AS max_tokens,
+         CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT)
+           AS n_exact_dup_docs,
+         CAST(SUM(CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                            >= 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quality_pass
+  FROM t),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size
+      FROM (SELECT unnest(w) AS tok FROM t))
+SELECT base.*, v.vocab_size FROM base, v
+"""
+
+
+@register(
+    "c04_datasheet",
+    oracle=_DATASHEET_ORACLE,
+    doc="Corpus datasheet — the one-row statistics card a dataset release "
+    "ships (Gebru et al. 2021, 'Datasheets for Datasets', CACM — "
+    "composition/size section): document/lang/source counts, token and "
+    "char totals, token-length extremes, exact-duplicate count (docs "
+    "minus distinct digests), quality-gate pass count (the s10/c05 "
+    "distinct-ratio threshold), and vocabulary size. ONE pass over the "
+    "corpus for the row-local stats plus one token-keyed distinct for "
+    "the vocabulary; every figure is an exact integer. At 100 TB this "
+    "is the cheap always-on report each ingestion cycle appends to the "
+    "dataset's provenance log.",
+)
+def c04_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(w).alias("n_tokens"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("dr"),
+        F.md5("text").alias("digest"),
+    )
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("digest")).alias(
+            "n_exact_dup_docs"
+        ),
+        F.sum(F.when(F.col("dr") >= 0.45, 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_pass"),
+    )
+    vocab = (
+        d.select(F.explode(w).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    return base.crossJoin(F.broadcast(vocab))

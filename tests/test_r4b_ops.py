@@ -56,6 +56,7 @@ def con(sf_dir):
         "b17_anomaly_zscore",
         "b18_event_transitions",
         "c06_alpha_beta_core",
+        "c04_datasheet",
     ],
 )
 def test_oracle_parity(spark, sf_dir, con, name):
