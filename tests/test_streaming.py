@@ -710,3 +710,55 @@ class TestRollupMaintenanceReplay:
             q.stop()
             q.awaitTermination(30)
         assert total() == 150  # replayed batch did NOT double-count
+
+
+class TestRollupMergerProperty:
+    def test_sequential_batches_equal_direct_aggregate(self, spark, tmp_path):
+        """Drive the PRODUCTION merge closure with K batches directly (no
+        stream): the maintained state must equal the direct aggregate of
+        all rows, and replaying ANY prefix of batch ids afterwards must
+        change nothing (idempotence without a crash harness)."""
+        import random
+
+        from tectonic_spark.operators.parser_ops import (
+            rollup_merger,
+            rollup_state_path,
+        )
+
+        rng = random.Random(7)
+        state = tmp_path / "state"
+        state.mkdir()
+        merge = rollup_merger(str(state))
+        all_rows = []
+        for batch_id in range(5):
+            rows = [
+                (
+                    rng.choice(["a", "b", "c"]),
+                    round(rng.uniform(-100, 100), 2),
+                )
+                for _ in range(rng.randint(1, 40))
+            ]
+            all_rows.extend(rows)
+            df = spark.createDataFrame(rows, "event_type string, value double")
+            merge(df, batch_id)
+        # replay a shuffled subset of already-applied ids — all no-ops
+        for bid in rng.sample(range(5), 3):
+            df = spark.createDataFrame(
+                [("poison", 1e9)], "event_type string, value double"
+            )
+            merge(df, bid)
+        got = {
+            r["event_type"]: (r["n_events"], float(r["sum_value"]))
+            for r in spark.read.parquet(rollup_state_path(str(state))).collect()
+        }
+        direct = spark.createDataFrame(
+            all_rows, "event_type string, value double"
+        ).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+        )
+        want = {
+            r["event_type"]: (r["n"], float(r["s"]))
+            for r in direct.collect()
+        }
+        assert got == want
