@@ -46,6 +46,9 @@ EXCHANGE_BUDGET = {
     "c01_line_dedup": 3,
     "c03_nb_langid": 18,
     "b07_ewma": 1,
+    "b17_anomaly_zscore": 2,
+    "b18_event_transitions": 2,
+    "c04_datasheet": 5,
 }
 
 
