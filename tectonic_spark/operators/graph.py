@@ -216,21 +216,24 @@ def c06_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
     e3 = oriented.select(F.col("s").alias("a2"), F.col("t").alias("c2"))
-    tri = (
+    # Per-triangle rows are never materialized into a union: the old shape
+    # (tri UNION ALL ×3 → groupBy) re-executed the wedge-closure join once
+    # per branch — 3 full join executions at ~10⁸ triangles (sf1: 73 s).
+    # Instead the join runs ONCE and each output row explodes into its 3
+    # endpoint rows in the same stage; the groupBy's partial (map-side)
+    # aggregate collapses them to node-cardinality before the only
+    # post-join exchange. Density caveat: triangle count itself grows
+    # superlinearly as a co-occurrence graph densifies over a fixed node
+    # set — see SCALING.md (graph density row).
+    per_node = (
         e1.join(e2, "b")
         .join(
             e3,
             (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
         )
-        .select("a", "b", "c")
-    )
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
-    per_node = nodes.groupBy("node").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+        .select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return (
         deg.join(per_node, "node", "left")

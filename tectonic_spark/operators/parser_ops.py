@@ -26,7 +26,18 @@ _DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
 def _fixture_dir(sf_dir: str) -> str:
+    """Per-dataset fixture cache dir, keyed by sf_dir path PLUS a content
+    fingerprint of documents.parquet (size + mtime_ns): regenerating the
+    dataset at the same path invalidates the cache instead of silently
+    reusing stale fixtures, and two users' differing datasets at the same
+    path never collide under the shared /tmp root (ADVICE r4)."""
     tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        tag += f"_{st.st_size}_{st.st_mtime_ns}"
+    except OSError:
+        pass  # no documents.parquet (synthetic dirs) — path key alone
     d = os.path.join(_FIXTURE_ROOT, tag)
     os.makedirs(d, exist_ok=True)
     return d
@@ -2229,9 +2240,16 @@ def rollup_merger(state: str, n_merges: dict | None = None):
         with open(ptr_tmp, "w") as fh:
             fh.write(f"v{batch_id}")
         os.replace(ptr_tmp, os.path.join(state, "CURRENT"))  # THE commit
-        # best-effort GC of superseded versions (never the committed one)
+        # best-effort GC: keep the committed version AND its immediate
+        # predecessor — a concurrent reader that resolved the old pointer
+        # just before the swap can still finish its read; only v(N-2) and
+        # older are removed (ADVICE r4)
+        keep = {os.path.basename(vdir)}
         if cur is not None:
-            shutil.rmtree(cur, ignore_errors=True)
+            keep.add(os.path.basename(cur))
+        for d in os.listdir(state):
+            if d.startswith("v") and d not in keep:
+                shutil.rmtree(os.path.join(state, d), ignore_errors=True)
         if n_merges is not None:
             n_merges["n"] += 1
 

@@ -40,7 +40,6 @@ def con(sf_dir):
         "c06_pagerank",
         "c05_curation_v2",
         "m06_scene_detection",
-        "a19_merge_schema_evolution",
         "a20_gzip_scan",
         "a21_gzip_sink_roundtrip",
         "s10_stream_curation",
