@@ -15,6 +15,10 @@ import statistics
 import sys
 import time
 
+# Idle-host reference rate for the contention canary (see main()):
+# single-thread json full-parse MB/s measured with no co-tenants (r4).
+CANARY_IDLE_MB_PER_SEC = 85.7
+
 HEADLINE = [
     "b05_pricing_summary",
     "q03_shipping_priority",
@@ -218,6 +222,74 @@ def _parallel_scan_mbps(spark, sf_dir: str) -> dict[str, float]:
     }
 
 
+STREAM_QUERIES = ["s04_stream_watermark", "s09_custom_stateful_sessions", "s11_stream_rollup_maintenance"]
+
+
+def _stream_latency(spark, sf_dir: str) -> dict:
+    """Streaming latency evidence (VERDICT r4 item 9): per-micro-batch
+    processing time + state-store size for the stateful streaming queries.
+    A StreamingQueryListener collects every progress event while the
+    registered builder drives its stream to completion (availableNow);
+    reported per query: batch count, p50/max triggerExecution ms, and the
+    final state-store row count. Exactness for these queries is covered by
+    the oracle gate — this row adds the latency dimension."""
+    import statistics as _st
+    import time as _t
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    import tectonic_spark.operators as ops
+
+    class _Collect(StreamingQueryListener):
+        def __init__(self):
+            self.progress = []
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            self.progress.append(event.progress)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    out: dict = {}
+    for name in STREAM_QUERIES:
+        listener = _Collect()
+        spark.streams.addListener(listener)
+        try:
+            ops.REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            # listener events are delivered asynchronously — drain briefly
+            deadline = _t.time() + 5
+            while _t.time() < deadline and not listener.progress:
+                _t.sleep(0.2)
+            _t.sleep(0.5)
+        finally:
+            spark.streams.removeListener(listener)
+        durs = [
+            p.durationMs.get("triggerExecution", 0)
+            for p in listener.progress
+            if p.numInputRows > 0 or p.batchId == 0
+        ]
+        state_rows = 0
+        for p in reversed(listener.progress):
+            if p.stateOperators:
+                state_rows = sum(s.numRowsTotal for s in p.stateOperators)
+                break
+        tag = name.split("_")[0]
+        out[f"stream_{tag}_batches"] = len(durs)
+        if durs:
+            out[f"stream_{tag}_batch_ms_p50"] = round(_st.median(durs), 1)
+            out[f"stream_{tag}_batch_ms_max"] = round(max(durs), 1)
+        out[f"stream_{tag}_state_rows"] = state_rows
+    return out
+
+
 SF1_SUBSET = [
     "b05_pricing_summary",
     "q03_shipping_priority",
@@ -364,19 +436,34 @@ def main() -> None:
         timings[name] = round(statistics.median(passes), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    extras = {
+        **_skip_speedup(sf_dir),
+        **_probe_speedup(sf_dir),
+        **_csv_reader_mbps(sf_dir),
+        **_parallel_scan_mbps(spark, sf_dir),
+        **_stream_latency(spark, sf_dir),
+        **_sf1_headroom(spark, sf_dir, timings),
+    }
+    # Host-speed canary (VERDICT r4 item 4): the single-thread pure-Python
+    # JSON full-parse rate is Spark-independent and scales 1:1 with CPU
+    # contention, so a co-tenant-loaded driver run self-documents.
+    # CANARY_IDLE is the rate measured on this host idle (r4 judge session:
+    # 85.7 MB/s); headline_normalized = value * canary/idle deflates a
+    # contended run's inflated wall time by the observed slowdown factor.
+    canary = extras.get("json_full_parse_mb_per_sec", 0.0)
+    value = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": value,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf else None,
-        "extras": {
-            **_skip_speedup(sf_dir),
-            **_probe_speedup(sf_dir),
-            **_csv_reader_mbps(sf_dir),
-            **_parallel_scan_mbps(spark, sf_dir),
-            **_sf1_headroom(spark, sf_dir, timings),
-        },
+        "host_canary_mb_per_sec": canary,
+        "host_canary_idle_ref_mb_per_sec": CANARY_IDLE_MB_PER_SEC,
+        "headline_normalized": (
+            round(value * canary / CANARY_IDLE_MB_PER_SEC, 3) if canary else None
+        ),
+        "extras": extras,
     }
     print(json.dumps(out))
     spark.stop()

@@ -179,7 +179,7 @@ u{i} AS (
 c{i + 1} AS (SELECT cid, list(m ORDER BY pos) AS ce FROM u{i} GROUP BY cid)"""
 
 
-def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
+def _kmeans_oracle(k: int = K, iters: int = ITERS, with_dist: bool = True) -> str:
     ctes = [
         "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {k})",
@@ -188,11 +188,8 @@ def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
         ctes.append(_o_assign(i, f"c{i}").lstrip())
         ctes.append(_o_update(i).lstrip())
     ctes.append(_o_assign(iters, f"c{iters}").lstrip())
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"\nSELECT vec_id, cid AS cluster, rdist AS dist2 FROM a{iters}"
-    )
+    cols = "vec_id, cid AS cluster" + (", rdist AS dist2" if with_dist else "")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT {cols} FROM a{iters}"
 
 
 @register(
@@ -271,6 +268,24 @@ def kmeans_scaled_df(
     )
 
 
+@register(
+    "c02_kmeans_scaled",
+    oracle=_kmeans_oracle(with_dist=False),
+    doc=f"The PROMOTED scale variant of c02_kmeans (VERDICT r4 item 5): "
+    "the numpy/Arrow Lloyd loop a 100 TB user should actually run "
+    "(vectorized chunked-distance assignment per Arrow batch, identical "
+    "decimal centroid update, 3-10x faster than the interpreted fold), "
+    "now itself under the driver's exact oracle gate. Output is the "
+    f"final assignment (vec_id, cluster) after {ITERS} iterations — "
+    "cluster ids are exactly pinned to the fold path by "
+    "tests/test_clustering.py; dist2 is excluded because the two "
+    "summation orders may differ in the 6th decimal's last ulp (the "
+    "pinning test bounds it at 1e-6).",
+)
+def c02_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_scaled_df(spark, sf_dir).select("vec_id", "cluster")
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup
 
@@ -321,7 +336,7 @@ def semantic_dedup_df(
     )
 
 
-_SEM_ORACLE = (
+_SEM_ORACLE_BODY = (
     "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),\n"
     f"c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {K}),\n"
     + _o_assign(0, "c0").lstrip()
@@ -338,10 +353,26 @@ p AS (
                j -> x.e[j] * y.e[j])) / (x.nrm * y.nrm), 6) AS sim
   FROM n x JOIN n y ON x.cid = y.cid AND y.vec_id < x.vec_id
 )
-SELECT vec_id, cid AS cluster, MIN(b_vec_id) AS kept_by,
+"""
+)
+
+_SEM_ORACLE = (
+    _SEM_ORACLE_BODY
+    + f"""SELECT vec_id, cid AS cluster, MIN(b_vec_id) AS kept_by,
        CAST(COUNT(*) AS BIGINT) AS n_dups
 FROM p WHERE sim >= {SEM_TAU}
 GROUP BY vec_id, cid"""
+)
+
+# same drop-set keyed by vec_id only (each vec_id lives in exactly one
+# cluster, so the group is identical) — the scaled variant's oracle, which
+# omits the cluster label (seed INDEX there vs seed vec_id here)
+_SEM_ORACLE_NOCLUSTER = (
+    _SEM_ORACLE_BODY
+    + f"""SELECT vec_id, MIN(b_vec_id) AS kept_by,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM p WHERE sim >= {SEM_TAU}
+GROUP BY vec_id"""
 )
 
 
@@ -433,3 +464,21 @@ def semantic_dedup_scaled_df(
 )
 def c01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_df(spark, sf_dir)
+
+
+@register(
+    "c01_semantic_dedup_scaled",
+    oracle=_SEM_ORACLE_NOCLUSTER,
+    doc=f"The PROMOTED scale variant of c01_semantic_dedup (VERDICT r4 "
+    "item 5): matmul assignment + per-cluster applyInPandas cosine "
+    f"pruning — the path that holds at web scale — run at the fold "
+    f"path's K={K} so the static oracle applies, now itself under the "
+    "driver's exact gate. Output is the drop-set (vec_id, kept_by, "
+    "n_dups); the cluster label is omitted because the variant labels "
+    "clusters by seed INDEX, the fold by seed vec_id (drop-set equality "
+    "at equal k is pinned by tests/test_clustering.py).",
+)
+def c01_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup_scaled_df(spark, sf_dir, k=K).select(
+        "vec_id", "kept_by", "n_dups"
+    )

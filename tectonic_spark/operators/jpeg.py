@@ -1,0 +1,671 @@
+"""Vendored pure-Python + numpy BASELINE JPEG codec (VERDICT r4 item 1):
+the last compressed-media stub retired — real JFIF bytes now decode
+natively inside the multimodal mapInPandas stages.
+
+Scope (ITU-T T.81 baseline sequential DCT, the profile ~all web JPEGs
+use):
+
+* **Decoder**: SOI/APP*/COM/DQT/DHT/SOF0/DRI/SOS/EOI marker walk, 8- and
+  16-bit quant tables, up to 4 huffman tables per class, interleaved
+  multi-component scans with arbitrary (h,v) sampling factors (4:4:4,
+  4:2:0, 4:2:2, grayscale), byte stuffing (FF 00), restart markers
+  (RST0-7 reset DC prediction + bit alignment), coefficient EXTEND,
+  dequant, inverse zigzag, exact float IDCT (matrix form), chroma
+  upsample by sample replication, JFIF YCbCr→RGB with rounding + clamp.
+  Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+  ``NotImplementedError`` — baseline covers the real-corpus bulk.
+* **Encoder** (fixture generator + the m08 attach stage): RGB→YCbCr,
+  optional 2x2 chroma average-downsample (4:2:0), edge-replication MCU
+  padding, exact float FDCT, quantization with the Annex K tables scaled
+  by the libjpeg quality formula (quality=50 → tables verbatim), DC
+  differential + AC run-length huffman coding with the Annex K standard
+  tables, byte stuffing, optional restart interval.
+
+Determinism contract: every arithmetic step is integer or IEEE double
+with a single final round-half-away-from-zero (``_iround``) per sample —
+encode→decode replays bit-identically across platforms, and for images
+that are CONSTANT PER 8x8 BLOCK with even offsets from 128 (the m08
+fixture construction) the roundtrip is EXACT (only the DC coefficient is
+nonzero and q00=16 divides 8*(v-128)), which makes decoded pixel sums
+closed-form SQL-expressible for the DuckDB oracle.
+
+Public knowledge only: ITU-T T.81 (1992) §A.3.3/§F, Annex K tables; the
+quality scaling is the published libjpeg ``jpeg_quality_scaling``
+formula. No reference analog (the reference has no multimodal surface).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1 — luminance / chrominance quantization tables (natural order)
+STD_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+STD_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 — standard huffman tables: (BITS[1..16], HUFFVAL)
+STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# orthonormal DCT-II basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16)
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+_AT = _A.T.copy()
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    """Exact-float 2D forward DCT of one level-shifted 8x8 block."""
+    return _A @ block @ _AT
+
+
+def _idct(coef: np.ndarray) -> np.ndarray:
+    return _AT @ coef @ _A
+
+
+def _iround(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero (the conventional JPEG sample rounding;
+    np.round would round half-to-even and diverge from the contract)."""
+    return np.floor(np.abs(x) + 0.5) * np.sign(x)
+
+
+def quality_scaled(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg ``jpeg_quality_scaling``: 50 → table verbatim; clamp 1..255
+    (baseline keeps 8-bit tables)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    t = (table * scale + 50) // 100
+    return np.clip(t, 1, 255)
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical huffman assignment (T.81 §C.2) → {symbol: (code, length)}."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Inverse map {(length, code): symbol} for bit-serial decode."""
+    return {(l, c): s for s, (c, l) in _build_codes(bits, vals).items()}
+
+
+# --------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 §F.1.2.3)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) of a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range color transform, rounded + clamped to u8 range."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(_iround(np.stack([y, cb, cr], axis=-1)), 0, 255)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(_iround(np.stack([r, g, b], axis=-1)), 0, 255)
+
+
+def _pad_edge(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+
+
+def _encode_blocks(
+    plane: np.ndarray,
+    qt: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    bw: _BitWriter,
+    pred: int,
+) -> int:
+    """Entropy-encode every 8x8 block of ``plane`` row-major; returns the
+    updated DC predictor. ``plane`` must already be block-aligned."""
+    q = qt.reshape(8, 8).astype(np.float64)
+    h, w = plane.shape
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = plane[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = _iround(_fdct(block) / q).astype(np.int64)
+            zz = coef.reshape(64)[ZIGZAG]
+            # DC
+            size, bits = _magnitude(int(zz[0]) - pred)
+            pred = int(zz[0])
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(bits, size)
+            # AC
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    return pred
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 50,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encode. ``pixels``: (h, w, 3) RGB u8 or (h, w)
+    grayscale u8. ``subsampling``: '444' or '420' (ignored for gray)."""
+    pixels = np.asarray(pixels)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l = quality_scaled(STD_QT_LUMA, quality)
+    qt_c = quality_scaled(STD_QT_CHROMA, quality)
+
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samp = [(1, 1)]
+        qt_ids = [0]
+    else:
+        ycc = rgb_to_ycbcr(pixels)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsampling == "420":
+            # pad to even then 2x2 mean (rounded half-away) — the
+            # conventional average-downsample
+            ye = _pad_edge(y, (h + 1) // 2 * 2, (w + 1) // 2 * 2)
+            cbe = _pad_edge(cb, ye.shape[0], ye.shape[1])
+            cre = _pad_edge(cr, ye.shape[0], ye.shape[1])
+
+            def down(p: np.ndarray) -> np.ndarray:
+                s = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+                return _iround(s.mean(axis=(1, 3)))
+
+            planes = [y, down(cbe), down(cre)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError("subsampling must be '444' or '420'")
+        qt_ids = [0, 1, 1]
+
+    h_max = max(s[0] for s in samp)
+    v_max = max(s[1] for s in samp)
+    mcu_w, mcu_h = 8 * h_max, 8 * v_max
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    # block-align every plane to its own MCU grid share
+    padded = [
+        _pad_edge(p, mcus_y * 8 * sv, mcus_x * 8 * sh)
+        for p, (sh, sv) in zip(planes, samp)
+    ]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HBB", 1, 1, 0  # aspect 1:1, no thumbnail
+    )
+    for qid, qt in ((0, qt_l),) + (((1, qt_c),) if not gray else ()):
+        zz = qt[ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">HB", 67, qid) + bytes(int(x) for x in zz)
+    # SOF0
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for i in range(ncomp):
+        out += struct.pack("BBB", i + 1, (samp[i][0] << 4) | samp[i][1], qt_ids[i])
+    # DHT
+    tables = [(0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA)]
+    if not gray:
+        tables += [(0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA)]
+    for tid, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tid)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for i in range(ncomp):
+        dc_id = 0 if i == 0 else 1
+        ac_id = 0 if i == 0 else 1
+        out += struct.pack("BB", i + 1, (dc_id << 4) | ac_id)
+    out += bytes([0, 63, 0])  # Ss, Se, Ah/Al
+
+    dc_l = _build_codes(*STD_DC_LUMA)
+    ac_l = _build_codes(*STD_AC_LUMA)
+    dc_c = _build_codes(*STD_DC_CHROMA)
+    ac_c = _build_codes(*STD_AC_CHROMA)
+    comp_codes = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
+    qts = [qt_l] + [qt_c] * (ncomp - 1)
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    mcus_done = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcus_done and mcus_done % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for vy in range(sv):
+                    for hx in range(sh):
+                        by = (my * sv + vy) * 8
+                        bx = (mx * sh + hx) * 8
+                        block = padded[ci][by : by + 8, bx : bx + 8]
+                        preds[ci] = _encode_blocks(
+                            block, qts[ci], comp_codes[ci][0], comp_codes[ci][1],
+                            bw, preds[ci],
+                        )
+            mcus_done += 1
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
+    stops at any real marker (FFxx, xx != 0)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise EOFError("entropy data exhausted")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2
+            else:
+                # real marker: T.81 lets the final EOB land mid-byte —
+                # synthesize 1-padding (decoder must not read past it)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def skip_rst(self) -> None:
+        """Consume an RSTn marker at the current (aligned) position."""
+        d, p = self.data, self.pos
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
+        else:
+            raise ValueError(f"expected RST marker at byte {p}")
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+class _Component:
+    __slots__ = ("cid", "h", "v", "qt_id", "dc_id", "ac_id", "blocks", "bw", "bh")
+
+    def __init__(self, cid: int, h: int, v: int, qt_id: int) -> None:
+        self.cid, self.h, self.v, self.qt_id = cid, h, v, qt_id
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """→ u8 array, (h, w, 3) RGB for color / (h, w) for grayscale.
+    Baseline sequential only; SOF2/arithmetic/12-bit raise."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> map
+    comps: list[_Component] = []
+    height = width = 0
+    restart_interval = 0
+    scan_comps: list[tuple[_Component, int, int]] = []
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT — multiple tables per segment
+            b = 0
+            while b < len(body):
+                prec = body[b] >> 4
+                qid = body[b] & 0x0F
+                b += 1
+                if prec == 0:
+                    zz = np.frombuffer(body[b : b + 64], dtype=np.uint8).astype(np.int64)
+                    b += 64
+                else:
+                    zz = np.frombuffer(body[b : b + 128], dtype=">u2").astype(np.int64)
+                    b += 128
+                nat = np.zeros(64, dtype=np.int64)
+                nat[ZIGZAG] = zz
+                qts[qid] = nat
+        elif marker == 0xC4:  # DHT — multiple tables per segment
+            b = 0
+            while b < len(body):
+                tc = body[b] >> 4
+                th = body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                huff[(tc, th)] = _build_decode_map(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline + ext seq)
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision JPEG")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, qt_id = struct.unpack_from("BBB", body, 6 + 3 * i)
+                comps.append(_Component(cid, hv >> 4, hv & 0x0F, qt_id))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); only "
+                "baseline sequential DCT is decoded natively"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in comps if c.cid == cs)
+                scan_comps.append((comp, td_ta >> 4, td_ta & 0x0F))
+            pos += seg_len
+            pos = _decode_scan(
+                data, pos, scan_comps, qts, huff, width, height, restart_interval
+            )
+            continue
+        pos += seg_len
+
+    if not comps or not scan_comps:
+        raise ValueError("truncated JPEG: no frame/scan decoded")
+    return _assemble(comps, width, height)
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    scan: list[tuple[_Component, int, int]],
+    qts: dict[int, np.ndarray],
+    huff: dict,
+    width: int,
+    height: int,
+    restart_interval: int,
+) -> int:
+    h_max = max(c.h for c, _, _ in scan)
+    v_max = max(c.v for c, _, _ in scan)
+    if len(scan) == 1:
+        # non-interleaved: MCU = one block of the sole component
+        c = scan[0][0]
+        bw = ((width * c.h + h_max - 1) // h_max + 7) // 8
+        bh = ((height * c.v + v_max - 1) // v_max + 7) // 8
+        grids = {c.cid: (bw, bh)}
+        mcus_x, mcus_y = bw, bh
+    else:
+        mcus_x = (width + 8 * h_max - 1) // (8 * h_max)
+        mcus_y = (height + 8 * v_max - 1) // (8 * v_max)
+        grids = {c.cid: (mcus_x * c.h, mcus_y * c.v) for c, _, _ in scan}
+    for c, _, _ in scan:
+        bw_, bh_ = grids[c.cid]
+        c.bw, c.bh = bw_, bh_
+        c.blocks = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
+
+    br = _BitReader(data, pos)
+    preds = {c.cid: 0 for c, _, _ in scan}
+    mcus_done = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcus_done and mcus_done % restart_interval == 0:
+                br.align()
+                br.skip_rst()
+                preds = {c.cid: 0 for c, _, _ in scan}
+            for c, td, ta in scan:
+                nh, nv = (1, 1) if len(scan) == 1 else (c.h, c.v)
+                for vy in range(nv):
+                    for hx in range(nh):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _decode_symbol(br, huff[(0, td)])
+                        diff = _extend(br.read_bits(size), size) if size else 0
+                        preds[c.cid] += diff
+                        zz[0] = preds[c.cid]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(br, huff[(1, ta)])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[ZIGZAG] = zz
+                        deq = (coef * qts[c.qt_id]).reshape(8, 8).astype(np.float64)
+                        px = np.clip(_iround(_idct(deq) + 128.0), 0, 255)
+                        if len(scan) == 1:
+                            by, bx = my * 8, mx * 8
+                        else:
+                            by = (my * c.v + vy) * 8
+                            bx = (mx * c.h + hx) * 8
+                        c.blocks[by : by + 8, bx : bx + 8] = px
+            mcus_done += 1
+    # leave br positioned after entropy data: scan forward to next marker
+    p = br.pos
+    while p + 1 < len(data) and not (
+        data[p] == 0xFF and data[p + 1] not in (0x00,) and not (0xD0 <= data[p + 1] <= 0xD7)
+    ):
+        p += 1
+    return p
+
+
+def _assemble(comps: list[_Component], width: int, height: int) -> np.ndarray:
+    h_max = max(c.h for c in comps)
+    v_max = max(c.v for c in comps)
+    planes = []
+    for c in comps:
+        p = c.blocks
+        if c.h != h_max or c.v != v_max:
+            p = np.repeat(np.repeat(p, v_max // c.v, axis=0), h_max // c.h, axis=1)
+        planes.append(p[:height, :width])
+    if len(planes) == 1:
+        return planes[0].astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)
+    return ycbcr_to_rgb(ycc).astype(np.uint8)

@@ -55,13 +55,104 @@ def register(
 
 
 # The correctness driver samples the FIRST 50 registered queries in
-# iteration order.  Import/registration order front-loads same-component
-# variants, so we pin an explicit priority: at least one query per
-# SURVEY.md §2 component (a1-a12, b1-b14, c1-c3, m1-m2, s1, q*) inside the
-# window, redundant variants after it.  ``finalize_order`` (called by
-# ``operators/__init__`` once all modules are imported) rebuilds REGISTRY in
-# this order; names not listed keep their registration order at the tail.
+# iteration order.  Round-5 ROTATION (VERDICT r4 item 7): rounds 1-4
+# accumulated driver-green rows for 85 of the 155 registered queries; the
+# other 70 only ever had local/judge sweeps.  This round the window fronts
+# (a) the queries registered new in round 5 and (b) 44 of the 70
+# never-driver-sampled names, chosen for component diversity (every
+# SURVEY.md §2 component keeps >=1 row in the window).  Every query evicted
+# from the window stays under the local check_correctness.py + sf1-sweep
+# gates.  ``finalize_order`` (called by ``operators/__init__`` once all
+# modules are imported) rebuilds REGISTRY in this order; names not listed
+# keep their registration order at the tail.
 PRIORITY: list[str] = [
+    # --- round-5 new registrations (first driver rows) ---
+    "m08_jpeg_decode",
+    "c02_ivf_persistent",
+    "c02_ivf_delta_append",
+    "c02_pq_adc_scaled",
+    "c02_kmeans_scaled",
+    "c01_semantic_dedup_scaled",
+    # --- never-driver-sampled (rounds 1-4): a-surface ---
+    "a15_heterotype_widening",
+    "a16_orc_sink_roundtrip",
+    "a19_merge_schema_evolution",
+    "a20_gzip_scan",
+    "a21_gzip_sink_roundtrip",
+    "a22_dynamic_partition_overwrite",
+    # streaming
+    "s06_stream_dedup",
+    "s07_stream_static_join",
+    "s11_stream_rollup_maintenance",
+    # graph (early in the window: c06_triangle_count changed this round)
+    "c06_triangle_count",
+    "c06_alpha_beta_core",
+    # relational b-surface
+    "b03_above_avg",
+    "b03_join_salted",
+    "b04_asof_join",
+    "b05_argmax",
+    "b05_percentiles",
+    "b06_grouping_sets",
+    "b06_pivot",
+    "b07_lag_lead",
+    "b07_ewma",
+    "b10_regexp",
+    "b10_explode",
+    "b10_struct",
+    "b11_sliding_window",
+    "b13_udtf",
+    "b15_event_funnel",
+    "b16_retention_cohorts",
+    "b17_anomaly_zscore",
+    "b18_event_transitions",
+    # TPC-H shapes
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q09_product_type_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_potential_part_promotion",
+    "q21_suppliers_who_kept_orders_waiting",
+    # c-surface: text / pipeline / dedup / similarity / graph
+    "c03_redaction",
+    "c03_tfidf_keywords",
+    "c03_bigram_logprob",
+    "c01_cross_snapshot_dedup",
+    "c02_pq_adc",
+    "c02_knn_classify",
+    "c02_mips_topk",
+    "c04_mixture_sampling",
+    "c04_decontamination",
+    "c04_corpus_shuffle",
+    "c04_snapshot_delta",
+    "c04_incremental_rollup",
+    "c04_epoch_plan",
+    "c05_curation_v2",
+    # multimodal
+    "m06_scene_detection",
+    "m07_audio_resample",
+    # --- never-sampled overflow (just past the 50-window; still rotated
+    # ahead of the already-driver-green tail for future rounds) ---
+    "b06_unpivot",
+    "b07_range_frame",
+    "b10_json_tuple",
+    "b10_map_functions",
+    "b10_null_functions",
+    "c03_unigram_logprob",
+    "c04_stratified_sample",
+    "c04_datasheet",
+    "q06_forecast_revenue",
+    "q08_market_share",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q16_parts_supplier_relationship",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    # --- rounds 1-4 window (driver-green rows already on file) ---
     # a-surface: scan / pushdown / inference / malformed / sinks
     "a01_json_scan",
     "a02_csv_scan",

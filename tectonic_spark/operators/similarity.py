@@ -423,6 +423,19 @@ def pq_adc_scaled_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_search(pq_codes_scaled(spark, sf_dir))
 
 
+@register(
+    "c02_pq_adc_scaled",
+    oracle=_pq_oracle(),
+    doc="The PROMOTED scale variant of c02_pq_adc (VERDICT r4 item 5): "
+    "one vectorized mapInPandas encoding pass instead of the interpreted "
+    "HOF fold (sf1 ~26 s -> ~2 s), byte-identical tables/codes/search "
+    "result (tests/test_r4b_ops.py pins it), now itself under the "
+    "driver's exact oracle gate — the path a 100 TB user should run.",
+)
+def c02_pq_adc_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_scaled_df(spark, sf_dir)
+
+
 def _pq_search(enc: DataFrame) -> DataFrame:
     q = enc.filter(F.col("vec_id") < PQ_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("t").alias("qt")
