@@ -8,10 +8,11 @@
 
 These are real interchange formats any media tool reads — chosen because
 uncompressed headers + samples need no C library, so the ``fake=False``
-decode path executes end-to-end in this container and swaps to
-Pillow/pyav for compressed formats (JPEG/MP3/H.264) without touching the
-Spark-side plumbing. Golden fixtures live in tests/fixtures/ and are
-byte-compared against these encoders.
+decode path executes end-to-end in this container. Compressed baseline
+JPEG decodes natively too since r5 (:mod:`tectonic_spark.operators.jpeg`);
+the remaining compressed formats (MP3/H.264) swap to soundfile/pyav
+without touching the Spark-side plumbing. Golden fixtures live in
+tests/fixtures/ and are byte-compared against these encoders.
 
 No reference analog (the reference stops at byte parsing; SURVEY §2.A).
 """

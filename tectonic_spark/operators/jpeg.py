@@ -348,8 +348,12 @@ def encode_jpeg(
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HBB", 1, 1, 0  # aspect 1:1, no thumbnail
+    # APP0/JFIF: len(2) id(5) version(2) units(1) density(2+2) thumb(1+1)
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01"
+        + struct.pack(">BHHBB", 0, 1, 1, 0, 0)
     )
     for qid, qt in ((0, qt_l),) + (((1, qt_c),) if not gray else ()):
         zz = qt[ZIGZAG]
