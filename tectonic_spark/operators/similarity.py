@@ -713,3 +713,243 @@ def c02_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "item_id", F.round("score", 6).alias("ip_score"), "rn")
     )
+
+
+# --- persistent IVF index lifecycle (VERDICT r4 item 2) -------------------
+#
+# The production ANN pattern the in-plan c02 queries lack: build the index
+# ONCE, persist it as a catalog table PARTITIONED BY CELL ID (a directory
+# per cell — the FAISS inverted-list layout expressed in lakehouse terms),
+# serve searches that scan only the probed cell directories (partition
+# pruning, which engages unconditionally — bucket pruning is disabled by
+# the planner under broadcast probe joins), and grow it with delta appends
+# instead of rebuilds — the c01_cross_snapshot_dedup shape applied to
+# retrieval.
+
+
+def ivf_centroid_matrix(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The deterministic codebook (the vec_id < N_CENTROIDS embeddings) as
+    driver-side literals — bounded 32 x 64 doubles, the PQ-codebook
+    concession (similarity.py pq_codes_scaled); the corpus itself never
+    crosses the driver. Float64 -> Python float -> Column literal is an
+    exact IEEE round-trip, so distances match the in-plan crossJoin bit
+    for bit."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < N_CENTROIDS)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(int(r["vec_id"]), list(r["e"])) for r in rows]
+
+
+def _cell_structs(cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<dist,cid>> of distances to every centroid — a pure
+    per-row projection (NO shuffle, NO window: the in-plan c02_ann_ivf
+    ranks with a vec_id-partitioned window, which re-shuffles the corpus;
+    at index-build scale the map-side form is the one that survives).
+    Struct order (dist, cid) makes array_sort reproduce the oracle's
+    ORDER BY dist, cid exactly."""
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _l2("e", F.array(*[F.lit(float(x)) for x in ce])).alias("dist"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, ce in cents
+            ]
+        )
+    )
+
+
+def ivf_assign_df(v: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, e) -> one index row (vec_id, cid, e, nrm): nearest cell by
+    (dist, cid), norm precomputed so searches never join back to the
+    corpus."""
+    return v.select(
+        "vec_id",
+        F.element_at(_cell_structs(cents), 1)["cid"].alias("cid"),
+        "e",
+        _norm("e").alias("nrm"),
+    )
+
+
+def _drop_catalog_table(spark: SparkSession, name: str) -> None:
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.join(wh.removeprefix("file:"), name), ignore_errors=True)
+
+
+def ivf_build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_table: str,
+    cents: list[tuple[int, list[float]]],
+    where: Column | None = None,
+) -> None:
+    """BUILD+SAVE: assign every (filtered) corpus vector map-side and
+    persist as a cid-PARTITIONED catalog table — one directory per cell
+    (the inverted list), so probe-time cell selection is partition
+    pruning on the scan, not a filter over the whole index."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    if where is not None:
+        v = v.filter(where)
+    (
+        ivf_assign_df(v, cents)
+        .write.partitionBy("cid")
+        .mode("overwrite")
+        .saveAsTable(index_table)
+    )
+
+
+def ivf_append_delta(
+    spark: SparkSession,
+    sf_dir: str,
+    index_table: str,
+    cents: list[tuple[int, list[float]]],
+    where: Column,
+) -> None:
+    """APPEND: assign only the delta rows against the FROZEN codebook and
+    append into the same bucket layout — delta-sized work, no rebuild (the
+    c01_cross_snapshot_dedup incremental pattern)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).filter(where)
+    (
+        ivf_assign_df(v, cents)
+        .write.partitionBy("cid")
+        .mode("append")
+        .saveAsTable(index_table)
+    )
+
+
+def ivf_search_index(
+    spark: SparkSession, sf_dir: str, index_table: str
+) -> DataFrame:
+    """LOAD+SEARCH the persisted index: queries probe their N_PROBE
+    nearest cells; the probed cell ids (bounded by N_CENTROIDS) are pushed
+    as an IN filter on the PARTITION column, so the scan plans only the
+    probed cell directories — the IVF serving win: unprobed inverted
+    lists are never read. The builder RAISES unless the plan proves both
+    properties: the cell predicate landed in PartitionFilters (pruned
+    scan) and zero Exchange below the probe join (broadcast probes,
+    cell-local scan)."""
+    from tectonic_spark.plans import physical_plan
+
+    cents = ivf_centroid_matrix(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            _norm("e").alias("qn"),
+            F.slice(_cell_structs(cents), 1, N_PROBE).alias("cells"),
+        )
+        .select(
+            "query_id", "qe", "qn", F.explode(F.col("cells")["cid"]).alias("cid")
+        )
+    )
+    # bounded driver round-trip: the DISTINCT probed cells (<= N_CENTROIDS
+    # ints) become the bucket-pruning predicate
+    probed = sorted({r["cid"] for r in q.select("cid").distinct().collect()})
+    idx = spark.table(index_table).filter(F.col("cid").isin(probed))
+    pairs = (
+        F.broadcast(q)
+        .join(
+            idx,
+            (idx["cid"] == q["cid"]) & (idx["vec_id"] != q["query_id"]),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot("qe", "e") / (F.col("qn") * F.col("nrm"))).alias("sim"),
+        )
+    )
+    plan = physical_plan(pairs)
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        # small IN lists render as "IN (...)", large ones as "INSET ..."
+        if "PartitionFilters" in ln
+        and "cid" in ln
+        and (" IN " in ln or " INSET " in ln)
+    ]
+    if not pf:
+        raise RuntimeError(
+            "ivf_search: probed-cell IN predicate did not reach "
+            "PartitionFilters — cell pruning is not engaging"
+        )
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        # BroadcastExchange (the bounded probe side) is the point; any
+        # SHUFFLE exchange below the candidate join is the failure mode
+        if "Exchange hashpartitioning" in ln
+        or "Exchange rangepartitioning" in ln
+        or "Exchange SinglePartition" in ln
+    ]
+    if shuffles:
+        raise RuntimeError(
+            "ivf_search: candidate generation shuffled — probe join must "
+            f"be broadcast over the cell-local index scan: {shuffles[:2]}"
+        )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("sim", 6).alias("cos_sim"), "rn")
+    )
+
+
+from tectonic_spark.operators.registry import REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "c02_ivf_persistent",
+    oracle=_REG["c02_ann_ivf"].oracle,
+    doc="Persistent IVF index LIFECYCLE (VERDICT r4 item 2): build the "
+    "index as a cell-partitioned catalog table (one directory per cell — "
+    "the FAISS inverted-list layout; map-side assignment against the "
+    "frozen 32-centroid codebook, no window, no corpus shuffle), then "
+    "serve the search from the SAVED table with the probed cells pushed "
+    "as a partition-pruning IN predicate (plan-asserted PartitionFilters, "
+    "zero Exchange below the probe join). Result must equal the in-plan "
+    "c02_ann_ivf exactly — same oracle.",
+)
+def c02_ivf_persistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "c02_ivf_idx"
+    _drop_catalog_table(spark, name)
+    cents = ivf_centroid_matrix(spark, sf_dir)
+    ivf_build_index(spark, sf_dir, name, cents)
+    return ivf_search_index(spark, sf_dir, name)
+
+
+@register(
+    "c02_ivf_delta_append",
+    oracle=_REG["c02_ann_ivf"].oracle,
+    doc="Persistent IVF index DELTA APPEND: build the base index over 80% "
+    "of the corpus (vec_id % 5 != 0), then APPEND the remaining 20% as a "
+    "delta assigned against the frozen codebook into the same bucket "
+    "layout (no rebuild — delta-sized work, the cross-snapshot-dedup "
+    "incremental pattern applied to retrieval), then search. Because the "
+    "codebook is frozen, incremental build == one-shot build, so the "
+    "searched result must exactly equal the in-plan c02_ann_ivf — same "
+    "oracle; a drift anywhere in the append path (missed rows, bucket "
+    "mismatch, re-assignment) breaks the hash.",
+)
+def c02_ivf_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "c02_ivf_idx_delta"
+    _drop_catalog_table(spark, name)
+    cents = ivf_centroid_matrix(spark, sf_dir)
+    ivf_build_index(spark, sf_dir, name, cents, where=F.col("vec_id") % 5 != 0)
+    ivf_append_delta(spark, sf_dir, name, cents, where=F.col("vec_id") % 5 == 0)
+    return ivf_search_index(spark, sf_dir, name)
