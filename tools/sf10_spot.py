@@ -1,0 +1,70 @@
+"""sf10 spot sweep (VERDICT r4 item 8): run the headline + c-family
+subset at 100x facts (`ensure_scaled(sf0.1, 100)` ≈ 1.3 GiB parquet,
+60M-row lineitem, 500k documents) and report each wall time against the
+linear extrapolation ``100 x t_sf0.1`` (and ``10 x t_sf1`` where the sf1
+number is on file). Results → SF10SPOT.md.
+
+Usage: PYTHONPATH=. python tools/sf10_spot.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = [
+    "b05_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q21_suppliers_who_kept_orders_waiting",
+    "c03_token_stats",
+    "c04_sequence_packing",
+    "c04_repetition",
+    "c04_corpus_shuffle",
+    "c01_line_dedup",
+    "c06_pagerank",
+    "c02_kmeans_scaled",
+    "c02_pq_adc_scaled",
+    "c01_semantic_dedup_scaled",
+]
+
+
+def main() -> None:
+    from sf_scale import ensure_scaled
+
+    import tectonic_spark.operators as ops
+    from tectonic_spark import get_spark
+
+    names = sys.argv[1:] or QUERIES
+    t0 = time.perf_counter()
+    scaled = ensure_scaled("/root/testdata/sf0.1", 100)
+    print(f"scaled dir ready in {time.perf_counter() - t0:.1f}s: {scaled}")
+    # partition sizing doctrine (SCALING.md): 32 partitions @ x100 puts
+    # ~2M rows in a sort-merge partition — raise toward the x300 setting
+    spark = get_spark(
+        app_name="tectonic-sf10-spot",
+        extra_conf={"spark.sql.shuffle.partitions": "128"},
+    )
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            ops.REGISTRY[name].builder(spark, scaled).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True)
+        print(f"{name}: {timings[name]}s", flush=True)
+    print(json.dumps({"sf10_queries_sec": timings}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
