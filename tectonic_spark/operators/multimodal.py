@@ -849,3 +849,96 @@ def m08_jpeg_decode(spark, sf_dir: str) -> DataFrame:
         yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "px_sum"])
 
     return docs.mapInPandas(attach_and_decode, schema)
+
+
+def _jpeg16_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) of the m09 fixture — multiples of 16 so the image
+    is constant per 16x16 SUPERBLOCK and a nearest half-resize yields a
+    per-8x8-constant image that re-encodes exactly."""
+    return 32 + (doc_id % 3) * 16, 32 + ((doc_id // 3) % 2) * 16
+
+
+def _jpeg16_block_value(doc_id: int, bi: int) -> int:
+    return 2 * ((doc_id * 11 + bi * 17) % 128)
+
+
+@register(
+    "m09_jpeg_resize_reencode",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             32 + (doc_id % 3) * 16 AS in_w,
+             32 + ((doc_id // 3) % 2) * 16 AS in_h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id, in_w // 2 AS out_w, in_h // 2 AS out_h,
+           -- each 16x16 input superblock becomes ONE 8x8 output block:
+           -- 64 pixels x 3 channels = 192 per superblock value
+           CAST(192 * list_sum(list_transform(
+             range(0, (in_w // 16) * (in_h // 16)),
+             bi -> 2 * ((doc_id * 11 + bi * 17) % 128))) AS BIGINT) AS px_sum
+    FROM img
+    """,
+    doc="Compressed-media TRANSFORM pipeline: decode REAL baseline-JPEG "
+    "bytes -> nearest-neighbor half-resize -> RE-ENCODE as JPEG -> "
+    "decode the re-encoded stream, all inside one Arrow-batched "
+    "mapInPandas stage (the thumbnail/preprocess pass of an image "
+    "corpus). Fixture images are constant per 16x16 superblock at even "
+    "gray levels, so the half-resized image is constant per 8x8 block "
+    "and BOTH lossy hops are exactly invertible — the decoded output "
+    "pixel sum has a closed-form oracle that breaks if either decode, "
+    "the resize geometry, or the re-encode drifts. 100 TB shape: "
+    "payload-parallel, nothing but (doc_id, stats) leaves the worker.",
+)
+def m09_jpeg_resize_reencode(spark, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from tectonic_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 0)
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("out_w", LongType(), True),
+            StructField("out_h", LongType(), True),
+            StructField("px_sum", LongType(), True),
+        ]
+    )
+
+    def pipeline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = _jpeg16_params(doc_id)
+                bw = w // 16
+                vals = np.array(
+                    [
+                        _jpeg16_block_value(doc_id, bi)
+                        for bi in range((h // 16) * bw)
+                    ],
+                    dtype=np.uint8,
+                ).reshape(h // 16, bw)
+                plane = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+                rgb = np.repeat(plane[:, :, None], 3, axis=2)
+                payload = encode_jpeg(rgb, subsampling="444")
+                # decode -> nearest half-resize -> re-encode -> decode
+                px = decode_jpeg(payload)
+                small = px[::2, ::2, :]
+                out = decode_jpeg(encode_jpeg(small, subsampling="444"))
+                rows.append(
+                    (
+                        doc_id,
+                        out.shape[1],
+                        out.shape[0],
+                        int(out.astype(np.int64).sum()),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "px_sum"])
+
+    return docs.mapInPandas(pipeline, schema)

@@ -68,6 +68,7 @@ def register(
 PRIORITY: list[str] = [
     # --- round-5 new registrations (first driver rows) ---
     "m08_jpeg_decode",
+    "m09_jpeg_resize_reencode",
     "c02_ivf_persistent",
     "c02_ivf_delta_append",
     "c02_pq_adc_scaled",

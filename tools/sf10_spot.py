@@ -30,8 +30,14 @@ QUERIES = [
     "c06_pagerank",
     "c02_kmeans_scaled",
     "c02_pq_adc_scaled",
-    "c01_semantic_dedup_scaled",
 ]
+
+# The registered c01_semantic_dedup_scaled pins k=8 to stay under the
+# static oracle; per-cluster pair volume is ~ (N/k)^2, so at 500k docs
+# k=8 would demand a 168k x 168k similarity matrix (212 GiB — observed).
+# The published recipe grows k with the corpus; the spot runs the same
+# code with the knob turned.
+SEM_DEDUP_K = 256
 
 
 def main() -> None:
@@ -62,6 +68,18 @@ def main() -> None:
             timings[name] = -1.0
             print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True)
         print(f"{name}: {timings[name]}s", flush=True)
+    if not sys.argv[1:]:
+        from tectonic_spark.operators.clustering import semantic_dedup_scaled_df
+
+        t0 = time.perf_counter()
+        semantic_dedup_scaled_df(spark, scaled, k=SEM_DEDUP_K).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings[f"c01_semantic_dedup_scaled[k={SEM_DEDUP_K}]"] = round(
+            time.perf_counter() - t0, 2
+        )
+        print(f"c01_semantic_dedup_scaled[k={SEM_DEDUP_K}]: "
+              f"{timings[f'c01_semantic_dedup_scaled[k={SEM_DEDUP_K}]']}s", flush=True)
     print(json.dumps({"sf10_queries_sec": timings}))
     spark.stop()
 
