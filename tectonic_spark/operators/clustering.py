@@ -448,6 +448,137 @@ def semantic_dedup_scaled_df(
     )
 
 
+def semantic_dedup_blocked_df(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 64,
+    tau: float = SEM_TAU,
+    block: int = 4096,
+) -> DataFrame:
+    """STRAGGLER-FREE SemDeDup (r5): the sf10 spot sweep showed
+    :func:`semantic_dedup_scaled_df`'s per-cluster ``applyInPandas``
+    putting one GIANT cluster in one task (synthetic replicas — or any
+    real head-of-distribution near-dup mass — pile onto one seed; the
+    whole x100 run waited minutes on a single core at both k=256 and
+    k=1024). Raising k shrinks the average cluster but not the skew.
+
+    Fix: BLOCK-PAIR decomposition. Rows are striped into fixed
+    ``block``-sized ranges of vec_id; for target block x the candidate
+    blocks are every y <= x in the same cluster, so one (cid, x, y) task
+    computes a bounded block x block cosine kernel regardless of cluster
+    size. The drop-set reduction is associative — per-task partials
+    (local min keeper, local count) combine with MIN / SUM — so the
+    result is EXACTLY the per-cluster variant's (pinned by test). Cost:
+    each row is shipped to ~2x its cluster's block count of tasks (data
+    O(n_c^2/B) vs compute O(n_c^2) — vanishing for B in the thousands);
+    the win is the biggest cluster now spreads over (n_c/B)^2/2 tasks
+    instead of 1. sf10: 825 s -> straggler gone (SF10SPOT.md)."""
+    from pyspark.sql.functions import pandas_udf
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    C = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("integer")
+    def assign(e: pd.Series) -> pd.Series:
+        m = np.stack(e.to_numpy()).astype(np.float64)
+        d = -2.0 * (m @ C.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    from pyspark.sql import Window as W
+
+    a = emb.select(
+        "vec_id", "embedding", assign("embedding").alias("cid")
+    )
+    # Block ids must be WITHIN-CLUSTER dense ranks, not global vec_id
+    # stripes: a global stripe grid makes every cluster span all ~N/B
+    # stripes, so a mid-size cluster of n_c rows explodes into
+    # (N/B)^2/2 near-empty block pairs and each row ships ~N/B copies
+    # (observed at the sf10 spot: 2 B replicated rows, single-task
+    # tail). Dense ranks give ceil(n_c/B) blocks per cluster — the
+    # replication factor is the CLUSTER's own block count. The ranking
+    # window is one cid-keyed exchange; blocks stay vec_id-ordered so
+    # y < x block pairs are strictly ordered and the kernel's global
+    # j < i mask loses nothing.
+    a = a.withColumn(
+        "blk",
+        ((F.row_number().over(W.partitionBy("cid").orderBy("vec_id")) - 1) / block)
+        .cast("long"),
+    )
+    # the assigned frame feeds THREE plan branches (block list, targets,
+    # candidates); without a persist Spark re-executes the pandas-UDF
+    # assignment + ranking once per branch (no cross-branch CSE) — the
+    # same "write the assignment once" materialization a production
+    # pipeline does explicitly
+    a = a.persist()
+    blocks = a.select("cid", "blk").distinct()
+    # (cid, target block x, candidate block y<=x) units; the theta join is
+    # a hash join on cid with a bounded per-cluster block list either side
+    x = blocks.select(F.col("cid").alias("x_cid"), F.col("blk").alias("xblk"))
+    y = blocks.select(F.col("cid").alias("y_cid"), F.col("blk").alias("yblk"))
+    bp = (
+        x.join(y, (x["x_cid"] == y["y_cid"]) & (y["yblk"] <= x["xblk"]))
+        .select(F.col("x_cid").alias("p_cid"), "xblk", "yblk")
+    )
+    targets = a.join(
+        bp, (a["cid"] == bp["p_cid"]) & (a["blk"] == bp["xblk"])
+    ).select(
+        "vec_id", "embedding", "cid", "xblk", "yblk", F.lit(1).alias("is_target")
+    )
+    cands = a.join(
+        bp, (a["cid"] == bp["p_cid"]) & (a["blk"] == bp["yblk"])
+    ).select(
+        "vec_id", "embedding", "cid", "xblk", "yblk", F.lit(0).alias("is_target")
+    )
+
+    def prune_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf[pdf["is_target"] == 1].sort_values("vec_id").reset_index(drop=True)
+        c = pdf[pdf["is_target"] == 0].sort_values("vec_id").reset_index(drop=True)
+        if not len(t) or not len(c):
+            return pd.DataFrame(
+                columns=["vec_id", "cluster", "kept_by", "n_dups"]
+            ).astype({"vec_id": "int64", "cluster": "int64", "kept_by": "int64", "n_dups": "int64"})
+        tm = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+        cm = np.stack(c["embedding"].to_numpy()).astype(np.float64)
+        s = (tm @ cm.T) / np.outer(
+            np.linalg.norm(tm, axis=1), np.linalg.norm(cm, axis=1)
+        )
+        tid = t["vec_id"].to_numpy()
+        cids_ = c["vec_id"].to_numpy()
+        # candidate j qualifies for target i iff j < i (strict, global order)
+        mask = (np.round(s, 6) >= tau) & (cids_[None, :] < tid[:, None])
+        rows = []
+        hit = mask.any(axis=1)
+        for i in np.nonzero(hit)[0]:
+            js = np.nonzero(mask[i])[0]
+            rows.append(
+                (
+                    int(tid[i]),
+                    int(t["cid"].iloc[i]),
+                    int(cids_[js[0]]),  # cands sorted by vec_id → local min
+                    int(len(js)),
+                )
+            )
+        return pd.DataFrame(rows, columns=["vec_id", "cluster", "kept_by", "n_dups"])
+
+    partials = (
+        targets.unionByName(cands)
+        .groupBy("cid", "xblk", "yblk")
+        .applyInPandas(
+            prune_pair, "vec_id long, cluster long, kept_by long, n_dups long"
+        )
+    )
+    return partials.groupBy("vec_id", "cluster").agg(
+        F.min("kept_by").alias("kept_by"), F.sum("n_dups").alias("n_dups")
+    )
+
+
 @register(
     "c01_semantic_dedup",
     oracle=_SEM_ORACLE,
@@ -470,15 +601,19 @@ def c01_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c01_semantic_dedup_scaled",
     oracle=_SEM_ORACLE_NOCLUSTER,
     doc=f"The PROMOTED scale variant of c01_semantic_dedup (VERDICT r4 "
-    "item 5): matmul assignment + per-cluster applyInPandas cosine "
-    f"pruning — the path that holds at web scale — run at the fold "
-    f"path's K={K} so the static oracle applies, now itself under the "
-    "driver's exact gate. Output is the drop-set (vec_id, kept_by, "
-    "n_dups); the cluster label is omitted because the variant labels "
-    "clusters by seed INDEX, the fold by seed vec_id (drop-set equality "
-    "at equal k is pinned by tests/test_clustering.py).",
+    "item 5): matmul assignment + BLOCK-PAIR cosine pruning "
+    "(semantic_dedup_blocked_df — one bounded block x block kernel per "
+    "task, so a skewed giant cluster spreads over (n_c/B)^2/2 tasks "
+    "instead of stalling one core; the r5 sf10 spot measured 825 s -> "
+    f"123 s) — run at the fold path's K={K} so the static oracle "
+    "applies, now itself under the driver's exact gate. Output is the "
+    "drop-set (vec_id, kept_by, n_dups); the cluster label is omitted "
+    "because the variant labels clusters by seed INDEX, the fold by "
+    "seed vec_id (drop-set equality at equal k is pinned by "
+    "tests/test_clustering.py, blocked == per-cluster by the r5 "
+    "block-pair pinning test).",
 )
 def c01_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semantic_dedup_scaled_df(spark, sf_dir, k=K).select(
+    return semantic_dedup_blocked_df(spark, sf_dir, k=K).select(
         "vec_id", "kept_by", "n_dups"
     )

@@ -172,3 +172,30 @@ def test_kmeans_scaled_variant_agrees_with_fold(spark, sf_dir):
     )
     assert fold[["vec_id", "cluster"]].equals(fast[["vec_id", "cluster"]])
     assert (fold["dist2"] - fast["dist2"]).abs().max() <= 1e-6
+
+
+def test_semantic_dedup_blocked_variant_agrees_with_scaled(spark, sf_dir):
+    """The straggler-free block-pair decomposition (r5) must reproduce the
+    per-cluster scaled variant EXACTLY at equal (k, tau): the per-task
+    partial (local-min keeper, local count) reduction is associative, so
+    MIN/SUM over block pairs == the single-task per-cluster answer. block
+    is set small enough that every cluster spans multiple blocks."""
+    from tectonic_spark.operators.clustering import (
+        semantic_dedup_blocked_df,
+        semantic_dedup_scaled_df,
+    )
+
+    cols = ["vec_id", "cluster", "kept_by", "n_dups"]
+    a = (
+        semantic_dedup_scaled_df(spark, sf_dir, k=4)
+        .toPandas()[cols]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        semantic_dedup_blocked_df(spark, sf_dir, k=4, block=16)
+        .toPandas()[cols]
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert a.astype("int64").equals(b.astype("int64"))
