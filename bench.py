@@ -344,14 +344,16 @@ def _sf1_headroom(spark, sf_dir: str, base: dict[str, float]) -> dict:
         timings["c01_embedding_neardup[bits=10]"] = round(time.perf_counter() - t0, 3)
         from tectonic_spark.operators.clustering import (
             kmeans_scaled_df,
-            semantic_dedup_scaled_df,
+            semantic_dedup_blocked_df,
         )
 
+        # r5: the blocked (straggler-free) path — what the registered
+        # c01_semantic_dedup_scaled now runs
         t0 = time.perf_counter()
-        semantic_dedup_scaled_df(spark, scaled, k=64).write.format("noop").mode(
+        semantic_dedup_blocked_df(spark, scaled, k=64).write.format("noop").mode(
             "overwrite"
         ).save()
-        timings["c01_semantic_dedup[k=64]"] = round(time.perf_counter() - t0, 3)
+        timings["c01_semantic_dedup[k=64,blocked]"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         kmeans_scaled_df(spark, scaled).write.format("noop").mode(
             "overwrite"

@@ -42,7 +42,17 @@ EXCHANGE_BUDGET = {
     "c02_mips_topk": 2,
     "c04_epoch_plan": 4,
     "c01_cross_snapshot_dedup": 2,
-    "c06_triangle_count": 144,  # 3-way oriented-edge self-join fan-out
+    # r5 rewrite: the closure join executes ONCE (explode, not a 3-way
+    # union that re-ran the join per branch) — ceiling tightened 144 -> 56
+    "c06_triangle_count": 56,
+    # round-5 additions (measured ceilings)
+    "m08_jpeg_decode": 0,  # payload-parallel decode, zero shuffles
+    "m09_jpeg_resize_reencode": 0,
+    "c02_pq_adc_scaled": 4,
+    "c02_kmeans_scaled": 0,  # per-iteration exchanges live in earlier jobs
+    "c01_semantic_dedup_scaled": 15,  # block-pair replication joins + combine
+    "c02_ivf_persistent": 2,  # broadcast probe join; window only
+    "c02_ivf_delta_append": 2,
     "c01_line_dedup": 3,
     "c03_nb_langid": 18,
     "b07_ewma": 1,
