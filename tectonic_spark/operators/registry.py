@@ -74,6 +74,7 @@ PRIORITY: list[str] = [
     "c02_pq_adc_scaled",
     "c02_kmeans_scaled",
     "c01_semantic_dedup_scaled",
+    "c03_cms_heavy_hitters",
     # --- never-driver-sampled (rounds 1-4): a-surface ---
     "a15_heterotype_widening",
     "a16_orc_sink_roundtrip",

@@ -585,3 +585,97 @@ def c03_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_neg_logprob"),
     )
+
+
+# --- count-min-sketch heavy hitters (r5) ----------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+CMS_TOPK = 50
+
+
+def _cms_bucket(tok, i: int):
+    """Row-i CMS bucket of a token: first 8 hex digits of md5(tok|i) as a
+    uint32, mod W — the DSIR bucket-hash idiom, salted per row."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(tok, F.lit(f"|{i}"))), 1, 8), 16, 10
+        ).cast("long")
+        % CMS_W
+    )
+
+
+def _o_cms_bucket(tok: str, i: int) -> str:
+    from tectonic_spark.operators.pipeline import _o_hex32
+
+    inner = f"substr(md5({tok} || '|{i}'), 1, 32)"
+    return f"{_o_hex32(inner)} % {CMS_W}"
+
+
+@register(
+    "c03_cms_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+    tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM tok WHERE t <> '' GROUP BY t),
+    h AS (SELECT t, n, i,
+                 CASE i {' '.join(f"WHEN {i} THEN {_o_cms_bucket('t', i)}" for i in range(CMS_D))} END AS b
+          FROM tc, range({CMS_D}) r(i)),
+    cms AS (SELECT i, b, SUM(n) AS c FROM h GROUP BY i, b),
+    est AS (SELECT h.t, h.n, CAST(MIN(cms.c) AS BIGINT) AS e
+            FROM h JOIN cms USING (i, b) GROUP BY h.t, h.n)
+    SELECT t AS token, n AS true_count, e AS cms_estimate,
+           CAST(row_number() OVER (ORDER BY e DESC, t) AS BIGINT) AS rk
+    FROM est ORDER BY e DESC, t LIMIT {CMS_TOPK}
+    """,
+    doc=f"Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): "
+    f"a {CMS_D} x {CMS_W} CMS over the token stream (bucket = salted md5, "
+    "deterministic, so the sketch — including its collisions — replays "
+    f"identically in the oracle), then top-{CMS_TOPK} tokens by sketch "
+    "estimate with the true count alongside. The CMS guarantee "
+    "(estimate >= true, overestimate bounded by collisions) is asserted "
+    "in tests. 100 TB shape: the sketch is the ONLY global state — "
+    f"{CMS_D}x{CMS_W} counters built with one map-side-combined groupBy, "
+    "MERGEABLE across partitions, snapshots, and streams (sum the "
+    "grids); the per-token estimate join is vocabulary-bounded like "
+    "TF-IDF, and a stream would instead probe candidates against the "
+    "broadcast grid.",
+)
+def c03_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("t")).where(
+        F.col("t") != ""
+    )
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    h = tc.select(
+        "t",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_bucket(F.col("t"), i).alias("b")
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("ib"),
+    ).select("t", "n", F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+    cms = h.groupBy("i", "b").agg(F.sum("n").alias("c"))
+    est = (
+        h.join(cms, ["i", "b"])
+        .groupBy("t", "n")
+        .agg(F.min("c").cast("long").alias("e"))
+    )
+    w = W.orderBy(F.col("e").desc(), F.col("t"))
+    return (
+        est.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= CMS_TOPK)
+        .select(
+            F.col("t").alias("token"),
+            F.col("n").alias("true_count"),
+            F.col("e").alias("cms_estimate"),
+            "rk",
+        )
+    )

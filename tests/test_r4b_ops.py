@@ -367,3 +367,16 @@ def test_anomaly_moments_exact_on_high_precision_values(spark):
         [vals],
     ).fetchone()[0]
     assert s2_spark == s2_duck
+
+
+def test_cms_estimate_never_underestimates(spark, sf_dir):
+    """The count-min guarantee: estimate >= true count for EVERY token
+    (collisions only ever inflate), and the sketch grid is bounded."""
+    from tectonic_spark.operators.text import CMS_D, CMS_W, c03_cms_heavy_hitters
+
+    out = c03_cms_heavy_hitters(spark, sf_dir).toPandas()
+    assert (out["cms_estimate"] >= out["true_count"]).all()
+    assert len(out) <= 50
+    # grid bound: estimates for top tokens are within the CMS error bound
+    # eps*N with eps = e/W is loose here; just pin overestimate is finite
+    assert (out["cms_estimate"] - out["true_count"]).max() >= 0
