@@ -740,7 +740,10 @@ def _jpeg_fixture_params(doc_id: int) -> tuple[int, int, str, int]:
     every 7th image is coded with restart markers (RST path coverage)."""
     w = 16 + (doc_id % 4) * 8
     h = 16 + ((doc_id // 4) % 3) * 8
-    mode = ("gray", "444", "420")[doc_id % 3]
+    # m08 feeds doc_id % 3 == 0 rows, so the mode cycle must NOT key on
+    # doc_id % 3 (it would be constant); // 3 makes consecutive images
+    # cycle gray -> 4:4:4 -> 4:2:0
+    mode = ("gray", "444", "420")[(doc_id // 3) % 3]
     ri = 2 if doc_id % 7 == 0 else 0
     return w, h, mode, ri
 
@@ -773,6 +776,43 @@ def _jpeg_payload(doc_id: int) -> bytes:
     return encode_jpeg(rgb, subsampling=mode, restart_interval=ri)
 
 
+def m08_decode_kernel(docs: DataFrame) -> DataFrame:
+    """The attach-real-JPEG-bytes + full-decode + pixel-sum stage over a
+    (doc_id) frame — shared verbatim by batch m08 and streaming s12 (the
+    stage is stateless per payload, so it drops into a streaming plan
+    unchanged)."""
+    import numpy as np
+
+    from tectonic_spark.operators.jpeg import decode_jpeg
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("px_sum", LongType(), True),
+        ]
+    )
+
+    def attach_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                payload = _jpeg_payload(int(doc_id))
+                px = decode_jpeg(payload)
+                rows.append(
+                    (
+                        int(doc_id),
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.astype(np.int64).sum()),
+                    )
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "px_sum"])
+
+    return docs.select("doc_id").mapInPandas(attach_and_decode, schema)
+
+
 @register(
     "m08_jpeg_decode",
     oracle="""
@@ -780,7 +820,7 @@ def _jpeg_payload(doc_id: int) -> bytes:
       SELECT doc_id,
              16 + (doc_id % 4) * 8 AS width,
              16 + ((doc_id // 4) % 3) * 8 AS height,
-             doc_id % 3 AS mode
+             (doc_id // 3) % 3 AS mode
       FROM documents WHERE doc_id % 3 = 0
     ),
     s AS (
@@ -813,42 +853,12 @@ def _jpeg_payload(doc_id: int) -> bytes:
     "Python, Arrow-batched; compressed bytes never shuffle.",
 )
 def m08_jpeg_decode(spark, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from tectonic_spark.operators.jpeg import decode_jpeg
-
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id")
         .where(F.col("doc_id") % 3 == 0)
     )
-
-    schema = StructType(
-        [
-            StructField("doc_id", LongType(), True),
-            StructField("width", LongType(), True),
-            StructField("height", LongType(), True),
-            StructField("px_sum", LongType(), True),
-        ]
-    )
-
-    def attach_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
-        for pdf in batches:
-            for doc_id in pdf["doc_id"]:
-                payload = _jpeg_payload(int(doc_id))
-                px = decode_jpeg(payload)
-                rows.append(
-                    (
-                        int(doc_id),
-                        px.shape[1],
-                        px.shape[0],
-                        int(px.astype(np.int64).sum()),
-                    )
-                )
-        yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "px_sum"])
-
-    return docs.mapInPandas(attach_and_decode, schema)
+    return m08_decode_kernel(docs)
 
 
 def _jpeg16_params(doc_id: int) -> tuple[int, int]:

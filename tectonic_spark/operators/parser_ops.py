@@ -2439,3 +2439,140 @@ def a22_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+def _docs_parts_stream_src(sf_dir: str) -> tuple[str, int]:
+    """Documents' doc_ids as 4 plain JSONL part files (no injected dups) —
+    the media-ingestion arrival stream. Returns (src_dir, n_docs)."""
+    import shutil
+
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "s12_src")
+    done = os.path.join(src, "_DONE")
+    rows = _docs_rows(sf_dir)
+    if not os.path.exists(done):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        lines = [json.dumps({"doc_id": d}) for d, *_ in rows]
+        quarter = (len(lines) + 3) // 4
+        for i in range(4):
+            part = lines[i * quarter : (i + 1) * quarter]
+            if part:
+                _write_atomic(
+                    os.path.join(src, f"in-{i}.jsonl"),
+                    ("\n".join(part) + "\n").encode(),
+                )
+        _write_atomic(done, b"{}")
+    return src, len(rows)
+
+
+@register(
+    "s12_stream_media_decode",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             16 + (doc_id % 4) * 8 AS width,
+             16 + ((doc_id // 4) % 3) * 8 AS height,
+             (doc_id // 3) % 3 AS mode
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    s AS (
+      SELECT doc_id, width, height,
+             CASE WHEN mode = 0 THEN 64 ELSE 192 END
+               * list_sum(list_transform(
+                   range(0, (width // 8) * (height // 8)),
+                   bi -> 2 * ((doc_id * 7 + bi * 13) % 128))) AS px_sum
+      FROM img
+    )
+    SELECT width, height, CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(px_sum) AS BIGINT) AS total_px
+    FROM s GROUP BY width, height
+    """,
+    doc="STREAMING compressed-media ingestion: the document arrival "
+    "stream (4 JSONL part files, maxFilesPerTrigger=2 so the decode "
+    "spans >=2 micro-batches) flows through the SAME Arrow-batched "
+    "mapInPandas JPEG stage as batch m08 — attach real baseline-JFIF "
+    "bytes, full entropy decode, pixel-sum extraction — into an "
+    "append-mode parquet sink; the maintained sink is then aggregated "
+    "per image geometry under the m08 closed-form oracle. Builder "
+    "raises unless >=2 micro-batches committed and the sink holds "
+    "exactly one row per image. The pattern a multimodal corpus "
+    "pipeline runs continuously: decode is stateless per payload, so "
+    "the stream needs no state store and scales with arrival rate.",
+)
+def s12_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.operators.multimodal import m08_decode_kernel
+
+    register_tectonic_sources(spark)
+    src, _n_docs = _docs_parts_stream_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s12_sink")
+    ck = os.path.join(base, "s12_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema("doc_id long")
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+        .where(F.col("doc_id") % 3 == 0)
+    )
+    decoded = m08_decode_kernel(stream)
+    q = (
+        decoded.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    expected = None
+    sink_rows, n_commits = 0, 0
+    commits_dir = os.path.join(ck, "commits")
+    try:
+        expected = (
+            spark.read.schema("doc_id long")
+            .json(src)
+            .where(F.col("doc_id") % 3 == 0)
+            .count()
+        )
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            n_commits = (
+                len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+                if os.path.isdir(commits_dir)
+                else 0
+            )
+            if sink_rows >= expected and n_commits >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    if sink_rows != expected:
+        raise RuntimeError(
+            f"s12: sink has {sink_rows} decoded rows, expected {expected}"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s12: only {n_commits} committed micro-batches — decode never "
+            "spanned a batch boundary"
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("px_sum").alias("total_px"),
+        )
+    )

@@ -75,6 +75,7 @@ PRIORITY: list[str] = [
     "c02_kmeans_scaled",
     "c01_semantic_dedup_scaled",
     "c03_cms_heavy_hitters",
+    "s12_stream_media_decode",
     # --- never-driver-sampled (rounds 1-4): a-surface ---
     "a15_heterotype_widening",
     "a16_orc_sink_roundtrip",
