@@ -169,6 +169,29 @@ def _csv_throughput(sf_dir: str) -> dict[str, float]:
     return {"csv_parse_mb_per_sec": round(len(data) / 1e6 / t, 1)}
 
 
+def _jpeg_decode_rate() -> dict[str, float]:
+    """Vendored baseline-JPEG codec rate, single core: decode the m08
+    fixture population (gray/444/420, restart streams included). Pure
+    Python+numpy — multiply by executor cores for the distributed rate."""
+    import time as _t
+
+    from tectonic_spark.operators.jpeg import decode_jpeg
+    from tectonic_spark.operators.multimodal import _jpeg_payload
+
+    payloads = [_jpeg_payload(doc_id) for doc_id in range(0, 150, 3)]
+    mb = sum(len(p) for p in payloads) / 1e6
+    for p in payloads[:5]:
+        decode_jpeg(p)  # warm
+    t0 = _t.perf_counter()
+    for p in payloads:
+        decode_jpeg(p)
+    dt = _t.perf_counter() - t0
+    return {
+        "jpeg_decode_images_per_sec": round(len(payloads) / dt, 1),
+        "jpeg_decode_mb_per_sec": round(mb / dt, 2),
+    }
+
+
 def _parallel_scan_mbps(spark, sf_dir: str) -> dict[str, float]:
     """End-to-end tectonic-json Spark scan throughput across all cores
     (small splitSizeBytes forces fan-out on the single fixture file) —
@@ -443,6 +466,7 @@ def main() -> None:
         **_probe_speedup(sf_dir),
         **_csv_reader_mbps(sf_dir),
         **_parallel_scan_mbps(spark, sf_dir),
+        **_jpeg_decode_rate(),
         **_stream_latency(spark, sf_dir),
         **_sf1_headroom(spark, sf_dir, timings),
     }
