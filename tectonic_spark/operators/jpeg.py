@@ -419,70 +419,102 @@ def encode_jpeg(
 # --------------------------------------------------------------- decoder
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with FF00 unstuffing;
-    stops at any real marker (FFxx, xx != 0)."""
+_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
 
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
 
-    def _fill(self) -> None:
-        d = self.data
-        p = self.pos
-        if p >= len(d):
-            raise EOFError("entropy data exhausted")
-        b = d[p]
-        if b == 0xFF:
-            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos = p + 2
-            else:
-                # real marker: T.81 lets the final EOB land mid-byte —
-                # synthesize 1-padding (decoder must not read past it)
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                return
-        else:
-            self.pos = p + 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+def _huff_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """16-bit-lookahead huffman LUT: index = next 16 bits of the stream,
+    value = (symbol, code length); -1 symbol = invalid prefix. Built once
+    per distinct table (content-keyed cache — the Annex K standard tables
+    hit the cache across every image of a corpus)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.int8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = vals[k]
+            ln[base : base + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    # plain lists: CPython list indexing beats numpy scalar extraction in
+    # the per-symbol hot loop
+    out = (sym.tolist(), ln.tolist())
+    _LUT_CACHE[key] = out
+    return out
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+
+class _FastBits:
+    """Bit cursor over ONE unstuffed entropy segment (FF00 already
+    collapsed, restart markers already split off). 16-bit peeks drive the
+    huffman LUT — constant work per SYMBOL instead of per bit. The
+    segment is padded with 0xFF, matching T.81's 1-bit padding of the
+    final partial byte; reading past the real payload raises."""
+
+    __slots__ = ("buf", "bitpos", "bit_limit")
+
+    def __init__(self, segment: bytes) -> None:
+        self.buf = segment + b"\xff\xff\xff"
+        self.bitpos = 0
+        self.bit_limit = (len(segment) + 2) * 8  # padding grace for EOB
+
+    def peek16(self) -> int:
+        byte = self.bitpos >> 3
+        off = self.bitpos & 7
+        b = self.buf
+        v = (b[byte] << 16) | (b[byte + 1] << 8) | b[byte + 2]
+        return (v >> (8 - off)) & 0xFFFF
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        v = self.peek16() >> (16 - n)
+        self.bitpos += n
+        if self.bitpos > self.bit_limit:
+            raise EOFError("entropy data exhausted")
         return v
 
-    def align(self) -> None:
-        self.acc = 0
-        self.nbits = 0
 
-    def skip_rst(self) -> None:
-        """Consume an RSTn marker at the current (aligned) position."""
-        d, p = self.data, self.pos
-        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
-            self.pos = p + 2
-        else:
-            raise ValueError(f"expected RST marker at byte {p}")
+def _read_symbol(fb: _FastBits, sym: list[int], ln: list[int]) -> int:
+    v = fb.peek16()
+    code = sym[v]
+    if code < 0:
+        raise ValueError("invalid huffman code")
+    fb.bitpos += ln[v]
+    if fb.bitpos > fb.bit_limit:
+        raise EOFError("entropy data exhausted")
+    return code
 
 
-def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code")
+_RST_SPLIT = None  # compiled lazily (re import kept local)
+
+
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Slice the entropy-coded data starting at ``pos``: find its end (the
+    first marker that is not stuffing or RSTn), split on restart markers,
+    unstuff each segment. Returns (segments, end_pos)."""
+    import re
+
+    global _RST_SPLIT
+    if _RST_SPLIT is None:
+        _RST_SPLIT = re.compile(b"\xff[\xd0-\xd7]")
+    p = pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
+            break
+        p += 1 + (1 if data[p] == 0xFF else 0)
+    end = p if p + 1 < n else n
+    raw = data[pos:end]
+    segments = [seg.replace(b"\xff\x00", b"\xff") for seg in _RST_SPLIT.split(raw)]
+    return segments, end
 
 
 def _extend(v: int, size: int) -> int:
@@ -490,7 +522,7 @@ def _extend(v: int, size: int) -> int:
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "qt_id", "dc_id", "ac_id", "blocks", "bw", "bh")
+    __slots__ = ("cid", "h", "v", "qt_id", "dc_id", "ac_id", "blocks", "bw", "bh", "zz")
 
     def __init__(self, cid: int, h: int, v: int, qt_id: int) -> None:
         self.cid, self.h, self.v, self.qt_id = cid, h, v, qt_id
@@ -503,7 +535,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> map
+    # (class 0=DC/1=AC, id) -> raw (BITS, HUFFVAL); LUTs built per scan
+    huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     comps: list[_Component] = []
     height = width = 0
     restart_interval = 0
@@ -544,7 +577,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
                 vals = list(body[b + 17 : b + 17 + n])
-                huff[(tc, th)] = _build_decode_map(bits, vals)
+                huff[(tc, th)] = (bits, vals)
                 b += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline + ext seq)
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -606,58 +639,119 @@ def _decode_scan(
     for c, _, _ in scan:
         bw_, bh_ = grids[c.cid]
         c.bw, c.bh = bw_, bh_
-        c.blocks = np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64)
+        c.zz = np.zeros((bh_ * bw_, 64), dtype=np.int64)
 
-    br = _BitReader(data, pos)
+    lut = {
+        (cls, tid): _huff_lut(*huff[(cls, tid)])
+        for c, td, ta in scan
+        for cls, tid in ((0, td), (1, ta))
+    }
+    segments, end = _entropy_segments(data, pos)
+    seg_i = 0
+    # inlined bit-cursor state (locals beat attribute access in the
+    # per-symbol hot loop; _FastBits documents the semantics)
+    # the EOF check runs once per BLOCK; one block can consume at most
+    # 63 * 32 bits past the limit before it fires, so the 1-padding must
+    # cover that worst case
+    _PAD = b"\xff" * 256
+    buf = segments[0] + _PAD
+    bitpos = 0
+    bit_limit = (len(segments[0]) + 2) * 8
     preds = {c.cid: 0 for c, _, _ in scan}
     mcus_done = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcus_done and mcus_done % restart_interval == 0:
-                br.align()
-                br.skip_rst()
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("missing RST marker in entropy data")
+                buf = segments[seg_i] + _PAD
+                bitpos = 0
+                bit_limit = (len(segments[seg_i]) + 2) * 8
                 preds = {c.cid: 0 for c, _, _ in scan}
             for c, td, ta in scan:
+                dc_sym, dc_ln = lut[(0, td)]
+                ac_sym, ac_ln = lut[(1, ta)]
                 nh, nv = (1, 1) if len(scan) == 1 else (c.h, c.v)
                 for vy in range(nv):
                     for hx in range(nh):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _decode_symbol(br, huff[(0, td)])
-                        diff = _extend(br.read_bits(size), size) if size else 0
-                        preds[c.cid] += diff
+                        zz = [0] * 64
+                        # DC symbol (inline peek16 + LUT)
+                        byte = bitpos >> 3
+                        v = (
+                            (buf[byte] << 16) | (buf[byte + 1] << 8) | buf[byte + 2]
+                        ) >> (8 - (bitpos & 7)) & 0xFFFF
+                        size = dc_sym[v]
+                        if size < 0:
+                            raise ValueError("invalid huffman code")
+                        bitpos += dc_ln[v]
+                        if size:
+                            byte = bitpos >> 3
+                            diff = (
+                                (buf[byte] << 16)
+                                | (buf[byte + 1] << 8)
+                                | buf[byte + 2]
+                            ) >> (8 - (bitpos & 7)) & 0xFFFF
+                            diff >>= 16 - size
+                            bitpos += size
+                            if diff < 1 << (size - 1):
+                                diff -= (1 << size) - 1
+                            preds[c.cid] += diff
                         zz[0] = preds[c.cid]
                         k = 1
                         while k < 64:
-                            rs = _decode_symbol(br, huff[(1, ta)])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
+                            byte = bitpos >> 3
+                            v = (
+                                (buf[byte] << 16)
+                                | (buf[byte + 1] << 8)
+                                | buf[byte + 2]
+                            ) >> (8 - (bitpos & 7)) & 0xFFFF
+                            rs = ac_sym[v]
+                            if rs < 0:
+                                raise ValueError("invalid huffman code")
+                            bitpos += ac_ln[v]
+                            sz = rs & 0x0F
+                            if sz == 0:
+                                if rs == 0xF0:
                                     k += 16  # ZRL
                                     continue
                                 break  # EOB
-                            k += r
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.read_bits(s), s)
+                            byte = bitpos >> 3
+                            val = (
+                                (buf[byte] << 16)
+                                | (buf[byte + 1] << 8)
+                                | buf[byte + 2]
+                            ) >> (8 - (bitpos & 7)) & 0xFFFF
+                            val >>= 16 - sz
+                            bitpos += sz
+                            if val < 1 << (sz - 1):
+                                val -= (1 << sz) - 1
+                            zz[k] = val
                             k += 1
-                        coef = np.zeros(64, dtype=np.int64)
-                        coef[ZIGZAG] = zz
-                        deq = (coef * qts[c.qt_id]).reshape(8, 8).astype(np.float64)
-                        px = np.clip(_iround(_idct(deq) + 128.0), 0, 255)
+                        if bitpos > bit_limit:
+                            raise EOFError("entropy data exhausted")
                         if len(scan) == 1:
-                            by, bx = my * 8, mx * 8
+                            bi = my * c.bw + mx
                         else:
-                            by = (my * c.v + vy) * 8
-                            bx = (mx * c.h + hx) * 8
-                        c.blocks[by : by + 8, bx : bx + 8] = px
+                            bi = (my * c.v + vy) * c.bw + (mx * c.h + hx)
+                        c.zz[bi] = zz
             mcus_done += 1
-    # leave br positioned after entropy data: scan forward to next marker
-    p = br.pos
-    while p + 1 < len(data) and not (
-        data[p] == 0xFF and data[p + 1] not in (0x00,) and not (0xD0 <= data[p + 1] <= 0xD7)
-    ):
-        p += 1
-    return p
+    # ONE vectorized dequant + IDCT pass per component (the per-block
+    # numpy-call overhead dominated the tiny-image decode rate)
+    for c, _, _ in scan:
+        nat = np.zeros_like(c.zz)
+        nat[:, ZIGZAG] = c.zz
+        deq = (nat * qts[c.qt_id][None, :]).astype(np.float64).reshape(-1, 8, 8)
+        px = np.clip(_iround(_AT @ deq @ _A + 128.0), 0, 255)
+        c.blocks = (
+            px.reshape(c.bh, c.bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c.bh * 8, c.bw * 8)
+        )
+    return end
 
 
 def _assemble(comps: list[_Component], width: int, height: int) -> np.ndarray:
