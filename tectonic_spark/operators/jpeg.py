@@ -178,11 +178,6 @@ def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]
     return codes
 
 
-def _build_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """Inverse map {(length, code): symbol} for bit-serial decode."""
-    return {(l, c): s for s, (c, l) in _build_codes(bits, vals).items()}
-
-
 # --------------------------------------------------------------- encoder
 
 
@@ -451,48 +446,6 @@ def _huff_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
     return out
 
 
-class _FastBits:
-    """Bit cursor over ONE unstuffed entropy segment (FF00 already
-    collapsed, restart markers already split off). 16-bit peeks drive the
-    huffman LUT — constant work per SYMBOL instead of per bit. The
-    segment is padded with 0xFF, matching T.81's 1-bit padding of the
-    final partial byte; reading past the real payload raises."""
-
-    __slots__ = ("buf", "bitpos", "bit_limit")
-
-    def __init__(self, segment: bytes) -> None:
-        self.buf = segment + b"\xff\xff\xff"
-        self.bitpos = 0
-        self.bit_limit = (len(segment) + 2) * 8  # padding grace for EOB
-
-    def peek16(self) -> int:
-        byte = self.bitpos >> 3
-        off = self.bitpos & 7
-        b = self.buf
-        v = (b[byte] << 16) | (b[byte + 1] << 8) | b[byte + 2]
-        return (v >> (8 - off)) & 0xFFFF
-
-    def read_bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        v = self.peek16() >> (16 - n)
-        self.bitpos += n
-        if self.bitpos > self.bit_limit:
-            raise EOFError("entropy data exhausted")
-        return v
-
-
-def _read_symbol(fb: _FastBits, sym: list[int], ln: list[int]) -> int:
-    v = fb.peek16()
-    code = sym[v]
-    if code < 0:
-        raise ValueError("invalid huffman code")
-    fb.bitpos += ln[v]
-    if fb.bitpos > fb.bit_limit:
-        raise EOFError("entropy data exhausted")
-    return code
-
-
 _RST_SPLIT = None  # compiled lazily (re import kept local)
 
 
@@ -648,8 +601,11 @@ def _decode_scan(
     }
     segments, end = _entropy_segments(data, pos)
     seg_i = 0
-    # inlined bit-cursor state (locals beat attribute access in the
-    # per-symbol hot loop; _FastBits documents the semantics)
+    # Inlined bit-cursor state over one unstuffed entropy segment (FF00
+    # collapsed, RST markers split off): 16-bit peeks drive the huffman
+    # LUT — constant work per SYMBOL instead of per bit; locals beat
+    # attribute access in the hot loop. Segments are 1-padded (0xFF),
+    # matching T.81's padding of the final partial byte.
     # the EOF check runs once per BLOCK; one block can consume at most
     # 63 * 32 bits past the limit before it fires, so the 1-padding must
     # cover that worst case
