@@ -254,7 +254,14 @@ def c04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # level 2: per-superbucket totals (N/1024² rows — the ONLY relation a
     # sequential prefix ever scans; ~10⁴ rows at 10¹⁰ documents)
     sb_totals = totals.groupBy("sb").agg(F.sum("bn").alias("sbn"))
-    w_sb = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, -1)
+    # lit(0) partition key: same single-partition execution over the
+    # bounded superbucket relation, but WindowExec's no-partition warning
+    # stays quiet so REAL unbounded-window regressions stand out
+    w_sb = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     sb_off = sb_totals.select(
         "sb", F.coalesce(F.sum("sbn").over(w_sb), F.lit(0).cast("long")).alias("sboff")
     )
@@ -775,8 +782,11 @@ def c04_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = dsir_weights_df(tok)
     top = w.orderBy(F.col("dsir_weight").desc(), F.col("doc_id")).limit(DSIR_K)
-    # rank assignment runs on the K surviving rows only (constant-size)
-    rank_win = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
+    # rank assignment runs on the K surviving rows only (constant-size);
+    # lit(0) partition key silences the no-partition WindowExec warning
+    rank_win = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("dsir_weight").desc(), F.col("doc_id")
+    )
     return top.select(
         "doc_id",
         "lang",
@@ -958,7 +968,9 @@ def c05_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
         .limit(CUR2_K)
     )
-    rank_win = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
+    rank_win = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("dsir_weight").desc(), F.col("doc_id")
+    )
     return sel.select(
         "doc_id",
         "lang",

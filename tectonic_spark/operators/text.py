@@ -668,7 +668,9 @@ def c03_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t", "n")
         .agg(F.min("c").cast("long").alias("e"))
     )
-    w = W.orderBy(F.col("e").desc(), F.col("t"))
+    # vocab-bounded global rank; lit(0) partition key keeps WindowExec's
+    # no-partition warning quiet (see pipeline.py rank_win)
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("e").desc(), F.col("t"))
     return (
         est.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= CMS_TOPK)
