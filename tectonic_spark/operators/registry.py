@@ -55,42 +55,95 @@ def register(
 
 
 # The correctness driver samples the FIRST 50 registered queries in
-# iteration order.  Round-5 ROTATION (VERDICT r4 item 7): rounds 1-4
-# accumulated driver-green rows for 85 of the 155 registered queries; the
-# other 70 only ever had local/judge sweeps.  This round the window fronts
-# (a) the queries registered new in round 5 and (b) 44 of the 70
-# never-driver-sampled names, chosen for component diversity (every
-# SURVEY.md §2 component keeps >=1 row in the window).  Every query evicted
-# from the window stays under the local check_correctness.py + sf1-sweep
-# gates.  ``finalize_order`` (called by ``operators/__init__`` once all
-# modules are imported) rebuilds REGISTRY in this order; names not listed
-# keep their registration order at the tail.
+# iteration order.  Round-6 ROTATION (VERDICT r5 item 1): after five rounds,
+# 135 of the 164 registered queries have >=1 driver-green CORRECTNESS row;
+# exactly 29 have only ever had local/judge sweeps.  This round fronts ALL
+# 29 never-driver-sampled names, then this round's new registrations, then
+# the queries whose implementation changed in round 6 (so the driver
+# re-verifies the changed code), filling the 50-slot window.  Every query
+# evicted from the window stays under the local check_correctness.py +
+# sf1-sweep gates.  ``finalize_order`` (called by ``operators/__init__``
+# once all modules are imported) rebuilds REGISTRY in this order; names not
+# listed keep their registration order at the tail.
 PRIORITY: list[str] = [
-    # --- round-5 new registrations (first driver rows) ---
+    # --- the 29 never-driver-sampled queries (closes the registry:
+    #     after this round every registered name has a driver row) ---
+    # c04 training-pipeline family (highest user-facing frequency)
+    "c04_mixture_sampling",
+    "c04_decontamination",
+    "c04_corpus_shuffle",
+    "c04_snapshot_delta",
+    "c04_incremental_rollup",
+    "c04_epoch_plan",
+    "c04_stratified_sample",
+    "c04_datasheet",
+    "c05_curation_v2",
+    # similarity exact-topk family (re-planned this round: partial top-k)
+    "c02_pq_adc",
+    "c02_knn_classify",
+    "c02_mips_topk",
+    # text
+    "c03_unigram_logprob",
+    # multimodal
+    "m06_scene_detection",
+    "m07_audio_resample",
+    # relational b-variants
+    "b06_unpivot",
+    "b07_range_frame",
+    "b10_json_tuple",
+    "b10_map_functions",
+    "b10_null_functions",
+    # TPC-H shapes
+    "q06_forecast_revenue",
+    "q08_market_share",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q16_parts_supplier_relationship",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    # --- round-6 new registrations (first driver rows) ---
+    "m10_mp3_decode",
+    "m11_jpeg_progressive",
+    # --- code changed in round 6 → driver re-verification ---
+    # exact-topk partial-aggregation re-plan (same results, new plan)
+    "c02_cosine_topk",
+    "c02_filtered_topk",
+    # conditional raw-text repartition (dedup + pq paths)
+    "c01_minhash_lsh",
+    "c01_ngram_jaccard",
+    "c01_simhash",
+    "c02_pq_adc_scaled",
+    # WindowExec no-partition restructure (rank-over-limit paths)
+    "c04_dsir",
+    "c03_cms_heavy_hitters",
+    # persist-lifecycle fix (unpersist in blocked semantic dedup)
+    "c01_semantic_dedup_scaled",
+    # JPEG entropy-decode vectorization (bit-exactness re-check)
     "m08_jpeg_decode",
     "m09_jpeg_resize_reencode",
+    "s12_stream_media_decode",
+    # --- window fill: high-value rows kept warm ---
+    "c02_kmeans_scaled",
+    "c01_semantic_dedup",
     "c02_ivf_persistent",
     "c02_ivf_delta_append",
-    "c02_pq_adc_scaled",
-    "c02_kmeans_scaled",
-    "c01_semantic_dedup_scaled",
-    "c03_cms_heavy_hitters",
-    "s12_stream_media_decode",
-    # --- never-driver-sampled (rounds 1-4): a-surface ---
+    "b05_pricing_summary",
+    "q21_suppliers_who_kept_orders_waiting",
+    "c06_triangle_count",
+    # --- previously-rotated names (driver-green rows already on file),
+    #     kept ahead of the tail for future rotations ---
     "a15_heterotype_widening",
     "a16_orc_sink_roundtrip",
     "a19_merge_schema_evolution",
     "a20_gzip_scan",
     "a21_gzip_sink_roundtrip",
     "a22_dynamic_partition_overwrite",
-    # streaming
     "s06_stream_dedup",
     "s07_stream_static_join",
     "s11_stream_rollup_maintenance",
-    # graph (early in the window: c06_triangle_count changed this round)
-    "c06_triangle_count",
     "c06_alpha_beta_core",
-    # relational b-surface
     "b03_above_avg",
     "b03_join_salted",
     "b04_asof_join",
@@ -109,7 +162,6 @@ PRIORITY: list[str] = [
     "b16_retention_cohorts",
     "b17_anomaly_zscore",
     "b18_event_transitions",
-    # TPC-H shapes
     "q04_order_priority",
     "q07_volume_shipping",
     "q09_product_type_profit",
@@ -117,44 +169,10 @@ PRIORITY: list[str] = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q20_potential_part_promotion",
-    "q21_suppliers_who_kept_orders_waiting",
-    # c-surface: text / pipeline / dedup / similarity / graph
     "c03_redaction",
     "c03_tfidf_keywords",
     "c03_bigram_logprob",
     "c01_cross_snapshot_dedup",
-    "c02_pq_adc",
-    "c02_knn_classify",
-    "c02_mips_topk",
-    "c04_mixture_sampling",
-    "c04_decontamination",
-    "c04_corpus_shuffle",
-    "c04_snapshot_delta",
-    "c04_incremental_rollup",
-    "c04_epoch_plan",
-    "c05_curation_v2",
-    # multimodal
-    "m06_scene_detection",
-    "m07_audio_resample",
-    # --- never-sampled overflow (just past the 50-window; still rotated
-    # ahead of the already-driver-green tail for future rounds) ---
-    "b06_unpivot",
-    "b07_range_frame",
-    "b10_json_tuple",
-    "b10_map_functions",
-    "b10_null_functions",
-    "c03_unigram_logprob",
-    "c04_stratified_sample",
-    "c04_datasheet",
-    "q06_forecast_revenue",
-    "q08_market_share",
-    "q10_returned_items",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q16_parts_supplier_relationship",
-    "q18_large_volume_customer",
-    "q19_disjunctive_revenue",
-    "q22_global_sales_opportunity",
     # --- rounds 1-4 window (driver-green rows already on file) ---
     # a-surface: scan / pushdown / inference / malformed / sinks
     "a01_json_scan",
