@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from tectonic_spark.operators.registry import register
 from tectonic_spark.operators.text import O_WORDS, o_shingles, shingles_col, words_col
-from tectonic_spark.tables import table
+from tectonic_spark.tables import spread_small_scan, table
 
 JACCARD_THRESHOLD = 0.8
 N_PERM = 8  # minhash permutations
@@ -45,12 +45,12 @@ _O_SHINGLE_BASE = f"""
 
 def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # Shingle construction is CPU-heavy relative to the tiny text scan: a
+    # Shingle construction is CPU-heavy relative to a tiny text scan: a
     # small file arrives as ONE input split, which would serialize all the
-    # downstream hashing onto one core. Spreading by doc_id costs a shuffle
-    # of raw text (cheap vs the compute) and holds at scale: at 100 TB the
-    # scan already yields thousands of splits and this keeps them even.
-    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # downstream hashing onto one core. Spread by doc_id ONLY in that case;
+    # at 100 TB the scan already yields thousands of splits and the
+    # repartition would be a pointless full shuffle of the raw corpus.
+    d = spread_small_scan(d, spark, "doc_id")
     w = words_col()
     return (
         d.filter(F.size(F.split(F.col("text"), " ")) >= 3)

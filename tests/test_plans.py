@@ -319,3 +319,29 @@ def test_pq_adc_scan_side_is_broadcast_no_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # Q-row broadcast cross join
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_spread_small_scan_is_conditional(spark, sf_dir, tmp_path):
+    """VERDICT r5 item 2: the CPU-spread repartition in front of shingling /
+    PQ encoding must fire ONLY on under-split scans. On an input that
+    already has >= defaultParallelism splits it must be the identity —
+    no Exchange of the raw text enters the plan."""
+    from tectonic_spark.tables import spread_small_scan, table
+
+    par = spark.sparkContext.defaultParallelism
+
+    # single-split input → spread to full parallelism
+    one = table(spark, sf_dir, "documents").select("doc_id", "text").coalesce(1)
+    spread = spread_small_scan(one, spark, "doc_id")
+    assert spread.rdd.getNumPartitions() == par
+    assert "Exchange hashpartitioning" in physical_plan(spread)
+
+    # multi-split input (>= parallelism) → identity, zero Exchange
+    path = str(tmp_path / "docs_multisplit")
+    table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        4 * par
+    ).write.parquet(path)
+    many = spark.read.parquet(path)
+    assert many.rdd.getNumPartitions() >= par  # precondition: enough splits
+    spread = spread_small_scan(many, spark, "doc_id")
+    assert "Exchange" not in physical_plan(spread)
