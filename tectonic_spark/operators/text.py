@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tectonic_spark.operators.registry import register
+from tectonic_spark.operators.registry import bounded_key, register
 from tectonic_spark.tables import table
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -668,9 +668,9 @@ def c03_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t", "n")
         .agg(F.min("c").cast("long").alias("e"))
     )
-    # vocab-bounded global rank; lit(0) partition key keeps WindowExec's
-    # no-partition warning quiet (see pipeline.py rank_win)
-    w = W.partitionBy(F.lit(0)).orderBy(F.col("e").desc(), F.col("t"))
+    # vocab-bounded global rank; bounded_key's non-foldable partition key
+    # keeps WindowExec's no-partition warning quiet (registry.bounded_key)
+    w = W.partitionBy(bounded_key(F.col("e"))).orderBy(F.col("e").desc(), F.col("t"))
     return (
         est.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= CMS_TOPK)

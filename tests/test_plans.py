@@ -192,24 +192,28 @@ def test_c04_repetition_no_shuffle(spark, sf_dir):
 
 def test_c04_packing_windows_partitioned(spark, sf_dir):
     """Three-level exclusive scan: every window over data-proportional
-    cardinality must be PARTITIONED (parallel). The only unpartitioned
-    window allowed is the superbucket prefix — it consumes the doubly
-    aggregated relation of N/1024² rows (its aggregate is over ``sbn``,
-    the superbucket totals), never document-proportional data."""
+    cardinality must be PARTITIONED by a real key (parallel). The
+    superbucket prefix — which consumes the doubly aggregated relation of
+    N/1024² rows (its aggregate is over ``sbn``) — runs on one partition
+    via the constant ``bounded_key`` spec (non-foldable, so WindowExec
+    never emits its no-partition warning and a REAL unbounded-window
+    regression stands out; registry.bounded_key)."""
     plan = physical_plan(build(spark, sf_dir, "c04_sequence_packing"))
     windows = [ln for ln in plan.splitlines() if "windowspecdefinition(" in ln]
     assert len(windows) == 3, plan
-    # partitioned spec prints partition cols BEFORE the sort col:
+    # every spec prints partition cols BEFORE the sort col:
     #   windowspecdefinition(bucket#8L, doc_id#0L ASC ...;
-    # an unpartitioned spec starts directly with the sort col:
+    # a NO-partition spec would start directly with the sort col:
     #   windowspecdefinition(sb#33L ASC ...
     unpartitioned = [
         ln
         for ln in windows
         if "ASC" in ln.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
     ]
-    assert len(unpartitioned) == 1, windows
-    assert "sum(sbn" in unpartitioned[0], unpartitioned[0]
+    assert not unpartitioned, windows
+    # the superbucket prefix rides the bounded_key projection (_wN = sb&0)
+    sbn = [ln for ln in windows if "sum(sbn" in ln]
+    assert len(sbn) == 1 and "_w" in sbn[0].split("windowspecdefinition(", 1)[1].split(",", 1)[0], windows
 
 
 def test_c04_mixture_sampling_no_shuffle_and_pruned(spark, sf_dir):
