@@ -17,7 +17,26 @@ import time
 
 # Idle-host reference rate for the contention canary (see main()):
 # single-thread json full-parse MB/s measured with no co-tenants (r4).
+# FALLBACK only — a per-host calibration file (written by
+# `python tools/calibrate_canary.py` on an idle host) takes precedence, and
+# the output row carries host_canary_calibrated so a fallback-normalized
+# number is never mistaken for a cross-host-comparable one.
 CANARY_IDLE_MB_PER_SEC = 85.7
+
+
+def _canary_idle_ref() -> tuple[float, bool]:
+    """(idle_rate, calibrated): per-host calibration if available."""
+    import socket
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_canary_idle.json")
+    try:
+        with open(path) as f:
+            v = json.load(f).get(socket.gethostname())
+        if v:
+            return float(v), True
+    except (OSError, ValueError):
+        pass
+    return CANARY_IDLE_MB_PER_SEC, False
 
 HEADLINE = [
     "b05_pricing_summary",
@@ -211,9 +230,17 @@ def _parallel_scan_mbps(spark, sf_dir: str) -> dict[str, float]:
         .load(path)
     )
     df.count()  # warm (python workers + codegen); schema inference done at load
-    t0 = time.perf_counter()
-    n = df.count()
-    dt = time.perf_counter() - t0
+    # best-of-3: this is the one fully-parallel CPU-saturating extra, so a
+    # transient co-tenant burst skews it far beyond what the single-thread
+    # canary reports (r5 recorded 117 vs the true ~180 MB/s this way —
+    # reader code was byte-identical to r4's 183 run). Min wall time over
+    # three counts rejects the burst.
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = df.count()
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
     # per-core end-to-end reader rate (parse -> prune -> Arrow), the number
     # that multiplies by executor-cores at scale (reference single-thread
     # JSON parse ≈ 30 MB/s)
@@ -477,6 +504,7 @@ def main() -> None:
     # 85.7 MB/s); headline_normalized = value * canary/idle deflates a
     # contended run's inflated wall time by the observed slowdown factor.
     canary = extras.get("json_full_parse_mb_per_sec", 0.0)
+    idle_ref, calibrated = _canary_idle_ref()
     value = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -485,9 +513,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
         "host_canary_mb_per_sec": canary,
-        "host_canary_idle_ref_mb_per_sec": CANARY_IDLE_MB_PER_SEC,
+        "host_canary_idle_ref_mb_per_sec": idle_ref,
+        "host_canary_calibrated": calibrated,
         "headline_normalized": (
-            round(value * canary / CANARY_IDLE_MB_PER_SEC, 3) if canary else None
+            round(value * canary / idle_ref, 3) if canary else None
         ),
         "extras": extras,
     }
