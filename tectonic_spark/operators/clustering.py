@@ -574,9 +574,17 @@ def semantic_dedup_blocked_df(
             prune_pair, "vec_id long, cluster long, kept_by long, n_dups long"
         )
     )
-    return partials.groupBy("vec_id", "cluster").agg(
+    out = partials.groupBy("vec_id", "cluster").agg(
         F.min("kept_by").alias("kept_by"), F.sum("n_dups").alias("n_dups")
     )
+    # Materialize the (small) drop-set eagerly, then RELEASE the cached
+    # assignment frame: without the unpersist the full-corpus cache blocks
+    # stay pinned in executor storage for the rest of the session and
+    # accumulate across sweep runs (ADVICE r5). localCheckpoint keeps only
+    # the drop-set rows resident — rows exist only for dropped vectors.
+    out = out.localCheckpoint(eager=True)
+    a.unpersist()
+    return out
 
 
 @register(

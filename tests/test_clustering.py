@@ -199,3 +199,32 @@ def test_semantic_dedup_blocked_variant_agrees_with_scaled(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert a.astype("int64").equals(b.astype("int64"))
+
+
+def test_blas_assignment_margin_above_ulp_drift(spark, sf_dir):
+    """ADVICE r5: the blocked/scaled paths assign clusters with the BLAS
+    form ``-2 x.c + |c|^2`` while the oracle folds ``(x-c)^2``
+    sequentially; the two differ by ~ulp and an exact near-tie between
+    seeds could flip an assignment and fail the exact gate. This guard
+    makes such a failure DIAGNOSABLE: on the test corpus, every vector's
+    best-vs-second-best seed margin must exceed the worst plausible
+    cross-formula drift by orders of magnitude. If this test fails on new
+    data, a gate mismatch is a TIE, not an engine regression."""
+    import numpy as np
+
+    from tectonic_spark.operators.clustering import K
+    from tectonic_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    C = M[:K]  # seeds are vec_id < K, in vec_id order (both paths)
+    d_blas = -2.0 * (M @ C.T) + (C * C).sum(axis=1)[None, :]
+    d_fold = ((M[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    # same winner under both formulas
+    assert (d_blas.argmin(1) == d_fold.argmin(1)).all()
+    # margin: best vs second-best, BLAS form
+    part = np.partition(d_blas, 1, axis=1)
+    margin = part[:, 1] - part[:, 0]
+    drift = np.abs(d_blas - (d_fold - (M * M).sum(1)[:, None])).max()
+    assert margin.min() > max(1e-6, 1e3 * drift), (margin.min(), drift)
