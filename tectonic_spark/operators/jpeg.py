@@ -225,6 +225,15 @@ def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     return np.clip(_iround(np.stack([y, cb, cr], axis=-1)), 0, 255)
 
 
+def _round_clip_u8(x: np.ndarray) -> np.ndarray:
+    """``clip(round-half-away(x), 0, 255)`` in two passes: under the clip,
+    ``floor(x + 0.5)`` is EXACTLY round-half-away — every x < 0 lands on 0
+    either way (for -0.5 <= x < 0 both round to 0; for x < -0.5 half-away
+    gives <= -1 and floor(x+0.5) gives <= 0, both clipped to 0), and both
+    saturate identically above 255."""
+    return np.clip(np.floor(x + 0.5), 0.0, 255.0)
+
+
 def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     y = ycc[..., 0].astype(np.float64)
     cb = ycc[..., 1].astype(np.float64) - 128.0
@@ -232,7 +241,7 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(_iround(np.stack([r, g, b], axis=-1)), 0, 255)
+    return _round_clip_u8(np.stack([r, g, b], axis=-1))
 
 
 def _pad_edge(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
@@ -414,39 +423,47 @@ def encode_jpeg(
 # --------------------------------------------------------------- decoder
 
 
-_LUT_CACHE: dict[tuple, tuple[list[int], list[int]]] = {}
+_LUT_CACHE: dict[bytes, list[int]] = {}
+_QT_CACHE: dict[bytes, list[tuple[int, np.ndarray]]] = {}
 
 
-def _huff_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
-    """16-bit-lookahead huffman LUT: index = next 16 bits of the stream,
-    value = (symbol, code length); -1 symbol = invalid prefix. Built once
-    per distinct table (content-keyed cache — the Annex K standard tables
-    hit the cache across every image of a corpus)."""
-    key = (tuple(bits), tuple(vals))
-    hit = _LUT_CACHE.get(key)
+def _huff_lut(raw: bytes) -> list[int]:
+    """16-bit-lookahead huffman LUT, ONE packed int per peek:
+    ``(run << 10) | (size << 5) | code_len`` (0 = invalid prefix), where
+    run/size are the symbol's high/low nibbles. One list index replaces
+    the r5 (symbol, length) twin lookups in the per-symbol hot loop, and
+    the packed size/length let the caller pull the magnitude bits out of
+    the SAME 32-bit window it peeked the code from — no second stream
+    fetch for the common case. ``raw`` is the DHT payload (16 BITS bytes
+    + HUFFVAL) verbatim — cached on those bytes directly, so the Annex K
+    standard tables hit the cache across every image of a corpus with
+    zero per-image tuple building."""
+    hit = _LUT_CACHE.get(raw)
     if hit is not None:
         return hit
-    sym = np.full(1 << 16, -1, dtype=np.int16)
-    ln = np.zeros(1 << 16, dtype=np.int8)
+    bits = list(raw[:16])
+    vals = list(raw[16:])
+    lut = np.zeros(1 << 16, dtype=np.int32)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
             base = code << (16 - length)
             span = 1 << (16 - length)
-            sym[base : base + span] = vals[k]
-            ln[base : base + span] = length
+            s = vals[k]
+            lut[base : base + span] = ((s >> 4) << 10) | ((s & 15) << 5) | length
             code += 1
             k += 1
         code <<= 1
-    # plain lists: CPython list indexing beats numpy scalar extraction in
+    # plain list: CPython list indexing beats numpy scalar extraction in
     # the per-symbol hot loop
-    out = (sym.tolist(), ln.tolist())
-    _LUT_CACHE[key] = out
+    out = lut.tolist()
+    _LUT_CACHE[raw] = out
     return out
 
 
 _RST_SPLIT = None  # compiled lazily (re import kept local)
+_SEG_PAD = b"\xff" * 256  # T.81 1-padding; covers one block of overshoot
 
 
 def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
@@ -508,29 +525,39 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         (seg_len,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT — multiple tables per segment
-            b = 0
-            while b < len(body):
-                prec = body[b] >> 4
-                qid = body[b] & 0x0F
-                b += 1
-                if prec == 0:
-                    zz = np.frombuffer(body[b : b + 64], dtype=np.uint8).astype(np.int64)
-                    b += 64
-                else:
-                    zz = np.frombuffer(body[b : b + 128], dtype=">u2").astype(np.int64)
-                    b += 128
-                nat = np.zeros(64, dtype=np.int64)
-                nat[ZIGZAG] = zz
+            # parsed tables are cached on the payload bytes (a corpus
+            # shares its quality settings, so the fancy-index scatter and
+            # array builds run once, not per image). Natural order,
+            # float64: integer-valued, so dequant (int coeff x qt) stays
+            # exact while skipping a per-scan astype.
+            hit = _QT_CACHE.get(body)
+            if hit is None:
+                hit = []
+                b = 0
+                while b < len(body):
+                    prec = body[b] >> 4
+                    qid = body[b] & 0x0F
+                    b += 1
+                    if prec == 0:
+                        zz = np.frombuffer(body[b : b + 64], dtype=np.uint8)
+                        b += 64
+                    else:
+                        zz = np.frombuffer(body[b : b + 128], dtype=">u2")
+                        b += 128
+                    nat = np.zeros(64, dtype=np.float64)
+                    nat[ZIGZAG] = zz
+                    hit.append((qid, nat))
+                _QT_CACHE[bytes(body)] = hit
+            for qid, nat in hit:
                 qts[qid] = nat
         elif marker == 0xC4:  # DHT — multiple tables per segment
             b = 0
             while b < len(body):
                 tc = body[b] >> 4
                 th = body[b] & 0x0F
-                bits = list(body[b + 1 : b + 17])
-                n = sum(bits)
-                vals = list(body[b + 17 : b + 17 + n])
-                huff[(tc, th)] = (bits, vals)
+                n = sum(body[b + 1 : b + 17])
+                # raw payload bytes — the LUT cache key (no list building)
+                huff[(tc, th)] = bytes(body[b + 1 : b + 17 + n])
                 b += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline + ext seq)
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -540,6 +567,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, qt_id = struct.unpack_from("BBB", body, 6 + 3 * i)
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, qt_id))
+            comp_by_id = {c.cid: c for c in comps}
+            h_max_f = max(c.h for c in comps)
+            v_max_f = max(c.v for c in comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); only "
@@ -552,11 +582,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_comps = []
             for i in range(ns):
                 cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in comps if c.cid == cs)
-                scan_comps.append((comp, td_ta >> 4, td_ta & 0x0F))
+                scan_comps.append((comp_by_id[cs], td_ta >> 4, td_ta & 0x0F))
             pos += seg_len
             pos = _decode_scan(
-                data, pos, scan_comps, qts, huff, width, height, restart_interval
+                data,
+                pos,
+                scan_comps,
+                qts,
+                huff,
+                width,
+                height,
+                restart_interval,
+                h_max_f,
+                v_max_f,
             )
             continue
         pos += seg_len
@@ -575,45 +613,76 @@ def _decode_scan(
     width: int,
     height: int,
     restart_interval: int,
+    h_max_f: int,
+    v_max_f: int,
 ) -> int:
-    h_max = max(c.h for c, _, _ in scan)
-    v_max = max(c.v for c, _, _ in scan)
     if len(scan) == 1:
-        # non-interleaved: MCU = one block of the sole component
+        # non-interleaved: MCU = one block of the sole component. The grid
+        # is sized from the FRAME-level sampling maxima (ADVICE r5): a
+        # subsampled component in a multi-SOS baseline stream covers
+        # ceil(dim * c.h / h_max_frame) samples — sizing from the
+        # scan-local maxima made the grid up to 4x too large and EOF'd.
         c = scan[0][0]
-        bw = ((width * c.h + h_max - 1) // h_max + 7) // 8
-        bh = ((height * c.v + v_max - 1) // v_max + 7) // 8
+        bw = ((width * c.h + h_max_f - 1) // h_max_f + 7) // 8
+        bh = ((height * c.v + v_max_f - 1) // v_max_f + 7) // 8
         grids = {c.cid: (bw, bh)}
         mcus_x, mcus_y = bw, bh
     else:
-        mcus_x = (width + 8 * h_max - 1) // (8 * h_max)
-        mcus_y = (height + 8 * v_max - 1) // (8 * v_max)
+        mcus_x = (width + 8 * h_max_f - 1) // (8 * h_max_f)
+        mcus_y = (height + 8 * v_max_f - 1) // (8 * v_max_f)
         grids = {c.cid: (mcus_x * c.h, mcus_y * c.v) for c, _, _ in scan}
-    for c, _, _ in scan:
+    ncomp = len(scan)
+    luts = []
+    for c, td, ta in scan:
         bw_, bh_ = grids[c.cid]
         c.bw, c.bh = bw_, bh_
-        c.zz = np.zeros((bh_ * bw_, 64), dtype=np.int64)
+        luts.append((_huff_lut(huff[(0, td)]), _huff_lut(huff[(1, ta)])))
 
-    lut = {
-        (cls, tid): _huff_lut(*huff[(cls, tid)])
-        for c, td, ta in scan
-        for cls, tid in ((0, td), (1, ta))
-    }
     segments, end = _entropy_segments(data, pos)
     seg_i = 0
     # Inlined bit-cursor state over one unstuffed entropy segment (FF00
-    # collapsed, RST markers split off): 16-bit peeks drive the huffman
-    # LUT — constant work per SYMBOL instead of per bit; locals beat
-    # attribute access in the hot loop. Segments are 1-padded (0xFF),
-    # matching T.81's padding of the final partial byte.
-    # the EOF check runs once per BLOCK; one block can consume at most
-    # 63 * 32 bits past the limit before it fires, so the 1-padding must
-    # cover that worst case
-    _PAD = b"\xff" * 256
-    buf = segments[0] + _PAD
+    # collapsed, RST markers split off). A LARGE segment is expanded ONCE
+    # (vectorized numpy) into a list of 32-bit byte-aligned windows:
+    # window[i] = bytes i..i+3 big-endian, so the 16-bit huffman peek AND
+    # the following magnitude bits usually come from the SAME list index —
+    # one fetch per symbol instead of r5's three byte fetches per peek.
+    # Small segments (the whole-corpus common case for thumbnails — m08
+    # fixtures carry 4-25 B of entropy data) skip the build: its ~17 us
+    # of numpy setup costs more than decoding the handful of symbols, so
+    # they assemble the same 32-bit window from 4 byte fetches inline.
+    # Segments are 1-padded (0xFF), matching T.81's padding of the final
+    # partial byte; the EOF check runs once per BLOCK, and one block can
+    # consume at most ~210 bytes past the limit before it fires, so the
+    # 256-byte pad covers the worst case.
+    def _cursor(seg: bytes) -> tuple[bytes, list[int] | None]:
+        b = seg + _SEG_PAD
+        if len(seg) < 4096:
+            return b, None
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint32)
+        return b, ((arr[:-3] << 24) | (arr[1:-2] << 16) | (arr[2:-1] << 8) | arr[3:]).tolist()
+
+    buf, W = _cursor(segments[0])
     bitpos = 0
     bit_limit = (len(segments[0]) + 2) * 8
-    preds = {c.cid: 0 for c, _, _ in scan}
+    preds = [0] * ncomp
+    idx_lists: list[list[int]] = [[] for _ in range(ncomp)]
+    val_lists: list[list[int]] = [[] for _ in range(ncomp)]
+    zig2nat = ZIGZAG.tolist()  # zigzag index -> natural coefficient index
+    # per-component hot-loop state, hoisted out of the MCU loop
+    comp_info = [
+        (
+            luts[ci][0],
+            luts[ci][1],
+            idx_lists[ci].append,
+            val_lists[ci].append,
+            1 if ncomp == 1 else c.h,
+            1 if ncomp == 1 else c.v,
+            c.bw,
+            c.v,
+            c.h,
+        )
+        for ci, (c, _, _) in enumerate(scan)
+    ]
     mcus_done = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -621,92 +690,137 @@ def _decode_scan(
                 seg_i += 1
                 if seg_i >= len(segments):
                     raise ValueError("missing RST marker in entropy data")
-                buf = segments[seg_i] + _PAD
+                buf, W = _cursor(segments[seg_i])
                 bitpos = 0
                 bit_limit = (len(segments[seg_i]) + 2) * 8
-                preds = {c.cid: 0 for c, _, _ in scan}
-            for c, td, ta in scan:
-                dc_sym, dc_ln = lut[(0, td)]
-                ac_sym, ac_ln = lut[(1, ta)]
-                nh, nv = (1, 1) if len(scan) == 1 else (c.h, c.v)
+                preds = [0] * ncomp
+            for ci, (dc_lut, ac_lut, iapp, vapp, nh, nv, cbw, cv, ch) in enumerate(
+                comp_info
+            ):
+                pred = preds[ci]
                 for vy in range(nv):
                     for hx in range(nh):
-                        zz = [0] * 64
-                        # DC symbol (inline peek16 + LUT)
-                        byte = bitpos >> 3
-                        v = (
-                            (buf[byte] << 16) | (buf[byte + 1] << 8) | buf[byte + 2]
-                        ) >> (8 - (bitpos & 7)) & 0xFFFF
-                        size = dc_sym[v]
-                        if size < 0:
+                        if ncomp == 1:
+                            base = (my * cbw + mx) << 6
+                        else:
+                            base = ((my * cv + vy) * cbw + (mx * ch + hx)) << 6
+                        # DC: one window fetch covers code + magnitude bits
+                        o = bitpos & 7
+                        b = bitpos >> 3
+                        w = (
+                            W[b]
+                            if W is not None
+                            else (buf[b] << 24)
+                            | (buf[b + 1] << 16)
+                            | (buf[b + 2] << 8)
+                            | buf[b + 3]
+                        )
+                        e = dc_lut[(w >> (16 - o)) & 0xFFFF]
+                        if not e:
                             raise ValueError("invalid huffman code")
-                        bitpos += dc_ln[v]
-                        if size:
-                            byte = bitpos >> 3
-                            diff = (
-                                (buf[byte] << 16)
-                                | (buf[byte + 1] << 8)
-                                | buf[byte + 2]
-                            ) >> (8 - (bitpos & 7)) & 0xFFFF
-                            diff >>= 16 - size
-                            bitpos += size
-                            if diff < 1 << (size - 1):
-                                diff -= (1 << size) - 1
-                            preds[c.cid] += diff
-                        zz[0] = preds[c.cid]
+                        sz = (e >> 5) & 31
+                        ln = e & 31
+                        if sz:
+                            t = o + ln + sz
+                            if t <= 32:
+                                diff = (w >> (32 - t)) & ((1 << sz) - 1)
+                            else:  # magnitude spills past the window (rare)
+                                bp2 = bitpos + ln
+                                b2 = bp2 >> 3
+                                w2 = (
+                                    W[b2]
+                                    if W is not None
+                                    else (buf[b2] << 24)
+                                    | (buf[b2 + 1] << 16)
+                                    | (buf[b2 + 2] << 8)
+                                    | buf[b2 + 3]
+                                )
+                                diff = (w2 >> (32 - (bp2 & 7) - sz)) & ((1 << sz) - 1)
+                            if diff < 1 << (sz - 1):
+                                diff -= (1 << sz) - 1
+                            pred += diff
+                        bitpos += ln + sz
+                        iapp(base)
+                        vapp(pred)
                         k = 1
                         while k < 64:
-                            byte = bitpos >> 3
-                            v = (
-                                (buf[byte] << 16)
-                                | (buf[byte + 1] << 8)
-                                | buf[byte + 2]
-                            ) >> (8 - (bitpos & 7)) & 0xFFFF
-                            rs = ac_sym[v]
-                            if rs < 0:
+                            o = bitpos & 7
+                            b = bitpos >> 3
+                            w = (
+                                W[b]
+                                if W is not None
+                                else (buf[b] << 24)
+                                | (buf[b + 1] << 16)
+                                | (buf[b + 2] << 8)
+                                | buf[b + 3]
+                            )
+                            e = ac_lut[(w >> (16 - o)) & 0xFFFF]
+                            if not e:
                                 raise ValueError("invalid huffman code")
-                            bitpos += ac_ln[v]
-                            sz = rs & 0x0F
+                            ln = e & 31
+                            sz = (e >> 5) & 31
                             if sz == 0:
-                                if rs == 0xF0:
-                                    k += 16  # ZRL
+                                bitpos += ln
+                                if e >> 10:  # ZRL (run 15, size 0)
+                                    k += 16
                                     continue
                                 break  # EOB
-                            k += rs >> 4
+                            k += e >> 10
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            byte = bitpos >> 3
-                            val = (
-                                (buf[byte] << 16)
-                                | (buf[byte + 1] << 8)
-                                | buf[byte + 2]
-                            ) >> (8 - (bitpos & 7)) & 0xFFFF
-                            val >>= 16 - sz
-                            bitpos += sz
+                            t = o + ln + sz
+                            if t <= 32:
+                                val = (w >> (32 - t)) & ((1 << sz) - 1)
+                            else:
+                                bp2 = bitpos + ln
+                                b2 = bp2 >> 3
+                                w2 = (
+                                    W[b2]
+                                    if W is not None
+                                    else (buf[b2] << 24)
+                                    | (buf[b2 + 1] << 16)
+                                    | (buf[b2 + 2] << 8)
+                                    | buf[b2 + 3]
+                                )
+                                val = (w2 >> (32 - (bp2 & 7) - sz)) & ((1 << sz) - 1)
+                            bitpos += ln + sz
                             if val < 1 << (sz - 1):
                                 val -= (1 << sz) - 1
-                            zz[k] = val
+                            # append at the NATURAL coefficient position —
+                            # the zigzag un-permutation rides the scatter
+                            iapp(base + zig2nat[k])
+                            vapp(val)
                             k += 1
                         if bitpos > bit_limit:
                             raise EOFError("entropy data exhausted")
-                        if len(scan) == 1:
-                            bi = my * c.bw + mx
-                        else:
-                            bi = (my * c.v + vy) * c.bw + (mx * c.h + hx)
-                        c.zz[bi] = zz
+                preds[ci] = pred
             mcus_done += 1
-    # ONE vectorized dequant + IDCT pass per component (the per-block
-    # numpy-call overhead dominated the tiny-image decode rate)
+    # sparse scatter: coefficients were appended as (flat NATURAL-order
+    # index, value) instead of allocating a 64-slot list per block — most
+    # blocks carry only a few nonzero coefficients, and the zigzag
+    # un-permutation already happened at append time. Dequant is exact:
+    # integer coefficient x integer-valued float64 qt (products bounded by
+    # 2047*255 << 2^53). All components ride ONE IDCT matmul chain (the
+    # per-component numpy-call overhead dominated tiny-image decode).
+    mats = []
+    for ci, (c, _, _) in enumerate(scan):
+        flat = np.zeros(c.bh * c.bw * 64, dtype=np.float64)
+        if idx_lists[ci]:
+            flat[idx_lists[ci]] = val_lists[ci]
+        c.zz = flat.reshape(-1, 64)
+        mats.append(c.zz * qts[c.qt_id][None, :])
+    allm = mats[0] if ncomp == 1 else np.concatenate(mats)
+    px = _round_clip_u8(_AT @ allm.reshape(-1, 8, 8) @ _A + 128.0)
+    off = 0
     for c, _, _ in scan:
-        nat = np.zeros_like(c.zz)
-        nat[:, ZIGZAG] = c.zz
-        deq = (nat * qts[c.qt_id][None, :]).astype(np.float64).reshape(-1, 8, 8)
-        px = np.clip(_iround(_AT @ deq @ _A + 128.0), 0, 255)
+        nb = c.bh * c.bw
         c.blocks = (
-            px.reshape(c.bh, c.bw, 8, 8)
+            px[off : off + nb]
+            .reshape(c.bh, c.bw, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(c.bh * 8, c.bw * 8)
         )
+        off += nb
     return end
 
 
@@ -717,9 +831,25 @@ def _assemble(comps: list[_Component], width: int, height: int) -> np.ndarray:
     for c in comps:
         p = c.blocks
         if c.h != h_max or c.v != v_max:
+            if h_max % c.h or v_max % c.v:
+                # legal but exotic combos (e.g. h=3 under h_max=2) need
+                # fractional upsampling; np.repeat's floor division would
+                # silently misalign the plane (ADVICE r5)
+                raise NotImplementedError(
+                    f"fractional chroma sampling ({c.h}x{c.v} under "
+                    f"{h_max}x{v_max} maxima) is not supported"
+                )
             p = np.repeat(np.repeat(p, v_max // c.v, axis=0), h_max // c.h, axis=1)
         planes.append(p[:height, :width])
     if len(planes) == 1:
         return planes[0].astype(np.uint8)
-    ycc = np.stack(planes, axis=-1)
-    return ycbcr_to_rgb(ycc).astype(np.uint8)
+    # inline JFIF color transform on the float64 planes (the stack ->
+    # slice -> astype round-trip of ycbcr_to_rgb cost three full-frame
+    # copies; identical arithmetic order, so bit-identical output)
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return _round_clip_u8(np.stack([r, g, b], axis=-1)).astype(np.uint8)
