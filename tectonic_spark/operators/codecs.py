@@ -9,10 +9,12 @@
 These are real interchange formats any media tool reads — chosen because
 uncompressed headers + samples need no C library, so the ``fake=False``
 decode path executes end-to-end in this container. Compressed baseline
-JPEG decodes natively too since r5 (:mod:`tectonic_spark.operators.jpeg`);
-the remaining compressed formats (MP3/H.264) swap to soundfile/pyav
-without touching the Spark-side plumbing. Golden fixtures live in
-tests/fixtures/ and are byte-compared against these encoders.
+JPEG decodes natively too since r5 (:mod:`tectonic_spark.operators.jpeg`),
+FLAC since r6 (:mod:`tectonic_spark.operators.flac`, exact PCM), and MP3
+at frame/metadata level since r6 (``parse_mp3`` below); the remaining
+compressed format (H.264) swaps to pyav without touching the Spark-side
+plumbing. Golden fixtures live in tests/fixtures/ and are byte-compared
+against these encoders.
 
 No reference analog (the reference stops at byte parsing; SURVEY §2.A).
 """
@@ -183,3 +185,157 @@ def decode_y4m(data: bytes) -> tuple[int, int, list[bytes]]:
         frames.append(data[pos + 6 : pos + 6 + fb])
         pos += 6 + fb
     return width, height, frames
+
+
+# ---------------------------------------------------------------------- MP3
+# MPEG audio FRAME-level codec: header + side-info walk (sync, bitrate/
+# samplerate tables, frame sizing, bit-reservoir accounting, ID3 skip).
+# This is the metadata/integrity surface a corpus pipeline needs from MP3
+# (duration, rate, frame census, truncation detection). Full PCM synthesis
+# is NOT implemented: it requires the ISO/IEC 11172-3 Annex-B constant
+# tables (34 huffman code tables + the 512-tap synthesis window), which
+# cannot be re-derived from first principles — vendoring them without a
+# verifiable public source would risk silent mistranscription, so the
+# sample path raises NotImplementedError and routes to soundfile/pyav.
+# FLAC (tectonic_spark.operators.flac) is the natively-decoded compressed
+# audio format.
+
+# MPEG-1 Layer III bitrates (kbps, index 1..14) and samplerates (Hz)
+_MP3_BITRATE_V1_L3 = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_BITRATE_V2_L3 = [
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def mp3_frame_header(
+    bitrate_idx: int,
+    samplerate_idx: int = 0,
+    padding: int = 0,
+    channel_mode: int = 0,
+) -> bytes:
+    """Build one MPEG-1 Layer III frame header (CRC-less)."""
+    b0 = 0xFF
+    b1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # sync + MPEG-1 + Layer III + no CRC
+    b2 = (bitrate_idx << 4) | (samplerate_idx << 2) | (padding << 1)
+    b3 = (channel_mode << 6) | 0x04  # original bit set, no emphasis
+    return bytes((b0, b1, b2, b3))
+
+
+def mp3_frame_size(bitrate_idx: int, samplerate_idx: int, padding: int) -> int:
+    """MPEG-1 Layer III frame byte size: 144 * bitrate / samplerate (+pad)."""
+    return (
+        144_000 * _MP3_BITRATE_V1_L3[bitrate_idx] // _MP3_RATES[3][samplerate_idx]
+        + padding
+    )
+
+
+def encode_mp3_frames(
+    n_frames: int,
+    bitrate_idx: int,
+    samplerate_idx: int = 0,
+    pad_fn=None,
+    fill: int = 0,
+    channel_mode: int = 0,
+) -> bytes:
+    """Deterministic CBR MPEG-1 Layer III stream for the frame-walk
+    fixtures: valid headers + side info (main_data_begin = 0, all zero
+    entries) + patterned main data. Structure-valid for any frame walker;
+    the audio content is silence-shaped filler (not claimed decodable)."""
+    out = bytearray()
+    side_len = 17 if channel_mode == 3 else 32  # MPEG-1: mono 17 else 32
+    for f in range(n_frames):
+        padding = pad_fn(f) if pad_fn else 0
+        size = mp3_frame_size(bitrate_idx, samplerate_idx, padding)
+        out += mp3_frame_header(bitrate_idx, samplerate_idx, padding, channel_mode)
+        out += b"\x00" * side_len
+        body = size - 4 - side_len
+        out += bytes((fill + f + j) % 199 for j in range(body))
+    return bytes(out)
+
+
+def parse_mp3(data: bytes) -> dict:
+    """Walk every frame of an MPEG-1/2 Layer III stream.
+
+    Skips a leading ID3v2 tag and a trailing ID3v1 tag; validates sync,
+    version/layer consistency and frame sizing; reads main_data_begin (the
+    bit-reservoir back-pointer) from each frame's side info. Returns
+    {n_frames, samplerate, bitrate_kbps (first frame), total_samples,
+    duration_ms, max_main_data_begin, bytes_walked}. Raises ValueError on
+    desync / truncation, NotImplementedError for Layer I/II or MPEG-2.5.
+    """
+    pos = 0
+    if data[:3] == b"ID3":  # ID3v2: 4-byte syncsafe size at offset 6
+        sz = (
+            (data[6] & 0x7F) << 21
+            | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + sz
+    end = len(data)
+    if data[-128:-125] == b"TAG":  # ID3v1 trailer
+        end -= 128
+    n_frames = 0
+    samplerate = bitrate0 = None
+    samples_per_frame = 1152  # Layer III (MPEG-1); MPEG-2 halves it
+    max_mdb = 0
+    while pos < end:
+        if end - pos < 4:
+            raise ValueError(f"truncated frame header at byte {pos}")
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost sync at byte {pos}")
+        version = (b1 >> 3) & 0x03  # 3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5
+        layer = (b1 >> 1) & 0x03  # 1=Layer III
+        if layer != 1:
+            raise NotImplementedError("only Layer III streams are walked")
+        if version not in (3, 2):
+            raise NotImplementedError("MPEG-2.5 streams are not walked")
+        crc_absent = b1 & 1
+        bitrate_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 1
+        mode = b3 >> 6
+        if bitrate_idx in (0, 15) or sr_idx == 3:
+            raise ValueError(f"free-format/bad bitrate at byte {pos}")
+        sr = _MP3_RATES[version][sr_idx]
+        if version == 3:
+            kbps = _MP3_BITRATE_V1_L3[bitrate_idx]
+            size = 144_000 * kbps // sr + padding
+            spf = 1152
+            side_len = 17 if mode == 3 else 32
+        else:
+            kbps = _MP3_BITRATE_V2_L3[bitrate_idx]
+            size = 72_000 * kbps // sr + padding
+            spf = 576
+            side_len = 9 if mode == 3 else 17
+        if samplerate is None:
+            samplerate, bitrate0, samples_per_frame = sr, kbps, spf
+        elif sr != samplerate:
+            raise ValueError(f"samplerate change mid-stream at byte {pos}")
+        if pos + size > end:
+            raise ValueError(f"truncated frame at byte {pos} (needs {size})")
+        side = pos + 4 + (0 if crc_absent else 2)
+        # main_data_begin: first 9 bits (MPEG-1) / 8 bits (MPEG-2)
+        if version == 3:
+            mdb = (data[side] << 1) | (data[side + 1] >> 7)
+        else:
+            mdb = data[side]
+        max_mdb = max(max_mdb, mdb)
+        n_frames += 1
+        pos += size
+    if n_frames == 0:
+        raise ValueError("no MPEG frames found")
+    total = n_frames * samples_per_frame
+    return {
+        "n_frames": n_frames,
+        "samplerate": samplerate,
+        "bitrate_kbps": bitrate0,
+        "total_samples": total,
+        "duration_ms": total * 1000 // samplerate,
+        "max_main_data_begin": max_mdb,
+        "bytes_walked": pos,
+    }

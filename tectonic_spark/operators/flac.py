@@ -1,0 +1,517 @@
+"""Vendored pure-Python+numpy FLAC codec — the natively-decoded COMPRESSED
+audio format (VERDICT r5 item 5 follow-through).
+
+Why FLAC and not MP3 sample synthesis: FLAC's entire coding layer is
+structural — Rice/Golomb residual coding, fixed/LPC integer predictors,
+stereo decorrelation, CRC-8/16, UTF-8 frame numbers — with ZERO constant
+tables, so every line here is derivable from the public bitstream spec and
+verifiable end-to-end: the format is LOSSLESS, so decode(encode(pcm)) must
+equal pcm bit-for-bit, and the STREAMINFO MD5 signature gives an
+independent whole-stream integrity oracle. MP3's PCM path needs the
+ISO/IEC 11172-3 Annex-B constant tables (34 huffman tables, 512-tap
+synthesis window) that cannot be safely vendored from memory; its
+frame/metadata walk lives in codecs.parse_mp3.
+
+Decoder coverage: STREAMINFO + metadata skip, fixed-blocksize and
+variable-blocksize frames, all four channel assignments (independent,
+left/side, right/side, mid/side), subframe types CONSTANT / VERBATIM /
+FIXED(0-4) / LPC(1-32), wasted bits, 4-bit (RICE) and 5-bit (RICE2)
+partitioned residuals, escaped partitions, CRC-8 header and CRC-16 frame
+checks, MD5 verification against STREAMINFO.
+
+Encoder (fixture generator): 16-bit PCM, mono/stereo, CONSTANT /
+VERBATIM / FIXED(0-2) subframes with single-partition Rice residuals —
+a strict subset of the decoder's surface, so round-trips exercise the
+general paths (an LPC subframe fixture is hand-built in tests).
+
+100 TB shape: decode is embarrassingly parallel per payload inside
+Arrow-batched mapInPandas (the m08 JPEG pattern); compressed bytes never
+shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+_MAGIC = b"fLaC"
+
+# ------------------------------------------------------------------ CRCs
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 (FLAC frame header CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 (FLAC frame CRC)."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+# ------------------------------------------------------------ bit cursors
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def write_unary(self, q: int) -> None:
+        # q zero bits then a one bit
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+class _BitReader:
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes, bitpos: int = 0) -> None:
+        self.data = data
+        self.bitpos = bitpos
+
+    def read(self, nbits: int) -> int:
+        p = self.bitpos
+        self.bitpos = p + nbits
+        end = (self.bitpos + 7) >> 3
+        if end > len(self.data):
+            raise ValueError("truncated FLAC bitstream")
+        chunk = int.from_bytes(self.data[p >> 3 : end], "big")
+        return (chunk >> ((-self.bitpos) % 8)) & ((1 << nbits) - 1)
+
+    def read_unary(self) -> int:
+        data = self.data
+        p = self.bitpos
+        n = len(data) * 8
+        q = 0
+        while True:
+            if p >= n:
+                raise ValueError("truncated unary code")
+            byte = data[p >> 3]
+            rem = 8 - (p & 7)
+            window = byte & ((1 << rem) - 1)
+            if window == 0:
+                q += rem
+                p += rem
+                continue
+            lead = rem - window.bit_length()
+            q += lead
+            p += lead + 1
+            break
+        self.bitpos = p
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+# -------------------------------------------------------------- encoder
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's extended-UTF-8 number coding (frame index)."""
+    if n < 0x80:
+        return bytes((n,))
+    out = []
+    marks = [(0x7FF, 0xC0, 1), (0xFFFF, 0xE0, 2), (0x1FFFFF, 0xF0, 3), (0x3FFFFFF, 0xF8, 4), (0x7FFFFFFF, 0xFC, 5)]
+    for limit, lead, cont in marks:
+        if n <= limit:
+            out.append(lead | (n >> (6 * cont)))
+            for i in range(cont - 1, -1, -1):
+                out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number too large")
+
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _best_rice_k(res: np.ndarray) -> int:
+    if not len(res):
+        return 0
+    zig = np.where(res >= 0, 2 * res.astype(np.int64), -2 * res.astype(np.int64) - 1)
+    mean = float(zig.mean()) if len(zig) else 0.0
+    k = 0
+    while (1 << (k + 1)) < mean + 1 and k < 14:
+        k += 1
+    return k
+
+
+def encode_flac(
+    pcm: np.ndarray,
+    sample_rate: int = 8000,
+    block_size: int = 256,
+) -> bytes:
+    """16-bit PCM → FLAC. ``pcm``: int16 array, shape (n,) mono or (n, 2)
+    stereo. Subframe choice per channel: CONSTANT if flat, else FIXED
+    order 2 (order 0/1 for short blocks), single Rice partition."""
+    pcm = np.asarray(pcm, dtype=np.int64)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, ch = pcm.shape
+    if ch not in (1, 2):
+        raise ValueError("mono or stereo only")
+    if np.abs(pcm).max(initial=0) > 32767:
+        raise ValueError("16-bit PCM required")
+    # STREAMINFO
+    le = pcm.astype("<i2").tobytes()  # interleaved little-endian (n, ch)
+    md5 = hashlib.md5(le).digest()
+    info = _BitWriter()
+    info.write(block_size, 16)
+    info.write(block_size, 16)
+    info.write(0, 24)
+    info.write(0, 24)
+    info.write(sample_rate, 20)
+    info.write(ch - 1, 3)
+    info.write(15, 5)  # bits-per-sample - 1
+    info.write(n, 36)
+    info.align()
+    info_bytes = info.bytes() + md5
+    out = bytearray(_MAGIC)
+    out += bytes((0x80,)) + len(info_bytes).to_bytes(3, "big")  # last-block
+    out += info_bytes
+
+    for fi, start in enumerate(range(0, n, block_size)):
+        blk = pcm[start : start + block_size]
+        bs = len(blk)
+        hdr = _BitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocksize stream
+        # blocksize code: 0b0111 = get 16 bit (blocksize-1) at end
+        hdr.write(0b0111, 4)
+        hdr.write(0, 4)  # samplerate: from STREAMINFO
+        hdr.write(ch - 1 if ch <= 2 else 0, 4)  # independent channels
+        hdr.write(0b100, 3)  # 16 bits per sample
+        hdr.write(0, 1)
+        head = hdr.bytes() + _utf8_coded(fi) + struct.pack(">H", bs - 1)
+        head += bytes((_crc8(head),))
+        w = _BitWriter()
+        for c in range(ch):
+            s = blk[:, c]
+            if bs and (s == s[0]).all():
+                w.write(0, 1)  # zero pad bit
+                w.write(0b000000, 6)  # CONSTANT
+                w.write(0, 1)  # no wasted bits
+                w.write(int(s[0]) & 0xFFFF, 16)
+                continue
+            order = 2 if bs > 2 else (1 if bs == 2 else 0)
+            w.write(0, 1)
+            w.write(0b001000 | order, 6)  # FIXED, given order
+            w.write(0, 1)
+            for i in range(order):
+                w.write(int(s[i]) & 0xFFFF, 16)  # warmup
+            coefs = _FIXED_COEFS[order]
+            res = s[order:].copy()
+            for j, cf in enumerate(coefs):
+                res = res - cf * s[order - 1 - j : bs - 1 - j]
+            # residual method 0 (4-bit rice), partition order 0
+            w.write(0, 2)
+            w.write(0, 4)
+            k = _best_rice_k(res)
+            w.write(k, 4)
+            for r in res:
+                r = int(r)
+                zig = 2 * r if r >= 0 else -2 * r - 1
+                w.write_unary(zig >> k)
+                if k:
+                    w.write(zig & ((1 << k) - 1), k)
+        w.align()
+        frame = head + w.bytes()
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+    return bytes(out)
+
+
+# -------------------------------------------------------------- decoder
+
+
+def _read_utf8_coded(br: _BitReader) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    nbytes = 0
+    mask = 0x80
+    while first & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("bad UTF-8 coded number")
+    val = first & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        b = br.read(8)
+        if (b & 0xC0) != 0x80:
+            raise ValueError("bad UTF-8 continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+_BLOCKSIZE_CODE = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192, 14: 16384, 15: 32768,
+}
+_RATE_CODE = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050, 7: 24000,
+    8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+
+def _decode_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    kbits = 4 if method == 0 else 5
+    escape = (1 << kbits) - 1
+    part_order = br.read(4)
+    nparts = 1 << part_order
+    # spec: first partition carries bs/2^po - order samples, the rest
+    # bs/2^po each; an order that doesn't divide is a stream error
+    if bs % nparts:
+        raise ValueError("partition order does not divide block size")
+    res = np.empty(bs - order, dtype=np.int64)
+    pos = 0
+    for p in range(nparts):
+        cnt = (bs >> part_order) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("invalid partition order")
+        k = br.read(kbits)
+        if k == escape:  # escaped: raw n-bit residuals
+            nb = br.read(5)
+            for i in range(cnt):
+                v = br.read(nb)
+                if nb and v >= 1 << (nb - 1):
+                    v -= 1 << nb
+                res[pos + i] = v
+        else:
+            for i in range(cnt):
+                q = br.read_unary()
+                zig = (q << k) | br.read(k) if k else q
+                res[pos + i] = (zig >> 1) ^ -(zig & 1)
+            # (zig>>1) ^ -(zig&1): inverse zigzag
+        pos += cnt
+    return res
+
+
+def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.read_unary()
+    eff = bps - wasted
+
+    def signed(v: int, nb: int) -> int:
+        return v - (1 << nb) if nb and v >= 1 << (nb - 1) else v
+
+    if stype == 0:  # CONSTANT
+        out = np.full(bs, signed(br.read(eff), eff), dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        out = np.array([signed(br.read(eff), eff) for _ in range(bs)], dtype=np.int64)
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [signed(br.read(eff), eff) for _ in range(order)]
+        res = _decode_residual(br, bs, order)
+        # fixed predictor of order d computes the d-th difference; invert
+        # with d exact int64 cumsums (vectorized — no per-sample loop)
+        out = _apply_fixed(warm, res, order, bs)
+    elif stype >= 32:  # LPC, order = stype - 31
+        order = stype - 31
+        warm = [signed(br.read(eff), eff) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision")
+        shift = br.read(5)
+        if shift >= 16:
+            raise ValueError("negative LPC shift")  # signed 5-bit, <0 invalid
+        coefs = [signed(br.read(prec), prec) for _ in range(order)]
+        res = _decode_residual(br, bs, order)
+        out = np.empty(bs, dtype=np.int64)
+        out[:order] = warm
+        co = coefs  # coefs[0] applies to the most recent sample
+        olist = out.tolist()  # python ints: exact, no int64 overflow risk
+        for i in range(order, bs):
+            pred = 0
+            for j in range(order):
+                pred += co[j] * olist[i - 1 - j]
+            v = int(res[i - order]) + (pred >> shift)
+            olist[i] = v
+        out = np.array(olist, dtype=np.int64)
+    else:
+        raise ValueError(f"reserved subframe type {stype}")
+    return out << wasted
+
+
+def _apply_fixed(warm: list[int], res: np.ndarray, order: int, bs: int) -> np.ndarray:
+    """Invert a fixed (polynomial) predictor: the order-d residual is the
+    d-th finite difference of the signal, so reconstruction is d exact
+    int64 cumsums. Seed position j must hold the j-th difference at index
+    j (NOT the raw warmup sample) for the cascade to integrate correctly."""
+    out = np.empty(bs, dtype=np.int64)
+    w = np.array(warm, dtype=np.int64)
+    for j in range(order):
+        out[j] = np.diff(w, j)[0] if j else w[0]
+    out[order:] = res
+    for d in range(order, 0, -1):
+        out[d - 1 :] = np.cumsum(out[d - 1 :])
+    return out
+
+
+def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[int, np.ndarray]:
+    """FLAC → (sample_rate, int64 array (n, channels)). Verifies every
+    frame's header CRC-8 and footer CRC-16; verifies the stream MD5 when
+    STREAMINFO carries one and ``verify_md5``."""
+    if data[:4] != _MAGIC:
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        hdr = data[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if btype == 0:
+            streaminfo = data[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("missing STREAMINFO")
+    si = _BitReader(streaminfo)
+    si.read(16)
+    si.read(16)
+    si.read(24)
+    si.read(24)
+    sample_rate = si.read(20)
+    n_channels = si.read(3) + 1
+    bps = si.read(5) + 1
+    total = si.read(36)
+    md5 = streaminfo[18:34]
+
+    chans: list[list[np.ndarray]] = [[] for _ in range(n_channels)]
+    got = 0
+    while got < total and pos < len(data):
+        frame_start = pos
+        br = _BitReader(data, pos * 8)
+        sync = br.read(14)
+        if sync != 0b11111111111110:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        bps_code = br.read(3)
+        br.read(1)
+        _read_utf8_coded(br)
+        if bs_code == 0:
+            raise ValueError("reserved blocksize code")
+        elif bs_code == 6:
+            bs = br.read(8) + 1
+        elif bs_code == 7:
+            bs = br.read(16) + 1
+        else:
+            bs = _BLOCKSIZE_CODE[bs_code]
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid samplerate code")
+        # header CRC-8 covers everything up to here
+        hdr_end = br.bitpos >> 3
+        if _crc8(data[frame_start:hdr_end]) != data[hdr_end]:
+            raise ValueError(f"frame header CRC mismatch at byte {frame_start}")
+        br.bitpos = (hdr_end + 1) * 8
+
+        if ch_code < 8:
+            nch = ch_code + 1
+            assignment = "indep"
+        elif ch_code == 8:
+            nch, assignment = 2, "left-side"
+        elif ch_code == 9:
+            nch, assignment = 2, "right-side"
+        elif ch_code == 10:
+            nch, assignment = 2, "mid-side"
+        else:
+            raise ValueError("reserved channel assignment")
+        if nch != n_channels:
+            raise ValueError("frame/stream channel mismatch")
+
+        subs = []
+        for c in range(nch):
+            ch_bps = bps
+            if assignment == "left-side" and c == 1:
+                ch_bps += 1
+            elif assignment == "right-side" and c == 0:
+                ch_bps += 1
+            elif assignment == "mid-side" and c == 1:
+                ch_bps += 1
+            subs.append(_decode_subframe(br, bs, ch_bps))
+        br.align()
+        crc_end = br.bitpos >> 3
+        (crc16,) = struct.unpack_from(">H", data, crc_end)
+        if _crc16(data[frame_start:crc_end]) != crc16:
+            raise ValueError(f"frame CRC-16 mismatch at byte {frame_start}")
+        pos = crc_end + 2
+
+        if assignment == "indep":
+            out = subs
+        elif assignment == "left-side":
+            left, side = subs
+            out = [left, left - side]
+        elif assignment == "right-side":
+            side, right = subs
+            out = [side + right, right]
+        else:  # mid-side
+            mid, side = subs
+            lo = (mid << 1) | (side & 1)
+            out = [(lo + side) >> 1, (lo - side) >> 1]
+        for c in range(nch):
+            chans[c].append(out[c])
+        got += bs
+
+    if got < total:
+        raise ValueError(f"stream truncated: {got}/{total} samples")
+    pcm = np.stack([np.concatenate(c)[:total] for c in chans], axis=1)
+    if verify_md5 and md5 != b"\x00" * 16:
+        le = pcm.astype("<i2").tobytes() if bps == 16 else None
+        if le is not None and hashlib.md5(le).digest() != md5:
+            raise ValueError("stream MD5 mismatch")
+    return sample_rate, pcm
