@@ -492,7 +492,9 @@ def _extend(v: int, size: int) -> int:
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "qt_id", "dc_id", "ac_id", "blocks", "bw", "bh", "zz")
+    __slots__ = (
+        "cid", "h", "v", "qt_id", "dc_id", "ac_id", "blocks", "bw", "bh", "zz", "coef",
+    )
 
     def __init__(self, cid: int, h: int, v: int, qt_id: int) -> None:
         self.cid, self.h, self.v, self.qt_id = cid, h, v, qt_id
@@ -500,16 +502,20 @@ class _Component:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """→ u8 array, (h, w, 3) RGB for color / (h, w) for grayscale.
-    Baseline sequential only; SOF2/arithmetic/12-bit raise."""
+    Baseline sequential AND progressive (SOF2, spectral selection +
+    successive approximation) decode natively; arithmetic/12-bit/
+    lossless/hierarchical raise."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
     qts: dict[int, np.ndarray] = {}
-    # (class 0=DC/1=AC, id) -> raw (BITS, HUFFVAL); LUTs built per scan
-    huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+    # (class 0=DC/1=AC, id) -> raw DHT payload bytes; LUTs built per scan
+    huff: dict[tuple[int, int], bytes] = {}
     comps: list[_Component] = []
     height = width = 0
     restart_interval = 0
+    progressive = False
+    mcus_x = mcus_y = 0
     scan_comps: list[tuple[_Component, int, int]] = []
 
     while pos < len(data):
@@ -559,7 +565,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 # raw payload bytes — the LUT cache key (no list building)
                 huff[(tc, th)] = bytes(body[b + 1 : b + 17 + n])
                 b += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline + ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision JPEG")
@@ -570,10 +577,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comp_by_id = {c.cid: c for c in comps}
             h_max_f = max(c.h for c in comps)
             v_max_f = max(c.v for c in comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if progressive:
+                # coefficients accumulate ACROSS scans on the full
+                # interleaved grid, zigzag order
+                mcus_x = (width + 8 * h_max_f - 1) // (8 * h_max_f)
+                mcus_y = (height + 8 * v_max_f - 1) // (8 * v_max_f)
+                for c in comps:
+                    c.bw = mcus_x * c.h
+                    c.bh = mcus_y * c.v
+                    c.coef = np.zeros((c.bh * c.bw, 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); only "
-                "baseline sequential DCT is decoded natively"
+                f"unsupported JPEG coding (SOF marker 0xFF{marker:02X}); "
+                "baseline sequential and progressive DCT decode natively"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -583,24 +599,57 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, td_ta = body[1 + 2 * i], body[2 + 2 * i]
                 scan_comps.append((comp_by_id[cs], td_ta >> 4, td_ta & 0x0F))
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             pos += seg_len
-            pos = _decode_scan(
-                data,
-                pos,
-                scan_comps,
-                qts,
-                huff,
-                width,
-                height,
-                restart_interval,
-                h_max_f,
-                v_max_f,
-            )
+            if progressive:
+                pos = _decode_scan_progressive(
+                    data,
+                    pos,
+                    scan_comps,
+                    huff,
+                    restart_interval,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0x0F,
+                    mcus_x,
+                    mcus_y,
+                    h_max_f,
+                    v_max_f,
+                    width,
+                    height,
+                )
+            else:
+                pos = _decode_scan(
+                    data,
+                    pos,
+                    scan_comps,
+                    qts,
+                    huff,
+                    width,
+                    height,
+                    restart_interval,
+                    h_max_f,
+                    v_max_f,
+                )
             continue
         pos += seg_len
 
     if not comps or not scan_comps:
         raise ValueError("truncated JPEG: no frame/scan decoded")
+    if progressive:
+        # one dequant + IDCT per component from the accumulated zigzag
+        # coefficients (same math as the baseline tail)
+        for c in comps:
+            nat = np.zeros_like(c.coef)
+            nat[:, ZIGZAG] = c.coef
+            deq = (nat * qts[c.qt_id][None, :]).reshape(-1, 8, 8)
+            px = _round_clip_u8(_AT @ deq @ _A + 128.0)
+            c.blocks = (
+                px.reshape(c.bh, c.bw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(c.bh * 8, c.bw * 8)
+            )
     return _assemble(comps, width, height)
 
 
@@ -853,3 +902,379 @@ def _assemble(comps: list[_Component], width: int, height: int) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return _round_clip_u8(np.stack([r, g, b], axis=-1)).astype(np.uint8)
+
+
+# ------------------------------------------------------- progressive JPEG
+
+
+def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Quantized ZIGZAG-order coefficients for every 8x8 block of a
+    block-aligned plane, row-major: (n_blocks, 64) int64."""
+    q = qt.reshape(8, 8).astype(np.float64)
+    h, w = plane.shape
+    blocks = (
+        plane.astype(np.float64).reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+        - 128.0
+    )
+    coef = _iround((_A @ blocks @ _AT) / q).astype(np.int64)
+    return coef.reshape(-1, 64)[:, ZIGZAG]
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quality: int = 50,
+    subsampling: str = "444",
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive (SOF2) JFIF encode, SPECTRAL-SELECTION mode: one
+    interleaved DC scan, then per-component AC band scans (Ah=Al=0).
+    Uses the Annex-K standard huffman tables, so per-block EOB0 only —
+    EOB-run symbols need custom tables and are exercised decoder-side by
+    hand-built streams in tests. Quantized coefficients are identical to
+    :func:`encode_jpeg` at equal settings, so a correct progressive
+    decoder must reproduce the baseline decode EXACTLY."""
+    pixels = np.asarray(pixels)
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l = quality_scaled(STD_QT_LUMA, quality)
+    qt_c = quality_scaled(STD_QT_CHROMA, quality)
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samp = [(1, 1)]
+        qt_ids = [0]
+    else:
+        ycc = rgb_to_ycbcr(pixels)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsampling == "420":
+            ye = _pad_edge(y, (h + 1) // 2 * 2, (w + 1) // 2 * 2)
+            cbe = _pad_edge(cb, ye.shape[0], ye.shape[1])
+            cre = _pad_edge(cr, ye.shape[0], ye.shape[1])
+
+            def down(p: np.ndarray) -> np.ndarray:
+                s = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2)
+                return _iround(s.mean(axis=(1, 3)))
+
+            planes = [y, down(cbe), down(cre)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError("subsampling must be '444' or '420'")
+        qt_ids = [0, 1, 1]
+    ncomp = len(planes)
+    h_max = max(s[0] for s in samp)
+    v_max = max(s[1] for s in samp)
+    mcus_x = (w + 8 * h_max - 1) // (8 * h_max)
+    mcus_y = (h + 8 * v_max - 1) // (8 * v_max)
+    padded = [
+        _pad_edge(p, mcus_y * 8 * sv, mcus_x * 8 * sh)
+        for p, (sh, sv) in zip(planes, samp)
+    ]
+    qts = [qt_l] + [qt_c] * (ncomp - 1)
+    # full-grid zigzag coefficients per component (row-major blocks)
+    coefs = [_quantize_plane(p, qts[i]) for i, p in enumerate(padded)]
+    grids = [(mcus_x * sh, mcus_y * sv) for sh, sv in samp]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01"
+        + struct.pack(">BHHBB", 0, 1, 1, 0, 0)
+    )
+    for qid, qt in ((0, qt_l),) + (((1, qt_c),) if not gray else ()):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, qid) + bytes(
+            int(x) for x in qt[ZIGZAG]
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for i in range(ncomp):
+        out += struct.pack("BBB", i + 1, (samp[i][0] << 4) | samp[i][1], qt_ids[i])
+    tables = [(0x00, STD_DC_LUMA), (0x10, STD_AC_LUMA)]
+    if not gray:
+        tables += [(0x01, STD_DC_CHROMA), (0x11, STD_AC_CHROMA)]
+    for tid, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tid)
+        out += bytes(bits) + bytes(vals)
+
+    dc_codes = [_build_codes(*STD_DC_LUMA)] + [_build_codes(*STD_DC_CHROMA)] * (
+        ncomp - 1
+    )
+    ac_codes = [_build_codes(*STD_AC_LUMA)] + [_build_codes(*STD_AC_CHROMA)] * (
+        ncomp - 1
+    )
+
+    # --- scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for i in range(ncomp):
+        tid = 0 if i == 0 else 1
+        out += struct.pack("BB", i + 1, tid << 4)
+    out += bytes([0, 0, 0])
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                gw = grids[ci][0]
+                for vy in range(sv):
+                    for hx in range(sh):
+                        bi = (my * sv + vy) * gw + (mx * sh + hx)
+                        dc = int(coefs[ci][bi][0])
+                        size, bits = _magnitude(dc - preds[ci])
+                        preds[ci] = dc
+                        code, length = dc_codes[ci][size]
+                        bw.write(code, length)
+                        if size:
+                            bw.write(bits, size)
+    bw.flush()
+    out += bw.buf
+
+    # --- AC band scans: one component each, Ah=Al=0
+    for ci in range(ncomp):
+        gw, gh = grids[ci]
+        sh, sv = samp[ci]
+        # non-interleaved grid (dummy right/bottom blocks are NOT coded)
+        ni_w = ((w * sh + h_max - 1) // h_max + 7) // 8
+        ni_h = ((h * sv + v_max - 1) // v_max + 7) // 8
+        for ss, se in bands:
+            tid = 0 if ci == 0 else 1
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += struct.pack("BB", ci + 1, tid)
+            out += bytes([ss, se, 0])
+            bw = _BitWriter()
+            for by in range(ni_h):
+                for bx in range(ni_w):
+                    zz = coefs[ci][by * gw + bx]
+                    run = 0
+                    nz = [k for k in range(ss, se + 1) if zz[k]]
+                    last = nz[-1] if nz else ss - 1
+                    for k in range(ss, last + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, length = ac_codes[ci][0xF0]
+                            bw.write(code, length)
+                            run -= 16
+                        size, bits = _magnitude(v)
+                        code, length = ac_codes[ci][(run << 4) | size]
+                        bw.write(code, length)
+                        bw.write(bits, size)
+                        run = 0
+                    if last < se:
+                        code, length = ac_codes[ci][0x00]  # EOB0
+                        bw.write(code, length)
+            bw.flush()
+            out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _ScanCursor:
+    """Scalar bit cursor over the restart segments of one scan (the
+    progressive correctness path; the baseline hot path keeps its inlined
+    window loop)."""
+
+    __slots__ = ("segments", "seg_i", "buf", "bitpos", "limit")
+
+    def __init__(self, segments: list[bytes]) -> None:
+        self.segments = segments
+        self.seg_i = 0
+        self._load(0)
+
+    def _load(self, i: int) -> None:
+        self.buf = self.segments[i] + _SEG_PAD
+        self.bitpos = 0
+        self.limit = (len(self.segments[i]) + 2) * 8
+
+    def next_segment(self) -> None:
+        self.seg_i += 1
+        if self.seg_i >= len(self.segments):
+            raise ValueError("missing RST marker in entropy data")
+        self._load(self.seg_i)
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.bitpos
+        self.bitpos = p + n
+        end = (self.bitpos + 7) >> 3
+        v = int.from_bytes(self.buf[p >> 3 : end], "big")
+        return (v >> ((-self.bitpos) % 8)) & ((1 << n) - 1)
+
+    def huff(self, lut: list[int]) -> int:
+        p = self.bitpos
+        b = p >> 3
+        buf = self.buf
+        v = ((buf[b] << 16) | (buf[b + 1] << 8) | buf[b + 2]) >> (
+            8 - (p & 7)
+        ) & 0xFFFF
+        e = lut[v]
+        if not e:
+            raise ValueError("invalid huffman code")
+        self.bitpos = p + (e & 31)
+        return e
+
+    def check(self) -> None:
+        if self.bitpos > self.limit:
+            raise EOFError("entropy data exhausted")
+
+
+def _extend_mag(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_scan_progressive(
+    data: bytes,
+    pos: int,
+    scan: list[tuple[_Component, int, int]],
+    huff: dict,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    mcus_x: int,
+    mcus_y: int,
+    h_max: int,
+    v_max: int,
+    width: int,
+    height: int,
+) -> int:
+    """One progressive scan (T.81 §G.2): DC first/refine (interleaved or
+    single-component), AC first/refine (single-component only, EOB-runs,
+    successive-approximation correction bits). Coefficients accumulate in
+    ``c.coef`` (full interleaved grid, ZIGZAG order) across scans."""
+    segments, end = _entropy_segments(data, pos)
+    cur = _ScanCursor(segments)
+    ncomp = len(scan)
+    if ss > 0 and ncomp != 1:
+        raise ValueError("AC progressive scan must be single-component")
+
+    if ss == 0:
+        dc_luts = [_huff_lut(huff[(0, td)]) for _, td, _ in scan] if ah == 0 else None
+        preds = [0] * ncomp
+        # block units: interleaved MCUs, or the single comp's ni grid
+        if ncomp == 1:
+            c = scan[0][0]
+            ni_w = ((width * c.h + h_max - 1) // h_max + 7) // 8
+            ni_h = ((height * c.v + v_max - 1) // v_max + 7) // 8
+            units_x, units_y = ni_w, ni_h
+        else:
+            units_x, units_y = mcus_x, mcus_y
+        done = 0
+        for uy in range(units_y):
+            for ux in range(units_x):
+                if restart_interval and done and done % restart_interval == 0:
+                    cur.next_segment()
+                    preds = [0] * ncomp
+                for ci, (c, td, _) in enumerate(scan):
+                    nh, nv = (1, 1) if ncomp == 1 else (c.h, c.v)
+                    for vy in range(nv):
+                        for hx in range(nh):
+                            if ncomp == 1:
+                                bi = uy * c.bw + ux
+                            else:
+                                bi = (uy * c.v + vy) * c.bw + (ux * c.h + hx)
+                            if ah == 0:
+                                e = cur.huff(dc_luts[ci])
+                                size = (e >> 5) & 31
+                                diff = (
+                                    _extend_mag(cur.read(size), size) if size else 0
+                                )
+                                preds[ci] += diff
+                                c.coef[bi, 0] = preds[ci] << al
+                            else:  # DC refinement: one bit per block
+                                if cur.read(1):
+                                    c.coef[bi, 0] |= 1 << al
+                            cur.check()
+                done += 1
+        return end
+
+    # --- AC scans: single component over its non-interleaved grid
+    c, _, ta = scan[0]
+    ac_lut = _huff_lut(huff[(1, ta)])
+    ni_w = ((width * c.h + h_max - 1) // h_max + 7) // 8
+    ni_h = ((height * c.v + v_max - 1) // v_max + 7) // 8
+    coef = c.coef
+    gw = c.bw
+    eobrun = 0
+    p1 = 1 << al
+    m1 = -p1
+    done = 0
+    for by in range(ni_h):
+        for bx in range(ni_w):
+            if restart_interval and done and done % restart_interval == 0:
+                cur.next_segment()
+                eobrun = 0
+            bi = by * gw + bx
+            row = coef[bi]
+            if ah == 0:  # first AC scan for this band
+                if eobrun:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        e = cur.huff(ac_lut)
+                        r = e >> 10
+                        s = (e >> 5) & 31
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += cur.read(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        row[k] = _extend_mag(cur.read(s), s) << al
+                        k += 1
+            else:  # AC refinement (T.81 §G.2 / libjpeg decode_mcu_AC_refine)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        e = cur.huff(ac_lut)
+                        r = e >> 10
+                        s = (e >> 5) & 31
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += cur.read(r)
+                                break
+                            # r == 15: ZRL — skip 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError("bad refinement size")
+                            val = p1 if cur.read(1) else m1
+                        while k <= se:
+                            cv = int(row[k])
+                            if cv != 0:
+                                if cur.read(1) and (cv & p1) == 0:
+                                    row[k] = cv + (p1 if cv >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            row[k] = val
+                        k += 1
+                if eobrun:
+                    while k <= se:
+                        cv = int(row[k])
+                        if cv != 0 and cur.read(1) and (cv & p1) == 0:
+                            row[k] = cv + (p1 if cv >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            cur.check()
+            done += 1
+    return end

@@ -275,6 +275,7 @@ def sample_frames(with_media: DataFrame, every_nth: int = 30, fake: bool = True)
 # ------------------------------------------------------------------ queries
 
 
+from tectonic_spark.operators.registry import REGISTRY as _REG  # noqa: E402
 from tectonic_spark.operators.registry import register  # noqa: E402
 from tectonic_spark.tables import table  # noqa: E402
 
@@ -1155,3 +1156,67 @@ def m12_flac_decode(spark, sf_dir: str) -> DataFrame:
         )
 
     return docs.mapInPandas(roundtrip, schema)
+
+
+# --- m11: progressive JPEG decode (SOF2 spectral selection) ---------------
+
+
+@register(
+    "m11_jpeg_progressive",
+    oracle=_REG["m08_jpeg_decode"].oracle,
+    doc="Progressive JPEG decode (VERDICT r5 item 9 — SOF2, the second "
+    "codec gap real crawls hit after MP3): the SAME exactly-invertible "
+    "fixture images as m08, re-encoded in progressive spectral-selection "
+    "mode (interleaved DC scan + per-component AC band scans) by the "
+    "vendored progressive encoder, then decoded by the progressive scan "
+    "machinery (coefficient accumulation across scans, EOB-runs, "
+    "non-interleaved grids). Quantized coefficients are identical to the "
+    "baseline encoding, so the decoded pixel sums must match m08's "
+    "closed-form oracle EXACTLY — wrong scan routing, band bookkeeping "
+    "or grid sizing cannot cancel out. Successive-approximation "
+    "(Ah/Al) decode paths are pinned by hand-built streams in "
+    "tests/test_jpeg.py. Arrow-batched mapInPandas.",
+)
+def m11_jpeg_progressive(spark, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from tectonic_spark.operators.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 0)
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("px_sum", LongType(), True),
+        ]
+    )
+
+    def attach_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, mode, _ri = _jpeg_fixture_params(d)
+                bw = w // 8
+                vals = np.array(
+                    [_jpeg_block_value(d, bi) for bi in range((h // 8) * bw)],
+                    dtype=np.uint8,
+                ).reshape(h // 8, bw)
+                plane = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                if mode == "gray":
+                    payload = encode_jpeg_progressive(plane)
+                else:
+                    rgb = np.repeat(plane[:, :, None], 3, axis=2)
+                    payload = encode_jpeg_progressive(rgb, subsampling=mode)
+                px = decode_jpeg(payload)
+                rows.append(
+                    (d, px.shape[1], px.shape[0], int(px.astype(np.int64).sum()))
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "px_sum"])
+
+    return docs.mapInPandas(attach_and_decode, schema)

@@ -224,12 +224,13 @@ def test_16bit_quant_table_segment():
     assert np.array_equal(decode_jpeg(patched), decode_jpeg(bytes(data)))
 
 
-def test_progressive_raises():
+def test_lossless_sof3_raises():
+    # progressive (SOF2) decodes natively since r6; lossless still raises
     img = np.full((8, 8), 130, dtype=np.uint8)
     data = bytearray(encode_jpeg(img))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    data[i + 1] = 0xC3  # SOF0 → SOF3 (lossless)
+    with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(data))
 
 
@@ -277,3 +278,198 @@ def test_m08_payload_decodes_to_block_values():
             64 * _jpeg_block_value(doc_id, bi) for bi in range((h // 8) * bw)
         ) * (1 if mode == "gray" else 3)
         assert int(px.astype(np.int64).sum()) == expected, doc_id
+
+
+# ----------------------------------------------------- progressive (r6)
+
+
+class TestProgressive:
+    def test_progressive_equals_baseline_decode(self):
+        import numpy as np
+
+        from tectonic_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(5)
+        cases = [
+            ((24, 40), {}),
+            ((24, 40, 3), {"subsampling": "444"}),
+            ((21, 37, 3), {"subsampling": "420"}),
+            ((8, 8), {}),
+            ((50, 50, 3), {"subsampling": "420"}),
+        ]
+        for shape, kw in cases:
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            base = decode_jpeg(encode_jpeg(img, quality=75, **kw))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=75, **kw))
+            assert (base == prog).all(), (shape, kw)
+
+    def test_progressive_band_split_variants(self):
+        import numpy as np
+
+        from tectonic_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=60, subsampling="444"))
+        for bands in [((1, 63),), ((1, 2), (3, 9), (10, 63))]:
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=60, subsampling="444", bands=bands)
+            )
+            assert (base == prog).all(), bands
+
+    def test_successive_approximation_hand_built(self):
+        import struct
+
+        import numpy as np
+
+        from tectonic_spark.operators.jpeg import (
+            ZIGZAG,
+            _A,
+            _AT,
+            _BitWriter,
+            _round_clip_u8,
+            decode_jpeg,
+        )
+
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + b"\x01" * 64
+        out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+        out += struct.pack("BBB", 1, 0x11, 0)
+
+        def dht(tid, bits, vals):
+            return (
+                b"\xff\xc4"
+                + struct.pack(">HB", 19 + len(vals), tid)
+                + bytes(bits)
+                + bytes(vals)
+            )
+
+        def sos(ss, se, ah, al):
+            return (
+                b"\xff\xda"
+                + struct.pack(">HB", 8, 1)
+                + bytes([1, 0x00, ss, se, (ah << 4) | al])
+            )
+
+        # --- scan 1: DC first (ah=0, al=1): diff 5 -> coef0 = 10
+        out += dht(0x00, [1] + [0] * 15, [3])  # size-3 at code '0'
+        out += sos(0, 0, 0, 1)
+        w = _BitWriter()
+        w.write(0, 1)
+        w.write(0b101, 3)  # +5
+        w.flush()
+        out += w.buf
+        # --- scan 2: AC first (al=1): +2 at k=2, -1<<1=-2 at k=5, EOB0
+        # table: 0x12 -> '00', 0x21 -> '01', 0x00 -> '10'
+        out += dht(0x10, [0, 3] + [0] * 14, [0x12, 0x21, 0x00])
+        out += sos(1, 63, 0, 1)
+        w = _BitWriter()
+        w.write(0b00, 2)  # sym 0x12: run 1, size 2
+        w.write(0b10, 2)  # magnitude bits of +2 (raw value before <<al)
+        w.write(0b01, 2)  # sym 0x21: run 2, size 1
+        w.write(0b0, 1)  # magnitude bits of -1
+        w.write(0b10, 2)  # EOB0
+        w.flush()
+        out += w.buf
+        # after scan 2 (values <<1): k2 = 2<<1=4, k5 = -1<<1=-2
+        # --- scan 3: DC refine (ah=1, al=0): bit 1 -> coef0 = 11
+        out += sos(0, 0, 1, 0)
+        w = _BitWriter()
+        w.write(1, 1)
+        w.flush()
+        out += w.buf
+        # --- scan 4: AC refine (ah=2? encoded as ah=2,al=1): insert +2 at
+        # k=1 (sym 0x01 + sign 1), then EOB1 with extra bit 0 (eobrun=2),
+        # correction bits: k2 (4 -> 6, bit 1), k5 (-2 unchanged, bit 1)
+        out += dht(0x10, [0, 2] + [0] * 14, [0x01, 0x10])  # 0x01->'00', 0x10->'01'
+        out += sos(1, 63, 2, 1)
+        w = _BitWriter()
+        w.write(0b00, 2)  # sym 0x01: new coefficient, size 1
+        w.write(1, 1)  # sign: positive -> +(1<<1) = +2 at k=1
+        w.write(0b01, 2)  # sym 0x10: EOB1
+        w.write(0, 1)  # extra bit -> eobrun = 2
+        w.write(1, 1)  # correction bit for k=2 (4 -> 6)
+        w.write(1, 1)  # correction bit for k=5 (-2: bit already set, no-op)
+        w.flush()
+        out += w.buf
+        out += b"\xff\xd9"
+
+        px = decode_jpeg(bytes(out))
+        # expected: IDCT of final zigzag coef [11, 2, 6, 0, 0, -2, 0...]
+        zz = np.zeros(64)
+        zz[0], zz[1], zz[2], zz[5] = 11, 2, 6, -2
+        nat = np.zeros(64)
+        nat[ZIGZAG] = zz
+        expected = _round_clip_u8(_AT @ nat.reshape(8, 8) @ _A + 128.0).astype(np.uint8)
+        assert (px == expected).all()
+
+    def test_ac_first_scan_eobrun_spans_blocks(self):
+        import struct
+
+        import numpy as np
+
+        from tectonic_spark.operators.jpeg import (
+            ZIGZAG,
+            _A,
+            _AT,
+            _BitWriter,
+            _round_clip_u8,
+            decode_jpeg,
+        )
+
+        # 24x8 gray: three blocks. AC first scan: block0 has +3 at k=1,
+        # then EOB1 with extra bit 1 -> eobrun = (1<<1)-1+1 = 2: blocks
+        # 1 and 2 are all-zero AC without any coded bits.
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + b"\x01" * 64
+        out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 24, 1)
+        out += struct.pack("BBB", 1, 0x11, 0)
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">HB", 19 + 1, 0x00)
+            + bytes([1] + [0] * 15)
+            + bytes([2])
+        )  # DC size-2 at '0'
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0])
+        w = _BitWriter()
+        # diffs +2, +3, -2 (all size 2) -> DCs 2, 5, 3
+        for bits in (0b10, 0b11, 0b01):
+            w.write(0, 1)  # size-2 huffman code
+            w.write(bits, 2)
+        w.flush()
+        out += w.buf
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">HB", 19 + 3, 0x10)
+            + bytes([0, 3] + [0] * 14)
+            + bytes([0x02, 0x10, 0x00])
+        )  # 0x02->'00', 0x10->'01', 0x00->'10'
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 63, 0])
+        w = _BitWriter()
+        w.write(0b00, 2)  # sym 0x02: run 0 size 2 at k=1
+        w.write(0b11, 2)  # +3
+        w.write(0b01, 2)  # EOB1
+        w.write(1, 1)  # extra -> eobrun = 2
+        w.flush()
+        out += w.buf
+        out += b"\xff\xd9"
+
+        px = decode_jpeg(bytes(out))
+        assert px.shape == (8, 24)
+        for b, dc in enumerate((2, 5, 3)):
+            zz = np.zeros(64)
+            zz[0] = dc
+            if b == 0:
+                zz[1] = 3
+            nat = np.zeros(64)
+            nat[ZIGZAG] = zz
+            exp = _round_clip_u8(_AT @ nat.reshape(8, 8) @ _A + 128.0).astype(np.uint8)
+            assert (px[:, b * 8 : (b + 1) * 8] == exp).all(), b
