@@ -42,6 +42,39 @@ def _norm(e: str | Column) -> Column:
     )
 
 
+def _partial_topk(
+    pairs: DataFrame,
+    k: int,
+    score: str,
+    qcol: str,
+    idcol: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """Map-side bounded top-k pre-reduction for the exact-search family
+    (VERDICT r5 item 7): within every Arrow batch, keep only the k best
+    (score, idcol-tie-broken) rows per query. Any dropped row has >= k
+    strictly-better rows globally, so the surviving set is a SUPERSET of
+    the global top-k and the exact window downstream is unchanged — but
+    the query_id exchange now carries ~batches*Q*k rows instead of N*Q.
+    Scores are NOT recomputed (they arrive from the JVM fold), so the
+    cross-engine value hash is untouched. NaN ordering matches Spark's
+    descending sort (NaN first) via na_position."""
+    schema = pairs.schema
+
+    def shrink(batches):
+        for pdf in batches:
+            if len(pdf):
+                pdf = pdf.sort_values(
+                    [qcol, score, idcol],
+                    ascending=[True, ascending, True],
+                    na_position="first" if not ascending else "last",
+                    kind="mergesort",
+                )
+                yield pdf.groupby(qcol, sort=False).head(k)
+
+    return pairs.mapInPandas(shrink, schema)
+
+
 @register(
     "c02_cosine_topk",
     oracle=f"""
@@ -83,6 +116,7 @@ def c02_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
     )
+    pairs = _partial_topk(pairs, TOP_K, "sim", "query_id", "neighbor_id")
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -347,6 +381,7 @@ def c02_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("sim"))
     )
+    pairs = _partial_topk(pairs, TOP_K, "sim", "query_id", "neighbor_id")
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))
@@ -453,6 +488,9 @@ def _pq_search(enc: DataFrame) -> DataFrame:
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", adc.alias("pq_dist"))
+    )
+    pairs = _partial_topk(
+        pairs, PQ_TOPK, "pq_dist", "query_id", "neighbor_id", ascending=True
     )
     w = W.partitionBy("query_id").orderBy("pq_dist", "neighbor_id")
     return (
@@ -643,6 +681,7 @@ def c02_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "true_label", "nb_label", sim.alias("sim"), "neighbor_id")
     )
+    pairs = _partial_topk(pairs, TOP_K, "sim", "query_id", "neighbor_id")
     wk = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     topk = pairs.withColumn("rn", F.row_number().over(wk)).filter(
         F.col("rn") <= TOP_K
@@ -708,6 +747,7 @@ def c02_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item_id") != F.col("query_id"))
         .select("query_id", "item_id", _dot("qe", "ce").alias("score"))
     )
+    pairs = _partial_topk(pairs, TOP_K, "score", "query_id", "item_id")
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("item_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w).cast("long"))

@@ -349,3 +349,20 @@ def test_spread_small_scan_is_conditional(spark, sf_dir, tmp_path):
     assert many.rdd.getNumPartitions() >= par  # precondition: enough splits
     spread = spread_small_scan(many, spark, "doc_id")
     assert "Exchange" not in physical_plan(spread)
+
+
+def test_exact_topk_partial_reduction_below_exchange(spark, sf_dir):
+    """VERDICT r5 item 7: the exact-search family pre-reduces pairs with a
+    map-side bounded top-k (MapInPandas) BEFORE the query_id exchange, so
+    the window shuffle carries ~batches*Q*k rows instead of N*Q. The
+    partial stage must sit below the Exchange in the plan."""
+    for name in ("c02_cosine_topk", "c02_mips_topk", "c02_pq_adc"):
+        plan = physical_plan(build(spark, sf_dir, name))
+        lines = plan.splitlines()
+        map_idx = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+        exch_idx = [
+            i for i, ln in enumerate(lines) if "Exchange hashpartitioning(query_id" in ln
+        ]
+        assert map_idx and exch_idx, name
+        # physical plans print root-first: below = larger line index
+        assert min(map_idx) > min(exch_idx), (name, plan)
