@@ -189,25 +189,54 @@ def _csv_throughput(sf_dir: str) -> dict[str, float]:
 
 
 def _jpeg_decode_rate() -> dict[str, float]:
-    """Vendored baseline-JPEG codec rate, single core: decode the m08
-    fixture population (gray/444/420, restart streams included). Pure
-    Python+numpy — multiply by executor cores for the distributed rate."""
+    """Vendored JPEG codec rates, single core. Two regimes with different
+    bottlenecks: the m08 fixture population (~550 B thumbnails — bounded
+    by per-image marker/numpy fixed cost) and one dense 256x256 photo-like
+    stream (bounded by the per-symbol entropy walk — the regime a real
+    crawl's big images hit). Best-of-3 CPU-time so co-tenant bursts don't
+    skew either number. Multiply by executor cores for distributed rate."""
     import time as _t
 
-    from tectonic_spark.operators.jpeg import decode_jpeg
+    import numpy as _np
+
+    from tectonic_spark.operators.jpeg import decode_jpeg, encode_jpeg
     from tectonic_spark.operators.multimodal import _jpeg_payload
 
     payloads = [_jpeg_payload(doc_id) for doc_id in range(0, 150, 3)]
     mb = sum(len(p) for p in payloads) / 1e6
     for p in payloads[:5]:
         decode_jpeg(p)  # warm
-    t0 = _t.perf_counter()
-    for p in payloads:
-        decode_jpeg(p)
-    dt = _t.perf_counter() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        for p in payloads:
+            decode_jpeg(p)
+        best = min(best, _t.process_time() - t0)
+    dt = best
+    rng = _np.random.default_rng(7)
+    yy, xx = _np.mgrid[0:256, 0:256]
+    img = (
+        _np.stack(
+            [
+                128 + 80 * _np.sin(xx / 37) + 40 * _np.cos(yy / 23),
+                128 + 60 * _np.cos(xx / 29 + 1) + 50 * _np.sin(yy / 31),
+                128 + 70 * _np.sin((xx + yy) / 41),
+            ],
+            axis=-1,
+        )
+        + rng.normal(0, 12, (256, 256, 3))
+    ).clip(0, 255).astype(_np.uint8)
+    big = encode_jpeg(img, quality=85, subsampling="420", restart_interval=8)
+    decode_jpeg(big)
+    t_big = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        decode_jpeg(big)
+        t_big = min(t_big, _t.process_time() - t0)
     return {
         "jpeg_decode_images_per_sec": round(len(payloads) / dt, 1),
         "jpeg_decode_mb_per_sec": round(mb / dt, 2),
+        "jpeg_decode_large_mb_per_sec": round(len(big) / 1e6 / t_big, 2),
     }
 
 

@@ -32,6 +32,20 @@ QUERIES = [
     "c02_pq_adc_scaled",
 ]
 
+# r6 (VERDICT r5 item 8): the s- and m-surfaces had no 100x evidence.
+# Their scale risks differ from the relational set: streaming state-store
+# growth / watermark eviction under 100x event volume, and decode fan-out
+# (per-payload Python cost) for the media family. `--families` runs these.
+FAMILY_QUERIES = [
+    "s06_stream_dedup",
+    "s08_stream_stream_join",
+    "s09_custom_stateful_sessions",
+    "s12_stream_media_decode",
+    "m08_jpeg_decode",
+    "m11_jpeg_progressive",
+    "m12_flac_decode",
+]
+
 # The registered c01_semantic_dedup_scaled pins k=8 to stay under the
 # static oracle; per-cluster pair volume is ~ (N/k)^2, so at 500k docs
 # k=8 would demand a 168k x 168k similarity matrix (212 GiB — observed).
@@ -46,7 +60,12 @@ def main() -> None:
     import tectonic_spark.operators as ops
     from tectonic_spark import get_spark
 
-    names = sys.argv[1:] or QUERIES
+    args = sys.argv[1:]
+    if args == ["--families"]:
+        names = FAMILY_QUERIES
+        sys.argv = sys.argv[:1] + names  # skip the sem-dedup extra below
+    else:
+        names = args or QUERIES
     t0 = time.perf_counter()
     scaled = ensure_scaled("/root/testdata/sf0.1", 100)
     print(f"scaled dir ready in {time.perf_counter() - t0:.1f}s: {scaled}")
