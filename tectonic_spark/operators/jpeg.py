@@ -425,6 +425,35 @@ def encode_jpeg(
 
 _LUT_CACHE: dict[bytes, list[int]] = {}
 _QT_CACHE: dict[bytes, list[tuple[int, np.ndarray]]] = {}
+# parsed header state keyed on the marker bytes before the first SOS — a
+# corpus encoded with fixed settings (the normal case: one encoder, a few
+# dimension buckets) re-parses DQT/DHT/SOF once per distinct header, not
+# per image. Bounded; cleared wholesale if ever full.
+_HDR_CACHE: dict[bytes, tuple] = {}
+_HDR_CACHE_MAX = 512
+
+
+def _find_first_sos(data: bytes) -> int | None:
+    """Byte offset of the first SOS marker, walking marker lengths only
+    (no segment parsing); None → caller takes the full parse path."""
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return None
+        m = data[pos + 1]
+        if m == 0xDA:
+            return pos
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m == 0xD9:
+            return None
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        if ln < 2:
+            return None
+        pos += 2 + ln
+    return None
 
 
 def _huff_lut(raw: bytes) -> list[int]:
@@ -518,6 +547,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcus_x = mcus_y = 0
     scan_comps: list[tuple[_Component, int, int]] = []
 
+    # header-prefix cache: skip straight to the first SOS when this exact
+    # marker prefix has been parsed before (same encoder settings + dims)
+    sos_off = _find_first_sos(data)
+    hdr_key = data[2:sos_off] if sos_off is not None else None
+    hdr_hit = _HDR_CACHE.get(hdr_key) if hdr_key is not None else None
+    if hdr_hit is not None:
+        qts, huff, comp_spec, width, height, restart_interval, progressive = hdr_hit
+        comps = [_Component(cid, h_, v_, q_) for cid, h_, v_, q_ in comp_spec]
+        comp_by_id = {c.cid: c for c in comps}
+        h_max_f = max(c.h for c in comps)
+        v_max_f = max(c.v for c in comps)
+        if progressive:
+            mcus_x = (width + 8 * h_max_f - 1) // (8 * h_max_f)
+            mcus_y = (height + 8 * v_max_f - 1) // (8 * v_max_f)
+            for c in comps:
+                c.bw = mcus_x * c.h
+                c.bh = mcus_y * c.v
+                c.coef = np.zeros((c.bh * c.bw, 64), dtype=np.int64)
+        pos = sos_off
+
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -594,6 +643,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
+            if hdr_hit is None and hdr_key is not None and pos - 2 == sos_off:
+                # snapshot the parsed header for the next same-settings
+                # image (dict copies: later inter-scan DHT/DQT segments
+                # must not leak into the cached state)
+                if len(_HDR_CACHE) >= _HDR_CACHE_MAX:
+                    _HDR_CACHE.clear()
+                _HDR_CACHE[hdr_key] = (
+                    dict(qts),
+                    dict(huff),
+                    [(c.cid, c.h, c.v, c.qt_id) for c in comps],
+                    width,
+                    height,
+                    restart_interval,
+                    progressive,
+                )
             ns = body[0]
             scan_comps = []
             for i in range(ns):
@@ -643,8 +707,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         for c in comps:
             nat = np.zeros_like(c.coef)
             nat[:, ZIGZAG] = c.coef
-            deq = (nat * qts[c.qt_id][None, :]).reshape(-1, 8, 8)
-            px = _round_clip_u8(_AT @ deq @ _A + 128.0)
+            px = _idct_blocks(nat * qts[c.qt_id][None, :])
             c.blocks = (
                 px.reshape(c.bh, c.bw, 8, 8)
                 .transpose(0, 2, 1, 3)
@@ -859,7 +922,7 @@ def _decode_scan(
         c.zz = flat.reshape(-1, 64)
         mats.append(c.zz * qts[c.qt_id][None, :])
     allm = mats[0] if ncomp == 1 else np.concatenate(mats)
-    px = _round_clip_u8(_AT @ allm.reshape(-1, 8, 8) @ _A + 128.0)
+    px = _idct_blocks(allm)
     off = 0
     for c, _, _ in scan:
         nb = c.bh * c.bw
@@ -871,6 +934,21 @@ def _decode_scan(
         )
         off += nb
     return end
+
+
+def _idct_blocks(allm: np.ndarray) -> np.ndarray:
+    """(n, 64) natural-order dequantized coefficients → (n, 8, 8) u8-range
+    pixels. DC-ONLY batches (thumbnail corpora are full of flat blocks)
+    skip the matmuls: with a single nonzero coefficient the matmul chain
+    reduces to exactly fl(fl(_AT[0,0]*d) * _A[0,0]) per element — the zero
+    terms contribute +0.0 — so the scalar two-multiply chain below is
+    BIT-IDENTICAL to the full path, just without the 128-multiply-add
+    per-pixel work (libjpeg's idct_1x1 analog)."""
+    if not allm[:, 1:].any():
+        e = (_AT[0, 0] * allm[:, 0]) * _A[0, 0]
+        flat = _round_clip_u8(e + 128.0)
+        return np.broadcast_to(flat[:, None, None], (len(allm), 8, 8))
+    return _round_clip_u8(_AT @ allm.reshape(-1, 8, 8) @ _A + 128.0)
 
 
 def _assemble(comps: list[_Component], width: int, height: int) -> np.ndarray:
