@@ -107,6 +107,7 @@ PRIORITY: list[str] = [
     "m10_mp3_decode",
     "m12_flac_decode",
     "m11_jpeg_progressive",
+    "c03_bm25_retrieval",
     # --- code changed in round 6 → driver re-verification ---
     # exact-topk partial-aggregation re-plan (same results, new plan)
     "c02_cosine_topk",
@@ -131,7 +132,6 @@ PRIORITY: list[str] = [
     "c02_ivf_persistent",
     "c02_ivf_delta_append",
     "b05_pricing_summary",
-    "q21_suppliers_who_kept_orders_waiting",
     # --- previously-rotated names (driver-green rows already on file),
     #     kept ahead of the tail for future rotations ---
     "a15_heterotype_widening",

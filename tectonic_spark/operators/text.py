@@ -681,3 +681,106 @@ def c03_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# --- BM25 retrieval scoring (round 6) -------------------------------------
+
+BM25_QUERY = ["query", "scan", "join"]  # fixed retrieval query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    tf_cols = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    score = " + ".join(
+        f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+        f" * (tf{i} * {BM25_K1 + 1})"
+        f" / (tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))"
+        for i in range(len(BM25_QUERY))
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tf AS (SELECT doc_id, len(w) AS dl, {tf_cols} FROM t),
+    g AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                 {df_cols}
+          FROM tf)
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl, score, rk FROM (
+      SELECT doc_id, dl, round({score}, 6) AS score,
+             CAST(ROW_NUMBER() OVER (ORDER BY round({score}, 6) DESC,
+                                     doc_id) AS BIGINT) AS rk
+      FROM tf, g) s
+    WHERE rk <= {BM25_TOPK}
+    """
+
+
+@register(
+    "c03_bm25_retrieval",
+    oracle=_bm25_oracle(),
+    doc=f"BM25 document retrieval (Robertson et al., the Lucene-variant "
+    f"idf ln((N-df+0.5)/(df+0.5)+1), k1={BM25_K1}, b={BM25_B}): score "
+    f"every document against a fixed {len(BM25_QUERY)}-term query and "
+    f"return the top {BM25_TOPK}. 100 TB shape: per-document term "
+    "frequencies come from per-row array kernels on the split text "
+    "(NO explode/shuffle — the query is bounded, so tf per term is a "
+    "size(filter(...)) projection inside codegen); corpus statistics "
+    "(N, avgdl, one df per query term) reduce to ONE scalar row that "
+    "broadcasts back; the final top-k is TakeOrderedAndProject. Total: "
+    "two scan passes (the stats reduce, then scoring against the "
+    "broadcast scalars) and ZERO shuffles of corpus rows — only the "
+    "partial-aggregate row and the k results move. Scores ranked on the "
+    "6dp rounding with doc_id tie-break (the c03_tfidf ln() precedent) "
+    "so both engines pick identical rows.",
+)
+def c03_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = words_col()
+
+    def tf_col(term: str) -> Column:
+        # factory, NOT a default-arg lambda: a two-parameter lambda is
+        # treated as an (element, index) HOF signature by PySpark
+        return F.size(F.filter(w, lambda x: x == term))
+
+    tf_cols = [tf_col(t).alias(f"tf{i}") for i, t in enumerate(BM25_QUERY)]
+    tf = d.select("doc_id", F.size(w).alias("dl"), *tf_cols)
+    g = tf.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    score = None
+    for i in range(len(BM25_QUERY)):
+        tfi = F.col(f"tf{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1
+        )
+        part = (
+            idf
+            * (tfi * (BM25_K1 + 1))
+            / (tfi + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        score = part if score is None else score + part
+    scored = tf.crossJoin(F.broadcast(g)).select(
+        "doc_id", F.col("dl").cast("long").alias("dl"), F.round(score, 6).alias("score")
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(BM25_TOPK)
+    rank_win = Window.partitionBy(bounded_key(F.col("doc_id"))).orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return top.select(
+        "doc_id", "dl", "score", F.row_number().over(rank_win).cast("long").alias("rk")
+    )

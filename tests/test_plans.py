@@ -366,3 +366,16 @@ def test_exact_topk_partial_reduction_below_exchange(spark, sf_dir):
         assert map_idx and exch_idx, name
         # physical plans print root-first: below = larger line index
         assert min(map_idx) > min(exch_idx), (name, plan)
+
+
+def test_bm25_no_corpus_shuffle(spark, sf_dir):
+    """BM25 (r6): tf per query term is a per-row array kernel (no explode
+    shuffle), corpus stats broadcast back as ONE scalar row, top-k is
+    TakeOrdered — no Exchange ever carries corpus rows (the only
+    hashpartitioning exchanges allowed are none; the stats reduce is a
+    SinglePartition partial-agg exchange of one row per task)."""
+    plan = physical_plan(build(spark, sf_dir, "c03_bm25_retrieval"))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats broadcast
+    assert "explode" not in plan
+    assert "Exchange hashpartitioning" not in plan
