@@ -282,6 +282,8 @@ def parse_mp3(data: bytes) -> dict:
     samplerate = bitrate0 = None
     samples_per_frame = 1152  # Layer III (MPEG-1); MPEG-2 halves it
     max_mdb = 0
+    kbps_seen: set[int] = set()
+    kbps_sum = 0
     while pos < end:
         if end - pos < 4:
             raise ValueError(f"truncated frame header at byte {pos}")
@@ -316,6 +318,8 @@ def parse_mp3(data: bytes) -> dict:
             samplerate, bitrate0, samples_per_frame = sr, kbps, spf
         elif sr != samplerate:
             raise ValueError(f"samplerate change mid-stream at byte {pos}")
+        kbps_seen.add(kbps)
+        kbps_sum += kbps
         if pos + size > end:
             raise ValueError(f"truncated frame at byte {pos} (needs {size})")
         side = pos + 4 + (0 if crc_absent else 2)
@@ -338,4 +342,9 @@ def parse_mp3(data: bytes) -> dict:
         "duration_ms": total * 1000 // samplerate,
         "max_main_data_begin": max_mdb,
         "bytes_walked": pos,
+        # VBR: per-frame bitrates differ (the walker supports it because
+        # each frame is sized from ITS OWN header); mean rate reported so
+        # duration/size accounting stays meaningful for VBR streams
+        "vbr": len(kbps_seen) > 1,
+        "mean_bitrate_kbps": kbps_sum // n_frames,
     }

@@ -319,3 +319,50 @@ def test_mp3_walks_real_world_file():
     assert info["samplerate"] in (22050, 24000, 16000)
     assert info["n_frames"] > 10
     assert 0 <= info["max_main_data_begin"] < 512
+
+
+def test_mp3_vbr_stream_walks_and_flags():
+    """VBR: frames sized from their own headers; walker flags it and
+    reports the mean rate."""
+    frames = b"".join(
+        codecs.encode_mp3_frames(1, idx) for idx in (9, 12, 14, 9, 11)
+    )
+    info = codecs.parse_mp3(frames)
+    assert info["n_frames"] == 5
+    assert info["vbr"] is True
+    assert info["bytes_walked"] == len(frames)
+    assert (
+        info["mean_bitrate_kbps"]
+        == (128 + 224 + 320 + 128 + 192) // 5
+    )
+    cbr = codecs.parse_mp3(codecs.encode_mp3_frames(4, 11))
+    assert cbr["vbr"] is False and cbr["mean_bitrate_kbps"] == 192
+
+
+# ------------------------------------------------- FLAC property tests
+
+
+def test_flac_roundtrip_property():
+    """Hypothesis: ANY int16 PCM (mono or stereo, any length, any block
+    size) must round-trip bit-exactly — the lossless guarantee."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=600
+        ),
+        stereo=st.booleans(),
+        block=st.sampled_from([4, 16, 64, 192, 256]),
+    )
+    def check(data, stereo, block):
+        pcm = np.array(data, dtype=np.int16)
+        if stereo:
+            pcm = np.stack([pcm, pcm[::-1]], axis=1)
+        out = decode_flac(encode_flac(pcm, block_size=block))[1]
+        ref = pcm.astype(np.int64)
+        if ref.ndim == 1:
+            ref = ref[:, None]
+        assert (out == ref).all()
+
+    check()
