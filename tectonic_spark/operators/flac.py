@@ -187,7 +187,7 @@ def encode_flac(
     n, ch = pcm.shape
     if ch not in (1, 2):
         raise ValueError("mono or stereo only")
-    if np.abs(pcm).max(initial=0) > 32767:
+    if n and (pcm.min() < -32768 or pcm.max() > 32767):
         raise ValueError("16-bit PCM required")
     # STREAMINFO
     le = pcm.astype("<i2").tobytes()  # interleaved little-endian (n, ch)

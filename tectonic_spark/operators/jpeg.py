@@ -423,6 +423,11 @@ def encode_jpeg(
 # --------------------------------------------------------------- decoder
 
 
+# All three payload-keyed caches share the same bound + clear-wholesale
+# policy (ADVICE r6): a corpus with per-image unique DQT/DHT tables must
+# not grow executor memory without limit. 512 distinct table payloads
+# covers any realistic one-encoder corpus; a pathological corpus just
+# re-parses.
 _LUT_CACHE: dict[bytes, list[int]] = {}
 _QT_CACHE: dict[bytes, list[tuple[int, np.ndarray]]] = {}
 # parsed header state keyed on the marker bytes before the first SOS — a
@@ -431,6 +436,12 @@ _QT_CACHE: dict[bytes, list[tuple[int, np.ndarray]]] = {}
 # per image. Bounded; cleared wholesale if ever full.
 _HDR_CACHE: dict[bytes, tuple] = {}
 _HDR_CACHE_MAX = 512
+
+
+def _cache_put(cache: dict, key, val) -> None:
+    if len(cache) >= _HDR_CACHE_MAX:
+        cache.clear()
+    cache[key] = val
 
 
 def _find_first_sos(data: bytes) -> int | None:
@@ -487,7 +498,7 @@ def _huff_lut(raw: bytes) -> list[int]:
     # plain list: CPython list indexing beats numpy scalar extraction in
     # the per-symbol hot loop
     out = lut.tolist()
-    _LUT_CACHE[raw] = out
+    _cache_put(_LUT_CACHE, raw, out)
     return out
 
 
@@ -602,7 +613,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     nat = np.zeros(64, dtype=np.float64)
                     nat[ZIGZAG] = zz
                     hit.append((qid, nat))
-                _QT_CACHE[bytes(body)] = hit
+                _cache_put(_QT_CACHE, bytes(body), hit)
             for qid, nat in hit:
                 qts[qid] = nat
         elif marker == 0xC4:  # DHT — multiple tables per segment

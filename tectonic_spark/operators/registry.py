@@ -299,8 +299,13 @@ def bounded_key(col: Column) -> Column:
     partition — which is the intent: the input is <=K rows by
     construction, and the warning channel stays clean so a REAL
     unbounded-window regression stands out.
+
+    NULL inputs would otherwise map to a second (NULL) partition with a
+    duplicate rank sequence, so the attribute term is wrapped in
+    ``coalesce(.., 0)`` — still non-foldable (contains the attribute),
+    still constant 0 for every row (ADVICE r6 item 3).
     """
-    return col.bitwiseAND(F.lit(0))
+    return F.coalesce(col.bitwiseAND(F.lit(0)), F.lit(0))
 
 
 def dsum(col: Column, alias: str) -> Column:

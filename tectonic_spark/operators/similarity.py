@@ -58,7 +58,17 @@ def _partial_topk(
     the query_id exchange now carries ~batches*Q*k rows instead of N*Q.
     Scores are NOT recomputed (they arrive from the JVM fold), so the
     cross-engine value hash is untouched. NaN ordering matches Spark's
-    descending sort (NaN first) via na_position."""
+    descending sort (NaN first) via na_position.
+
+    SQL-NULL scores are filtered out JVM-side before the batch top-k
+    (ADVICE r6): Arrow folds NULL and NaN into the same pandas NA, but
+    Spark's window ranks NULL *last* under desc while NaN ranks *first*,
+    so a NULL surviving the batch head(k) could evict a genuine global
+    top-k row. Every call site computes scores from non-null embedding
+    folds (NULL never occurs in practice); excluding them here makes the
+    superset guarantee unconditional for non-null scores. NaN is NOT
+    null in Spark and passes the filter untouched."""
+    pairs = pairs.filter(F.col(score).isNotNull())
     schema = pairs.schema
 
     def shrink(batches):
