@@ -506,22 +506,23 @@ _RST_SPLIT = None  # compiled lazily (re import kept local)
 _SEG_PAD = b"\xff" * 256  # T.81 1-padding; covers one block of overshoot
 
 
+_ENTROPY_END = None
+
+
 def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """Slice the entropy-coded data starting at ``pos``: find its end (the
     first marker that is not stuffing or RSTn), split on restart markers,
-    unstuff each segment. Returns (segments, end_pos)."""
+    unstuff each segment. Returns (segments, end_pos). The end search is
+    a compiled regex, not a per-byte Python walk — on a dense 25 KB scan
+    the walk alone cost ~20% of decode."""
     import re
 
-    global _RST_SPLIT
+    global _RST_SPLIT, _ENTROPY_END
     if _RST_SPLIT is None:
         _RST_SPLIT = re.compile(b"\xff[\xd0-\xd7]")
-    p = pos
-    n = len(data)
-    while p + 1 < n:
-        if data[p] == 0xFF and data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
-            break
-        p += 1 + (1 if data[p] == 0xFF else 0)
-    end = p if p + 1 < n else n
+        _ENTROPY_END = re.compile(b"\xff[^\x00\xd0-\xd7]")
+    m = _ENTROPY_END.search(data, pos)
+    end = m.start() if m else len(data)
     raw = data[pos:end]
     segments = [seg.replace(b"\xff\x00", b"\xff") for seg in _RST_SPLIT.split(raw)]
     return segments, end
@@ -540,11 +541,84 @@ class _Component:
         self.cid, self.h, self.v, self.qt_id = cid, h, v, qt_id
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+class _LockstepIneligible(Exception):
+    """Raised in _collect mode for streams the lane engine doesn't take
+    (progressive); the batch caller falls back to the scalar decode."""
+
+
+class _ScanJob:
+    """One baseline SOS captured for the lockstep engine: the scan's
+    component refs, table snapshots (dicts copied — later inter-scan
+    DHT/DQT redefinitions must not leak backwards), unstuffed restart
+    segments, and the MCU grid."""
+
+    __slots__ = ("scan", "qts", "huff", "segments", "ri", "mcus_x", "mcus_y")
+
+    def __init__(self, scan, qts, huff, segments, ri, mcus_x, mcus_y) -> None:
+        self.scan, self.qts, self.huff = scan, qts, huff
+        self.segments, self.ri = segments, ri
+        self.mcus_x, self.mcus_y = mcus_x, mcus_y
+
+
+def _scan_geometry(
+    scan: list, width: int, height: int, h_max_f: int, v_max_f: int
+) -> tuple[int, int]:
+    """Set c.bw/c.bh for every scan component and return (mcus_x, mcus_y)
+    — the ONE place the block-grid arithmetic lives, shared by the scalar
+    and lockstep decoders so their geometry cannot diverge."""
+    if len(scan) == 1:
+        # non-interleaved: MCU = one block of the sole component. The grid
+        # is sized from the FRAME-level sampling maxima (ADVICE r5): a
+        # subsampled component in a multi-SOS baseline stream covers
+        # ceil(dim * c.h / h_max_frame) samples — sizing from the
+        # scan-local maxima made the grid up to 4x too large and EOF'd.
+        c = scan[0][0]
+        bw = ((width * c.h + h_max_f - 1) // h_max_f + 7) // 8
+        bh = ((height * c.v + v_max_f - 1) // v_max_f + 7) // 8
+        c.bw, c.bh = bw, bh
+        return bw, bh
+    mcus_x = (width + 8 * h_max_f - 1) // (8 * h_max_f)
+    mcus_y = (height + 8 * v_max_f - 1) // (8 * v_max_f)
+    for c, _, _ in scan:
+        c.bw, c.bh = mcus_x * c.h, mcus_y * c.v
+    return mcus_x, mcus_y
+
+
+def _scan_idct(scan: list, qts: dict) -> None:
+    """Dequant + IDCT + plane assembly for a decoded baseline scan whose
+    components carry c.zz ((nblocks, 64) natural-order int-valued float64
+    coefficients). Dequant is exact: integer coefficient x integer-valued
+    float64 qt (products bounded by 2047*255 << 2^53). All components
+    ride ONE IDCT matmul chain (the per-component numpy-call overhead
+    dominated tiny-image decode)."""
+    mats = [c.zz * qts[c.qt_id][None, :] for c, _, _ in scan]
+    allm = mats[0] if len(scan) == 1 else np.concatenate(mats)
+    px = _idct_blocks(allm)
+    off = 0
+    for c, _, _ in scan:
+        nb = c.bh * c.bw
+        c.blocks = (
+            px[off : off + nb]
+            .reshape(c.bh, c.bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c.bh * 8, c.bw * 8)
+        )
+        off += nb
+
+
+def decode_jpeg(data: bytes, _collect: list | None = None):
     """→ u8 array, (h, w, 3) RGB for color / (h, w) for grayscale.
     Baseline sequential AND progressive (SOF2, spectral selection +
     successive approximation) decode natively; arithmetic/12-bit/
-    lossless/hierarchical raise."""
+    lossless/hierarchical raise.
+
+    ``_collect`` (internal, jpeg_lockstep.py): when a list is passed,
+    baseline scans are NOT decoded — their geometry + entropy segments
+    are appended as scan jobs and the parsed image state is returned
+    instead of pixels, so the lockstep engine can decode many images'
+    segments in one vectorized pass. Progressive streams raise
+    _LockstepIneligible in this mode (caller falls back to the scalar
+    path)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -676,6 +750,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scan_comps.append((comp_by_id[cs], td_ta >> 4, td_ta & 0x0F))
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             pos += seg_len
+            if _collect is not None:
+                if progressive:
+                    raise _LockstepIneligible("progressive")
+                mcx, mcy = _scan_geometry(scan_comps, width, height, h_max_f, v_max_f)
+                segments, pos = _entropy_segments(data, pos)
+                _collect.append(
+                    _ScanJob(
+                        list(scan_comps),
+                        dict(qts),
+                        dict(huff),
+                        segments,
+                        restart_interval,
+                        mcx,
+                        mcy,
+                    )
+                )
+                continue
             if progressive:
                 pos = _decode_scan_progressive(
                     data,
@@ -712,6 +803,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     if not comps or not scan_comps:
         raise ValueError("truncated JPEG: no frame/scan decoded")
+    if _collect is not None:
+        # lockstep collect mode: scans were captured, not decoded; the
+        # caller runs the lane engine, then _scan_idct + _assemble.
+        return (comps, width, height)
     if progressive:
         # one dequant + IDCT per component from the accumulated zigzag
         # coefficients (same math as the baseline tail)
@@ -739,27 +834,9 @@ def _decode_scan(
     h_max_f: int,
     v_max_f: int,
 ) -> int:
-    if len(scan) == 1:
-        # non-interleaved: MCU = one block of the sole component. The grid
-        # is sized from the FRAME-level sampling maxima (ADVICE r5): a
-        # subsampled component in a multi-SOS baseline stream covers
-        # ceil(dim * c.h / h_max_frame) samples — sizing from the
-        # scan-local maxima made the grid up to 4x too large and EOF'd.
-        c = scan[0][0]
-        bw = ((width * c.h + h_max_f - 1) // h_max_f + 7) // 8
-        bh = ((height * c.v + v_max_f - 1) // v_max_f + 7) // 8
-        grids = {c.cid: (bw, bh)}
-        mcus_x, mcus_y = bw, bh
-    else:
-        mcus_x = (width + 8 * h_max_f - 1) // (8 * h_max_f)
-        mcus_y = (height + 8 * v_max_f - 1) // (8 * v_max_f)
-        grids = {c.cid: (mcus_x * c.h, mcus_y * c.v) for c, _, _ in scan}
+    mcus_x, mcus_y = _scan_geometry(scan, width, height, h_max_f, v_max_f)
     ncomp = len(scan)
-    luts = []
-    for c, td, ta in scan:
-        bw_, bh_ = grids[c.cid]
-        c.bw, c.bh = bw_, bh_
-        luts.append((_huff_lut(huff[(0, td)]), _huff_lut(huff[(1, ta)])))
+    luts = [(_huff_lut(huff[(0, td)]), _huff_lut(huff[(1, ta)])) for c, td, ta in scan]
 
     segments, end = _entropy_segments(data, pos)
     seg_i = 0
@@ -921,29 +998,13 @@ def _decode_scan(
     # sparse scatter: coefficients were appended as (flat NATURAL-order
     # index, value) instead of allocating a 64-slot list per block — most
     # blocks carry only a few nonzero coefficients, and the zigzag
-    # un-permutation already happened at append time. Dequant is exact:
-    # integer coefficient x integer-valued float64 qt (products bounded by
-    # 2047*255 << 2^53). All components ride ONE IDCT matmul chain (the
-    # per-component numpy-call overhead dominated tiny-image decode).
-    mats = []
+    # un-permutation already happened at append time.
     for ci, (c, _, _) in enumerate(scan):
         flat = np.zeros(c.bh * c.bw * 64, dtype=np.float64)
         if idx_lists[ci]:
             flat[idx_lists[ci]] = val_lists[ci]
         c.zz = flat.reshape(-1, 64)
-        mats.append(c.zz * qts[c.qt_id][None, :])
-    allm = mats[0] if ncomp == 1 else np.concatenate(mats)
-    px = _idct_blocks(allm)
-    off = 0
-    for c, _, _ in scan:
-        nb = c.bh * c.bw
-        c.blocks = (
-            px[off : off + nb]
-            .reshape(c.bh, c.bw, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(c.bh * 8, c.bw * 8)
-        )
-        off += nb
+    _scan_idct(scan, qts)
     return end
 
 

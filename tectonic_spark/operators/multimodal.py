@@ -801,7 +801,7 @@ def m08_decode_kernel(docs: DataFrame) -> DataFrame:
     unchanged)."""
     import numpy as np
 
-    from tectonic_spark.operators.jpeg import decode_jpeg
+    from tectonic_spark.operators.jpeg_lockstep import decode_jpeg_batch
 
     schema = StructType(
         [
@@ -813,20 +813,21 @@ def m08_decode_kernel(docs: DataFrame) -> DataFrame:
     )
 
     def attach_and_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
         for pdf in batches:
-            for doc_id in pdf["doc_id"]:
-                payload = _jpeg_payload(int(doc_id))
-                px = decode_jpeg(payload)
-                rows.append(
-                    (
-                        int(doc_id),
-                        px.shape[1],
-                        px.shape[0],
-                        int(px.astype(np.int64).sum()),
-                    )
-                )
-        yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "px_sum"])
+            # whole-Arrow-batch decode: dense restart-segmented payloads
+            # ride ONE lockstep pass (r7 — the per-symbol Python walk was
+            # the 100 TB decode bottleneck); thumbnails fall through to
+            # the scalar path inside the same call, bit-identically
+            ids = [int(d) for d in pdf["doc_id"]]
+            pxs = decode_jpeg_batch([_jpeg_payload(d) for d in ids])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": [px.shape[1] for px in pxs],
+                    "height": [px.shape[0] for px in pxs],
+                    "px_sum": [int(px.astype(np.int64).sum()) for px in pxs],
+                }
+            )
 
     return docs.select("doc_id").mapInPandas(attach_and_decode, schema)
 
@@ -921,7 +922,7 @@ def _jpeg16_block_value(doc_id: int, bi: int) -> int:
 def m09_jpeg_resize_reencode(spark, sf_dir: str) -> DataFrame:
     import numpy as np
 
-    from tectonic_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from tectonic_spark.operators.jpeg import encode_jpeg
 
     docs = (
         table(spark, sf_dir, "documents")
@@ -939,8 +940,10 @@ def m09_jpeg_resize_reencode(spark, sf_dir: str) -> DataFrame:
     )
 
     def pipeline(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
+        from tectonic_spark.operators.jpeg_lockstep import decode_jpeg_batch
+
         for pdf in batches:
+            ids, payloads = [], []
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 w, h = _jpeg16_params(doc_id)
@@ -954,20 +957,22 @@ def m09_jpeg_resize_reencode(spark, sf_dir: str) -> DataFrame:
                 ).reshape(h // 16, bw)
                 plane = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
                 rgb = np.repeat(plane[:, :, None], 3, axis=2)
-                payload = encode_jpeg(rgb, subsampling="444")
-                # decode -> nearest half-resize -> re-encode -> decode
-                px = decode_jpeg(payload)
-                small = px[::2, ::2, :]
-                out = decode_jpeg(encode_jpeg(small, subsampling="444"))
-                rows.append(
-                    (
-                        doc_id,
-                        out.shape[1],
-                        out.shape[0],
-                        int(out.astype(np.int64).sum()),
-                    )
-                )
-        yield pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "px_sum"])
+                ids.append(doc_id)
+                payloads.append(encode_jpeg(rgb, subsampling="444"))
+            # decode -> nearest half-resize -> re-encode -> decode, each
+            # hop batched across the whole Arrow batch (r7 lockstep)
+            smalls = [px[::2, ::2, :] for px in decode_jpeg_batch(payloads)]
+            outs = decode_jpeg_batch(
+                [encode_jpeg(s, subsampling="444") for s in smalls]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "out_w": [o.shape[1] for o in outs],
+                    "out_h": [o.shape[0] for o in outs],
+                    "px_sum": [int(o.astype(np.int64).sum()) for o in outs],
+                }
+            )
 
     return docs.mapInPandas(pipeline, schema)
 
