@@ -1,0 +1,345 @@
+"""H.264/AVC Annex-B frame-census walker (m13) — the m10 MP3 playbook
+applied to video.
+
+Scope (deliberate, mirroring VERDICT r6 item 5): NAL-level structural
+decode — start-code sync, emulation-prevention unescape, SPS parse
+(profile/level/resolution incl. frame cropping, via Exp-Golomb), PPS
+census, slice-header parse far enough to count FRAMES (a new frame
+starts at a slice with first_mb_in_slice == 0, the standard progressive
+access-unit heuristic) and IDR keyframes, plus exact byte extents. This
+is the census a 100 TB video-corpus curation pipeline needs for
+manifesting/sharding/sampling decisions. Full pixel decode
+(CAVLC/CABAC entropy + inter prediction + deblocking) stays documented
+out — that is pyav/openh264 territory; the structural layer here is the
+part a Spark pipeline owns.
+
+Everything implements ITU-T H.264 (08/2021) §7.3-7.4 syntax from the
+public spec: Exp-Golomb ue(v)/se(v) (§9.1), NAL syntax + emulation
+prevention (§7.3.1, B.1), seq_parameter_set_rbsp (§7.3.2.1.1),
+pic_parameter_set header, slice_header prefix (§7.3.3).
+
+The fixture ENCODER below builds structurally valid Annex-B streams
+(real SPS/PPS bit syntax, real slice headers, escaped payload) with
+closed-form parameters so the census has an exact DuckDB oracle; it
+makes no claim of decodability by a pixel decoder.
+
+Reference parity note: the reference engine has no video surface at all;
+this is part of the beyond-reference multimodal family.
+"""
+from __future__ import annotations
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self._bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        # Exp-Golomb: leadingZeroBits zeros, then the (v+1) bits
+        code = v + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def se(self, v: int) -> None:
+        # signed mapping: v>0 -> 2v-1, v<=0 -> -2v
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp_trailing(self) -> None:
+        self._bits.append(1)
+        while len(self._bits) % 8:
+            self._bits.append(0)
+
+    def bytes(self) -> bytes:
+        assert len(self._bits) % 8 == 0
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            b = 0
+            for bit in self._bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self._pos >> 3
+            if byte >= len(self._d):
+                raise ValueError("truncated NAL payload")
+            v = (v << 1) | ((self._d[byte] >> (7 - (self._pos & 7))) & 1)
+            self._pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("malformed Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+
+def _ebsp(rbsp: bytes) -> bytes:
+    """Emulation prevention (§7.4.1.1): insert 0x03 after any 00 00 when
+    the next byte is 00/01/02/03, so the escaped payload can never
+    contain a start-code prefix."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _unescape(ebsp: bytes) -> bytes:
+    return ebsp.replace(b"\x00\x00\x03", b"\x00\x00")
+
+
+# --- fixture encoder -------------------------------------------------------
+
+
+def _sps_rbsp(
+    profile_idc: int,
+    level_idc: int,
+    w_mbs: int,
+    h_mbs: int,
+    crop_right: int = 0,
+    crop_bottom: int = 0,
+) -> bytes:
+    w = _BitWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)  # constraint flags + reserved
+    w.u(level_idc, 8)
+    w.ue(0)  # sps_id
+    w.ue(4)  # log2_max_frame_num_minus4 -> u(8) frame_num
+    w.ue(2)  # pic_order_cnt_type = 2 (no extra fields)
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed
+    w.ue(w_mbs - 1)  # pic_width_in_mbs_minus1
+    w.ue(h_mbs - 1)  # pic_height_in_map_units_minus1
+    w.u(1, 1)  # frame_mbs_only_flag (progressive)
+    w.u(0, 1)  # direct_8x8_inference_flag
+    if crop_right or crop_bottom:
+        w.u(1, 1)  # frame_cropping_flag
+        w.ue(0)
+        w.ue(crop_right)
+        w.ue(0)
+        w.ue(crop_bottom)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    w.rbsp_trailing()
+    return w.bytes()
+
+
+def _pps_rbsp() -> bytes:
+    w = _BitWriter()
+    w.ue(0)  # pps_id
+    w.ue(0)  # sps_id
+    w.u(0, 1)  # entropy_coding_mode_flag = CAVLC
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)  # weighted_pred_flag
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(1, 1)  # deblocking_filter_control_present
+    w.u(0, 1)  # constrained_intra_pred
+    w.u(0, 1)  # redundant_pic_cnt_present
+    w.rbsp_trailing()
+    return w.bytes()
+
+
+def _slice_rbsp(first_mb: int, slice_type: int, frame_num: int, fill: bytes) -> bytes:
+    w = _BitWriter()
+    w.ue(first_mb)
+    w.ue(slice_type)
+    w.ue(0)  # pps_id
+    w.u(frame_num & 0xFF, 8)  # frame_num, u(log2_max_frame_num) = u(8)
+    w.rbsp_trailing()  # census scope: header prefix only, then opaque data
+    return w.bytes() + fill
+
+
+def _nal(ref_idc: int, nal_type: int, rbsp: bytes, long_sc: bool = True) -> bytes:
+    sc = b"\x00\x00\x00\x01" if long_sc else b"\x00\x00\x01"
+    return sc + bytes([(ref_idc << 5) | nal_type]) + _ebsp(rbsp)
+
+
+def encode_h264_annexb(
+    n_frames: int,
+    w_mbs: int,
+    h_mbs: int,
+    profile_idc: int = 66,
+    level_idc: int = 30,
+    crop_right: int = 0,
+    crop_bottom: int = 0,
+    extra_slice_every: int = 0,
+    fill_fn=None,
+) -> bytes:
+    """Structurally valid Annex-B stream: SPS, PPS, then per frame one
+    IDR/non-IDR slice (+ a second slice covering the frame's tail when
+    ``extra_slice_every`` divides the frame index — same frame, so the
+    frame census must not double-count it). ``fill_fn(i) -> bytes`` makes
+    opaque per-slice payload (escaped, so it can never alias a start
+    code)."""
+    out = bytearray()
+    out += _nal(3, 7, _sps_rbsp(profile_idc, level_idc, w_mbs, h_mbs, crop_right, crop_bottom))
+    out += _nal(3, 8, _pps_rbsp())
+    fill_fn = fill_fn or (lambda i: bytes([(37 * i + 11) % 256] * (3 + i % 5)))
+    half = (w_mbs * h_mbs) // 2 or 1
+    si = 0
+    for f in range(n_frames):
+        idr = f == 0
+        # IDR slice_type I (7 signals "all slices I"), later frames P (5)
+        stype = 7 if idr else 5
+        out += _nal(
+            3 if idr else 2,
+            5 if idr else 1,
+            _slice_rbsp(0, stype, f, fill_fn(si)),
+            long_sc=idr,
+        )
+        si += 1
+        if extra_slice_every and f % extra_slice_every == 0:
+            out += _nal(
+                3 if idr else 2,
+                5 if idr else 1,
+                _slice_rbsp(half, stype, f, fill_fn(si)),
+                long_sc=False,
+            )
+            si += 1
+    return bytes(out)
+
+
+# --- the walker ------------------------------------------------------------
+
+_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+
+def _parse_sps(rbsp: bytes) -> dict:
+    r = _BitReader(rbsp)
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags
+    level_idc = r.u(8)
+    r.ue()  # sps_id
+    chroma_format_idc = 1
+    if profile_idc in _HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass
+        if r.u(1):  # seq_scaling_matrix_present
+            raise NotImplementedError("SPS scaling matrices (census scope)")
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed
+    pw = r.ue() + 1
+    ph = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        raise NotImplementedError("interlaced (field) coding — census scope")
+    r.u(1)  # direct_8x8_inference
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # CropUnit for 4:2:0 progressive: SubWidthC=2, SubHeightC*(2-1)=2
+    cux = 2 if chroma_format_idc in (1, 2) else 1
+    cuy = 2 if chroma_format_idc == 1 else 1
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "width": pw * 16 - (crop_l + crop_r) * cux,
+        "height": ph * 16 - (crop_t + crop_b) * cuy,
+    }
+
+
+def parse_h264(data: bytes) -> dict:
+    """Walk an Annex-B byte stream: every NAL between start codes is
+    classified; SPS yields profile/level/resolution; slices are counted
+    and aggregated into frames (first_mb_in_slice == 0 opens a new
+    frame). Returns the census dict; raises ValueError on streams that
+    violate NAL syntax (no start code, forbidden bit, truncated SPS)."""
+    n = len(data)
+    # find the first start code
+    i = data.find(b"\x00\x00\x01")
+    if i < 0:
+        raise ValueError("no Annex-B start code")
+    n_nals = n_sps = n_pps = n_slices = n_frames = n_idr = n_sei = 0
+    sps_info: dict = {}
+    while i >= 0:
+        j = i + 3
+        nxt = data.find(b"\x00\x00\x01", j)
+        end = nxt if nxt >= 0 else n
+        # a 4-byte start code's leading zero belongs to the previous NAL's
+        # trailing zeros; strip trailing zeros from the payload extent
+        payload = data[j:end]
+        if not payload:
+            raise ValueError("empty NAL unit")
+        hdr = payload[0]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        nal_type = hdr & 0x1F
+        ref_idc = (hdr >> 5) & 3
+        body = _unescape(payload[1:].rstrip(b"\x00"))
+        n_nals += 1
+        if nal_type == 7:
+            n_sps += 1
+            sps_info = _parse_sps(body)
+        elif nal_type == 8:
+            n_pps += 1
+        elif nal_type in (1, 5):
+            r = _BitReader(body)
+            first_mb = r.ue()
+            r.ue()  # slice_type
+            r.ue()  # pps_id
+            n_slices += 1
+            if first_mb == 0:
+                n_frames += 1
+                if nal_type == 5:
+                    n_idr += 1
+        elif nal_type == 6:
+            n_sei += 1
+        _ = ref_idc
+        i = nxt
+    if not n_sps:
+        raise ValueError("no SPS in stream")
+    return {
+        "n_nals": n_nals,
+        "n_sps": n_sps,
+        "n_pps": n_pps,
+        "n_slices": n_slices,
+        "n_frames": n_frames,
+        "n_idr": n_idr,
+        "n_sei": n_sei,
+        "bytes_walked": n,
+        **sps_info,
+    }

@@ -21,9 +21,10 @@ Design for 100 TB:
   synthesis needs the ISO 11172-3 Annex-B constant tables, which cannot
   be vendored from memory without mistranscription risk — soundfile
   territory). m01/m03/m05/m08/m10/m12 run over actual format bytes
-  under the oracle gate. The remaining compressed format (H.264) raises
-  NotImplementedError inside the codec; a production build routes it to
-  pyav without touching the mapInPandas plumbing. ``fake=True`` (TMM1
+  under the oracle gate. H.264 decodes at NAL/frame-census level (r7,
+  ``h264.parse_h264`` — SPS resolution, frame/IDR counts, extents);
+  PIXEL decode of compressed video routes to pyav in a production build
+  without touching the mapInPandas plumbing. ``fake=True`` (TMM1
   header parser, kept for m02/m04) exercises the same schema/batch
   shapes with synthetic payloads.
 
@@ -116,9 +117,10 @@ def _decode_image_real(payload: bytes):
     compressed audio decodes natively too (r6) — FLAC to exact PCM via
     :mod:`tectonic_spark.operators.flac`, MP3 at frame/metadata level via
     ``codecs.parse_mp3`` (sample synthesis needs the ISO Annex-B constant
-    tables and routes to soundfile in a production build). The remaining
-    compressed format (H.264) raises NotImplementedError — pyav territory,
-    without touching the mapInPandas plumbing.
+    tables and routes to soundfile in a production build). H.264 decodes
+    at NAL/frame-census level (r7, ``h264.parse_h264``); compressed-video
+    PIXEL decode is pyav territory, reachable without touching the
+    mapInPandas plumbing.
 
     → ``(kind, width, height, n_frames)``; audio reports its sample count
     as ``n_frames`` and NULL dimensions.
@@ -149,9 +151,16 @@ def _decode_image_real(payload: bytes):
     if payload[:10] == codecs._Y4M_MAGIC:
         w, h, frames = codecs.decode_y4m(payload)
         return "video", w, h, len(frames)
+    if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
+        # r7: H.264 Annex-B structural census (NAL walk + SPS resolution)
+        from tectonic_spark.operators.h264 import parse_h264
+
+        info = parse_h264(payload)
+        return "video", info["width"], info["height"], info["n_frames"]
     raise NotImplementedError(
         f"no native codec for payload magic {payload[:4]!r}; "
-        "plug pyav for compressed video formats"
+        "plug pyav for compressed-video PIXEL decode (H.264 structural "
+        "census is native — h264.parse_h264)"
     )
 
 
@@ -1161,6 +1170,123 @@ def m12_flac_decode(spark, sf_dir: str) -> DataFrame:
         )
 
     return docs.mapInPandas(roundtrip, schema)
+
+
+# --- m13: H.264 Annex-B frame census (compressed-video structural decode) --
+
+
+@register(
+    "m13_h264_census",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             2 + doc_id % 6 AS n_frames,
+             2 + doc_id % 4 AS w_mbs,
+             2 + doc_id % 3 AS h_mbs,
+             doc_id % 2 AS cr,
+             (doc_id // 2) % 2 AS cb
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames
+                + CASE WHEN doc_id % 4 = 0 THEN (n_frames + 1) // 2 ELSE 0 END
+                AS BIGINT) AS n_slices,
+           CAST(1 AS BIGINT) AS n_idr,
+           CAST(w_mbs * 16 - 2 * cr AS BIGINT) AS width,
+           CAST(h_mbs * 16 - 2 * cb AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 77 END AS BIGINT)
+             AS profile_idc,
+           CAST(30 + doc_id % 3 AS BIGINT) AS level_idc,
+           TRUE AS extent_ok
+    FROM m
+    """,
+    doc="H.264/AVC Annex-B frame census (VERDICT r6 item 5 — the m10 MP3 "
+    "playbook applied to video): every third document carries a "
+    "structurally valid Annex-B stream (real SPS/PPS/slice-header bit "
+    "syntax with Exp-Golomb fields, emulation-prevention-escaped "
+    "payloads, mixed 3/4-byte start codes, multi-slice frames); "
+    "h264.parse_h264 walks every NAL — start-code sync, EBSP unescape, "
+    "SPS profile/level/resolution incl. frame cropping, PPS census, "
+    "slice-header parse with first_mb_in_slice==0 frame-boundary "
+    "detection, IDR keyframe count, exact byte extents (extent_ok pins "
+    "bytes_walked == payload length). Full pixel decode (CAVLC/CABAC + "
+    "inter prediction) is documented out — pyav territory; the "
+    "structural census is what corpus manifesting/sharding needs. "
+    "Arrow-batched mapInPandas; payloads never leave executors.",
+)
+def m13_h264_census(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.h264 import encode_h264_annexb, parse_h264
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 1)
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("n_slices", LongType(), True),
+            StructField("n_idr", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("profile_idc", LongType(), True),
+            StructField("level_idc", LongType(), True),
+            StructField("extent_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = encode_h264_annexb(
+                    2 + d % 6,
+                    2 + d % 4,
+                    2 + d % 3,
+                    profile_idc=66 if d % 2 == 0 else 77,
+                    level_idc=30 + d % 3,
+                    crop_right=d % 2,
+                    crop_bottom=(d // 2) % 2,
+                    extra_slice_every=2 if d % 4 == 0 else 0,
+                    fill_fn=lambda i, d=d: bytes(
+                        (d * 31 + i * 37 + j) % 256 for j in range(3 + (d + i) % 7)
+                    ),
+                )
+                info = parse_h264(payload)
+                rows.append(
+                    (
+                        d,
+                        info["n_frames"],
+                        info["n_slices"],
+                        info["n_idr"],
+                        info["width"],
+                        info["height"],
+                        info["profile_idc"],
+                        info["level_idc"],
+                        info["bytes_walked"] == len(payload),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_frames",
+                "n_slices",
+                "n_idr",
+                "width",
+                "height",
+                "profile_idc",
+                "level_idc",
+                "extent_ok",
+            ],
+        )
+
+    return docs.mapInPandas(walk, schema)
 
 
 # --- m11: progressive JPEG decode (SOF2 spectral selection) ---------------
