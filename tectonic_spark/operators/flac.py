@@ -41,23 +41,42 @@ _MAGIC = b"fLaC"
 # ------------------------------------------------------------------ CRCs
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 (FLAC frame header CRC)."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc_tables() -> tuple[list[int], list[int]]:
+    t8, t16 = [], []
+    for b in range(256):
+        c = b
         for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t8.append(c)
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
+        t16.append(c)
+    return t8, t16
+
+
+_CRC8_TAB, _CRC16_TAB = _make_crc_tables()
+
+# window masks for the fused Rice loop: masks[a] = lowest a bits
+_WIN_MASKS = [(1 << i) - 1 for i in range(73)]
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 (FLAC frame header CRC).
+    Table-driven (r7): the per-bit loop was 25% of whole-file decode."""
+    crc = 0
+    tab = _CRC8_TAB
+    for b in data:
+        crc = tab[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 (FLAC frame CRC)."""
     crc = 0
+    tab = _CRC16_TAB
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ tab[(crc >> 8) ^ b]
     return crc
 
 
@@ -319,11 +338,40 @@ def _decode_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
                     v -= 1 << nb
                 res[pos + i] = v
         else:
-            for i in range(cnt):
-                q = br.read_unary()
-                zig = (q << k) | br.read(k) if k else q
-                res[pos + i] = (zig >> 1) ^ -(zig & 1)
+            # fused Rice hot loop (r7): ONE 9-byte window fetch covers the
+            # expected unary quotient (~1 for a well-chosen k) plus the
+            # k<=14 remainder bits — replaces two method calls and two
+            # int.from_bytes per sample. Long quotients / window-boundary
+            # cases (rare) fall back to the generic cursor.
+            data = br.data
+            nbytes = len(data)
+            bp = br.bitpos
+            kmask = (1 << k) - 1
+            masks = _WIN_MASKS
+            tail9 = nbytes - 9  # full 9-byte windows end here
+            out = res
+            for i in range(pos, pos + cnt):
+                b0 = bp >> 3
+                if b0 <= tail9:
+                    avail = 72 - (bp & 7)
+                else:
+                    avail = ((nbytes - b0) << 3) - (bp & 7)
+                    if avail <= 0:
+                        raise ValueError("truncated unary code")
+                w = int.from_bytes(data[b0 : b0 + 9], "big") & masks[avail]
+                lead = avail - w.bit_length()
+                take = lead + 1 + k
+                if w and take <= avail:
+                    zig = ((lead << k) | ((w >> (avail - take)) & kmask)) if k else lead
+                    bp += take
+                else:  # quotient spans the window — generic path
+                    br.bitpos = bp
+                    q = br.read_unary()
+                    zig = (q << k) | br.read(k) if k else q
+                    bp = br.bitpos
+                out[i] = (zig >> 1) ^ -(zig & 1)
             # (zig>>1) ^ -(zig&1): inverse zigzag
+            br.bitpos = bp
         pos += cnt
     return res
 

@@ -55,17 +55,54 @@ def register(
 
 
 # The correctness driver samples the FIRST 50 registered queries in
-# iteration order.  Round-6 ROTATION (VERDICT r5 item 1): after five rounds,
-# 135 of the 164 registered queries have >=1 driver-green CORRECTNESS row;
-# exactly 29 have only ever had local/judge sweeps.  This round fronts ALL
-# 29 never-driver-sampled names, then this round's new registrations, then
-# the queries whose implementation changed in round 6 (so the driver
-# re-verifies the changed code), filling the 50-slot window.  Every query
-# evicted from the window stays under the local check_correctness.py +
-# sf1-sweep gates.  ``finalize_order`` (called by ``operators/__init__``
-# once all modules are imported) rebuilds REGISTRY in this order; names not
-# listed keep their registration order at the tail.
+# iteration order.
+#
+# STANDING WINDOW POLICY (VERDICT r6 item 8, in effect from round 7): with
+# every oracle-checkable registered query holding at least one driver-green
+# CORRECTNESS row (r1-r6 union: 167/168), the window's job each round is
+# RE-VERIFICATION of touched code first.  Order:
+#   1. any query that has never had a green driver row (should be empty);
+#   2. queries REGISTERED this round (first driver rows);
+#   3. queries whose implementation or a shared helper they ride CHANGED
+#      this round (the driver re-verifies the changed code);
+#   4. warm fill: high-value rows + family coverage, rotating.
+# Everything evicted from the window stays under the local
+# check_correctness.py full sweep + the sf1-sweep gates.  ``finalize_order``
+# (called by ``operators/__init__`` once all modules are imported) rebuilds
+# REGISTRY in this order; duplicates below dedupe first-wins; names not
+# listed keep registration order at the tail.
 PRIORITY: list[str] = [
+    # --- r7 tier 1: zero green rows ever.  b05_approx_distinct's only
+    # driver rows (r01/r02) predate its err_ok re-registration and read
+    # "no_oracle"; the oracle now exists and passes locally — this row
+    # closes the last verification hole in the registry.
+    "b05_approx_distinct",
+    # --- r7 tier 2: new registrations ---
+    "m13_h264_census",
+    # --- r7 tier 3: changed code ---
+    # lockstep lane-engine decode + shared _scan_geometry/_scan_idct
+    # refactor + batched m08/m09/s12 kernels + m01 Annex-B routing
+    "m08_jpeg_decode",
+    "m09_jpeg_resize_reencode",
+    "m11_jpeg_progressive",
+    "s12_stream_media_decode",
+    "m01_media_metadata",
+    # FLAC encoder int16 guard + table CRCs + fused Rice loop
+    "m12_flac_decode",
+    # _partial_topk NULL pre-filter (exact-search family plan change)
+    "c02_cosine_topk",
+    "c02_filtered_topk",
+    "c02_mips_topk",
+    "c02_knn_classify",
+    "c02_pq_adc",
+    "c02_pq_adc_scaled",
+    # bounded_key coalesce (rank-over-bounded-set paths)
+    "c04_sequence_packing",
+    "c04_dsir",
+    "c05_curation_v2",
+    "c03_cms_heavy_hitters",
+    # --- r7 tier 4: warm fill (high-value + family coverage) below; the
+    # r6 list continues and dedupes first-wins ---
     # --- the 29 never-driver-sampled queries (closes the registry:
     #     after this round every registered name has a driver row) ---
     # c04 training-pipeline family (highest user-facing frequency)

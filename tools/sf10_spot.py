@@ -46,6 +46,27 @@ FAMILY_QUERIES = [
     "m12_flac_decode",
 ]
 
+# r7 (VERDICT r6 item 6): families still without a 100x row — the sink
+# matrix (write-path fan-out + partition pruning under real volume), the
+# window family (per-key sort spill), c03 text (broadcast model tables +
+# per-row kernels), c05 compositions (multi-stage exchange budgets), and
+# the graph family (triangle counting and peeling are the likeliest
+# super-linear suspects: both join edges against edges). `--families2`.
+FAMILY_QUERIES_R7 = [
+    "a17_partitioned_sink_pruning",
+    "a21_gzip_sink_roundtrip",
+    "b07_range_frame",
+    "b11_sliding_window",
+    "c03_tfidf_keywords",
+    "c03_bm25_retrieval",
+    "c03_nb_langid",
+    "c05_corpus_curation",
+    "c05_curation_v2",
+    "c06_triangle_count",
+    "c06_alpha_beta_core",
+    "m13_h264_census",
+]
+
 # The registered c01_semantic_dedup_scaled pins k=8 to stay under the
 # static oracle; per-cluster pair volume is ~ (N/k)^2, so at 500k docs
 # k=8 would demand a 168k x 168k similarity matrix (212 GiB — observed).
@@ -64,6 +85,9 @@ def main() -> None:
     if args == ["--families"]:
         names = FAMILY_QUERIES
         sys.argv = sys.argv[:1] + names  # skip the sem-dedup extra below
+    elif args == ["--families2"]:
+        names = FAMILY_QUERIES_R7
+        sys.argv = sys.argv[:1] + names
     else:
         names = args or QUERIES
     t0 = time.perf_counter()
