@@ -291,6 +291,36 @@ def _audio_codec_rates() -> dict[str, float]:
         best = min(best, _t.process_time() - t0)
     rate_flac = len(flac) / 1e6 / best
 
+    # lockstep batch regime (r7): real-world blocks (4096) across many
+    # payload lanes — the corpus decode path (mapInPandas hands the kernel
+    # whole Arrow batches)
+    from tectonic_spark.operators.flac import decode_flac_batch
+
+    tt = _np.arange(30_000, dtype=_np.float64)
+    lanes = [
+        encode_flac(
+            _np.stack(
+                [
+                    (11000 * _np.sin(tt / (31 + i))).astype(_np.int16),
+                    (8000 * _np.sin(tt / (7 + i)) + 2000 * _np.sin(tt / 3)).astype(
+                        _np.int16
+                    ),
+                ],
+                axis=1,
+            ),
+            sample_rate=44100,
+            block_size=4096,
+        )
+        for i in range(64)
+    ]
+    lanes_mb = sum(len(p) for p in lanes) / 1e6
+    decode_flac_batch(lanes)
+    best_b = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        decode_flac_batch(lanes)
+        best_b = min(best_b, _t.process_time() - t0)
+
     mp3 = encode_mp3_frames(2000, bitrate_idx=9, samplerate_idx=0)
     parse_mp3(mp3)
     best = 1e9
@@ -300,6 +330,7 @@ def _audio_codec_rates() -> dict[str, float]:
         best = min(best, _t.process_time() - t0)
     return {
         "flac_decode_mb_per_sec": round(rate_flac, 2),
+        "flac_decode_batch_mb_per_sec": round(lanes_mb / best_b, 2),
         "mp3_walk_mb_per_sec": round(len(mp3) / 1e6 / best, 2),
     }
 

@@ -311,7 +311,53 @@ _RATE_CODE = {
 }
 
 
-def _decode_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
+def _rice_scalar(
+    data: bytes, bp: int, cnt: int, k: int, out: np.ndarray, pos: int
+) -> int:
+    """Fused Rice hot loop (r7): ONE 9-byte window fetch covers the
+    expected unary quotient (~1 for a well-chosen k) plus the k<=30
+    remainder bits — replaces two method calls and two int.from_bytes
+    per sample. Long quotients / window-boundary cases (rare) fall back
+    to the generic cursor. Fills ``out[pos:pos+cnt]``, returns the new
+    bit position."""
+    nbytes = len(data)
+    kmask = (1 << k) - 1
+    masks = _WIN_MASKS
+    tail9 = nbytes - 9  # full 9-byte windows end here
+    br = None
+    for i in range(pos, pos + cnt):
+        b0 = bp >> 3
+        if b0 <= tail9:
+            avail = 72 - (bp & 7)
+        else:
+            avail = ((nbytes - b0) << 3) - (bp & 7)
+            if avail <= 0:
+                raise ValueError("truncated unary code")
+        w = int.from_bytes(data[b0 : b0 + 9], "big") & masks[avail]
+        lead = avail - w.bit_length()
+        take = lead + 1 + k
+        if w and take <= avail:
+            zig = ((lead << k) | ((w >> (avail - take)) & kmask)) if k else lead
+            bp += take
+        else:  # quotient spans the window — generic path
+            if br is None:
+                br = _BitReader(data)
+            br.bitpos = bp
+            q = br.read_unary()
+            zig = (q << k) | br.read(k) if k else q
+            bp = br.bitpos
+        out[i] = (zig >> 1) ^ -(zig & 1)
+    # (zig>>1) ^ -(zig&1): inverse zigzag
+    return bp
+
+
+def _decode_residual(br: _BitReader, bs: int, order: int):
+    """GENERATOR: the single implementation of residual decoding, shared
+    verbatim by the scalar driver (decode_flac) and the lane engine
+    (decode_flac_batch) so the two paths cannot diverge. Each Rice
+    partition is delegated to the driver via ``yield (bitpos, cnt, k)``;
+    the driver sends back ``new_bitpos`` after filling the target slice.
+    Escaped (raw n-bit) partitions are rare and decode inline."""
     method = br.read(2)
     if method > 1:
         raise ValueError("reserved residual coding method")
@@ -337,46 +383,15 @@ def _decode_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
                 if nb and v >= 1 << (nb - 1):
                     v -= 1 << nb
                 res[pos + i] = v
-        else:
-            # fused Rice hot loop (r7): ONE 9-byte window fetch covers the
-            # expected unary quotient (~1 for a well-chosen k) plus the
-            # k<=14 remainder bits — replaces two method calls and two
-            # int.from_bytes per sample. Long quotients / window-boundary
-            # cases (rare) fall back to the generic cursor.
-            data = br.data
-            nbytes = len(data)
-            bp = br.bitpos
-            kmask = (1 << k) - 1
-            masks = _WIN_MASKS
-            tail9 = nbytes - 9  # full 9-byte windows end here
-            out = res
-            for i in range(pos, pos + cnt):
-                b0 = bp >> 3
-                if b0 <= tail9:
-                    avail = 72 - (bp & 7)
-                else:
-                    avail = ((nbytes - b0) << 3) - (bp & 7)
-                    if avail <= 0:
-                        raise ValueError("truncated unary code")
-                w = int.from_bytes(data[b0 : b0 + 9], "big") & masks[avail]
-                lead = avail - w.bit_length()
-                take = lead + 1 + k
-                if w and take <= avail:
-                    zig = ((lead << k) | ((w >> (avail - take)) & kmask)) if k else lead
-                    bp += take
-                else:  # quotient spans the window — generic path
-                    br.bitpos = bp
-                    q = br.read_unary()
-                    zig = (q << k) | br.read(k) if k else q
-                    bp = br.bitpos
-                out[i] = (zig >> 1) ^ -(zig & 1)
-            # (zig>>1) ^ -(zig&1): inverse zigzag
-            br.bitpos = bp
+        elif cnt:
+            br.bitpos = yield (br.bitpos, cnt, k, res, pos)
         pos += cnt
     return res
 
 
-def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
+def _decode_subframe(br: _BitReader, bs: int, bps: int):
+    """GENERATOR (see _decode_residual): yields Rice-partition requests
+    upward; returns the decoded channel block."""
     if br.read(1):
         raise ValueError("subframe padding bit set")
     stype = br.read(6)
@@ -395,7 +410,7 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
     elif 8 <= stype <= 12:  # FIXED order 0-4
         order = stype - 8
         warm = [signed(br.read(eff), eff) for _ in range(order)]
-        res = _decode_residual(br, bs, order)
+        res = yield from _decode_residual(br, bs, order)
         # fixed predictor of order d computes the d-th difference; invert
         # with d exact int64 cumsums (vectorized — no per-sample loop)
         out = _apply_fixed(warm, res, order, bs)
@@ -409,7 +424,7 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
         if shift >= 16:
             raise ValueError("negative LPC shift")  # signed 5-bit, <0 invalid
         coefs = [signed(br.read(prec), prec) for _ in range(order)]
-        res = _decode_residual(br, bs, order)
+        res = yield from _decode_residual(br, bs, order)
         out = np.empty(bs, dtype=np.int64)
         out[:order] = warm
         co = coefs  # coefs[0] applies to the most recent sample
@@ -441,10 +456,12 @@ def _apply_fixed(warm: list[int], res: np.ndarray, order: int, bs: int) -> np.nd
     return out
 
 
-def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[int, np.ndarray]:
-    """FLAC → (sample_rate, int64 array (n, channels)). Verifies every
-    frame's header CRC-8 and footer CRC-16; verifies the stream MD5 when
-    STREAMINFO carries one and ``verify_md5``."""
+def _decode_flac_gen(data: bytes, verify_md5: bool = True):
+    """GENERATOR core of FLAC decode: all header/CRC/stereo logic lives
+    here ONCE; Rice partitions bubble up as ``yield (bitpos, cnt, k,
+    out, pos)`` requests answered with the new bitpos. decode_flac
+    drives it with the scalar fused loop; decode_flac_batch drives many
+    of these in numpy lockstep. Returns (sample_rate, pcm)."""
     if data[:4] != _MAGIC:
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -531,7 +548,8 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[int, np.ndarray]:
                 ch_bps += 1
             elif assignment == "mid-side" and c == 1:
                 ch_bps += 1
-            subs.append(_decode_subframe(br, bs, ch_bps))
+            sub = yield from _decode_subframe(br, bs, ch_bps)
+            subs.append(sub)
         br.align()
         crc_end = br.bitpos >> 3
         (crc16,) = struct.unpack_from(">H", data, crc_end)
@@ -563,3 +581,178 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[int, np.ndarray]:
         if le is not None and hashlib.md5(le).digest() != md5:
             raise ValueError("stream MD5 mismatch")
     return sample_rate, pcm
+
+
+def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[int, np.ndarray]:
+    """FLAC → (sample_rate, int64 array (n, channels)). Verifies every
+    frame's header CRC-8 and footer CRC-16; verifies the stream MD5 when
+    STREAMINFO carries one and ``verify_md5``. Scalar driver of the
+    shared generator core."""
+    g = _decode_flac_gen(data, verify_md5)
+    try:
+        req = next(g)
+        while True:
+            bp, cnt, k, out, pos = req
+            req = g.send(_rice_scalar(data, bp, cnt, k, out, pos))
+    except StopIteration as st:
+        return st.value
+
+
+# --------------------------------------------------- lockstep batch decode
+
+# The Rice residual walk is ~65% of scalar decode and advances one symbol
+# at a time — the same per-symbol-interpreter scale ceiling the JPEG
+# entropy loop had (jpeg_lockstep.py). Frames of DIFFERENT payloads are
+# independent streams, and the corpus decode path is batched
+# (mapInPandas), so the engine below advances one Rice residual per
+# PAYLOAD per numpy step, cooperatively: each payload's generator core
+# parses its headers in Python (cheap — once per partition, every ~4k
+# samples) and parks on its next Rice run; all parked runs step together.
+# Bit-exactness is structural: the generator core is the SAME object the
+# scalar driver uses, and the per-step integer ops mirror _rice_scalar.
+
+# Gates measured on this host (ROUND7.md): the engine loses below ~64
+# lanes (numpy per-op overhead swamps 48-lane arrays: 0.94x at 48 lanes /
+# 256-sample blocks) and wins from ~96 lanes with real-world >=1024-sample
+# blocks (1.43x at 96 lanes / 4096 blocks, growing with lane count) —
+# small blocks spend the time in per-frame Python control, not residuals.
+MIN_BATCH_LANES = 64
+MIN_BATCH_BLOCK = 1024
+# int64 windows of 48 bits let one gather serve peek + remainder: worst
+# well-formed step consumes lead(+-small) + 1 + k<=30 bits; longer takes
+# (huge quotients, window edge) fall back to the scalar cursor per lane.
+_EXT_TAB = np.array([(1 << s) - 1 for s in range(31)], dtype=np.int64)
+_AVAIL_MASKS = np.array(_WIN_MASKS[:49], dtype=np.int64)
+
+
+def decode_flac_batch(
+    payloads: list[bytes], verify_md5: bool = True
+) -> list[tuple[int, np.ndarray]]:
+    """Decode a batch of FLAC payloads in numpy lockstep across payload
+    lanes. Result-identical to ``[decode_flac(p) for p in payloads]``
+    (including raising on the same malformed streams — the control path
+    is the shared generator core)."""
+    n = len(payloads)
+
+    def _min_block(p: bytes) -> int:
+        # STREAMINFO minimum block size: 16 bits right after the 4-byte
+        # metadata-block header that follows the fLaC magic
+        return int.from_bytes(p[8:10], "big") if len(p) >= 10 else 0
+
+    if n < MIN_BATCH_LANES or any(_min_block(p) < MIN_BATCH_BLOCK for p in payloads):
+        return [decode_flac(p, verify_md5) for p in payloads]
+    results: list = [None] * n
+    # concat buffers, 0xFF-padded so an overrunning (truncated) lane
+    # terminates its run quickly and is caught by the bounds check below
+    pad = b"\xff" * 16
+    parts, offs = [], []
+    cursor = 0
+    for p in payloads:
+        offs.append(cursor)
+        parts.append(p)
+        parts.append(pad)
+        cursor += len(p) + len(pad)
+    cat = b"".join(parts)
+    c8 = np.frombuffer(cat, dtype=np.uint8).astype(np.int64)
+    W = (
+        (c8[:-5] << 40)
+        | (c8[1:-4] << 32)
+        | (c8[2:-3] << 24)
+        | (c8[3:-2] << 16)
+        | (c8[4:-1] << 8)
+        | c8[5:]
+    )
+    wmax = len(W) - 1
+    gens: list = [None] * n
+    OUT = np.empty(65536, dtype=np.int64)
+    out_alloc = 0
+
+    def advance(pid: int, send_val):
+        """Run payload pid's generator to its next Rice request (returned
+        as a lane record) or to completion (returns None)."""
+        nonlocal out_alloc, OUT
+        gen = gens[pid]
+        try:
+            req = gen.send(send_val) if send_val is not None else next(gen)
+        except StopIteration as st:
+            results[pid] = st.value
+            return None
+        bp_, cnt, k_, out, pos = req
+        base = offs[pid] * 8
+        if out_alloc + cnt > OUT.size:
+            grown = np.empty(max(out_alloc + cnt, OUT.size * 2), np.int64)
+            grown[:out_alloc] = OUT[:out_alloc]
+            OUT = grown
+        # record: [pid, gbp, k, rem, cur, region_base, out, pos, cnt, base_bit]
+        rec = [pid, base + bp_, k_, cnt, out_alloc, out_alloc, out, pos, cnt, base]
+        out_alloc += cnt
+        return rec
+
+    recs: list[list] = []
+    for i, p in enumerate(payloads):
+        gens[i] = _decode_flac_gen(p, verify_md5)
+        rec = advance(i, None)
+        if rec is not None:
+            recs.append(rec)
+
+    if recs:
+        bp = np.array([r[1] for r in recs], dtype=np.int64)
+        k = np.array([r[2] for r in recs], dtype=np.int64)
+        rem = np.array([r[3] for r in recs], dtype=np.int64)
+        oc = np.array([r[4] for r in recs], dtype=np.int64)
+        ext = _EXT_TAB.take(k)
+    while recs:
+        b0 = np.minimum(bp >> 3, wmax)
+        avail = 48 - (bp & 7)
+        w = W.take(b0) & _AVAIL_MASKS.take(avail)
+        # frexp exponent == bit_length, exact for ints < 2^53
+        e = np.frexp(w.astype(np.float64))[1].astype(np.int64)
+        lead = avail - e
+        take = lead + 1 + k
+        ok = (w != 0) & (take <= avail)
+        zig = (lead << k) | ((w >> np.maximum(avail - take, 0)) & ext)
+        val = (zig >> 1) ^ -(zig & 1)
+        sel = np.nonzero(ok)[0]
+        OUT[oc[sel]] = val[sel]
+        bp += take * ok
+        oc += ok
+        rem -= ok
+        if not ok.all():
+            # long quotient / window edge: one scalar residual per lane
+            for j in np.nonzero(~ok)[0]:
+                br = _BitReader(cat, int(bp[j]))
+                q = br.read_unary()
+                kj = int(k[j])
+                z = (q << kj) | br.read(kj) if kj else q
+                OUT[int(oc[j])] = (z >> 1) ^ -(z & 1)
+                bp[j] = br.bitpos
+                oc[j] += 1
+                rem[j] -= 1
+        done = rem == 0
+        if done.any():
+            # completed partitions: hand results back, park the lane's
+            # NEXT request in place (no array rebuild — the engine stays
+            # hot while lanes run de-phased through frames/channels)
+            dead = []
+            for j in np.nonzero(done)[0]:
+                pid, _, _, _, _, a, out, pos, cnt, base = recs[j]
+                out[pos : pos + cnt] = OUT[a : a + cnt]
+                local_bp = int(bp[j]) - base
+                if local_bp > len(payloads[pid]) * 8:
+                    raise ValueError("truncated FLAC bitstream")
+                rec = advance(pid, local_bp)
+                if rec is None:
+                    dead.append(j)
+                else:
+                    recs[j] = rec
+                    bp[j], k[j], rem[j], oc[j] = rec[1], rec[2], rec[3], rec[4]
+                    ext[j] = _EXT_TAB[rec[2]]
+            if dead:
+                keep = np.ones(len(recs), dtype=bool)
+                keep[dead] = False
+                recs = [r for r, kp in zip(recs, keep) if kp]
+                if not recs:
+                    break
+                s_ = np.nonzero(keep)[0]
+                bp, k, rem, oc, ext = bp[s_], k[s_], rem[s_], oc[s_], ext[s_]
+    return results

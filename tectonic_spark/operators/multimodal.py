@@ -1135,9 +1135,9 @@ def _flac_pcm(doc_id: int):
     "payload bytes never leave executors.",
 )
 def m12_flac_decode(spark, sf_dir: str) -> DataFrame:
-    import numpy as np
+    import numpy as np  # noqa: F401 — kernels below use it via closures
 
-    from tectonic_spark.operators.flac import decode_flac, encode_flac
+    from tectonic_spark.operators.flac import encode_flac
 
     docs = (
         table(spark, sf_dir, "documents")
@@ -1155,19 +1155,27 @@ def m12_flac_decode(spark, sf_dir: str) -> DataFrame:
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows = []
+        from tectonic_spark.operators.flac import decode_flac_batch
+
         for pdf in batches:
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                payload = encode_flac(_flac_pcm(d), sample_rate=8000, block_size=64)
-                rate, pcm = decode_flac(payload)  # CRC + MD5 verified inside
-                rows.append(
-                    (d, pcm.shape[0], pcm.shape[1], rate, int(pcm.sum()))
-                )
-        yield pd.DataFrame(
-            rows,
-            columns=["doc_id", "n_samples", "channels", "sample_rate", "pcm_sum"],
-        )
+            # whole-Arrow-batch decode (r7): real-world-blocksize corpora
+            # ride the lockstep lane engine; these 64-sample-block fixtures
+            # route to the scalar path inside the same call, bit-identically
+            ids = [int(d) for d in pdf["doc_id"]]
+            payloads = [
+                encode_flac(_flac_pcm(d), sample_rate=8000, block_size=64)
+                for d in ids
+            ]
+            decoded = decode_flac_batch(payloads)  # CRC + MD5 verified inside
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": [pcm.shape[0] for _, pcm in decoded],
+                    "channels": [pcm.shape[1] for _, pcm in decoded],
+                    "sample_rate": [rate for rate, _ in decoded],
+                    "pcm_sum": [int(pcm.sum()) for _, pcm in decoded],
+                }
+            )
 
     return docs.mapInPandas(roundtrip, schema)
 
