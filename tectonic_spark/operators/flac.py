@@ -618,6 +618,9 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[int, np.ndarray]:
 # small blocks spend the time in per-frame Python control, not residuals.
 MIN_BATCH_LANES = 64
 MIN_BATCH_BLOCK = 1024
+# scratch guard: the 48-bit window table costs 8 B per payload byte; one
+# pool is capped and bigger batches run as sequential pools
+POOL_BYTE_CAP = 64 * 1024 * 1024
 # int64 windows of 48 bits let one gather serve peek + remainder: worst
 # well-formed step consumes lead(+-small) + 1 + k<=30 bits; longer takes
 # (huge quotients, window edge) fall back to the scalar cursor per lane.
@@ -641,6 +644,28 @@ def decode_flac_batch(
 
     if n < MIN_BATCH_LANES or any(_min_block(p) < MIN_BATCH_BLOCK for p in payloads):
         return [decode_flac(p, verify_md5) for p in payloads]
+    total = sum(len(p) for p in payloads)
+    if total > POOL_BYTE_CAP:
+        # split into sequential pools under the scratch cap (results and
+        # raise behavior unchanged — payloads are independent streams)
+        outs: list = []
+        chunk: list[bytes] = []
+        acc = 0
+
+        def drain() -> None:
+            if len(chunk) == 1 and acc > POOL_BYTE_CAP:
+                outs.append(decode_flac(chunk[0], verify_md5))
+            elif chunk:
+                outs.extend(decode_flac_batch(chunk, verify_md5))
+
+        for p in payloads:
+            if chunk and acc + len(p) > POOL_BYTE_CAP:
+                drain()
+                chunk, acc = [], 0
+            chunk.append(p)
+            acc += len(p)
+        drain()
+        return outs
     results: list = [None] * n
     # concat buffers, 0xFF-padded so an overrunning (truncated) lane
     # terminates its run quickly and is caught by the bounds check below

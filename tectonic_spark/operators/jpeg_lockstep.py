@@ -379,14 +379,37 @@ def _job_eligible(job) -> bool:
     return max(sizes) <= MAX_SEG_SKEW * (sum(sizes) / len(sizes))
 
 
+# scratch-memory guard: the engine's 48-bit window table costs 8 bytes
+# per entropy byte, so one pool is capped at ~64 MB of entropy data
+# (~512 MB scratch) and larger Arrow batches run as sequential pools —
+# same results, bounded executor memory.
+POOL_BYTE_CAP = 64 * 1024 * 1024
+
+
 def decode_jpeg_batch(payloads: list[bytes]) -> list[np.ndarray]:
     """Decode a batch of JPEG payloads, routing dense baseline images
-    with balanced restart segments through ONE lockstep pass and
+    with balanced restart segments through pooled lockstep passes and
     everything else (thumbnails, progressive, restart-free) through the
     scalar path. Bit-identical to [decode_jpeg(p) for p in payloads]."""
     out: list = [None] * len(payloads)
     pool = _Pool()
+    pool_bytes = 0
     pending: list[tuple[int, list, int, int]] = []  # i, comps, w, h
+
+    def flush() -> None:
+        nonlocal pool, pool_bytes
+        if pending:
+            if pool.nlanes >= MIN_LANES:
+                pool.run()
+                for i, comps, w, h in pending:
+                    out[i] = _assemble(comps, w, h)
+            else:
+                for i, _, _, _ in pending:
+                    out[i] = decode_jpeg(payloads[i])
+        pool = _Pool()
+        pool_bytes = 0
+        pending.clear()
+
     for i, data in enumerate(payloads):
         jobs: list = []
         try:
@@ -399,13 +422,9 @@ def decode_jpeg_batch(payloads: list[bytes]) -> list[np.ndarray]:
             continue
         for j in jobs:
             pool.add_job(j)
+            pool_bytes += sum(len(s) for s in j.segments)
         pending.append((i, comps, w, h))
-    if pending:
-        if pool.nlanes >= MIN_LANES:
-            pool.run()
-            for i, comps, w, h in pending:
-                out[i] = _assemble(comps, w, h)
-        else:
-            for i, _, _, _ in pending:
-                out[i] = decode_jpeg(payloads[i])
+        if pool_bytes >= POOL_BYTE_CAP:
+            flush()
+    flush()
     return out

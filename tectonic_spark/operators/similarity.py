@@ -60,15 +60,19 @@ def _partial_topk(
     cross-engine value hash is untouched. NaN ordering matches Spark's
     descending sort (NaN first) via na_position.
 
-    SQL-NULL scores are filtered out JVM-side before the batch top-k
-    (ADVICE r6): Arrow folds NULL and NaN into the same pandas NA, but
-    Spark's window ranks NULL *last* under desc while NaN ranks *first*,
-    so a NULL surviving the batch head(k) could evict a genuine global
-    top-k row. Every call site computes scores from non-null embedding
-    folds (NULL never occurs in practice); excluding them here makes the
-    superset guarantee unconditional for non-null scores. NaN is NOT
-    null in Spark and passes the filter untouched."""
-    pairs = pairs.filter(F.col(score).isNotNull())
+    PRECONDITION — ``score`` must be non-NULL (ADVICE r6): Arrow folds
+    SQL NULL and NaN into the same pandas NA, but Spark's window ranks
+    NULL *last* under desc while NaN ranks *first*, so a NULL surviving
+    the batch head(k) could evict a genuine global top-k row. A JVM-side
+    ``isNotNull`` guard here is NOT free: Catalyst duplicates the score
+    expression into both Filter and Project, and the HOF dot-product fold
+    is the dominant cost of every caller (measured: c02_cosine_topk
+    0.82 -> 1.48 s at sf0.1 with the guard). Every call site computes
+    ``score`` as an ``F.aggregate`` fold over non-null embedding arrays
+    with a non-null zero — such a fold cannot return NULL — so the
+    precondition holds by construction; a new call site with a nullable
+    score must pre-filter upstream of the scoring expression. NaN is not
+    NULL and is handled exactly (na_position matches the window)."""
     schema = pairs.schema
 
     def shrink(batches):

@@ -96,3 +96,11 @@ def test_property_batch_equals_scalar(n, bs, stereo, seed):
         _check([p, q, p, p])
     finally:
         fl.MIN_BATCH_LANES, fl.MIN_BATCH_BLOCK = gates
+
+
+def test_pool_byte_cap_splits_batches(monkeypatch):
+    monkeypatch.setattr(fl, "MIN_BATCH_LANES", 1)
+    monkeypatch.setattr(fl, "MIN_BATCH_BLOCK", 0)
+    monkeypatch.setattr(fl, "POOL_BYTE_CAP", 4_000)
+    payloads = [_mk(2000 + 100 * i, 256, i) for i in range(10)]
+    _check(payloads)

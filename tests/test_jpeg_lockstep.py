@@ -171,3 +171,13 @@ def test_property_batch_equals_scalar(h, w, quality, sub, ri, seed):
         _check([p, p])  # same payload twice: shared tables, distinct lanes
     finally:
         jl.MIN_LANES, jl.MIN_JOB_BYTES, jl.MIN_JOB_LANES, jl.MAX_SEG_SKEW = gates
+
+
+def test_pool_byte_cap_splits_batches(monkeypatch):
+    """Oversized batches run as sequential pools — same pixels."""
+    monkeypatch.setattr(jl, "POOL_BYTE_CAP", 20_000)
+    payloads = [
+        encode_jpeg(_img(64, 64, seed=s), quality=85, subsampling="420", restart_interval=1)
+        for s in range(12)
+    ]
+    _check(payloads)
