@@ -386,6 +386,26 @@ def _job_eligible(job) -> bool:
 POOL_BYTE_CAP = 64 * 1024 * 1024
 
 
+def payload_rides_engine(data: bytes) -> bool:
+    """True iff this payload alone satisfies every lockstep gate (its
+    scans are baseline, dense, balanced, and carry >= MIN_LANES restart
+    segments). Header + segment split only — no entropy decode — so
+    callers can PIN engine routing in oracle-checked outputs."""
+    jobs: list = []
+    try:
+        decode_jpeg(data, _collect=jobs)
+    except (_LockstepIneligible, ValueError, EOFError, NotImplementedError):
+        return False
+    if not jobs or not all(_job_eligible(j) for j in jobs):
+        return False
+    lanes = 0
+    for j in jobs:
+        m = j.mcus_x * j.mcus_y
+        ri = j.ri if j.ri else m
+        lanes += (m + ri - 1) // ri
+    return lanes >= MIN_LANES
+
+
 def decode_jpeg_batch(payloads: list[bytes]) -> list[np.ndarray]:
     """Decode a batch of JPEG payloads, routing dense baseline images
     with balanced restart segments through pooled lockstep passes and

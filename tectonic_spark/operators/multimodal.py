@@ -1297,6 +1297,85 @@ def m13_h264_census(spark, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(walk, schema)
 
 
+# --- m14: dense JPEG decode THROUGH the lockstep lane engine ---------------
+
+
+@register(
+    "m14_jpeg_dense_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(512 AS BIGINT) AS width,
+           CAST(512 AS BIGINT) AS height,
+           CAST(64 * list_sum(list_transform(range(0, 4096),
+                bi -> 2 * ((doc_id * 7 + bi * 13) % 128))) AS BIGINT)
+             AS px_sum,
+           TRUE AS rode_engine
+    FROM documents WHERE doc_id % 29 = 3
+    """,
+    doc="Dense-image decode pinned to the LOCKSTEP LANE ENGINE "
+    "(r7, jpeg_lockstep.py): 512x512 grayscale baseline JPEGs with "
+    "restart_interval=16 — 256 independent entropy segments per image, "
+    "so every payload rides the vectorized engine inside the real "
+    "mapInPandas path (m08's thumbnails route scalar by gate). Per-8x8-"
+    "block constant EVEN gray levels keep the DC-only quantization "
+    "exactly invertible, so the decoded pixel sum has a closed-form "
+    "oracle; rode_engine is computed from the engine's own gate "
+    "predicate per payload, so a future gate/threshold change that "
+    "silently reroutes this corpus to the scalar path flips the value "
+    "hash. 100 TB shape: the engine decodes whole Arrow batches, "
+    "payloads never leave executors, scratch bounded by the 64 MB "
+    "entropy pool cap.",
+)
+def m14_jpeg_dense_decode(spark, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.jpeg import encode_jpeg
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 29 == 3)
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("px_sum", LongType(), True),
+            StructField("rode_engine", BooleanType(), True),
+        ]
+    )
+
+    def dense_payload(d: int) -> bytes:
+        bi = np.arange(4096, dtype=np.int64)
+        vals = (2 * ((d * 7 + bi * 13) % 128)).astype(np.uint8).reshape(64, 64)
+        plane = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        return encode_jpeg(plane, restart_interval=16)
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.jpeg_lockstep import (
+            decode_jpeg_batch,
+            payload_rides_engine,
+        )
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            payloads = [dense_payload(d) for d in ids]
+            pxs = decode_jpeg_batch(payloads)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": [px.shape[1] for px in pxs],
+                    "height": [px.shape[0] for px in pxs],
+                    "px_sum": [int(px.astype(np.int64).sum()) for px in pxs],
+                    "rode_engine": [payload_rides_engine(p) for p in payloads],
+                }
+            )
+
+    return docs.mapInPandas(walk, schema)
+
+
 # --- m11: progressive JPEG decode (SOF2 spectral selection) ---------------
 
 

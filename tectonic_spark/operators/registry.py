@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     "b05_approx_distinct",
     # --- r7 tier 2: new registrations ---
     "m13_h264_census",
+    "m14_jpeg_dense_decode",
     # --- r7 tier 3: changed code ---
     # lockstep lane-engine decode + shared _scan_geometry/_scan_idct
     # refactor + batched m08/m09/s12 kernels + m01 Annex-B routing
