@@ -286,7 +286,7 @@ def sample_frames(with_media: DataFrame, every_nth: int = 30, fake: bool = True)
 
 from tectonic_spark.operators.registry import REGISTRY as _REG  # noqa: E402
 from tectonic_spark.operators.registry import register  # noqa: E402
-from tectonic_spark.tables import table  # noqa: E402
+from tectonic_spark.tables import spread_small_scan, table  # noqa: E402
 
 
 @register(
@@ -645,7 +645,9 @@ def m06_scene_detection(spark, sf_dir: str) -> DataFrame:
 
     from tectonic_spark.operators import codecs
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_small_scan(
+        table(spark, sf_dir, "documents").select("doc_id"), spark, "doc_id"
+    )
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -886,6 +888,10 @@ def m08_jpeg_decode(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .where(F.col("doc_id") % 3 == 0)
     )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
     return m08_decode_kernel(docs)
 
 
@@ -938,6 +944,10 @@ def m09_jpeg_resize_reencode(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .where(F.col("doc_id") % 3 == 0)
     )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
 
     schema = StructType(
         [
@@ -1033,6 +1043,10 @@ def m10_mp3_decode(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .where(F.col("doc_id") % 3 == 2)
     )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1144,6 +1158,10 @@ def m12_flac_decode(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .where(F.col("doc_id") % 4 == 2)
     )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1233,6 +1251,10 @@ def m13_h264_census(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .where(F.col("doc_id") % 3 == 1)
     )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1337,6 +1359,10 @@ def m14_jpeg_dense_decode(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .where(F.col("doc_id") % 29 == 3)
     )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1405,6 +1431,10 @@ def m11_jpeg_progressive(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .where(F.col("doc_id") % 3 == 0)
     )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
