@@ -46,8 +46,13 @@ EXCHANGE_BUDGET = {
     # union that re-ran the join per branch) — ceiling tightened 144 -> 56
     "c06_triangle_count": 56,
     # round-5 additions (measured ceilings)
-    "m08_jpeg_decode": 0,  # payload-parallel decode, zero shuffles
-    "m09_jpeg_resize_reencode": 0,
+    # r7: +1 for the CONDITIONAL spread_small_scan repartition — it fires
+    # at test scale (the doc_id scan arrives in fewer splits than cores;
+    # 30 of 32 cores sat idle through the decode stage at sf1) and is a
+    # plan no-op on a real corpus whose scan already fans out. The string
+    # count is 2 because the plan text names each Exchange twice here.
+    "m08_jpeg_decode": 2,
+    "m09_jpeg_resize_reencode": 2,
     "c02_pq_adc_scaled": 4,
     "c02_kmeans_scaled": 0,  # per-iteration exchanges live in earlier jobs
     "c01_semantic_dedup_scaled": 15,  # block-pair replication joins + combine
