@@ -633,8 +633,14 @@ def decode_flac_batch(
 ) -> list[tuple[int, np.ndarray]]:
     """Decode a batch of FLAC payloads in numpy lockstep across payload
     lanes. Result-identical to ``[decode_flac(p) for p in payloads]``
-    (including raising on the same malformed streams — the control path
-    is the shared generator core)."""
+    for well-formed streams, and raises on the same malformed streams —
+    the control path is the shared generator core — but the raise POINT
+    and message may differ on truncation: a lane can read a whole Rice
+    partition past its payload's 16-byte 0xFF pad (into the next pooled
+    payload's bytes) before the per-partition bounds check at flac
+    partition completion fires, where the scalar path raises 'truncated
+    unary code' at the exact payload edge (ADVICE r7). Both paths always
+    raise; neither returns wrong samples."""
     n = len(payloads)
 
     def _min_block(p: bytes) -> int:

@@ -295,12 +295,15 @@ def parse_h264(data: bytes) -> dict:
         raise ValueError("no Annex-B start code")
     n_nals = n_sps = n_pps = n_slices = n_frames = n_idr = n_sei = 0
     sps_info: dict = {}
+    # bytes_walked is ACCUMULATED from consumed pieces (leading zero_byte
+    # prefix + per-NAL start code + header + body + attributed zero_byte),
+    # not asserted as len(data), so a walker that skips or double-counts
+    # bytes flips extent_ok (ADVICE r7).
+    walked = i  # leading_zero_8bits / zero_byte prefix before first start code
     while i >= 0:
         j = i + 3
         nxt = data.find(b"\x00\x00\x01", j)
         end = nxt if nxt >= 0 else n
-        # a 4-byte start code's leading zero belongs to the previous NAL's
-        # trailing zeros; strip trailing zeros from the payload extent
         payload = data[j:end]
         if not payload:
             raise ValueError("empty NAL unit")
@@ -309,7 +312,19 @@ def parse_h264(data: bytes) -> dict:
             raise ValueError("forbidden_zero_bit set")
         nal_type = hdr & 0x1F
         ref_idc = (hdr >> 5) & 3
-        body = _unescape(payload[1:].rstrip(b"\x00"))
+        # Strip AT MOST one trailing zero, and only when a start code
+        # follows: that zero is the zero_byte of the next 4-byte start code,
+        # not NAL payload. EBSP may validly end in raw zeros (emulation
+        # prevention only escapes 00 00 when the NEXT byte is <= 3), so a
+        # blanket rstrip would eat legitimate trailing RBSP zeros of the
+        # last NAL (ADVICE r7).
+        body_raw = payload[1:]
+        zero_byte = 0
+        if nxt >= 0 and body_raw.endswith(b"\x00"):
+            body_raw = body_raw[:-1]
+            zero_byte = 1
+        body = _unescape(body_raw)
+        walked += 3 + 1 + len(body_raw) + zero_byte
         n_nals += 1
         if nal_type == 7:
             n_sps += 1
@@ -340,6 +355,6 @@ def parse_h264(data: bytes) -> dict:
         "n_frames": n_frames,
         "n_idr": n_idr,
         "n_sei": n_sei,
-        "bytes_walked": n,
+        "bytes_walked": walked,
         **sps_info,
     }

@@ -639,6 +639,11 @@ def decode_jpeg(data: bytes, _collect: list | None = None):
     hdr_hit = _HDR_CACHE.get(hdr_key) if hdr_key is not None else None
     if hdr_hit is not None:
         qts, huff, comp_spec, width, height, restart_interval, progressive = hdr_hit
+        # copy on hit, symmetric with the copy on store: an inter-scan
+        # DQT/DHT after the first SOS mutates qts/huff in place and must not
+        # corrupt the shared cached dicts for later same-prefix payloads
+        # (ADVICE r7)
+        qts, huff = dict(qts), dict(huff)
         comps = [_Component(cid, h_, v_, q_) for cid, h_, v_, q_ in comp_spec]
         comp_by_id = {c.cid: c for c in comps}
         h_max_f = max(c.h for c in comps)

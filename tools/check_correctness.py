@@ -91,7 +91,13 @@ def main() -> int:
     names = args.names or list(ops.REGISTRY)
     failed = []
     for name in names:
-        q = ops.REGISTRY[name]
+        q = ops.REGISTRY.get(name)
+        if q is None:
+            # Report-and-continue (VERDICT r7 item 6): one unknown name must
+            # not abort a partial sweep; exit code stays nonzero via `failed`.
+            print(f"FAIL  {name}: unknown query name (not in REGISTRY)")
+            failed.append(name)
+            continue
         try:
             sdf = q.builder(spark, args.sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
