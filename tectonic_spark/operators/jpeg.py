@@ -560,6 +560,29 @@ class _ScanJob:
         self.mcus_x, self.mcus_y = mcus_x, mcus_y
 
 
+class _ProgScanJob:
+    """One progressive SOS captured for the lane engine
+    (jpeg_prog_lockstep.py): the scan's component refs, huffman table
+    snapshot, unstuffed restart segments, spectral band (ss, se) and
+    successive-approximation (ah, al) parameters, plus the frame grid
+    needed to rebuild the scalar path's unit schedule exactly."""
+
+    __slots__ = (
+        "scan", "huff", "segments", "ri", "ss", "se", "ah", "al",
+        "mcus_x", "mcus_y", "h_max", "v_max", "width", "height",
+    )
+
+    def __init__(
+        self, scan, huff, segments, ri, ss, se, ah, al,
+        mcus_x, mcus_y, h_max, v_max, width, height,
+    ) -> None:
+        self.scan, self.huff, self.segments, self.ri = scan, huff, segments, ri
+        self.ss, self.se, self.ah, self.al = ss, se, ah, al
+        self.mcus_x, self.mcus_y = mcus_x, mcus_y
+        self.h_max, self.v_max = h_max, v_max
+        self.width, self.height = width, height
+
+
 def _scan_geometry(
     scan: list, width: int, height: int, h_max_f: int, v_max_f: int
 ) -> tuple[int, int]:
@@ -757,7 +780,26 @@ def decode_jpeg(data: bytes, _collect: list | None = None):
             pos += seg_len
             if _collect is not None:
                 if progressive:
-                    raise _LockstepIneligible("progressive")
+                    segments, pos = _entropy_segments(data, pos)
+                    _collect.append(
+                        _ProgScanJob(
+                            list(scan_comps),
+                            dict(huff),
+                            segments,
+                            restart_interval,
+                            ss,
+                            se,
+                            ahal >> 4,
+                            ahal & 0x0F,
+                            mcus_x,
+                            mcus_y,
+                            h_max_f,
+                            v_max_f,
+                            width,
+                            height,
+                        )
+                    )
+                    continue
                 mcx, mcy = _scan_geometry(scan_comps, width, height, h_max_f, v_max_f)
                 segments, pos = _entropy_segments(data, pos)
                 _collect.append(
@@ -810,21 +852,28 @@ def decode_jpeg(data: bytes, _collect: list | None = None):
         raise ValueError("truncated JPEG: no frame/scan decoded")
     if _collect is not None:
         # lockstep collect mode: scans were captured, not decoded; the
-        # caller runs the lane engine, then _scan_idct + _assemble.
-        return (comps, width, height)
+        # caller runs the lane engine, then the shared IDCT tail +
+        # _assemble (qts/progressive ride along for the progressive pool)
+        return (comps, width, height, qts, progressive)
     if progressive:
-        # one dequant + IDCT per component from the accumulated zigzag
-        # coefficients (same math as the baseline tail)
-        for c in comps:
-            nat = np.zeros_like(c.coef)
-            nat[:, ZIGZAG] = c.coef
-            px = _idct_blocks(nat * qts[c.qt_id][None, :])
-            c.blocks = (
-                px.reshape(c.bh, c.bw, 8, 8)
-                .transpose(0, 2, 1, 3)
-                .reshape(c.bh * 8, c.bw * 8)
-            )
+        _prog_idct(comps, qts)
     return _assemble(comps, width, height)
+
+
+def _prog_idct(comps: list[_Component], qts: dict) -> None:
+    """Dequant + IDCT + plane assembly from the accumulated progressive
+    zigzag coefficients (``c.coef``) — same math as the baseline tail.
+    Shared by the scalar progressive decode and the lockstep progressive
+    pool so the reconstruction arithmetic cannot diverge."""
+    for c in comps:
+        nat = np.zeros_like(c.coef)
+        nat[:, ZIGZAG] = c.coef
+        px = _idct_blocks(nat * qts[c.qt_id][None, :])
+        c.blocks = (
+            px.reshape(c.bh, c.bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c.bh * 8, c.bw * 8)
+        )
 
 
 def _decode_scan(
@@ -1080,14 +1129,21 @@ def encode_jpeg_progressive(
     quality: int = 50,
     subsampling: str = "444",
     bands: tuple = ((1, 5), (6, 63)),
+    successive: int = 0,
 ) -> bytes:
-    """Progressive (SOF2) JFIF encode, SPECTRAL-SELECTION mode: one
-    interleaved DC scan, then per-component AC band scans (Ah=Al=0).
+    """Progressive (SOF2) JFIF encode: one interleaved DC scan, then
+    per-component AC band scans. ``successive=A > 0`` adds SUCCESSIVE
+    APPROXIMATION (T.81 §G.1.2): the first scans carry the point
+    transform Al=A (DC arithmetic-shifted, AC divided toward zero),
+    followed by A refinement rounds (Ah=al+1, Al=al) — an interleaved
+    one-bit-per-block DC refine plus per-component AC refines with
+    correction bits per the published libjpeg jcphuff algorithm.
     Uses the Annex-K standard huffman tables, so per-block EOB0 only —
     EOB-run symbols need custom tables and are exercised decoder-side by
     hand-built streams in tests. Quantized coefficients are identical to
-    :func:`encode_jpeg` at equal settings, so a correct progressive
-    decoder must reproduce the baseline decode EXACTLY."""
+    :func:`encode_jpeg` at equal settings and successive approximation
+    is lossless once Al reaches 0, so a correct progressive decoder must
+    reproduce the baseline decode EXACTLY at every ``successive``."""
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -1162,33 +1218,45 @@ def encode_jpeg_progressive(
         ncomp - 1
     )
 
-    # --- scan 1: interleaved DC, Ss=Se=0, Ah=Al=0
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
-    for i in range(ncomp):
-        tid = 0 if i == 0 else 1
-        out += struct.pack("BB", i + 1, tid << 4)
-    out += bytes([0, 0, 0])
+    A = int(successive)
+    if not 0 <= A <= 13:
+        raise ValueError("successive must be in [0, 13]")
+
+    def mcu_blocks():
+        """Interleaved MCU block order (comp-major templates), as the
+        DC scans walk it."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(ncomp):
+                    sh, sv = samp[ci]
+                    gw = grids[ci][0]
+                    for vy in range(sv):
+                        for hx in range(sh):
+                            yield ci, (my * sv + vy) * gw + (mx * sh + hx)
+
+    def dc_header(ahal: int) -> bytes:
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for i in range(ncomp):
+            tid = 0 if i == 0 else 1
+            hdr += struct.pack("BB", i + 1, tid << 4)
+        return hdr + bytes([0, 0, ahal])
+
+    # --- scan 1: interleaved DC first, Ss=Se=0, Ah=0, Al=A
+    out += dc_header(A)
     bw = _BitWriter()
     preds = [0] * ncomp
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci in range(ncomp):
-                sh, sv = samp[ci]
-                gw = grids[ci][0]
-                for vy in range(sv):
-                    for hx in range(sh):
-                        bi = (my * sv + vy) * gw + (mx * sh + hx)
-                        dc = int(coefs[ci][bi][0])
-                        size, bits = _magnitude(dc - preds[ci])
-                        preds[ci] = dc
-                        code, length = dc_codes[ci][size]
-                        bw.write(code, length)
-                        if size:
-                            bw.write(bits, size)
+    for ci, bi in mcu_blocks():
+        dc = int(coefs[ci][bi][0]) >> A  # arithmetic shift (T.81 §G.1.2.1)
+        size, bits = _magnitude(dc - preds[ci])
+        preds[ci] = dc
+        code, length = dc_codes[ci][size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
     bw.flush()
     out += bw.buf
 
-    # --- AC band scans: one component each, Ah=Al=0
+    # --- AC FIRST band scans: one component each, Ah=0, Al=A
     for ci in range(ncomp):
         gw, gh = grids[ci]
         sh, sv = samp[ci]
@@ -1199,16 +1267,22 @@ def encode_jpeg_progressive(
             tid = 0 if ci == 0 else 1
             out += b"\xff\xda" + struct.pack(">HB", 8, 1)
             out += struct.pack("BB", ci + 1, tid)
-            out += bytes([ss, se, 0])
+            out += bytes([ss, se, A])
             bw = _BitWriter()
             for by in range(ni_h):
                 for bx in range(ni_w):
                     zz = coefs[ci][by * gw + bx]
+                    # point transform: |v| >> A, sign restored (÷ 2^A
+                    # rounded toward zero — T.81 §G.1.2.2)
+                    tv = [
+                        (abs(int(zz[k])) >> A) * (1 if zz[k] > 0 else -1)
+                        for k in range(ss, se + 1)
+                    ]
                     run = 0
-                    nz = [k for k in range(ss, se + 1) if zz[k]]
-                    last = nz[-1] if nz else ss - 1
-                    for k in range(ss, last + 1):
-                        v = int(zz[k])
+                    nz = [j for j, v in enumerate(tv) if v]
+                    last = nz[-1] if nz else -1
+                    for j in range(last + 1):
+                        v = tv[j]
                         if v == 0:
                             run += 1
                             continue
@@ -1221,13 +1295,91 @@ def encode_jpeg_progressive(
                         bw.write(code, length)
                         bw.write(bits, size)
                         run = 0
-                    if last < se:
+                    if ss + last < se:
                         code, length = ac_codes[ci][0x00]  # EOB0
                         bw.write(code, length)
             bw.flush()
             out += bw.buf
+
+    # --- refinement rounds: Ah=al+1, Al=al for al = A-1 .. 0
+    for al in range(A - 1, -1, -1):
+        # DC refine: interleaved, exactly one raw bit per block
+        out += dc_header(((al + 1) << 4) | al)
+        bw = _BitWriter()
+        for ci, bi in mcu_blocks():
+            bw.write((int(coefs[ci][bi][0]) >> al) & 1, 1)
+        bw.flush()
+        out += bw.buf
+        # AC refines: one component per band, correction bits per the
+        # published libjpeg jcphuff encode_mcu_AC_refine algorithm
+        for ci in range(ncomp):
+            gw, gh = grids[ci]
+            sh, sv = samp[ci]
+            ni_w = ((w * sh + h_max - 1) // h_max + 7) // 8
+            ni_h = ((h * sv + v_max - 1) // v_max + 7) // 8
+            for ss, se in bands:
+                tid = 0 if ci == 0 else 1
+                out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+                out += struct.pack("BB", ci + 1, tid)
+                out += bytes([ss, se, ((al + 1) << 4) | al])
+                bw = _BitWriter()
+                for by in range(ni_h):
+                    for bx in range(ni_w):
+                        _write_ac_refine_block(
+                            coefs[ci][by * gw + bx], ss, se, al, ac_codes[ci], bw
+                        )
+                bw.flush()
+                out += bw.buf
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _write_ac_refine_block(
+    zz: np.ndarray, ss: int, se: int, al: int, ac_codes: dict, bw: _BitWriter
+) -> None:
+    """AC successive-approximation refinement for one block (T.81
+    §G.1.2.3 via the published libjpeg jcphuff logic): newly-visible
+    magnitude-1 coefficients are run-length coded with a sign bit;
+    already-nonzero coefficients contribute one buffered correction bit
+    apiece, flushed after the symbol (or ZRL / EOB) they ride behind.
+    The EOB-run is flushed per block (standard tables carry EOB0 only)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # index of last NEWLY-nonzero coefficient
+    for j, t in enumerate(absv):
+        if t == 1:
+            eob = ss + j
+    r = 0
+    pend: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        # ZRLs not foldable into the EOB (libjpeg: only while k <= EOB)
+        while r > 15 and k <= eob:
+            code, length = ac_codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+        if t > 1:
+            # previously-nonzero: one buffered correction bit
+            pend.append(t & 1)
+            continue
+        # newly nonzero (t == 1): (run, 1) symbol + sign + buffered bits
+        code, length = ac_codes[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(0 if int(zz[k]) < 0 else 1, 1)
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        code, length = ac_codes[0x00]  # EOB0 (eobrun flushed per block)
+        bw.write(code, length)
+        for b in pend:
+            bw.write(b, 1)
 
 
 class _ScanCursor:

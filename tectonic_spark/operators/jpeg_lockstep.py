@@ -393,10 +393,10 @@ def payload_rides_engine(data: bytes) -> bool:
     callers can PIN engine routing in oracle-checked outputs."""
     jobs: list = []
     try:
-        decode_jpeg(data, _collect=jobs)
+        _, _, _, _, progressive = decode_jpeg(data, _collect=jobs)
     except (_LockstepIneligible, ValueError, EOFError, NotImplementedError):
         return False
-    if not jobs or not all(_job_eligible(j) for j in jobs):
+    if progressive or not jobs or not all(_job_eligible(j) for j in jobs):
         return False
     lanes = 0
     for j in jobs:
@@ -408,13 +408,23 @@ def payload_rides_engine(data: bytes) -> bool:
 
 def decode_jpeg_batch(payloads: list[bytes]) -> list[np.ndarray]:
     """Decode a batch of JPEG payloads, routing dense baseline images
-    with balanced restart segments through pooled lockstep passes and
-    everything else (thumbnails, progressive, restart-free) through the
-    scalar path. Bit-identical to [decode_jpeg(p) for p in payloads]."""
+    with balanced restart segments through pooled lockstep passes, dense
+    progressive images through the progressive lane pool
+    (jpeg_prog_lockstep.py), and everything else (thumbnails, sparse or
+    few-image batches) through the scalar path. Bit-identical to
+    [decode_jpeg(p) for p in payloads]."""
+    from tectonic_spark.operators.jpeg_prog_lockstep import (
+        PROG_POOL_BYTE_CAP,
+        _prog_image_eligible,
+        run_prog_pool,
+    )
+
     out: list = [None] * len(payloads)
     pool = _Pool()
     pool_bytes = 0
     pending: list[tuple[int, list, int, int]] = []  # i, comps, w, h
+    prog_imgs: list[tuple] = []  # (i, comps, w, h, qts, jobs)
+    prog_bytes = 0
 
     def flush() -> None:
         nonlocal pool, pool_bytes
@@ -430,12 +440,31 @@ def decode_jpeg_batch(payloads: list[bytes]) -> list[np.ndarray]:
         pool_bytes = 0
         pending.clear()
 
+    def flush_prog() -> None:
+        nonlocal prog_bytes
+        if prog_imgs:
+            for i, px in run_prog_pool(prog_imgs, lambda i: payloads[i]):
+                out[i] = px
+        prog_imgs.clear()
+        prog_bytes = 0
+
     for i, data in enumerate(payloads):
         jobs: list = []
         try:
-            comps, w, h = decode_jpeg(data, _collect=jobs)
+            comps, w, h, qts, progressive = decode_jpeg(data, _collect=jobs)
         except _LockstepIneligible:
             out[i] = decode_jpeg(data)
+            continue
+        if progressive:
+            if jobs and _prog_image_eligible(jobs):
+                prog_imgs.append((i, comps, w, h, qts, jobs))
+                prog_bytes += sum(
+                    sum(len(s) for s in j.segments) for j in jobs
+                )
+                if prog_bytes >= PROG_POOL_BYTE_CAP:
+                    flush_prog()
+            else:
+                out[i] = decode_jpeg(data)
             continue
         if not jobs or not all(_job_eligible(j) for j in jobs):
             out[i] = decode_jpeg(data)
@@ -447,4 +476,5 @@ def decode_jpeg_batch(payloads: list[bytes]) -> list[np.ndarray]:
         if pool_bytes >= POOL_BYTE_CAP:
             flush()
     flush()
+    flush_prog()
     return out
