@@ -255,11 +255,61 @@ def _jpeg_decode_rate() -> dict[str, float]:
         t0 = _t.process_time()
         decode_jpeg_batch(batch)
         t_batch = min(t_batch, _t.process_time() - t0)
+    # dense PROGRESSIVE regimes (r8): (a) the crawl shape — no restart
+    # markers, lanes = scans, so the engine amortizes across IMAGES of
+    # the Arrow batch (r7 named this regime at 0.26 MB/s scalar); (b)
+    # the restart-laned shape our own re-encode pipeline emits, where
+    # every scan carries hundreds of independent segments — the
+    # configuration the lane engine parallelizes best
+    from tectonic_spark.operators.jpeg import encode_jpeg_progressive
+
+    gray = img[:, :, 0]
+    prog_src = [
+        encode_jpeg_progressive(
+            (gray.astype(_np.int16) + _np.random.default_rng(s).normal(0, 8, gray.shape))
+            .clip(0, 255)
+            .astype(_np.uint8),
+            quality=85,
+            bands=((1, 5), (6, 63)),
+            successive=1,
+        )
+        for s in range(4)
+    ]
+    prog_batch = prog_src * 48  # 192 payloads, lanes = 192 x 6 scans
+    prog_mb = sum(len(p) for p in prog_batch) / 1e6
+    decode_jpeg_batch(prog_batch[:8])  # warm
+    t_prog = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        decode_jpeg_batch(prog_batch)
+        t_prog = min(t_prog, _t.process_time() - t0)
+    rst_src = [
+        encode_jpeg_progressive(
+            (gray.astype(_np.int16) + _np.random.default_rng(s).normal(0, 8, gray.shape))
+            .clip(0, 255)
+            .astype(_np.uint8),
+            quality=85,
+            bands=((1, 5), (6, 63)),
+            successive=1,
+            restart_interval=8,
+        )
+        for s in range(4)
+    ]
+    rst_batch = rst_src * 16  # 64 payloads, 128 segments per scan each
+    rst_mb = sum(len(p) for p in rst_batch) / 1e6
+    decode_jpeg_batch(rst_batch[:8])
+    t_rst = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        decode_jpeg_batch(rst_batch)
+        t_rst = min(t_rst, _t.process_time() - t0)
     return {
         "jpeg_decode_images_per_sec": round(len(payloads) / dt, 1),
         "jpeg_decode_mb_per_sec": round(mb / dt, 2),
         "jpeg_decode_large_mb_per_sec": round(len(big) / 1e6 / t_big, 2),
         "jpeg_decode_dense_batch_mb_per_sec": round(batch_mb / t_batch, 2),
+        "jpeg_decode_progressive_dense_mb_per_sec": round(prog_mb / t_prog, 2),
+        "jpeg_decode_progressive_rst_mb_per_sec": round(rst_mb / t_rst, 2),
     }
 
 

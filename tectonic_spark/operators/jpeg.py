@@ -1124,12 +1124,47 @@ def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return coef.reshape(-1, 64)[:, ZIGZAG]
 
 
+class _SegWriter:
+    """Per-scan bit writer that splits entropy data into restart
+    segments (T.81 §E.1.4): ``unit()`` is called before each restart
+    unit (MCU for interleaved scans, block otherwise) and returns True
+    when it just crossed a restart boundary — flushing the previous
+    segment, emitting RSTn, and starting a byte-aligned new one — so
+    the caller can reset its DC predictors."""
+
+    def __init__(self, out: bytearray, ri: int) -> None:
+        self.out, self.ri = out, ri
+        self.bw = _BitWriter()
+        self.units = 0
+        self.nrst = 0
+
+    def unit(self) -> bool:
+        if self.ri and self.units and self.units % self.ri == 0:
+            self.bw.flush()
+            self.out += self.bw.buf
+            self.out += bytes([0xFF, 0xD0 + (self.nrst & 7)])
+            self.nrst += 1
+            self.bw = _BitWriter()
+            self.units += 1
+            return True
+        self.units += 1
+        return False
+
+    def write(self, code: int, length: int) -> None:
+        self.bw.write(code, length)
+
+    def done(self) -> None:
+        self.bw.flush()
+        self.out += self.bw.buf
+
+
 def encode_jpeg_progressive(
     pixels: np.ndarray,
     quality: int = 50,
     subsampling: str = "444",
     bands: tuple = ((1, 5), (6, 63)),
     successive: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JFIF encode: one interleaved DC scan, then
     per-component AC band scans. ``successive=A > 0`` adds SUCCESSIVE
@@ -1143,7 +1178,11 @@ def encode_jpeg_progressive(
     hand-built streams in tests. Quantized coefficients are identical to
     :func:`encode_jpeg` at equal settings and successive approximation
     is lossless once Al reaches 0, so a correct progressive decoder must
-    reproduce the baseline decode EXACTLY at every ``successive``."""
+    reproduce the baseline decode EXACTLY at every ``successive``.
+    ``restart_interval`` emits DRI + RSTn every N restart units (MCUs
+    for the interleaved DC scans, blocks for the AC scans) — each scan
+    then carries many independently-decodable entropy segments, the
+    configuration the lockstep lane engine parallelizes best."""
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -1221,18 +1260,23 @@ def encode_jpeg_progressive(
     A = int(successive)
     if not 0 <= A <= 13:
         raise ValueError("successive must be in [0, 13]")
+    ri = int(restart_interval)
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
 
-    def mcu_blocks():
-        """Interleaved MCU block order (comp-major templates), as the
-        DC scans walk it."""
+    def mcu_list():
+        """Interleaved MCU walk: one (ci, bi) block list per MCU
+        (comp-major templates), as the DC scans code it."""
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                blocks = []
                 for ci in range(ncomp):
                     sh, sv = samp[ci]
                     gw = grids[ci][0]
                     for vy in range(sv):
                         for hx in range(sh):
-                            yield ci, (my * sv + vy) * gw + (mx * sh + hx)
+                            blocks.append((ci, (my * sv + vy) * gw + (mx * sh + hx)))
+                yield blocks
 
     def dc_header(ahal: int) -> bytes:
         hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
@@ -1243,18 +1287,20 @@ def encode_jpeg_progressive(
 
     # --- scan 1: interleaved DC first, Ss=Se=0, Ah=0, Al=A
     out += dc_header(A)
-    bw = _BitWriter()
+    sw = _SegWriter(out, ri)
     preds = [0] * ncomp
-    for ci, bi in mcu_blocks():
-        dc = int(coefs[ci][bi][0]) >> A  # arithmetic shift (T.81 §G.1.2.1)
-        size, bits = _magnitude(dc - preds[ci])
-        preds[ci] = dc
-        code, length = dc_codes[ci][size]
-        bw.write(code, length)
-        if size:
-            bw.write(bits, size)
-    bw.flush()
-    out += bw.buf
+    for mcu in mcu_list():
+        if sw.unit():
+            preds = [0] * ncomp
+        for ci, bi in mcu:
+            dc = int(coefs[ci][bi][0]) >> A  # arithmetic shift (§G.1.2.1)
+            size, bits = _magnitude(dc - preds[ci])
+            preds[ci] = dc
+            code, length = dc_codes[ci][size]
+            sw.write(code, length)
+            if size:
+                sw.write(bits, size)
+    sw.done()
 
     # --- AC FIRST band scans: one component each, Ah=0, Al=A
     for ci in range(ncomp):
@@ -1268,9 +1314,10 @@ def encode_jpeg_progressive(
             out += b"\xff\xda" + struct.pack(">HB", 8, 1)
             out += struct.pack("BB", ci + 1, tid)
             out += bytes([ss, se, A])
-            bw = _BitWriter()
+            sw = _SegWriter(out, ri)
             for by in range(ni_h):
                 for bx in range(ni_w):
+                    sw.unit()
                     zz = coefs[ci][by * gw + bx]
                     # point transform: |v| >> A, sign restored (÷ 2^A
                     # rounded toward zero — T.81 §G.1.2.2)
@@ -1288,28 +1335,28 @@ def encode_jpeg_progressive(
                             continue
                         while run > 15:
                             code, length = ac_codes[ci][0xF0]
-                            bw.write(code, length)
+                            sw.write(code, length)
                             run -= 16
                         size, bits = _magnitude(v)
                         code, length = ac_codes[ci][(run << 4) | size]
-                        bw.write(code, length)
-                        bw.write(bits, size)
+                        sw.write(code, length)
+                        sw.write(bits, size)
                         run = 0
                     if ss + last < se:
                         code, length = ac_codes[ci][0x00]  # EOB0
-                        bw.write(code, length)
-            bw.flush()
-            out += bw.buf
+                        sw.write(code, length)
+            sw.done()
 
     # --- refinement rounds: Ah=al+1, Al=al for al = A-1 .. 0
     for al in range(A - 1, -1, -1):
         # DC refine: interleaved, exactly one raw bit per block
         out += dc_header(((al + 1) << 4) | al)
-        bw = _BitWriter()
-        for ci, bi in mcu_blocks():
-            bw.write((int(coefs[ci][bi][0]) >> al) & 1, 1)
-        bw.flush()
-        out += bw.buf
+        sw = _SegWriter(out, ri)
+        for mcu in mcu_list():
+            sw.unit()
+            for ci, bi in mcu:
+                sw.write((int(coefs[ci][bi][0]) >> al) & 1, 1)
+        sw.done()
         # AC refines: one component per band, correction bits per the
         # published libjpeg jcphuff encode_mcu_AC_refine algorithm
         for ci in range(ncomp):
@@ -1322,14 +1369,14 @@ def encode_jpeg_progressive(
                 out += b"\xff\xda" + struct.pack(">HB", 8, 1)
                 out += struct.pack("BB", ci + 1, tid)
                 out += bytes([ss, se, ((al + 1) << 4) | al])
-                bw = _BitWriter()
+                sw = _SegWriter(out, ri)
                 for by in range(ni_h):
                     for bx in range(ni_w):
+                        sw.unit()
                         _write_ac_refine_block(
-                            coefs[ci][by * gw + bx], ss, se, al, ac_codes[ci], bw
+                            coefs[ci][by * gw + bx], ss, se, al, ac_codes[ci], sw
                         )
-                bw.flush()
-                out += bw.buf
+                sw.done()
     out += b"\xff\xd9"
     return bytes(out)
 

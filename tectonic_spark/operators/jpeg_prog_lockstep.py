@@ -62,12 +62,14 @@ from tectonic_spark.operators.jpeg import (
 # ------------------------------------------------------------------ gates
 # Lockstep only pays when many lanes amortize the per-step numpy cost;
 # thresholds are measured on the local[32] host (ROUND8.md: dense
-# 256x256 q85 successive=1 fixtures — 64 images 0.36 MB/s vs scalar
-# 0.41, 128 images 0.56, 512 images best-of-3 1.25): the crossover sits
-# between 64 and 128 images, so the gate mirrors the baseline engine's
-# MIN_LANES=96 (each image contributes 1 + ncomp x bands lanes across
-# its pools).
-MIN_PROG_IMAGES = 96
+# 256x256 q85 successive=1 fixtures, 6 scan-lanes per restart-free
+# image — 64 images 0.36 MB/s vs scalar 0.41, 128 images 0.56, 512
+# images best-of-3 1.25): the crossover sits between 64 and 128 images
+# = ~400-800 total scan-lanes. The gate counts LANES (restart segments
+# x scans), not images, so a single restart-intervaled payload whose
+# scans carry hundreds of segments rides the engine deterministically
+# regardless of batch size (the m15 oracle pin).
+MIN_PROG_LANES = 576
 # per-image density gate: tiny progressive thumbnails stay scalar
 MIN_IMG_BYTES = 2048
 # entropy bytes per pool before a sequential flush (window table costs
@@ -161,6 +163,12 @@ def _lane_split(job) -> tuple[int, int, int]:
     if len(job.segments) < needed:
         raise ValueError("missing RST marker in entropy data")
     return units, ri, needed
+
+
+def _image_lanes(jobs: list) -> int:
+    """Total restart-segment lanes this image contributes across all of
+    its scans' machine pools."""
+    return sum(_lane_split(j)[2] for j in jobs)
 
 
 def _prog_image_eligible(jobs: list) -> bool:
@@ -782,7 +790,8 @@ def run_prog_pool(images: list, scalar_payload) -> list[tuple[int, np.ndarray]]:
     same results, bounded scratch."""
     from tectonic_spark.operators.jpeg import decode_jpeg
 
-    if len(images) < MIN_PROG_IMAGES:
+    lanes = sum(_image_lanes(img[5]) for img in images)
+    if lanes < MIN_PROG_LANES:
         return [(idx, decode_jpeg(scalar_payload(idx))) for idx, *_ in images]
 
     results: list[tuple[int, np.ndarray]] = []
@@ -853,11 +862,13 @@ def _run_chunk(images: list) -> list[tuple[int, np.ndarray]]:
     return results
 
 
-def payload_rides_prog_engine(data: bytes, batch_images: int) -> bool:
-    """True iff this payload is progressive, engine-eligible, and would
-    ride the lane pool in a batch of ``batch_images`` eligible images —
-    header + segment split only, no entropy decode — so callers can PIN
-    engine routing in oracle-checked outputs (the m14 pattern)."""
+def payload_rides_prog_engine(data: bytes) -> bool:
+    """True iff this payload is progressive, engine-eligible, and rides
+    the lane pool ON ITS OWN — its scans carry at least MIN_PROG_LANES
+    restart segments, so the pool gate passes regardless of batch
+    composition (a batch only ever ADDS lanes). Header + segment split
+    only, no entropy decode, so callers can PIN engine routing in
+    oracle-checked outputs (the m14 pattern)."""
     from tectonic_spark.operators.jpeg import _LockstepIneligible, decode_jpeg
 
     jobs: list = []
@@ -869,5 +880,5 @@ def payload_rides_prog_engine(data: bytes, batch_images: int) -> bool:
         progressive
         and bool(jobs)
         and _prog_image_eligible(jobs)
-        and batch_images >= MIN_PROG_IMAGES
+        and _image_lanes(jobs) >= MIN_PROG_LANES
     )

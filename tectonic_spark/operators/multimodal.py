@@ -1402,6 +1402,97 @@ def m14_jpeg_dense_decode(spark, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(walk, schema)
 
 
+# --- m15: dense PROGRESSIVE decode THROUGH the progressive lane engine -----
+
+
+@register(
+    "m15_jpeg_progressive_dense",
+    oracle="""
+    SELECT doc_id,
+           CAST(512 AS BIGINT) AS width,
+           CAST(512 AS BIGINT) AS height,
+           CAST(64 * list_sum(list_transform(range(0, 4096),
+                bi -> 2 * ((doc_id * 11 + bi * 17) % 128))) AS BIGINT)
+             AS px_sum,
+           TRUE AS rode_engine
+    FROM documents WHERE doc_id % 31 = 7
+    """,
+    doc="Dense progressive decode pinned to the PROGRESSIVE LANE ENGINE "
+    "(r8, jpeg_prog_lockstep.py — VERDICT r7's top ask): 512x512 "
+    "grayscale SOF2 JPEGs with successive approximation (Al=1 first "
+    "scans + DC/AC refinement rounds) and restart_interval=16, so every "
+    "scan carries 256 independent entropy segments and the payload "
+    "contributes 1024 lanes — above MIN_PROG_LANES on its own, making "
+    "engine routing deterministic per payload. All four progressive "
+    "machines (DC/AC x first/refine) run inside the real mapInPandas "
+    "path. Per-8x8-block constant EVEN gray levels keep the DC-only "
+    "quantization exactly invertible (q00=16 divides 8*(v-128), and "
+    "successive approximation is lossless at Al=0), so the decoded "
+    "pixel sum has a closed-form oracle; rode_engine is computed from "
+    "the engine's own gate predicate per payload, so a gate/threshold "
+    "change that silently reroutes this corpus to the scalar path flips "
+    "the value hash. 100 TB shape: whole-Arrow-batch pools, payloads "
+    "never leave executors, scratch bounded by COEF_BYTE_CAP + entropy "
+    "pool caps (sequential sub-pools beyond).",
+)
+def m15_jpeg_progressive_dense(spark, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.jpeg import encode_jpeg_progressive
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 31 == 7)
+    )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("px_sum", LongType(), True),
+            StructField("rode_engine", BooleanType(), True),
+        ]
+    )
+
+    def dense_payload(d: int) -> bytes:
+        bi = np.arange(4096, dtype=np.int64)
+        vals = (2 * ((d * 11 + bi * 17) % 128)).astype(np.uint8).reshape(64, 64)
+        plane = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        return encode_jpeg_progressive(
+            plane, bands=((1, 63),), successive=1, restart_interval=16
+        )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.jpeg_lockstep import decode_jpeg_batch
+        from tectonic_spark.operators.jpeg_prog_lockstep import (
+            payload_rides_prog_engine,
+        )
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            payloads = [dense_payload(d) for d in ids]
+            pxs = decode_jpeg_batch(payloads)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": [px.shape[1] for px in pxs],
+                    "height": [px.shape[0] for px in pxs],
+                    "px_sum": [int(px.astype(np.int64).sum()) for px in pxs],
+                    "rode_engine": [
+                        payload_rides_prog_engine(p) for p in payloads
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(walk, schema)
+
+
 # --- m11: progressive JPEG decode (SOF2 spectral selection) ---------------
 
 

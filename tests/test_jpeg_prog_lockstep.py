@@ -25,7 +25,7 @@ from tectonic_spark.operators.jpeg_lockstep import decode_jpeg_batch
 def _open_gates(monkeypatch):
     """Route every progressive payload through the lane engine (the
     production gates are measured perf thresholds, not correctness)."""
-    monkeypatch.setattr(prog, "MIN_PROG_IMAGES", 1)
+    monkeypatch.setattr(prog, "MIN_PROG_LANES", 0)
     monkeypatch.setattr(prog, "MIN_IMG_BYTES", 0)
 
 
@@ -350,9 +350,34 @@ class TestErrorParity:
         assert (scalar_err is None) == (batch_err is None)
 
 
+class TestRestartIntervalEncoder:
+    def test_restart_encode_roundtrip_equals_baseline(self):
+        rng = np.random.default_rng(41)
+        img = rng.integers(0, 256, (48, 40)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img))
+        for ri, A in ((1, 0), (3, 1), (8, 2)):
+            p = encode_jpeg_progressive(
+                img, successive=A, restart_interval=ri, bands=((1, 9), (10, 63))
+            )
+            assert (decode_jpeg(p) == base).all(), (ri, A)
+            (px,) = decode_jpeg_batch([p])
+            assert (px == base).all(), (ri, A)
+
+    def test_restart_color_roundtrip(self):
+        rng = np.random.default_rng(43)
+        img = rng.integers(0, 256, (33, 41, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsampling="420"))
+        p = encode_jpeg_progressive(
+            img, subsampling="420", successive=1, restart_interval=2
+        )
+        assert (decode_jpeg(p) == base).all()
+        (px,) = decode_jpeg_batch([p])
+        assert (px == base).all()
+
+
 class TestGatesAndRouting:
     def test_small_batch_routes_scalar_same_result(self, monkeypatch):
-        monkeypatch.setattr(prog, "MIN_PROG_IMAGES", 1000)
+        monkeypatch.setattr(prog, "MIN_PROG_LANES", 10**9)
         rng = np.random.default_rng(23)
         img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
         p = encode_jpeg_progressive(img, successive=1)
@@ -361,22 +386,24 @@ class TestGatesAndRouting:
 
     def test_payload_rides_prog_engine_predicate(self, monkeypatch):
         monkeypatch.setattr(prog, "MIN_IMG_BYTES", 0)
-        monkeypatch.setattr(prog, "MIN_PROG_IMAGES", 96)  # production gate
+        monkeypatch.setattr(prog, "MIN_PROG_LANES", 576)  # production gate
         rng = np.random.default_rng(29)
-        img = rng.integers(0, 256, (64, 64)).astype(np.uint8)
-        p = encode_jpeg_progressive(img, successive=1)
+        img = rng.integers(0, 256, (128, 128)).astype(np.uint8)
+        # RI=2 over 256-block scans -> 128 segments x 6 scans = 768 lanes
+        p_rst = encode_jpeg_progressive(img, successive=1, restart_interval=2)
+        p_plain = encode_jpeg_progressive(img, successive=1)
         b = encode_jpeg(img)
-        assert prog.payload_rides_prog_engine(p, batch_images=prog.MIN_PROG_IMAGES)
-        assert not prog.payload_rides_prog_engine(p, batch_images=1)
-        assert not prog.payload_rides_prog_engine(b, batch_images=1000)  # baseline
-        assert not prog.payload_rides_prog_engine(b"junk", batch_images=1000)
+        assert prog.payload_rides_prog_engine(p_rst)
+        assert not prog.payload_rides_prog_engine(p_plain)  # 6 lanes solo
+        assert not prog.payload_rides_prog_engine(b)  # baseline
+        assert not prog.payload_rides_prog_engine(b"junk")
 
     def test_density_gate_respected(self, monkeypatch):
         monkeypatch.setattr(prog, "MIN_IMG_BYTES", 10**9)
         rng = np.random.default_rng(31)
         img = rng.integers(0, 256, (64, 64)).astype(np.uint8)
-        p = encode_jpeg_progressive(img, successive=1)
-        assert not prog.payload_rides_prog_engine(p, batch_images=1000)
+        p = encode_jpeg_progressive(img, successive=1, restart_interval=2)
+        assert not prog.payload_rides_prog_engine(p)
         # still decodes correctly through the scalar route
         (px,) = decode_jpeg_batch([p])
         assert (px == decode_jpeg(p)).all()
