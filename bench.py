@@ -371,6 +371,25 @@ def _audio_codec_rates() -> dict[str, float]:
         decode_flac_batch(lanes)
         best_b = min(best_b, _t.process_time() - t0)
 
+    # LPC regime (r8): order-8 LPC subframes — the real-world-encoder
+    # shape — through the scalar path AND the cross-lane lockstep
+    # prediction filter (VERDICT r7 item 2: within 2x of FIXED)
+    flac_lpc = encode_flac(pcm, sample_rate=44100, block_size=4096, lpc_order=8)
+    decode_flac(flac_lpc)
+    best_l = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        decode_flac(flac_lpc)
+        best_l = min(best_l, _t.process_time() - t0)
+    lpc_lanes = [flac_lpc] * 64
+    lpc_mb = len(flac_lpc) * 64 / 1e6
+    decode_flac_batch(lpc_lanes)
+    best_lb = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        decode_flac_batch(lpc_lanes)
+        best_lb = min(best_lb, _t.process_time() - t0)
+
     mp3 = encode_mp3_frames(2000, bitrate_idx=9, samplerate_idx=0)
     parse_mp3(mp3)
     best = 1e9
@@ -381,6 +400,8 @@ def _audio_codec_rates() -> dict[str, float]:
     return {
         "flac_decode_mb_per_sec": round(rate_flac, 2),
         "flac_decode_batch_mb_per_sec": round(lanes_mb / best_b, 2),
+        "flac_decode_lpc_mb_per_sec": round(len(flac_lpc) / 1e6 / best_l, 2),
+        "flac_decode_lpc_batch_mb_per_sec": round(lpc_mb / best_lb, 2),
         "mp3_walk_mb_per_sec": round(len(mp3) / 1e6 / best, 2),
     }
 

@@ -192,14 +192,31 @@ def _best_rice_k(res: np.ndarray) -> int:
     return k
 
 
+def _lpc_coefs(order: int) -> tuple[list[int], int, int]:
+    """Deterministic quantized LPC coefficient set for the encoder's LPC
+    mode: (coefs, shift, precision). FLAC's LPC inversion is exact for
+    ANY coefficient set — the prediction only shapes residual size — so
+    fixture streams use a fixed decaying filter (co[0] ~= 1.0 at
+    shift 5) rather than a per-block Levinson-Durbin fit; that keeps
+    every encoded byte a closed-form function of the input."""
+    co = [32]
+    for j in range(1, order):
+        co.append({1: -7, 2: 3, 3: -2}.get(j, 1 if j % 2 == 0 else -1))
+    return co, 5, 7  # |co| <= 32 fits signed 7-bit
+
+
 def encode_flac(
     pcm: np.ndarray,
     sample_rate: int = 8000,
     block_size: int = 256,
+    lpc_order: int = 0,
 ) -> bytes:
     """16-bit PCM → FLAC. ``pcm``: int16 array, shape (n,) mono or (n, 2)
     stereo. Subframe choice per channel: CONSTANT if flat, else FIXED
-    order 2 (order 0/1 for short blocks), single Rice partition."""
+    order 2 (order 0/1 for short blocks), single Rice partition.
+    ``lpc_order > 0`` emits LPC subframes instead of FIXED (deterministic
+    quantized coefficients via :func:`_lpc_coefs`, exact inversion), so
+    the LPC decode path gets encoder-generated driver-oracle coverage."""
     pcm = np.asarray(pcm, dtype=np.int64)
     if pcm.ndim == 1:
         pcm = pcm[:, None]
@@ -250,16 +267,33 @@ def encode_flac(
                 w.write(0, 1)  # no wasted bits
                 w.write(int(s[0]) & 0xFFFF, 16)
                 continue
-            order = 2 if bs > 2 else (1 if bs == 2 else 0)
-            w.write(0, 1)
-            w.write(0b001000 | order, 6)  # FIXED, given order
-            w.write(0, 1)
-            for i in range(order):
-                w.write(int(s[i]) & 0xFFFF, 16)  # warmup
-            coefs = _FIXED_COEFS[order]
-            res = s[order:].copy()
-            for j, cf in enumerate(coefs):
-                res = res - cf * s[order - 1 - j : bs - 1 - j]
+            if lpc_order and bs > lpc_order:
+                order = lpc_order
+                co, shift, prec = _lpc_coefs(order)
+                w.write(0, 1)
+                w.write(0b100000 | (order - 1), 6)  # LPC, order
+                w.write(0, 1)  # no wasted bits
+                for i in range(order):
+                    w.write(int(s[i]) & 0xFFFF, 16)  # warmup
+                w.write(prec - 1, 4)
+                w.write(shift, 5)
+                for cf in co:
+                    w.write(cf & ((1 << prec) - 1), prec)
+                pred = np.zeros(bs - order, dtype=np.int64)
+                for j, cf in enumerate(co):
+                    pred += cf * s[order - 1 - j : bs - 1 - j]
+                res = s[order:] - (pred >> shift)
+            else:
+                order = 2 if bs > 2 else (1 if bs == 2 else 0)
+                w.write(0, 1)
+                w.write(0b001000 | order, 6)  # FIXED, given order
+                w.write(0, 1)
+                for i in range(order):
+                    w.write(int(s[i]) & 0xFFFF, 16)  # warmup
+                coefs = _FIXED_COEFS[order]
+                res = s[order:].copy()
+                for j, cf in enumerate(coefs):
+                    res = res - cf * s[order - 1 - j : bs - 1 - j]
             # residual method 0 (4-bit rice), partition order 0
             w.write(0, 2)
             w.write(0, 4)
@@ -427,18 +461,30 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int):
         res = yield from _decode_residual(br, bs, order)
         out = np.empty(bs, dtype=np.int64)
         out[:order] = warm
-        co = coefs  # coefs[0] applies to the most recent sample
-        olist = out.tolist()  # python ints: exact, no int64 overflow risk
-        for i in range(order, bs):
-            pred = 0
-            for j in range(order):
-                pred += co[j] * olist[i - 1 - j]
-            v = int(res[i - order]) + (pred >> shift)
-            olist[i] = v
-        out = np.array(olist, dtype=np.int64)
+        # prediction needs no bitstream access: delegate it upward like
+        # Rice partitions, so the scalar driver runs the exact loop and
+        # the batch driver folds many lanes into one lockstep filter
+        yield ("lpc", coefs, shift, order, res, out)
     else:
         raise ValueError(f"reserved subframe type {stype}")
     return out << wasted
+
+
+def _lpc_scalar(
+    coefs: list[int], shift: int, order: int, res: np.ndarray, out: np.ndarray
+) -> None:
+    """Invert one LPC predictor exactly (the single scalar
+    implementation, shared by decode_flac and sub-lane-gate batch
+    paths): out[i] = res[i-order] + (sum coefs[j]*out[i-1-j]) >> shift,
+    python ints so no int64 overflow risk at any legal prec/order."""
+    bs = len(out)
+    olist = out.tolist()
+    for i in range(order, bs):
+        pred = 0
+        for j in range(order):
+            pred += coefs[j] * olist[i - 1 - j]
+        olist[i] = int(res[i - order]) + (pred >> shift)
+    out[:] = olist
 
 
 def _apply_fixed(warm: list[int], res: np.ndarray, order: int, bs: int) -> np.ndarray:
@@ -583,6 +629,43 @@ def _decode_flac_gen(data: bytes, verify_md5: bool = True):
     return sample_rate, pcm
 
 
+def first_subframe_is_lpc(data: bytes) -> bool:
+    """True iff the first subframe of the first frame is an LPC
+    predictor (stype >= 32) — an independent parse of the payload bytes,
+    so oracle-checked outputs can PIN that a fixture corpus actually
+    carries LPC subframes (a silent encoder fallback to FIXED flips the
+    value hash; the m14 rode_engine pattern)."""
+    if data[:4] != _MAGIC:
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    while True:
+        hdr = data[pos]
+        ln = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    br = _BitReader(data, pos * 8)
+    if br.read(14) != 0b11111111111110:
+        raise ValueError(f"lost frame sync at byte {pos}")
+    br.read(2)
+    bs_code = br.read(4)
+    sr_code = br.read(4)
+    br.read(4)
+    br.read(4)
+    _read_utf8_coded(br)
+    if bs_code == 6:
+        br.read(8)
+    elif bs_code == 7:
+        br.read(16)
+    if sr_code == 12:
+        br.read(8)
+    elif sr_code in (13, 14):
+        br.read(16)
+    br.bitpos = ((br.bitpos >> 3) + 1) * 8  # skip header CRC-8
+    br.read(1)  # subframe pad bit
+    return br.read(6) >= 32
+
+
 def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[int, np.ndarray]:
     """FLAC → (sample_rate, int64 array (n, channels)). Verifies every
     frame's header CRC-8 and footer CRC-16; verifies the stream MD5 when
@@ -592,8 +675,12 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[int, np.ndarray]:
     try:
         req = next(g)
         while True:
-            bp, cnt, k, out, pos = req
-            req = g.send(_rice_scalar(data, bp, cnt, k, out, pos))
+            if req[0] == "lpc":
+                _lpc_scalar(*req[1:])
+                req = g.send(None)
+            else:
+                bp, cnt, k, out, pos = req
+                req = g.send(_rice_scalar(data, bp, cnt, k, out, pos))
     except StopIteration as st:
         return st.value
 
@@ -708,6 +795,10 @@ def decode_flac_batch(
         except StopIteration as st:
             results[pid] = st.value
             return None
+        if req[0] == "lpc":
+            # prediction request: no bitstream access — parked for the
+            # cross-lane lockstep filter (tuple, vs list for Rice recs)
+            return ("lpc", pid, *req[1:])
         bp_, cnt, k_, out, pos = req
         base = offs[pid] * 8
         if out_alloc + cnt > OUT.size:
@@ -720,70 +811,142 @@ def decode_flac_batch(
         return rec
 
     recs: list[list] = []
-    for i, p in enumerate(payloads):
-        gens[i] = _decode_flac_gen(p, verify_md5)
-        rec = advance(i, None)
-        if rec is not None:
+    lpc_pool: list[tuple] = []
+
+    def park_or_queue(rec) -> None:
+        if rec is None:
+            return
+        if isinstance(rec, tuple):
+            lpc_pool.append(rec)
+        else:
             recs.append(rec)
 
-    if recs:
+    for i, p in enumerate(payloads):
+        gens[i] = _decode_flac_gen(p, verify_md5)
+        park_or_queue(advance(i, None))
+
+    # Outer loop: the Rice lane engine runs until every live lane is
+    # either finished or parked on an LPC prediction; the parked lanes
+    # then invert their predictors in ONE cross-lane lockstep filter and
+    # re-enter the Rice engine at their next partition. Homogeneous
+    # corpora park nearly simultaneously, so the pools stay full.
+    while recs or lpc_pool:
+        if lpc_pool and not recs:
+            items, lpc_pool = lpc_pool, []
+            _lpc_batch(items)
+            for it in items:
+                park_or_queue(advance(it[1], None))
+            continue
         bp = np.array([r[1] for r in recs], dtype=np.int64)
         k = np.array([r[2] for r in recs], dtype=np.int64)
         rem = np.array([r[3] for r in recs], dtype=np.int64)
         oc = np.array([r[4] for r in recs], dtype=np.int64)
         ext = _EXT_TAB.take(k)
-    while recs:
-        b0 = np.minimum(bp >> 3, wmax)
-        avail = 48 - (bp & 7)
-        w = W.take(b0) & _AVAIL_MASKS.take(avail)
-        # frexp exponent == bit_length, exact for ints < 2^53
-        e = np.frexp(w.astype(np.float64))[1].astype(np.int64)
-        lead = avail - e
-        take = lead + 1 + k
-        ok = (w != 0) & (take <= avail)
-        zig = (lead << k) | ((w >> np.maximum(avail - take, 0)) & ext)
-        val = (zig >> 1) ^ -(zig & 1)
-        sel = np.nonzero(ok)[0]
-        OUT[oc[sel]] = val[sel]
-        bp += take * ok
-        oc += ok
-        rem -= ok
-        if not ok.all():
-            # long quotient / window edge: one scalar residual per lane
-            for j in np.nonzero(~ok)[0]:
-                br = _BitReader(cat, int(bp[j]))
-                q = br.read_unary()
-                kj = int(k[j])
-                z = (q << kj) | br.read(kj) if kj else q
-                OUT[int(oc[j])] = (z >> 1) ^ -(z & 1)
-                bp[j] = br.bitpos
-                oc[j] += 1
-                rem[j] -= 1
-        done = rem == 0
-        if done.any():
-            # completed partitions: hand results back, park the lane's
-            # NEXT request in place (no array rebuild — the engine stays
-            # hot while lanes run de-phased through frames/channels)
-            dead = []
-            for j in np.nonzero(done)[0]:
-                pid, _, _, _, _, a, out, pos, cnt, base = recs[j]
-                out[pos : pos + cnt] = OUT[a : a + cnt]
-                local_bp = int(bp[j]) - base
-                if local_bp > len(payloads[pid]) * 8:
-                    raise ValueError("truncated FLAC bitstream")
-                rec = advance(pid, local_bp)
-                if rec is None:
-                    dead.append(j)
-                else:
-                    recs[j] = rec
-                    bp[j], k[j], rem[j], oc[j] = rec[1], rec[2], rec[3], rec[4]
-                    ext[j] = _EXT_TAB[rec[2]]
-            if dead:
-                keep = np.ones(len(recs), dtype=bool)
-                keep[dead] = False
-                recs = [r for r, kp in zip(recs, keep) if kp]
-                if not recs:
-                    break
-                s_ = np.nonzero(keep)[0]
-                bp, k, rem, oc, ext = bp[s_], k[s_], rem[s_], oc[s_], ext[s_]
+        while recs:
+            b0 = np.minimum(bp >> 3, wmax)
+            avail = 48 - (bp & 7)
+            w = W.take(b0) & _AVAIL_MASKS.take(avail)
+            # frexp exponent == bit_length, exact for ints < 2^53
+            e = np.frexp(w.astype(np.float64))[1].astype(np.int64)
+            lead = avail - e
+            take = lead + 1 + k
+            ok = (w != 0) & (take <= avail)
+            zig = (lead << k) | ((w >> np.maximum(avail - take, 0)) & ext)
+            val = (zig >> 1) ^ -(zig & 1)
+            sel = np.nonzero(ok)[0]
+            OUT[oc[sel]] = val[sel]
+            bp += take * ok
+            oc += ok
+            rem -= ok
+            if not ok.all():
+                # long quotient / window edge: one scalar residual per lane
+                for j in np.nonzero(~ok)[0]:
+                    br = _BitReader(cat, int(bp[j]))
+                    q = br.read_unary()
+                    kj = int(k[j])
+                    z = (q << kj) | br.read(kj) if kj else q
+                    OUT[int(oc[j])] = (z >> 1) ^ -(z & 1)
+                    bp[j] = br.bitpos
+                    oc[j] += 1
+                    rem[j] -= 1
+            done = rem == 0
+            if done.any():
+                # completed partitions: hand results back, park the lane's
+                # NEXT request in place (no array rebuild — the engine
+                # stays hot while lanes run de-phased through frames/
+                # channels; LPC requests leave for the prediction pool)
+                dead = []
+                for j in np.nonzero(done)[0]:
+                    pid, _, _, _, _, a, out, pos, cnt, base = recs[j]
+                    out[pos : pos + cnt] = OUT[a : a + cnt]
+                    local_bp = int(bp[j]) - base
+                    if local_bp > len(payloads[pid]) * 8:
+                        raise ValueError("truncated FLAC bitstream")
+                    rec = advance(pid, local_bp)
+                    if rec is None or isinstance(rec, tuple):
+                        if rec is not None:
+                            lpc_pool.append(rec)
+                        dead.append(j)
+                    else:
+                        recs[j] = rec
+                        bp[j], k[j], rem[j], oc[j] = rec[1], rec[2], rec[3], rec[4]
+                        ext[j] = _EXT_TAB[rec[2]]
+                if dead:
+                    keep = np.ones(len(recs), dtype=bool)
+                    keep[dead] = False
+                    recs = [r for r, kp in zip(recs, keep) if kp]
+                    if not recs:
+                        break
+                    s_ = np.nonzero(keep)[0]
+                    bp, k, rem, oc, ext = bp[s_], k[s_], rem[s_], oc[s_], ext[s_]
     return results
+
+
+# cross-lane LPC filter gate: below this many parked predictors the
+# vectorized per-sample step loses to the exact scalar loop (numpy
+# per-op dispatch swamps short lane rows)
+MIN_LPC_LANES = 16
+
+
+def _lpc_batch(items: list[tuple]) -> None:
+    """Invert many parked LPC predictors in lockstep: one vectorized
+    per-sample step across lanes — pred = (CO * HIST).sum(1) >> shift —
+    against the (lanes x max_order) rolling history window. Exact: all
+    int64, arithmetic right shift == the scalar loop's floor shift;
+    products bounded by order*2^15*2^33 < 2^53. Items below the lane
+    gate run the shared scalar loop instead (same results)."""
+    if len(items) < MIN_LPC_LANES:
+        for _, _, co, sh, o, res, out in items:
+            _lpc_scalar(co, sh, o, res, out)
+        return
+    L = len(items)
+    orders = [it[4] for it in items]
+    maxo = max(orders)
+    ns = np.array([len(it[6]) - it[4] for it in items], dtype=np.int64)
+    steps = int(ns.max())
+    CO = np.zeros((L, maxo), dtype=np.int64)
+    HIST = np.zeros((L, maxo), dtype=np.int64)
+    for li, (_, _, co, _, o, _, out) in enumerate(items):
+        # hist[:, -1] is the most recent sample; co[j] multiplies
+        # out[i-1-j] -> hist column maxo-1-j
+        for j in range(o):
+            CO[li, maxo - 1 - j] = co[j]
+        HIST[li, maxo - o :] = out[:o]
+    RES = np.zeros((L, steps), dtype=np.int64)
+    for li, it in enumerate(items):
+        RES[li, : ns[li]] = it[5]
+    VAL = np.empty((L, steps), dtype=np.int64)
+    shift = np.array([it[3] for it in items], dtype=np.int64)
+    idx = np.arange(steps)
+    for i in range(steps):
+        pred = (CO * HIST).sum(axis=1)
+        v = RES[:, i] + (pred >> shift)
+        # finished lanes feed 0 so their history stays bounded (their
+        # rows of VAL beyond ns are discarded)
+        v = np.where(i < ns, v, 0)
+        VAL[:, i] = v
+        HIST[:, :-1] = HIST[:, 1:]
+        HIST[:, -1] = v
+    _ = idx
+    for li, (_, _, _, _, o, _, out) in enumerate(items):
+        out[o:] = VAL[li, : ns[li]]

@@ -1132,21 +1132,28 @@ def _flac_pcm(doc_id: int):
                 + CASE WHEN ch = 2
                        THEN list_sum(list_transform(range(0, n),
                                 i -> (doc_id * 13 + i * 29) % 4001 - 2000))
-                       ELSE 0 END AS BIGINT) AS pcm_sum
+                       ELSE 0 END AS BIGINT) AS pcm_sum,
+           ((doc_id // 4) % 4 <> 0) AS first_subframe_lpc
     FROM f
     """,
     doc="REAL compressed-audio decode: every fourth document carries an "
-    "actual FLAC stream (STREAMINFO + fixed-predictor/constant subframes "
-    "+ Rice-coded residuals, mono and stereo alternating) built by the "
-    "vendored encoder, and the vendored pure-Python+numpy decoder "
-    "(tectonic_spark.operators.flac) reconstructs PCM exactly — FLAC is "
-    "lossless, so the oracle's closed-form sample sum must match "
-    "bit-for-bit, and the decoder additionally verifies per-frame CRC-8/"
-    "CRC-16 and the whole-stream STREAMINFO MD5 (an independent "
-    "integrity oracle baked into the format). Stereo decorrelation, LPC "
-    "subframes, RICE2 and escaped partitions are pinned by hand-built "
-    "streams in tests/test_flac_mp3.py. Arrow-batched mapInPandas; "
-    "payload bytes never leave executors.",
+    "actual FLAC stream (STREAMINFO + constant/fixed-predictor/LPC "
+    "subframes + Rice-coded residuals, mono and stereo alternating) "
+    "built by the vendored encoder, and the vendored pure-Python+numpy "
+    "decoder (tectonic_spark.operators.flac) reconstructs PCM exactly — "
+    "FLAC is lossless, so the oracle's closed-form sample sum must "
+    "match bit-for-bit, and the decoder additionally verifies per-frame "
+    "CRC-8/CRC-16 and the whole-stream STREAMINFO MD5 (an independent "
+    "integrity oracle baked into the format). Three of every four "
+    "payloads are LPC-encoded (orders 2/8/12, r8 — the encoder's "
+    "deterministic-coefficient LPC mode) so the LPC inversion path — "
+    "scalar loop AND the cross-lane lockstep filter — has driver-oracle "
+    "coverage, pinned by first_subframe_lpc (an independent parse of "
+    "the payload's first subframe type: a silent encoder fallback to "
+    "FIXED flips the value hash). Stereo decorrelation, RICE2 and "
+    "escaped partitions are pinned by hand-built streams in "
+    "tests/test_flac_mp3.py. Arrow-batched mapInPandas; payload bytes "
+    "never leave executors.",
 )
 def m12_flac_decode(spark, sf_dir: str) -> DataFrame:
     import numpy as np  # noqa: F401 — kernels below use it via closures
@@ -1162,6 +1169,8 @@ def m12_flac_decode(spark, sf_dir: str) -> DataFrame:
     # spread across cores when the input arrives in fewer splits
     # than parallelism (no-op at real scale — tables.py doctrine)
     docs = spread_small_scan(docs, spark, "doc_id")
+    from pyspark.sql.types import BooleanType
+
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -1169,11 +1178,15 @@ def m12_flac_decode(spark, sf_dir: str) -> DataFrame:
             StructField("channels", LongType(), True),
             StructField("sample_rate", LongType(), True),
             StructField("pcm_sum", LongType(), True),
+            StructField("first_subframe_lpc", BooleanType(), True),
         ]
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from tectonic_spark.operators.flac import decode_flac_batch
+        from tectonic_spark.operators.flac import (
+            decode_flac_batch,
+            first_subframe_is_lpc,
+        )
 
         for pdf in batches:
             # whole-Arrow-batch decode (r7): real-world-blocksize corpora
@@ -1181,7 +1194,12 @@ def m12_flac_decode(spark, sf_dir: str) -> DataFrame:
             # route to the scalar path inside the same call, bit-identically
             ids = [int(d) for d in pdf["doc_id"]]
             payloads = [
-                encode_flac(_flac_pcm(d), sample_rate=8000, block_size=64)
+                encode_flac(
+                    _flac_pcm(d),
+                    sample_rate=8000,
+                    block_size=64,
+                    lpc_order=(0, 2, 8, 12)[(d // 4) % 4],
+                )
                 for d in ids
             ]
             decoded = decode_flac_batch(payloads)  # CRC + MD5 verified inside
@@ -1192,6 +1210,9 @@ def m12_flac_decode(spark, sf_dir: str) -> DataFrame:
                     "channels": [pcm.shape[1] for _, pcm in decoded],
                     "sample_rate": [rate for rate, _ in decoded],
                     "pcm_sum": [int(pcm.sum()) for _, pcm in decoded],
+                    "first_subframe_lpc": [
+                        first_subframe_is_lpc(p) for p in payloads
+                    ],
                 }
             )
 

@@ -366,3 +366,108 @@ def test_flac_roundtrip_property():
         assert (out == ref).all()
 
     check()
+
+
+def test_flac_lpc_encoder_roundtrip_orders():
+    """Encoder LPC mode (r8): deterministic-coefficient LPC subframes at
+    every order class round-trip bit-exactly, mono and stereo."""
+    rng = np.random.default_rng(5)
+    for order in (1, 2, 4, 8, 12, 31, 32):
+        for ch in (1, 2):
+            n = 700 + order
+            pcm = rng.normal(0, 2500, (n, ch)).clip(-32768, 32767).astype(np.int16)
+            if ch == 1:
+                pcm = pcm[:, 0]
+            out = decode_flac(encode_flac(pcm, block_size=256, lpc_order=order))[1]
+            ref = pcm.reshape(n, -1).astype(np.int64)
+            assert (out == ref).all(), (order, ch)
+
+
+def test_flac_lpc_batch_equals_scalar_above_gates():
+    """The cross-lane lockstep LPC filter (r8) is bit-identical to the
+    scalar loop: 72 lanes of 4096-sample blocks, mixed FIXED/LPC orders,
+    mixed mono/stereo — above MIN_BATCH_LANES and MIN_BATCH_BLOCK so the
+    engine (Rice lanes + LPC prediction pool) actually runs."""
+    from tectonic_spark.operators.flac import decode_flac_batch
+
+    rng = np.random.default_rng(11)
+    payloads = []
+    for i in range(72):
+        n = 6000 + i * 13
+        ch = 1 + i % 2
+        pcm = rng.normal(0, 3000, (n, ch)).clip(-32768, 32767).astype(np.int16)
+        if ch == 1:
+            pcm = pcm[:, 0]
+        payloads.append(
+            encode_flac(pcm, block_size=1024, lpc_order=(0, 2, 8, 12)[i % 4])
+        )
+    scalar = [decode_flac(p) for p in payloads]
+    batch = decode_flac_batch(payloads)
+    for (sa, pa), (sb, pb) in zip(scalar, batch):
+        assert sa == sb
+        assert (pa == pb).all()
+
+
+def test_flac_lpc_lockstep_filter_direct():
+    """_lpc_batch == _lpc_scalar on ragged mixed-order items (the filter
+    pads lanes to the max order and masks finished lanes)."""
+    from tectonic_spark.operators.flac import _lpc_batch, _lpc_coefs, _lpc_scalar
+
+    rng = np.random.default_rng(13)
+    items, expect = [], []
+    for i in range(20):
+        order = (1, 2, 5, 8, 12, 32)[i % 6]
+        bs = 64 + 37 * i
+        co, shift, _ = _lpc_coefs(order)
+        res = rng.integers(-4000, 4000, bs - order).astype(np.int64)
+        warm = rng.integers(-20000, 20000, order).astype(np.int64)
+        out_a = np.empty(bs, dtype=np.int64)
+        out_a[:order] = warm
+        out_b = out_a.copy()
+        _lpc_scalar(co, shift, order, res, out_a)
+        items.append(("lpc", i, co, shift, order, res, out_b))
+        expect.append(out_a)
+    _lpc_batch(items)  # 20 >= MIN_LPC_LANES -> vectorized path
+    for it, exp in zip(items, expect):
+        assert (it[6] == exp).all()
+
+
+def test_flac_first_subframe_is_lpc_pin():
+    from tectonic_spark.operators.flac import first_subframe_is_lpc
+
+    rng = np.random.default_rng(17)
+    pcm = rng.normal(0, 2500, 500).clip(-32768, 32767).astype(np.int16)
+    assert first_subframe_is_lpc(encode_flac(pcm, lpc_order=8))
+    assert not first_subframe_is_lpc(encode_flac(pcm))
+    const = np.full(500, 7, dtype=np.int16)
+    assert not first_subframe_is_lpc(encode_flac(const, lpc_order=8))  # CONSTANT
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        first_subframe_is_lpc(b"nope")
+
+
+def test_flac_lpc_roundtrip_property():
+    """Hypothesis: LPC mode keeps the lossless guarantee at any order."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        data=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=2, max_size=400
+        ),
+        stereo=st.booleans(),
+        block=st.sampled_from([16, 64, 256]),
+        order=st.integers(min_value=1, max_value=12),
+    )
+    def check(data, stereo, block, order):
+        pcm = np.array(data, dtype=np.int16)
+        if stereo:
+            pcm = np.stack([pcm, pcm[::-1]], axis=1)
+        out = decode_flac(encode_flac(pcm, block_size=block, lpc_order=order))[1]
+        ref = pcm.astype(np.int64)
+        if ref.ndim == 1:
+            ref = ref[:, None]
+        assert (out == ref).all()
+
+    check()
