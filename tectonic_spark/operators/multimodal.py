@@ -157,6 +157,13 @@ def _decode_image_real(payload: bytes):
 
         info = parse_h264(payload)
         return "video", info["width"], info["height"], info["n_frames"]
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # r8: MP4/AVCC container walk (box tree -> avcC -> length-prefixed
+        # NAL census) — the dominant real-video container
+        from tectonic_spark.operators.h264 import parse_mp4
+
+        info = parse_mp4(payload)
+        return "video", info["width"], info["height"], info["n_frames"]
     raise NotImplementedError(
         f"no native codec for payload magic {payload[:4]!r}; "
         "plug pyav for compressed-video PIXEL decode (H.264 structural "
@@ -1580,3 +1587,129 @@ def m11_jpeg_progressive(spark, sf_dir: str) -> DataFrame:
         yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "px_sum"])
 
     return docs.mapInPandas(attach_and_decode, schema)
+
+
+# --- m16: MP4/AVCC container census (the dominant real-video container) ----
+
+
+@register(
+    "m16_mp4_census",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             2 + doc_id % 6 AS n_frames,
+             2 + doc_id % 4 AS w_mbs,
+             2 + doc_id % 3 AS h_mbs,
+             doc_id % 2 AS cr,
+             (doc_id // 2) % 2 AS cb
+      FROM documents WHERE doc_id % 37 = 4
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames
+                + CASE WHEN doc_id % 4 = 0 THEN (n_frames + 1) // 2 ELSE 0 END
+                AS BIGINT) AS n_slices,
+           CAST(1 AS BIGINT) AS n_idr,
+           CAST(w_mbs * 16 - 2 * cr AS BIGINT) AS width,
+           CAST(h_mbs * 16 - 2 * cb AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 77 END AS BIGINT)
+             AS profile_idc,
+           CAST(30 + doc_id % 3 AS BIGINT) AS level_idc,
+           CAST(4 AS BIGINT) AS length_size,
+           TRUE AS extent_ok
+    FROM m
+    """,
+    doc="MP4/AVCC container census (VERDICT r7 item 4 — real video "
+    "corpora ship MP4, not raw Annex-B, so m13's census was blind to "
+    "the dominant container): every 37th document carries a "
+    "structurally complete MP4 built by the vendored box writer "
+    "(ftyp/mdat/moov with correct mvhd/tkhd/mdhd/hdlr/vmhd/dinf and "
+    "stts/stsc/stsz/stco sample tables; SPS/PPS in the avcC "
+    "AVCDecoderConfigurationRecord, 4-byte length-prefixed NAL samples "
+    "in mdat). h264.parse_mp4 walks the box tree to avcC, parses the "
+    "SPS (profile/level/resolution incl. cropping), then runs the "
+    "Annex-B frame census over the length-prefixed mdat NALs. "
+    "bytes_walked is accumulated from consumed pieces, so extent_ok "
+    "pins the walk covering the whole file; length_size pins the avcC "
+    "parse. Same slice/frame content as m13's fixtures — the two "
+    "containers must agree. Arrow-batched mapInPandas.",
+)
+def m16_mp4_census(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.h264 import encode_mp4_avcc, parse_mp4
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 37 == 4)
+    )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("n_slices", LongType(), True),
+            StructField("n_idr", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("profile_idc", LongType(), True),
+            StructField("level_idc", LongType(), True),
+            StructField("length_size", LongType(), True),
+            StructField("extent_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = encode_mp4_avcc(
+                    2 + d % 6,
+                    2 + d % 4,
+                    2 + d % 3,
+                    profile_idc=66 if d % 2 == 0 else 77,
+                    level_idc=30 + d % 3,
+                    crop_right=d % 2,
+                    crop_bottom=(d // 2) % 2,
+                    extra_slice_every=2 if d % 4 == 0 else 0,
+                    fill_fn=lambda i, d=d: bytes(
+                        (d * 31 + i * 37 + j) % 256 for j in range(3 + (d + i) % 7)
+                    ),
+                )
+                info = parse_mp4(payload)
+                rows.append(
+                    (
+                        d,
+                        info["n_frames"],
+                        info["n_slices"],
+                        info["n_idr"],
+                        info["width"],
+                        info["height"],
+                        info["profile_idc"],
+                        info["level_idc"],
+                        info["length_size"],
+                        info["bytes_walked"] == len(payload),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_frames",
+                "n_slices",
+                "n_idr",
+                "width",
+                "height",
+                "profile_idc",
+                "level_idc",
+                "length_size",
+                "extent_ok",
+            ],
+        )
+
+    return docs.mapInPandas(walk, schema)

@@ -128,3 +128,55 @@ def test_truncated_sps_raises():
     # cut inside the SPS NAL
     with pytest.raises(ValueError):
         parse_h264(p[:7])
+
+
+class TestMp4Avcc:
+    def test_mp4_census_matches_annexb(self):
+        from tectonic_spark.operators.h264 import (
+            encode_h264_annexb,
+            encode_mp4_avcc,
+            parse_h264,
+            parse_mp4,
+        )
+
+        for params in [
+            dict(n_frames=5, w_mbs=3, h_mbs=2, profile_idc=77, level_idc=31,
+                 crop_right=1, crop_bottom=1, extra_slice_every=2),
+            dict(n_frames=2, w_mbs=2, h_mbs=2),
+            dict(n_frames=7, w_mbs=5, h_mbs=4, level_idc=32, crop_right=1,
+                 extra_slice_every=3),
+        ]:
+            mp4 = encode_mp4_avcc(**params)
+            ref = parse_h264(encode_h264_annexb(**params))
+            info = parse_mp4(mp4)
+            for k in ("n_sps", "n_pps", "n_slices", "n_frames", "n_idr",
+                      "width", "height", "profile_idc", "level_idc"):
+                assert info[k] == ref[k], (params, k)
+            assert info["bytes_walked"] == len(mp4)
+            assert info["length_size"] == 4
+
+    def test_mp4_malformed_raises(self):
+        import pytest
+
+        from tectonic_spark.operators.h264 import encode_mp4_avcc, parse_mp4
+
+        good = encode_mp4_avcc(3, 2, 2)
+        with pytest.raises(ValueError):
+            parse_mp4(b"not an mp4 at all")
+        with pytest.raises(ValueError):
+            parse_mp4(good[:-7])  # truncated moov box
+        # truncated NAL inside mdat: cut mid-mdat, keep a valid moov by
+        # rebuilding — simpler: corrupt a NAL length to overrun
+        bad = bytearray(good)
+        mdat = bad.find(b"mdat")
+        bad[mdat + 4 : mdat + 8] = (2**31).to_bytes(4, "big")
+        with pytest.raises(ValueError):
+            parse_mp4(bytes(bad))
+
+    def test_m01_routes_mp4(self):
+        from tectonic_spark.operators.h264 import encode_mp4_avcc
+        from tectonic_spark.operators.multimodal import _decode_image_real
+
+        p = encode_mp4_avcc(4, 3, 2, crop_right=1)
+        kind, w, h, nf = _decode_image_real(p)
+        assert (kind, w, h, nf) == ("video", 46, 32, 4)
