@@ -30,6 +30,10 @@ def main() -> None:
 
     stats = bench._skip_speedup(args.sf_dir)
     idle = stats["json_full_parse_mb_per_sec"]
+    # r8: the all-core canary — records the machine's idle AGGREGATE
+    # hash rate so bench runs can attribute headline moves to 32-core
+    # co-tenancy the single-thread canary can't see
+    par = bench._parallel_canary()
 
     path = os.path.join(REPO, ".bench_canary_idle.json")
     try:
@@ -37,10 +41,13 @@ def main() -> None:
             d = json.load(f)
     except (OSError, ValueError):
         d = {}
-    d[socket.gethostname()] = idle
+    d[socket.gethostname()] = {"single": idle, "parallel": par}
     with open(path, "w") as f:
         json.dump(d, f, indent=2, sort_keys=True)
-    print(f"calibrated {socket.gethostname()}: {idle} MB/s -> {path}")
+    print(
+        f"calibrated {socket.gethostname()}: single {idle} MB/s, "
+        f"parallel {par} MB/s -> {path}"
+    )
 
 
 if __name__ == "__main__":
