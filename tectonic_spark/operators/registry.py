@@ -72,25 +72,31 @@ def register(
 # REGISTRY in this order; duplicates below dedupe first-wins; names not
 # listed keep registration order at the tail.
 PRIORITY: list[str] = [
-    # --- r7 tier 1: zero green rows ever.  b05_approx_distinct's only
-    # driver rows (r01/r02) predate its err_ok re-registration and read
-    # "no_oracle"; the oracle now exists and passes locally — this row
-    # closes the last verification hole in the registry.
-    "b05_approx_distinct",
-    # --- r7 tier 2: new registrations ---
-    "m13_h264_census",
-    "m14_jpeg_dense_decode",
-    # --- r7 tier 3: changed code ---
-    # lockstep lane-engine decode + shared _scan_geometry/_scan_idct
-    # refactor + batched m08/m09/s12 kernels + m01 Annex-B routing
+    # --- r8 tier 1: zero green rows ever — none (closed in r7).
+    # --- r8 tier 2: new registrations this round ---
+    # progressive lane engine pin (jpeg_prog_lockstep.py, four machines)
+    "m15_jpeg_progressive_dense",
+    # MP4/AVCC container walk (h264.parse_mp4 + box-writer fixtures)
+    "m16_mp4_census",
+    # --- r8 tier 3: changed code this round ---
+    # m12: LPC fixtures (orders 2/8/12) + first_subframe_lpc pin over the
+    # new encoder LPC mode, scalar _lpc_scalar and _lpc_batch lane filter
+    "m12_flac_decode",
+    # progressive decode surface: collect-mode capture, _prog_idct
+    # factor, successive-approximation encoder, engine batch routing
+    "m11_jpeg_progressive",
+    # decode_jpeg_batch return-contract change (5-tuple) + prog routing
     "m08_jpeg_decode",
     "m09_jpeg_resize_reencode",
-    "m11_jpeg_progressive",
+    "m14_jpeg_dense_decode",
     "s12_stream_media_decode",
+    # h264 bytes_walked accumulation + single-zero RBSP strip (ADVICE
+    # r7) + m01 MP4 routing
+    "m13_h264_census",
     "m01_media_metadata",
-    # FLAC encoder int16 guard + table CRCs + fused Rice loop
-    "m12_flac_decode",
-    # _partial_topk NULL pre-filter (exact-search family plan change)
+    # --- r8 tier 4: warm fill (r7 list continues, dedupes first-wins) ---
+    "b05_approx_distinct",
+    # _partial_topk exact-search family (unchanged r8; high-value)
     "c02_cosine_topk",
     "c02_filtered_topk",
     "c02_mips_topk",

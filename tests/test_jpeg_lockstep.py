@@ -181,3 +181,41 @@ def test_pool_byte_cap_splits_batches(monkeypatch):
         for s in range(12)
     ]
     _check(payloads)
+
+
+def test_pool_byte_cap_sequential_pools_exact(monkeypatch):
+    """POOL_BYTE_CAP splits an oversized batch into sequential pools:
+    results stay bit-identical to one big pool AND the engine actually
+    flushed multiple times (the executor-memory-flatness mechanism the
+    100x path relies on — scratch is bounded per pool, not per batch)."""
+    import numpy as np
+
+    import tectonic_spark.operators.jpeg_lockstep as jl
+    from tectonic_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(3)
+    payloads = []
+    for i in range(6):
+        vals = (2 * ((i * 7 + np.arange(1024)) % 128)).astype(np.uint8)
+        plane = np.kron(vals.reshape(32, 32), np.ones((8, 8), dtype=np.uint8))
+        plane = np.clip(
+            plane.astype(np.int16) + rng.integers(-6, 6, plane.shape), 0, 255
+        ).astype(np.uint8)
+        payloads.append(encode_jpeg(plane, quality=85, restart_interval=4))
+
+    monkeypatch.setattr(jl, "MIN_LANES", 1)
+    big = jl.decode_jpeg_batch(payloads)
+
+    runs = []
+    orig_run = jl._Pool.run
+
+    def counting_run(self):
+        runs.append(self.nlanes)
+        return orig_run(self)
+
+    monkeypatch.setattr(jl._Pool, "run", counting_run)
+    monkeypatch.setattr(jl, "POOL_BYTE_CAP", max(len(p) for p in payloads))
+    capped = jl.decode_jpeg_batch(payloads)
+    assert len(runs) >= 3  # the cap forced multiple sequential pools
+    for a, b in zip(big, capped):
+        assert (a == b).all()

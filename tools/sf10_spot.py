@@ -67,6 +67,19 @@ FAMILY_QUERIES_R7 = [
     "m13_h264_census",
 ]
 
+# r8 (VERDICT r7 item 5): 100x engagement evidence for the lockstep
+# engines — m14 (baseline lane pool) and m15 (progressive lane pool)
+# pin rode_engine per payload in their value-hashed outputs, so a green
+# run at 100x IS the engine-engaged proof; m12 now carries LPC
+# subframes (orders 2/8/12) through the cross-lane prediction filter;
+# m16 walks the MP4 container at volume. `--families3`.
+FAMILY_QUERIES_R8 = [
+    "m14_jpeg_dense_decode",
+    "m15_jpeg_progressive_dense",
+    "m12_flac_decode",
+    "m16_mp4_census",
+]
+
 # The registered c01_semantic_dedup_scaled pins k=8 to stay under the
 # static oracle; per-cluster pair volume is ~ (N/k)^2, so at 500k docs
 # k=8 would demand a 168k x 168k similarity matrix (212 GiB — observed).
@@ -87,6 +100,9 @@ def main() -> None:
         sys.argv = sys.argv[:1] + names  # skip the sem-dedup extra below
     elif args == ["--families2"]:
         names = FAMILY_QUERIES_R7
+        sys.argv = sys.argv[:1] + names
+    elif args == ["--families3"]:
+        names = FAMILY_QUERIES_R8
         sys.argv = sys.argv[:1] + names
     else:
         names = args or QUERIES
