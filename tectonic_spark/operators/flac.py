@@ -20,9 +20,10 @@ partitioned residuals, escaped partitions, CRC-8 header and CRC-16 frame
 checks, MD5 verification against STREAMINFO.
 
 Encoder (fixture generator): 16-bit PCM, mono/stereo, CONSTANT /
-VERBATIM / FIXED(0-2) subframes with single-partition Rice residuals —
-a strict subset of the decoder's surface, so round-trips exercise the
-general paths (an LPC subframe fixture is hand-built in tests).
+VERBATIM / FIXED(0-2) subframes with single-partition Rice residuals,
+plus an LPC mode (r8: deterministic quantized coefficients, any order
+1-32 — inversion is exact for ANY coefficient set) — a strict subset of
+the decoder's surface, so round-trips exercise the general paths.
 
 100 TB shape: decode is embarrassingly parallel per payload inside
 Arrow-batched mapInPandas (the m08 JPEG pattern); compressed bytes never
@@ -937,7 +938,6 @@ def _lpc_batch(items: list[tuple]) -> None:
         RES[li, : ns[li]] = it[5]
     VAL = np.empty((L, steps), dtype=np.int64)
     shift = np.array([it[3] for it in items], dtype=np.int64)
-    idx = np.arange(steps)
     for i in range(steps):
         pred = (CO * HIST).sum(axis=1)
         v = RES[:, i] + (pred >> shift)
@@ -947,6 +947,5 @@ def _lpc_batch(items: list[tuple]) -> None:
         VAL[:, i] = v
         HIST[:, :-1] = HIST[:, 1:]
         HIST[:, -1] = v
-    _ = idx
     for li, (_, _, _, _, o, _, out) in enumerate(items):
         out[o:] = VAL[li, : ns[li]]

@@ -635,7 +635,6 @@ def _run_ac_refine(items: list, FLAT: np.ndarray) -> None:
     vval = np.zeros(L, dtype=np.int64)
     after_end = np.zeros(L, dtype=bool)
     eob_left = np.zeros(L, dtype=np.int64)
-    err_code = err_sz = err_eof = False
 
     lanes = np.arange(bp.size, dtype=np.int64)
     # error flags accumulate as lane-width arrays (OR per step is one
