@@ -97,6 +97,7 @@ def _cpu_jiffies() -> tuple[int, int, int] | None:
 
 LOADAVG_START: list[float] | None = None
 CPUSTAT_START: tuple[int, int, int] | None = None
+PAR_CANARY_START: float | None = None
 
 
 def _steal_pct(start, end) -> float | None:
@@ -719,9 +720,12 @@ def _sf1_headroom(spark, sf_dir: str, base: dict[str, float]) -> dict:
 
 
 def main() -> None:
-    global LOADAVG_START, CPUSTAT_START
+    global LOADAVG_START, CPUSTAT_START, PAR_CANARY_START
     LOADAVG_START = _loadavg()
     CPUSTAT_START = _cpu_jiffies()
+    # all-core canary BEFORE Spark exists: nothing of ours is running,
+    # so any shortfall vs the calibrated idle rate IS external load
+    PAR_CANARY_START = _parallel_canary()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = "/root/testdata/sf0.001"
     import tectonic_spark.operators as ops
@@ -772,10 +776,11 @@ def main() -> None:
     # contended run's inflated wall time by the observed slowdown factor.
     canary = extras.get("json_full_parse_mb_per_sec", 0.0)
     idle_ref, idle_par, calibrated = _canary_idle_ref()
-    # all-core canary (r8): measured AFTER the queries so a co-tenant
-    # burst during the run is visible; the single-thread canary alone
-    # cannot see 32-core contention
-    par_canary = _parallel_canary()
+    # all-core canary again AFTER the queries (our own JVM is idle but
+    # alive — a gap between start and end readings flags load that
+    # ARRIVED mid-run); normalization uses the pre-Spark START reading,
+    # the one measurement with zero own-load in it
+    par_canary_end = _parallel_canary()
     value = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -786,7 +791,8 @@ def main() -> None:
         "host_canary_mb_per_sec": canary,
         "host_canary_idle_ref_mb_per_sec": idle_ref,
         "host_canary_calibrated": calibrated,
-        "host_parallel_canary_mb_per_sec": par_canary,
+        "host_parallel_canary_start_mb_per_sec": PAR_CANARY_START,
+        "host_parallel_canary_end_mb_per_sec": par_canary_end,
         "host_parallel_canary_idle_ref_mb_per_sec": idle_par,
         "loadavg_start": LOADAVG_START,
         "loadavg_end": _loadavg(),
@@ -795,8 +801,8 @@ def main() -> None:
             round(value * canary / idle_ref, 3) if canary else None
         ),
         "headline_normalized_parallel": (
-            round(value * par_canary / idle_par, 3)
-            if par_canary and idle_par
+            round(value * PAR_CANARY_START / idle_par, 3)
+            if PAR_CANARY_START and idle_par
             else None
         ),
         "extras": extras,

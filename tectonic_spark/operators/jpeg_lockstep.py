@@ -384,6 +384,12 @@ def _job_eligible(job) -> bool:
 # (~512 MB scratch) and larger Arrow batches run as sequential pools —
 # same results, bounded executor memory.
 POOL_BYTE_CAP = 64 * 1024 * 1024
+# lane-count guard (r8, measured on the m14 dense-512x512 corpus): the
+# per-step state arrays are O(lanes), and past ~8-10k lanes they fall
+# out of L2/L3 — 6400-lane pools decode 7.4 ms/img vs 14.3 at 128k.
+# The optimum plateau is ~1.5k-6.4k; pools flush at this cap and run
+# sequentially, same results.
+MAX_POOL_LANES = 4096
 
 
 def payload_rides_engine(data: bytes) -> bool:
@@ -473,7 +479,7 @@ def decode_jpeg_batch(payloads: list[bytes]) -> list[np.ndarray]:
             pool.add_job(j)
             pool_bytes += sum(len(s) for s in j.segments)
         pending.append((i, comps, w, h))
-        if pool_bytes >= POOL_BYTE_CAP:
+        if pool_bytes >= POOL_BYTE_CAP or pool.nlanes >= MAX_POOL_LANES:
             flush()
     flush()
     flush_prog()

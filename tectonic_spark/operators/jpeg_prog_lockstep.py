@@ -75,8 +75,17 @@ MIN_IMG_BYTES = 2048
 # entropy bytes per pool before a sequential flush (window table costs
 # 8 bytes/entropy byte)
 PROG_POOL_BYTE_CAP = 64 * 1024 * 1024
-# flat coefficient scratch per pool (int64): 512x512 gray = 2 MB/image
+# flat coefficient scratch per sub-pool (int64; memory bound — refine
+# structures add ~2-3x on top)
 COEF_BYTE_CAP = 256 * 1024 * 1024
+# lane-count guard (r8, measured across three corpus shapes): per-step
+# state arrays and per-wave builds are O(lanes), and pools past ~16k
+# lanes fall out of cache — the m15 dense-512x512 restart shape decodes
+# at 30 ms/img in 16k-lane sub-pools vs 120 ms/img in one 123k-lane
+# pool, while the no-restart crawl shape (6 lanes/img) never nears the
+# cap and the entropy-heavy restart shape loses only ~10% vs unbounded.
+# Chunks flush at the cap; trailing chunks may be smaller.
+MAX_PROG_POOL_LANES = 16384
 
 # magnitude-extend table: EXT[s] = (1<<s)-1 (mask, subtrahend, and
 # (>>1) threshold-1 — size-0 values never extend)
@@ -796,13 +805,18 @@ def run_prog_pool(images: list, scalar_payload) -> list[tuple[int, np.ndarray]]:
     results: list[tuple[int, np.ndarray]] = []
     chunk: list = []
     nbytes = 0
+    nlanes = 0
     for img in images:
         sz = sum(c.bh * c.bw * 64 * 8 for c in img[1])
-        if chunk and nbytes + sz > COEF_BYTE_CAP:
+        ln = _image_lanes(img[5])
+        if chunk and (
+            nbytes + sz > COEF_BYTE_CAP or nlanes + ln > MAX_PROG_POOL_LANES
+        ):
             results.extend(_run_chunk(chunk))
-            chunk, nbytes = [], 0
+            chunk, nbytes, nlanes = [], 0, 0
         chunk.append(img)
         nbytes += sz
+        nlanes += ln
     if chunk:
         results.extend(_run_chunk(chunk))
     return results
