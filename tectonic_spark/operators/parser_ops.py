@@ -25,6 +25,26 @@ _FIXTURE_ROOT = os.path.join(tempfile.gettempdir(), "tectonic_fixtures")
 _DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
+def _stop_stream_quietly(q) -> None:
+    """Teardown for polling-loop streaming queries. ``q.stop()``
+    interrupts the stream execution thread, and with a PYTHON
+    micro-batch source the interrupt can land in an await Spark does
+    not classify as stop-induced — surfacing a spurious
+    STREAM_FAILED / InterruptedException AFTER the sink already reached
+    its verified state (observed once for s08 in an r8 172-query sweep
+    session; passes standalone). Teardown noise is swallowed here
+    because every caller validates correctness from the SINK contents
+    after this returns (row counts + commit counts + the driver's
+    oracle compare), so a genuinely failed stream still fails the
+    query — just with the real symptom, not the interrupt."""
+    try:
+        q.stop()
+        q.awaitTermination(60)
+    except Exception:
+        pass
+
+
+
 def _fixture_dir(sf_dir: str) -> str:
     """Per-dataset fixture cache dir, keyed by sf_dir path PLUS a content
     fingerprint of documents.parquet (size + mtime_ns): regenerating the
@@ -698,8 +718,7 @@ def s03_stream_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(60)
+        _stop_stream_quietly(q)
     offsets_dir = os.path.join(ck, "offsets")
     commits_dir = os.path.join(ck, "commits")
     n_commits = (
@@ -860,8 +879,7 @@ def s04_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(60)
+        _stop_stream_quietly(q)
     commits_dir = os.path.join(ck, "commits")
     n_commits = (
         len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
@@ -980,8 +998,7 @@ def s05_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(60)
+        _stop_stream_quietly(q)
     if sink_rows < expected:
         raise RuntimeError(
             f"s05: sink has {sink_rows} finalized sessions, expected "
@@ -1122,8 +1139,7 @@ def s06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(60)
+        _stop_stream_quietly(q)
     if sink_rows < n_distinct:
         raise RuntimeError(
             f"s06: sink has {sink_rows} rows, expected {n_distinct}"
@@ -1234,8 +1250,7 @@ def s07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(60)
+        _stop_stream_quietly(q)
     if sink_rows < expected:
         raise RuntimeError(
             f"s07: sink has {sink_rows} enriched rows, expected {expected}"
@@ -1370,8 +1385,7 @@ def s08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(60)
+        _stop_stream_quietly(q)
     if sink_rows != expected:
         raise RuntimeError(
             f"s08: sink has {sink_rows} pairs, batch join says {expected}"
@@ -1549,8 +1563,7 @@ def s09_custom_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(60)
+        _stop_stream_quietly(q)
     if sink_rows < expected:
         raise RuntimeError(
             f"s09: sink has {sink_rows} closed sessions, expected {expected} "
@@ -1989,8 +2002,7 @@ def s10_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(60)
+        _stop_stream_quietly(q)
     if sink_rows != expected:
         raise RuntimeError(
             f"s10: sink has {sink_rows} rows, expected exactly {expected} "
@@ -2343,9 +2355,12 @@ def s11_stream_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
                 break
             time.sleep(0.5)
     finally:
-        q.stop()
-        if not q.awaitTermination(60):
-            q.awaitTermination(120)  # loaded host: give the final batch time
+        try:
+            q.stop()
+            if not q.awaitTermination(60):
+                q.awaitTermination(120)  # loaded host: final batch time
+        except Exception:
+            pass  # see _stop_stream_quietly — sink checks below govern
     # re-read AFTER the stream stopped: the poll loop can break on a stale
     # commit count while the final (sentinel-only) batch is mid-merge; the
     # read retries because a concurrent merge GC can remove a superseded
@@ -2557,8 +2572,7 @@ def s12_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             time.sleep(0.5)
     finally:
-        q.stop()
-        q.awaitTermination(60)
+        _stop_stream_quietly(q)
     if sink_rows != expected:
         raise RuntimeError(
             f"s12: sink has {sink_rows} decoded rows, expected {expected}"
