@@ -296,6 +296,207 @@ def _encode_blocks(
     return pred
 
 
+# ------------------------------------------- vectorized entropy encode
+#
+# The per-symbol Python writer (~0.13 s for a dense 512x512 image) was
+# the m09/m14/m15 scale ceiling once decode went lockstep (r8): a real
+# training-data pipeline RE-ENCODES as much as it decodes. The fast
+# path below builds the whole scan as a flat TOKEN stream (one fused
+# (huffman_code << mag_size) | mag_bits value per symbol) with numpy,
+# packs it with staggered byte scatter-adds, and applies byte stuffing
+# with one bytes.replace — byte-identical to the scalar writer (golden
+# tests in tests/test_jpeg.py pin equality on a matrix of images).
+
+
+def _codes_np(codes: dict[int, tuple[int, int]]) -> tuple[np.ndarray, np.ndarray]:
+    code = np.zeros(256, dtype=np.int64)
+    ln = np.zeros(256, dtype=np.int64)
+    for sym, (c, l_) in codes.items():
+        code[sym] = c
+        ln[sym] = l_
+    return code, ln
+
+
+def _mag_np(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(size category, appended bits) per value — the vectorized
+    :func:`_magnitude` (frexp exponent == bit_length, exact < 2^53)."""
+    size = np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
+    bits = np.where(v >= 0, v, v + (np.int64(1) << size) - 1)
+    return size, bits
+
+
+def _pack_tokens(
+    vals: np.ndarray, nbits: np.ndarray, seg_of: np.ndarray, nseg: int
+) -> bytes:
+    """Pack a token stream into entropy bytes: each segment starts
+    byte-aligned, ends 1-padded (T.81 §F.1.2.3), is FF-stuffed, and is
+    separated from the next by RSTn. Tokens carry <= 34 bits after the
+    alignment shift, so five staggered byte scatter-adds cover every
+    span; distinct tokens touch disjoint bits of a shared byte, so
+    addition == OR."""
+    seg_bits = np.bincount(seg_of, weights=nbits, minlength=nseg).astype(np.int64)
+    pad = (-seg_bits) % 8
+    seg_nbytes = (seg_bits + pad) >> 3
+    byte_start = np.zeros(nseg + 1, dtype=np.int64)
+    np.cumsum(seg_nbytes, out=byte_start[1:])
+    bit_start = np.zeros(nseg, dtype=np.int64)
+    np.cumsum(seg_bits[:-1], out=bit_start[1:])
+    cum = np.cumsum(nbits) - nbits
+    end = cum - bit_start[seg_of] + (byte_start[seg_of] << 3) + nbits
+    last_byte = (end - 1) >> 3
+    shift = (8 - (end & 7)) & 7
+    v = vals << shift
+    B = np.zeros(int(byte_start[-1]) + 1, dtype=np.int64)
+    for k in range(5):
+        piece = (v >> (8 * k)) & 0xFF
+        m = piece != 0
+        if m.any():
+            np.add.at(B, last_byte[m] - k, piece[m])
+    # per-segment 1-padding of the final partial byte
+    pm = pad > 0
+    if pm.any():
+        np.add.at(
+            B, byte_start[1:][pm] - 1, (np.int64(1) << pad[pm]) - 1
+        )
+    raw = B[: int(byte_start[-1])].astype(np.uint8).tobytes()
+    out = bytearray()
+    for s in range(nseg):
+        seg = raw[byte_start[s] : byte_start[s + 1]].replace(b"\xff", b"\xff\x00")
+        if s:
+            out += bytes([0xFF, 0xD0 + ((s - 1) & 7)])
+        out += seg
+    return bytes(out)
+
+
+def _scan_tokens(
+    zz_seq: np.ndarray,
+    comp_of: np.ndarray,
+    seg_of_block: np.ndarray,
+    dc_tabs: list[tuple[np.ndarray, np.ndarray]],
+    ac_tabs: list[tuple[np.ndarray, np.ndarray]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Token stream (vals, nbits, seg_of) for one baseline interleaved
+    scan: ``zz_seq`` is the (blocks, 64) zigzag coefficients in SCAN
+    order, ``comp_of``/``seg_of_block`` the per-block component and
+    restart segment. Per block: [DC diff] [ZRL* + (run,size)+mag per
+    nonzero AC] [EOB when the last nonzero < 63] — exactly the scalar
+    writer's emission order."""
+    nblk = len(zz_seq)
+    ncomp = len(dc_tabs)
+    # --- DC: per-component prediction chains, reset per segment
+    dc = zz_seq[:, 0]
+    diff = np.empty(nblk, dtype=np.int64)
+    for ci in range(ncomp):
+        idx = np.nonzero(comp_of == ci)[0]
+        d = dc[idx]
+        prev = np.empty_like(d)
+        if len(d):
+            prev[0] = 0
+            prev[1:] = d[:-1]
+            first = np.empty(len(d), dtype=bool)
+            first[0] = True
+            seg = seg_of_block[idx]
+            first[1:] = seg[1:] != seg[:-1]
+            diff[idx] = d - np.where(first, 0, prev)
+    dsize, dbits = _mag_np(diff)
+    dcode = np.empty(nblk, dtype=np.int64)
+    dlen = np.empty(nblk, dtype=np.int64)
+    for ci in range(ncomp):
+        m = comp_of == ci
+        code, ln = dc_tabs[ci]
+        dcode[m] = code.take(dsize[m])
+        dlen[m] = ln.take(dsize[m])
+    dc_val = (dcode << dsize) | (dbits & ((np.int64(1) << dsize) - 1))
+    dc_nb = dlen + dsize
+
+    # --- AC: runs between nonzeros, ZRL expansion, EOB
+    acs = zz_seq[:, 1:]
+    nzm = acs != 0
+    rows, cols = np.nonzero(nzm)
+    v = acs[rows, cols]
+    nnz = np.bincount(rows, minlength=nblk)
+    first_nz = np.zeros(len(rows), dtype=bool)
+    if len(rows):
+        first_nz[0] = True
+        first_nz[1:] = rows[1:] != rows[:-1]
+    prevc = np.empty(len(rows), dtype=np.int64)
+    if len(rows):
+        prevc[0] = -1
+        prevc[1:] = cols[:-1]
+    run = cols - np.where(first_nz, -1, prevc) - 1
+    zr = run >> 4
+    rem = run & 15
+    asize, abits = _mag_np(v)
+    sym = (rem << 4) | asize
+    acomp = comp_of.take(rows)
+    acode = np.empty(len(rows), dtype=np.int64)
+    alen = np.empty(len(rows), dtype=np.int64)
+    zcode = np.empty(len(rows), dtype=np.int64)  # per-comp ZRL/EOB codes
+    zlen = np.empty(len(rows), dtype=np.int64)
+    for ci in range(ncomp):
+        m = acomp == ci
+        code, ln = ac_tabs[ci]
+        acode[m] = code.take(sym[m])
+        alen[m] = ln.take(sym[m])
+        zcode[m] = code[0xF0]
+        zlen[m] = ln[0xF0]
+    ac_val = (acode << asize) | (abits & ((np.int64(1) << asize) - 1))
+    ac_nb = alen + asize
+    # EOB per block when the last nonzero zigzag index < 63 (or none)
+    last_k = np.zeros(nblk, dtype=np.int64)
+    if len(rows):
+        np.maximum.at(last_k, rows, cols + 1)
+    eobm = last_k < 63
+    eob_code = np.empty(nblk, dtype=np.int64)
+    eob_len = np.empty(nblk, dtype=np.int64)
+    for ci in range(ncomp):
+        m = comp_of == ci
+        code, ln = ac_tabs[ci]
+        eob_code[m] = code[0x00]
+        eob_len[m] = ln[0x00]
+
+    # --- slot layout: per-block token counts and intra-block offsets
+    zr_blk = np.bincount(rows, weights=zr, minlength=nblk).astype(np.int64)
+    cnt = 1 + nnz + zr_blk + eobm
+    base = np.zeros(nblk + 1, dtype=np.int64)
+    np.cumsum(cnt, out=base[1:])
+    total = int(base[-1])
+    vals = np.empty(total, dtype=np.int64)
+    nbt = np.empty(total, dtype=np.int64)
+    seg_tok = np.empty(total, dtype=np.int64)
+    # DC at slot 0 of each block
+    vals[base[:-1]] = dc_val
+    nbt[base[:-1]] = dc_nb
+    # AC symbols: slot = base[row] + 1 + (j within block) + cum ZRLs
+    if len(rows):
+        czr = np.cumsum(zr)
+        blk_first_cz = np.zeros(nblk, dtype=np.int64)
+        blk_first_cz[rows[first_nz]] = (czr - zr)[first_nz]
+        j_in_blk = np.arange(len(rows)) - np.repeat(
+            np.cumsum(nnz) - nnz, nnz
+        )
+        cz_before = czr - zr - blk_first_cz.take(rows)
+        slot = base.take(rows) + 1 + j_in_blk + cz_before + zr
+        vals[slot] = ac_val
+        nbt[slot] = ac_nb
+        # ZRLs directly before their symbol
+        zm = zr > 0
+        if zm.any():
+            rep = np.repeat(np.arange(len(rows))[zm], zr[zm])
+            off = np.arange(len(rep)) - np.repeat(
+                np.cumsum(zr[zm]) - zr[zm], zr[zm]
+            )
+            zslot = slot.take(rep) - zr.take(rep) + off
+            vals[zslot] = zcode.take(rep)
+            nbt[zslot] = zlen.take(rep)
+    # EOBs at the last slot of their block
+    if eobm.any():
+        vals[base[1:][eobm] - 1] = eob_code[eobm]
+        nbt[base[1:][eobm] - 1] = eob_len[eobm]
+    seg_tok[:] = np.repeat(seg_of_block, cnt)
+    return vals, nbt, seg_tok
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 50,
@@ -303,7 +504,9 @@ def encode_jpeg(
     restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF encode. ``pixels``: (h, w, 3) RGB u8 or (h, w)
-    grayscale u8. ``subsampling``: '444' or '420' (ignored for gray)."""
+    grayscale u8. ``subsampling``: '444' or '420' (ignored for gray).
+    Entropy coding runs the vectorized token path (byte-identical to
+    the scalar writer; pinned by golden tests)."""
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -384,13 +587,74 @@ def encode_jpeg(
         out += struct.pack("BB", i + 1, (dc_id << 4) | ac_id)
     out += bytes([0, 63, 0])  # Ss, Se, Ah/Al
 
+    qts = [qt_l] + [qt_c] * (ncomp - 1)
+    out += _encode_baseline_entropy(
+        padded, samp, qts, ncomp, mcus_x, mcus_y, restart_interval
+    )
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_baseline_entropy(
+    padded: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    qts: list[np.ndarray],
+    ncomp: int,
+    mcus_x: int,
+    mcus_y: int,
+    restart_interval: int,
+) -> bytes:
+    """Vectorized baseline entropy data (incl. RST markers) for the
+    already-padded planes — quantize all blocks at once, build the scan
+    token stream, pack. Byte-identical to _encode_scan_scalar."""
+    coefs = [_quantize_plane(p, qts[ci]) for ci, p in enumerate(padded)]
+    M = mcus_x * mcus_y
+    m = np.arange(M, dtype=np.int64)
+    my, mx = m // mcus_x, m % mcus_x
+    cols, cis = [], []
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        gw = mcus_x * sh
+        for vy in range(sv):
+            for hx in range(sh):
+                cols.append((my * sv + vy) * gw + (mx * sh + hx))
+                cis.append(ci)
+    B = len(cols)
+    bi_seq = np.stack(cols, axis=1).ravel()
+    comp_of = np.tile(np.asarray(cis, dtype=np.int64), M)
+    zz_seq = np.empty((M * B, 64), dtype=np.int64)
+    for ci in range(ncomp):
+        sel = comp_of == ci
+        zz_seq[sel] = coefs[ci][bi_seq[sel]]
+    ri = restart_interval if restart_interval else M
+    seg_of_block = np.repeat(m // ri, B)
+    nseg = int(seg_of_block[-1]) + 1 if M else 1
+    dc_tabs = [_codes_np(_build_codes(*STD_DC_LUMA))] + [
+        _codes_np(_build_codes(*STD_DC_CHROMA))
+    ] * (ncomp - 1)
+    ac_tabs = [_codes_np(_build_codes(*STD_AC_LUMA))] + [
+        _codes_np(_build_codes(*STD_AC_CHROMA))
+    ] * (ncomp - 1)
+    vals, nbt, seg_tok = _scan_tokens(zz_seq, comp_of, seg_of_block, dc_tabs, ac_tabs)
+    return _pack_tokens(vals, nbt, seg_tok, nseg)
+
+
+def _encode_scan_scalar(
+    padded: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    qts: list[np.ndarray],
+    ncomp: int,
+    mcus_x: int,
+    mcus_y: int,
+    restart_interval: int,
+) -> bytes:
+    """The original per-symbol scalar writer, kept as the GOLDEN
+    REFERENCE for the vectorized path (tests pin byte equality)."""
     dc_l = _build_codes(*STD_DC_LUMA)
     ac_l = _build_codes(*STD_AC_LUMA)
     dc_c = _build_codes(*STD_DC_CHROMA)
     ac_c = _build_codes(*STD_AC_CHROMA)
     comp_codes = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
-    qts = [qt_l] + [qt_c] * (ncomp - 1)
-
     bw = _BitWriter()
     preds = [0] * ncomp
     rst = 0
@@ -415,9 +679,7 @@ def encode_jpeg(
                         )
             mcus_done += 1
     bw.flush()
-    out += bw.buf
-    out += b"\xff\xd9"  # EOI
-    return bytes(out)
+    return bytes(bw.buf)
 
 
 # --------------------------------------------------------------- decoder
@@ -1124,6 +1386,202 @@ def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return coef.reshape(-1, 64)[:, ZIGZAG]
 
 
+# Progressive scans use the vectorized token path by default; the
+# scalar _SegWriter emission below is the golden reference (tests pin
+# byte equality across the encoder matrix).
+_PROG_VEC = True
+
+
+class _TokenWriter:
+    """Shim with the _BitWriter.write interface that collects fused
+    tokens instead of packing bits — lets the scalar per-block AC-refine
+    routine emit into the vectorized token stream."""
+
+    __slots__ = ("vals", "nbits")
+
+    def __init__(self) -> None:
+        self.vals: list[int] = []
+        self.nbits: list[int] = []
+
+    def write(self, code: int, length: int) -> None:
+        self.vals.append(code & ((1 << length) - 1))
+        self.nbits.append(length)
+
+
+def _prog_seq(samp, grids, ncomp, mcus_x, mcus_y):
+    """(bi_seq, comp_of, mcu_of) flat block sequence in interleaved MCU
+    comp-major order — the DC scans' walk."""
+    M = mcus_x * mcus_y
+    m = np.arange(M, dtype=np.int64)
+    my, mx = m // mcus_x, m % mcus_x
+    cols, cis = [], []
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        gw = grids[ci][0]
+        for vy in range(sv):
+            for hx in range(sh):
+                cols.append((my * sv + vy) * gw + (mx * sh + hx))
+                cis.append(ci)
+    B = len(cols)
+    return (
+        np.stack(cols, axis=1).ravel(),
+        np.tile(np.asarray(cis, dtype=np.int64), M),
+        np.repeat(m, B),
+    )
+
+
+def _prog_dc_first_entropy(
+    coefs, samp, grids, ncomp, mcus_x, mcus_y, ri, A, dc_tabs
+) -> bytes:
+    bi, comp_of, mcu = _prog_seq(samp, grids, ncomp, mcus_x, mcus_y)
+    n = len(bi)
+    dc = np.empty(n, dtype=np.int64)
+    for ci in range(ncomp):
+        sel = comp_of == ci
+        dc[sel] = coefs[ci][bi[sel], 0]
+    dc = dc >> A  # arithmetic shift (T.81 §G.1.2.1)
+    M = mcus_x * mcus_y
+    ri_ = ri if ri else M
+    seg = mcu // ri_
+    diff = np.empty(n, dtype=np.int64)
+    for ci in range(ncomp):
+        idx = np.nonzero(comp_of == ci)[0]
+        d = dc[idx]
+        prev = np.empty_like(d)
+        prev[0] = 0
+        prev[1:] = d[:-1]
+        first = np.empty(len(d), dtype=bool)
+        first[0] = True
+        s = seg[idx]
+        first[1:] = s[1:] != s[:-1]
+        diff[idx] = d - np.where(first, 0, prev)
+    size, bits = _mag_np(diff)
+    code = np.empty(n, dtype=np.int64)
+    ln = np.empty(n, dtype=np.int64)
+    for ci in range(ncomp):
+        sel = comp_of == ci
+        c_, l_ = dc_tabs[ci]
+        code[sel] = c_.take(size[sel])
+        ln[sel] = l_.take(size[sel])
+    vals = (code << size) | (bits & ((np.int64(1) << size) - 1))
+    return _pack_tokens(vals, ln + size, seg, (M - 1) // ri_ + 1)
+
+
+def _prog_dc_refine_entropy(
+    coefs, samp, grids, ncomp, mcus_x, mcus_y, ri, al
+) -> bytes:
+    bi, comp_of, mcu = _prog_seq(samp, grids, ncomp, mcus_x, mcus_y)
+    n = len(bi)
+    dc = np.empty(n, dtype=np.int64)
+    for ci in range(ncomp):
+        sel = comp_of == ci
+        dc[sel] = coefs[ci][bi[sel], 0]
+    M = mcus_x * mcus_y
+    ri_ = ri if ri else M
+    return _pack_tokens(
+        (dc >> al) & 1, np.ones(n, dtype=np.int64), mcu // ri_, (M - 1) // ri_ + 1
+    )
+
+
+def _band_rle_tokens(tv, code, ln):
+    """(vals, nbt, tokens_per_block) for a non-interleaved band scan:
+    per block [ZRL* + (run,size)+mag per nonzero]* + EOB0 when the last
+    nonzero band index < L-1 (incl. all-zero blocks) — the scalar AC
+    first-scan emission order."""
+    B, L = tv.shape
+    nzm = tv != 0
+    rows, colz = np.nonzero(nzm)
+    v = tv[rows, colz]
+    nnz = np.bincount(rows, minlength=B)
+    first_nz = np.zeros(len(rows), dtype=bool)
+    prevc = np.empty(len(rows), dtype=np.int64)
+    if len(rows):
+        first_nz[0] = True
+        first_nz[1:] = rows[1:] != rows[:-1]
+        prevc[0] = -1
+        prevc[1:] = colz[:-1]
+    run = colz - np.where(first_nz, -1, prevc) - 1
+    zr = run >> 4
+    asize, abits = _mag_np(v)
+    sym = ((run & 15) << 4) | asize
+    ac_val = (code.take(sym) << asize) | (abits & ((np.int64(1) << asize) - 1))
+    ac_nb = ln.take(sym) + asize
+    last_k = np.zeros(B, dtype=np.int64)
+    if len(rows):
+        np.maximum.at(last_k, rows, colz + 1)
+    eobm = last_k < L
+    zr_blk = np.bincount(rows, weights=zr, minlength=B).astype(np.int64)
+    cnt = nnz + zr_blk + eobm
+    base = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(cnt, out=base[1:])
+    vals = np.empty(int(base[-1]), dtype=np.int64)
+    nbt = np.empty(int(base[-1]), dtype=np.int64)
+    if len(rows):
+        czr = np.cumsum(zr)
+        blk_first_cz = np.zeros(B, dtype=np.int64)
+        blk_first_cz[rows[first_nz]] = (czr - zr)[first_nz]
+        j_in_blk = np.arange(len(rows)) - np.repeat(np.cumsum(nnz) - nnz, nnz)
+        cz_before = czr - zr - blk_first_cz.take(rows)
+        slot = base.take(rows) + j_in_blk + cz_before + zr
+        vals[slot] = ac_val
+        nbt[slot] = ac_nb
+        zm = zr > 0
+        if zm.any():
+            rep = np.repeat(np.arange(len(rows))[zm], zr[zm])
+            off = np.arange(len(rep)) - np.repeat(np.cumsum(zr[zm]) - zr[zm], zr[zm])
+            zslot = slot.take(rep) - zr.take(rep) + off
+            vals[zslot] = code[0xF0]
+            nbt[zslot] = ln[0xF0]
+    if eobm.any():
+        vals[base[1:][eobm] - 1] = code[0x00]
+        nbt[base[1:][eobm] - 1] = ln[0x00]
+    return vals, nbt, cnt
+
+
+def _prog_ac_first_entropy(coef_c, gw, ni_w, ni_h, ss, se, A, ri, code, ln) -> bytes:
+    U = ni_w * ni_h
+    m = np.arange(U, dtype=np.int64)
+    bi = (m // ni_w) * gw + (m % ni_w)
+    band = coef_c[bi][:, ss : se + 1]
+    tv = np.sign(band) * (np.abs(band) >> A)  # point transform (§G.1.2.2)
+    vals, nbt, cnt = _band_rle_tokens(tv, code, ln)
+    ri_ = ri if ri else U
+    return _pack_tokens(vals, nbt, np.repeat(m // ri_, cnt), (U - 1) // ri_ + 1)
+
+
+def _prog_ac_refine_entropy(
+    coef_c, gw, ni_w, ni_h, ss, se, al, ri, code, ln, ac_codes
+) -> bytes:
+    """AC refinement tokens: blocks whose whole band is still invisible
+    at this precision (the dominant case in sparse corpora) emit one
+    vector EOB0; blocks with content run the shared scalar per-block
+    routine through the token shim — identical emission either way."""
+    U = ni_w * ni_h
+    m = np.arange(U, dtype=np.int64)
+    bi = (m // ni_w) * gw + (m % ni_w)
+    band = coef_c[bi][:, ss : se + 1]
+    allzero = ((np.abs(band) >> al) == 0).all(axis=1)
+    tw = _TokenWriter()
+    cnt = np.empty(U, dtype=np.int64)
+    eobc, eobl = int(code[0]), int(ln[0])
+    for u in range(U):
+        if allzero[u]:
+            tw.vals.append(eobc)
+            tw.nbits.append(eobl)
+            cnt[u] = 1
+        else:
+            before = len(tw.vals)
+            _write_ac_refine_block(coef_c[bi[u]], ss, se, al, ac_codes, tw)
+            cnt[u] = len(tw.vals) - before
+    ri_ = ri if ri else U
+    return _pack_tokens(
+        np.asarray(tw.vals, dtype=np.int64),
+        np.asarray(tw.nbits, dtype=np.int64),
+        np.repeat(m // ri_, cnt),
+        (U - 1) // ri_ + 1,
+    )
+
+
 class _SegWriter:
     """Per-scan bit writer that splits entropy data into restart
     segments (T.81 §E.1.4): ``unit()`` is called before each restart
@@ -1285,22 +1743,30 @@ def encode_jpeg_progressive(
             hdr += struct.pack("BB", i + 1, tid << 4)
         return hdr + bytes([0, 0, ahal])
 
+    dc_tabs = [_codes_np(c) for c in dc_codes]
+    ac_tabs = [_codes_np(c) for c in ac_codes]
+
     # --- scan 1: interleaved DC first, Ss=Se=0, Ah=0, Al=A
     out += dc_header(A)
-    sw = _SegWriter(out, ri)
-    preds = [0] * ncomp
-    for mcu in mcu_list():
-        if sw.unit():
-            preds = [0] * ncomp
-        for ci, bi in mcu:
-            dc = int(coefs[ci][bi][0]) >> A  # arithmetic shift (§G.1.2.1)
-            size, bits = _magnitude(dc - preds[ci])
-            preds[ci] = dc
-            code, length = dc_codes[ci][size]
-            sw.write(code, length)
-            if size:
-                sw.write(bits, size)
-    sw.done()
+    if _PROG_VEC:
+        out += _prog_dc_first_entropy(
+            coefs, samp, grids, ncomp, mcus_x, mcus_y, ri, A, dc_tabs
+        )
+    else:
+        sw = _SegWriter(out, ri)
+        preds = [0] * ncomp
+        for mcu in mcu_list():
+            if sw.unit():
+                preds = [0] * ncomp
+            for ci, bi in mcu:
+                dc = int(coefs[ci][bi][0]) >> A  # arithmetic shift (§G.1.2.1)
+                size, bits = _magnitude(dc - preds[ci])
+                preds[ci] = dc
+                code, length = dc_codes[ci][size]
+                sw.write(code, length)
+                if size:
+                    sw.write(bits, size)
+        sw.done()
 
     # --- AC FIRST band scans: one component each, Ah=0, Al=A
     for ci in range(ncomp):
@@ -1314,6 +1780,11 @@ def encode_jpeg_progressive(
             out += b"\xff\xda" + struct.pack(">HB", 8, 1)
             out += struct.pack("BB", ci + 1, tid)
             out += bytes([ss, se, A])
+            if _PROG_VEC:
+                out += _prog_ac_first_entropy(
+                    coefs[ci], gw, ni_w, ni_h, ss, se, A, ri, *ac_tabs[ci]
+                )
+                continue
             sw = _SegWriter(out, ri)
             for by in range(ni_h):
                 for bx in range(ni_w):
@@ -1351,12 +1822,17 @@ def encode_jpeg_progressive(
     for al in range(A - 1, -1, -1):
         # DC refine: interleaved, exactly one raw bit per block
         out += dc_header(((al + 1) << 4) | al)
-        sw = _SegWriter(out, ri)
-        for mcu in mcu_list():
-            sw.unit()
-            for ci, bi in mcu:
-                sw.write((int(coefs[ci][bi][0]) >> al) & 1, 1)
-        sw.done()
+        if _PROG_VEC:
+            out += _prog_dc_refine_entropy(
+                coefs, samp, grids, ncomp, mcus_x, mcus_y, ri, al
+            )
+        else:
+            sw = _SegWriter(out, ri)
+            for mcu in mcu_list():
+                sw.unit()
+                for ci, bi in mcu:
+                    sw.write((int(coefs[ci][bi][0]) >> al) & 1, 1)
+            sw.done()
         # AC refines: one component per band, correction bits per the
         # published libjpeg jcphuff encode_mcu_AC_refine algorithm
         for ci in range(ncomp):
@@ -1369,6 +1845,12 @@ def encode_jpeg_progressive(
                 out += b"\xff\xda" + struct.pack(">HB", 8, 1)
                 out += struct.pack("BB", ci + 1, tid)
                 out += bytes([ss, se, ((al + 1) << 4) | al])
+                if _PROG_VEC:
+                    out += _prog_ac_refine_entropy(
+                        coefs[ci], gw, ni_w, ni_h, ss, se, al, ri,
+                        *ac_tabs[ci], ac_codes[ci],
+                    )
+                    continue
                 sw = _SegWriter(out, ri)
                 for by in range(ni_h):
                     for bx in range(ni_w):

@@ -473,3 +473,92 @@ class TestProgressive:
             nat[ZIGZAG] = zz
             exp = _round_clip_u8(_AT @ nat.reshape(8, 8) @ _A + 128.0).astype(np.uint8)
             assert (px[:, b * 8 : (b + 1) * 8] == exp).all(), b
+
+
+class TestVectorizedEncoder:
+    """r8: the token-stream entropy writers must be BYTE-IDENTICAL to
+    the scalar golden reference across the encoder matrix."""
+
+    def test_baseline_golden_bytes(self):
+        from tectonic_spark.operators import jpeg as J
+
+        rng = np.random.default_rng(0)
+        for trial in range(12):
+            h = int(rng.integers(1, 70))
+            w = int(rng.integers(1, 70))
+            gray = bool(rng.integers(0, 2))
+            sub = ["444", "420"][int(rng.integers(0, 2))]
+            q = int(rng.integers(5, 99))
+            ri = [0, 1, 2, 5][int(rng.integers(0, 4))]
+            img = rng.integers(0, 256, (h, w) if gray else (h, w, 3)).astype(
+                np.uint8
+            )
+            fast = J.encode_jpeg(img, quality=q, subsampling=sub, restart_interval=ri)
+            orig = J._encode_baseline_entropy
+            J._encode_baseline_entropy = lambda *a: J._encode_scan_scalar(*a)
+            try:
+                ref = J.encode_jpeg(
+                    img, quality=q, subsampling=sub, restart_interval=ri
+                )
+            finally:
+                J._encode_baseline_entropy = orig
+            assert fast == ref, (trial, h, w, gray, sub, q, ri)
+
+    def test_progressive_golden_bytes(self):
+        from tectonic_spark.operators import jpeg as J
+
+        rng = np.random.default_rng(1)
+        for trial in range(12):
+            h = int(rng.integers(1, 60))
+            w = int(rng.integers(1, 60))
+            gray = bool(rng.integers(0, 2))
+            sub = ["444", "420"][int(rng.integers(0, 2))]
+            A = int(rng.integers(0, 4))
+            ri = [0, 1, 3][int(rng.integers(0, 3))]
+            bands = [((1, 5), (6, 63)), ((1, 63),), ((1, 2), (3, 20), (21, 63))][
+                int(rng.integers(0, 3))
+            ]
+            img = rng.integers(0, 256, (h, w) if gray else (h, w, 3)).astype(
+                np.uint8
+            )
+            kw = dict(
+                subsampling=sub, bands=bands, successive=A, restart_interval=ri
+            )
+            fast = J.encode_jpeg_progressive(img, **kw)
+            J._PROG_VEC = False
+            try:
+                ref = J.encode_jpeg_progressive(img, **kw)
+            finally:
+                J._PROG_VEC = True
+            assert fast == ref, (trial, h, w, gray, sub, A, ri, bands)
+
+    def test_golden_bytes_hypothesis(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from tectonic_spark.operators import jpeg as J
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            h=st.integers(1, 33),
+            w=st.integers(1, 33),
+            gray=st.booleans(),
+            q=st.sampled_from([25, 50, 85]),
+            ri=st.sampled_from([0, 1, 2]),
+            seed=st.integers(0, 2**31),
+        )
+        def check(h, w, gray, q, ri, seed):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, (h, w) if gray else (h, w, 3)).astype(
+                np.uint8
+            )
+            fast = J.encode_jpeg(img, quality=q, restart_interval=ri)
+            orig = J._encode_baseline_entropy
+            J._encode_baseline_entropy = lambda *a: J._encode_scan_scalar(*a)
+            try:
+                ref = J.encode_jpeg(img, quality=q, restart_interval=ri)
+            finally:
+                J._encode_baseline_entropy = orig
+            assert fast == ref
+
+        check()
