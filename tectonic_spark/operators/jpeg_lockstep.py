@@ -385,11 +385,14 @@ def _job_eligible(job) -> bool:
 # same results, bounded executor memory.
 POOL_BYTE_CAP = 64 * 1024 * 1024
 # lane-count guard (r8, measured on the m14 dense-512x512 corpus): the
-# per-step state arrays are O(lanes), and past ~8-10k lanes they fall
-# out of L2/L3 — 6400-lane pools decode 7.4 ms/img vs 14.3 at 128k.
-# The optimum plateau is ~1.5k-6.4k; pools flush at this cap and run
+# per-step state arrays are O(lanes) and pools past the cache knee
+# decode several times slower per image — and the knee is set by the
+# SHARED LLC, so it tightens under executor concurrency: single-process
+# 1.5-6.4k-lane pools all decode ~7 ms/img (vs 14.3 at 128k), but at 32
+# concurrent workers 1024-lane pools hold 8 ms/img where 4096-lane
+# pools degrade to 21. Capped at the concurrent optimum; pools flush
 # sequentially, same results.
-MAX_POOL_LANES = 4096
+MAX_POOL_LANES = 1024
 
 
 def payload_rides_engine(data: bytes) -> bool:

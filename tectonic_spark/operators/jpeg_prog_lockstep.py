@@ -78,14 +78,15 @@ PROG_POOL_BYTE_CAP = 64 * 1024 * 1024
 # flat coefficient scratch per sub-pool (int64; memory bound — refine
 # structures add ~2-3x on top)
 COEF_BYTE_CAP = 256 * 1024 * 1024
-# lane-count guard (r8, measured across three corpus shapes): per-step
-# state arrays and per-wave builds are O(lanes), and pools past ~16k
-# lanes fall out of cache — the m15 dense-512x512 restart shape decodes
-# at 30 ms/img in 16k-lane sub-pools vs 120 ms/img in one 123k-lane
-# pool, while the no-restart crawl shape (6 lanes/img) never nears the
-# cap and the entropy-heavy restart shape loses only ~10% vs unbounded.
-# Chunks flush at the cap; trailing chunks may be smaller.
-MAX_PROG_POOL_LANES = 16384
+# lane-count guard (r8, measured across three corpus shapes AND under
+# executor concurrency): per-step state arrays and per-wave builds are
+# O(lanes), and the cache knee is set by the SHARED LLC — at 32
+# concurrent workers the m15 dense-512x512 restart shape decodes at
+# 32 ms/img in 2-4k-lane sub-pools vs 218 ms/img at 16k (single-
+# process both are ~20 ms). The no-restart crawl shape (6 lanes/img)
+# never nears the cap; 1024 is already per-pool-overhead-bound (40
+# ms). Chunks flush at the cap; trailing chunks may be smaller.
+MAX_PROG_POOL_LANES = 2048
 
 # magnitude-extend table: EXT[s] = (1<<s)-1 (mask, subtrahend, and
 # (>>1) threshold-1 — size-0 values never extend)
@@ -224,6 +225,21 @@ class _Entropy:
         self.nbytes += len(seg) + len(_SEG_PAD)
         return off * 8, (off + len(seg) + 2) * 8
 
+    def add_many(self, segs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+        """Append a job's segments in one pass; returns vectorized
+        (bit_offsets, bit_limits) — identical accounting to per-lane
+        add() without the per-lane Python loop (the builders' dominant
+        cost at hundreds of segments per scan)."""
+        lens = np.fromiter((len(s) for s in segs), dtype=np.int64, count=len(segs))
+        offs = self.nbytes + np.concatenate(
+            [[0], np.cumsum(lens[:-1] + len(_SEG_PAD))]
+        )
+        for s in segs:
+            self._bufs.append(s)
+            self._bufs.append(_SEG_PAD)
+        self.nbytes += int(lens.sum()) + len(_SEG_PAD) * len(segs)
+        return offs * 8, (offs + lens + 2) * 8
+
     def build(self) -> np.ndarray:
         cat = np.frombuffer(b"".join(self._bufs), dtype=np.uint8).astype(np.int64)
         self.W = (
@@ -261,11 +277,11 @@ def _run_dc_first(items: list, FLAT: np.ndarray) -> None:
     sched_lut: list[np.ndarray] = []
     sched_pred: list[np.ndarray] = []
     sched_len = 0
-    lane_bp0: list[int] = []
-    lane_limit: list[int] = []
-    lane_s0: list[int] = []
-    lane_nblk: list[int] = []
-    lane_al: list[int] = []
+    lane_bp0: list[np.ndarray] = []
+    lane_limit: list[np.ndarray] = []
+    lane_s0: list[np.ndarray] = []
+    lane_nblk: list[np.ndarray] = []
+    lane_al: list[np.ndarray] = []
     npred = 0
 
     for job, offs in items:
@@ -288,23 +304,27 @@ def _run_dc_first(items: list, FLAT: np.ndarray) -> None:
                     lslots.append(slot(job.huff[(0, td)]) << 16)
                     cis.append(ci)
         B = len(cols)
-        pos_flat = np.stack(cols, axis=1).ravel()
-        lut_flat = np.tile(np.asarray(lslots, dtype=np.int64), units)
-        ci_flat = np.tile(np.asarray(cis, dtype=np.int64), units)
-        for ln in range(needed):
-            u0, u1 = ln * ri, min((ln + 1) * ri, units)
-            bp0, lim = ent.add(job.segments[ln])
-            sl = slice(u0 * B, u1 * B)
-            sched_pos.append(pos_flat[sl])
-            sched_lut.append(lut_flat[sl])
-            sched_pred.append(ci_flat[sl] + npred)
-            lane_bp0.append(bp0)
-            lane_limit.append(lim)
-            lane_s0.append(sched_len)
-            lane_nblk.append((u1 - u0) * B)
-            sched_len += (u1 - u0) * B
-            lane_al.append(job.al)
-            npred += ncomp
+        # lane schedules are contiguous unit ranges, so the concatenated
+        # per-lane slices ARE the flat arrays — no per-lane Python loop
+        # (at 256 segments x 4 scans x hundreds of images the slice loop
+        # dominated the build)
+        sched_pos.append(np.stack(cols, axis=1).ravel())
+        sched_lut.append(np.tile(np.asarray(lslots, dtype=np.int64), units))
+        lane_of_unit = m // ri
+        sched_pred.append(
+            np.repeat(lane_of_unit * ncomp, B)
+            + np.tile(np.asarray(cis, dtype=np.int64), units)
+            + npred
+        )
+        bp0s, lims = ent.add_many(job.segments[:needed])
+        lane_bp0.append(bp0s)
+        lane_limit.append(lims)
+        ln_ = np.arange(needed, dtype=np.int64)
+        lane_s0.append(sched_len + ln_ * ri * B)
+        lane_nblk.append((np.minimum((ln_ + 1) * ri, units) - ln_ * ri) * B)
+        sched_len += units * B
+        lane_al.append(np.full(needed, job.al, dtype=np.int64))
+        npred += needed * ncomp
 
     W = ent.build()
     POOL = np.concatenate(luts)
@@ -313,11 +333,11 @@ def _run_dc_first(items: list, FLAT: np.ndarray) -> None:
     SPRED = np.concatenate(sched_pred)
     PRED = np.zeros(npred, dtype=np.int64)
 
-    bp = np.asarray(lane_bp0, dtype=np.int64)
-    limit = np.asarray(lane_limit, dtype=np.int64)
-    s0 = np.asarray(lane_s0, dtype=np.int64)
-    nblk = np.asarray(lane_nblk, dtype=np.int64)
-    al = np.asarray(lane_al, dtype=np.int64)
+    bp = np.concatenate(lane_bp0)
+    limit = np.concatenate(lane_limit)
+    s0 = np.concatenate(lane_s0)
+    nblk = np.concatenate(lane_nblk)
+    al = np.concatenate(lane_al)
     cnt = np.zeros(bp.size, dtype=np.int64)
     gi = s0.copy()
     pos = SPOS.take(gi)
@@ -394,17 +414,24 @@ def _run_dc_refine(items: list, FLAT: np.ndarray) -> None:
                     cols.append(offs[ci] + (bi << 6))
         B = len(cols)
         pos_flat = np.stack(cols, axis=1).ravel()
-        for ln in range(needed):
-            u0, u1 = ln * ri, min((ln + 1) * ri, units)
-            seg = job.segments[ln]
-            nbits = (u1 - u0) * B
-            if nbits > (len(seg) + 2) * 8:
-                raise EOFError("entropy data exhausted")
-            arr = np.frombuffer(seg + _SEG_PAD, dtype=np.uint8)
-            bi = np.arange(nbits, dtype=np.int64)
-            bit = (arr[bi >> 3].astype(np.int64) >> (7 - (bi & 7))) & 1
-            pos = pos_flat[u0 * B : u1 * B]
-            FLAT[pos] = FLAT[pos] | (bit << job.al)
+        # all segments in one pass: concatenated padded buffers + per-
+        # segment byte offsets, one vectorized bit gather for the job
+        segs = job.segments[:needed]
+        lens = np.fromiter((len(s) for s in segs), dtype=np.int64, count=needed)
+        ln_ = np.arange(needed, dtype=np.int64)
+        seg_blocks = (np.minimum((ln_ + 1) * ri, units) - ln_ * ri) * B
+        if (seg_blocks > (lens + 2) * 8).any():
+            raise EOFError("entropy data exhausted")
+        soff = np.concatenate([[0], np.cumsum(lens + len(_SEG_PAD))])[:-1]
+        cat = np.frombuffer(
+            b"".join(s + _SEG_PAD for s in segs), dtype=np.uint8
+        )
+        t = np.arange(units * B, dtype=np.int64)
+        seg_of = (t // B) // ri
+        local = t - seg_of * ri * B
+        bp = soff.take(seg_of) * 8 + local
+        bit = (cat[bp >> 3].astype(np.int64) >> (7 - (bp & 7))) & 1
+        FLAT[pos_flat] = FLAT[pos_flat] | (bit << job.al)
 
 
 # ------------------------------------------------------------- AC first
@@ -436,34 +463,32 @@ def _run_ac_first(items: list, FLAT: np.ndarray) -> None:
         units, ri, needed = _lane_split(job)
         m = np.arange(units, dtype=np.int64)
         bi = (m // ux_n) * c.bw + (m % ux_n)
-        base = offs[0] + (bi << 6)
+        sched_base.append(offs[0] + (bi << 6))  # per-lane slices == whole
         lslot = slot(job.huff[(1, ta)]) << 16
-        for ln in range(needed):
-            u0, u1 = ln * ri, min((ln + 1) * ri, units)
-            bp0, lim = ent.add(job.segments[ln])
-            sched_base.append(base[u0:u1])
-            lane_bp0.append(bp0)
-            lane_limit.append(lim)
-            lane_s0.append(sched_len)
-            lane_nblk.append(u1 - u0)
-            sched_len += u1 - u0
-            lane_ss.append(job.ss)
-            lane_se.append(job.se)
-            lane_al.append(job.al)
-            lane_lut.append(lslot)
+        bp0s, lims = ent.add_many(job.segments[:needed])
+        lane_bp0.append(bp0s)
+        lane_limit.append(lims)
+        ln_ = np.arange(needed, dtype=np.int64)
+        lane_s0.append(sched_len + ln_ * ri)
+        lane_nblk.append(np.minimum((ln_ + 1) * ri, units) - ln_ * ri)
+        sched_len += units
+        lane_ss.append(np.full(needed, job.ss, dtype=np.int64))
+        lane_se.append(np.full(needed, job.se, dtype=np.int64))
+        lane_al.append(np.full(needed, job.al, dtype=np.int64))
+        lane_lut.append(np.full(needed, lslot, dtype=np.int64))
 
     W = ent.build()
     POOL = np.concatenate(luts)
     SBASE = np.concatenate(sched_base)
 
-    bp = np.asarray(lane_bp0, dtype=np.int64)
-    limit = np.asarray(lane_limit, dtype=np.int64)
-    s0 = np.asarray(lane_s0, dtype=np.int64)
-    nblk = np.asarray(lane_nblk, dtype=np.int64)
-    ss = np.asarray(lane_ss, dtype=np.int64)
-    se = np.asarray(lane_se, dtype=np.int64)
-    al = np.asarray(lane_al, dtype=np.int64)
-    lut = np.asarray(lane_lut, dtype=np.int64)
+    bp = np.concatenate(lane_bp0)
+    limit = np.concatenate(lane_limit)
+    s0 = np.concatenate(lane_s0)
+    nblk = np.concatenate(lane_nblk)
+    ss = np.concatenate(lane_ss)
+    se = np.concatenate(lane_se)
+    al = np.concatenate(lane_al)
+    lut = np.concatenate(lane_lut)
     cnt = np.zeros(bp.size, dtype=np.int64)
     base = SBASE.take(s0)
     k = ss.copy()
@@ -576,11 +601,14 @@ def _run_ac_refine(items: list, FLAT: np.ndarray) -> None:
         band = np.arange(job.ss, job.se + 1, dtype=np.int64)
         m = np.arange(units, dtype=np.int64)
         bi = (m // ux_n) * c.bw + (m % ux_n)
-        P = (offs[0] + (bi << 6))[:, None] + band[None, :]  # (U, B)
-        V = FLAT.take(P)
+        # band VIEW of the job's coefficient region, then a row gather —
+        # no (U, B) int64 position matrix, no FLAT.take over it (the
+        # structure build is the refine machine's main memory traffic)
+        region = FLAT[offs[0] : offs[0] + c.bh * c.bw * 64].reshape(-1, 64)
+        V = region[:, job.ss : job.se + 1][bi]
         nzm = V != 0
         nzcnt = nzm.sum(axis=1)
-        zcnt = (~nzm).sum(axis=1)
+        zcnt = len(band) - nzcnt
         n0 = nzp_len + np.concatenate([[0], np.cumsum(nzcnt)])
         z0 = z_len + np.concatenate([[0], np.cumsum(zcnt)])
         zm = ~nzm
@@ -588,30 +616,41 @@ def _run_ac_refine(items: list, FLAT: np.ndarray) -> None:
         # flat entries per pool) and halving the structure footprint —
         # the zero-history side is ~band-dense, so these arrays dominate
         # pool scratch (~1.5 MB per dense 512x512 image at int32)
-        nzp_parts.append(P[nzm].astype(np.int32))
-        zk_parts.append(np.broadcast_to(band, P.shape)[zm].astype(np.int8))
-        zflat_parts.append(P[zm].astype(np.int32))
-        # inclusive cumsum at a zero position counts nz strictly before it
-        cs = np.cumsum(nzm, axis=1)
-        znz_parts.append((n0[:-1, None] + cs)[zm].astype(np.int32))
+        zrows, zcols = np.nonzero(zm)
+        base_pos = (offs[0] + (bi << 6) + job.ss).astype(np.int32)
+        zflat_parts.append(base_pos.take(zrows) + zcols.astype(np.int32))
+        zk_parts.append((zcols + job.ss).astype(np.int8))
+        if nzm.any():
+            nrows, ncols = np.nonzero(nzm)
+            nzp_parts.append(base_pos.take(nrows) + ncols.astype(np.int32))
+            # inclusive cumsum at a zero position counts nz strictly before
+            cs = np.cumsum(nzm, axis=1, dtype=np.int32)
+            znz_parts.append(
+                (n0[:-1].astype(np.int32)[zrows] + cs[zrows, zcols])
+            )
+        else:
+            # all-invisible band (the sparse-corpus common case): no nz
+            # positions, every zero's nz index is its block's start
+            znz_parts.append(n0[:-1].astype(np.int32).take(zrows))
         nzp_len = int(n0[-1])
         z_len = int(z0[-1])
         lslot = slot(job.huff[(1, ta)]) << 16
-        for ln in range(needed):
-            u0, u1 = ln * ri, min((ln + 1) * ri, units)
-            bp0, lim = ent.add(job.segments[ln])
-            sb_n0.append(n0[u0:u1])
-            sb_ne.append(n0[u0 + 1 : u1 + 1])
-            sb_z0.append(z0[u0:u1])
-            sb_ze.append(z0[u0 + 1 : u1 + 1])
-            lane_bp0.append(bp0)
-            lane_limit.append(lim)
-            lane_s0.append(sched_len)
-            lane_nblk.append(u1 - u0)
-            sched_len += u1 - u0
-            lane_se.append(job.se)
-            lane_p1.append(1 << job.al)
-            lane_lut.append(lslot)
+        # per-lane slices of the block tables concatenate back to the
+        # whole arrays — append once, no per-lane loop
+        sb_n0.append(n0[:-1])
+        sb_ne.append(n0[1:])
+        sb_z0.append(z0[:-1])
+        sb_ze.append(z0[1:])
+        bp0s, lims = ent.add_many(job.segments[:needed])
+        lane_bp0.append(bp0s)
+        lane_limit.append(lims)
+        ln_ = np.arange(needed, dtype=np.int64)
+        lane_s0.append(sched_len + ln_ * ri)
+        lane_nblk.append(np.minimum((ln_ + 1) * ri, units) - ln_ * ri)
+        sched_len += units
+        lane_se.append(np.full(needed, job.se, dtype=np.int64))
+        lane_p1.append(np.full(needed, 1 << job.al, dtype=np.int64))
+        lane_lut.append(np.full(needed, lslot, dtype=np.int64))
 
     W = ent.build()
     POOL = np.concatenate(luts)
@@ -626,13 +665,13 @@ def _run_ac_refine(items: list, FLAT: np.ndarray) -> None:
     BZ0 = np.concatenate(sb_z0).astype(np.int64)
     BZE = np.concatenate(sb_ze).astype(np.int64)
 
-    bp = np.asarray(lane_bp0, dtype=np.int64)
-    limit = np.asarray(lane_limit, dtype=np.int64)
-    s0 = np.asarray(lane_s0, dtype=np.int64)
-    nblk = np.asarray(lane_nblk, dtype=np.int64)
-    se = np.asarray(lane_se, dtype=np.int64)
-    p1 = np.asarray(lane_p1, dtype=np.int64)
-    lut = np.asarray(lane_lut, dtype=np.int64)
+    bp = np.concatenate(lane_bp0)
+    limit = np.concatenate(lane_limit)
+    s0 = np.concatenate(lane_s0)
+    nblk = np.concatenate(lane_nblk)
+    se = np.concatenate(lane_se)
+    p1 = np.concatenate(lane_p1)
+    lut = np.concatenate(lane_lut)
     L = bp.size
     cnt = np.zeros(L, dtype=np.int64)
     gi = s0
