@@ -50,6 +50,8 @@ bounded by the pool byte caps (larger batches run as sequential pools).
 """
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from tectonic_spark.operators.jpeg import (
@@ -141,6 +143,106 @@ def _lut_refine_np(raw: bytes) -> np.ndarray:
             _REFINE_LUT_CACHE.clear()
         _REFINE_LUT_CACHE[raw] = hit
     return hit
+
+
+# ----------------------------------------------------------------- arena
+
+
+class _Arena:
+    """Grow-only per-thread scratch for the per-chunk builders.
+
+    The r8 sf10 probe (SF10SPOT.md) diagnosed m15's residual
+    super-linearity to the page allocator: 32 concurrent workers each
+    faulting ~12 MB/img of FRESH numpy pages (FLAT + the AC-refine
+    structure/nonzero arrays) spend up to 29x more kernel time per
+    fault under sustained all-core load — zone-lock contention,
+    reproduced Spark-free. Bump-allocating those arrays from buffers
+    that persist across sub-pools and Arrow batches makes steady-state
+    decode touch no fresh kernel pages: ``reset()`` rewinds the bump
+    pointers, and only FLAT is re-zeroed (``.fill`` on resident pages
+    is user-time memset). Buffers grow to the largest chunk's
+    footprint and stay bounded by the pool caps (COEF_BYTE_CAP + the
+    ~2-3x structure footprint), i.e. the scratch bound already
+    documented in the module docstring — now resident once per worker
+    instead of re-faulted per image."""
+
+    __slots__ = ("_buf", "_used")
+
+    def __init__(self) -> None:
+        self._buf: dict[str, np.ndarray] = {}
+        self._used: dict[str, int] = {}
+
+    def reset(self) -> None:
+        for k in self._used:
+            self._used[k] = 0
+
+    def mark(self) -> dict:
+        return dict(self._used)
+
+    def rewind(self, mark: dict) -> None:
+        # rewind to a snapshot so each runner's scratch is reclaimed
+        # within a chunk while earlier allocations (FLAT) stay live. If
+        # a buffer was replaced (grew) since the mark, the rewound
+        # offset is a harmless gap in the new buffer — never an overlap
+        # — and the next reset() reclaims it.
+        for k in self._used:
+            self._used[k] = mark.get(k, 0)
+
+    def take(self, n: int, dtype=np.int64) -> np.ndarray:
+        n = int(n)
+        k = np.dtype(dtype).char
+        buf = self._buf.get(k)
+        used = self._used.get(k, 0)
+        if buf is None or used + n > buf.size:
+            # live slices keep the old buffer alive until they die; the
+            # arena moves to a larger one (grow-only, so the buffer set
+            # converges after the first few chunks)
+            cap = max(n, 2 * (buf.size if buf is not None else 1 << 15))
+            buf = np.empty(cap, dtype=dtype)
+            self._buf[k] = buf
+            used = 0
+        self._used[k] = used + n
+        return buf[used : used + n]
+
+    def zeros(self, n: int, dtype=np.int64) -> np.ndarray:
+        out = self.take(n, dtype)
+        out.fill(0)
+        return out
+
+
+_TLS = threading.local()
+
+
+def _arena() -> _Arena:
+    a = getattr(_TLS, "arena", None)
+    if a is None:
+        a = _TLS.arena = _Arena()
+    return a
+
+
+def _flatnonzero_into(flat: np.ndarray, n: int, arena: _Arena) -> np.ndarray:
+    """Row-major flatnonzero of a bool array into int32 arena scratch
+    (indices < COEF_BYTE_CAP/8 < 2^31 by the pool cap). The input is
+    walked in sub-mmap-threshold chunks so np.flatnonzero's temporaries
+    are served from the heap fastpath instead of fresh kernel pages
+    (the whole point of the arena)."""
+    out = arena.take(n, np.int32)
+    step = 1 << 13  # 8k bools per call -> <=64 KB temporary
+    pos = 0
+    for i in range(0, flat.size, step):
+        idx = np.flatnonzero(flat[i : i + step])
+        k = idx.size
+        if k:
+            np.add(idx, i, out=out[pos : pos + k], casting="unsafe")
+            pos += k
+    return out
+
+
+def _cat_into(parts: list, n: int, dtype, arena: _Arena) -> np.ndarray:
+    out = arena.take(n, dtype)
+    if parts:
+        np.concatenate(parts, out=out)
+    return out
 
 
 def _job_units(job) -> tuple[int, int, int]:
@@ -594,44 +696,81 @@ def _run_ac_refine(items: list, FLAT: np.ndarray) -> None:
     lane_bp0, lane_limit, lane_s0, lane_nblk = [], [], [], []
     lane_se, lane_p1, lane_lut = [], [], []
 
+    arena = _arena()
     for job, offs in items:
         c, _, ta = job.scan[0]
         ux_n, uy_n, _ = _job_units(job)
         units, ri, needed = _lane_split(job)
-        band = np.arange(job.ss, job.se + 1, dtype=np.int64)
+        nb = job.se - job.ss + 1
         m = np.arange(units, dtype=np.int64)
         bi = (m // ux_n) * c.bw + (m % ux_n)
-        # band VIEW of the job's coefficient region, then a row gather —
+        # band VIEW of the job's coefficient region, then row gathers —
         # no (U, B) int64 position matrix, no FLAT.take over it (the
-        # structure build is the refine machine's main memory traffic)
+        # structure build is the refine machine's main memory traffic).
+        # Every multi-hundred-KB array below is int32/int8/bool arena
+        # scratch (out= ops on bump-allocated slices): the builders were
+        # the fresh-page fault source of the r8 sf10 diagnosis, and the
+        # value gather runs in sub-mmap-threshold row chunks so its
+        # temporaries stay on the heap fastpath.
         region = FLAT[offs[0] : offs[0] + c.bh * c.bw * 64].reshape(-1, 64)
-        V = region[:, job.ss : job.se + 1][bi]
-        nzm = V != 0
+        bandv = region[:, job.ss : job.se + 1]
+        nzm = arena.take(units * nb, np.bool_).reshape(units, nb)
+        rstep = max(1, (1 << 13) // nb)
+        for r0 in range(0, units, rstep):
+            np.not_equal(
+                bandv.take(bi[r0 : r0 + rstep], axis=0),
+                0,
+                out=nzm[r0 : r0 + rstep],
+            )
         nzcnt = nzm.sum(axis=1)
-        zcnt = len(band) - nzcnt
+        zcnt = nb - nzcnt
         n0 = nzp_len + np.concatenate([[0], np.cumsum(nzcnt)])
         z0 = z_len + np.concatenate([[0], np.cumsum(zcnt)])
-        zm = ~nzm
+        zm = arena.take(units * nb, np.bool_).reshape(units, nb)
+        np.logical_not(nzm, out=zm)
+        zn = units * nb - int(nzcnt.sum())
         # int32 positions / counters: valid under COEF_BYTE_CAP (< 2^31
         # flat entries per pool) and halving the structure footprint —
         # the zero-history side is ~band-dense, so these arrays dominate
         # pool scratch (~1.5 MB per dense 512x512 image at int32)
-        zrows, zcols = np.nonzero(zm)
+        zidx = _flatnonzero_into(zm.ravel(), zn, arena)
+        zrows = arena.take(zn, np.int32)
+        np.floor_divide(zidx, nb, out=zrows)
+        zcols = arena.take(zn, np.int32)
+        np.remainder(zidx, nb, out=zcols)
         base_pos = (offs[0] + (bi << 6) + job.ss).astype(np.int32)
-        zflat_parts.append(base_pos.take(zrows) + zcols.astype(np.int32))
-        zk_parts.append((zcols + job.ss).astype(np.int8))
+        zf = arena.take(zn, np.int32)
+        np.take(base_pos, zrows, out=zf)
+        np.add(zf, zcols, out=zf)
+        zflat_parts.append(zf)
+        zk = arena.take(zn, np.int8)
+        np.add(zcols, job.ss, out=zk, casting="unsafe")
+        zk_parts.append(zk)
+        n032 = n0[:-1].astype(np.int32)
+        znz = arena.take(zn, np.int32)
         if nzm.any():
-            nrows, ncols = np.nonzero(nzm)
-            nzp_parts.append(base_pos.take(nrows) + ncols.astype(np.int32))
+            nn = units * nb - zn
+            nidx = _flatnonzero_into(nzm.ravel(), nn, arena)
+            nrows = arena.take(nn, np.int32)
+            np.floor_divide(nidx, nb, out=nrows)
+            nzp = arena.take(nn, np.int32)
+            np.take(base_pos, nrows, out=nzp)
+            np.add(nzp, nidx, out=nzp)
+            # nzp += ncols without materializing it: ncols = nidx - nrows*nb
+            np.subtract(nzp, nrows * np.int32(nb), out=nzp)
+            nzp_parts.append(nzp)
             # inclusive cumsum at a zero position counts nz strictly before
-            cs = np.cumsum(nzm, axis=1, dtype=np.int32)
-            znz_parts.append(
-                (n0[:-1].astype(np.int32)[zrows] + cs[zrows, zcols])
-            )
+            cs = arena.take(units * nb, np.int32).reshape(units, nb)
+            np.cumsum(nzm, axis=1, dtype=np.int32, out=cs)
+            np.take(n032, zrows, out=znz)
+            csg = arena.take(zn, np.int32)
+            np.take(cs.reshape(-1), zidx, out=csg)
+            np.add(znz, csg, out=znz)
         else:
             # all-invisible band (the sparse-corpus common case): no nz
             # positions, every zero's nz index is its block's start
-            znz_parts.append(n0[:-1].astype(np.int32).take(zrows))
+            np.take(n032, zrows, out=znz)
+        znz_parts.append(znz)
         nzp_len = int(n0[-1])
         z_len = int(z0[-1])
         lslot = slot(job.huff[(1, ta)]) << 16
@@ -654,16 +793,14 @@ def _run_ac_refine(items: list, FLAT: np.ndarray) -> None:
 
     W = ent.build()
     POOL = np.concatenate(luts)
-    NZP = np.concatenate(nzp_parts) if nzp_parts else np.zeros(0, dtype=np.int32)
-    ZK = np.concatenate(zk_parts) if zk_parts else np.zeros(0, dtype=np.int8)
-    ZFLAT = (
-        np.concatenate(zflat_parts) if zflat_parts else np.zeros(0, dtype=np.int32)
-    )
-    ZNZ = np.concatenate(znz_parts) if znz_parts else np.zeros(0, dtype=np.int32)
-    BN0 = np.concatenate(sb_n0).astype(np.int64)
-    BNE = np.concatenate(sb_ne).astype(np.int64)
-    BZ0 = np.concatenate(sb_z0).astype(np.int64)
-    BZE = np.concatenate(sb_ze).astype(np.int64)
+    NZP = _cat_into(nzp_parts, nzp_len, np.int32, arena)
+    ZK = _cat_into(zk_parts, z_len, np.int8, arena)
+    ZFLAT = _cat_into(zflat_parts, z_len, np.int32, arena)
+    ZNZ = _cat_into(znz_parts, z_len, np.int32, arena)
+    BN0 = _cat_into(sb_n0, sched_len, np.int64, arena)
+    BNE = _cat_into(sb_ne, sched_len, np.int64, arena)
+    BZ0 = _cat_into(sb_z0, sched_len, np.int64, arena)
+    BZE = _cat_into(sb_ze, sched_len, np.int64, arena)
 
     bp = np.concatenate(lane_bp0)
     limit = np.concatenate(lane_limit)
@@ -872,7 +1009,14 @@ def _run_chunk(images: list) -> list[tuple[int, np.ndarray]]:
             offs[id(c)] = total
             total += c.bh * c.bw * 64
         img_offs.append(offs)
-    FLAT = np.zeros(total, dtype=np.int64)
+    # FLAT and the runner builders draw from the grow-only per-worker
+    # arena: the previous chunk's scratch is dead by now (results were
+    # materialized by _assemble), so reset-and-overwrite is safe, and
+    # steady-state chunks fault no fresh kernel pages (the r8 sf10
+    # zone-lock finding)
+    arena = _arena()
+    arena.reset()
+    FLAT = arena.zeros(total, np.int64)
 
     # stage assignment: a scan's stage = 1 + max stage of earlier scans
     # of the same image touching an overlapping coefficient region
@@ -892,6 +1036,7 @@ def _run_chunk(images: list) -> list[tuple[int, np.ndarray]]:
             comp_offs = [offs[id(c)] for c, _, _ in job.scan]
             waves.setdefault((st, _job_kind(job)), []).append((job, comp_offs))
 
+    wave_mark = arena.mark()
     for st in range(maxstage + 1):
         for kind, runner in (
             ("dcf", _run_dc_first),
@@ -902,6 +1047,10 @@ def _run_chunk(images: list) -> list[tuple[int, np.ndarray]]:
             items = waves.get((st, kind))
             if items:
                 runner(items, FLAT)
+                # each runner's structure scratch is dead once its FLAT
+                # writes land; reclaim so a deep scan chain doesn't
+                # accumulate per-wave builders in the arena
+                arena.rewind(wave_mark)
 
     results = []
     for (idx, comps, w, h, qts, jobs), offs in zip(images, img_offs):
