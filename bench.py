@@ -776,10 +776,12 @@ def main() -> None:
     # contended run's inflated wall time by the observed slowdown factor.
     canary = extras.get("json_full_parse_mb_per_sec", 0.0)
     idle_ref, idle_par, calibrated = _canary_idle_ref()
-    # all-core canary again AFTER the queries (our own JVM is idle but
-    # alive — a gap between start and end readings flags load that
-    # ARRIVED mid-run); normalization uses the pre-Spark START reading,
-    # the one measurement with zero own-load in it
+    # all-core canary again AFTER the queries, with the Spark JVM gone
+    # (ADVICE r8: JVM background threads depressed the end reading and
+    # falsely suggested external load arrived mid-run); normalization
+    # uses the pre-Spark START reading, the one measurement with zero
+    # own-load in it
+    spark.stop()
     par_canary_end = _parallel_canary()
     value = round(sum(timings.values()), 3)
     out = {
@@ -808,7 +810,31 @@ def main() -> None:
         "extras": extras,
     }
     print(json.dumps(out))
-    spark.stop()
+    # compact summary LAST (VERDICT r8 item 4): the driver records the
+    # TAIL of bench output, and r8's enlarged extras pushed the headline
+    # fields (emitted first in the JSON) off the captured window — keep
+    # the numbers a judge needs in the final line
+    print(
+        json.dumps(
+            {
+                "metric": "headline_summary",
+                "headline_raw": value,
+                "headline_normalized": out["headline_normalized"],
+                "headline_normalized_parallel": out[
+                    "headline_normalized_parallel"
+                ],
+                "canary": canary,
+                "canary_idle_ref": idle_ref,
+                "par_canary_start": PAR_CANARY_START,
+                "par_canary_end": par_canary_end,
+                "par_canary_idle_ref": idle_par,
+                "loadavg_start": LOADAVG_START,
+                "loadavg_end": out["loadavg_end"],
+                "steal_pct": out["host_steal_pct"],
+                "sf": out["sf"],
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

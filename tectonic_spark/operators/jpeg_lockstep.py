@@ -420,8 +420,24 @@ def decode_jpeg_batch(payloads: list[bytes]) -> list[np.ndarray]:
     with balanced restart segments through pooled lockstep passes, dense
     progressive images through the progressive lane pool
     (jpeg_prog_lockstep.py), and everything else (thumbnails, sparse or
-    few-image batches) through the scalar path. Bit-identical to
-    [decode_jpeg(p) for p in payloads]."""
+    few-image batches) through the scalar path. Pixel output is
+    bit-identical to [decode_jpeg(p) for p in payloads]. Error
+    semantics on MALFORMED streams carry the same caveat as the
+    progressive module: the pooled engines raise one all-or-nothing
+    error with fixed precedence (invalid-code before EOF), so on a
+    batch containing differently-malformed payloads the exception
+    type / raise point can differ from the scalar loop's
+    first-failure order (same exception types, pinned by the error
+    parity tests).
+
+    INVARIANT (do not add catch-and-fallback here or around the pool
+    runs): m14/m15 pin engine routing in their value-hashed outputs by
+    recomputing the gate predicates (payload_rides_engine /
+    payload_rides_prog_engine). Those pins stay meaningful only because
+    an engine bug fails the query LOUDLY — a try/except falling back to
+    the scalar path would turn them into tautologies and silently hide
+    engine regressions (pinned by
+    test_engine_exception_propagates_no_silent_fallback)."""
     from tectonic_spark.operators.jpeg_prog_lockstep import (
         PROG_POOL_BYTE_CAP,
         _prog_image_eligible,

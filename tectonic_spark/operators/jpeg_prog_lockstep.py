@@ -112,7 +112,11 @@ def _lut_raw_np(raw: bytes) -> np.ndarray:
     if hit is None:
         hit = np.asarray(_huff_lut(raw), dtype=np.int64)
         if len(_RAW_LUT_CACHE) >= _RAW_LUT_MAX:
-            _RAW_LUT_CACHE.clear()
+            # evict one arbitrary entry, not the whole dict: a clear()
+            # here would also empty the refine cache's source tables and
+            # trigger correlated full rebuilds on heterogeneous-table
+            # corpora (ADVICE r8)
+            _RAW_LUT_CACHE.popitem()
         _RAW_LUT_CACHE[raw] = hit
     return hit
 
@@ -140,7 +144,7 @@ def _lut_refine_np(raw: bytes) -> np.ndarray:
         hit = (mask << 16) | (run << 8) | (kind << 6) | (ln_ + w2)
         hit = np.where(v == 0, 0, hit)
         if len(_REFINE_LUT_CACHE) >= _RAW_LUT_MAX:
-            _REFINE_LUT_CACHE.clear()
+            _REFINE_LUT_CACHE.popitem()  # single eviction, see _lut_raw_np
         _REFINE_LUT_CACHE[raw] = hit
     return hit
 

@@ -36,12 +36,21 @@ def _stop_stream_quietly(q) -> None:
     because every caller validates correctness from the SINK contents
     after this returns (row counts + commit counts + the driver's
     oracle compare), so a genuinely failed stream still fails the
-    query — just with the real symptom, not the interrupt."""
+    query — just with the real symptom, not the interrupt. The
+    swallowed exception is still logged (ADVICE r8) so a real
+    teardown-time failure leaves a trace even when sink checks pass."""
     try:
         q.stop()
         q.awaitTermination(60)
-    except Exception:
-        pass
+    except Exception as exc:  # noqa: BLE001 — teardown-only scope
+        import logging
+
+        logging.getLogger(__name__).info(
+            "stream teardown raised after stop (sink already validated "
+            "by caller): %s: %s",
+            type(exc).__name__,
+            exc,
+        )
 
 
 

@@ -219,3 +219,52 @@ def test_pool_byte_cap_sequential_pools_exact(monkeypatch):
     assert len(runs) >= 3  # the cap forced multiple sequential pools
     for a, b in zip(big, capped):
         assert (a == b).all()
+
+
+def test_engine_exception_propagates_no_silent_fallback(monkeypatch):
+    """The m14/m15 rode_engine value-hash pins recompute the gate
+    PREDICATE, not the actual route — which is sound only while an
+    engine bug fails the batch loudly. Pin that invariant: an injected
+    exception inside either pool run must PROPAGATE out of
+    decode_jpeg_batch, never be caught and retried on the scalar path
+    (VERDICT r8 item 7)."""
+    import tectonic_spark.operators.jpeg_prog_lockstep as jp
+    from tectonic_spark.operators.jpeg import encode_jpeg, encode_jpeg_progressive
+
+    # baseline engine: dense restart-laned corpus, all gates forced open
+    base = [
+        encode_jpeg(_img(64, 64, seed=s), quality=85, subsampling="420",
+                    restart_interval=1)
+        for s in range(4)
+    ]
+    monkeypatch.setattr(jl, "MIN_LANES", 1)
+    monkeypatch.setattr(jl, "MIN_JOB_BYTES", 0)
+    monkeypatch.setattr(jl, "MIN_JOB_LANES", 1)
+    monkeypatch.setattr(jl, "MAX_SEG_SKEW", 1e9)
+    assert all(jl.payload_rides_engine(p) for p in base)
+    assert len(decode_jpeg_batch(base)) == 4  # rides the engine
+
+    class _Boom(RuntimeError):
+        pass
+
+    def boom(self):
+        raise _Boom("injected baseline engine failure")
+
+    monkeypatch.setattr(jl._Pool, "run", boom)
+    with pytest.raises(_Boom):
+        decode_jpeg_batch(base)
+
+    # progressive engine: m15-shaped payload rides on its own
+    vals = (2 * ((11 + np.arange(4096) * 17) % 128)).astype(np.uint8)
+    plane = np.kron(vals.reshape(64, 64), np.ones((8, 8), dtype=np.uint8))
+    prog = encode_jpeg_progressive(
+        plane, bands=((1, 63),), successive=1, restart_interval=16
+    )
+    assert jp.payload_rides_prog_engine(prog)
+
+    def boom_prog(images, scalar_payload):
+        raise _Boom("injected progressive engine failure")
+
+    monkeypatch.setattr(jp, "run_prog_pool", boom_prog)
+    with pytest.raises(_Boom):
+        decode_jpeg_batch([prog])
