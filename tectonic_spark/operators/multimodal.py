@@ -135,6 +135,11 @@ def _decode_image_real(payload: bytes):
 
         px = decode_jpeg(payload)
         return "image", px.shape[1], px.shape[0], 1
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":  # r9: vendored PNG codec
+        from tectonic_spark.operators.png import decode_png
+
+        px = decode_png(payload)
+        return "image", px.shape[1], px.shape[0], 1
     if payload[:4] == b"RIFF":
         _rate, samples = codecs.decode_wav(payload)
         return "audio", None, None, len(samples)
@@ -1516,6 +1521,104 @@ def m15_jpeg_progressive_dense(spark, sf_dir: str) -> DataFrame:
                         payload_rides_prog_engine(p) for p in payloads
                     ],
                 }
+            )
+
+    return docs.mapInPandas(walk, schema)
+
+
+# --- m17: PNG decode through the wavefront unfilter engine -----------------
+
+
+@register(
+    "m17_png_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(512 AS BIGINT) AS width,
+           CAST(512 AS BIGINT) AS height,
+           CAST(64 * list_sum(list_transform(range(0, 4096),
+                bi -> (doc_id * 13 + bi * 19) % 256)) AS BIGINT)
+             AS px_sum,
+           CAST(102 AS BIGINT) AS paeth_rows,
+           TRUE AS wavefront
+    FROM documents WHERE doc_id % 41 = 9
+    """,
+    doc="PNG decode (r9, png.py — VERDICT r8 item 3: the last big-ticket "
+    "image format of real crawls): 512x512 grayscale PNGs whose 512 rows "
+    "CYCLE through all five PNG filters (None/Sub/Up/Average/Paeth), "
+    "decoded by the vendored pure-numpy codec — chunk walk with CRC "
+    "validation, stdlib-zlib inflate, and the anti-diagonal WAVEFRONT "
+    "unfilter (Average/Paeth read the reconstructed left pixel, so the "
+    "recurrence vectorizes along anti-diagonals instead of scalar "
+    "per-byte). PNG is lossless, so the decoded pixel sum has the m08 "
+    "closed-form oracle shape with no quantization caveats; paeth_rows "
+    "comes from the DECODER's own filter histogram (pins that the "
+    "payload bytes really carried the full filter cycle) and wavefront "
+    "pins the engine tier in the value hash (the m14 rode_engine "
+    "pattern). 100 TB shape: payloads never leave executors, "
+    "per-image scratch is O(3x raw bytes), decode parallelizes with "
+    "the scan's split fan-out.",
+)
+def m17_png_decode(spark, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.types import BooleanType
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 41 == 9)
+    )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("px_sum", LongType(), True),
+            StructField("paeth_rows", LongType(), True),
+            StructField("wavefront", BooleanType(), True),
+        ]
+    )
+
+    def png_payload(d: int) -> bytes:
+        from tectonic_spark.operators.png import encode_png
+
+        bi = np.arange(4096, dtype=np.int64)
+        vals = ((d * 13 + bi * 19) % 256).astype(np.uint8).reshape(64, 64)
+        plane = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        return encode_png(plane, filters=None)  # cycle 0..4 per row
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                stats: dict = {}
+                px = decode_png(png_payload(d), _stats=stats)
+                rows.append(
+                    (
+                        d,
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.astype(np.int64).sum()),
+                        stats["filter_rows"][4],
+                        stats["wavefront"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "px_sum",
+                    "paeth_rows",
+                    "wavefront",
+                ],
             )
 
     return docs.mapInPandas(walk, schema)

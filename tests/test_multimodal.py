@@ -83,3 +83,15 @@ def test_scene_detection_boundaries_every_scene_len(spark, sf_dir):
         (~F.col("is_scene_start")) & (F.col("mad") != 0.0)
     ).count()
     assert nonzero_within == 0
+
+
+def test_decode_image_real_routes_png():
+    """m01's real-decode dispatch recognizes PNG payloads (r9)."""
+    import numpy as np
+
+    from tectonic_spark.operators.multimodal import _decode_image_real
+    from tectonic_spark.operators.png import encode_png
+
+    img = np.arange(15 * 9, dtype=np.uint8).reshape(15, 9) % 256
+    kind, w, h, nf = _decode_image_real(encode_png(img, filters=4))
+    assert (kind, w, h, nf) == ("image", 9, 15, 1)
