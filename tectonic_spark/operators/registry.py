@@ -72,13 +72,41 @@ def register(
 # REGISTRY in this order; duplicates below dedupe first-wins; names not
 # listed keep registration order at the tail.
 PRIORITY: list[str] = [
-    # --- r8 tier 1: zero green rows ever — none (closed in r7).
-    # --- r8 tier 2: new registrations this round ---
-    # progressive lane engine pin (jpeg_prog_lockstep.py, four machines)
+    # --- r9 tier 1: zero green rows ever — none (closed in r7).
+    # --- r9 tier 2: new registrations this round ---
+    # PNG codec + wavefront unfilter engine (png.py)
+    "m17_png_decode",
+    # zstd NDJSON ingestion through the JVM-native codec path
+    "a23_zstd_scan",
+    # --- r9 tier 3: changed code this round ---
+    # d8fe2ad (r8 post-gate) changed the teardown path of every
+    # polling-loop stream query but only s12 got an r8 driver row; r9
+    # additionally adds teardown LOGGING (ADVICE r8). Re-verify the
+    # whole s-family (VERDICT r9 item 2 — also retires the r8 s08
+    # sweep blemish with driver evidence).
+    "s03_stream_multibatch",
+    "s04_stream_watermark",
+    "s05_stream_sessionization",
+    "s06_stream_dedup",
+    "s08_stream_stream_join",
+    "s10_stream_curation",
+    "s11_stream_rollup_maintenance",
+    "s01_stream_jsonl_to_parquet",
+    "s02_stream_csv_to_parquet",
+    "s07_stream_static_join",
+    "s09_custom_stateful_sessions",
+    "s12_stream_media_decode",
+    # progressive lane engine: grow-only scratch arena rebuilt the
+    # AC-refine structure builders; LUT caches evict by popitem
     "m15_jpeg_progressive_dense",
-    # MP4/AVCC container walk (h264.parse_mp4 + box-writer fixtures)
+    "m11_jpeg_progressive",
+    # decode_jpeg_batch docstring/invariant + shared batch routing
+    "m14_jpeg_dense_decode",
+    "m08_jpeg_decode",
+    # m01 routes PNG payloads now
+    "m01_media_metadata",
+    # --- r8 tier 2/3 continue as warm fill (dedupe first-wins) ---
     "m16_mp4_census",
-    # --- r8 tier 3: changed code this round ---
     # m12: LPC fixtures (orders 2/8/12) + first_subframe_lpc pin over the
     # new encoder LPC mode, scalar _lpc_scalar and _lpc_batch lane filter
     "m12_flac_decode",
