@@ -381,6 +381,69 @@ def _jpeg_decode_rate() -> dict[str, float]:
     }
 
 
+def _png_decode_rate() -> dict[str, float]:
+    """Vendored PNG codec rates, single core, best-of-3 CPU-time (r9):
+    the wavefront regime (photo-like all-Paeth 256x256 RGB — what
+    libpng-encoded crawl images mostly are) and the row-tier regime
+    (None/Sub/Up rows only). MB/s over RAW pixel bytes — the decode
+    work product — plus the compressed-payload rate for the m17
+    fixture shape."""
+    import time as _t
+
+    import numpy as _np
+
+    from tectonic_spark.operators.png import decode_png, encode_png
+
+    rng = _np.random.default_rng(11)
+    yy, xx = _np.mgrid[0:256, 0:256]
+    img = (
+        _np.stack(
+            [
+                128 + 80 * _np.sin(xx / 37) + 40 * _np.cos(yy / 23),
+                128 + 60 * _np.cos(xx / 29 + 1) + 50 * _np.sin(yy / 31),
+                128 + 70 * _np.sin((xx + yy) / 41),
+            ],
+            axis=-1,
+        )
+        + rng.normal(0, 12, (256, 256, 3))
+    ).clip(0, 255).astype(_np.uint8)
+    raw_mb = img.nbytes / 1e6
+    out: dict[str, float] = {}
+    for key, filt in (
+        ("png_decode_paeth_mb_per_sec", 4),
+        ("png_decode_rowtier_mb_per_sec", [r % 3 for r in range(256)]),
+    ):
+        data = encode_png(img, filters=filt)
+        decode_png(data)  # warm
+        best = 1e9
+        for _ in range(3):
+            t0 = _t.process_time()
+            decode_png(data)
+            best = min(best, _t.process_time() - t0)
+        out[key] = round(raw_mb / best, 2)
+    # the production path is batched: the segment-lane pool runs many
+    # images' wavefronts in diagonal lockstep (r9)
+    from tectonic_spark.operators.png import decode_png_batch
+
+    batch = []
+    for seed in range(16):
+        r2 = _np.random.default_rng(seed)
+        im = (
+            (img.astype(_np.int16) + r2.integers(-8, 8, img.shape))
+            .clip(0, 255)
+            .astype(_np.uint8)
+        )
+        batch.append(encode_png(im, filters=4))
+    decode_png_batch(batch)  # warm
+    best = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        decode_png_batch(batch)
+        best = min(best, _t.process_time() - t0)
+    out["png_decode_pool_mb_per_sec"] = round(16 * raw_mb / best, 2)
+    return out
+
+
 def _audio_codec_rates() -> dict[str, float]:
     """Vendored FLAC decode and MP3 frame-walk rates, single core,
     best-of-3 CPU-time (VERDICT r6 item 7: codec regressions should be
@@ -764,6 +827,7 @@ def main() -> None:
         **_csv_reader_mbps(sf_dir),
         **_parallel_scan_mbps(spark, sf_dir),
         **_jpeg_decode_rate(),
+        **_png_decode_rate(),
         **_audio_codec_rates(),
         **_stream_latency(spark, sf_dir),
         **_sf1_headroom(spark, sf_dir, timings),

@@ -50,8 +50,6 @@ bounded by the pool byte caps (larger batches run as sequential pools).
 """
 from __future__ import annotations
 
-import threading
-
 import numpy as np
 
 from tectonic_spark.operators.jpeg import (
@@ -150,81 +148,19 @@ def _lut_refine_np(raw: bytes) -> np.ndarray:
 
 
 # ----------------------------------------------------------------- arena
+# Grow-only per-thread scratch for the per-chunk builders (the r8 sf10
+# page-allocator finding — see operators/arena.py for the full story):
+# FLAT and the AC-refine structure/nonzero arrays were ~12 MB/img of
+# fresh faulted pages per image at 32-way; they now bump-allocate from
+# buffers bounded by COEF_BYTE_CAP + the ~2-3x structure footprint.
+from tectonic_spark.operators.arena import get_arena
 
 
-class _Arena:
-    """Grow-only per-thread scratch for the per-chunk builders.
-
-    The r8 sf10 probe (SF10SPOT.md) diagnosed m15's residual
-    super-linearity to the page allocator: 32 concurrent workers each
-    faulting ~12 MB/img of FRESH numpy pages (FLAT + the AC-refine
-    structure/nonzero arrays) spend up to 29x more kernel time per
-    fault under sustained all-core load — zone-lock contention,
-    reproduced Spark-free. Bump-allocating those arrays from buffers
-    that persist across sub-pools and Arrow batches makes steady-state
-    decode touch no fresh kernel pages: ``reset()`` rewinds the bump
-    pointers, and only FLAT is re-zeroed (``.fill`` on resident pages
-    is user-time memset). Buffers grow to the largest chunk's
-    footprint and stay bounded by the pool caps (COEF_BYTE_CAP + the
-    ~2-3x structure footprint), i.e. the scratch bound already
-    documented in the module docstring — now resident once per worker
-    instead of re-faulted per image."""
-
-    __slots__ = ("_buf", "_used")
-
-    def __init__(self) -> None:
-        self._buf: dict[str, np.ndarray] = {}
-        self._used: dict[str, int] = {}
-
-    def reset(self) -> None:
-        for k in self._used:
-            self._used[k] = 0
-
-    def mark(self) -> dict:
-        return dict(self._used)
-
-    def rewind(self, mark: dict) -> None:
-        # rewind to a snapshot so each runner's scratch is reclaimed
-        # within a chunk while earlier allocations (FLAT) stay live. If
-        # a buffer was replaced (grew) since the mark, the rewound
-        # offset is a harmless gap in the new buffer — never an overlap
-        # — and the next reset() reclaims it.
-        for k in self._used:
-            self._used[k] = mark.get(k, 0)
-
-    def take(self, n: int, dtype=np.int64) -> np.ndarray:
-        n = int(n)
-        k = np.dtype(dtype).char
-        buf = self._buf.get(k)
-        used = self._used.get(k, 0)
-        if buf is None or used + n > buf.size:
-            # live slices keep the old buffer alive until they die; the
-            # arena moves to a larger one (grow-only, so the buffer set
-            # converges after the first few chunks)
-            cap = max(n, 2 * (buf.size if buf is not None else 1 << 15))
-            buf = np.empty(cap, dtype=dtype)
-            self._buf[k] = buf
-            used = 0
-        self._used[k] = used + n
-        return buf[used : used + n]
-
-    def zeros(self, n: int, dtype=np.int64) -> np.ndarray:
-        out = self.take(n, dtype)
-        out.fill(0)
-        return out
+def _arena():
+    return get_arena("jpeg_prog")
 
 
-_TLS = threading.local()
-
-
-def _arena() -> _Arena:
-    a = getattr(_TLS, "arena", None)
-    if a is None:
-        a = _TLS.arena = _Arena()
-    return a
-
-
-def _flatnonzero_into(flat: np.ndarray, n: int, arena: _Arena) -> np.ndarray:
+def _flatnonzero_into(flat: np.ndarray, n: int, arena) -> np.ndarray:
     """Row-major flatnonzero of a bool array into int32 arena scratch
     (indices < COEF_BYTE_CAP/8 < 2^31 by the pool cap). The input is
     walked in sub-mmap-threshold chunks so np.flatnonzero's temporaries
@@ -242,7 +178,7 @@ def _flatnonzero_into(flat: np.ndarray, n: int, arena: _Arena) -> np.ndarray:
     return out
 
 
-def _cat_into(parts: list, n: int, dtype, arena: _Arena) -> np.ndarray:
+def _cat_into(parts: list, n: int, dtype, arena) -> np.ndarray:
     out = arena.take(n, dtype)
     if parts:
         np.concatenate(parts, out=out)

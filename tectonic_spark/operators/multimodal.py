@@ -1539,7 +1539,8 @@ def m15_jpeg_progressive_dense(spark, sf_dir: str) -> DataFrame:
                 bi -> (doc_id * 13 + bi * 19) % 256)) AS BIGINT)
              AS px_sum,
            CAST(102 AS BIGINT) AS paeth_rows,
-           TRUE AS wavefront
+           TRUE AS wavefront,
+           TRUE AS rode_pool
     FROM documents WHERE doc_id % 41 = 9
     """,
     doc="PNG decode (r9, png.py — VERDICT r8 item 3: the last big-ticket "
@@ -1549,14 +1550,20 @@ def m15_jpeg_progressive_dense(spark, sf_dir: str) -> DataFrame:
     "validation, stdlib-zlib inflate, and the anti-diagonal WAVEFRONT "
     "unfilter (Average/Paeth read the reconstructed left pixel, so the "
     "recurrence vectorizes along anti-diagonals instead of scalar "
-    "per-byte). PNG is lossless, so the decoded pixel sum has the m08 "
-    "closed-form oracle shape with no quantization caveats; paeth_rows "
-    "comes from the DECODER's own filter histogram (pins that the "
-    "payload bytes really carried the full filter cycle) and wavefront "
-    "pins the engine tier in the value hash (the m14 rode_engine "
-    "pattern). 100 TB shape: payloads never leave executors, "
-    "per-image scratch is O(3x raw bytes), decode parallelizes with "
-    "the scan's split fan-out.",
+    "per-byte), batched through the cross-image SEGMENT-LANE pool "
+    "(decode_png_batch: independent-row segments from many images "
+    "reconstruct in diagonal lockstep; each fixture payload carries "
+    "~102 segment lanes, above the pool gate on its own). PNG is "
+    "lossless, so the decoded pixel sum has the m08 closed-form oracle "
+    "shape with no quantization caveats; paeth_rows comes from the "
+    "DECODER's own filter histogram (pins that the payload bytes "
+    "really carried the full filter cycle), wavefront pins the engine "
+    "tier, and rode_pool pins pool routing via the gate predicate "
+    "(payload_rides_png_pool — the m15 pattern; the pool has no silent "
+    "fallback, so an engine bug fails the query loudly). 100 TB shape: "
+    "payloads never leave executors, pool scratch arena-backed and "
+    "capped per sub-pool, decode parallelizes with the scan's split "
+    "fan-out.",
 )
 def m17_png_decode(spark, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -1579,6 +1586,7 @@ def m17_png_decode(spark, sf_dir: str) -> DataFrame:
             StructField("px_sum", LongType(), True),
             StructField("paeth_rows", LongType(), True),
             StructField("wavefront", BooleanType(), True),
+            StructField("rode_pool", BooleanType(), True),
         ]
     )
 
@@ -1591,34 +1599,28 @@ def m17_png_decode(spark, sf_dir: str) -> DataFrame:
         return encode_png(plane, filters=None)  # cycle 0..4 per row
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from tectonic_spark.operators.png import decode_png
+        from tectonic_spark.operators.png import (
+            decode_png_batch,
+            payload_rides_png_pool,
+        )
 
         for pdf in batches:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                stats: dict = {}
-                px = decode_png(png_payload(d), _stats=stats)
-                rows.append(
-                    (
-                        d,
-                        px.shape[1],
-                        px.shape[0],
-                        int(px.astype(np.int64).sum()),
-                        stats["filter_rows"][4],
-                        stats["wavefront"],
-                    )
-                )
+            ids = [int(d) for d in pdf["doc_id"]]
+            payloads = [png_payload(d) for d in ids]
+            stats: list = []
+            pxs = decode_png_batch(payloads, stats_out=stats)
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "width",
-                    "height",
-                    "px_sum",
-                    "paeth_rows",
-                    "wavefront",
-                ],
+                {
+                    "doc_id": ids,
+                    "width": [px.shape[1] for px in pxs],
+                    "height": [px.shape[0] for px in pxs],
+                    "px_sum": [int(px.astype(np.int64).sum()) for px in pxs],
+                    "paeth_rows": [st["filter_rows"][4] for st in stats],
+                    "wavefront": [st["wavefront"] for st in stats],
+                    "rode_pool": [
+                        payload_rides_png_pool(p) for p in payloads
+                    ],
+                }
             )
 
     return docs.mapInPandas(walk, schema)

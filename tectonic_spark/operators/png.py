@@ -371,14 +371,9 @@ def _unpack_samples(
     return (g * w).sum(axis=2, dtype=np.uint8).reshape(H, width, 1)
 
 
-def decode_png(data: bytes, _stats: dict | None = None) -> np.ndarray:
-    """Decode a PNG payload to pixel samples: (H, W) for grayscale,
-    (H, W, 3) for RGB and palette, (H, W, 2)/(H, W, 4) with alpha;
-    uint16 for 16-bit depth, raw index-range samples for sub-byte gray.
-    ``_stats`` (optional dict) receives decoder telemetry — per-filter
-    row counts and which unfilter tier ran — so callers can PIN the
-    wavefront route in oracle-checked outputs (the m14 rode_engine
-    pattern)."""
+def _parse_payload(data: bytes):
+    """Chunk walk + inflate: everything up to unfiltering. Returns
+    (W, H, depth, ct, interlace, palette, raw_bytes)."""
     ihdr = None
     palette = None
     idat_parts: list[bytes] = []
@@ -420,7 +415,28 @@ def decode_png(data: bytes, _stats: dict | None = None) -> np.ndarray:
         raw += dec.flush()
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate error: {exc}") from exc
+    return W, H, depth, ct, interlace, palette, raw
 
+
+def _finish_pixels(px: np.ndarray, H: int, W: int, channels: int, palette):
+    if palette is not None:
+        if int(px.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[px.reshape(H, W)]
+    if channels == 1:
+        return px.reshape(H, W)
+    return px
+
+
+def decode_png(data: bytes, _stats: dict | None = None) -> np.ndarray:
+    """Decode a PNG payload to pixel samples: (H, W) for grayscale,
+    (H, W, 3) for RGB and palette, (H, W, 2)/(H, W, 4) with alpha;
+    uint16 for 16-bit depth, raw index-range samples for sub-byte gray.
+    ``_stats`` (optional dict) receives decoder telemetry — per-filter
+    row counts and which unfilter tier ran — so callers can PIN the
+    wavefront route in oracle-checked outputs (the m14 rode_engine
+    pattern)."""
+    W, H, depth, ct, interlace, palette, raw = _parse_payload(data)
     channels = _CHANNELS[ct]
     bpp = max(1, channels * depth // 8)
 
@@ -474,13 +490,254 @@ def decode_png(data: bytes, _stats: dict | None = None) -> np.ndarray:
         if pos != buf.size:
             raise ValueError("trailing garbage after PNG pixel data")
 
-    if ct == 3:
-        if int(px.max()) >= len(palette):
-            raise ValueError("palette index out of range")
-        return palette[px.reshape(H, W)]
-    if channels == 1:
-        return px.reshape(H, W)
-    return px
+    return _finish_pixels(px, H, W, channels, palette if ct == 3 else None)
+
+
+# -------------------------------------------------------- batch lane pool
+#
+# Cross-image wavefront pooling (r9). The per-image wavefront is already
+# vectorized along each anti-diagonal, but a W-pixel image still costs
+# ~H+W numpy dispatches; a corpus batch amortizes them by running MANY
+# wavefronts in lockstep. The lane unit is an independent-row SEGMENT:
+# a row whose filter is None or Sub reads nothing above it, so an image
+# partitions at every such row into segments whose unfilter recurrences
+# are mutually independent — one all-Paeth photo is a single tall lane,
+# while a filter-cycling fixture yields ~H/5 four-row lanes from ONE
+# payload (which is what makes pool routing deterministically pinnable
+# per payload, the m15 pattern). Segments without Average/Paeth rows
+# skip the pool entirely and reconstruct on the fast row tier.
+#
+# Every lane gets a zero-padded (h+1) x (npix+1) region in one shared
+# flat buffer; cells are scheduled by counting-sort on their diagonal
+# number, so step dg reconstructs diagonal dg of EVERY lane with one
+# vectorized pass (per-cell filter codes and per-lane up-offsets ride
+# precomputed int32 schedules). Scratch is arena-backed (operators/
+# arena.py — the r8 fresh-page lesson) and capped per sub-pool.
+
+# Pool gate, measured on local[32] (r9, all-Paeth 256x256 RGB photos,
+# one tall lane each): solo the pool loses ~12% to schedule-build
+# overhead (5.5 scalar vs 4.8 MB/s), from TWO lanes it wins (7.8 vs
+# 5.0), peaking ~15 MB/s at 16 lanes (2-3x scalar). Counted in LANES so
+# one filter-cycling payload (m17: ~102 four-row segments) rides the
+# pool deterministically regardless of batch composition.
+MIN_PNG_POOL_LANES = 2
+PNG_POOL_BYTE_CAP = 64 * 1024 * 1024
+
+
+def _arena():
+    from tectonic_spark.operators.arena import get_arena
+
+    return get_arena("png_pool")
+
+
+def _segments(ft: np.ndarray) -> list[tuple[int, int, bool]]:
+    """Split rows into independent segments: a new segment starts at
+    row 0 and at every None/Sub row (they read nothing above).
+    Returns (r0, r1, needs_wavefront) triples."""
+    H = ft.shape[0]
+    starts = np.flatnonzero(ft <= 1)
+    if starts.size == 0 or starts[0] != 0:
+        starts = np.concatenate([[0], starts])
+    bounds = np.concatenate([starts, [H]])
+    wf = (ft == 3) | (ft == 4)
+    cum = np.concatenate([[0], np.cumsum(wf)])
+    out = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        out.append((int(a), int(b), bool(cum[b] - cum[a])))
+    return out
+
+
+def _run_wave_pool(lanes: list) -> None:
+    """lanes: (ft_slice, D (h, npix, bpp) uint8, sink (out_rows, r0)).
+    Reconstructs every lane's segment in diagonal lockstep and writes
+    the rows into its sink. All lanes share one bpp."""
+    arena = _arena()
+    arena.reset()
+    bpp = lanes[0][1].shape[2]
+    bases = []
+    total_pad = 0
+    ndiag = 0
+    ncells = 0
+    for ft, D, _ in lanes:
+        h, npix = D.shape[0], D.shape[1]
+        bases.append(total_pad)
+        total_pad += (h + 1) * (npix + 1)
+        ndiag = max(ndiag, h + npix - 1)
+        ncells += h * npix
+    O2 = arena.zeros(total_pad * bpp, np.uint8).reshape(total_pad, bpp)
+    D2 = arena.take(total_pad * bpp, np.uint8).reshape(total_pad, bpp)
+    DG = arena.take(ncells, np.int32)
+    ID = arena.take(ncells, np.int32)
+    UP = arena.take(ncells, np.int32)
+    FC = arena.take(ncells, np.uint8)
+    pos = 0
+    for (ft, D, _), base in zip(lanes, bases):
+        h, npix = D.shape[0], D.shape[1]
+        n = h * npix
+        r = np.arange(h, dtype=np.int32)[:, None]
+        i = np.arange(npix, dtype=np.int32)[None, :]
+        ids = base + (r + 1) * (npix + 1) + (i + 1)
+        ID[pos : pos + n] = ids.ravel()
+        DG[pos : pos + n] = (r + i).ravel()
+        UP[pos : pos + n] = npix + 1
+        FC[pos : pos + n] = np.repeat(ft, npix)
+        D2[ids.reshape(-1)] = D.reshape(n, bpp)
+        pos += n
+    order = np.argsort(DG, kind="stable")
+    SCHED = arena.take(ncells, np.int32)
+    np.take(ID, order, out=SCHED)
+    UPo = arena.take(ncells, np.int32)
+    np.take(UP, order, out=UPo)
+    FCo = arena.take(ncells, np.uint8)
+    np.take(FC, order, out=FCo)
+    off = np.concatenate([[0], np.cumsum(np.bincount(DG, minlength=ndiag))])
+    for dg in range(ndiag):
+        s, e = off[dg], off[dg + 1]
+        cells = SCHED[s:e]
+        upo = UPo[s:e]
+        f = FCo[s:e][:, None]
+        left = O2.take(cells - 1, axis=0)
+        up = O2.take(cells - upo, axis=0)
+        ul = O2.take(cells - upo - 1, axis=0)
+        t1 = up.astype(np.int16) - ul
+        t2 = left.astype(np.int16) - ul
+        pa = np.abs(t1)
+        pb = np.abs(t2)
+        pc = np.abs(t1 + t2)
+        paeth = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+        ).astype(np.uint8)
+        avg = ((left.astype(np.uint16) + up) >> 1).astype(np.uint8)
+        pred = np.choose(f, (0, left, up, avg, paeth))
+        O2[cells] = D2.take(cells, axis=0) + pred
+    for (ft, D, sink), base in zip(lanes, bases):
+        h, npix = D.shape[0], D.shape[1]
+        blk = O2[base : base + (h + 1) * (npix + 1)].reshape(
+            h + 1, npix + 1, bpp
+        )[1:, 1:]
+        out_rows, r0 = sink
+        out_rows[r0 : r0 + h] = blk.reshape(h, npix * bpp)
+
+
+def payload_rides_png_pool(data: bytes) -> bool:
+    """True iff this payload is pool-eligible (non-interlaced, valid
+    filters) and contributes >= MIN_PNG_POOL_LANES wavefront segment
+    lanes ON ITS OWN, so pool routing is deterministic regardless of
+    batch composition (a batch only ever ADDS lanes — the m15 pin
+    pattern). Runs the chunk walk + inflate but no unfiltering."""
+    try:
+        W, H, depth, ct, interlace, palette, raw = _parse_payload(data)
+    except (ValueError, EOFError, NotImplementedError):
+        return False
+    if interlace:
+        return False
+    channels = _CHANNELS[ct]
+    rb = (W * channels * depth + 7) // 8
+    if len(raw) != H * (1 + rb):
+        return False
+    ft = np.frombuffer(raw, dtype=np.uint8).reshape(H, 1 + rb)[:, 0]
+    if (ft > 4).any():
+        return False
+    return sum(1 for *_r, wf in _segments(ft) if wf) >= MIN_PNG_POOL_LANES
+
+
+def decode_png_batch(
+    payloads: list[bytes], stats_out: list | None = None
+) -> list[np.ndarray]:
+    """Decode a batch of PNG payloads, pooling the Average/Paeth
+    segments of non-interlaced images into cross-image wavefront lanes
+    (None/Sub/Up segments reconstruct on the row tier; interlaced and
+    below-gate batches fall back per-image). Pixel output is
+    bit-identical to ``[decode_png(p) for p in payloads]``; on
+    malformed batches the exception types match the scalar loop's but
+    the raise point/ordering may differ (the jpeg batch contract).
+    ``stats_out``, if a list, receives one per-image stats dict
+    (filter_rows / wavefront / pooled). Sub-pools are capped at
+    PNG_POOL_BYTE_CAP of padded scratch per bpp bucket."""
+    n = len(payloads)
+    out: list = [None] * n
+    stats: list[dict] = [
+        {"filter_rows": [0, 0, 0, 0, 0], "wavefront": False, "pooled": False}
+        for _ in range(n)
+    ]
+    plan = []  # (idx, H, W, depth, ct, channels, bpp, palette, block, ft, segs)
+    lane_count = 0
+    for idx, data in enumerate(payloads):
+        W, H, depth, ct, interlace, palette, raw = _parse_payload(data)
+        channels = _CHANNELS[ct]
+        bpp = max(1, channels * depth // 8)
+        if interlace:
+            out[idx] = decode_png(data, _stats=stats[idx])
+            continue
+        rb = (W * channels * depth + 7) // 8
+        need = H * (1 + rb)
+        if len(raw) < need:
+            raise EOFError("PNG pixel data exhausted")
+        if len(raw) > need:
+            raise ValueError("trailing garbage after PNG pixel data")
+        block = np.frombuffer(raw, dtype=np.uint8).reshape(H, 1 + rb)
+        ft = block[:, 0]
+        bad = ft > 4
+        if bad.any():
+            raise ValueError(f"invalid PNG filter type {int(ft[bad][0])}")
+        for k in range(5):
+            stats[idx]["filter_rows"][k] = int((ft == k).sum())
+        segs = _segments(ft)
+        wf_segs = sum(1 for *_r, wf in segs if wf)
+        stats[idx]["wavefront"] = bool(wf_segs)
+        lane_count += wf_segs
+        plan.append(
+            (idx, H, W, depth, ct, channels, bpp, palette, block, ft, segs)
+        )
+
+    pool_on = lane_count >= MIN_PNG_POOL_LANES
+    pools: dict[int, list] = {}
+    pool_bytes: dict[int, int] = {}
+    finish = []  # (idx, H, W, depth, channels, ct, palette, rows)
+
+    def flush(bpp: int) -> None:
+        lanes = pools.get(bpp)
+        if lanes:
+            _run_wave_pool(lanes)
+        pools[bpp] = []
+        pool_bytes[bpp] = 0
+
+    for idx, H, W, depth, ct, channels, bpp, palette, block, ft, segs in plan:
+        d = block[:, 1:]
+        npix = d.shape[1] // bpp
+        if not pool_on:
+            rows = _unfilter(block, bpp)
+            finish.append((idx, H, W, depth, channels, ct, palette, rows))
+            continue
+        stats[idx]["pooled"] = stats[idx]["wavefront"]
+        rows = np.empty((H, d.shape[1]), dtype=np.uint8)
+        for r0, r1, wf in segs:
+            if not wf:
+                rows[r0:r1] = _unfilter_rows(ft[r0:r1], d[r0:r1], bpp)
+            else:
+                sz = (r1 - r0 + 1) * (npix + 1) * bpp
+                if pool_bytes.get(bpp, 0) and pool_bytes[bpp] + sz > PNG_POOL_BYTE_CAP:
+                    flush(bpp)
+                pools.setdefault(bpp, []).append(
+                    (
+                        ft[r0:r1],
+                        d[r0:r1].reshape(r1 - r0, npix, bpp),
+                        (rows, r0),
+                    )
+                )
+                pool_bytes[bpp] = pool_bytes.get(bpp, 0) + sz
+        finish.append((idx, H, W, depth, channels, ct, palette, rows))
+    for bpp in list(pools):
+        flush(bpp)
+
+    for idx, H, W, depth, channels, ct, palette, rows in finish:
+        px = _unpack_samples(rows, W, depth, channels)
+        out[idx] = _finish_pixels(
+            px, H, W, channels, palette if ct == 3 else None
+        )
+    if stats_out is not None:
+        stats_out.extend(stats)
+    return out
 
 
 def parse_png(data: bytes) -> dict:

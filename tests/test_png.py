@@ -195,3 +195,128 @@ def test_property_roundtrip(h, w, c, depth, seed, mode):
     else:
         data = encode_png(img, filters=4 if mode == "fixed4" else None)
     assert (decode_png(data) == img).all()
+
+
+# ------------------------------------------------------- batch lane pool
+
+
+def _cycle_png(d, h=64, w=48, c=3):
+    img = _img(h, w, c, seed=d)
+    return img, encode_png(img, filters=None)
+
+
+def test_batch_equals_scalar_mixed_corpus(monkeypatch):
+    import tectonic_spark.operators.png as png
+
+    monkeypatch.setattr(png, "MIN_PNG_POOL_LANES", 1)
+    imgs, payloads = [], []
+    # heterogeneous shapes, depths, color types, filter styles
+    specs = [
+        (None, 8, 0, 13, 9),
+        (3, 8, 1, 20, 17),
+        (4, 8, 2, 8, 8),
+        (None, 16, 3, 11, 5),
+        (2, 8, 4, 9, 31),   # row-tier only
+        ([3] * 7, 8, 5, 7, 7),
+        (4, 16, 6, 6, 20),
+    ]
+    for filt, depth, seed, h, w in specs:
+        for c in (None, 3):
+            img = _img(h, w, c, seed=seed, depth=depth)
+            imgs.append(img)
+            payloads.append(encode_png(img, filters=filt))
+    # plus an interlaced payload (per-image fallback inside the batch)
+    img = _img(10, 10, 3, seed=77)
+    imgs.append(img)
+    payloads.append(encode_png(img, interlace=True))
+    stats: list = []
+    got = png.decode_png_batch(payloads, stats_out=stats)
+    assert len(got) == len(imgs) == len(stats)
+    for g, ref, p in zip(got, imgs, payloads):
+        assert g.dtype == ref.dtype and g.shape == ref.shape
+        assert (g == ref).all()
+        assert (g == decode_png(p)).all()
+
+
+def test_batch_pool_gate_and_pin():
+    import tectonic_spark.operators.png as png
+
+    # the m17 fixture shape: 512 rows cycling filters -> ~102 wavefront
+    # segments from ONE payload, above the production gate on its own
+    bi = np.arange(4096, dtype=np.int64)
+    vals = ((9 * 13 + bi * 19) % 256).astype(np.uint8).reshape(64, 64)
+    plane = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+    data = encode_png(plane, filters=None)
+    assert png.payload_rides_png_pool(data)
+    stats: list = []
+    (px,) = png.decode_png_batch([data], stats_out=stats)
+    assert stats[0]["pooled"] and stats[0]["wavefront"]
+    assert (px == plane).all()
+    # a small all-Paeth image alone stays under the gate (one lane)
+    small = encode_png(_img(16, 16, seed=3), filters=4)
+    assert not png.payload_rides_png_pool(small)
+    stats2: list = []
+    png.decode_png_batch([small], stats_out=stats2)
+    assert stats2[0]["wavefront"] and not stats2[0]["pooled"]
+
+
+def test_batch_pool_cap_splits(monkeypatch):
+    import tectonic_spark.operators.png as png
+
+    monkeypatch.setattr(png, "MIN_PNG_POOL_LANES", 1)
+    imgs, payloads = [], []
+    for s in range(6):
+        img = _img(24, 24, 3, seed=s)
+        imgs.append(img)
+        payloads.append(encode_png(img, filters=4))
+    big = png.decode_png_batch(payloads)
+    runs = []
+    orig = png._run_wave_pool
+
+    def counting(lanes):
+        runs.append(len(lanes))
+        return orig(lanes)
+
+    monkeypatch.setattr(png, "_run_wave_pool", counting)
+    monkeypatch.setattr(png, "PNG_POOL_BYTE_CAP", 25 * 25 * 3 * 2)
+    capped = png.decode_png_batch(payloads)
+    assert len(runs) >= 3  # the cap forced multiple sequential pools
+    for a, b, ref in zip(big, capped, imgs):
+        assert (a == b).all() and (a == ref).all()
+
+
+def test_batch_error_parity():
+    import tectonic_spark.operators.png as png
+
+    good = encode_png(_img(6, 6, seed=1), filters=4)
+    bad = bytearray(good)
+    bad[good.index(b"IDAT") + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        png.decode_png_batch([good, bytes(bad)])
+    with pytest.raises(EOFError):
+        png.decode_png_batch([good[: len(good) - 7]])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    hs=st.lists(st.integers(1, 10), min_size=1, max_size=5),
+    c=st.sampled_from([None, 3]),
+    seed=st.integers(0, 2**16),
+    fmode=st.sampled_from([None, 3, 4, 2]),
+)
+def test_property_batch_equals_scalar(hs, c, seed, fmode):
+    import tectonic_spark.operators.png as png
+
+    old = png.MIN_PNG_POOL_LANES
+    png.MIN_PNG_POOL_LANES = 1
+    try:
+        imgs = [
+            _img(h, 3 + (seed + k) % 9, c, seed=seed + k)
+            for k, h in enumerate(hs)
+        ]
+        payloads = [encode_png(im, filters=fmode) for im in imgs]
+        got = png.decode_png_batch(payloads)
+        for g, ref in zip(got, imgs):
+            assert (g == ref).all()
+    finally:
+        png.MIN_PNG_POOL_LANES = old
