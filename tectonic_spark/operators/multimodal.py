@@ -140,6 +140,11 @@ def _decode_image_real(payload: bytes):
 
         px = decode_png(payload)
         return "image", px.shape[1], px.shape[0], 1
+    if payload[:6] in (b"GIF87a", b"GIF89a"):  # r9: vendored GIF codec
+        from tectonic_spark.operators.gif import decode_gif
+
+        info = decode_gif(payload)
+        return "image", info["width"], info["height"], len(info["frames"])
     if payload[:4] == b"RIFF":
         _rate, samples = codecs.decode_wav(payload)
         return "audio", None, None, len(samples)
@@ -1622,6 +1627,139 @@ def m17_png_decode(spark, sf_dir: str) -> DataFrame:
                     ],
                 }
             )
+
+    return docs.mapInPandas(walk, schema)
+
+
+# --- m18: GIF decode (LZW, palettes, interlace, animation census) ----------
+
+
+@register(
+    "m18_gif_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(18 AS BIGINT) AS width,
+           CAST(24 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_frames,
+           CAST(list_sum(list_transform(range(0, 1296), f ->
+                 ((doc_id * 5 + ((doc_id + (f // 432) * 7
+                    + ((f % 432) // 18) * 3 + (f % 18)) % 16) * 11) % 256)
+               + ((doc_id * 5 + ((doc_id + (f // 432) * 7
+                    + ((f % 432) // 18) * 3 + (f % 18)) % 16) * 11 + 3) % 256)
+               + ((doc_id * 5 + ((doc_id + (f // 432) * 7
+                    + ((f % 432) // 18) * 3 + (f % 18)) % 16) * 11 + 6) % 256)
+           )) AS BIGINT) AS rgb_sum,
+           CAST(1 AS BIGINT) AS interlaced_frames,
+           CAST(2 AS BIGINT) AS loop_count,
+           TRUE AS extent_ok
+    FROM documents WHERE doc_id % 43 = 12
+    """,
+    doc="GIF decode (r9, gif.py — after JPEG and PNG the remaining image "
+    "format real crawls hit at volume, and the dominant short-animation "
+    "container): 3-frame 18x24 animations with a closed-form 16-color "
+    "global palette, NETSCAPE loop extension, per-frame graphic-control "
+    "extensions, and frame 1 interlaced, decoded by the vendored "
+    "pure-Python codec — full variable-width LZW (width growth, "
+    "dictionary reset, cScSc special case), 4-pass de-interlacing, "
+    "sub-block framing, CRC-free census with byte-extent accounting. "
+    "GIF is lossless over palette indices, so rgb_sum (palette-resolved "
+    "sum across all frames) has a closed-form oracle; extent_ok pins "
+    "that parse_gif walked every byte. The LZW width protocol is pinned "
+    "against REAL third-party encoder output in tests (the CPython "
+    "idlelib icon set decodes 9/9 with full extents). LZW is inherently "
+    "serial per stream, so the 100 TB lever is per-payload parallelism "
+    "inside Arrow-batched mapInPandas (payloads never shuffle), not "
+    "intra-stream vectorization — contrast png.py's wavefront pool, "
+    "whose recurrence does vectorize.",
+)
+def m18_gif_decode(spark, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.types import BooleanType
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 43 == 12)
+    )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("rgb_sum", LongType(), True),
+            StructField("interlaced_frames", LongType(), True),
+            StructField("loop_count", LongType(), True),
+            StructField("extent_ok", BooleanType(), True),
+        ]
+    )
+
+    def gif_payload(d: int) -> bytes:
+        from tectonic_spark.operators.gif import encode_gif
+
+        pal = np.stack(
+            [
+                (d * 5 + np.arange(16) * 11 + c * 3) % 256
+                for c in range(3)
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        r = np.arange(24)[:, None]
+        c = np.arange(18)[None, :]
+        frames = [
+            ((d + k * 7 + r * 3 + c) % 16).astype(np.uint8) for k in range(3)
+        ]
+        return encode_gif(
+            frames,
+            pal,
+            loop=2,
+            delays=[4, 5, 6],
+            interlace=[False, True, False],  # frame 1 interlaced
+        )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.gif import decode_gif, parse_gif
+
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = gif_payload(d)
+                got = decode_gif(payload)
+                meta = parse_gif(payload)
+                rgb = sum(
+                    int(fr["rgb"].astype(np.int64).sum())
+                    for fr in got["frames"]
+                )
+                rows.append(
+                    (
+                        d,
+                        got["width"],
+                        got["height"],
+                        len(got["frames"]),
+                        rgb,
+                        meta["n_interlaced"],
+                        got["loop"],
+                        meta["bytes_walked"] == len(payload),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_frames",
+                "rgb_sum",
+                "interlaced_frames",
+                "loop_count",
+                "extent_ok",
+            ],
+        )
 
     return docs.mapInPandas(walk, schema)
 

@@ -74,8 +74,10 @@ def register(
 PRIORITY: list[str] = [
     # --- r9 tier 1: zero green rows ever — none (closed in r7).
     # --- r9 tier 2: new registrations this round ---
-    # PNG codec + wavefront unfilter engine (png.py)
+    # PNG codec + wavefront unfilter engine + segment-lane pool (png.py)
     "m17_png_decode",
+    # GIF codec: LZW + interlace + animation census (gif.py)
+    "m18_gif_decode",
     # zstd NDJSON ingestion through the JVM-native codec path
     "a23_zstd_scan",
     # --- r9 tier 3: changed code this round ---
