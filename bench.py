@@ -444,6 +444,29 @@ def _png_decode_rate() -> dict[str, float]:
     return out
 
 
+def _gif_decode_rate() -> dict[str, float]:
+    """Vendored GIF LZW decode rate, single core, best-of-3 CPU-time
+    (r9): a 256-color noise frame (12-bit dictionary + reset regime)
+    rated over RAW index bytes."""
+    import time as _t
+
+    import numpy as _np
+
+    from tectonic_spark.operators.gif import decode_gif, encode_gif
+
+    rng = _np.random.default_rng(13)
+    img = rng.integers(0, 256, (256, 256), dtype=_np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=_np.uint8)
+    data = encode_gif(img, pal)
+    decode_gif(data)  # warm
+    best = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        decode_gif(data)
+        best = min(best, _t.process_time() - t0)
+    return {"gif_decode_mb_per_sec": round(img.nbytes / 1e6 / best, 2)}
+
+
 def _audio_codec_rates() -> dict[str, float]:
     """Vendored FLAC decode and MP3 frame-walk rates, single core,
     best-of-3 CPU-time (VERDICT r6 item 7: codec regressions should be
@@ -828,6 +851,7 @@ def main() -> None:
         **_parallel_scan_mbps(spark, sf_dir),
         **_jpeg_decode_rate(),
         **_png_decode_rate(),
+        **_gif_decode_rate(),
         **_audio_codec_rates(),
         **_stream_latency(spark, sf_dir),
         **_sf1_headroom(spark, sf_dir, timings),

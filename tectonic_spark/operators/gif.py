@@ -61,70 +61,67 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     4096 until the encoder sends CLEAR, per the 89a errata)."""
     clear = 1 << min_code_size
     end = clear + 1
-    out = np.empty(n_pixels, dtype=np.uint8)
-    npx = 0
-    # dictionary: prefix link + last byte, rebuilt on clear
-    prefix = [0] * 4096
-    suffix = [0] * 4096
+    # accumulate decoded indices in a bytearray (ONE numpy conversion at
+    # the end): a per-code numpy slice-assign costs ~1 us of dispatch on
+    # typically 1-3 byte expansions and dominated the first version
+    res = bytearray()
+    # dictionary: per-entry fully-expanded bytes, rebuilt on clear.
+    # Storing expansions (vs prefix links) makes each emission one
+    # bytearray += instead of a per-byte link walk; total stored bytes
+    # across a 4096-entry dictionary are bounded by the classic
+    # sum-of-lengths (<= ~8 MB worst case, typically a few hundred KB),
+    # and the table is rebuilt from scratch on clear.
+    table: list[bytes] = [b""] * 4096
+    for i in range(clear):
+        table[i] = bytes([i])
     size = end + 1
     width = min_code_size + 1
-    prev = -1
+    prev: bytes | None = None
     buf = 0
     nbits = 0
-    stack = bytearray()
     pos = 0
     n = len(data)
-    while npx < n_pixels:
+    mask = (1 << width) - 1
+    while len(res) < n_pixels:
         while nbits < width:
             if pos >= n:
                 raise EOFError("GIF LZW data exhausted")
             buf |= data[pos] << nbits  # LSB-first packing per spec
             pos += 1
             nbits += 8
-        code = buf & ((1 << width) - 1)
+        code = buf & mask
         buf >>= width
         nbits -= width
         if code == clear:
             size = end + 1
             width = min_code_size + 1
-            prev = -1
+            mask = (1 << width) - 1
+            prev = None
             continue
         if code == end:
             break
-        if prev < 0:
+        if prev is None:
             if code >= clear:
                 raise ValueError("invalid GIF LZW code")
-            out[npx] = code
-            npx += 1
-            prev = code
+            prev = table[code]
+            res += prev
             continue
         if code > size or (code == size and size >= 4096):
             raise ValueError("invalid GIF LZW code")
-        # expand code (or the prev+first special case) onto the stack
-        c = prev if code == size else code
-        stack.clear()
-        while c >= clear:
-            stack.append(suffix[c])
-            c = prefix[c]
-        first = c
-        stack.append(first)
-        if code == size:
-            stack.insert(0, first)
-        ln = len(stack)
-        if npx + ln > n_pixels:
-            raise ValueError("GIF pixel overflow")
-        out[npx : npx + ln] = np.frombuffer(bytes(stack), dtype=np.uint8)[::-1]
-        npx += ln
+        cur = prev + prev[:1] if code == size else table[code]
+        res += cur
         if size < 4096:
-            prefix[size] = prev
-            suffix[size] = first
+            table[size] = prev + cur[:1]
             size += 1
             if size == (1 << width) and width < 12:
                 width += 1
-        prev = code
-    if npx < n_pixels:
+                mask = (1 << width) - 1
+        prev = cur
+    if len(res) < n_pixels:
         raise EOFError("GIF LZW data exhausted")
-    return out
+    if len(res) > n_pixels:
+        raise ValueError("GIF pixel overflow")
+    return np.frombuffer(bytes(res), dtype=np.uint8)
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
