@@ -1631,6 +1631,101 @@ def m17_png_decode(spark, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(walk, schema)
 
 
+def mixed_media_kernel(docs: DataFrame) -> DataFrame:
+    """Heterogeneous-crawl decode stage (r9): each doc_id carries ONE of
+    the three vendored image formats — baseline JPEG (the m08 fixture),
+    filter-cycling PNG (a 128x128 m17 shape), or a 16-color GIF frame
+    (the m18 shape) — chosen by ``(doc_id // 4) % 3``, and the batch
+    routes each group through its format's BATCH engine
+    (decode_jpeg_batch lane pools / decode_png_batch segment-lane pool /
+    per-payload LZW). Stateless per payload, so the same stage runs in
+    batch and streaming plans unchanged (the m08/s12 pattern); every
+    decoded pixel sum is closed-form in doc_id."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("fmt", StringType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("px_sum", LongType(), True),
+        ]
+    )
+
+    def png_payload(d: int) -> bytes:
+        from tectonic_spark.operators.png import encode_png
+
+        bi = np.arange(256, dtype=np.int64)
+        vals = ((d * 13 + bi * 19) % 256).astype(np.uint8).reshape(16, 16)
+        plane = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        return encode_png(plane, filters=None)
+
+    def gif_payload(d: int) -> bytes:
+        from tectonic_spark.operators.gif import encode_gif
+
+        pal = np.stack(
+            [(d * 5 + np.arange(16) * 11 + c * 3) % 256 for c in range(3)],
+            axis=1,
+        ).astype(np.uint8)
+        r = np.arange(24)[:, None]
+        c = np.arange(18)[None, :]
+        return encode_gif(((d + r * 3 + c) % 16).astype(np.uint8), pal)
+
+    def attach_and_decode(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.gif import decode_gif
+        from tectonic_spark.operators.jpeg_lockstep import decode_jpeg_batch
+        from tectonic_spark.operators.png import decode_png_batch
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            rows: list = [None] * len(ids)
+            groups: dict[int, list[int]] = {0: [], 1: [], 2: []}
+            for i, d in enumerate(ids):
+                groups[(d // 4) % 3].append(i)
+            if groups[0]:
+                pxs = decode_jpeg_batch(
+                    [_jpeg_payload(ids[i]) for i in groups[0]]
+                )
+                for i, px in zip(groups[0], pxs):
+                    rows[i] = (
+                        ids[i],
+                        "jpeg",
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.astype(np.int64).sum()),
+                    )
+            if groups[1]:
+                pxs = decode_png_batch(
+                    [png_payload(ids[i]) for i in groups[1]]
+                )
+                for i, px in zip(groups[1], pxs):
+                    rows[i] = (
+                        ids[i],
+                        "png",
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.astype(np.int64).sum()),
+                    )
+            for i in groups[2]:
+                got = decode_gif(gif_payload(ids[i]))
+                fr = got["frames"][0]
+                rows[i] = (
+                    ids[i],
+                    "gif",
+                    got["width"],
+                    got["height"],
+                    int(fr["rgb"].astype(np.int64).sum()),
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "width", "height", "px_sum"]
+            )
+
+    return docs.select("doc_id").mapInPandas(attach_and_decode, schema)
+
+
 # --- m18: GIF decode (LZW, palettes, interlace, animation census) ----------
 
 

@@ -2315,6 +2315,136 @@ def a23_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s13_stream_mixed_media",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, (doc_id // 4) % 3 AS f
+      FROM documents WHERE doc_id % 4 = 2
+    ),
+    j AS (
+      SELECT doc_id,
+             CASE WHEN ((doc_id // 3) % 3) = 0 THEN 64 ELSE 192 END
+               * list_sum(list_transform(range(0, 8),
+                   bi -> 2 * ((doc_id * 7 + bi * 13) % 128))) AS px
+      FROM d WHERE f = 0
+    ),
+    p AS (
+      SELECT doc_id,
+             64 * list_sum(list_transform(range(0, 256),
+                   bi -> (doc_id * 13 + bi * 19) % 256)) AS px
+      FROM d WHERE f = 1
+    ),
+    g AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 432), q ->
+                 ((doc_id * 5 + ((doc_id + (q // 18) * 3 + (q % 18)) % 16)
+                    * 11) % 256)
+               + ((doc_id * 5 + ((doc_id + (q // 18) * 3 + (q % 18)) % 16)
+                    * 11 + 3) % 256)
+               + ((doc_id * 5 + ((doc_id + (q // 18) * 3 + (q % 18)) % 16)
+                    * 11 + 6) % 256)
+             )) AS px
+      FROM d WHERE f = 2
+    )
+    SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(px) AS BIGINT) AS total_px
+    FROM (
+      SELECT 'jpeg' AS fmt, px FROM j
+      UNION ALL SELECT 'png' AS fmt, px FROM p
+      UNION ALL SELECT 'gif' AS fmt, px FROM g
+    ) GROUP BY fmt
+    """,
+    doc="STREAMING heterogeneous-media decode (r9): the document arrival "
+    "stream carries a MIX of the three vendored image formats — "
+    "baseline JPEG, filter-cycling PNG, 16-color GIF — and one "
+    "Arrow-batched mapInPandas stage routes each format group through "
+    "its batch engine (JPEG lane pools, PNG segment-lane wavefront "
+    "pool, LZW) inside the same streaming plan, exactly what a real "
+    "crawl pipeline sees: payloads are not sorted by format at the "
+    "source. Append-mode parquet sink, >=2 committed micro-batches "
+    "enforced, then a per-format aggregate under three closed-form "
+    "pixel-sum oracles at once — a wrong route (e.g. a PNG through the "
+    "JPEG path) cannot produce all three sums. Decode is stateless per "
+    "payload: no state store, scales with arrival rate.",
+)
+def s13_stream_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.operators.multimodal import mixed_media_kernel
+
+    register_tectonic_sources(spark)
+    src, _n_docs = _docs_parts_stream_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s13_sink")
+    ck = os.path.join(base, "s13_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema("doc_id long")
+        .option("maxFilesPerTrigger", "2")
+        .load(src)
+        .where(F.col("doc_id") % 4 == 2)
+    )
+    decoded = mixed_media_kernel(stream)
+    q = (
+        decoded.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    expected = None
+    sink_rows, n_commits = 0, 0
+    commits_dir = os.path.join(ck, "commits")
+    try:
+        expected = (
+            spark.read.schema("doc_id long")
+            .json(src)
+            .where(F.col("doc_id") % 4 == 2)
+            .count()
+        )
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            n_commits = (
+                len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+                if os.path.isdir(commits_dir)
+                else 0
+            )
+            if sink_rows >= expected and n_commits >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        _stop_stream_quietly(q)
+    if sink_rows != expected:
+        raise RuntimeError(
+            f"s13: sink has {sink_rows} decoded rows, expected {expected}"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s13: only {n_commits} committed micro-batches — decode never "
+            "spanned a batch boundary"
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("px_sum").alias("total_px"),
+        )
+    )
+
+
 def rollup_state_path(state: str) -> str | None:
     """Path of the currently committed rollup version, or None."""
     ptr = os.path.join(state, "CURRENT")

@@ -80,6 +80,9 @@ PRIORITY: list[str] = [
     "m18_gif_decode",
     # zstd NDJSON ingestion through the JVM-native codec path
     "a23_zstd_scan",
+    # streaming heterogeneous-media decode (all three image codec
+    # families routed per payload inside one streaming plan)
+    "s13_stream_mixed_media",
     # --- r9 tier 3: changed code this round ---
     # d8fe2ad (r8 post-gate) changed the teardown path of every
     # polling-loop stream query but only s12 got an r8 driver row; r9
