@@ -2316,6 +2316,58 @@ def a23_zstd_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a24_parquet_zstd_roundtrip",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+    doc="zstd-compressed PARQUET round-trip (completes the a23 story on "
+    "the columnar side — zstd is the de-facto lake compression for "
+    "analytics tables): documents written as .zstd.parquet via Spark's "
+    "native parquet zstd codec, read back by Spark AND cross-read by "
+    "DuckDB (the builder raises unless DuckDB counts the same rows "
+    "from the same files — pins that the emitted zstd parquet is "
+    "standard, not a Spark-only artifact). 100 TB shape: per-task "
+    "columnar compression in the scan/write path, no driver "
+    "involvement; parquet stays block-splittable by row group "
+    "regardless of codec.",
+)
+def a24_parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    out = os.path.join(_fixture_dir(sf_dir), "a24_sink")
+    (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(out)
+    )
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    if not parts or not all(f.endswith(".zstd.parquet") for f in parts):
+        raise RuntimeError(f"a24: expected .zstd.parquet parts, got {parts}")
+    import duckdb
+
+    n_duck = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()[0]
+    d = spark.read.parquet(out)
+    n_spark = d.count()
+    if n_duck != n_spark:
+        raise RuntimeError(
+            f"a24: DuckDB read {n_duck} rows from the zstd parquet, "
+            f"Spark read {n_spark}"
+        )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+@register(
     "s13_stream_mixed_media",
     oracle="""
     WITH d AS (

@@ -83,6 +83,8 @@ PRIORITY: list[str] = [
     # streaming heterogeneous-media decode (all three image codec
     # families routed per payload inside one streaming plan)
     "s13_stream_mixed_media",
+    # zstd parquet round-trip with a DuckDB cross-read pin
+    "a24_parquet_zstd_roundtrip",
     # --- r9 tier 3: changed code this round ---
     # d8fe2ad (r8 post-gate) changed the teardown path of every
     # polling-loop stream query but only s12 got an r8 driver row; r9
