@@ -145,6 +145,14 @@ def _decode_image_real(payload: bytes):
 
         info = decode_gif(payload)
         return "image", info["width"], info["height"], len(info["frames"])
+    if payload[:2] in (b"II", b"MM") and len(payload) > 4 and payload[2:4] in (
+        b"\x2a\x00",
+        b"\x00\x2a",
+    ):  # r9: vendored baseline TIFF codec
+        from tectonic_spark.operators.tiff import decode_tiff
+
+        px = decode_tiff(payload)
+        return "image", px.shape[1], px.shape[0], 1
     if payload[:4] == b"RIFF":
         _rate, samples = codecs.decode_wav(payload)
         return "audio", None, None, len(samples)
@@ -1853,6 +1861,111 @@ def m18_gif_decode(spark, sf_dir: str) -> DataFrame:
                 "interlaced_frames",
                 "loop_count",
                 "extent_ok",
+            ],
+        )
+
+    return docs.mapInPandas(walk, schema)
+
+
+# --- m19: baseline TIFF decode (LZW/PackBits/predictor, strips) ------------
+
+
+@register(
+    "m19_tiff_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(48 AS BIGINT) AS width,
+           CAST(40 AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(0, 1920),
+                i -> (doc_id * 9 + i * 17) % 256)) AS BIGINT) AS px_sum,
+           CAST(CASE (doc_id // 2) % 3 WHEN 0 THEN 1 WHEN 1 THEN 5
+                ELSE 32773 END AS BIGINT) AS compression,
+           CAST(3 AS BIGINT) AS n_strips,
+           CAST(1 AS BIGINT) AS n_pages
+    FROM documents WHERE doc_id % 47 = 17
+    """,
+    doc="Baseline TIFF decode (r9, tiff.py — the document/scan-corpus "
+    "format, completing the crawl-image family): 48x40 grayscale TIFFs "
+    "cycling compression none / LZW / PackBits by doc_id (LZW carries "
+    "the horizontal-differencing predictor — the libtiff default "
+    "pairing), split over 3 strips, decoded by the vendored pure-Python "
+    "codec: IFD tag walk, TIFF-variant LZW (MSB-first, EARLY-CHANGE "
+    "width bump — one code earlier than GIF's protocol), PackBits RLE, "
+    "predictor-2 cumsum reconstruction. Lossless, so the per-pixel "
+    "closed-form oracle pins the whole chain; compression/n_strips/"
+    "n_pages come from the structural census (parse_tiff). Interop is "
+    "pinned in tests against the RGBA TIFF shipped with CPython's test "
+    "suite. 100 TB shape: per-payload mapInPandas parallelism; strips "
+    "are the format's own intra-file parallelism unit.",
+)
+def m19_tiff_decode(spark, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 47 == 17)
+    )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("px_sum", LongType(), True),
+            StructField("compression", LongType(), True),
+            StructField("n_strips", LongType(), True),
+            StructField("n_pages", LongType(), True),
+        ]
+    )
+
+    def tiff_payload(d: int) -> bytes:
+        from tectonic_spark.operators.tiff import encode_tiff
+
+        i = np.arange(40 * 48, dtype=np.int64)
+        img = ((d * 9 + i * 17) % 256).astype(np.uint8).reshape(40, 48)
+        comp = (1, 5, 32773)[(d // 2) % 3]
+        return encode_tiff(
+            img,
+            compression=comp,
+            predictor=2 if comp == 5 else 1,
+            rows_per_strip=16,
+        )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.tiff import decode_tiff, parse_tiff
+
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = tiff_payload(d)
+                px = decode_tiff(payload)
+                meta = parse_tiff(payload)
+                rows.append(
+                    (
+                        d,
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.astype(np.int64).sum()),
+                        meta["compression"],
+                        meta["n_strips"],
+                        meta["n_pages"],
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "px_sum",
+                "compression",
+                "n_strips",
+                "n_pages",
             ],
         )
 
