@@ -87,6 +87,8 @@ PRIORITY: list[str] = [
     "a24_parquet_zstd_roundtrip",
     # baseline TIFF codec (LZW early-change, PackBits, predictor)
     "m19_tiff_decode",
+    # distributed Gram matrix with fixed-point-exact partials
+    "c02_gram_matrix",
     # --- r9 tier 3: changed code this round ---
     # d8fe2ad (r8 post-gate) changed the teardown path of every
     # polling-loop stream query but only s12 got an r8 driver row; r9

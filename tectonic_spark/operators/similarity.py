@@ -1008,3 +1008,76 @@ def c02_ivf_delta_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_build_index(spark, sf_dir, name, cents, where=F.col("vec_id") % 5 != 0)
     ivf_append_delta(spark, sf_dir, name, cents, where=F.col("vec_id") % 5 == 0)
     return ivf_search_index(spark, sf_dir, name)
+
+
+# ------------------------------------------------------- Gram matrix (r9)
+
+
+@register(
+    "c02_gram_matrix",
+    oracle="""
+    WITH prod AS (
+      SELECT t1.i AS i, t2.j AS j,
+             CAST(FLOOR(CAST(embedding[t1.i + 1] AS DOUBLE)
+                        * CAST(embedding[t2.j + 1] AS DOUBLE)
+                        * 1000000) AS BIGINT) AS p
+      FROM embeddings, range(0, 64) t1(i), range(0, 64) t2(j)
+      WHERE t2.j >= t1.i
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(SUM(p) AS BIGINT) AS gram_fixed
+    FROM prod GROUP BY i, j
+    """,
+    doc="Distributed Gram matrix X^T X over the embedding corpus (r9) — "
+    "the linear-algebra primitive behind PCA / whitening / covariance "
+    "in embedding pipelines, in the shape MLlib computes it: each "
+    "Arrow batch folds its rows into ONE 64x64 partial (map-side "
+    "combine inside mapInPandas, chunked so the outer-product "
+    "temporary stays cache-sized), and the only exchange is "
+    "n_batches x 2080 upper-triangle entries — never the corpus. "
+    "Cross-engine exactness WITHOUT decimal casts on a per-pair "
+    "explode (which would be an O(N x D^2) row blow-up at scale): "
+    "every per-row product quantizes to fixed-point via "
+    "floor(x_i * x_j * 1e6) in float64 — floor is unambiguous where "
+    "round would invite half-even vs half-away drift — so partials are "
+    "INTEGER sums, associative and order-independent, and the driver's "
+    "value hash matches DuckDB bit-for-bit.",
+)
+def c02_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    emb = spread_small_scan(emb, spark, "embedding")
+    schema = StructType([StructField("gram", ArrayType(LongType()), True)])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            G = np.zeros((DIM, DIM), dtype=np.int64)
+            for r0 in range(0, len(X), 512):
+                blk = X[r0 : r0 + 512]
+                G += (
+                    np.floor(blk[:, :, None] * blk[:, None, :] * 1e6)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+            yield pd.DataFrame({"gram": [G.reshape(-1).tolist()]})
+
+    parts = emb.mapInPandas(partial, schema)
+    k = F.posexplode("gram").alias("k", "v")
+    flat = parts.select(k)
+    return (
+        flat.select(
+            (F.col("k") / DIM).cast("long").alias("i"),
+            (F.col("k") % DIM).cast("long").alias("j"),
+            F.col("v"),
+        )
+        .where(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("gram_fixed"))
+    )
