@@ -89,6 +89,8 @@ PRIORITY: list[str] = [
     "m19_tiff_decode",
     # distributed Gram matrix with fixed-point-exact partials
     "c02_gram_matrix",
+    # JL random projection (integer-exact Achlioptas signs)
+    "c02_random_projection",
     # --- r9 tier 3: changed code this round ---
     # d8fe2ad (r8 post-gate) changed the teardown path of every
     # polling-loop stream query but only s12 got an r8 driver row; r9

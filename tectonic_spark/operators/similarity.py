@@ -1081,3 +1081,63 @@ def c02_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("v").alias("gram_fixed"))
     )
+
+
+@register(
+    "c02_random_projection",
+    oracle="""
+    SELECT vec_id, CAST(t.k AS BIGINT) AS k,
+           CAST(list_sum(list_transform(range(0, 64), i ->
+                CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                     AS BIGINT)
+                * (((i * 31 + t.k * 17) % 2) * 2 - 1)
+           )) AS BIGINT) AS proj_fixed
+    FROM embeddings, range(0, 16) t(k)
+    """,
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 (r9) — the "
+    "dimensionality-reduction step embedding pipelines run before ANN "
+    "indexing: a seeded Achlioptas +-1 sign matrix (closed form in "
+    "(i, k), no stored state) projects every vector in one vectorized "
+    "integer matmul. Exactness: inputs quantize per-COMPONENT to "
+    "fixed-point floor(x * 1e6) BEFORE the dot product, so the "
+    "projection is an integer sum — numpy's pairwise summation and "
+    "DuckDB's sequential list_sum would disagree in ulps on a float "
+    "dot, integers cannot. 100 TB shape: stateless per row, no "
+    "exchange at all (narrow map over the scan).",
+)
+def c02_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    K = 16
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), True),
+            StructField("k", LongType(), True),
+            StructField("proj_fixed", LongType(), True),
+        ]
+    )
+    i = np.arange(DIM)[:, None]
+    kk = np.arange(K)[None, :]
+    S = (((i * 31 + kk * 17) % 2) * 2 - 1).astype(np.int64)  # (64, 16)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            Xq = np.floor(X * 1e6).astype(np.int64)
+            P = Xq @ S  # (B, 16) integer matmul
+            ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, K),
+                    "k": np.tile(np.arange(K, dtype=np.int64), len(ids)),
+                    "proj_fixed": P.reshape(-1),
+                }
+            )
+
+    return emb.mapInPandas(project, schema)
