@@ -209,24 +209,38 @@ class _Pool:
     def run(self) -> None:
         """Decode every lane; fill c.zz on every job component and run
         the shared dequant+IDCT tail per scan."""
-        cat = np.frombuffer(b"".join(self._bufs), dtype=np.uint8).astype(np.int64)
+        # pool scratch (window table, schedules, coefficient space) is
+        # arena-backed: at 8 bytes per entropy byte the window table was
+        # the baseline engine's dominant fresh-page source, the same
+        # zone-lock exposure the r8 probe diagnosed on the progressive
+        # side (operators/arena.py)
+        from tectonic_spark.operators.arena import get_arena
+
+        arena = get_arena("jpeg_base")
+        arena.reset()
+        joined = b"".join(self._bufs)
+        cat = np.frombuffer(joined, dtype=np.uint8)
         # 48-bit big-endian window at every BYTE: covers the worst-case
-        # o(7) + code(16) + magnitude(15) = 38-bit span in ONE gather
-        W = (
-            (cat[:-5] << 40)
-            | (cat[1:-4] << 32)
-            | (cat[2:-3] << 24)
-            | (cat[3:-2] << 16)
-            | (cat[4:-1] << 8)
-            | cat[5:]
-        )
+        # o(7) + code(16) + magnitude(15) = 38-bit span in ONE gather;
+        # built Horner-style into the arena (zero transient int64 temps)
+        W = arena.take(len(joined) - 5, np.int64)
+        np.copyto(W, cat[:-5], casting="unsafe")
+        for s in range(1, 6):
+            W <<= 8
+            W |= cat[s : s - 5] if s < 5 else cat[5:]
         bmax = len(W) - 1
+
+        def cat_into(parts: list) -> np.ndarray:
+            out = arena.take(sum(p.size for p in parts), np.int64)
+            np.concatenate(parts, out=out)
+            return out
+
         POOL = np.concatenate(self._luts)
-        SB = np.concatenate(self._sb)
-        SD = np.concatenate(self._sd)
-        SA = np.concatenate(self._sa)
-        SP = np.concatenate(self._sp)
-        PRED = np.zeros(self.npred, dtype=np.int64)
+        SB = cat_into(self._sb)
+        SD = cat_into(self._sd)
+        SA = cat_into(self._sa)
+        SP = cat_into(self._sp)
+        PRED = arena.zeros(self.npred, np.int64)
 
         bp = np.asarray(self.lane_bp0, dtype=np.int64)
         limit = np.asarray(self.lane_limit, dtype=np.int64)
@@ -356,7 +370,10 @@ class _Pool:
             raise ValueError("AC run past block end")
         if err_eof:
             raise EOFError("entropy data exhausted")
-        flat = np.zeros(self.coef_total, dtype=np.float64)
+        # float64 coefficient space from the arena too (c.zz views are
+        # consumed by _scan_idct below, inside this call — nothing
+        # aliases the arena after run() returns)
+        flat = arena.zeros(self.coef_total, np.float64)
         if emit_pos:
             flat[np.concatenate(emit_pos)] = np.concatenate(emit_val)
         for job, offs in self.jobs:
