@@ -647,70 +647,103 @@ def _run_ac_refine(items: list, FLAT: np.ndarray) -> None:
         # band VIEW of the job's coefficient region, then row gathers —
         # no (U, B) int64 position matrix, no FLAT.take over it (the
         # structure build is the refine machine's main memory traffic).
-        # Every multi-hundred-KB array below is int32/int8/bool arena
-        # scratch (out= ops on bump-allocated slices): the builders were
-        # the fresh-page fault source of the r8 sf10 diagnosis, and the
-        # value gather runs in sub-mmap-threshold row chunks so its
-        # temporaries stay on the heap fastpath.
+        #
+        # Two builder strategies, chosen per job by structure size:
+        # SMALL jobs (the no-restart crawl shape — hundreds of modest
+        # refine jobs per chunk) take the direct path, whose fresh
+        # temporaries are all sub-mmap-threshold (heap-served, never
+        # the kernel — the r8 fault storm came only from multi-MB
+        # allocations) and which avoids the arena path's per-job
+        # constant cost (measured: the 192-image crawl-shape pool ran
+        # ~40% slower with the arena path applied to every job). LARGE
+        # jobs (m15's dense restart-laned shape) build on int32/int8/
+        # bool arena scratch with out= ops and sub-threshold chunked
+        # gathers, so steady-state decode faults no fresh pages.
         region = FLAT[offs[0] : offs[0] + c.bh * c.bw * 64].reshape(-1, 64)
         bandv = region[:, job.ss : job.se + 1]
-        nzm = arena.take(units * nb, np.bool_).reshape(units, nb)
-        rstep = max(1, (1 << 13) // nb)
-        for r0 in range(0, units, rstep):
-            np.not_equal(
-                bandv.take(bi[r0 : r0 + rstep], axis=0),
-                0,
-                out=nzm[r0 : r0 + rstep],
-            )
-        nzcnt = nzm.sum(axis=1)
-        zcnt = nb - nzcnt
-        n0 = nzp_len + np.concatenate([[0], np.cumsum(nzcnt)])
-        z0 = z_len + np.concatenate([[0], np.cumsum(zcnt)])
-        zm = arena.take(units * nb, np.bool_).reshape(units, nb)
-        np.logical_not(nzm, out=zm)
-        zn = units * nb - int(nzcnt.sum())
-        # int32 positions / counters: valid under COEF_BYTE_CAP (< 2^31
-        # flat entries per pool) and halving the structure footprint —
-        # the zero-history side is ~band-dense, so these arrays dominate
-        # pool scratch (~1.5 MB per dense 512x512 image at int32)
-        zidx = _flatnonzero_into(zm.ravel(), zn, arena)
-        zrows = arena.take(zn, np.int32)
-        np.floor_divide(zidx, nb, out=zrows)
-        zcols = arena.take(zn, np.int32)
-        np.remainder(zidx, nb, out=zcols)
+        cells = units * nb
         base_pos = (offs[0] + (bi << 6) + job.ss).astype(np.int32)
-        zf = arena.take(zn, np.int32)
-        np.take(base_pos, zrows, out=zf)
-        np.add(zf, zcols, out=zf)
-        zflat_parts.append(zf)
-        zk = arena.take(zn, np.int8)
-        np.add(zcols, job.ss, out=zk, casting="unsafe")
-        zk_parts.append(zk)
-        n032 = n0[:-1].astype(np.int32)
-        znz = arena.take(zn, np.int32)
-        if nzm.any():
-            nn = units * nb - zn
-            nidx = _flatnonzero_into(nzm.ravel(), nn, arena)
-            nrows = arena.take(nn, np.int32)
-            np.floor_divide(nidx, nb, out=nrows)
-            nzp = arena.take(nn, np.int32)
-            np.take(base_pos, nrows, out=nzp)
-            np.add(nzp, nidx, out=nzp)
-            # nzp += ncols without materializing it: ncols = nidx - nrows*nb
-            np.subtract(nzp, nrows * np.int32(nb), out=nzp)
-            nzp_parts.append(nzp)
-            # inclusive cumsum at a zero position counts nz strictly before
-            cs = arena.take(units * nb, np.int32).reshape(units, nb)
-            np.cumsum(nzm, axis=1, dtype=np.int32, out=cs)
-            np.take(n032, zrows, out=znz)
-            csg = arena.take(zn, np.int32)
-            np.take(cs.reshape(-1), zidx, out=csg)
-            np.add(znz, csg, out=znz)
+        if cells <= (1 << 16):
+            # ---- direct small-job path (temps < 64k cells) ----------
+            V = bandv[bi]
+            nzm = V != 0
+            nzcnt = nzm.sum(axis=1)
+            zcnt = nb - nzcnt
+            n0 = nzp_len + np.concatenate([[0], np.cumsum(nzcnt)])
+            z0 = z_len + np.concatenate([[0], np.cumsum(zcnt)])
+            zrows, zcols = np.nonzero(~nzm)
+            zflat_parts.append(
+                base_pos.take(zrows) + zcols.astype(np.int32)
+            )
+            zk_parts.append((zcols + job.ss).astype(np.int8))
+            if nzm.any():
+                nrows, ncols = np.nonzero(nzm)
+                nzp_parts.append(
+                    base_pos.take(nrows) + ncols.astype(np.int32)
+                )
+                cs = np.cumsum(nzm, axis=1, dtype=np.int32)
+                znz_parts.append(
+                    n0[:-1].astype(np.int32)[zrows] + cs[zrows, zcols]
+                )
+            else:
+                znz_parts.append(n0[:-1].astype(np.int32).take(zrows))
         else:
-            # all-invisible band (the sparse-corpus common case): no nz
-            # positions, every zero's nz index is its block's start
-            np.take(n032, zrows, out=znz)
-        znz_parts.append(znz)
+            # ---- arena large-job path -------------------------------
+            nzm = arena.take(cells, np.bool_).reshape(units, nb)
+            rstep = max(1, (1 << 13) // nb)
+            for r0 in range(0, units, rstep):
+                np.not_equal(
+                    bandv.take(bi[r0 : r0 + rstep], axis=0),
+                    0,
+                    out=nzm[r0 : r0 + rstep],
+                )
+            nzcnt = nzm.sum(axis=1)
+            zcnt = nb - nzcnt
+            n0 = nzp_len + np.concatenate([[0], np.cumsum(nzcnt)])
+            z0 = z_len + np.concatenate([[0], np.cumsum(zcnt)])
+            zm = arena.take(cells, np.bool_).reshape(units, nb)
+            np.logical_not(nzm, out=zm)
+            zn = cells - int(nzcnt.sum())
+            # int32 positions / counters: valid under COEF_BYTE_CAP
+            # (< 2^31 flat entries per pool) and halving the structure
+            # footprint — the zero-history side is ~band-dense, so
+            # these arrays dominate pool scratch
+            zidx = _flatnonzero_into(zm.ravel(), zn, arena)
+            zrows = arena.take(zn, np.int32)
+            np.floor_divide(zidx, nb, out=zrows)
+            zcols = arena.take(zn, np.int32)
+            np.remainder(zidx, nb, out=zcols)
+            zf = arena.take(zn, np.int32)
+            np.take(base_pos, zrows, out=zf)
+            np.add(zf, zcols, out=zf)
+            zflat_parts.append(zf)
+            zk = arena.take(zn, np.int8)
+            np.add(zcols, job.ss, out=zk, casting="unsafe")
+            zk_parts.append(zk)
+            n032 = n0[:-1].astype(np.int32)
+            znz = arena.take(zn, np.int32)
+            if nzm.any():
+                nn = cells - zn
+                nidx = _flatnonzero_into(nzm.ravel(), nn, arena)
+                nrows = arena.take(nn, np.int32)
+                np.floor_divide(nidx, nb, out=nrows)
+                nzp = arena.take(nn, np.int32)
+                np.take(base_pos, nrows, out=nzp)
+                np.add(nzp, nidx, out=nzp)
+                # += ncols without materializing: ncols = nidx - nrows*nb
+                np.subtract(nzp, nrows * np.int32(nb), out=nzp)
+                nzp_parts.append(nzp)
+                # inclusive cumsum at a zero counts nz strictly before
+                cs = arena.take(cells, np.int32).reshape(units, nb)
+                np.cumsum(nzm, axis=1, dtype=np.int32, out=cs)
+                np.take(n032, zrows, out=znz)
+                csg = arena.take(zn, np.int32)
+                np.take(cs.reshape(-1), zidx, out=csg)
+                np.add(znz, csg, out=znz)
+            else:
+                # all-invisible band (the sparse-corpus common case)
+                np.take(n032, zrows, out=znz)
+            znz_parts.append(znz)
         nzp_len = int(n0[-1])
         z_len = int(z0[-1])
         lslot = slot(job.huff[(1, ta)]) << 16
