@@ -2497,6 +2497,91 @@ def s13_stream_mixed_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s14_stream_zstd_ingest",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+    doc="STREAMING compressed ingestion (r9 — the a23 story under "
+    "Structured Streaming): the SAME mixed plain/.gz/.zst NDJSON shard "
+    "directory streams through Spark's native json FileStreamSource "
+    "with maxFilesPerTrigger=2, each compressed shard inflating "
+    "JVM-side in its micro-batch task (zstd via the bundled "
+    "aircompressor codec), into an append-mode parquet sink; >=2 "
+    "committed micro-batches enforced, then the aggregate must equal "
+    "the uncompressed table exactly. The arrival pattern of a real "
+    "corpus drop: shards land compressed, the pipeline never "
+    "re-materializes them.",
+)
+def s14_stream_zstd_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = _docs_zst_mixed_src(spark, sf_dir)
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s14_sink")
+    ck = os.path.join(base, "s14_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .json(os.path.join(src, "part-*"))
+        .select("doc_id", "lang", "n_chars")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    expected = None
+    sink_rows, n_commits = 0, 0
+    commits_dir = os.path.join(ck, "commits")
+    try:
+        expected = (
+            spark.read.schema(schema).json(os.path.join(src, "part-*")).count()
+        )
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            n_commits = (
+                len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+                if os.path.isdir(commits_dir)
+                else 0
+            )
+            if sink_rows >= expected and n_commits >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        _stop_stream_quietly(q)
+    if sink_rows != expected:
+        raise RuntimeError(
+            f"s14: sink has {sink_rows} rows, expected {expected}"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s14: only {n_commits} committed micro-batches — ingestion "
+            "never spanned a batch boundary"
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
 def rollup_state_path(state: str) -> str | None:
     """Path of the currently committed rollup version, or None."""
     ptr = os.path.join(state, "CURRENT")

@@ -85,6 +85,8 @@ PRIORITY: list[str] = [
     "s13_stream_mixed_media",
     # zstd parquet round-trip with a DuckDB cross-read pin
     "a24_parquet_zstd_roundtrip",
+    # streaming compressed ingestion over the mixed plain/gz/zst dir
+    "s14_stream_zstd_ingest",
     # baseline TIFF codec (LZW early-change, PackBits, predictor)
     "m19_tiff_decode",
     # distributed Gram matrix with fixed-point-exact partials
