@@ -126,9 +126,10 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     """Real LZW compression (hash-dict), deterministic: emits CLEAR,
-    grows the dictionary and code width, emits CLEAR + resets at the
-    4096 cap, ends with END — so round-trips exercise the decoder's
-    growth and reset paths."""
+    grows the dictionary and code width, emits CLEAR + resets when the
+    dictionary fills (the decoder tolerates deferred clears from
+    third-party encoders; ours clears immediately), ends with END — so
+    round-trips exercise the decoder's growth and reset paths."""
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()
