@@ -246,6 +246,8 @@ def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 def _pad_edge(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     h, w = plane.shape
+    if h == bh and w == bw:
+        return plane  # already block-aligned: no copy (encode hot path)
     return np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
 
 
@@ -512,11 +514,19 @@ def encode_jpeg(
     h, w = pixels.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    # encode-session scratch arena: everything _quantize_plane hands
+    # back lives until the next encode call on this thread (see the
+    # _quantize_plane docstring)
+    from tectonic_spark.operators.arena import get_arena
+
+    get_arena("jpeg_encode").reset()
     qt_l = quality_scaled(STD_QT_LUMA, quality)
     qt_c = quality_scaled(STD_QT_CHROMA, quality)
 
     if gray:
-        planes = [pixels.astype(np.float64)]
+        # uint8 plane straight through: _quantize_plane casts in
+        # its out= subtract, saving a 2 MB float64 copy per call
+        planes = [pixels]
         samp = [(1, 1)]
         qt_ids = [0]
     else:
@@ -1375,15 +1385,40 @@ def _assemble(comps: list[_Component], width: int, height: int) -> np.ndarray:
 
 def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     """Quantized ZIGZAG-order coefficients for every 8x8 block of a
-    block-aligned plane, row-major: (n_blocks, 64) int64."""
+    block-aligned plane, row-major: (n_blocks, 64) int64.
+
+    All scratch (and the returned coefficient array) comes from the
+    per-thread "jpeg_encode" arena, reset by the encode entry points:
+    the naive expression allocated ~11 transient plane-sized float64
+    arrays per call (~22 MB per 512x512 image), and at 32 concurrent
+    workers that fresh-page churn put more kernel time on the ENCODE
+    side than the decode engines ever paid (the r9 sf10 addendum's
+    watch item). Identical arithmetic, out= chained."""
+    from tectonic_spark.operators.arena import get_arena
+
+    arena = get_arena("jpeg_encode")
     q = qt.reshape(8, 8).astype(np.float64)
     h, w = plane.shape
-    blocks = (
-        plane.astype(np.float64).reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
-        - 128.0
-    )
-    coef = _iround((_A @ blocks @ _AT) / q).astype(np.int64)
-    return coef.reshape(-1, 64)[:, ZIGZAG]
+    hb, wb = h // 8, w // 8
+    nb = hb * wb
+    pv = plane.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3)
+    B = arena.take(nb * 64, np.float64).reshape(hb, wb, 8, 8)
+    np.subtract(pv, 128.0, out=B)
+    T = arena.take(nb * 64, np.float64).reshape(hb, wb, 8, 8)
+    np.matmul(_A, B, out=T)
+    np.matmul(T, _AT, out=B)
+    np.divide(B, q, out=B)
+    # _iround (half away from zero), in place across B with T as scratch
+    np.abs(B, out=T)
+    np.add(T, 0.5, out=T)
+    np.floor(T, out=T)
+    np.sign(B, out=B)
+    np.multiply(B, T, out=B)
+    zzf = T.reshape(nb, 64)
+    np.take(B.reshape(nb, 64), ZIGZAG, axis=1, out=zzf)
+    out = arena.take(nb * 64, np.int64).reshape(nb, 64)
+    np.copyto(out, zzf, casting="unsafe")
+    return out
 
 
 # Progressive scans use the vectorized token path by default; the
@@ -1646,10 +1681,15 @@ def encode_jpeg_progressive(
     h, w = pixels.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    from tectonic_spark.operators.arena import get_arena
+
+    get_arena("jpeg_encode").reset()  # see _quantize_plane
     qt_l = quality_scaled(STD_QT_LUMA, quality)
     qt_c = quality_scaled(STD_QT_CHROMA, quality)
     if gray:
-        planes = [pixels.astype(np.float64)]
+        # uint8 plane straight through: _quantize_plane casts in
+        # its out= subtract, saving a 2 MB float64 copy per call
+        planes = [pixels]
         samp = [(1, 1)]
         qt_ids = [0]
     else:
