@@ -326,6 +326,7 @@ def decode_gif(data: bytes) -> dict:
     loop = None
     delay = None
     transparent = None
+    disposal = None
     saw_trailer = False
     n_data = len(data)
     while pos < n_data:
@@ -344,6 +345,7 @@ def decode_gif(data: bytes) -> dict:
                 flags, d, t = struct.unpack_from("<BHB", payload, 0)
                 delay = d
                 transparent = t if flags & 1 else None
+                disposal = (flags >> 2) & 7
             elif label == 0xFF and payload[:11] == b"NETSCAPE2.0":
                 if len(payload) >= 14:
                     loop = struct.unpack_from("<H", payload, 12)[0]
@@ -393,10 +395,12 @@ def decode_gif(data: bytes) -> dict:
                 "interlaced": interlaced,
                 "delay": delay,
                 "transparent": transparent,
+                "disposal": disposal,
             }
         )
         delay = None
         transparent = None
+        disposal = None
     if not saw_trailer:
         raise EOFError("missing GIF trailer")
     if not frames:

@@ -206,3 +206,21 @@ def test_per_frame_interlace_mix():
     assert flags == [False, True, False]
     for fr, ref in zip(got["frames"], frames):
         assert (fr["indices"] == ref).all()
+
+
+def test_disposal_method_surfaced():
+    import struct as _s
+
+    pal = _pal(4, seed=1)
+    img = _idx(5, 5, 4, seed=2)
+    data = encode_gif(img, pal, delays=[7])
+    # rewrite the GCE flags byte to carry disposal method 2
+    pos = data.index(b"\x21\xf9\x04") + 3
+    patched = bytearray(data)
+    patched[pos] = (patched[pos] & ~0x1C) | (2 << 2)
+    # fix nothing else: GCE has no checksum
+    got = decode_gif(bytes(patched))
+    assert got["frames"][0]["disposal"] == 2
+    assert got["frames"][0]["delay"] == 7
+    # encoder's default flags carry disposal 0
+    assert decode_gif(data)["frames"][0]["disposal"] == 0

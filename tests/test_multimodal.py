@@ -95,3 +95,20 @@ def test_decode_image_real_routes_png():
     img = np.arange(15 * 9, dtype=np.uint8).reshape(15, 9) % 256
     kind, w, h, nf = _decode_image_real(encode_png(img, filters=4))
     assert (kind, w, h, nf) == ("image", 9, 15, 1)
+
+
+def test_decode_image_real_routes_gif_and_tiff():
+    """m01's real-decode dispatch recognizes GIF and TIFF payloads (r9)."""
+    import numpy as np
+
+    from tectonic_spark.operators.gif import encode_gif
+    from tectonic_spark.operators.multimodal import _decode_image_real
+    from tectonic_spark.operators.tiff import encode_tiff
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = (np.arange(7 * 9, dtype=np.uint8) % 16).reshape(7, 9)
+    kind, w, h, nf = _decode_image_real(encode_gif([idx, idx], pal))
+    assert (kind, w, h, nf) == ("image", 9, 7, 2)
+    img = (np.arange(11 * 5, dtype=np.uint8) % 256).reshape(11, 5)
+    kind, w, h, nf = _decode_image_real(encode_tiff(img, compression=5))
+    assert (kind, w, h, nf) == ("image", 5, 11, 1)
