@@ -451,6 +451,8 @@ def parse_gif(data: bytes) -> dict:
             continue
         if b != 0x2C:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
+        if pos + 9 > n:
+            raise EOFError("truncated GIF image descriptor")
         fpacked = data[pos + 8]
         pos += 9
         if fpacked & 0x80:

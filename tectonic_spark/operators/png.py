@@ -195,6 +195,8 @@ def encode_png(
         pal = np.asarray(palette, dtype=np.uint8)
         if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
             raise ValueError("palette must be (n<=256, 3) uint8")
+        if int(img.max(initial=0)) >= len(pal):
+            raise ValueError("frame index exceeds palette")
         out.append(_chunk(b"PLTE", pal.tobytes()))
 
     if not interlace:

@@ -154,6 +154,15 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
         seq = v
     if seq is not None:
         emit(seq)
+        # replay the decoder's bookkeeping for this final code: the
+        # decoder adds one more table entry after consuming it, and
+        # under EARLY CHANGE that add can cross the width boundary —
+        # a spec-strict MSB-first reader then widens BEFORE reading
+        # EOI, so EOI must be emitted at the post-growth width
+        if size < 4094:
+            size += 1
+            if size == (1 << width) and width < 12:
+                width += 1
     emit(EOI)
     if nbits:
         out.append((buf << (8 - nbits)) & 0xFF)

@@ -224,3 +224,17 @@ def test_disposal_method_surfaced():
     assert got["frames"][0]["delay"] == 7
     # encoder's default flags carry disposal 0
     assert decode_gif(data)["frames"][0]["disposal"] == 0
+
+
+def test_parse_gif_truncated_descriptor():
+    # r10 ADVICE: parse_gif must raise the documented EOFError taxonomy
+    # (not IndexError) when truncated inside an image descriptor
+    pal = _pal(4, seed=3)
+    img = _idx(6, 6, 4, seed=4)
+    data = encode_gif(img, pal)
+    dpos = data.index(b"\x2c")
+    truncated = data[: dpos + 5]  # cut mid-descriptor
+    with pytest.raises(EOFError, match="truncated GIF image descriptor"):
+        parse_gif(truncated)
+    with pytest.raises(EOFError, match="truncated GIF image descriptor"):
+        decode_gif(truncated)

@@ -156,11 +156,29 @@ def test_error_taxonomy():
 
 
 def test_palette_index_out_of_range():
+    # encode-time guard (r10, ADVICE): a fixture bug surfaces at
+    # generation time, not later on an executor
     pal = np.zeros((2, 3), dtype=np.uint8)
     idx = np.array([[0, 1], [1, 3]], dtype=np.uint8)  # 3 >= len(pal)
-    data = encode_png(idx, bit_depth=8, palette=pal)
+    with pytest.raises(ValueError, match="frame index exceeds palette"):
+        encode_png(idx, bit_depth=8, palette=pal)
+    # decode-time guard still fires for third-party payloads: write a
+    # valid 4-entry-palette PNG, then shrink PLTE to 2 entries
+    pal4 = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    data = encode_png(idx, bit_depth=8, palette=pal4)
+    ppos = data.index(b"PLTE")
+    head, tail = data[: ppos - 4], data[ppos + 4 + 12 + 4 :]
+    short = pal4[:2].tobytes()
+    shrunk = (
+        head
+        + struct.pack(">I", len(short))
+        + b"PLTE"
+        + short
+        + struct.pack(">I", zlib.crc32(b"PLTE" + short))
+        + tail
+    )
     with pytest.raises(ValueError, match="palette index out of range"):
-        decode_png(data)
+        decode_png(shrunk)
 
 
 def test_parse_png_census():

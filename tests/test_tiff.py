@@ -138,3 +138,60 @@ def test_real_world_tiff_decodes():
     assert meta["width"] == 16 and meta["height"] == 16
     px = decode_tiff(data)
     assert px.shape == (16, 16, 4) and px.dtype == np.uint8
+
+
+def _strict_lzw_read(stream: bytes, n_out: int) -> None:
+    """Spec-strict MSB-first TIFF LZW reader: decodes exactly n_out
+    bytes doing full width bookkeeping, then REQUIRES the very next
+    code (at the post-growth width) to be EOI — the conformance
+    property third-party readers rely on and the r10 encoder fix
+    guarantees."""
+    CLEAR, EOI = 256, 257
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, size = 9, 258
+    prev = None
+    buf = nbits = pos = 0
+    out = bytearray()
+
+    def read_code():
+        nonlocal buf, nbits, pos
+        while nbits < width:
+            buf = (buf << 8) | stream[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        return (buf >> nbits) & ((1 << width) - 1)
+
+    while True:
+        code = read_code()
+        if code == CLEAR:
+            del table[258:]
+            width, size, prev = 9, 258, None
+            continue
+        assert code != EOI or len(out) == n_out
+        if code == EOI:
+            return
+        cur = prev + prev[:1] if code == size else table[code]
+        out += cur
+        if prev is not None:
+            table.append(prev + cur[:1])
+            size += 1
+            if size == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = cur
+
+
+@pytest.mark.parametrize("n", [252, 253, 254, 255, 256, 508, 509, 510])
+def test_lzw_encoder_eoi_width_conformance(n):
+    """r10 ADVICE fix: when the final data code lands exactly on the
+    early-change boundary (n=254 incompressible bytes -> decoder size
+    hits 511 on its last entry add), EOI must be emitted at the
+    POST-growth width or a strict reader sees a garbage code."""
+    from tectonic_spark.operators.tiff import _lzw_decode_tiff, _lzw_encode_tiff
+
+    data = bytes(range(256))[:n] if n <= 256 else bytes(
+        (i * 3) % 256 for i in range(n)
+    )
+    enc = _lzw_encode_tiff(data)
+    _strict_lzw_read(enc, len(data))  # strict reader sees EOI cleanly
+    assert _lzw_decode_tiff(enc, len(data)) == data  # pixels unchanged
