@@ -467,6 +467,37 @@ def _gif_decode_rate() -> dict[str, float]:
     return {"gif_decode_mb_per_sec": round(img.nbytes / 1e6 / best, 2)}
 
 
+def _webp_decode_rate() -> dict[str, float]:
+    """Vendored VP8L decode rate, single core, best-of-3 CPU-time
+    (r10): a noise RGBA image (literal-heavy, worst case for the
+    entropy loop) plus a palette image (the transform-and-LZ77 case),
+    rated over RAW pixel bytes."""
+    import time as _t
+
+    import numpy as _np
+
+    from tectonic_spark.operators.webp import decode_webp, encode_webp
+
+    rng = _np.random.default_rng(17)
+    noise = rng.integers(0, 256, (128, 128, 4), dtype=_np.uint8)
+    pal = rng.integers(0, 256, (16, 4), dtype=_np.uint8)
+    paletted = pal[rng.integers(0, 16, (192, 192), dtype=_np.uint8)]
+    out = {}
+    for name, img, kwargs in (
+        ("webp_decode_mb_per_sec", noise, {"cache_bits": 6}),
+        ("webp_decode_palette_mb_per_sec", paletted, {"palette": True}),
+    ):
+        data = encode_webp(img, **kwargs)
+        decode_webp(data)  # warm
+        best = 1e9
+        for _ in range(3):
+            t0 = _t.process_time()
+            decode_webp(data)
+            best = min(best, _t.process_time() - t0)
+        out[name] = round(img.nbytes / 1e6 / best, 2)
+    return out
+
+
 def _audio_codec_rates() -> dict[str, float]:
     """Vendored FLAC decode and MP3 frame-walk rates, single core,
     best-of-3 CPU-time (VERDICT r6 item 7: codec regressions should be
@@ -852,6 +883,7 @@ def main() -> None:
         **_jpeg_decode_rate(),
         **_png_decode_rate(),
         **_gif_decode_rate(),
+        **_webp_decode_rate(),
         **_audio_codec_rates(),
         **_stream_latency(spark, sf_dir),
         **_sf1_headroom(spark, sf_dir, timings),

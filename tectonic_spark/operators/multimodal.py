@@ -153,6 +153,16 @@ def _decode_image_real(payload: bytes):
 
         px = decode_tiff(payload)
         return "image", px.shape[1], px.shape[0], 1
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # r10: vendored WebP codec — VP8L decodes to pixels; lossy VP8
+        # surfaces census dims (pixel decode documented out)
+        from tectonic_spark.operators.webp import decode_webp, parse_webp
+
+        info = parse_webp(payload)
+        if info["format"] == "lossless":
+            px = decode_webp(payload)
+            return "image", px.shape[1], px.shape[0], 1
+        return "image", info["width"], info["height"], max(info["n_frames"], 1)
     if payload[:4] == b"RIFF":
         _rate, samples = codecs.decode_wav(payload)
         return "audio", None, None, len(samples)
@@ -1966,6 +1976,136 @@ def m19_tiff_decode(spark, sf_dir: str) -> DataFrame:
                 "compression",
                 "n_strips",
                 "n_pages",
+            ],
+        )
+
+    return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m20_webp_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, (doc_id // 2) % 4 AS v
+               FROM documents WHERE doc_id % 43 = 21)
+    SELECT doc_id,
+           CAST(48 AS BIGINT) AS width,
+           CAST(48 AS BIGINT) AS height,
+           CAST(CASE WHEN v = 2
+             THEN list_sum(list_transform(range(0, 2304), i ->
+                    (doc_id * 5  + ((doc_id + i) % 13) * 17) % 256
+                  + (doc_id * 11 + ((doc_id + i) % 13) * 7)  % 256
+                  + (doc_id * 17 + ((doc_id + i) % 13) * 3)  % 256
+                  + 255))
+             ELSE list_sum(list_transform(range(0, 2304), i ->
+                    (doc_id * 13 + i * 19) % 256
+                  + (doc_id * 7  + i * 5)  % 256
+                  + (doc_id * 3  + i * 11) % 256
+                  + 255))
+           END AS BIGINT) AS px_sum,
+           CAST(v AS BIGINT) AS variant,
+           CAST(CASE v WHEN 0 THEN 0 WHEN 2 THEN 1 ELSE 2 END AS BIGINT)
+             AS n_transforms
+    FROM d
+    """,
+    doc="WebP lossless (VP8L) decode (r10, webp.py — VERDICT r9 item 2: "
+    "the highest-volume image format the engine could not yet decode; "
+    "it outranks GIF in modern crawls): 48x48 RGBA images cycling four "
+    "encoder shapes by doc_id — plain literals + LZ77 + a 6-bit color "
+    "cache, subtract-green + the Select predictor (mode 11), a "
+    "13-color color-indexing palette with 2-pixels-per-byte bundling, "
+    "and subtract-green + the per-tile signed color transform — "
+    "decoded by the vendored pure-Python codec: canonical prefix codes "
+    "(incl. the 19-symbol code-length code), color cache, the 120-entry "
+    "close-neighborhood distance mapping (generated from its defining "
+    "rule, not vendored), meta prefix groups, and all four transform "
+    "inverses. Lossless, so the closed-form RGBA pixel-sum oracle pins "
+    "the whole chain; variant/n_transforms are pinned from the "
+    "DECODER's transform census (stats), so a stream that silently "
+    "skipped a transform fails loudly. Interop is pinned in tests "
+    "against the real libwebp-encoded lossless ALPH stream in "
+    "CPython's python.webp. 100 TB shape: per-payload mapInPandas "
+    "parallelism (the m08 pattern); payloads never leave executors.",
+)
+def m20_webp_decode(spark, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 43 == 21)
+    )
+    # CPU-heavy per-payload kernel downstream of a tiny scan:
+    # spread across cores when the input arrives in fewer splits
+    # than parallelism (no-op at real scale — tables.py doctrine)
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("px_sum", LongType(), True),
+            StructField("variant", LongType(), True),
+            StructField("n_transforms", LongType(), True),
+        ]
+    )
+
+    def webp_payload(d: int) -> bytes:
+        from tectonic_spark.operators.webp import encode_webp
+
+        v = (d // 2) % 4
+        i = np.arange(2304, dtype=np.int64)
+        if v == 2:
+            idx = (d + i) % 13
+            r = (d * 5 + idx * 17) % 256
+            g = (d * 11 + idx * 7) % 256
+            b = (d * 17 + idx * 3) % 256
+        else:
+            r = (d * 13 + i * 19) % 256
+            g = (d * 7 + i * 5) % 256
+            b = (d * 3 + i * 11) % 256
+        img = np.stack(
+            [r, g, b, np.full(2304, 255, dtype=np.int64)], axis=1
+        ).astype(np.uint8).reshape(48, 48, 4)
+        if v == 0:
+            return encode_webp(img, cache_bits=6)
+        if v == 1:
+            return encode_webp(
+                img, subtract_green=True, predictor=11, predictor_bits=4
+            )
+        if v == 2:
+            return encode_webp(img, palette=True)
+        return encode_webp(
+            img, subtract_green=True, color=(17, -9, 5), color_bits=4
+        )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.webp import decode_webp
+
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                stats: dict = {}
+                px = decode_webp(webp_payload(d), stats=stats)
+                rows.append(
+                    (
+                        d,
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.astype(np.int64).sum()),
+                        (d // 2) % 4,
+                        len(stats["transforms"]),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "px_sum",
+                "variant",
+                "n_transforms",
             ],
         )
 

@@ -112,3 +112,17 @@ def test_decode_image_real_routes_gif_and_tiff():
     img = (np.arange(11 * 5, dtype=np.uint8) % 256).reshape(11, 5)
     kind, w, h, nf = _decode_image_real(encode_tiff(img, compression=5))
     assert (kind, w, h, nf) == ("image", 5, 11, 1)
+
+
+def test_decode_image_real_routes_webp():
+    """m01's real-decode dispatch recognizes WebP payloads (r10) —
+    lossless decodes to pixels; the RIFF branch must not swallow them
+    as WAV."""
+    import numpy as np
+
+    from tectonic_spark.operators.multimodal import _decode_image_real
+    from tectonic_spark.operators.webp import encode_webp
+
+    img = (np.arange(10 * 14 * 4, dtype=np.uint8) % 256).reshape(10, 14, 4)
+    kind, w, h, nf = _decode_image_real(encode_webp(img, subtract_green=True))
+    assert (kind, w, h, nf) == ("image", 14, 10, 1)
