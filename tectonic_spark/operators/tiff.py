@@ -372,14 +372,17 @@ def _read_ifd(data: bytes, bo: str, pos: int):
     base = pos + 2
     if base + 12 * n + 4 > len(data):
         raise EOFError("truncated TIFF IFD")
-    sizes = {1: 1, 2: 1, 3: 2, 4: 4}
-    fmts = {1: "B", 3: "H", 4: "I"}
+    # RATIONAL (5) / SRATIONAL (10) land as (numerator, denominator)
+    # tuples — EXIF (m21) rides this same walker: EXIF is a TIFF
+    # structure, so GPS coordinates and exposure times need them
+    sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 9: 4, 10: 8}
+    fmts = {1: "B", 3: "H", 4: "I", 5: "II", 9: "i", 10: "ii"}
     for i in range(n):
         tag, typ, count, raw = struct.unpack_from(
             bo + "HHII", data, base + 12 * i
         )
         if typ not in sizes:
-            continue  # rational/undefined etc. — skip (census only)
+            continue  # undefined/float etc. — skip (census only)
         total = sizes[typ] * count
         if total <= 4:
             voff = base + 12 * i + 8
@@ -389,6 +392,11 @@ def _read_ifd(data: bytes, bo: str, pos: int):
                 raise EOFError("truncated TIFF tag data")
         if typ == 2:
             entries[tag] = data[voff : voff + count]
+        elif typ in (5, 10):
+            flat = struct.unpack_from(bo + fmts[typ] * count, data, voff)
+            entries[tag] = [
+                (flat[2 * k], flat[2 * k + 1]) for k in range(count)
+            ]
         else:
             entries[tag] = list(
                 struct.unpack_from(bo + fmts[typ] * count, data, voff)

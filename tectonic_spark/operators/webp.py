@@ -1436,6 +1436,7 @@ def encode_webp(
     use_lz77: bool = True,
     meta_bits: int | None = None,
     n_meta_groups: int = 2,
+    exif: bytes | None = None,
 ) -> bytes:
     """Deterministic lossless WebP (VP8L) writer. ``img``: (H, W) gray,
     (H, W, 3) RGB, or (H, W, 4) RGBA uint8. Transform combos, the
@@ -1554,4 +1555,20 @@ def encode_webp(
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunk += b"\x00"
+    if exif is not None:
+        # extended container: VP8X (EXIF + alpha flags, 24-bit LE
+        # canvas minus-one dims) + image chunk + EXIF chunk
+        flags = 0x08 | (0x10 if has_alpha else 0)
+        vp8x = (
+            b"VP8X"
+            + struct.pack("<I", 10)
+            + bytes([flags])
+            + b"\x00\x00\x00"
+            + struct.pack("<I", w - 1)[:3]
+            + struct.pack("<I", h - 1)[:3]
+        )
+        exif_chunk = b"EXIF" + struct.pack("<I", len(exif)) + exif
+        if len(exif) & 1:
+            exif_chunk += b"\x00"
+        chunk = vp8x + chunk + exif_chunk
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
