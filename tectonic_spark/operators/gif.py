@@ -54,11 +54,173 @@ _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
-    """Variable-width LZW over a de-sub-blocked byte stream -> index
-    array of exactly ``n_pixels`` entries. Implements width growth
-    (up to 12 bits), dictionary reset on CLEAR, the end-of-information
-    code, and tolerates deferred clears (dictionary pinned full at
-    4096 until the encoder sends CLEAR, per the 89a errata)."""
+    """Variable-width LZW -> index array of exactly ``n_pixels``
+    entries (r10 vectorized-extraction engine — VERDICT r9 item 4).
+
+    Two structural facts make this fast without changing semantics:
+
+    1. **Code positions are content-independent between width-growth
+       points.** The dictionary grows by exactly one entry per code
+       consumed (after the first code following a CLEAR), so the code
+       width — and therefore every code's bit offset — is a pure
+       function of the count of codes since the last CLEAR. Codes in
+       a constant-width run are bit-sliced from the stream in ONE
+       numpy gather (3-byte window >> shift & mask); only a CLEAR
+       invalidates the tail of an extracted run, and clears are rare
+       (every ~3800 codes from real encoders).
+    2. **Every dictionary entry's expansion is a contiguous slice of
+       the already-decoded output.** The entry created at step t is
+       prev + head(cur) = output[start(t-1) : start(t)+1]. So the
+       serial loop needs no byte-string dictionary at all — just the
+       per-step output offsets — and each code emission is one
+       bytearray slice copy (memcpy) instead of bytes concatenation
+       plus a new table entry.
+
+    Implements width growth to 12 bits, CLEAR reset, EOI, the cScSc
+    just-created-entry case, and tolerates deferred clears (dictionary
+    pinned full at 4096 per the 89a errata). Error taxonomy identical
+    to the scalar reference below, which remains the differential-test
+    oracle."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray(n_pixels)
+    pos = 0
+    d = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+    d = np.concatenate([d, np.zeros(3, dtype=np.int32)])
+    total_bits = len(data) * 8
+    bitpos = 0
+    width = min_code_size + 1
+    size = end + 1
+    j = 0  # codes consumed since last CLEAR
+    seg_pos: list[int] = []  # output offset where step-t's segment starts
+    while pos < n_pixels:
+        # codes until the next width change, assuming no CLEAR arrives;
+        # the saturated-dictionary regime is chunked (a CLEAR usually
+        # arrives right after saturation — extracting the whole rest of
+        # the stream would be discarded work)
+        if size >= 4096:
+            m = min((total_bits - bitpos) // width, 4096)
+        else:
+            m = (1 << width) - size + (1 if j == 0 else 0)
+            m = min(m, (total_bits - bitpos) // width)
+        if m <= 0:
+            raise EOFError("GIF LZW data exhausted")
+        p = bitpos + np.arange(m, dtype=np.int64) * width
+        b0 = (p >> 3).astype(np.int64)
+        arr = (
+            ((d[b0] | (d[b0 + 1] << 8) | (d[b0 + 2] << 16)) >> (p & 7))
+            & ((1 << width) - 1)
+        )
+        # literals (code < clear) are self-identifying in the code
+        # array; bulk-write each literal stretch in one slice (their
+        # dictionary entries are consecutive 1-byte segments, so the
+        # bookkeeping vectorizes too) and fall to scalar handling only
+        # at the sparse non-literal codes
+        lit_bytes = arr.astype(np.uint8).tobytes()
+        nl_idx = np.nonzero(arr >= clear)[0]
+        nl_codes = dict(zip(nl_idx.tolist(), arr[nl_idx].tolist()))
+        nonlit = list(nl_codes)
+        nonlit.append(m)
+        consumed = 0
+        reset = False
+        ended = False
+        stop = False
+        idx = 0
+        for nl in nonlit:
+            k = nl - idx
+            if k and j == 0:  # run's first code: creates no entry
+                code = lit_bytes[idx]
+                out[pos] = code
+                seg_pos = [pos]
+                pos += 1
+                j = 1
+                idx += 1
+                k -= 1
+                if pos >= n_pixels:
+                    consumed = idx
+                    stop = True
+                    break
+            if k:
+                if pos + k >= n_pixels:  # fills the image: write & stop
+                    k = n_pixels - pos
+                    out[pos : pos + k] = lit_bytes[idx : idx + k]
+                    pos += k
+                    consumed = idx + k
+                    stop = True
+                    break
+                out[pos : pos + k] = lit_bytes[idx : idx + k]
+                if size < 4096:
+                    n_app = 4096 - size
+                    n_app = k if k < n_app else n_app
+                    seg_pos.extend(range(pos, pos + n_app))
+                    size += n_app
+                j += k
+                pos += k
+                idx = nl
+            if nl == m:
+                consumed = m
+                break
+            code = nl_codes[nl]
+            consumed = nl + 1
+            idx = nl + 1
+            if code == clear:
+                reset = True
+                break
+            if code == end:
+                ended = True
+                break
+            if j == 0 or code > size or (code == size and size >= 4096):
+                raise ValueError("invalid GIF LZW code")
+            if code < size:
+                t = code - end
+                s = seg_pos[t - 1]
+                e = seg_pos[t] + 1
+                length = e - s
+                if pos + length > n_pixels:
+                    raise ValueError("GIF pixel overflow")
+                out[pos : pos + length] = out[s:e]
+            else:
+                # cScSc: prev + prev[0]; prev is the previous segment
+                s = seg_pos[j - 1]
+                lp = pos - s
+                length = lp + 1
+                if pos + length > n_pixels:
+                    raise ValueError("GIF pixel overflow")
+                out[pos : pos + lp] = out[s:pos]
+                out[pos + lp] = out[s]
+            if size < 4096:
+                seg_pos.append(pos)
+                size += 1
+            j += 1
+            pos += length
+            if pos >= n_pixels:
+                stop = True
+                break
+        bitpos += consumed * width
+        if ended or stop:
+            break
+        if reset:
+            width = min_code_size + 1
+            size = end + 1
+            j = 0
+            seg_pos = []
+            continue
+        if consumed == m and size < 4096 and size == (1 << width) and width < 12:
+            width += 1
+    if pos < n_pixels:
+        raise EOFError("GIF LZW data exhausted")
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _lzw_decode_scalar(
+    data: bytes, min_code_size: int, n_pixels: int
+) -> np.ndarray:
+    """Scalar reference LZW decoder (the r9 implementation) — kept as
+    the differential-test oracle for the vectorized engine above.
+    Implements width growth (up to 12 bits), dictionary reset on
+    CLEAR, the end-of-information code, and tolerates deferred clears
+    (dictionary pinned full at 4096 until the encoder sends CLEAR, per
+    the 89a errata)."""
     clear = 1 << min_code_size
     end = clear + 1
     # accumulate decoded indices in a bytearray (ONE numpy conversion at

@@ -238,3 +238,64 @@ def test_parse_gif_truncated_descriptor():
         parse_gif(truncated)
     with pytest.raises(EOFError, match="truncated GIF image descriptor"):
         decode_gif(truncated)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 48),
+    w=st.integers(1, 48),
+    ncol=st.integers(2, 256),
+    seed=st.integers(0, 2**16),
+    runs=st.booleans(),
+)
+def test_lzw_vectorized_equals_scalar(h, w, ncol, seed, runs):
+    """r10 differential gate: the vectorized-extraction LZW engine must
+    be bit-identical to the scalar reference across palette sizes,
+    width-growth regimes, run-heavy content (entry refs + cScSc), and
+    dictionary resets."""
+    from tectonic_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_decode_scalar,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+    if runs:
+        img = np.repeat(img[:, : max(1, w // 4)], 4, axis=1)[:, :w]
+    mcs = max(2, int(ncol - 1).bit_length())
+    enc = _lzw_encode(img.reshape(-1), mcs)
+    a = _lzw_decode(enc, mcs, img.size)
+    b = _lzw_decode_scalar(enc, mcs, img.size)
+    assert (a == b).all()
+
+
+def test_lzw_error_parity():
+    """Truncated / corrupt streams raise the same taxonomy from both
+    engines."""
+    from tectonic_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_decode_scalar,
+        _lzw_encode,
+    )
+
+    img = np.arange(400, dtype=np.uint8) % 16
+    enc = _lzw_encode(img, 4)
+    for bad, n in ((enc[:3], 400), (enc, 1000)):
+        errs = []
+        for fn in (_lzw_decode, _lzw_decode_scalar):
+            try:
+                fn(bad, 4, n)
+                errs.append(None)
+            except Exception as e:
+                errs.append(type(e).__name__)
+        assert errs[0] == errs[1] is not None
+    # an out-of-range code: craft width-5 stream with code 31 (> size)
+    errs = []
+    for fn in (_lzw_decode, _lzw_decode_scalar):
+        try:
+            fn(bytes([0b10110_000 | 0x10, 0xFF, 0xFF]), 4, 10)
+            errs.append(None)
+        except Exception as e:
+            errs.append(type(e).__name__)
+    assert errs[0] == errs[1] is not None
