@@ -27,11 +27,14 @@ literal codes — plus interlace and multi-frame/GCE/loop writing.
 
 100 TB shape: decode is embarrassingly parallel per payload inside
 Arrow-batched mapInPandas (the m08 pattern); payloads never shuffle.
-LZW is inherently serial per stream (each code can reference the
-string created one step earlier), so the scale lever is per-payload
-parallelism, not intra-stream vectorization — documented here rather
-than hidden (contrast: PNG's filter recurrence does admit the
-wavefront/segment-lane engine in png.py).
+LZW's dictionary build is inherently serial per stream (each code can
+reference the string created one step earlier), but r10 showed the
+serial part is narrower than r9 documented: code EXTRACTION
+vectorizes (bit positions are content-independent between
+width-growth points), literal stretches bulk-write, and entry
+expansions are contiguous output slices — see _lzw_decode. The
+per-payload lever still dominates at scale; the scalar reference
+decoder below it is the differential-test oracle.
 
 Reference parity note: the reference engine has no codec surface; this
 module belongs to the beyond-reference multimodal family (m18).
