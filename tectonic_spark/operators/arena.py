@@ -68,6 +68,45 @@ class _Arena:
         return out
 
 
+_MALLOC_TUNED: bool | None = None
+
+
+def ensure_flat_malloc(threshold: int = 128 << 20) -> bool:
+    """Raise glibc's M_MMAP_THRESHOLD / M_TRIM_THRESHOLD once per
+    process so the codec kernels' per-image buffers (raw inflate
+    output, unfiltered rows, pixel planes — each a few hundred KB,
+    above glibc's 128 KB mmap cutoff) recycle through the heap free
+    list instead of mmap/munmap round-trips. Every munmap at 32-way
+    IPIs the sibling workers for TLB shootdown; the r10 probe measured
+    the PNG batch decode at 122 minor faults + 1.9-12.5 ms kernel per
+    image steady-state with default thresholds vs 0 faults + 0.0 ms
+    tuned (tools-free single-process numbers; the 32-way effect is the
+    m17 sf10 storm this retires). Runtime ``mallopt`` via ctypes
+    because the executor's Python workers are spawned by whatever
+    harness owns the session — there is no env-var hook we control on
+    every path. No-op (returns False) off glibc.
+
+    Complements — does not replace — the grow-only arenas above: the
+    arenas make the ENGINES' scratch allocation-free; this makes the
+    remaining per-image output buffers kernel-free.
+    """
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED is not None:
+        return _MALLOC_TUNED
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        ok = bool(libc.mallopt(M_MMAP_THRESHOLD, threshold)) and bool(
+            libc.mallopt(M_TRIM_THRESHOLD, threshold)
+        )
+    except (OSError, AttributeError):
+        ok = False
+    _MALLOC_TUNED = ok
+    return ok
+
+
 _TLS = threading.local()
 
 

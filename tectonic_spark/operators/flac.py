@@ -37,6 +37,8 @@ import struct
 
 import numpy as np
 
+from tectonic_spark.operators.arena import ensure_flat_malloc
+
 _MAGIC = b"fLaC"
 
 # ------------------------------------------------------------------ CRCs
@@ -729,6 +731,7 @@ def decode_flac_batch(
     partition completion fires, where the scalar path raises 'truncated
     unary code' at the exact payload edge (ADVICE r7). Both paths always
     raise; neither returns wrong samples."""
+    ensure_flat_malloc()
     n = len(payloads)
 
     def _min_block(p: bytes) -> int:

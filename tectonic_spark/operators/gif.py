@@ -46,6 +46,8 @@ import struct
 
 import numpy as np
 
+from tectonic_spark.operators.arena import ensure_flat_malloc
+
 _MAGIC87 = b"GIF87a"
 _MAGIC89 = b"GIF89a"
 
@@ -472,6 +474,7 @@ def decode_gif(data: bytes) -> dict:
     transparent}]}. Frames decode standalone (census semantics — no
     disposal compositing; the raw per-frame data IS the lossless
     surface the oracle pins)."""
+    ensure_flat_malloc()
     if data[:6] not in (_MAGIC87, _MAGIC89):
         raise ValueError("not a GIF: bad signature")
     version = data[3:6].decode("ascii")

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from tectonic_spark.operators.arena import ensure_flat_malloc
+
 from tectonic_spark.operators.jpeg import (
     ZIGZAG,
     _assemble,
@@ -455,6 +457,7 @@ def decode_jpeg_batch(payloads: list[bytes]) -> list[np.ndarray]:
     the scalar path would turn them into tautologies and silently hide
     engine regressions (pinned by
     test_engine_exception_propagates_no_silent_fallback)."""
+    ensure_flat_malloc()
     from tectonic_spark.operators.jpeg_prog_lockstep import (
         PROG_POOL_BYTE_CAP,
         _prog_image_eligible,

@@ -1634,23 +1634,44 @@ def m17_png_decode(spark, sf_dir: str) -> DataFrame:
             payload_rides_png_pool,
         )
 
+        # decode in bounded sub-batches and reduce immediately: an
+        # Arrow batch can carry thousands of rows, and holding every
+        # payload's raw/rows/pixel buffers at once (~800 KB/img) both
+        # spikes peak memory and defeats the heap free-list recycling
+        # ensure_flat_malloc() buys (the r10 m17 sf10 fix — buffers of
+        # one sub-batch are reused verbatim by the next)
+        CHUNK = 8
         for pdf in batches:
-            ids = [int(d) for d in pdf["doc_id"]]
-            payloads = [png_payload(d) for d in ids]
-            stats: list = []
-            pxs = decode_png_batch(payloads, stats_out=stats)
+            all_ids = [int(d) for d in pdf["doc_id"]]
+            rows: list[tuple] = []
+            for off in range(0, len(all_ids), CHUNK):
+                ids = all_ids[off : off + CHUNK]
+                payloads = [png_payload(d) for d in ids]
+                stats: list = []
+                pxs = decode_png_batch(payloads, stats_out=stats)
+                rows.extend(
+                    (
+                        d,
+                        px.shape[1],
+                        px.shape[0],
+                        int(np.sum(px, dtype=np.int64)),
+                        st["filter_rows"][4],
+                        st["wavefront"],
+                        payload_rides_png_pool(p),
+                    )
+                    for d, px, st, p in zip(ids, pxs, stats, payloads)
+                )
             yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "width": [px.shape[1] for px in pxs],
-                    "height": [px.shape[0] for px in pxs],
-                    "px_sum": [int(px.astype(np.int64).sum()) for px in pxs],
-                    "paeth_rows": [st["filter_rows"][4] for st in stats],
-                    "wavefront": [st["wavefront"] for st in stats],
-                    "rode_pool": [
-                        payload_rides_png_pool(p) for p in payloads
-                    ],
-                }
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "px_sum",
+                    "paeth_rows",
+                    "wavefront",
+                    "rode_pool",
+                ],
             )
 
     return docs.mapInPandas(walk, schema)

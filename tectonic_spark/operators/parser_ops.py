@@ -2984,3 +2984,208 @@ def s12_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("px_sum").alias("total_px"),
         )
     )
+
+
+def _warc_shards_src(sf_dir: str) -> tuple[str, int]:
+    """documents rendered as a 4-shard web crawl in Common Crawl's
+    layout: .warc.gz shards, every record its own gzip member, each doc
+    contributing a request + a response record (response = HTTP/1.1
+    message whose body is an HTML page embedding the doc text, chunked
+    transfer coding for even doc_ids, Content-Length for odd), plus one
+    warcinfo record per shard. Returns (dir, n_shards)."""
+    from tectonic_spark.operators.warc import (
+        build_http_response,
+        build_warc_record,
+        html_page,
+        write_warc,
+    )
+
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "a25_src")
+    done = os.path.join(src, "_DONE")
+    n_shards = 4
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    rows = _docs_rows(sf_dir)
+    for i in range(n_shards):
+        recs = [
+            build_warc_record(
+                "warcinfo",
+                f"software: tectonic-spark fixture\r\nformat: WARC/1.0 shard {i}\r\n".encode(),
+                content_type="application/warc-fields",
+            )
+        ]
+        for d, text, lang, source, _n in rows:
+            if d % n_shards != i:
+                continue
+            uri = f"https://{source}.example/doc/{d}"
+            recs.append(
+                build_warc_record(
+                    "request",
+                    f"GET /doc/{d} HTTP/1.1\r\nHost: {source}.example\r\n\r\n".encode(),
+                    uri=uri,
+                    content_type="application/http; msgtype=request",
+                )
+            )
+            page = html_page(text, title=f"doc {d} — {source}", lang=lang)
+            recs.append(
+                build_warc_record(
+                    "response",
+                    build_http_response(page, chunked=(d % 2 == 0)),
+                    uri=uri,
+                    content_type="application/http; msgtype=response",
+                )
+            )
+        _write_atomic(os.path.join(tmp, f"crawl-{i:03d}.warc.gz"), write_warc(recs))
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "a25_warc_ingest",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_chunked,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_http_records
+    FROM documents GROUP BY lang
+    """,
+    doc="WARC crawl ingestion (warc.py — the container format of web "
+    "crawls; Common Crawl ships WARC/WET/WAT, the raw side of a 100 TB "
+    "training corpus): documents rendered as member-per-record .warc.gz "
+    "shards, then ingested by the full stack a crawl pipeline runs — "
+    "gzip member walk -> ISO 28500 record grammar (Content-Length "
+    "framing, LWS folding) -> HTTP/1.1 message parse (chunked transfer "
+    "decoding for half the pages, Content-Length for the rest) -> "
+    "HTML main-content text extraction (script/style/comment removal, "
+    "block-element line semantics, character references). EVERY output "
+    "column crosses the whole stack: doc_id parses from the WARC-Target-"
+    "URI, lang from the page's <html lang> attribute, chars from the "
+    "length of the EXTRACTED text (equal to n_chars only if extraction "
+    "inverts the page wrapper exactly), n_chunked from the framing the "
+    "HTTP parser actually decoded, n_http_records from the record "
+    "census (the per-shard warcinfo records are counted and asserted "
+    "builder-side, excluded here). 100 TB shape: gzip shards are "
+    "whole-file work units (members are not byte-range-splittable "
+    "without an index) scanned via binaryFile into one mapInPandas "
+    "walk — payload bytes never leave the executor task; the only "
+    "exchange is the final tiny per-lang aggregate.",
+)
+def a25_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src, n_shards = _warc_shards_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.warc.gz"))
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_extracted_chars", LongType(), True),
+            StructField("chunked", BooleanType(), True),
+            StructField("n_http_records", LongType(), True),
+            StructField("n_warcinfo", LongType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.warc import (
+            html_lang,
+            html_to_text,
+            main_content,
+            parse_http_response,
+            parse_warc,
+        )
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                n_info = 0
+                # per-doc census: [n_requests, n_responses, (lang, chars, chunked)]
+                per_doc: dict[int, list] = {}
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] == "warcinfo":
+                        n_info += 1
+                        continue
+                    d = int(rec["uri"].rsplit("/", 1)[1])
+                    ent = per_doc.setdefault(d, [0, 0, None])
+                    if rec["type"] == "request":
+                        ent[0] += 1
+                        continue
+                    if rec["type"] != "response":
+                        raise ValueError(f"unexpected record type {rec['type']!r}")
+                    ent[1] += 1
+                    http = parse_http_response(rec["payload"])
+                    if http["status"] != 200:
+                        raise ValueError(f"doc {d}: status {http['status']}")
+                    page = http["body"]
+                    text = html_to_text(main_content(page))
+                    ent[2] = (html_lang(page), len(text), http["chunked"])
+                first = True
+                for d in sorted(per_doc):
+                    n_req, n_resp, resp = per_doc[d]
+                    if resp is None:
+                        raise ValueError(f"doc {d}: request without response")
+                    lang, n_chars, chunked = resp
+                    rows.append(
+                        (
+                            d,
+                            lang,
+                            n_chars,
+                            chunked,
+                            n_req + n_resp,
+                            n_info if first else 0,
+                        )
+                    )
+                    first = False
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "lang",
+                    "n_extracted_chars",
+                    "chunked",
+                    "n_http_records",
+                    "n_warcinfo",
+                ],
+            )
+
+    parsed = files.select("content").mapInPandas(walk, schema)
+    # the parsed frame is tiny (6 scalar columns per doc) next to the
+    # shard bytes it came from: persist it so the builder-side census
+    # pin below and the returned aggregate share ONE walk over the
+    # shards instead of parsing the crawl twice
+    parsed = parsed.persist()
+    agg = parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_extracted_chars").alias("chars"),
+        F.sum(F.when(F.col("chunked"), 1).otherwise(0)).alias("n_chunked"),
+        F.sum("n_http_records").alias("n_http_records"),
+    )
+    # builder-side census pin: exactly one warcinfo per shard arrived
+    # through the record walk (one-row distributed aggregate)
+    n_info = parsed.agg(F.sum("n_warcinfo")).collect()[0][0]
+    if n_info != n_shards:
+        raise RuntimeError(
+            f"a25: {n_info} warcinfo records across {n_shards} shards"
+        )
+    return agg

@@ -50,6 +50,8 @@ import zlib
 
 import numpy as np
 
+from tectonic_spark.operators.arena import ensure_flat_malloc
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -656,6 +658,7 @@ def decode_png_batch(
     ``stats_out``, if a list, receives one per-image stats dict
     (filter_rows / wavefront / pooled). Sub-pools are capped at
     PNG_POOL_BYTE_CAP of padded scratch per bpp bucket."""
+    ensure_flat_malloc()
     n = len(payloads)
     out: list = [None] * n
     stats: list[dict] = [

@@ -33,6 +33,8 @@ import struct
 
 import numpy as np
 
+from tectonic_spark.operators.arena import ensure_flat_malloc
+
 _TAG_WIDTH = 256
 _TAG_HEIGHT = 257
 _TAG_BITS = 258
@@ -423,6 +425,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     palette-resolved. Baseline: 8-bit samples, chunky planar, strips,
     compression none/LZW/PackBits, predictor 1/2, WhiteIsZero
     inversion."""
+    ensure_flat_malloc()
     bo, off = _parse_header(data)
     tags, _ = _read_ifd(data, bo, off)
 

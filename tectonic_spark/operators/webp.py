@@ -50,6 +50,8 @@ import struct
 
 import numpy as np
 
+from tectonic_spark.operators.arena import ensure_flat_malloc
+
 # transform types, in spec numbering
 _T_PREDICTOR = 0
 _T_COLOR = 1
@@ -1097,6 +1099,7 @@ def decode_webp(data: bytes, stats: dict | None = None) -> np.ndarray:
     """Decode a lossless WebP to (H, W, 4) RGBA uint8. Lossy VP8 pixel
     decode is documented out (census via parse_webp); extended files
     decode when they carry a VP8L chunk."""
+    ensure_flat_malloc()
     for fourcc, body in _walk_riff(data):
         if fourcc == b"VP8L":
             return _vp8l_decode(body, stats=stats)

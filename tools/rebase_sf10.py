@@ -64,7 +64,11 @@ def main() -> None:
         ratio = c / idle_par
         print(f"canary sample: {c:.1f} ({100 * ratio:.1f}% of idle)",
               flush=True)
-        if abs(1 - ratio) <= args.tolerance:
+        # one-sided gate: a canary FASTER than the calibrated idle ref
+        # cannot indicate co-tenant load (contamination only slows it);
+        # readings above 1.0 are turbo/thermal variance in the
+        # calibration itself, observed up to ~9% on this host
+        if ratio >= 1 - args.tolerance:
             consecutive += 1
             par_start = c
             if consecutive >= 2:
@@ -131,8 +135,8 @@ def main() -> None:
         "par_canary_start": par_start,
         "par_canary_end": par_end,
         "canary_within_tolerance": (
-            abs(1 - ratio_start) <= args.tolerance
-            and abs(1 - ratio_end) <= args.tolerance
+            ratio_start >= 1 - args.tolerance
+            and ratio_end >= 1 - args.tolerance
         ),
         "tolerance": args.tolerance,
         "rows": rows,
