@@ -3189,3 +3189,154 @@ def a25_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"a25: {n_info} warcinfo records across {n_shards} shards"
         )
     return agg
+
+
+def warc_extract_kernel(files: DataFrame) -> DataFrame:
+    """Crawl-extraction stage: a DataFrame with a binary ``content``
+    column of WARC shard bytes -> the reconstructed document frame
+    (doc_id, text, lang, source, n_chars). Every column crosses the
+    ingestion stack: doc_id from WARC-Target-URI, source from the URI
+    host, lang from the page's <html lang> attribute, text from HTML
+    main-content extraction after HTTP de-framing. Shared by the batch
+    composition (c05_crawl_curation) and the streaming ingest (s15) —
+    stateless per shard, so the stream plan runs it unchanged."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+            StructField("lang", StringType(), True),
+            StructField("source", StringType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.warc import (
+            html_lang,
+            html_to_text,
+            main_content,
+            parse_http_response,
+            parse_warc,
+        )
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "response":
+                        continue
+                    uri = rec["uri"]
+                    d = int(uri.rsplit("/", 1)[1])
+                    host = uri.split("//", 1)[1].split("/", 1)[0]
+                    source = host.split(".", 1)[0]
+                    http = parse_http_response(rec["payload"])
+                    page = http["body"]
+                    text = html_to_text(main_content(page))
+                    rows.append((d, text, html_lang(page), source, len(text)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            )
+
+    return files.select("content").mapInPandas(walk, schema)
+
+
+@register(
+    "s15_warc_stream",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    doc="STREAMING crawl ingestion — the continuous form of a25/c05: "
+    "WARC shards arrive as files (binaryFile stream source, "
+    "maxFilesPerTrigger=2 so ingestion spans >=2 micro-batches) and "
+    "flow through the SAME warc_extract_kernel as the batch paths "
+    "(gzip member walk -> record grammar -> HTTP de-framing -> HTML "
+    "main-content extraction) into an append parquet sink of "
+    "reconstructed documents; the maintained sink is then aggregated "
+    "per lang against the source-table oracle. Extraction is stateless "
+    "per shard, so the stream needs no state store and scales with "
+    "crawl arrival rate — the shape of a live crawl-ingestion tier "
+    "feeding the batch curation downstream. Builder raises unless >=2 "
+    "micro-batches committed and the sink holds exactly one row per "
+    "document.",
+)
+def s15_warc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    src, _n_shards = _warc_shards_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s15_sink")
+    ck = os.path.join(base, "s15_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(src)
+    )
+    docs = warc_extract_kernel(stream)
+    q = (
+        docs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    expected = len(_docs_rows(sf_dir))
+    sink_rows, n_commits = 0, 0
+    commits_dir = os.path.join(ck, "commits")
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            n_commits = (
+                len([f for f in os.listdir(commits_dir) if not f.startswith(".")])
+                if os.path.isdir(commits_dir)
+                else 0
+            )
+            if sink_rows >= expected and n_commits >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        _stop_stream_quietly(q)
+    if sink_rows != expected:
+        raise RuntimeError(
+            f"s15: sink has {sink_rows} extracted docs, expected {expected}"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s15: only {n_commits} committed micro-batches — ingestion never "
+            "spanned a batch boundary"
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )

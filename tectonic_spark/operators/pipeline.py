@@ -484,9 +484,16 @@ WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     f"deterministic so the oracle replicates the whole pipeline.",
 )
 def c05_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _curation_chain(spark, sf_dir, table(spark, sf_dir, "documents"))
+
+
+def _curation_chain(spark: SparkSession, sf_dir: str, d: DataFrame) -> DataFrame:
+    """The dedup -> quality -> decontamination -> mixture chain over any
+    frame with (doc_id, text, lang, source) — shared by the table-scan
+    composition (c05_corpus_curation) and the crawl-fed one
+    (c05_crawl_curation)."""
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents")
     # 1. exact dedup: earliest doc_id per digest
     rn = F.row_number().over(
         W.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
@@ -520,6 +527,40 @@ def c05_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.where(h % 10000 < rate_bp).select(
         "doc_id", "lang", "source", "n_tokens"
     )
+
+
+@register(
+    "c05_crawl_curation",
+    oracle=_CURATION_ORACLE,
+    doc="The c05 curation composition fed from the RAW CRAWL instead of "
+    "the parquet table — the actual end-to-end shape of a pre-training "
+    "data pipeline (Common Crawl in, curated corpus out): member-per-"
+    "record .warc.gz shards -> gzip member walk -> ISO 28500 record "
+    "grammar -> HTTP de-framing (chunked + Content-Length) -> HTML "
+    "main-content extraction (warc_extract_kernel reconstructs doc_id/"
+    "text/lang/source from the crawl alone: URI path, URI host, <html "
+    "lang>, extracted text) -> exact dedup -> quality gate -> benchmark "
+    "decontamination -> weighted mixture sampling. The oracle is the "
+    "SAME _CURATION_ORACLE over the documents table: it can only match "
+    "if extraction inverted the page wrapper byte-exactly for every "
+    "surviving doc (sha256 dedup hashes the extracted text). 100 TB "
+    "shape: shards are whole-file tasks; extraction is stateless "
+    "mapInPandas; the chain's only corpus shuffles are the dedup digest "
+    "window and the decontamination broadcast anti join, identical to "
+    "c05_corpus_curation.",
+)
+def c05_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from tectonic_spark.operators.parser_ops import (
+        _warc_shards_src,
+        warc_extract_kernel,
+    )
+
+    src, _n = _warc_shards_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.warc.gz"))
+    docs = warc_extract_kernel(files)
+    return _curation_chain(spark, sf_dir, docs)
 
 
 STRAT_K = 25  # per-stratum quota
