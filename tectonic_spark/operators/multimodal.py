@@ -1448,18 +1448,33 @@ def m14_jpeg_dense_decode(spark, sf_dir: str) -> DataFrame:
             payload_rides_engine,
         )
 
+        # bounded sub-batches: decode + reduce CHUNK images at a time
+        # so buffers recycle through the heap free list and the 32-way
+        # working set stays cache-sized (the r10 m17 pattern); each
+        # chunk still carries hundreds of restart-segment lanes, far
+        # above the lockstep engine gate, and engine routing is
+        # per-payload deterministic (payload_rides_engine)
+        CHUNK = 32
         for pdf in batches:
-            ids = [int(d) for d in pdf["doc_id"]]
-            payloads = [dense_payload(d) for d in ids]
-            pxs = decode_jpeg_batch(payloads)
+            all_ids = [int(d) for d in pdf["doc_id"]]
+            rows: list[tuple] = []
+            for off in range(0, len(all_ids), CHUNK):
+                ids = all_ids[off : off + CHUNK]
+                payloads = [dense_payload(d) for d in ids]
+                pxs = decode_jpeg_batch(payloads)
+                rows.extend(
+                    (
+                        d,
+                        px.shape[1],
+                        px.shape[0],
+                        int(np.sum(px, dtype=np.int64)),
+                        payload_rides_engine(p),
+                    )
+                    for d, px, p in zip(ids, pxs, payloads)
+                )
             yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "width": [px.shape[1] for px in pxs],
-                    "height": [px.shape[0] for px in pxs],
-                    "px_sum": [int(px.astype(np.int64).sum()) for px in pxs],
-                    "rode_engine": [payload_rides_engine(p) for p in payloads],
-                }
+                rows,
+                columns=["doc_id", "width", "height", "px_sum", "rode_engine"],
             )
 
     return docs.mapInPandas(walk, schema)
@@ -1537,20 +1552,28 @@ def m15_jpeg_progressive_dense(spark, sf_dir: str) -> DataFrame:
             payload_rides_prog_engine,
         )
 
+        # bounded sub-batches (the r10 m17 pattern — see m14)
+        CHUNK = 32
         for pdf in batches:
-            ids = [int(d) for d in pdf["doc_id"]]
-            payloads = [dense_payload(d) for d in ids]
-            pxs = decode_jpeg_batch(payloads)
+            all_ids = [int(d) for d in pdf["doc_id"]]
+            rows: list[tuple] = []
+            for off in range(0, len(all_ids), CHUNK):
+                ids = all_ids[off : off + CHUNK]
+                payloads = [dense_payload(d) for d in ids]
+                pxs = decode_jpeg_batch(payloads)
+                rows.extend(
+                    (
+                        d,
+                        px.shape[1],
+                        px.shape[0],
+                        int(np.sum(px, dtype=np.int64)),
+                        payload_rides_prog_engine(p),
+                    )
+                    for d, px, p in zip(ids, pxs, payloads)
+                )
             yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "width": [px.shape[1] for px in pxs],
-                    "height": [px.shape[0] for px in pxs],
-                    "px_sum": [int(px.astype(np.int64).sum()) for px in pxs],
-                    "rode_engine": [
-                        payload_rides_prog_engine(p) for p in payloads
-                    ],
-                }
+                rows,
+                columns=["doc_id", "width", "height", "px_sum", "rode_engine"],
             )
 
     return docs.mapInPandas(walk, schema)
@@ -2614,5 +2637,160 @@ def m16_mp4_census(spark, sf_dir: str) -> DataFrame:
                 "extent_ok",
             ],
         )
+
+    return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m23_id3_extract",
+    oracle="""
+    SELECT doc_id,
+           'Track ' || CAST(doc_id AS VARCHAR) AS title,
+           'Artist ' || CAST(doc_id % 9 AS VARCHAR) AS artist,
+           'Album ' || CAST(doc_id % 5 AS VARCHAR) AS album,
+           CAST(1 + doc_id % 20 AS BIGINT) AS track,
+           CAST(1990 + doc_id % 35 AS BIGINT) AS yr,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS BIGINT)
+             AS tag_version,
+           CAST(3 + doc_id % 6 AS BIGINT) AS n_frames,
+           CAST(8 AS BIGINT) AS apic_w,
+           CAST(list_sum(list_transform(range(0, 64),
+                i -> (doc_id * 7 + i * 13) % 256)) AS BIGINT) AS apic_px_sum,
+           CAST(doc_id % 80 AS BIGINT) AS genre,
+           CAST(1 + doc_id % 20 AS BIGINT) AS v1_track
+    FROM documents WHERE doc_id % 47 = 13
+    """,
+    doc="ID3 tag extraction (r10, id3.py — the audio analog of m21 EXIF: "
+    "crawl pipelines read title/artist/album and embedded cover art "
+    "before dedup): each payload is a real MP3 stream sandwiched "
+    "between an ID3v2 tag (v2.4 for even doc_ids / v2.3 for odd — "
+    "syncsafe vs plain frame sizes; text encoding CYCLES latin-1/"
+    "utf-16/utf-16be/utf-8 by doc_id; every third tag body is "
+    "UNSYNCHRONIZED per §5, exercising the FF 00 reversal) and an "
+    "ID3v1.1 trailer (genre byte + track-in-comment). The APIC frame "
+    "carries a REAL PNG that routes through the engine's own decoder "
+    "(decode_png) for dimensions and pixel sum — album art "
+    "participates in the codec family. n_frames comes from parse_mp3 "
+    "over the SAME payload, pinning that the audio walker's tag skip "
+    "and this parser agree on the tag boundary. Year reads TDRC (v2.4) "
+    "or TYER (v2.3) — the spec-correct frame per version. 100 TB "
+    "shape: per-payload header parsing in mapInPandas, no shuffle.",
+)
+def m23_id3_extract(spark, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 47 == 13)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("title", StringType(), True),
+            StructField("artist", StringType(), True),
+            StructField("album", StringType(), True),
+            StructField("track", LongType(), True),
+            StructField("yr", LongType(), True),
+            StructField("tag_version", LongType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("apic_w", LongType(), True),
+            StructField("apic_px_sum", LongType(), True),
+            StructField("genre", LongType(), True),
+            StructField("v1_track", LongType(), True),
+        ]
+    )
+
+    def payload_of(d: int) -> bytes:
+        from tectonic_spark.operators.codecs import encode_mp3_frames
+        from tectonic_spark.operators.id3 import (
+            build_apic_frame,
+            build_id3v1,
+            build_id3v2,
+            build_text_frame,
+        )
+        from tectonic_spark.operators.png import encode_png
+
+        ver = 4 if d % 2 == 0 else 3
+        enc = d % 4
+        i = np.arange(64, dtype=np.int64)
+        art = ((d * 7 + i * 13) % 256).astype(np.uint8).reshape(8, 8)
+        frames = [
+            build_text_frame("TIT2", f"Track {d}", enc),
+            build_text_frame("TPE1", f"Artist {d % 9}", enc),
+            build_text_frame("TALB", f"Album {d % 5}", enc),
+            build_text_frame("TRCK", f"{1 + d % 20}/20", enc),
+            build_text_frame(
+                "TDRC" if ver == 4 else "TYER", str(1990 + d % 35), enc
+            ),
+            build_apic_frame(encode_png(art), "image/png", desc=f"cover {d}"),
+        ]
+        tag = build_id3v2(frames, version=ver, unsync=(d % 3 == 0))
+        audio = encode_mp3_frames(3 + d % 6, bitrate_idx=9, fill=d % 100)
+        v1 = build_id3v1(
+            title=f"Track {d}"[:30],
+            artist=f"Artist {d % 9}",
+            album=f"Album {d % 5}",
+            year=str(1990 + d % 35),
+            comment="c",
+            track=1 + d % 20,
+            genre=d % 80,
+        )
+        return tag + audio + v1
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.codecs import parse_mp3
+        from tectonic_spark.operators.id3 import parse_id3v1, parse_id3v2
+        from tectonic_spark.operators.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = payload_of(d)
+                tag = parse_id3v2(payload)
+                v1 = parse_id3v1(payload)
+                if v1 is None:
+                    raise ValueError(f"doc {d}: missing ID3v1 trailer")
+                audio = parse_mp3(payload)  # skips both tags itself
+                (pic,) = tag["pictures"]
+                if pic["mime"] != "image/png":
+                    raise ValueError(f"doc {d}: unexpected APIC mime")
+                art = decode_png(pic["image"])
+                year_txt = tag["text"].get("TDRC") or tag["text"]["TYER"]
+                rows.append(
+                    (
+                        d,
+                        tag["text"]["TIT2"],
+                        tag["text"]["TPE1"],
+                        tag["text"]["TALB"],
+                        int(tag["text"]["TRCK"].split("/")[0]),
+                        int(year_txt[:4]),
+                        tag["version"],
+                        audio["n_frames"],
+                        art.shape[1],
+                        int(np.sum(art, dtype=np.int64)),
+                        v1["genre"],
+                        v1["track"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "title",
+                    "artist",
+                    "album",
+                    "track",
+                    "yr",
+                    "tag_version",
+                    "n_frames",
+                    "apic_w",
+                    "apic_px_sum",
+                    "genre",
+                    "v1_track",
+                ],
+            )
 
     return docs.mapInPandas(walk, schema)
