@@ -2794,3 +2794,120 @@ def m23_id3_extract(spark, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m24_pdf_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, n_chars, 1 + doc_id % 3 AS np
+               FROM documents WHERE doc_id % 59 = 17)
+    SELECT doc_id,
+           CAST(np AS BIGINT) AS n_pages,
+           CAST(n_chars AS BIGINT) AS chars,
+           'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           doc_id % 3 = 0 AS xref_stream,
+           CAST(CASE WHEN doc_id % 6 = 0 THEN 4 + np ELSE 0 END AS BIGINT)
+             AS n_compressed,
+           CAST((CASE WHEN doc_id % 2 = 0 THEN np ELSE 0 END)
+                + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flate
+    FROM d
+    """,
+    doc="PDF text extraction + census (r10, pdf.py — after HTML the "
+    "highest-volume crawl document format): each doc renders as a real "
+    "PDF across a layout matrix — 1-3 pages, FlateDecode'd content "
+    "streams for even doc_ids, cross-reference STREAMS (type /XRef, "
+    "W-packed rows under the PNG Up predictor) every third doc, "
+    "compressed object streams (/ObjStm, the PDF 1.5+ layout with "
+    "type-2 xref entries) every sixth, kerned TJ arrays every fifth — "
+    "then parsed back: COS object grammar, xref resolution, stream "
+    "inflation, page-tree walk, BT/ET text-operator interpretation "
+    "(Tj/TJ/Td line logic). chars counts the EXTRACTED text "
+    "re-joined across lines and pages, so it equals n_chars only if "
+    "extraction inverted the layout exactly; xref_stream/n_compressed/"
+    "n_flate come from the PARSER's census, not the fixture arithmetic. "
+    "Encrypted PDFs and DCTDecode image XObjects are documented out "
+    "(censused, not decoded). 100 TB shape: per-payload parsing in "
+    "mapInPandas, no shuffle.",
+)
+def m24_pdf_extract(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 59 == 17)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_pages", LongType(), True),
+            StructField("chars", LongType(), True),
+            StructField("title", StringType(), True),
+            StructField("xref_stream", BooleanType(), True),
+            StructField("n_compressed", LongType(), True),
+            StructField("n_flate", LongType(), True),
+        ]
+    )
+
+    def pdf_of(d: int, text: str) -> bytes:
+        from tectonic_spark.operators.pdf import build_pdf
+
+        words = text.split(" ")
+        lines = [" ".join(words[i : i + 8]) for i in range(0, len(words), 8)]
+        np_ = 1 + d % 3
+        per = (len(lines) + np_ - 1) // np_
+        pages = [lines[i : i + per] for i in range(0, len(lines), per)]
+        while len(pages) < np_:  # short docs: pad with empty pages
+            pages.append([])
+        return build_pdf(
+            pages,
+            compress=(d % 2 == 0),
+            xref_stream=(d % 3 == 0),
+            objstm=(d % 6 == 0),
+            use_tj_array=(d % 5 == 0),
+            title=f"doc {d}",
+        )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.pdf import extract_text, parse_pdf
+
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                d = int(doc_id)
+                payload = pdf_of(d, text)
+                info = parse_pdf(payload)
+                pages = extract_text(payload)
+                rejoined = " ".join(
+                    ln for pg in pages for ln in pg.split("\n") if ln
+                )
+                if rejoined != text:
+                    raise ValueError(f"doc {d}: extraction drift")
+                rows.append(
+                    (
+                        d,
+                        info["n_pages"],
+                        len(rejoined),
+                        info["title"],
+                        info["uses_xref_stream"],
+                        info["n_compressed_objects"],
+                        info["filters"].get("/FlateDecode", 0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_pages",
+                    "chars",
+                    "title",
+                    "xref_stream",
+                    "n_compressed",
+                    "n_flate",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)
