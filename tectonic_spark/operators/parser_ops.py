@@ -3340,3 +3340,130 @@ def s15_warc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+def _docs_zip_src(sf_dir: str) -> str:
+    """documents as NDJSON members of a single .zip bundle — 4 members
+    alternating STORED / DEFLATE, the scraped-dataset-mirror layout."""
+    from tectonic_spark.operators.archive import build_zip
+
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "a26_src")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    rows = _docs_rows(sf_dir)
+    members = []
+    for i in range(4):
+        lines = [
+            json.dumps(
+                {"doc_id": d, "text": t, "lang": lg, "source": s, "n_chars": n}
+            )
+            for d, t, lg, s, n in rows
+            if d % 4 == i
+        ]
+        members.append(
+            (
+                f"shard-{i}.jsonl",
+                ("\n".join(lines) + "\n").encode(),
+                "stored" if i % 2 == 0 else "deflate",
+            )
+        )
+    _write_atomic(os.path.join(tmp, "corpus.zip"), build_zip(members))
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src
+
+
+@register(
+    "a26_zip_scan",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_deflated
+    FROM documents GROUP BY lang
+    """,
+    doc="ZIP archive ingestion (archive.py — corpus mirrors ship .zip "
+    "bundles alongside the .gz/.zst shards of a21/a23): a structural "
+    "PKWARE walk (EOCD discovery with comment-tolerant backward scan, "
+    "central directory, local-header cross-validation, raw-deflate "
+    "inflation, per-member CRC-32 + size verification — no stdlib "
+    "zipfile in the data path; interop with zipfile is pinned both "
+    "ways in tests), and each member's NDJSON bytes are parsed by the "
+    "ENGINE'S OWN JsonParser (S1 — the reference-parity async parser), "
+    "not a JSON library: the zip path exercises the same parser the "
+    "tectonic-json source runs. n_deflated counts docs that arrived "
+    "via DEFLATE members (from the member metadata the walk returned). "
+    "100 TB shape: one zip bundle = one whole-file task (members "
+    "inflate independently; a member index would enable member-range "
+    "splits — same whole-file doctrine as gzip); the aggregate is the "
+    "only exchange.",
+)
+def a26_zip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src = _docs_zip_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.zip"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("deflated", LongType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.core.json_parser import JsonParser, Mode
+        from tectonic_spark.core.result import Failure
+        from tectonic_spark.core.value_builder import ValueBuilderPlate
+        from tectonic_spark.operators.archive import parse_zip
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for member in parse_zip(bytes(blob)):
+                    plate = ValueBuilderPlate()
+                    parser = JsonParser(plate, Mode.VALUE_STREAM)
+                    res = parser.absorb(member["data"])
+                    if isinstance(res, Failure):
+                        raise ValueError(
+                            f"{member['name']}: {res.error}"
+                        )
+                    vals = list(res.value)
+                    res = parser.finish()
+                    if isinstance(res, Failure):
+                        raise ValueError(f"{member['name']}: {res.error}")
+                    vals.extend(res.value)
+                    deflated = 1 if member["method"] == 8 else 0
+                    rows.extend(
+                        (v["doc_id"], v["lang"], v["n_chars"], deflated)
+                        for v in vals
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lang", "n_chars", "deflated"]
+            )
+
+    parsed = files.select("content").mapInPandas(walk, schema)
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("deflated").alias("n_deflated"),
+    )

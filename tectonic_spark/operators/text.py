@@ -784,3 +784,115 @@ def c03_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "dl", "score", F.row_number().over(rank_win).cast("long").alias("rk")
     )
+
+
+@register(
+    "c03_url_normalize",
+    oracle="""
+    WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 13 = 4),
+    u AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+             'www.' || source || '.example.com' AS host,
+             '/docs/' || CAST(doc_id AS VARCHAR) || '/view' AS path,
+             'a=' || CAST(doc_id % 10 AS VARCHAR) || '&b=2'
+               || CASE WHEN doc_id % 7 = 0 THEN '&c=3' ELSE '' END AS params
+      FROM d
+    )
+    SELECT doc_id,
+           scheme || '://' || host || path || '?' || params AS norm_url,
+           host,
+           'example.com' AS domain,
+           CAST(3 AS BIGINT) AS path_depth,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 2 END AS BIGINT)
+             AS n_params_kept
+    FROM u
+    """,
+    doc="URL normalization (crawl-pipeline op: canonical URLs are the "
+    "dedup key of a fetch frontier and the join key of link graphs): "
+    "the fixture renders deliberately-messy URLs — MiXeD-case scheme "
+    "and host, explicit default ports (:80/:443), utm_*/fbclid "
+    "tracking parameters interleaved with real ones in scrambled "
+    "order, trailing fragments — and the operator normalizes them "
+    "entirely with JVM built-ins (parse_url for scheme/host/path/"
+    "query, array filter/sort_array/concat_ws for the parameter set): "
+    "lowercase scheme+host, strip default port, drop fragment, drop "
+    "tracking params, sort surviving params by key. The oracle "
+    "reconstructs the expected canonical form from doc_id arithmetic "
+    "(NOT by parsing), so the two engines cross-pin the parser. "
+    "domain is the last-two-label heuristic (a real deployment "
+    "substitutes the public-suffix list — documented boundary). "
+    "100 TB shape: pure per-row whole-stage codegen, zero shuffles, "
+    "zero Python.",
+)
+def c03_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 4)
+    # deliberately-messy fixture URL, built inline (MiXeD case, default
+    # ports, tracking params out of order, fragments)
+    scheme_raw = F.when(F.col("doc_id") % 2 == 0, "HTTPS").otherwise("Http")
+    port = F.when(F.col("doc_id") % 2 == 0, ":443").otherwise(":80")
+    host_raw = F.concat(
+        F.lit("WWW."), F.upper("source"), F.lit(".Example.COM"), port
+    )
+    params_raw = F.concat(
+        F.lit("utm_source=news&b=2&a="),
+        (F.col("doc_id") % 10).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, "&c=3&utm_campaign=x").otherwise(
+            "&gclid=zzz"
+        ),
+    )
+    url = F.concat(
+        scheme_raw,
+        F.lit("://"),
+        host_raw,
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/view?"),
+        params_raw,
+        F.when(F.col("doc_id") % 5 == 0, "#section-2").otherwise(""),
+    )
+    u = d.select("doc_id", url.alias("url"))
+
+    scheme = F.lower(F.parse_url("url", F.lit("PROTOCOL")))
+    host_port = F.lower(F.parse_url("url", F.lit("HOST")))
+    # Spark's parse_url HOST excludes the port; take port separately
+    # and drop it when it is the scheme default (80/443) — any other
+    # port would be preserved
+    raw_port = F.parse_url("url", F.lit("PORT"))
+    keep_port = raw_port.isNotNull() & ~(
+        ((scheme == "http") & (raw_port == "80"))
+        | ((scheme == "https") & (raw_port == "443"))
+    )
+    host = host_port
+    path = F.parse_url("url", F.lit("PATH"))
+    query = F.parse_url("url", F.lit("QUERY"))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: ~(
+                p.startswith("utm_") | p.startswith("fbclid") | p.startswith("gclid")
+            ),
+        )
+    )
+    params = F.concat_ws("&", kept)
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), raw_port)).otherwise(""),
+        path,
+        F.when(F.length(params) > 0, F.concat(F.lit("?"), params)).otherwise(""),
+    )
+    labels = F.split(host, "\\.")
+    domain = F.concat_ws(
+        ".", F.slice(labels, F.size(labels) - 1, 2)
+    )
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: F.length(s) > 0))
+    return u.select(
+        "doc_id",
+        norm.alias("norm_url"),
+        host.alias("host"),
+        domain.alias("domain"),
+        depth.cast("long").alias("path_depth"),
+        F.size(kept).cast("long").alias("n_params_kept"),
+    )

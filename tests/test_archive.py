@@ -1,0 +1,131 @@
+"""ZIP archive tests: round-trips across methods, both-ways stdlib
+zipfile interop, comment-tolerant EOCD discovery, verification
+(CRC/size/name agreement), taxonomy, Hypothesis sweep."""
+
+import io
+import zipfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tectonic_spark.operators.archive import build_zip, parse_zip
+
+MEMBERS = [
+    ("a.jsonl", b'{"x":1}\n{"x":2}\n', "deflate"),
+    ("b/c.txt", b"plain stored bytes", "stored"),
+    ("empty", b"", "deflate"),
+]
+
+
+class TestRoundtrip:
+    def test_basic(self):
+        got = parse_zip(build_zip(MEMBERS))
+        assert [(m["name"], m["data"]) for m in got] == [
+            (n, d) for n, d, _ in MEMBERS
+        ]
+        assert [m["method"] for m in got] == [8, 0, 8]
+        assert [m["usize"] for m in got] == [16, 18, 0]
+
+    def test_trailing_comment_tolerated(self):
+        z = build_zip(MEMBERS)
+        commented = z[:-2] + (9).to_bytes(2, "little") + b"a comment"
+        assert len(parse_zip(commented)) == 3
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(
+                    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+                    min_size=1,
+                    max_size=20,
+                ),
+                st.binary(max_size=500),
+                st.sampled_from(["stored", "deflate"]),
+            ),
+            min_size=1,
+            max_size=6,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def test_roundtrip_property(self, members):
+        got = parse_zip(build_zip(members))
+        assert [(m["name"], m["data"]) for m in got] == [
+            (n, d) for n, d, _ in members
+        ]
+
+
+class TestInterop:
+    def test_stdlib_reads_ours(self):
+        zf = zipfile.ZipFile(io.BytesIO(build_zip(MEMBERS)))
+        assert zf.read("a.jsonl") == MEMBERS[0][1]
+        assert zf.read("b/c.txt") == MEMBERS[1][1]
+        assert zf.testzip() is None
+
+    def test_we_read_stdlib(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zo:
+            zo.writestr("x.json", '{"k": [1,2,3]}')
+            zo.writestr("y", "more text here")
+        got = parse_zip(buf.getvalue())
+        assert got[0]["data"] == b'{"k": [1,2,3]}'
+        assert got[1]["data"] == b"more text here"
+
+    def test_we_read_stdlib_stored(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zo:
+            zo.writestr("s", b"\x00\x01\x02" * 40)
+        assert parse_zip(buf.getvalue())[0]["data"] == b"\x00\x01\x02" * 40
+
+
+class TestErrors:
+    def test_no_eocd(self):
+        with pytest.raises(EOFError, match="end-of-central"):
+            parse_zip(bytes(64))
+
+    def test_truncated_eocd(self):
+        with pytest.raises(EOFError, match="EOCD"):
+            parse_zip(b"PK\x05\x06" + bytes(10))
+
+    def test_truncated_payload(self):
+        z = build_zip(MEMBERS)
+        # keep the EOCD/CD but cut into the first member's payload
+        cd_off = int.from_bytes(z[-6:-2], "little")
+        broken = z[:30] + z[cd_off:]
+        with pytest.raises((EOFError, ValueError)):
+            parse_zip(broken)
+
+    def test_crc_mismatch(self):
+        z = bytearray(build_zip(MEMBERS))
+        i = bytes(z).find(b"plain stored bytes")
+        z[i] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            parse_zip(bytes(z))
+
+    def test_name_mismatch(self):
+        z = bytearray(build_zip([("name1", b"x" * 10, "stored")]))
+        i = bytes(z).find(b"name1")  # local header copy comes first
+        z[i : i + 5] = b"nameX"
+        with pytest.raises(ValueError, match="name mismatch"):
+            parse_zip(bytes(z))
+
+    def test_encrypted_refused(self):
+        z = bytearray(build_zip([("e", b"secret", "stored")]))
+        cd_off = int.from_bytes(bytes(z)[-6:-2], "little")
+        z[cd_off + 8] |= 0x01  # set the encryption bit in the CD entry
+        with pytest.raises(NotImplementedError, match="encrypted"):
+            parse_zip(bytes(z))
+
+    def test_zip64_refused(self):
+        z = build_zip(MEMBERS)
+        loc = b"PK\x06\x07" + bytes(16)
+        with pytest.raises(NotImplementedError, match="ZIP64"):
+            parse_zip(z[:-22] + loc + z[-22:])
+
+    def test_bad_deflate(self):
+        z = bytearray(build_zip([("d", b"compressible " * 50, "deflate")]))
+        i = 30 + 1  # into the deflate payload (name is 1 byte)
+        z[i + 2 : i + 6] = b"\xff\xff\xff\xff"
+        with pytest.raises((ValueError, EOFError)):
+            parse_zip(bytes(z))
