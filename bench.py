@@ -467,6 +467,97 @@ def _gif_decode_rate() -> dict[str, float]:
     return {"gif_decode_mb_per_sec": round(img.nbytes / 1e6 / best, 2)}
 
 
+def _warc_extract_rate() -> dict[str, float]:
+    """Crawl-ingestion stack rate, single core, best-of-3 CPU-time
+    (r10): member-per-record .warc.gz -> record grammar -> HTTP
+    chunked de-framing -> HTML main-content extraction, rated over
+    the extracted-page HTML bytes."""
+    import time as _t
+
+    from tectonic_spark.operators.warc import (
+        build_http_response,
+        build_warc_record,
+        html_page,
+        html_to_text,
+        main_content,
+        parse_http_response,
+        parse_warc,
+        write_warc,
+    )
+
+    texts = [
+        " ".join(f"word{(i * 17 + j) % 97}" for j in range(60))
+        for i in range(200)
+    ]
+    pages = [html_page(t, title=f"doc {i}", lang="en") for i, t in enumerate(texts)]
+    html_bytes = sum(len(p) for p in pages)
+    shard = write_warc(
+        [
+            build_warc_record(
+                "response",
+                build_http_response(p, chunked=(i % 2 == 0)),
+                uri=f"https://x.example/doc/{i}",
+                content_type="application/http; msgtype=response",
+            )
+            for i, p in enumerate(pages)
+        ]
+    )
+
+    def run() -> None:
+        for rec in parse_warc(shard):
+            http = parse_http_response(rec["payload"])
+            if not html_to_text(main_content(http["body"])):
+                raise RuntimeError("empty extraction")
+
+    run()  # warm
+    best = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        run()
+        best = min(best, _t.process_time() - t0)
+    return {"warc_extract_mb_per_sec": round(html_bytes / 1e6 / best, 2)}
+
+
+def _pdf_extract_rate() -> dict[str, float]:
+    """PDF text-extraction rate, single core, best-of-3 CPU-time (r10):
+    FlateDecode'd multi-page documents through the xref-stream/ObjStm
+    layout, rated over the PDF container bytes."""
+    import time as _t
+
+    from tectonic_spark.operators.pdf import build_pdf, extract_text
+
+    docs = [
+        build_pdf(
+            [
+                [
+                    " ".join(f"tok{(d * 13 + ln * 7 + k) % 89}" for k in range(9))
+                    for ln in range(14)
+                ]
+                for _pg in range(3)
+            ],
+            compress=True,
+            xref_stream=(d % 2 == 0),
+            objstm=(d % 2 == 0),
+            title=f"doc {d}",
+        )
+        for d in range(40)
+    ]
+    total = sum(len(p) for p in docs)
+
+    def run() -> None:
+        for p in docs:
+            if not extract_text(p):
+                raise RuntimeError("no pages")
+
+    run()  # warm
+    best = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        run()
+        best = min(best, _t.process_time() - t0)
+    return {"pdf_extract_mb_per_sec": round(total / 1e6 / best, 2)}
+
+
 def _webp_decode_rate() -> dict[str, float]:
     """Vendored VP8L decode rate, single core, best-of-3 CPU-time
     (r10): a noise RGBA image (literal-heavy, worst case for the
@@ -884,6 +975,8 @@ def main() -> None:
         **_png_decode_rate(),
         **_gif_decode_rate(),
         **_webp_decode_rate(),
+        **_warc_extract_rate(),
+        **_pdf_extract_rate(),
         **_audio_codec_rates(),
         **_stream_latency(spark, sf_dir),
         **_sf1_headroom(spark, sf_dir, timings),

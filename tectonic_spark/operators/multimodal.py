@@ -2872,15 +2872,14 @@ def m24_pdf_extract(spark, sf_dir: str) -> DataFrame:
         )
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from tectonic_spark.operators.pdf import extract_text, parse_pdf
+        from tectonic_spark.operators.pdf import analyze_pdf
 
         for pdf_batch in batches:
             rows = []
             for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
                 d = int(doc_id)
                 payload = pdf_of(d, text)
-                info = parse_pdf(payload)
-                pages = extract_text(payload)
+                info, pages = analyze_pdf(payload)  # one parse, both surfaces
                 rejoined = " ".join(
                     ln for pg in pages for ln in pg.split("\n") if ln
                 )

@@ -38,7 +38,7 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["build_pdf", "extract_text", "parse_pdf"]
+__all__ = ["analyze_pdf", "build_pdf", "extract_text", "parse_pdf"]
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -111,6 +111,7 @@ class Stream:
 
 
 _NUM = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
+_STR_SPECIAL = re.compile(rb"[\\()]")
 
 
 def _parse_obj(lx: _Lexer, doc: "_Doc | None" = None):
@@ -135,6 +136,15 @@ def _parse_obj(lx: _Lexer, doc: "_Doc | None" = None):
         while True:
             if lx.pos >= len(d):
                 raise EOFError("unterminated literal string")
+            # bulk-copy the span up to the next special byte — content
+            # streams are string-heavy and the per-byte loop was the
+            # hottest line in the extraction profile (r10)
+            m = _STR_SPECIAL.search(d, lx.pos)
+            if m is None:
+                raise EOFError("unterminated literal string")
+            if m.start() > lx.pos:
+                out += d[lx.pos : m.start()]
+                lx.pos = m.start()
             b = d[lx.pos]
             lx.pos += 1
             if b == 0x5C:  # backslash
@@ -551,10 +561,25 @@ def _page_text(doc: _Doc, page: dict) -> str:
     return "\n".join("".join(parts) for parts in lines)
 
 
+def analyze_pdf(data: bytes) -> tuple[dict, list[str]]:
+    """One parse for both surfaces: (parse_pdf census, extract_text
+    pages). ``parse_pdf`` + ``extract_text`` each re-open the document;
+    callers that need both (the m24 walk) use this to parse once."""
+    doc = _open(data)
+    info = _census(doc, data)
+    root = doc.get(doc.trailer["/Root"])
+    pages: list[dict] = []
+    _walk_pages(doc, root["/Pages"], pages)
+    return info, [_page_text(doc, p) for p in pages]
+
+
 def parse_pdf(data: bytes) -> dict:
     """Structural census + metadata: version, page count, object count,
     xref kind(s), stream-filter census, /Info fields."""
-    doc = _open(data)
+    return _census(_open(data), data)
+
+
+def _census(doc: "_Doc", data: bytes) -> dict:
     m = re.match(rb"%PDF-(\d+\.\d+)", data)
     root = doc.get(doc.trailer["/Root"])
     pages: list[dict] = []
