@@ -3000,10 +3000,15 @@ def _warc_shards_src(sf_dir: str) -> tuple[str, int]:
         write_warc,
     )
 
+    rows = _docs_rows(sf_dir)
+    # shard size stays ROUGHLY CONSTANT as the corpus grows (the real
+    # crawl layout: Common Crawl ships thousands of ~1 GB segments per
+    # dump) so scan parallelism scales with data volume — a fixed shard
+    # count would serialize the whole-file tasks at large SF
+    n_shards = max(4, len(rows) // 15000)
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, "a25_src")
+    src = os.path.join(base, f"a25_src_{n_shards}")
     done = os.path.join(src, "_DONE")
-    n_shards = 4
     if os.path.exists(done):
         return src, n_shards
     import shutil
@@ -3011,7 +3016,6 @@ def _warc_shards_src(sf_dir: str) -> tuple[str, int]:
     tmp = f"{src}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    rows = _docs_rows(sf_dir)
     for i in range(n_shards):
         recs = [
             build_warc_record(
@@ -3347,8 +3351,10 @@ def _docs_zip_src(sf_dir: str) -> str:
     alternating STORED / DEFLATE, the scraped-dataset-mirror layout."""
     from tectonic_spark.operators.archive import build_zip
 
+    rows = _docs_rows(sf_dir)
+    n_zips = max(1, len(rows) // 60000)  # bundle size ~constant at scale
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, "a26_src")
+    src = os.path.join(base, f"a26_src_{n_zips}")
     done = os.path.join(src, "_DONE")
     if os.path.exists(done):
         return src
@@ -3357,24 +3363,25 @@ def _docs_zip_src(sf_dir: str) -> str:
     tmp = f"{src}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    rows = _docs_rows(sf_dir)
-    members = []
-    for i in range(4):
-        lines = [
-            json.dumps(
-                {"doc_id": d, "text": t, "lang": lg, "source": s, "n_chars": n}
+    n_members = 4 * n_zips
+    for z in range(n_zips):
+        members = []
+        for i in range(z * 4, z * 4 + 4):
+            lines = [
+                json.dumps(
+                    {"doc_id": d, "text": t, "lang": lg, "source": s, "n_chars": n}
+                )
+                for d, t, lg, s, n in rows
+                if d % n_members == i
+            ]
+            members.append(
+                (
+                    f"shard-{i}.jsonl",
+                    ("\n".join(lines) + "\n").encode(),
+                    "stored" if i % 2 == 0 else "deflate",
+                )
             )
-            for d, t, lg, s, n in rows
-            if d % 4 == i
-        ]
-        members.append(
-            (
-                f"shard-{i}.jsonl",
-                ("\n".join(lines) + "\n").encode(),
-                "stored" if i % 2 == 0 else "deflate",
-            )
-        )
-    _write_atomic(os.path.join(tmp, "corpus.zip"), build_zip(members))
+        _write_atomic(os.path.join(tmp, f"corpus-{z:03d}.zip"), build_zip(members))
     _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
     try:
         os.rename(tmp, src)
