@@ -199,6 +199,15 @@ def _decode_image_real(payload: bytes):
 
         info = parse_mp4(payload)
         return "video", info["width"], info["height"], info["n_frames"]
+    if payload[:5] == b"%PDF-":  # r10: document format — page census
+        from tectonic_spark.operators.pdf import parse_pdf
+
+        info = parse_pdf(payload)
+        return "document", None, None, info["n_pages"]
+    if payload[:4] == b"PK\x03\x04":  # r10: archive — member census
+        from tectonic_spark.operators.archive import parse_zip
+
+        return "archive", None, None, len(parse_zip(payload))
     raise NotImplementedError(
         f"no native codec for payload magic {payload[:4]!r}; "
         "plug pyav for compressed-video PIXEL decode (H.264 structural "
