@@ -3281,19 +3281,24 @@ def s15_warc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    src, _n_shards = _warc_shards_src(sf_dir)
+    src, n_shards = _warc_shards_src(sf_dir)
     base = _fixture_dir(sf_dir)
     out = os.path.join(base, "s15_sink")
     ck = os.path.join(base, "s15_ck")
     for d in (out, ck):
         shutil.rmtree(d, ignore_errors=True)
 
+    # files-per-trigger scales with the shard count: each file is one
+    # extraction task, so a fixed "2" would leave 30 cores idle per
+    # micro-batch at large SF; n_shards//4 keeps >=4 micro-batches (the
+    # >=2 gate stays binding at small SF where n_shards == 4)
+    per_trigger = max(2, n_shards // 4)
     stream = (
         spark.readStream.format("binaryFile")
         .schema(
             "path string, modificationTime timestamp, length long, content binary"
         )
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", str(per_trigger))
         .option("pathGlobFilter", "*.warc.gz")
         .load(src)
     )
@@ -3310,7 +3315,8 @@ def s15_warc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_rows, n_commits = 0, 0
     commits_dir = os.path.join(ck, "commits")
     try:
-        deadline = time.time() + 240
+        # volume-aware deadline: a backlog-catch-up run is rate-bound
+        deadline = time.time() + 240 + expected // 1500
         while time.time() < deadline:
             try:
                 sink_rows = spark.read.parquet(out).count()
