@@ -3480,3 +3480,367 @@ def a26_zip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars"),
         F.sum("deflated").alias("n_deflated"),
     )
+
+
+def _wet_wat_src(sf_dir: str) -> tuple[str, int]:
+    """The OTHER two Common Crawl artifact types for the same crawl:
+    WET (conversion records — extracted plain text) and WAT (metadata
+    records — JSON envelopes), each in member-per-record .gz shards.
+    Shard count scales with the corpus like a25."""
+    from tectonic_spark.operators.warc import build_warc_record, write_warc
+
+    rows = _docs_rows(sf_dir)
+    n_shards = max(2, len(rows) // 25000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"a27_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(n_shards):
+        wet, wat = [], []
+        for d, text, lang, source, n in rows:
+            if d % n_shards != i:
+                continue
+            uri = f"https://{source}.example/doc/{d}"
+            wet.append(
+                build_warc_record(
+                    "conversion",
+                    text.encode("utf-8"),
+                    uri=uri,
+                    content_type="text/plain",
+                )
+            )
+            wat.append(
+                build_warc_record(
+                    "metadata",
+                    json.dumps(
+                        {
+                            "Envelope": {
+                                "WARC-Header-Metadata": {
+                                    "WARC-Target-URI": uri,
+                                    "WARC-Type": "response",
+                                },
+                                "Payload-Metadata": {
+                                    "Actual-Content-Length": n,
+                                    "HTTP-Response-Metadata": {
+                                        "Headers": {"Content-Language": lang},
+                                        "Response-Message": {"Status": 200},
+                                    },
+                                },
+                            }
+                        }
+                    ).encode(),
+                    uri=uri,
+                    content_type="application/json",
+                )
+            )
+        _write_atomic(os.path.join(tmp, f"wet-{i:03d}.warc.wet.gz"), write_warc(wet))
+        _write_atomic(os.path.join(tmp, f"wat-{i:03d}.warc.wat.gz"), write_warc(wat))
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "a27_wet_wat_ingest",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS wet_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS wat_content_length,
+           CAST(COUNT(*) AS BIGINT) AS n_status_200
+    FROM documents GROUP BY lang
+    """,
+    doc="WET + WAT ingestion (completes the Common Crawl artifact "
+    "triple with a25: WET ships pre-extracted plain text as "
+    "WARC-Type conversion records, WAT ships per-page metadata as "
+    "JSON envelopes in metadata records): both shard families walk "
+    "through the SAME ISO 28500 record grammar as a25, and the WAT "
+    "JSON envelopes parse through the ENGINE'S OWN S1 JsonParser. "
+    "The two artifact types are JOINED on the doc_id parsed from "
+    "their URIs: wet_chars comes from the conversion payload length, "
+    "wat_content_length from the envelope's Actual-Content-Length, "
+    "lang from the envelope's Content-Language header — the oracle "
+    "pins them consistent (both equal n_chars per doc), which only "
+    "holds if both record walks and the join line up. 100 TB shape: "
+    "whole-file shard tasks for both families; the join shuffles on "
+    "doc_id (both sides corpus-sized — the one unavoidable exchange); "
+    "final aggregate per lang.",
+)
+def a27_wet_wat_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src, _n = _wet_wat_src(sf_dir)
+    wet_files = spark.read.format("binaryFile").load(
+        os.path.join(src, "wet-*.warc.wet.gz")
+    )
+    wat_files = spark.read.format("binaryFile").load(
+        os.path.join(src, "wat-*.warc.wat.gz")
+    )
+
+    wet_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("wet_len", LongType(), True),
+        ]
+    )
+    wat_schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("content_length", LongType(), True),
+            StructField("status", LongType(), True),
+        ]
+    )
+
+    def wet_walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "conversion":
+                        raise ValueError(f"unexpected WET type {rec['type']}")
+                    d = int(rec["uri"].rsplit("/", 1)[1])
+                    rows.append((d, len(rec["payload"].decode("utf-8"))))
+            yield pd.DataFrame(rows, columns=["doc_id", "wet_len"])
+
+    def wat_walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.core.json_parser import JsonParser, Mode
+        from tectonic_spark.core.result import Failure
+        from tectonic_spark.core.value_builder import ValueBuilderPlate
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "metadata":
+                        raise ValueError(f"unexpected WAT type {rec['type']}")
+                    plate = ValueBuilderPlate()
+                    parser = JsonParser(plate, Mode.SINGLE_VALUE)
+                    res = parser.absorb(rec["payload"])
+                    if isinstance(res, Failure):
+                        raise ValueError(f"WAT envelope: {res.error}")
+                    vals = list(res.value)
+                    res = parser.finish()
+                    if isinstance(res, Failure):
+                        raise ValueError(f"WAT envelope: {res.error}")
+                    vals.extend(res.value)
+                    (env,) = vals
+                    e = env["Envelope"]
+                    d = int(
+                        e["WARC-Header-Metadata"]["WARC-Target-URI"].rsplit(
+                            "/", 1
+                        )[1]
+                    )
+                    pm = e["Payload-Metadata"]
+                    http = pm["HTTP-Response-Metadata"]
+                    rows.append(
+                        (
+                            d,
+                            http["Headers"]["Content-Language"],
+                            pm["Actual-Content-Length"],
+                            http["Response-Message"]["Status"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lang", "content_length", "status"]
+            )
+
+    wet = wet_files.select("content").mapInPandas(wet_walk, wet_schema)
+    wat = wat_files.select("content").mapInPandas(wat_walk, wat_schema)
+    joined = wet.join(wat, "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("wet_len").alias("wet_chars"),
+        F.sum("content_length").alias("wat_content_length"),
+        F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias(
+            "n_status_200"
+        ),
+    )
+
+
+def _sitemap_src(sf_dir: str) -> str:
+    """Per-source sitemap trees in the sitemaps.org protocol layout: one
+    <sitemapindex> per source referencing its <urlset> leaves (200 URLs
+    per leaf — the protocol caps leaves at 50k; a smaller chunk keeps
+    multiple leaves per source at fixture scale)."""
+    from tectonic_spark.operators.xmlparse import (
+        build_sitemap,
+        build_sitemap_index,
+    )
+
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "c03_sitemaps")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    per_source: dict[str, list] = {}
+    for d, _t, _lg, source, _n in _docs_rows(sf_dir):
+        if d % 17 == 6:
+            per_source.setdefault(source, []).append(d)
+    for source, ids in per_source.items():
+        leaves = []
+        for k in range(0, len(ids), 200):
+            chunk = ids[k : k + 200]
+            urls = [
+                {
+                    "loc": f"https://{source}.example/doc/{d}",
+                    "lastmod": f"2024-{1 + d % 12:02d}-01",
+                    "priority": f"0.{d % 10}",
+                }
+                for d in chunk
+            ]
+            leaf = f"sm-{source}-{k // 200:03d}.xml"
+            _write_atomic(os.path.join(tmp, leaf), build_sitemap(urls))
+            leaves.append(f"https://{source}.example/{leaf}")
+        _write_atomic(
+            os.path.join(tmp, f"index-{source}.xml"),
+            build_sitemap_index(leaves),
+        )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src
+
+
+@register(
+    "c03_sitemap_census",
+    oracle="""
+    WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 17 = 6)
+    SELECT source,
+           CAST((COUNT(*) + 199) // 200 AS BIGINT) AS sitemaps_listed,
+           CAST((COUNT(*) + 199) // 200 AS BIGINT) AS sitemaps_seen,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(doc_id % 10) AS BIGINT) AS sum_priority_tenths,
+           MAX('2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+               || '-01') AS max_lastmod
+    FROM d GROUP BY source
+    """,
+    doc="Sitemap census (xmlparse.py — a crawl frontier reads "
+    "sitemap.xml before fetching anything; XML is the engine's last "
+    "missing crawl-metadata markup): per-source sitemaps.org trees — "
+    "a <sitemapindex> per source referencing 200-URL <urlset> leaves — "
+    "parsed by the vendored structural XML parser (predefined + "
+    "numeric entities, CDATA, DOCTYPE skipped verbatim with NO entity "
+    "expansion, so the XXE class cannot exist). The walk emits one row "
+    "per FILE (index rows carry the leaf-reference count, leaf rows "
+    "carry url/priority/lastmod aggregates) and the per-source "
+    "aggregate pins sitemaps_listed (from index content) EQUAL to "
+    "sitemaps_seen (leaf files actually parsed) — a lost or orphaned "
+    "leaf breaks the hash. priority sums as integer tenths (exact "
+    "cross-engine). 100 TB shape: per-file parse in mapInPandas, one "
+    "small per-source aggregate exchange, no joins.",
+)
+def c03_sitemap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src = _sitemap_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.xml"))
+    schema = StructType(
+        [
+            StructField("source", StringType(), True),
+            StructField("kind", StringType(), True),
+            StructField("n_refs", LongType(), True),
+            StructField("n_urls", LongType(), True),
+            StructField("sum_priority_tenths", LongType(), True),
+            StructField("max_lastmod", StringType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.xmlparse import parse_xml
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                root = parse_xml(bytes(blob))
+                if root.tag == "sitemapindex":
+                    refs = [s.child_text("loc") for s in root.findall("sitemap")]
+                    if any(r is None for r in refs):
+                        raise ValueError(f"{path}: sitemap entry without loc")
+                    # source from the referenced host — pins the index
+                    # CONTENT, not the filename
+                    hosts = {r.split("//", 1)[1].split(".", 1)[0] for r in refs}
+                    if len(hosts) != 1:
+                        raise ValueError(f"{path}: index spans hosts {hosts}")
+                    rows.append((hosts.pop(), "index", len(refs), 0, 0, None))
+                    continue
+                if root.tag != "urlset":
+                    raise ValueError(f"{path}: unexpected root <{root.tag}>")
+                urls = root.findall("url")
+                locs = [u.child_text("loc") for u in urls]
+                if any(loc is None for loc in locs):
+                    raise ValueError(f"{path}: url entry without loc")
+                hosts = {loc.split("//", 1)[1].split(".", 1)[0] for loc in locs}
+                if len(hosts) != 1:
+                    raise ValueError(f"{path}: leaf spans hosts {hosts}")
+                pr = sum(
+                    int(u.child_text("priority").split(".")[1]) for u in urls
+                )
+                rows.append(
+                    (
+                        hosts.pop(),
+                        "leaf",
+                        0,
+                        len(urls),
+                        pr,
+                        max(u.child_text("lastmod") for u in urls),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "source",
+                    "kind",
+                    "n_refs",
+                    "n_urls",
+                    "sum_priority_tenths",
+                    "max_lastmod",
+                ],
+            )
+
+    parsed = files.select("path", "content").mapInPandas(walk, schema)
+    return parsed.groupBy("source").agg(
+        F.sum("n_refs").alias("sitemaps_listed"),
+        F.sum(F.when(F.col("kind") == "leaf", 1).otherwise(0)).alias(
+            "sitemaps_seen"
+        ),
+        F.sum("n_urls").alias("n_urls"),
+        F.sum("sum_priority_tenths").alias("sum_priority_tenths"),
+        F.max("max_lastmod").alias("max_lastmod"),
+    )

@@ -361,13 +361,17 @@ def check_semantic_dedup(spark, sf_dir: str, k: int = 64) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--sf-dir", default="/tmp/tectonic_scaled/root_testdata_sf0.1_x10"
+        "--sf-dir", default=None
     )
     ap.add_argument("--sample-every", type=int, default=7919)
     ap.add_argument("--vec-sample", type=int, default=200)
     ap.add_argument("--out", default="/tmp/sf1_deep_checks.json")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    if args.sf_dir is None:
+        from sf_scale import ensure_scaled
+
+        args.sf_dir = ensure_scaled("/root/testdata/sf0.1", 10)
 
     from tectonic_spark import get_spark
 

@@ -108,13 +108,15 @@ def run_oracle(sql: str, sf_dir: str, timeout: float):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument(
-        "--sf-dir", default="/tmp/tectonic_scaled/root_testdata_sf0.1_x10"
-    )
+    ap.add_argument("--sf-dir", default=None)
     ap.add_argument("--timeout", type=float, default=900.0)
     ap.add_argument("--out", default="/tmp/sf1_sweep.json")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    if args.sf_dir is None:
+        from sf_scale import ensure_scaled
+
+        args.sf_dir = ensure_scaled("/root/testdata/sf0.1", 10)
 
     import tectonic_spark.operators as ops
     from tectonic_spark import get_spark

@@ -27,8 +27,10 @@ def ensure_scaled(
     import duckdb
 
     tag = src_dir.rstrip("/").replace("/", "_").lstrip("_")
+    # v2: n_chars invariant fix (r10) — new cache name so stale dirs
+    # built by the v1 scaler are not silently reused
     out_dir = out_dir or os.path.join(
-        tempfile.gettempdir(), "tectonic_scaled", f"{tag}_x{factor}"
+        tempfile.gettempdir(), "tectonic_scaled", f"{tag}_x{factor}_v2"
     )
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
@@ -77,7 +79,12 @@ def ensure_scaled(
     copy_to(
         "documents",
         f"SELECT d.* REPLACE (doc_id + i * {off_d} AS doc_id, "
-        "text || ' r' || CAST(i AS VARCHAR) AS text) "
+        "text || ' r' || CAST(i AS VARCHAR) AS text, "
+        # keep the n_chars invariant (n_chars == length(text)) under the
+        # replica suffix — the r10 crawl queries cross-pin EXTRACTED text
+        # length against this column and caught it stale (off by the
+        # suffix length on every replica)
+        "n_chars + 2 + length(CAST(i AS VARCHAR)) AS n_chars) "
         f"FROM read_parquet('{src('documents')}') d, range({factor}) r(i)",
     )
 
