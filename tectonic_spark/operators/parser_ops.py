@@ -3844,3 +3844,135 @@ def c03_sitemap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_priority_tenths").alias("sum_priority_tenths"),
         F.max("max_lastmod").alias("max_lastmod"),
     )
+
+
+@register(
+    "c03_robots_eval",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0 THEN 'special-bot'
+                  ELSE 'genericbot' END AS agent,
+             CASE WHEN doc_id % 10 = 0 THEN 'ok'
+                  WHEN doc_id % 5 = 0 THEN 'private'
+                  WHEN doc_id % 7 = 0 THEN 'tmp'
+                  ELSE 'docs' END AS kind
+      FROM documents WHERE doc_id % 11 = 3
+    )
+    SELECT doc_id, source, agent,
+           CASE WHEN agent = 'special-bot' THEN kind <> 'docs'
+                ELSE kind IN ('ok', 'docs') END AS allowed,
+           CASE WHEN agent = 'special-bot' THEN NULL
+                ELSE 10 * CAST(substr(source, 4) AS BIGINT) + 5
+           END AS crawl_delay_tenths
+    FROM d
+    """,
+    doc="robots.txt evaluation (robots.py, RFC 9309 — the gatekeeper a "
+    "crawl frontier consults before every fetch; robots filtering is a "
+    "standard crawl-corpus curation step): each source carries a "
+    "robots.txt exercising the full rule grammar — multi-agent groups "
+    "(exact product token beats *), longest-match precedence, "
+    "allow-wins-on-tie, * wildcards, the $ end anchor, Crawl-delay "
+    "extension, ignored unknown fields — and each doc evaluates its "
+    "fixture path under an agent that alternates between the specific "
+    "group and the wildcard group. The oracle reconstructs the verdict "
+    "from doc_id arithmetic, so a group-selection or precedence bug "
+    "flips the hash. 100 TB shape: per-row evaluation in mapInPandas "
+    "(the parsed robots structure is one tiny dict per source, cached "
+    "per batch), no shuffle.",
+)
+def c03_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.tables import table
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .where(F.col("doc_id") % 11 == 3)
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("source", StringType(), True),
+            StructField("agent", StringType(), True),
+            StructField("allowed", BooleanType(), True),
+            StructField("crawl_delay_tenths", LongType(), True),
+        ]
+    )
+
+    def robots_text(source: str) -> bytes:
+        k = int(source[3:])
+        return (
+            "# generated robots fixture\n"
+            "User-agent: special-bot\n"
+            "Disallow: /docs/\n"
+            "Allow: /docs/open/\n"
+            "\n"
+            "User-agent: *\n"
+            "User-agent: other-bot\n"
+            "Disallow: /private/\n"
+            "Allow: /private/ok/\n"
+            "Disallow: /*.tmp$\n"
+            f"Crawl-delay: {k}.5\n"
+            f"Sitemap: https://{source}.example/sitemap.xml\n"
+            "Unknown-field: ignored per RFC 9309\n"
+        ).encode()
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.robots import (
+            _select_group,
+            parse_robots,
+            robots_allowed,
+        )
+
+        cache: dict[str, dict] = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                r = cache.get(source)
+                if r is None:
+                    r = cache[source] = parse_robots(robots_text(source))
+                agent = "special-bot" if d % 3 == 0 else "genericbot"
+                if d % 10 == 0:
+                    path = f"/private/ok/{d}"
+                elif d % 5 == 0:
+                    path = f"/private/{d}"
+                elif d % 7 == 0:
+                    path = f"/assets/{d}.tmp"
+                else:
+                    path = f"/docs/{d}/view"
+                allowed = robots_allowed(r, agent, path)
+                grp = _select_group(r["groups"], agent)
+                delay = grp["crawl_delay"] if grp else None
+                rows.append(
+                    (
+                        d,
+                        source,
+                        agent,
+                        allowed,
+                        int(delay * 10) if delay is not None else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "source",
+                    "agent",
+                    "allowed",
+                    "crawl_delay_tenths",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)
