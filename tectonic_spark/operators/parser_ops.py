@@ -3976,3 +3976,156 @@ def c03_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(walk, schema)
+
+
+def _feeds_src(sf_dir: str) -> str:
+    """Per-source syndication feeds: even-numbered sources publish RSS
+    2.0, odd Atom (link as an ATTRIBUTE — the shape RSS lacks, so the
+    census exercises both element-text and attribute extraction)."""
+    from tectonic_spark.operators.xmlparse import build_atom, build_rss
+
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "c03_feeds")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    per_source: dict[str, list] = {}
+    for d, _t, _lg, source, _n in _docs_rows(sf_dir):
+        if d % 19 == 8:
+            per_source.setdefault(source, []).append(d)
+    for source, ids in per_source.items():
+        k = int(source[3:])
+        if k % 2 == 0:
+            payload = build_rss(
+                f"{source} news & updates",
+                [
+                    {
+                        "title": f"post {d}",
+                        "link": f"https://{source}.example/doc/{d}",
+                        "guid": f"urn:doc:{d}",
+                        "pubDate": f"2024-{1 + d % 12:02d}-02",
+                    }
+                    for d in ids
+                ],
+            )
+        else:
+            payload = build_atom(
+                f"{source} feed",
+                [
+                    {
+                        "title": f"post {d}",
+                        "link": f"https://{source}.example/doc/{d}",
+                        "id": f"urn:doc:{d}",
+                        "updated": f"2024-{1 + d % 12:02d}-02T00:00:00Z",
+                    }
+                    for d in ids
+                ],
+            )
+        _write_atomic(os.path.join(tmp, f"feed-{source}.xml"), payload)
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src
+
+
+@register(
+    "c03_feed_census",
+    oracle="""
+    WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 19 = 8)
+    SELECT source,
+           CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                THEN 'rss' ELSE 'atom' END AS format,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_linked_doc_ids,
+           MAX('2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+               || '-02') AS max_published
+    FROM d GROUP BY source
+    """,
+    doc="Syndication-feed census (xmlparse.py — feeds are the discovery "
+    "layer of a crawl alongside sitemaps): even-numbered sources "
+    "publish RSS 2.0 (item links as element TEXT), odd publish Atom "
+    "(links as the href ATTRIBUTE) — the census exercises both "
+    "extraction shapes of the XML grammar plus the format sniff from "
+    "the ROOT TAG (rss vs feed; reported format comes from the parse, "
+    "not the fixture arithmetic). sum_linked_doc_ids re-derives every "
+    "item's doc_id from its link URL, and max_published normalizes "
+    "pubDate (RSS) / updated (Atom) — per-item content crosses the "
+    "parse in full. 100 TB shape: per-file parse in mapInPandas, one "
+    "tiny per-source aggregate.",
+)
+def c03_feed_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src = _feeds_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.xml"))
+    schema = StructType(
+        [
+            StructField("source", StringType(), True),
+            StructField("format", StringType(), True),
+            StructField("n_items", LongType(), True),
+            StructField("sum_linked_doc_ids", LongType(), True),
+            StructField("max_published", StringType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.xmlparse import parse_xml
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                root = parse_xml(bytes(blob))
+                if root.tag == "rss":
+                    ch = root.find("channel")
+                    if ch is None:
+                        raise ValueError(f"{path}: rss without channel")
+                    links = [
+                        it.child_text("link") for it in ch.findall("item")
+                    ]
+                    pubs = [
+                        it.child_text("pubDate") for it in ch.findall("item")
+                    ]
+                    fmt = "rss"
+                elif root.tag == "feed":
+                    entries = root.findall("entry")
+                    links = [e.find("link").attrs["href"] for e in entries]
+                    pubs = [
+                        e.child_text("updated").split("T")[0] for e in entries
+                    ]
+                    fmt = "atom"
+                else:
+                    raise ValueError(f"{path}: unexpected root <{root.tag}>")
+                if not links:
+                    raise ValueError(f"{path}: empty feed")
+                ids = [int(u.rsplit("/", 1)[1]) for u in links]
+                hosts = {u.split("//", 1)[1].split(".", 1)[0] for u in links}
+                if len(hosts) != 1:
+                    raise ValueError(f"{path}: feed spans hosts {hosts}")
+                rows.append((hosts.pop(), fmt, len(ids), sum(ids), max(pubs)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "source",
+                    "format",
+                    "n_items",
+                    "sum_linked_doc_ids",
+                    "max_published",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(walk, schema)

@@ -25,7 +25,14 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["Element", "build_sitemap", "build_sitemap_index", "parse_xml"]
+__all__ = [
+    "Element",
+    "build_atom",
+    "build_rss",
+    "build_sitemap",
+    "build_sitemap_index",
+    "parse_xml",
+]
 
 _NAME = re.compile(r"[A-Za-z_:][-A-Za-z0-9._:]*")
 _ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "apos": "'", "quot": '"'}
@@ -256,4 +263,37 @@ def build_sitemap_index(locs: list[str]) -> bytes:
     for loc in locs:
         parts.append(f"<sitemap><loc>{_esc(loc)}</loc></sitemap>")
     parts.append("</sitemapindex>")
+    return "\n".join(parts).encode("utf-8")
+
+
+def build_rss(channel_title: str, items: list[dict]) -> bytes:
+    """An RSS 2.0 feed; items carry title/link/guid/pubDate."""
+    parts = ['<?xml version="1.0"?>', '<rss version="2.0"><channel>']
+    parts.append(f"<title>{_esc(channel_title)}</title>")
+    for it in items:
+        parts.append("<item>")
+        for k in ("title", "link", "guid", "pubDate"):
+            if k in it:
+                parts.append(f"<{k}>{_esc(str(it[k]))}</{k}>")
+        parts.append("</item>")
+    parts.append("</channel></rss>")
+    return "\n".join(parts).encode("utf-8")
+
+
+def build_atom(feed_title: str, entries: list[dict]) -> bytes:
+    """An Atom feed; entries carry title/id/updated and link as the
+    ATTRIBUTE form (<link href=...>) — the shape RSS lacks."""
+    parts = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        '<feed xmlns="http://www.w3.org/2005/Atom">',
+        f"<title>{_esc(feed_title)}</title>",
+    ]
+    for e in entries:
+        parts.append("<entry>")
+        parts.append(f"<title>{_esc(e['title'])}</title>")
+        parts.append(f'<link href="{_esc(e["link"])}" rel="alternate"/>')
+        parts.append(f"<id>{_esc(e['id'])}</id>")
+        parts.append(f"<updated>{_esc(e['updated'])}</updated>")
+        parts.append("</entry>")
+    parts.append("</feed>")
     return "\n".join(parts).encode("utf-8")

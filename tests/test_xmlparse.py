@@ -129,3 +129,41 @@ class TestErrors:
     def test_taxonomy(self, doc, exc, pat):
         with pytest.raises(exc, match=pat):
             parse_xml(doc)
+
+
+class TestFeeds:
+    def test_rss(self):
+        from tectonic_spark.operators.xmlparse import build_rss
+
+        r = parse_xml(
+            build_rss(
+                "c & d",
+                [
+                    {"title": "t1", "link": "https://x/1", "guid": "g1",
+                     "pubDate": "2024-01-01"},
+                    {"title": "t2", "link": "https://x/2"},
+                ],
+            )
+        )
+        assert r.tag == "rss" and r.attrs["version"] == "2.0"
+        ch = r.find("channel")
+        assert ch.child_text("title") == "c & d"
+        items = ch.findall("item")
+        assert [i.child_text("link") for i in items] == ["https://x/1", "https://x/2"]
+        assert items[1].child_text("pubDate") is None
+
+    def test_atom_link_attribute(self):
+        from tectonic_spark.operators.xmlparse import build_atom
+
+        a = parse_xml(
+            build_atom(
+                "f",
+                [{"title": "t", "link": "https://x/2?a=1&b=2", "id": "i",
+                  "updated": "2024-02-03T00:00:00Z"}],
+            )
+        )
+        assert a.tag == "feed"
+        e = a.find("entry")
+        assert e.find("link").attrs == {"href": "https://x/2?a=1&b=2",
+                                        "rel": "alternate"}
+        assert e.child_text("updated") == "2024-02-03T00:00:00Z"
