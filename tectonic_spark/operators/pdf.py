@@ -495,7 +495,27 @@ _TEXT_OPS = frozenset(
 )
 
 
+_CS_TOK = re.compile(
+    rb"[\x00\t\n\f\r ]+"
+    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|(?P<name>/[^\x00\t\n\f\r ()<>\[\]{}/%]*)"
+    rb"|(?P<op>[A-Za-z'\"][A-Za-z0-9*'\"]*)"
+    rb"|(?P<aopen>\[)|(?P<aclose>\])"
+    rb"|(?P<sstr>\((?:[^()\\\\]*)\))"
+    rb"|(?P<lstr>\()"
+    rb"|(?P<dct><<)"
+    rb"|(?P<hstr><[^<>]*>)"
+    rb"|(?P<cmt>%[^\r\n]*)"
+)
+
+
 def _page_text(doc: _Doc, page: dict) -> str:
+    """Interpret the page's content stream(s) with a single-pass regex
+    scanner (the generic COS lexer costs ~3 Python calls per token;
+    content streams are token soup, so a dedicated scanner is the
+    extraction-throughput lever — r10 profile). Literal strings and
+    inline dicts fall back to the generic ``_parse_obj`` at the same
+    offset, so semantics match the lexer exactly."""
     contents = doc.get(page.get("/Contents"))
     if contents is None:
         return ""
@@ -505,15 +525,12 @@ def _page_text(doc: _Doc, page: dict) -> str:
         )
     else:
         payload = _decode_stream(contents, doc)
-    lx = _Lexer(payload)
+
     stack: list = []
+    marks: list[int] = []  # array-start indices into stack
     lines: list[list[str]] = []
     cur: list[str] = []
     in_text = False
-
-    def show(s) -> None:
-        if isinstance(s, bytes):
-            cur.append(s.decode("latin-1"))
 
     def newline() -> None:
         nonlocal cur
@@ -521,33 +538,68 @@ def _page_text(doc: _Doc, page: dict) -> str:
             lines.append(cur)
         cur = []
 
-    while True:
-        lx._skip_ws()
-        if lx.pos >= len(payload):
-            break
-        c = payload[lx.pos]
-        if c in b"/([<" or c == 0x3C or (0x30 <= c <= 0x39) or c in b"+-.":
-            stack.append(_parse_obj(lx, doc))
+    n = len(payload)
+    pos = 0
+    while pos < n:
+        m = _CS_TOK.match(payload, pos)
+        if m is None:
+            raise ValueError(
+                f"unexpected content-stream byte {payload[pos:pos + 1]!r}"
+                f" at offset {pos}"
+            )
+        pos = m.end()
+        kind = m.lastgroup
+        if kind is None or kind == "cmt":  # whitespace / comment
             continue
-        op = lx.token().decode("latin-1")
+        if kind == "num":
+            t = m.group()
+            stack.append(float(t) if b"." in t else int(t))
+            continue
+        if kind == "sstr":  # escape-free, non-nested string: bulk slice
+            stack.append(m.group()[1:-1])
+            continue
+        if kind == "lstr" or kind == "dct":
+            lx = _Lexer(payload, m.start())
+            stack.append(_parse_obj(lx, doc))
+            pos = lx.pos
+            continue
+        if kind == "hstr":
+            hx = bytes(b for b in m.group()[1:-1] if b not in _WS)
+            if len(hx) % 2:
+                hx += b"0"
+            stack.append(bytes.fromhex(hx.decode("ascii")))
+            continue
+        if kind == "name":
+            stack.append("/" + m.group()[1:].decode("latin-1"))
+            continue
+        if kind == "aopen":
+            marks.append(len(stack))
+            continue
+        if kind == "aclose":
+            start = marks.pop() if marks else 0
+            arr = stack[start:]
+            del stack[start:]
+            stack.append(arr)
+            continue
+        op = m.group().decode("latin-1")
         if op == "BT":
             in_text = True
         elif op == "ET":
             in_text = False
         elif in_text:
             if op == "Tj" and stack:
-                show(stack[-1])
+                s = stack[-1]
+                if isinstance(s, bytes):
+                    cur.append(s.decode("latin-1"))
             elif op == "TJ" and stack and isinstance(stack[-1], list):
                 for el in stack[-1]:
-                    show(el)
-            elif op == "'":
+                    if isinstance(el, bytes):
+                        cur.append(el.decode("latin-1"))
+            elif op in _QUOTE_OPS:
                 newline()
-                if stack:
-                    show(stack[-1])
-            elif op == '"':
-                newline()
-                if stack:
-                    show(stack[-1])
+                s = stack[-1] if stack else None
+                if isinstance(s, bytes):
+                    cur.append(s.decode("latin-1"))
             elif op in ("Td", "TD"):
                 if len(stack) >= 2 and isinstance(stack[-1], (int, float)):
                     if stack[-1] != 0:
@@ -557,8 +609,12 @@ def _page_text(doc: _Doc, page: dict) -> str:
             elif op == "Tm":
                 newline()
         stack.clear()
+        marks.clear()
     newline()
     return "\n".join("".join(parts) for parts in lines)
+
+
+_QUOTE_OPS = frozenset(("'", chr(34)))
 
 
 def analyze_pdf(data: bytes) -> tuple[dict, list[str]]:
