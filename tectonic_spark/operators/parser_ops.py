@@ -4129,3 +4129,112 @@ def c03_feed_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return files.select("path", "content").mapInPandas(walk, schema)
+
+
+@register(
+    "a28_warc_export_roundtrip",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+    doc="WARC EXPORT round-trip (the write side of the crawl story — "
+    "re-publishing a curated corpus in the archive format downstream "
+    "crawl tooling consumes): each Spark partition renders its "
+    "documents as HTML pages inside HTTP response records and writes "
+    "ONE member-per-record .warc.gz shard from the executor "
+    "(tmp-file + atomic rename, exactly the layout a25 ingests), "
+    "task-side and parallel — no driver involvement, no collect. The "
+    "exported corpus is then read back through the FULL a25 ingestion "
+    "stack (gzip member walk -> record grammar -> HTTP de-framing -> "
+    "HTML main-content extraction) and aggregated per lang from the "
+    "re-EXTRACTED text: export and import must be exact inverses for "
+    "the hash to match. 100 TB shape: one shard per partition "
+    "(partition count = shard count doctrine), writes and reads both "
+    "whole-file parallel; at scale the rename targets shared storage "
+    "exactly like Spark's own file committers.",
+)
+def a28_warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.tables import table
+
+    out = os.path.join(_fixture_dir(sf_dir), "a28_sink")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n_rows = len(_docs_rows(sf_dir))
+    n_shards = max(4, n_rows // 15000)
+    docs = docs.repartition(n_shards, "doc_id")
+
+    wschema = StructType(
+        [
+            StructField("shard", StringType(), True),
+            StructField("n_records", LongType(), True),
+        ]
+    )
+
+    def export(batches):
+        import os as _os
+        import tempfile as _tf
+        import uuid
+
+        import pandas as pd
+
+        from tectonic_spark.operators.warc import (
+            build_http_response,
+            build_warc_record,
+            html_page,
+            write_warc,
+        )
+
+        recs = []
+        for pdf in batches:
+            for d, text, lang, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+            ):
+                d = int(d)
+                page = html_page(text, title=f"doc {d} — {source}", lang=lang)
+                recs.append(
+                    build_warc_record(
+                        "response",
+                        build_http_response(page, chunked=(d % 2 == 0)),
+                        uri=f"https://{source}.example/doc/{d}",
+                        content_type="application/http; msgtype=response",
+                    )
+                )
+        if not recs:
+            yield pd.DataFrame([], columns=["shard", "n_records"])
+            return
+        name = f"export-{uuid.uuid4().hex[:12]}.warc.gz"
+        fd, tmp = _tf.mkstemp(dir=out)
+        with _os.fdopen(fd, "wb") as f:
+            f.write(write_warc(recs))
+        _os.replace(tmp, _os.path.join(out, name))
+        yield pd.DataFrame([(name, len(recs))], columns=["shard", "n_records"])
+
+    manifest = docs.mapInPandas(export, wschema).collect()
+    n_exported = sum(r["n_records"] for r in manifest)
+    if n_exported != n_rows or len(manifest) == 0:
+        raise RuntimeError(
+            f"a28: exported {n_exported} records across "
+            f"{len(manifest)} shards, expected {n_rows}"
+        )
+
+    files = spark.read.format("binaryFile").load(os.path.join(out, "*.warc.gz"))
+    readback = warc_extract_kernel(files)
+    return readback.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
