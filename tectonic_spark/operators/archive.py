@@ -1,8 +1,9 @@
-"""ZIP archive ingestion — corpus drops and scraped-dataset mirrors ship
-.zip bundles alongside .gz/.zst shards (a21/a23); this completes the
-engine's archive-format family with a structural implementation of the
-PKWARE APPNOTE container grammar (no stdlib ``zipfile`` in the data
-path — same vendoring ethos as the codec family).
+"""Archive-format ingestion (ZIP + TAR) — corpus drops and scraped
+dataset mirrors ship .zip bundles alongside .gz/.zst shards (a21/a23),
+and multimodal training corpora ship WebDataset-style .tar shards;
+both containers are implemented structurally (no stdlib zipfile or
+tarfile in the data path — the codec-family vendoring ethos; stdlib
+interop is PINNED both ways in tests instead).
 
 Scope:
 
@@ -24,7 +25,7 @@ from __future__ import annotations
 
 import zlib
 
-__all__ = ["build_zip", "parse_zip"]
+__all__ = ["build_tar", "build_zip", "parse_tar", "parse_zip"]
 
 _LOCAL_SIG = b"PK\x03\x04"
 _CD_SIG = b"PK\x01\x02"
@@ -158,3 +159,89 @@ def parse_zip(data: bytes) -> list[dict]:
             {"name": name, "method": method, "usize": usize, "data": raw}
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# TAR (POSIX ustar) — the container of WebDataset-style training shards
+# ---------------------------------------------------------------------------
+
+_TAR_BLOCK = 512
+
+
+def _octal(field: bytes, what: str) -> int:
+    s = field.split(b"\x00", 1)[0].strip()
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError:
+        raise ValueError(f"bad octal {what} field {field!r}") from None
+
+
+def build_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Serialize ``(name, data)`` regular files as a POSIX ustar
+    archive (the WebDataset shard layout: flat files, 512-byte blocks,
+    two zero blocks at the end)."""
+    out = bytearray()
+    for name, data in members:
+        nb = name.encode("utf-8")
+        if len(nb) > 100:
+            raise ValueError(f"name too long for ustar ({len(nb)} > 100)")
+        hdr = bytearray(_TAR_BLOCK)
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"
+        hdr[108:116] = b"0000000\x00"  # uid
+        hdr[116:124] = b"0000000\x00"  # gid
+        hdr[124:136] = f"{len(data):011o}\x00".encode()
+        hdr[136:148] = b"00000000000\x00"  # mtime (deterministic fixture)
+        hdr[148:156] = b" " * 8  # checksum placeholder
+        hdr[156:157] = b"0"  # regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = f"{chk:06o}\x00 ".encode()
+        out += hdr
+        out += data
+        pad = (-len(data)) % _TAR_BLOCK
+        out += bytes(pad)
+    out += bytes(2 * _TAR_BLOCK)
+    return bytes(out)
+
+
+def parse_tar(data: bytes) -> list[dict]:
+    """Walk a ustar archive → [{name, size, data}] for regular files
+    (directories skipped; pax/GNU long-name extensions raise — the
+    WebDataset layout never needs them). Header checksums verified."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos + _TAR_BLOCK <= n:
+        hdr = data[pos : pos + _TAR_BLOCK]
+        if hdr == bytes(_TAR_BLOCK):  # first zero block ends the archive
+            return out
+        if hdr[257:262] not in (b"ustar", b"usta\x00"):
+            raise ValueError(f"bad ustar magic at offset {pos}")
+        stored = _octal(hdr[148:156], "checksum")
+        actual = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != actual:
+            raise ValueError(f"tar header checksum mismatch at offset {pos}")
+        size = _octal(hdr[124:136], "size")
+        typeflag = hdr[156:157]
+        name = hdr[:100].split(b"\x00", 1)[0].decode("utf-8")
+        pos += _TAR_BLOCK
+        nblocks = (size + _TAR_BLOCK - 1) // _TAR_BLOCK
+        if pos + nblocks * _TAR_BLOCK > n:
+            raise EOFError(f"truncated tar member {name!r}")
+        if typeflag in (b"0", b"\x00"):
+            out.append({"name": name, "size": size,
+                        "data": data[pos : pos + size]})
+        elif typeflag == b"5":
+            pass  # directory
+        elif typeflag in (b"x", b"g", b"L", b"K"):
+            raise NotImplementedError(
+                "pax/GNU long-name tar extensions are not parsed"
+            )
+        else:
+            raise ValueError(f"unsupported tar typeflag {typeflag!r}")
+        pos += nblocks * _TAR_BLOCK
+    raise EOFError("tar archive missing end-of-archive zero blocks")

@@ -4238,3 +4238,146 @@ def a28_warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+def _webdataset_src(sf_dir: str) -> tuple[str, int]:
+    """WebDataset-style .tar training shards: each sample is a trio of
+    same-key files — {key}.json (metadata), {key}.txt (the document
+    text), {key}.png (a real PNG the engine's own codec decodes).
+    Shard count scales with the corpus (the a25 doctrine)."""
+    from tectonic_spark.operators.archive import build_tar
+
+    rows = [r for r in _docs_rows(sf_dir) if r[0] % 23 == 9]
+    n_shards = max(2, len(rows) // 8000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"a29_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    import numpy as np
+
+    from tectonic_spark.operators.png import encode_png
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    i64 = np.arange(64, dtype=np.int64)
+    for i in range(n_shards):
+        members = []
+        for d, text, lang, source, n in rows:
+            if d % n_shards != i:
+                continue
+            key = f"{d:012d}"
+            img = ((d * 7 + i64 * 13) % 256).astype(np.uint8).reshape(8, 8)
+            members.append(
+                (f"{key}.json", json.dumps(
+                    {"doc_id": d, "lang": lang, "source": source}
+                ).encode())
+            )
+            members.append((f"{key}.txt", text.encode("utf-8")))
+            members.append((f"{key}.png", encode_png(img)))
+        _write_atomic(os.path.join(tmp, f"shard-{i:05d}.tar"), build_tar(members))
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "a29_webdataset_scan",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(list_sum(list_transform(range(0, 64),
+                i -> (doc_id * 7 + i * 13) % 256))) AS BIGINT) AS px
+    FROM documents WHERE doc_id % 23 = 9 GROUP BY lang
+    """,
+    doc="WebDataset ingestion (archive.py tar walk — the de-facto "
+    "multimodal training-shard format: .tar files whose same-key "
+    "members form one sample): each sample is {key}.json metadata "
+    "(parsed by the ENGINE'S S1 JsonParser) + {key}.txt text + "
+    "{key}.png image (decoded by the engine's own PNG codec). The "
+    "walk verifies ustar header checksums, groups members by sample "
+    "key, raises on incomplete trios, and every oracle column crosses "
+    "a different modality: lang from the JSON, chars from the TEXT "
+    "member length, px from the DECODED image pixels. 100 TB shape: "
+    "tar shards are the canonical whole-file training work unit "
+    "(uncompressed tar is actually block-seekable, but the sample "
+    "grouping makes file-per-task the natural plan); per-shard "
+    "mapInPandas, one per-lang aggregate exchange.",
+)
+def a29_webdataset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src, _n = _webdataset_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.tar"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("px", LongType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import numpy as np
+        import pandas as pd
+
+        from tectonic_spark.core.json_parser import JsonParser, Mode
+        from tectonic_spark.core.result import Failure
+        from tectonic_spark.core.value_builder import ValueBuilderPlate
+        from tectonic_spark.operators.archive import parse_tar
+        from tectonic_spark.operators.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                samples: dict[str, dict] = {}
+                for m in parse_tar(bytes(blob)):
+                    key, _, ext = m["name"].rpartition(".")
+                    samples.setdefault(key, {})[ext] = m["data"]
+                for key in sorted(samples):
+                    s = samples[key]
+                    if set(s) != {"json", "txt", "png"}:
+                        raise ValueError(
+                            f"sample {key}: incomplete trio {sorted(s)}"
+                        )
+                    plate = ValueBuilderPlate()
+                    parser = JsonParser(plate, Mode.SINGLE_VALUE)
+                    res = parser.absorb(s["json"])
+                    if isinstance(res, Failure):
+                        raise ValueError(f"sample {key}: {res.error}")
+                    vals = list(res.value)
+                    res = parser.finish()
+                    if isinstance(res, Failure):
+                        raise ValueError(f"sample {key}: {res.error}")
+                    vals.extend(res.value)
+                    (meta,) = vals
+                    px = decode_png(s["png"])
+                    rows.append(
+                        (
+                            meta["doc_id"],
+                            meta["lang"],
+                            len(s["txt"].decode("utf-8")),
+                            int(np.sum(px, dtype=np.int64)),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars", "px"])
+
+    parsed = files.select("content").mapInPandas(walk, schema)
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("px").alias("px"),
+    )

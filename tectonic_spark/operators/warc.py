@@ -42,8 +42,10 @@ import zlib
 __all__ = [
     "build_http_response",
     "build_warc_record",
+    "html_lang",
     "html_page",
     "html_to_text",
+    "main_content",
     "parse_http_response",
     "parse_warc",
     "write_warc",

@@ -129,3 +129,100 @@ class TestErrors:
         z[i + 2 : i + 6] = b"\xff\xff\xff\xff"
         with pytest.raises((ValueError, EOFError)):
             parse_zip(bytes(z))
+
+
+class TestTar:
+    MEMBERS = [
+        ("0001.json", b'{"doc_id": 1}'),
+        ("0001.txt", b"hello words"),
+        ("sub/0002.bin", b"\x00\x01\x02" * 300),
+        ("empty", b""),
+    ]
+
+    def test_roundtrip(self):
+        from tectonic_spark.operators.archive import build_tar, parse_tar
+
+        got = parse_tar(build_tar(self.MEMBERS))
+        assert [(m["name"], m["data"]) for m in got] == self.MEMBERS
+        assert [m["size"] for m in got] == [13, 11, 900, 0]
+
+    def test_stdlib_reads_ours(self):
+        import io
+        import tarfile
+
+        from tectonic_spark.operators.archive import build_tar
+
+        tf = tarfile.open(fileobj=io.BytesIO(build_tar(self.MEMBERS)))
+        for name, data in self.MEMBERS:
+            assert tf.extractfile(name).read() == data
+
+    def test_we_read_stdlib(self):
+        import io
+        import tarfile
+
+        from tectonic_spark.operators.archive import parse_tar
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as to:
+            for name, data in self.MEMBERS:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                to.addfile(ti, io.BytesIO(data))
+        got = parse_tar(buf.getvalue())
+        assert [(m["name"], m["data"]) for m in got] == self.MEMBERS
+
+    def test_checksum_verified(self):
+        from tectonic_spark.operators.archive import build_tar, parse_tar
+
+        t = bytearray(build_tar(self.MEMBERS))
+        t[130] ^= 1  # flip a size digit; checksum now disagrees
+        with pytest.raises(ValueError, match="checksum"):
+            parse_tar(bytes(t))
+
+    def test_truncation(self):
+        from tectonic_spark.operators.archive import build_tar, parse_tar
+
+        t = build_tar(self.MEMBERS)
+        with pytest.raises(EOFError):
+            parse_tar(t[:-1536])  # cut into the last member + end blocks
+
+    def test_missing_end_blocks(self):
+        from tectonic_spark.operators.archive import build_tar, parse_tar
+
+        t = build_tar(self.MEMBERS)
+        with pytest.raises(EOFError, match="end-of-archive"):
+            parse_tar(t[:-1024])
+
+    def test_long_name_extensions_refused(self):
+        import io
+        import tarfile
+
+        from tectonic_spark.operators.archive import parse_tar
+
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as to:
+            ti = tarfile.TarInfo("x" * 150)  # forces a pax header record
+            ti.size = 1
+            to.addfile(ti, io.BytesIO(b"y"))
+        with pytest.raises(NotImplementedError, match="pax"):
+            parse_tar(buf.getvalue())
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="abc0123./_", min_size=1, max_size=40).filter(
+                    lambda s: not s.endswith("/") and "\x00" not in s
+                ),
+                st.binary(max_size=1400),
+            ),
+            min_size=1,
+            max_size=5,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def test_roundtrip_property(self, members):
+        from tectonic_spark.operators.archive import build_tar, parse_tar
+
+        got = parse_tar(build_tar(members))
+        assert [(m["name"], m["data"]) for m in got] == members
