@@ -91,10 +91,25 @@ def build_zip(members: list[tuple[str, bytes, str]]) -> bytes:
 def parse_zip(data: bytes) -> list[dict]:
     """Walk the central directory; return per-member dicts with the
     verified inflated payload."""
-    # EOCD: backward scan over the maximum comment span
+    # EOCD: backward scan over the maximum comment span. A bare rfind
+    # latches onto a spurious 'PK\x05\x06' INSIDE a trailing comment, so
+    # candidates are validated: accept the first (scanning backward)
+    # whose comment-length field equals the bytes remaining after the
+    # 22-byte record — the self-consistency check APPNOTE implies.
     tail_start = max(0, len(data) - 65536 - 22)
     i = data.rfind(_EOCD_SIG, tail_start)
+    saw_short = False
+    while i >= 0:
+        if i + 22 > len(data):
+            saw_short = True
+        else:
+            clen = int.from_bytes(data[i + 20 : i + 22], "little")
+            if i + 22 + clen == len(data):
+                break
+        i = data.rfind(_EOCD_SIG, tail_start, i)
     if i < 0:
+        if saw_short:
+            raise EOFError("truncated EOCD record")
         raise EOFError("no end-of-central-directory record")
     if data.rfind(_EOCD64_LOC_SIG, tail_start, i) >= 0:
         raise NotImplementedError("ZIP64 archives are not parsed")

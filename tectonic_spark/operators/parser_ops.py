@@ -3189,10 +3189,17 @@ def a25_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the record walk (one-row distributed aggregate)
     n_info = parsed.agg(F.sum("n_warcinfo")).collect()[0][0]
     if n_info != n_shards:
+        parsed.unpersist()
         raise RuntimeError(
             f"a25: {n_info} warcinfo records across {n_shards} shards"
         )
-    return agg
+    # materialize the tiny per-lang aggregate (a handful of rows) while
+    # parsed is still cached, then RELEASE the cache — a long registry
+    # sweep shares one SparkSession, and persisted blocks left behind by
+    # every query would accumulate across hundreds of queries
+    agg_rows = agg.collect()
+    parsed.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)
 
 
 def warc_extract_kernel(files: DataFrame) -> DataFrame:

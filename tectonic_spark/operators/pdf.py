@@ -408,9 +408,21 @@ def _parse_xref_at(doc: _Doc, pos: int, seen: set[int]) -> None:
                     doc.offsets.setdefault(start + i, off)
                 elif typ != b"f":
                     raise ValueError(f"bad xref entry type {typ!r}")
-                # entries are nominally 20 bytes but some writers emit 19
-                nl = d.find(b"\n", lx.pos + 17)
-                lx.pos = nl + 1 if nl >= 0 else lx.pos + 20
+                # entries are nominally 20 bytes ("... n sp eol" with a
+                # 2-char EOL — ISO 32000 §7.5.4 permits ' \r', ' \n' and
+                # '\r\n'); advance by the fixed width when bytes 18-19
+                # are one of those, and only fall back to an EOL scan for
+                # legacy 19-byte entries — a bare-'\r' entry must NOT
+                # jump to some later '\n' and skip entries
+                if ent[18:20] in (b" \r", b" \n", b"\r\n"):
+                    lx.pos += 20
+                else:
+                    j = lx.pos + 18
+                    while j < len(d) and d[j] not in (0x0A, 0x0D):
+                        j += 1
+                    if j < len(d) and d[j] == 0x0D and d[j + 1 : j + 2] == b"\n":
+                        j += 1
+                    lx.pos = j + 1
         return
     # xref STREAM: "N G obj << /Type /XRef ... >> stream"
     _num = int(lx.token())

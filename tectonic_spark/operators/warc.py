@@ -36,6 +36,7 @@ extracted text columns.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
@@ -74,7 +75,15 @@ def build_warc_record(
     fields = [
         ("WARC-Type", rec_type),
         ("WARC-Date", date),
-        ("WARC-Record-ID", record_id or f"<urn:uuid:{abs(hash((rec_type, uri, date))):032x}>"),
+        # stable digest, not built-in hash(): str hashing is
+        # PYTHONHASHSEED-randomized per process, and fixture shard bytes
+        # must be identical across concurrent builder processes
+        (
+            "WARC-Record-ID",
+            record_id
+            or "<urn:uuid:%s>"
+            % hashlib.sha256(repr((rec_type, uri, date)).encode()).hexdigest()[:32],
+        ),
         ("Content-Type", content_type),
         ("Content-Length", str(len(payload))),
     ]
@@ -337,13 +346,20 @@ _NAMED = {
     b"apos": "'",
     b"nbsp": " ",
 }
-_ENTITY = re.compile(rb"&(#x?[0-9a-fA-F]+|[a-zA-Z]+);")
+# decimal and hex numeric refs are SEPARATE branches: a single
+# "#x?[0-9a-fA-F]+" branch lets hex letters reach the decimal parse
+# ("&#ab;" would raise instead of surviving verbatim like every other
+# malformed ref)
+_ENTITY = re.compile(rb"&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z]+);")
 
 
 def _deref(m: re.Match) -> bytes:
     ref = m.group(1)
     if ref[:1] == b"#":
-        cp = int(ref[2:], 16) if ref[1:2] in (b"x", b"X") else int(ref[1:])
+        try:
+            cp = int(ref[2:], 16) if ref[1:2] in (b"x", b"X") else int(ref[1:])
+        except ValueError:  # defense in depth — regex branches preclude this
+            return m.group(0)
         if not 0 < cp <= 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
             return m.group(0)
         return chr(cp).encode("utf-8")

@@ -226,3 +226,20 @@ class TestTar:
 
         got = parse_tar(build_tar(members))
         assert [(m["name"], m["data"]) for m in got] == members
+
+
+class TestAdviceR11:
+    def test_comment_containing_eocd_signature(self):
+        # a trailing comment that embeds 'PK\x05\x06' must not hijack
+        # EOCD discovery (r10 advice): candidates are validated by the
+        # comment-length self-consistency check
+        z = build_zip(MEMBERS)
+        # NB: a comment embedding a fully self-consistent 22-byte EOCD
+        # is inherently ambiguous (APPNOTE gives no tiebreak); the
+        # realistic hazard is the bare signature mid-comment
+        comment = b"see PK\x05\x06 which happens to appear here"
+        commented = z[:-2] + len(comment).to_bytes(2, "little") + comment
+        got = parse_zip(commented)
+        assert [(m["name"], m["data"]) for m in got] == [
+            (n, d) for n, d, _ in MEMBERS
+        ]

@@ -155,3 +155,25 @@ class TestCensus:
     def test_empty_page(self):
         pdf = build_pdf([["only"], []])
         assert extract_text(pdf) == ["only", ""]
+
+
+class TestAdviceR11:
+    def test_classic_xref_bare_cr_entries(self):
+        # ISO 32000 permits the 20-byte 'sp cr' form and legacy writers
+        # emit 19-byte entries terminated by bare '\r'; the walk must
+        # advance entry-by-entry, not jump to a later '\n' (r10 advice)
+        pdf = build_pdf(PAGES)
+        x = pdf.rfind(b"xref\n")
+        tr = pdf.find(b"trailer", x)
+        hacked = pdf[:x] + pdf[x:tr].replace(b" \n", b"\r") + pdf[tr:]
+        assert extract_text(hacked) == extract_text(pdf)
+        info = parse_pdf(hacked)
+        assert info["n_pages"] == 2
+
+    def test_classic_xref_sp_cr_entries(self):
+        # the full 20-byte ' \r' EOL form
+        pdf = build_pdf(PAGES)
+        x = pdf.rfind(b"xref\n")
+        tr = pdf.find(b"trailer", x)
+        hacked = pdf[:x] + pdf[x:tr].replace(b" \n", b" \r") + pdf[tr:]
+        assert extract_text(hacked) == extract_text(pdf)

@@ -251,3 +251,25 @@ class TestFullStack:
             assert http["chunked"] == chunked
             got = html_to_text(main_content(http["body"]))
             assert got == " ".join(text.split())
+
+
+class TestAdviceR11:
+    def test_malformed_hashref_survives_verbatim(self):
+        # '&#ab;' must not reach the decimal int() parse (r10 advice):
+        # one malformed entity in crawl HTML must not kill the shard task
+        assert html_to_text(b"<p>a &#ab; b</p>") == "a &#ab; b"
+        assert html_to_text(b"&#xZZ; &#; &#x;") == "&#xZZ; &#; &#x;"
+        # the split regex branches still decode both numeric forms
+        assert html_to_text(b"&#65;&#x42;&#X43;") == "ABC"
+
+    def test_default_record_id_is_process_stable(self):
+        # built-in hash() is PYTHONHASHSEED-randomized; the default id
+        # must be a stable digest so concurrent fixture builders
+        # converge on identical shard bytes (pinned value = sha256)
+        rec = build_warc_record("response", b"x", uri="https://e/1")
+        import hashlib
+
+        want = hashlib.sha256(
+            repr(("response", "https://e/1", "2024-01-01T00:00:00Z")).encode()
+        ).hexdigest()[:32]
+        assert f"<urn:uuid:{want}>".encode() in rec
