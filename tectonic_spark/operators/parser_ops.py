@@ -2986,13 +2986,72 @@ def s12_stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# charset / content-encoding matrix for the WARC fixtures. Assignment
+# is doc_id arithmetic so oracle columns stay SQL-expressible:
+#   d % 4 -> (page charset, where it is declared, non-ASCII probe text)
+#   d % 3 -> Content-Encoding (0 gzip, 1 deflate, 2 identity/absent)
+# The probe is a known non-ASCII sentinel rendered as its own wrapper
+# <p> — extraction must reproduce it VERBATIM (then strip it), so a
+# charset mishandling (mojibake, wrong sniff, missed meta) raises in
+# the kernel instead of silently passing mangled text downstream.
+_WARC_CHARSET_MATRIX = {
+    0: ("utf-8", "none", ""),  # undeclared — the sniffer's default path
+    1: ("windows-1252", "header", "café £9½ déjà-vu"),
+    2: ("shift_jis", "meta", "日本語テスト 文字化け検査"),
+    3: ("utf-8", "http-equiv", "unicode probe — ünïcødé ✓"),
+}
+_WARC_ENCODINGS = {0: "gzip", 1: "deflate", 2: None}
+
+
+def _extract_crawl_response(rec: dict) -> tuple:
+    """The shared per-record extraction stage: HTTP parse (framing +
+    Content-Encoding decode) -> charset sniff/decode -> HTML -> text ->
+    probe verification/strip. Returns (doc_id, text, lang, source,
+    codec, ce_header, ce_decoded, chunked, status). Raises (killing the
+    shard task loudly) if a charset probe was mangled or a declared
+    content coding was left undecoded — extraction must be EXACT."""
+    from tectonic_spark.operators.warc import (
+        decode_page,
+        html_lang,
+        html_to_text,
+        main_content,
+        parse_http_response,
+    )
+
+    uri = rec["uri"]
+    d = int(uri.rsplit("/", 1)[1])
+    host = uri.split("//", 1)[1].split("/", 1)[0]
+    source = host.split(".", 1)[0]
+    http = parse_http_response(rec["payload"])
+    ce = http["content_encoding"]
+    if ce is not None and not http["ce_decoded"]:
+        raise ValueError(f"doc {d}: undecoded content coding {ce!r}")
+    decoded, codec, origin = decode_page(http["body"], http["content_type"])
+    page = decoded.encode("utf-8")
+    lang = html_lang(page)
+    text = html_to_text(main_content(page))
+    probe = _WARC_CHARSET_MATRIX[d % 4][2]
+    if probe:
+        tail = "\n\n" + " ".join(probe.split())  # probe is its own <p> block
+        if not text.endswith(tail):
+            raise ValueError(
+                f"doc {d}: charset probe mangled "
+                f"(codec {codec}, origin {origin}): ...{text[-40:]!r}"
+            )
+        text = text[: -len(tail)]
+    return d, text, lang, source, codec, ce, http["ce_decoded"], http["chunked"], http["status"]
+
+
 def _warc_shards_src(sf_dir: str) -> tuple[str, int]:
     """documents rendered as a 4-shard web crawl in Common Crawl's
     layout: .warc.gz shards, every record its own gzip member, each doc
     contributing a request + a response record (response = HTTP/1.1
     message whose body is an HTML page embedding the doc text, chunked
-    transfer coding for even doc_ids, Content-Length for odd), plus one
-    warcinfo record per shard. Returns (dir, n_shards)."""
+    transfer coding for even doc_ids, Content-Length for odd; the body
+    representation is gzip / deflate / identity by d%3 and the page
+    charset utf-8 / windows-1252 / shift_jis by d%4 with header, meta
+    and http-equiv declaration channels), plus one warcinfo record per
+    shard. Returns (dir, n_shards)."""
     from tectonic_spark.operators.warc import (
         build_http_response,
         build_warc_record,
@@ -3007,7 +3066,9 @@ def _warc_shards_src(sf_dir: str) -> tuple[str, int]:
     # count would serialize the whole-file tasks at large SF
     n_shards = max(4, len(rows) // 15000)
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, f"a25_src_{n_shards}")
+    # v2: charset + content-encoding matrix (name bump invalidates any
+    # cached v1 fixture dir)
+    src = os.path.join(base, f"a25_src2_{n_shards}")
     done = os.path.join(src, "_DONE")
     if os.path.exists(done):
         return src, n_shards
@@ -3036,11 +3097,32 @@ def _warc_shards_src(sf_dir: str) -> tuple[str, int]:
                     content_type="application/http; msgtype=request",
                 )
             )
-            page = html_page(text, title=f"doc {d} — {source}", lang=lang)
+            charset, decl, probe = _WARC_CHARSET_MATRIX[d % 4]
+            page = html_page(
+                text,
+                title=f"doc {d} - {source}",  # ASCII: must encode in shift_jis
+                lang=lang,
+                charset=charset,
+                declare=decl if decl in ("meta", "http-equiv") else "none",
+                probe=probe,
+            )
+            # the charset parameter only appears in the header when the
+            # header IS the declaration channel — otherwise the sniffer
+            # must find the meta tag (or fall through to the default)
+            ct = (
+                f"text/html; charset={charset}"
+                if decl == "header"
+                else "text/html"
+            )
             recs.append(
                 build_warc_record(
                     "response",
-                    build_http_response(page, chunked=(d % 2 == 0)),
+                    build_http_response(
+                        page,
+                        chunked=(d % 2 == 0),
+                        content_type=ct,
+                        content_encoding=_WARC_ENCODINGS[d % 3],
+                    ),
                     uri=uri,
                     content_type="application/http; msgtype=response",
                 )
@@ -3061,6 +3143,10 @@ def _warc_shards_src(sf_dir: str) -> tuple[str, int]:
            CAST(SUM(n_chars) AS BIGINT) AS chars,
            CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_chunked,
+           CAST(SUM(CASE WHEN doc_id % 3 < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ce,
+           CAST(SUM(CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonutf8,
            CAST(2 * COUNT(*) AS BIGINT) AS n_http_records
     FROM documents GROUP BY lang
     """,
@@ -3077,9 +3163,14 @@ def _warc_shards_src(sf_dir: str) -> tuple[str, int]:
     "URI, lang from the page's <html lang> attribute, chars from the "
     "length of the EXTRACTED text (equal to n_chars only if extraction "
     "inverts the page wrapper exactly), n_chunked from the framing the "
-    "HTTP parser actually decoded, n_http_records from the record "
-    "census (the per-shard warcinfo records are counted and asserted "
-    "builder-side, excluded here). 100 TB shape: gzip shards are "
+    "HTTP parser actually decoded, n_ce from the Content-Encoding "
+    "(gzip/deflate) bodies the parser actually DECOMPRESSED, n_nonutf8 "
+    "from the charsets the sniffer actually resolved (windows-1252 via "
+    "the Content-Type header, shift_jis via <meta charset> — each page "
+    "carries a non-ASCII probe paragraph the kernel verifies verbatim, "
+    "so mojibake raises instead of passing), n_http_records from the "
+    "record census (the per-shard warcinfo records are counted and "
+    "asserted builder-side, excluded here). 100 TB shape: gzip shards are "
     "whole-file work units (members are not byte-range-splittable "
     "without an index) scanned via binaryFile into one mapInPandas "
     "walk — payload bytes never leave the executor task; the only "
@@ -3104,6 +3195,8 @@ def a25_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("lang", StringType(), True),
             StructField("n_extracted_chars", LongType(), True),
             StructField("chunked", BooleanType(), True),
+            StructField("ce", BooleanType(), True),
+            StructField("nonutf8", BooleanType(), True),
             StructField("n_http_records", LongType(), True),
             StructField("n_warcinfo", LongType(), True),
         ]
@@ -3112,19 +3205,14 @@ def a25_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def walk(batches):
         import pandas as pd
 
-        from tectonic_spark.operators.warc import (
-            html_lang,
-            html_to_text,
-            main_content,
-            parse_http_response,
-            parse_warc,
-        )
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
 
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
                 n_info = 0
-                # per-doc census: [n_requests, n_responses, (lang, chars, chunked)]
+                # per-doc census: [n_requests, n_responses, extraction]
                 per_doc: dict[int, list] = {}
                 for rec in parse_warc(bytes(blob)):
                     if rec["type"] == "warcinfo":
@@ -3138,24 +3226,31 @@ def a25_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if rec["type"] != "response":
                         raise ValueError(f"unexpected record type {rec['type']!r}")
                     ent[1] += 1
-                    http = parse_http_response(rec["payload"])
-                    if http["status"] != 200:
-                        raise ValueError(f"doc {d}: status {http['status']}")
-                    page = http["body"]
-                    text = html_to_text(main_content(page))
-                    ent[2] = (html_lang(page), len(text), http["chunked"])
+                    (_d, text, lang, _src, codec, ce_hdr, ce_dec, chunked,
+                     status) = _extract_crawl_response(rec)
+                    if status != 200:
+                        raise ValueError(f"doc {d}: status {status}")
+                    ent[2] = (
+                        lang,
+                        len(text),
+                        chunked,
+                        ce_hdr is not None and ce_dec,
+                        codec not in ("utf-8", "utf-8-sig"),
+                    )
                 first = True
                 for d in sorted(per_doc):
                     n_req, n_resp, resp = per_doc[d]
                     if resp is None:
                         raise ValueError(f"doc {d}: request without response")
-                    lang, n_chars, chunked = resp
+                    lang, n_chars, chunked, ce, nonutf8 = resp
                     rows.append(
                         (
                             d,
                             lang,
                             n_chars,
                             chunked,
+                            ce,
+                            nonutf8,
                             n_req + n_resp,
                             n_info if first else 0,
                         )
@@ -3168,6 +3263,8 @@ def a25_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lang",
                     "n_extracted_chars",
                     "chunked",
+                    "ce",
+                    "nonutf8",
                     "n_http_records",
                     "n_warcinfo",
                 ],
@@ -3183,6 +3280,8 @@ def a25_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_extracted_chars").alias("chars"),
         F.sum(F.when(F.col("chunked"), 1).otherwise(0)).alias("n_chunked"),
+        F.sum(F.when(F.col("ce"), 1).otherwise(0)).alias("n_ce"),
+        F.sum(F.when(F.col("nonutf8"), 1).otherwise(0)).alias("n_nonutf8"),
         F.sum("n_http_records").alias("n_http_records"),
     )
     # builder-side census pin: exactly one warcinfo per shard arrived
@@ -3208,7 +3307,11 @@ def warc_extract_kernel(files: DataFrame) -> DataFrame:
     (doc_id, text, lang, source, n_chars). Every column crosses the
     ingestion stack: doc_id from WARC-Target-URI, source from the URI
     host, lang from the page's <html lang> attribute, text from HTML
-    main-content extraction after HTTP de-framing. Shared by the batch
+    main-content extraction after HTTP de-framing, Content-Encoding
+    decompression (gzip/deflate) and charset sniffing (Content-Type
+    header / <meta charset> / BOM / utf-8 default) — each page's
+    non-ASCII probe paragraph is verified verbatim and stripped, so a
+    decode defect raises rather than passing mojibake. Shared by the batch
     composition (c05_crawl_curation) and the streaming ingest (s15) —
     stateless per shard, so the stream plan runs it unchanged."""
     from pyspark.sql.types import (
@@ -3231,13 +3334,8 @@ def warc_extract_kernel(files: DataFrame) -> DataFrame:
     def walk(batches):
         import pandas as pd
 
-        from tectonic_spark.operators.warc import (
-            html_lang,
-            html_to_text,
-            main_content,
-            parse_http_response,
-            parse_warc,
-        )
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
 
         for pdf in batches:
             rows = []
@@ -3245,14 +3343,9 @@ def warc_extract_kernel(files: DataFrame) -> DataFrame:
                 for rec in parse_warc(bytes(blob)):
                     if rec["type"] != "response":
                         continue
-                    uri = rec["uri"]
-                    d = int(uri.rsplit("/", 1)[1])
-                    host = uri.split("//", 1)[1].split("/", 1)[0]
-                    source = host.split(".", 1)[0]
-                    http = parse_http_response(rec["payload"])
-                    page = http["body"]
-                    text = html_to_text(main_content(page))
-                    rows.append((d, text, html_lang(page), source, len(text)))
+                    (d, text, lang, source, _codec, _ce, _dec, _ch,
+                     _st) = _extract_crawl_response(rec)
+                    rows.append((d, text, lang, source, len(text)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
             )
@@ -4212,11 +4305,33 @@ def a28_warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
             ):
                 d = int(d)
-                page = html_page(text, title=f"doc {d} — {source}", lang=lang)
+                # the export writes the same charset / content-encoding
+                # matrix the ingest fixture uses, so the round-trip pins
+                # the WRITER side of body compression and non-UTF-8 page
+                # encoding too (readback must invert both exactly)
+                charset, decl, probe = _WARC_CHARSET_MATRIX[d % 4]
+                page = html_page(
+                    text,
+                    title=f"doc {d} - {source}",  # ASCII: must encode in shift_jis
+                    lang=lang,
+                    charset=charset,
+                    declare=decl if decl in ("meta", "http-equiv") else "none",
+                    probe=probe,
+                )
+                ct = (
+                    f"text/html; charset={charset}"
+                    if decl == "header"
+                    else "text/html"
+                )
                 recs.append(
                     build_warc_record(
                         "response",
-                        build_http_response(page, chunked=(d % 2 == 0)),
+                        build_http_response(
+                            page,
+                            chunked=(d % 2 == 0),
+                            content_type=ct,
+                            content_encoding=_WARC_ENCODINGS[d % 3],
+                        ),
                         uri=f"https://{source}.example/doc/{d}",
                         content_type="application/http; msgtype=response",
                     )

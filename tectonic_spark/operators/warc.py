@@ -13,7 +13,18 @@ Scope (all structural, spec-derivable — no vendored tables):
   gzip, and plain WARC all parse through the same walk.
 * **HTTP message payloads** (``application/http``): status line +
   headers, body framed by ``Content-Length`` or RFC 9112 chunked
-  transfer coding (size-line hex + per-chunk CRLF + 0-chunk trailer).
+  transfer coding (size-line hex + per-chunk CRLF + 0-chunk trailer),
+  then ``Content-Encoding`` representation decoding — ``gzip``/
+  ``x-gzip`` and ``deflate`` (both the RFC 9110 zlib form and the
+  historic raw-deflate server bug) via stdlib zlib; ``br`` and other
+  codings are censused and left undecoded (vendoring the RFC 7932
+  static dictionary is a named scope boundary).
+* **Charset sniffing** (WHATWG encoding-sniffing order): BOM, then the
+  ``Content-Type`` charset parameter, then ``<meta charset>`` /
+  ``http-equiv`` within the first 1024 bytes, else UTF-8 — with the
+  WHATWG label aliases that matter at crawl scale (latin1/ascii →
+  windows-1252, gb2312 → gbk, sjis → shift_jis). Real crawls are
+  ~5-10% non-UTF-8; without this those pages extract as mojibake.
 * **HTML → text extraction**: comment/script/style/noscript removal,
   block-element newline semantics, numeric (dec/hex) and core named
   character references, whitespace normalization. Deliberately
@@ -43,12 +54,14 @@ import zlib
 __all__ = [
     "build_http_response",
     "build_warc_record",
+    "decode_page",
     "html_lang",
     "html_page",
     "html_to_text",
     "main_content",
     "parse_http_response",
     "parse_warc",
+    "sniff_charset",
     "write_warc",
 ]
 
@@ -104,11 +117,25 @@ def build_http_response(
     content_type: str = "text/html; charset=utf-8",
     chunked: bool = False,
     chunk_size: int = 61,
+    content_encoding: str | None = None,
     headers: dict[str, str] | None = None,
 ) -> bytes:
-    """An HTTP/1.1 response message, body framed by Content-Length or
-    RFC 9112 chunked transfer coding (what response records carry)."""
+    """An HTTP/1.1 response message: representation first compressed
+    per ``content_encoding`` (RFC 9110 ``gzip`` or zlib-wrapped
+    ``deflate``), then framed by Content-Length or RFC 9112 chunked
+    transfer coding — the layering order the protocol mandates, so a
+    parser must de-frame before it decompresses."""
     lines = [f"HTTP/1.1 {status} {reason}", f"Content-Type: {content_type}"]
+    if content_encoding is not None:
+        ce = content_encoding.lower()
+        if ce in ("gzip", "x-gzip"):
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        elif ce == "deflate":
+            co = zlib.compressobj(6, zlib.DEFLATED, 15)
+        else:
+            raise ValueError(f"unsupported content_encoding {content_encoding!r}")
+        body = co.compress(body) + co.flush()
+        lines.append(f"Content-Encoding: {content_encoding}")
     for k, v in (headers or {}).items():
         lines.append(f"{k}: {v}")
     if chunked:
@@ -262,9 +289,44 @@ def parse_warc(data: bytes) -> list[dict]:
     return _parse_warc_plain(data)
 
 
+def _decode_content(body: bytes, codings: list[str]) -> tuple[bytes, bool]:
+    """Apply Content-Encoding codings in reverse application order.
+    Returns (body, decoded). Unknown codings (``br``, ``zstd``, …) leave
+    the remaining body untouched and report decoded=False — censused,
+    never mangled. ``deflate`` tries the RFC 9110 zlib form first, then
+    the raw-deflate form many legacy servers actually send."""
+    for i in range(len(codings) - 1, -1, -1):
+        ce = codings[i]
+        if ce in ("identity", ""):
+            continue
+        if ce in ("gzip", "x-gzip"):
+            wbits_options = (31,)
+        elif ce == "deflate":
+            wbits_options = (15, -15)
+        else:
+            return body, False  # unsupported coding — census, don't touch
+        last: Exception | None = None
+        for wbits in wbits_options:
+            d = zlib.decompressobj(wbits)
+            try:
+                out = d.decompress(body)
+            except zlib.error as e:
+                last = e
+                continue
+            if not d.eof:
+                raise EOFError(f"truncated {ce} content coding")
+            body = out
+            break
+        else:
+            raise ValueError(f"bad {ce} content coding: {last}")
+    return body, True
+
+
 def parse_http_response(payload: bytes) -> dict:
     """Parse the HTTP response message a ``response`` record carries:
-    status line, headers, body de-framed (Content-Length / chunked)."""
+    status line, headers, body de-framed (Content-Length / chunked),
+    then Content-Encoding decoded (gzip/x-gzip/deflate; other codings
+    censused via ``content_encoding`` with ``ce_decoded=False``)."""
     hdr_end = payload.find(_CRLF + _CRLF)
     if hdr_end < 0:
         raise EOFError("truncated HTTP header block")
@@ -308,13 +370,108 @@ def parse_http_response(payload: bytes) -> dict:
                 raise EOFError("truncated HTTP body")
             body = body[:clen]
         chunked = False
+    ce_raw = _get(fields, "Content-Encoding")
+    codings = (
+        [t.strip().lower() for t in ce_raw.split(",")] if ce_raw else []
+    )
+    ce_decoded = False
+    if codings:
+        body, ce_decoded = _decode_content(body, codings)
     return {
         "status": status,
         "headers": fields,
         "content_type": _get(fields, "Content-Type"),
         "chunked": chunked,
+        "content_encoding": ce_raw,
+        "ce_decoded": ce_decoded,
         "body": body,
     }
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing (WHATWG encoding-sniffing order)
+# ---------------------------------------------------------------------------
+
+# the WHATWG label aliases that matter at crawl scale (full table is
+# ~220 labels; these cover the high-frequency legacy declarations —
+# everything else resolves through Python's own codec alias registry)
+_CHARSET_ALIASES = {
+    "iso-8859-1": "windows-1252",  # WHATWG maps latin1 to cp1252
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "cp1252": "windows-1252",
+    "x-cp1252": "windows-1252",
+    "gb2312": "gbk",  # WHATWG: gb2312 decodes as GBK
+    "gb-2312": "gbk",
+    "csgb2312": "gbk",
+    "x-sjis": "shift_jis",
+    "sjis": "shift_jis",
+    "shift-jis": "shift_jis",
+    "ms_kanji": "shift_jis",
+    "utf8": "utf-8",
+    "unicode-1-1-utf-8": "utf-8",
+}
+
+_CT_CHARSET = re.compile(r"charset\s*=\s*\"?([A-Za-z0-9._+:-]+)\"?", re.IGNORECASE)
+_META_CHARSET = re.compile(
+    rb"<meta\s[^>]*?charset\s*=\s*[\"']?([A-Za-z0-9._+:-]+)", re.IGNORECASE
+)
+
+
+def _resolve_label(label: str) -> str | None:
+    """A charset label → a Python codec name, or None if unknown."""
+    import codecs
+
+    norm = label.strip().strip("'\"").lower()
+    norm = _CHARSET_ALIASES.get(norm, norm)
+    try:
+        return codecs.lookup(norm).name
+    except LookupError:
+        return None
+
+
+def sniff_charset(
+    content_type: str | None, body: bytes
+) -> tuple[str, str]:
+    """Determine a page's character encoding per the WHATWG sniffing
+    order: BOM (authoritative, overrides any declaration), Content-Type
+    ``charset`` parameter, ``<meta charset>`` / ``http-equiv`` within
+    the first 1024 bytes, else the UTF-8 default.
+
+    Returns ``(codec, origin)`` with origin in ``bom | header | meta |
+    default | unresolved:<label>`` — unresolved labels fall back to
+    UTF-8-with-replacement but stay censused, never silently mangled.
+    """
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", "bom"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16", "bom"  # the utf-16 codec consumes + strips the BOM
+    label = None
+    origin = "default"
+    if content_type:
+        m = _CT_CHARSET.search(content_type)
+        if m:
+            label, origin = m.group(1), "header"
+    if label is None:
+        m = _META_CHARSET.search(body[:1024])
+        if m:
+            label, origin = m.group(1).decode("ascii", "replace"), "meta"
+    if label is None:
+        return "utf-8", "default"
+    codec = _resolve_label(label)
+    if codec is None:
+        return "utf-8", f"unresolved:{label}"
+    return codec, origin
+
+
+def decode_page(body: bytes, content_type: str | None = None) -> tuple[str, str, str]:
+    """Charset-aware page decode: sniff (BOM / header / meta / default),
+    then decode with replacement. Returns ``(text, codec, origin)``."""
+    codec, origin = sniff_charset(content_type, body)
+    return body.decode(codec, "replace"), codec, origin
 
 
 # ---------------------------------------------------------------------------
@@ -413,19 +570,44 @@ def html_lang(html: bytes) -> str | None:
 
 
 def html_page(
-    body_text: str, *, title: str = "", lang: str = "en", boiler: bool = True
+    body_text: str,
+    *,
+    title: str = "",
+    lang: str = "en",
+    boiler: bool = True,
+    charset: str = "utf-8",
+    declare: str = "none",
+    probe: str = "",
 ) -> bytes:
     """A deterministic crawl-page fixture around ``body_text``: the text
     is HTML-escaped into a <p>, wrapped in boilerplate (nav/script/style/
     comments/entities) that extraction must strip. Round-trip contract:
     ``" ".join(body_text.split())`` appears VERBATIM as one line of
     ``html_to_text(html_page(body_text))`` (the <p> is its own block
-    line), and no script/style/noscript content leaks into any line."""
+    line), and no script/style/noscript content leaks into any line.
+
+    ``charset`` encodes the page bytes (strict — a fixture bug raises,
+    never silently mojibakes); ``declare`` optionally embeds the
+    in-document declaration the sniffer must find: ``"meta"`` emits
+    ``<meta charset=...>``, ``"http-equiv"`` the legacy pragma form,
+    ``"none"`` leaves declaration to the HTTP Content-Type header.
+    ``probe``, when non-empty, becomes its own wrapper ``<p>`` after the
+    text paragraph — a known non-ASCII sentinel an extractor can verify
+    verbatim (and then strip) to prove the decode path was exact."""
     esc = (
         body_text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     )
     tesc = title.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     parts = [f'<!DOCTYPE html><html lang="{lang}"><head>']
+    if declare == "meta":
+        parts.append(f'<meta charset="{charset}">')
+    elif declare == "http-equiv":
+        parts.append(
+            '<meta http-equiv="Content-Type" '
+            f'content="text/html; charset={charset}">'
+        )
+    elif declare != "none":
+        raise ValueError(f"unknown declare mode {declare!r}")
     parts.append(f"<title>{tesc}</title>")
     if boiler:
         parts.append("<style>body { color: #000; } /* a > b */</style>")
@@ -435,8 +617,14 @@ def html_page(
         parts.append("<!-- served by fixture &amp; friends -->")
         parts.append("<nav><ul><li>Home</li><li>About&nbsp;&amp;&nbsp;Contact</li></ul></nav>")
         parts.append("<noscript>enable&nbsp;js</noscript>")
-    parts.append(f"<main><p>{esc}</p></main>")
+    if probe:
+        pesc = probe.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        parts.append(
+            f'<main><p>{esc}</p><p class="charset-probe">{pesc}</p></main>'
+        )
+    else:
+        parts.append(f"<main><p>{esc}</p></main>")
     if boiler:
         parts.append("<footer>&copy; fixture</footer>")  # unknown named ref survives
     parts.append("</body></html>")
-    return "".join(parts).encode("utf-8")
+    return "".join(parts).encode(charset)

@@ -273,3 +273,150 @@ class TestAdviceR11:
             repr(("response", "https://e/1", "2024-01-01T00:00:00Z")).encode()
         ).hexdigest()[:32]
         assert f"<urn:uuid:{want}>".encode() in rec
+
+
+class TestContentEncoding:
+    def test_gzip_roundtrip(self):
+        body = b"<p>hello compressed world</p>" * 10
+        for ce in ("gzip", "x-gzip"):
+            msg = build_http_response(body, content_encoding=ce)
+            got = parse_http_response(msg)
+            assert got["body"] == body
+            assert got["ce_decoded"] is True
+            assert got["content_encoding"] == ce
+
+    def test_deflate_zlib_form(self):
+        body = b"deflate body " * 40
+        msg = build_http_response(body, content_encoding="deflate")
+        got = parse_http_response(msg)
+        assert got["body"] == body and got["ce_decoded"]
+
+    def test_deflate_raw_server_bug(self):
+        # many legacy servers send RAW deflate despite RFC 9110's zlib
+        # framing — the parser must fall back
+        body = b"raw deflate payload " * 30
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        raw = co.compress(body) + co.flush()
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+            b"Content-Length: " + str(len(raw)).encode() + b"\r\n\r\n" + raw
+        )
+        got = parse_http_response(msg)
+        assert got["body"] == body and got["ce_decoded"]
+
+    def test_chunked_plus_gzip_layering(self):
+        # CE applies to the representation, TE to the transfer: the
+        # parser must de-chunk BEFORE it inflates
+        body = b"layered " * 100
+        msg = build_http_response(body, chunked=True, content_encoding="gzip")
+        got = parse_http_response(msg)
+        assert got["body"] == body and got["chunked"] and got["ce_decoded"]
+
+    def test_br_censused_not_mangled(self):
+        blob = b"\x00\x01\x02brotli-ish"
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+            b"Content-Length: " + str(len(blob)).encode() + b"\r\n\r\n" + blob
+        )
+        got = parse_http_response(msg)
+        assert got["body"] == blob  # untouched
+        assert got["ce_decoded"] is False
+        assert got["content_encoding"] == "br"
+
+    def test_truncated_gzip_raises_eof(self):
+        body = b"x" * 500
+        msg = build_http_response(body, content_encoding="gzip")
+        # chop the tail of the gzip stream but keep header block valid
+        cut = msg[:-10].replace(
+            b"Content-Length: " + str(len(msg) - msg.find(b"\r\n\r\n") - 4).encode(),
+            b"Content-Length: " + str(len(msg) - msg.find(b"\r\n\r\n") - 14).encode(),
+        )
+        with pytest.raises(EOFError, match="gzip"):
+            parse_http_response(cut)
+
+    def test_corrupt_gzip_raises_value(self):
+        blob = b"\x1f\x8b\xff\xffgarbage"
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Content-Length: " + str(len(blob)).encode() + b"\r\n\r\n" + blob
+        )
+        with pytest.raises(ValueError, match="gzip"):
+            parse_http_response(msg)
+
+
+class TestCharsetSniff:
+    def test_header_param_wins(self):
+        from tectonic_spark.operators.warc import sniff_charset
+
+        codec, origin = sniff_charset(
+            "text/html; charset=ISO-8859-1", b"<html>plain</html>"
+        )
+        assert codec == "cp1252" and origin == "header"  # WHATWG alias
+
+    def test_meta_charset(self):
+        from tectonic_spark.operators.warc import sniff_charset
+
+        body = b'<html><head><meta charset="Shift_JIS"></head>x</html>'
+        codec, origin = sniff_charset("text/html", body)
+        assert codec == "shift_jis" and origin == "meta"
+
+    def test_http_equiv(self):
+        from tectonic_spark.operators.warc import sniff_charset
+
+        body = (
+            b'<html><head><meta http-equiv="Content-Type" '
+            b'content="text/html; charset=gb2312"></head>x</html>'
+        )
+        codec, origin = sniff_charset(None, body)
+        assert codec == "gbk" and origin == "meta"  # WHATWG: gb2312 -> GBK
+
+    def test_meta_outside_first_1024_ignored(self):
+        from tectonic_spark.operators.warc import sniff_charset
+
+        body = b"<html>" + b" " * 1100 + b'<meta charset="shift_jis">x'
+        codec, origin = sniff_charset(None, body)
+        assert codec == "utf-8" and origin == "default"
+
+    def test_bom_overrides_declaration(self):
+        from tectonic_spark.operators.warc import decode_page, sniff_charset
+
+        body = "﻿bom text".encode("utf-8")
+        codec, origin = sniff_charset("text/html; charset=shift_jis", body)
+        assert origin == "bom"
+        text, codec, origin = decode_page(body, None)
+        assert text == "bom text"  # BOM consumed, not leaked into text
+        body16 = "utf16 page".encode("utf-16")  # writes a BOM
+        text, codec, origin = decode_page(body16, None)
+        assert text == "utf16 page" and origin == "bom"
+
+    def test_unknown_label_censused(self):
+        from tectonic_spark.operators.warc import sniff_charset
+
+        codec, origin = sniff_charset("text/html; charset=x-no-such", b"x")
+        assert codec == "utf-8" and origin == "unresolved:x-no-such"
+
+    def test_page_roundtrip_cp1252(self):
+        page = html_page(
+            "café costs £9½", charset="windows-1252",
+            declare="none",
+        )
+        from tectonic_spark.operators.warc import decode_page
+
+        text, codec, origin = decode_page(page, "text/html; charset=windows-1252")
+        assert codec == "cp1252" and origin == "header"
+        assert "café costs £9½" in html_to_text(text.encode("utf-8"))
+
+    def test_page_roundtrip_shift_jis_meta(self):
+        page = html_page(
+            "日本語 text", charset="shift_jis", declare="meta",
+        )
+        from tectonic_spark.operators.warc import decode_page
+
+        text, codec, origin = decode_page(page, "text/html")
+        assert codec == "shift_jis" and origin == "meta"
+        assert "日本語 text" in html_to_text(text.encode("utf-8"))
+
+    def test_probe_paragraph_is_own_block(self):
+        page = html_page("body text here", probe="pröbe ✓")
+        txt = html_to_text(main_content(page))
+        assert txt == "body text here\n\npröbe ✓"
