@@ -1,0 +1,162 @@
+"""CDXJ capture indexing — the random-access tier of a WARC corpus.
+
+A 100 TB crawl is useless for point lookups if every fetch re-scans
+whole shards: the web-archive ecosystem (pywb / OpenWayback, and
+Common Crawl's own index) answers "give me THESE URIs" through a CDXJ
+index — one line per capture, sorted by a canonicalized URI key, whose
+JSON block records the member's byte extent inside its shard. Because
+Common Crawl-layout shards are one gzip member per record, a reader
+can seek to ``offset``, read exactly ``length`` bytes, and inflate a
+single record without touching the rest of the shard.
+
+Line grammar (the pywb CDXJ profile):
+
+    <SURT key> <14-digit timestamp> <JSON>
+
+* **SURT** (Sort-friendly URI Reordering Transform): scheme dropped,
+  host lowercased, leading ``www.`` stripped, host labels reversed and
+  comma-joined, ``)/`` separator, path as-is, query parameters sorted —
+  so all captures of a host cluster lexicographically and the file is
+  binary-searchable. Ports and userinfo are dropped (a documented
+  simplification; the fixture URIs never carry them).
+* **timestamp**: WARC-Date ``YYYY-MM-DDThh:mm:ssZ`` → ``YYYYMMDDhhmmss``.
+* **JSON fields**: ``url`` (original URI), ``digest`` (sha1, base32 —
+  the WARC-Payload-Digest convention, here over the record payload,
+  i.e. the full HTTP message), ``mime``, ``status``, ``filename``
+  (shard basename), ``offset`` / ``length`` (gzip member byte extent).
+
+Error taxonomy matches the family: ``EOFError`` truncation,
+``ValueError`` structural.
+
+100 TB shape: the index is tiny (one short line per capture) next to
+the shards; selective fetch becomes an index scan + ranged reads whose
+total byte count is the sum of the selected members' ``length`` — the
+plan never touches unselected bytes.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import zlib
+
+__all__ = [
+    "build_cdxj",
+    "fetch_member",
+    "parse_cdxj",
+    "surt",
+    "warc_timestamp",
+    "write_warc_indexed",
+]
+
+
+def surt(uri: str) -> str:
+    """Sort-friendly URI Reordering Transform of ``uri``."""
+    rest = uri.split("://", 1)[1] if "://" in uri else uri
+    host, _, path = rest.partition("/")
+    host = host.lower().rsplit("@", 1)[-1].split(":", 1)[0]
+    if host.startswith("www."):
+        host = host[4:]
+    key = ",".join(reversed(host.split("."))) + ")/"
+    if "?" in path:
+        p, _, q = path.partition("?")
+        params = sorted(q.split("&"))
+        return key + p + "?" + "&".join(params)
+    return key + path
+
+
+def warc_timestamp(date: str) -> str:
+    """WARC-Date (``YYYY-MM-DDThh:mm:ssZ``) → CDX 14-digit timestamp."""
+    digits = "".join(c for c in date if c.isdigit())
+    if len(digits) < 14:
+        raise ValueError(f"bad WARC-Date {date!r}")
+    return digits[:14]
+
+
+def payload_digest(payload: bytes) -> str:
+    """``sha1:<base32>`` of a record payload (the WARC-Payload-Digest
+    convention CDX indexes carry)."""
+    return "sha1:" + base64.b32encode(hashlib.sha1(payload).digest()).decode()
+
+
+def write_warc_indexed(
+    records: list[tuple[bytes, dict | None]],
+) -> tuple[bytes, list[dict]]:
+    """Member-per-record gzip serialization that RECORDS each member's
+    byte extent: ``records`` is ``(record_bytes, meta | None)``; every
+    non-None meta is returned augmented with ``offset``/``length`` (the
+    compressed member's position in the shard) — exactly what a CDXJ
+    line needs for a later ranged read. None-meta records (warcinfo,
+    requests) are written but not indexed."""
+    out = bytearray()
+    entries: list[dict] = []
+    for rec, meta in records:
+        off = len(out)
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        out += co.compress(rec) + co.flush()
+        if meta is not None:
+            e = dict(meta)
+            e["offset"] = off
+            e["length"] = len(out) - off
+            entries.append(e)
+    return bytes(out), entries
+
+
+def build_cdxj(entries: list[dict]) -> bytes:
+    """Serialize index entries as sorted CDXJ lines. Each entry needs
+    ``url`` and ``ts`` plus the JSON payload fields; lines sort by
+    (SURT key, timestamp) so the file is mergeable and binary-
+    searchable across shards."""
+    lines = []
+    for e in entries:
+        key = surt(e["url"])
+        ts = e["ts"]
+        payload = {k: v for k, v in e.items() if k != "ts"}
+        lines.append(
+            f"{key} {ts} " + json.dumps(payload, sort_keys=True, ensure_ascii=False)
+        )
+    return ("\n".join(sorted(lines)) + "\n").encode("utf-8")
+
+
+def parse_cdxj(data: bytes) -> list[dict]:
+    """CDXJ lines → entry dicts (``key``/``ts`` + the JSON fields)."""
+    out = []
+    for ln in data.decode("utf-8").splitlines():
+        if not ln:
+            continue
+        try:
+            key, ts, blob = ln.split(" ", 2)
+        except ValueError:
+            raise ValueError(f"malformed CDXJ line {ln[:60]!r}") from None
+        if not (len(ts) == 14 and ts.isdigit()):
+            raise ValueError(f"bad CDXJ timestamp {ts!r}")
+        e = json.loads(blob)
+        e["key"] = key
+        e["ts"] = ts
+        out.append(e)
+    return out
+
+
+def fetch_member(f, offset: int, length: int) -> bytes:
+    """Ranged read of ONE indexed gzip member from an open binary file:
+    seek, read exactly ``length`` bytes, inflate. The caller never pays
+    for bytes outside the member — the whole point of the index."""
+    f.seek(offset)
+    blob = f.read(length)
+    if len(blob) < length:
+        raise EOFError(
+            f"shard truncated: wanted {length} bytes at {offset}, got {len(blob)}"
+        )
+    d = zlib.decompressobj(31)
+    try:
+        rec = d.decompress(blob)
+    except zlib.error as e:
+        raise ValueError(f"bad gzip member at offset {offset}: {e}") from None
+    if not d.eof:
+        raise EOFError(f"indexed member at {offset} incomplete after {length} bytes")
+    if d.unused_data:
+        raise ValueError(
+            f"indexed length {length} overshoots member at offset {offset}"
+        )
+    return rec

@@ -3001,6 +3001,48 @@ _WARC_CHARSET_MATRIX = {
     3: ("utf-8", "http-equiv", "unicode probe — ünïcødé ✓"),
 }
 _WARC_ENCODINGS = {0: "gzip", 1: "deflate", 2: None}
+_WARC_DATE = "2024-01-01T00:00:00Z"
+
+
+def _render_response_record(
+    d: int, text: str, lang: str, source: str
+) -> tuple[bytes, bytes]:
+    """Render one document as a WARC response record per the fixture
+    matrix (charset by d%4, Content-Encoding by d%3, chunked by d%2).
+    Returns (record_bytes, http_message_bytes) — the HTTP message is
+    what CDX payload digests are computed over. Shared by the a25/a30
+    fixture builders and the a28 exporter so every surface renders the
+    identical crawl."""
+    from tectonic_spark.operators.warc import (
+        build_http_response,
+        build_warc_record,
+        html_page,
+    )
+
+    charset, decl, probe = _WARC_CHARSET_MATRIX[d % 4]
+    page = html_page(
+        text,
+        title=f"doc {d} - {source}",  # ASCII: must encode in shift_jis
+        lang=lang,
+        charset=charset,
+        declare=decl if decl in ("meta", "http-equiv") else "none",
+        probe=probe,
+    )
+    ct = f"text/html; charset={charset}" if decl == "header" else "text/html"
+    http = build_http_response(
+        page,
+        chunked=(d % 2 == 0),
+        content_type=ct,
+        content_encoding=_WARC_ENCODINGS[d % 3],
+    )
+    rec = build_warc_record(
+        "response",
+        http,
+        uri=f"https://{source}.example/doc/{d}",
+        date=_WARC_DATE,
+        content_type="application/http; msgtype=response",
+    )
+    return rec, http
 
 
 def _extract_crawl_response(rec: dict) -> tuple:
@@ -3052,12 +3094,7 @@ def _warc_shards_src(sf_dir: str) -> tuple[str, int]:
     charset utf-8 / windows-1252 / shift_jis by d%4 with header, meta
     and http-equiv declaration channels), plus one warcinfo record per
     shard. Returns (dir, n_shards)."""
-    from tectonic_spark.operators.warc import (
-        build_http_response,
-        build_warc_record,
-        html_page,
-        write_warc,
-    )
+    from tectonic_spark.operators.warc import build_warc_record, write_warc
 
     rows = _docs_rows(sf_dir)
     # shard size stays ROUGHLY CONSTANT as the corpus grows (the real
@@ -3097,36 +3134,7 @@ def _warc_shards_src(sf_dir: str) -> tuple[str, int]:
                     content_type="application/http; msgtype=request",
                 )
             )
-            charset, decl, probe = _WARC_CHARSET_MATRIX[d % 4]
-            page = html_page(
-                text,
-                title=f"doc {d} - {source}",  # ASCII: must encode in shift_jis
-                lang=lang,
-                charset=charset,
-                declare=decl if decl in ("meta", "http-equiv") else "none",
-                probe=probe,
-            )
-            # the charset parameter only appears in the header when the
-            # header IS the declaration channel — otherwise the sniffer
-            # must find the meta tag (or fall through to the default)
-            ct = (
-                f"text/html; charset={charset}"
-                if decl == "header"
-                else "text/html"
-            )
-            recs.append(
-                build_warc_record(
-                    "response",
-                    build_http_response(
-                        page,
-                        chunked=(d % 2 == 0),
-                        content_type=ct,
-                        content_encoding=_WARC_ENCODINGS[d % 3],
-                    ),
-                    uri=uri,
-                    content_type="application/http; msgtype=response",
-                )
-            )
+            recs.append(_render_response_record(d, text, lang, source)[0])
         _write_atomic(os.path.join(tmp, f"crawl-{i:03d}.warc.gz"), write_warc(recs))
     _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
     try:
@@ -4292,12 +4300,8 @@ def a28_warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as pd
 
-        from tectonic_spark.operators.warc import (
-            build_http_response,
-            build_warc_record,
-            html_page,
-            write_warc,
-        )
+        from tectonic_spark.operators.parser_ops import _render_response_record
+        from tectonic_spark.operators.warc import write_warc
 
         recs = []
         for pdf in batches:
@@ -4309,33 +4313,7 @@ def a28_warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # matrix the ingest fixture uses, so the round-trip pins
                 # the WRITER side of body compression and non-UTF-8 page
                 # encoding too (readback must invert both exactly)
-                charset, decl, probe = _WARC_CHARSET_MATRIX[d % 4]
-                page = html_page(
-                    text,
-                    title=f"doc {d} - {source}",  # ASCII: must encode in shift_jis
-                    lang=lang,
-                    charset=charset,
-                    declare=decl if decl in ("meta", "http-equiv") else "none",
-                    probe=probe,
-                )
-                ct = (
-                    f"text/html; charset={charset}"
-                    if decl == "header"
-                    else "text/html"
-                )
-                recs.append(
-                    build_warc_record(
-                        "response",
-                        build_http_response(
-                            page,
-                            chunked=(d % 2 == 0),
-                            content_type=ct,
-                            content_encoding=_WARC_ENCODINGS[d % 3],
-                        ),
-                        uri=f"https://{source}.example/doc/{d}",
-                        content_type="application/http; msgtype=response",
-                    )
-                )
+                recs.append(_render_response_record(d, text, lang, source)[0])
         if not recs:
             yield pd.DataFrame([], columns=["shard", "n_records"])
             return
@@ -4360,6 +4338,204 @@ def a28_warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+def _warc_cdxj_src(sf_dir: str) -> tuple[str, int]:
+    """Indexed crawl: member-per-record .warc.gz shards plus one .cdxj
+    sidecar per shard recording every response capture's byte extent
+    (offset/length of its gzip member), sha1-base32 payload digest,
+    SURT key and 14-digit timestamp — the random-access tier (cdxj.py)
+    every WARC corpus needs for point lookups. Shard count scales with
+    the corpus (the a25 doctrine). Returns (dir, n_shards)."""
+    from tectonic_spark.operators.cdxj import (
+        build_cdxj,
+        payload_digest,
+        warc_timestamp,
+        write_warc_indexed,
+    )
+    from tectonic_spark.operators.warc import build_warc_record
+
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"a30_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ts = warc_timestamp(_WARC_DATE)
+    for i in range(n_shards):
+        fname = f"crawl-{i:03d}.warc.gz"
+        recs: list[tuple[bytes, dict | None]] = [
+            (
+                build_warc_record(
+                    "warcinfo",
+                    f"software: tectonic-spark fixture\r\nformat: WARC/1.0 shard {i}\r\n".encode(),
+                    content_type="application/warc-fields",
+                ),
+                None,  # written, not indexed
+            )
+        ]
+        for d, text, lang, source, _n in rows:
+            if d % n_shards != i:
+                continue
+            rec, http = _render_response_record(d, text, lang, source)
+            recs.append(
+                (
+                    rec,
+                    {
+                        "url": f"https://{source}.example/doc/{d}",
+                        "ts": ts,
+                        "digest": payload_digest(http),
+                        "mime": "text/html",
+                        "status": 200,
+                        "filename": fname,
+                    },
+                )
+            )
+        blob, entries = write_warc_indexed(recs)
+        _write_atomic(os.path.join(tmp, fname), blob)
+        _write_atomic(
+            os.path.join(tmp, f"crawl-{i:03d}.cdxj"), build_cdxj(entries)
+        )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "a30_cdxj_fetch",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE doc_id % 17 = 3 GROUP BY lang
+    """,
+    doc="CDXJ selective fetch (cdxj.py — the random-access tier of a "
+    "WARC corpus, the pywb / Common Crawl index shape): shards are "
+    "written member-per-record WITH a sorted .cdxj sidecar per shard "
+    "(SURT key, timestamp, sha1-base32 payload digest, gzip member "
+    "offset/length), then the query answers 'fetch THESE URIs' (doc_id "
+    "% 17 = 3) by scanning ONLY the tiny index, planning ranged reads, "
+    "and inflating exactly the selected members — each fetched record "
+    "is digest-verified and then flows through the full extraction "
+    "stack (HTTP de-framing, Content-Encoding decode, charset sniff, "
+    "HTML -> text with probe verification). The builder asserts the "
+    "bounded-byte contract IN CODE: total bytes read equals the sum of "
+    "the selected members' indexed lengths and is a strict fraction of "
+    "the archive size — an indexed fetch that secretly full-scans "
+    "fails the run. 100 TB shape: the index (one short line per "
+    "capture) is the only full scan; shard bytes are touched via "
+    "seek+read of member extents, tasks grouped per shard file so each "
+    "file opens once with offsets read in ascending order.",
+)
+def a30_cdxj_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src, n_shards = _warc_cdxj_src(sf_dir)
+    idx = spark.read.text(os.path.join(src, "*.cdxj"))
+    parts = F.split(F.col("value"), " ", 3)
+    jschema = (
+        "url STRING, digest STRING, mime STRING, status INT, "
+        "filename STRING, offset BIGINT, length BIGINT"
+    )
+    meta = (
+        idx.select(F.from_json(parts.getItem(2), jschema).alias("j"))
+        .select("j.*")
+        .withColumn(
+            "doc_id", F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        )
+    )
+    probe = meta.filter(F.col("doc_id") % 17 == 3)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("bytes_read", LongType(), True),
+        ]
+    )
+
+    def fetch(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member, payload_digest
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            by_file: dict = {}
+            for r in pdf.itertuples(index=False):
+                by_file.setdefault(r.filename, []).append(r)
+            for fname, items in by_file.items():
+                items.sort(key=lambda r: r.offset)  # ascending seeks
+                with open(_os.path.join(src, fname), "rb") as f:
+                    for r in items:
+                        member = fetch_member(f, int(r.offset), int(r.length))
+                        recs = parse_warc(member)
+                        if len(recs) != 1:
+                            raise ValueError(
+                                f"{fname}@{r.offset}: {len(recs)} records in member"
+                            )
+                        rec = recs[0]
+                        if payload_digest(rec["payload"]) != r.digest:
+                            raise ValueError(
+                                f"{fname}@{r.offset}: payload digest mismatch"
+                            )
+                        d, text, lang, _src2, *_rest = _extract_crawl_response(rec)
+                        if d != int(r.doc_id):
+                            raise ValueError(
+                                f"index said doc {r.doc_id}, record is doc {d}"
+                            )
+                        rows.append((d, lang, len(text), int(r.length)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lang", "n_chars", "bytes_read"]
+            )
+
+    sel = probe.select("filename", "offset", "length", "digest", "doc_id")
+    fetched = sel.repartition(n_shards, "filename").mapInPandas(fetch, schema)
+    fetched = fetched.persist()
+    # bounded-byte contract, asserted in code: bytes actually read ==
+    # the indexed lengths of the selection, and strictly a fraction of
+    # the archive — a fetch path that secretly full-scans fails here
+    got = fetched.agg(
+        F.sum("bytes_read").alias("br"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    want_bytes = probe.agg(F.sum("length")).collect()[0][0]
+    total_bytes = sum(
+        e.stat().st_size
+        for e in os.scandir(src)
+        if e.name.endswith(".warc.gz")
+    )
+    if got["br"] != want_bytes or got["br"] * 3 >= total_bytes:
+        fetched.unpersist()
+        raise RuntimeError(
+            f"a30: read {got['br']} bytes, index planned {want_bytes}, "
+            f"archive holds {total_bytes}"
+        )
+    agg = fetched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)
 
 
 def _webdataset_src(sf_dir: str) -> tuple[str, int]:

@@ -1,0 +1,160 @@
+"""CDXJ index tests: SURT canonicalization, line round-trips, indexed
+member extents (ranged read inflates exactly one record), digest
+convention, sorted-file contract, error taxonomy."""
+
+import io
+import zlib
+
+import pytest
+
+from tectonic_spark.operators.cdxj import (
+    build_cdxj,
+    fetch_member,
+    parse_cdxj,
+    payload_digest,
+    surt,
+    warc_timestamp,
+    write_warc_indexed,
+)
+from tectonic_spark.operators.warc import build_warc_record, parse_warc
+
+
+class TestSurt:
+    def test_basic(self):
+        assert surt("https://src.example/doc/5") == "example,src)/doc/5"
+
+    def test_www_and_case(self):
+        assert surt("http://WWW.News.Example.COM/A/b") == "com,example,news)/A/b"
+
+    def test_query_params_sorted(self):
+        assert surt("https://h.io/p?b=2&a=1") == "io,h)/p?a=1&b=2"
+
+    def test_port_and_userinfo_dropped(self):
+        assert surt("https://u:p@host.net:8443/x") == "net,host)/x"
+
+    def test_clustering_order(self):
+        # all captures of a host sort together, ahead of other hosts
+        keys = sorted(
+            surt(u)
+            for u in [
+                "https://b.example/z",
+                "https://a.example/1",
+                "https://a.example/2",
+            ]
+        )
+        assert keys == ["example,a)/1", "example,a)/2", "example,b)/z"]
+
+
+class TestTimestamp:
+    def test_warc_date(self):
+        assert warc_timestamp("2024-01-01T00:00:00Z") == "20240101000000"
+        assert warc_timestamp("2023-12-31T23:59:58Z") == "20231231235958"
+
+    def test_bad(self):
+        with pytest.raises(ValueError, match="WARC-Date"):
+            warc_timestamp("not a date")
+
+
+def _entries(n=5):
+    recs = []
+    for i in range(n):
+        payload = f"payload {i} ".encode() * 20
+        rec = build_warc_record(
+            "response", payload, uri=f"https://s{i % 2}.example/doc/{i}"
+        )
+        recs.append(
+            (
+                rec,
+                {
+                    "url": f"https://s{i % 2}.example/doc/{i}",
+                    "ts": "20240101000000",
+                    "digest": payload_digest(payload),
+                    "mime": "text/html",
+                    "status": 200,
+                    "filename": "shard.warc.gz",
+                },
+            )
+        )
+    return recs
+
+
+class TestIndexedWrite:
+    def test_extents_cover_and_partition(self):
+        blob, entries = write_warc_indexed(_entries())
+        # extents tile the shard exactly (no gaps, no overlap)
+        pos = 0
+        for e in entries:
+            assert e["offset"] == pos
+            pos += e["length"]
+        assert pos == len(blob)
+
+    def test_unindexed_records_written(self):
+        recs = _entries(2)
+        info = build_warc_record("warcinfo", b"x: y\r\n")
+        blob, entries = write_warc_indexed([(info, None)] + recs)
+        assert len(entries) == 2
+        assert entries[0]["offset"] > 0  # warcinfo member precedes
+        assert len(parse_warc(blob)) == 3
+
+    def test_ranged_fetch_exact(self):
+        blob, entries = write_warc_indexed(_entries())
+        f = io.BytesIO(blob)
+        for e in entries:
+            member = fetch_member(f, e["offset"], e["length"])
+            recs = parse_warc(member)
+            assert len(recs) == 1
+            assert payload_digest(recs[0]["payload"]) == e["digest"]
+            assert recs[0]["uri"] == e["url"]
+
+    def test_fetch_truncated(self):
+        blob, entries = write_warc_indexed(_entries())
+        e = entries[-1]
+        with pytest.raises(EOFError, match="truncated|incomplete"):
+            fetch_member(io.BytesIO(blob[: e["offset"] + 5]), e["offset"], e["length"])
+
+    def test_fetch_short_length(self):
+        blob, entries = write_warc_indexed(_entries())
+        e = entries[0]
+        with pytest.raises(EOFError, match="incomplete"):
+            fetch_member(io.BytesIO(blob), e["offset"], e["length"] - 3)
+
+    def test_fetch_overshoot_length(self):
+        blob, entries = write_warc_indexed(_entries())
+        e = entries[0]
+        with pytest.raises(ValueError, match="overshoot"):
+            fetch_member(io.BytesIO(blob), e["offset"], e["length"] + 4)
+
+    def test_fetch_bad_offset(self):
+        blob, entries = write_warc_indexed(_entries())
+        with pytest.raises(ValueError, match="bad gzip member"):
+            fetch_member(io.BytesIO(blob), entries[1]["offset"] + 1, 50)
+
+
+class TestCdxjLines:
+    def test_roundtrip(self):
+        blob, entries = write_warc_indexed(_entries())
+        data = build_cdxj(entries)
+        back = parse_cdxj(data)
+        assert len(back) == len(entries)
+        by_url = {e["url"]: e for e in entries}
+        for b in back:
+            e = by_url[b["url"]]
+            assert (b["offset"], b["length"], b["digest"]) == (
+                e["offset"],
+                e["length"],
+                e["digest"],
+            )
+            assert b["key"] == surt(b["url"]) and b["ts"] == "20240101000000"
+
+    def test_sorted(self):
+        data = build_cdxj(_e for _e in write_warc_indexed(_entries())[1])
+        lines = data.decode().splitlines()
+        assert lines == sorted(lines)
+
+    def test_malformed_line(self):
+        with pytest.raises(ValueError, match="malformed"):
+            parse_cdxj(b"onlyonefield\n")
+
+    def test_bad_timestamp(self):
+        with pytest.raises(ValueError, match="timestamp"):
+            parse_cdxj(b'key notadigit14 {"url":"x"}\n')
