@@ -2651,6 +2651,221 @@ def m16_mp4_census(spark, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m25_webm_census",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             2 + doc_id % 6 AS n_video,
+             1 + doc_id % 5 AS n_audio,
+             1 + doc_id % 2 AS n_clusters,
+             doc_id % 3 AS amode
+      FROM documents WHERE doc_id % 41 = 7
+    )
+    SELECT doc_id,
+           'webm' AS doc_type,
+           CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END
+             AS video_codec,
+           'A_OPUS' AS audio_codec,
+           CAST(64 + 16 * (doc_id % 4) AS BIGINT) AS width,
+           CAST(48 + 16 * (doc_id % 3) AS BIGINT) AS height,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_video + CASE WHEN amode = 2 THEN 1 ELSE n_audio END
+                AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN amode = 1 THEN n_audio ELSE 0 END AS BIGINT)
+             AS n_block_groups,
+           CAST(n_clusters + CASE WHEN amode = 2 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_keyframes,
+           CAST(n_video + n_audio AS BIGINT) AS n_frames,
+           CAST(CASE WHEN amode = 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_laced,
+           CAST(list_sum(list_transform(range(0, n_video),
+                  k -> 10 + (doc_id * 13 + k * 7) % 50))
+              + list_sum(list_transform(range(0, n_audio),
+                  k -> 5 + (doc_id * 11 + k * 3) % 20)) AS BIGINT)
+             AS media_bytes,
+           CAST(33 * n_video AS BIGINT) AS duration_ms,
+           TRUE AS mkv_agree,
+           TRUE AS extent_ok
+    FROM m
+    """,
+    doc="WebM/MKV EBML container census (VERDICT r10 item 4 — WebM is "
+    "the web's <video> container; a media census that only reads MP4 "
+    "(m16) is blind to it): every 41st document carries a two-track "
+    "(VP9|VP8 video + Opus audio) Matroska file built by the vendored "
+    "EBML muxer (ebml.py — RFC 8794 vints, Info/Tracks/Cluster tree) "
+    "and censused by the EBML walk: codec IDs, pixel dimensions, audio "
+    "channels, cluster/block/keyframe counts, media payload bytes and "
+    "duration all cross the parse. The fixture matrix exercises the "
+    "three block shapes real muxers emit — SimpleBlocks, BlockGroup/"
+    "Block(+BlockDuration), and a Xiph-laced SimpleBlock (255-spill "
+    "lace sizes) by doc_id%3 — plus both doc types: the SAME streams "
+    "are wrapped twice (webm + matroska) and mkv_agree pins that both "
+    "censuses agree field-for-field except DocType. extent_ok pins the "
+    "walk covering the whole file. VP8/VP9/Opus payload decode is a "
+    "named out-of-scope boundary (the m16/m22 doctrine). 100 TB shape: "
+    "per-payload header walk in Arrow-batched mapInPandas, no shuffle.",
+)
+def m25_webm_census(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.ebml import encode_mkv, parse_mkv
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 41 == 7)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("doc_type", StringType(), True),
+            StructField("video_codec", StringType(), True),
+            StructField("audio_codec", StringType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("channels", LongType(), True),
+            StructField("n_clusters", LongType(), True),
+            StructField("n_blocks", LongType(), True),
+            StructField("n_block_groups", LongType(), True),
+            StructField("n_keyframes", LongType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("n_laced", LongType(), True),
+            StructField("media_bytes", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+            StructField("mkv_agree", BooleanType(), True),
+            StructField("extent_ok", BooleanType(), True),
+        ]
+    )
+
+    def build(d: int, doc_type: str):
+        from tectonic_spark.operators.ebml import encode_mkv as _enc
+
+        n_video = 2 + d % 6
+        n_audio = 1 + d % 5
+        n_clusters = 1 + d % 2
+        amode = d % 3
+        tracks = [
+            {
+                "number": 1,
+                "type": "video",
+                "codec_id": "V_VP9" if d % 2 == 0 else "V_VP8",
+                "width": 64 + 16 * (d % 4),
+                "height": 48 + 16 * (d % 3),
+            },
+            {
+                "number": 2,
+                "type": "audio",
+                "codec_id": "A_OPUS",
+                "sampling": 48000.0,
+                "channels": 1 + d % 2,
+            },
+        ]
+        vframes = [
+            bytes((d * 31 + k * 17 + j) % 256 for j in range(10 + (d * 13 + k * 7) % 50))
+            for k in range(n_video)
+        ]
+        aframes = [
+            bytes((d * 19 + k * 11 + j) % 256 for j in range(5 + (d * 11 + k * 3) % 20))
+            for k in range(n_audio)
+        ]
+        clusters = [
+            {"timestamp": ci * 100, "blocks": []} for ci in range(n_clusters)
+        ]
+        for k, fr in enumerate(vframes):
+            clusters[k % n_clusters]["blocks"].append(
+                # the first frame LANDING in each cluster is its keyframe
+                {"track": 1, "frame": fr, "keyframe": k < n_clusters,
+                 "offset": 33 * (k // n_clusters)}
+            )
+        if amode == 2:  # one Xiph-laced SimpleBlock carrying all frames
+            clusters[-1]["blocks"].append({"track": 2, "frames": aframes})
+        elif amode == 1:  # BlockGroup/Block each
+            for k, fr in enumerate(aframes):
+                clusters[-1]["blocks"].append(
+                    {"track": 2, "group_frame": fr, "duration": 20,
+                     "offset": 20 * k}
+                )
+        else:  # plain SimpleBlocks (not keyframe-flagged)
+            for k, fr in enumerate(aframes):
+                clusters[-1]["blocks"].append(
+                    {"track": 2, "frame": fr, "offset": 20 * k}
+                )
+        return _enc(
+            tracks,
+            clusters,
+            doc_type=doc_type,
+            duration_ms=float(33 * n_video),
+        )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = build(d, "webm")
+                info = parse_mkv(payload)
+                # both-container agreement pin: the identical streams
+                # wrapped as matroska must census identically
+                info2 = parse_mkv(build(d, "matroska"))
+                agree = info2["doc_type"] == "matroska" and all(
+                    info[k] == info2[k]
+                    for k in (
+                        "tracks", "n_clusters", "n_blocks", "n_block_groups",
+                        "n_keyframes", "n_frames", "n_laced_blocks",
+                        "media_bytes", "duration_ms", "timestamp_scale",
+                    )
+                )
+                v, a = info["tracks"]
+                rows.append(
+                    (
+                        d,
+                        info["doc_type"],
+                        v["codec_id"],
+                        a["codec_id"],
+                        v["width"],
+                        v["height"],
+                        a["channels"],
+                        info["n_clusters"],
+                        info["n_blocks"],
+                        info["n_block_groups"],
+                        info["n_keyframes"],
+                        info["n_frames"],
+                        info["n_laced_blocks"],
+                        info["media_bytes"],
+                        info["duration_ms"],
+                        agree,
+                        info["bytes_walked"] == len(payload),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "doc_type",
+                "video_codec",
+                "audio_codec",
+                "width",
+                "height",
+                "channels",
+                "n_clusters",
+                "n_blocks",
+                "n_block_groups",
+                "n_keyframes",
+                "n_frames",
+                "n_laced",
+                "media_bytes",
+                "duration_ms",
+                "mkv_agree",
+                "extent_ok",
+            ],
+        )
+
+    return docs.mapInPandas(walk, schema)
+
+
+@register(
     "m23_id3_extract",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,175 @@
+"""EBML/Matroska/WebM census tests: vint edges, mux→census round-trip
+across block shapes (SimpleBlock / BlockGroup / Xiph lacing), both
+doc types, error taxonomy, Hypothesis round-trip sweep."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tectonic_spark.operators.ebml import encode_mkv, parse_mkv
+from tectonic_spark.operators.ebml import _encode_size, _read_vint
+
+
+VIDEO = {"number": 1, "type": "video", "codec_id": "V_VP9", "width": 320, "height": 240}
+AUDIO = {"number": 2, "type": "audio", "codec_id": "A_OPUS", "sampling": 48000.0, "channels": 2}
+
+
+def _simple(track, frame, key=False, off=0):
+    return {"track": track, "frame": frame, "keyframe": key, "offset": off}
+
+
+class TestVint:
+    def test_size_roundtrip(self):
+        for v in (0, 1, 126, 127, 128, 16382, 16383, 2**21 - 3, 2**49 - 2):
+            enc = _encode_size(v)
+            got, pos = _read_vint(enc, 0, keep_marker=False)
+            assert got == v and pos == len(enc)
+
+    def test_all_ones_is_unknown(self):
+        got, _ = _read_vint(b"\xff", 0, keep_marker=False)
+        assert got == -1
+
+    def test_zero_lead_byte_rejected(self):
+        with pytest.raises(ValueError, match="lead byte"):
+            _read_vint(b"\x00\x81", 0, keep_marker=False)
+
+    def test_truncated(self):
+        with pytest.raises(EOFError):
+            _read_vint(b"\x41", 0, keep_marker=False)  # wants 2 bytes
+
+
+class TestRoundtrip:
+    def test_two_track_census(self):
+        mkv = encode_mkv(
+            [VIDEO, AUDIO],
+            [
+                {
+                    "timestamp": 0,
+                    "blocks": [
+                        _simple(1, b"vvvv", key=True),
+                        _simple(2, b"aa"),
+                        _simple(1, b"vvv", off=33),
+                    ],
+                },
+                {
+                    "timestamp": 66,
+                    "blocks": [_simple(1, b"vv", key=True)],
+                },
+            ],
+            duration_ms=99.0,
+        )
+        info = parse_mkv(mkv)
+        assert info["doc_type"] == "webm"
+        assert info["n_clusters"] == 2
+        assert info["n_blocks"] == 4
+        assert info["n_keyframes"] == 2
+        assert info["n_frames"] == 4
+        assert info["media_bytes"] == 4 + 2 + 3 + 2
+        assert info["duration_ms"] == 99
+        assert info["bytes_walked"] == len(mkv)
+        v, a = info["tracks"]
+        assert (v["codec_id"], v["width"], v["height"]) == ("V_VP9", 320, 240)
+        assert (a["codec_id"], a["sampling"], a["channels"]) == ("A_OPUS", 48000.0, 2)
+
+    def test_block_group(self):
+        mkv = encode_mkv(
+            [AUDIO],
+            [
+                {
+                    "timestamp": 0,
+                    "blocks": [
+                        {"track": 2, "group_frame": b"opus1", "duration": 20},
+                        {"track": 2, "group_frame": b"opus22", "duration": 20},
+                    ],
+                }
+            ],
+        )
+        info = parse_mkv(mkv)
+        assert info["n_block_groups"] == 2
+        assert info["n_blocks"] == 2
+        assert info["n_keyframes"] == 0  # Block carries no keyframe flag
+        assert info["media_bytes"] == 11
+
+    def test_xiph_lacing(self):
+        frames = [b"a" * 300, b"bb", b"ccc"]  # first size needs 255-spill
+        mkv = encode_mkv(
+            [AUDIO],
+            [{"timestamp": 0, "blocks": [{"track": 2, "frames": frames}]}],
+        )
+        info = parse_mkv(mkv)
+        assert info["n_blocks"] == 1
+        assert info["n_laced_blocks"] == 1
+        assert info["n_frames"] == 3
+        assert info["media_bytes"] == 305
+
+    def test_matroska_doctype_agrees(self):
+        clusters = [{"timestamp": 0, "blocks": [_simple(1, b"xx", key=True)]}]
+        webm = parse_mkv(encode_mkv([VIDEO], clusters, doc_type="webm"))
+        mkv = parse_mkv(encode_mkv([VIDEO], clusters, doc_type="matroska"))
+        for k in ("n_clusters", "n_blocks", "n_keyframes", "n_frames",
+                  "media_bytes", "tracks"):
+            assert webm[k] == mkv[k]
+        assert (webm["doc_type"], mkv["doc_type"]) == ("webm", "matroska")
+
+
+class TestErrors:
+    def test_not_ebml(self):
+        with pytest.raises(ValueError, match="EBML"):
+            parse_mkv(b"\x00\x00\x00\x20ftypisom")
+
+    def test_truncated_element(self):
+        mkv = encode_mkv([VIDEO], [{"timestamp": 0, "blocks": [_simple(1, b"xxxx")]}])
+        with pytest.raises(EOFError):
+            parse_mkv(mkv[:-3])
+
+    def test_unknown_size_refused(self):
+        # hand-build: EBML header then a Segment with all-ones size
+        good = encode_mkv([VIDEO], [])
+        head_end = good.find(b"\x18\x53\x80\x67")
+        hacked = good[:head_end] + b"\x18\x53\x80\x67\xff" + b"\x1f\x43\xb6\x75\x80"
+        with pytest.raises(NotImplementedError, match="unknown-size"):
+            parse_mkv(hacked)
+
+    def test_ebml_lacing_refused(self):
+        mkv = bytearray(
+            encode_mkv([AUDIO], [{"timestamp": 0, "blocks": [_simple(2, b"qq")]}])
+        )
+        # SimpleBlock element for track 2: id A3, size 86, track vint 82
+        i = mkv.find(b"\xa3\x86\x82")
+        assert i >= 0
+        # body: track vint(1) + int16 offset(2) + flags(1)
+        mkv[i + 2 + 3] |= 0x06  # lacing bits 11 = EBML
+        with pytest.raises(NotImplementedError, match="EBML lacing"):
+            parse_mkv(bytes(mkv))
+
+    def test_bad_doctype(self):
+        mkv = encode_mkv([VIDEO], [], doc_type="avi?")
+        with pytest.raises(ValueError, match="DocType"):
+            parse_mkv(mkv)
+
+
+class TestProperty:
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.binary(min_size=1, max_size=40), min_size=1, max_size=4),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    def test_frames_and_bytes_conserved(self, cluster_frames):
+        clusters = []
+        total = 0
+        n = 0
+        for ci, frames in enumerate(cluster_frames):
+            blocks = [
+                _simple(1, fr, key=(fi == 0)) for fi, fr in enumerate(frames)
+            ]
+            clusters.append({"timestamp": ci * 40, "blocks": blocks})
+            total += sum(len(fr) for fr in frames)
+            n += len(frames)
+        info = parse_mkv(encode_mkv([VIDEO], clusters))
+        assert info["n_frames"] == n
+        assert info["media_bytes"] == total
+        assert info["n_keyframes"] == len(cluster_frames)
+        assert info["n_clusters"] == len(cluster_frames)
