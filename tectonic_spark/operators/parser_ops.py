@@ -3468,7 +3468,9 @@ def _docs_zip_src(sf_dir: str) -> str:
     rows = _docs_rows(sf_dir)
     n_zips = max(1, len(rows) // 60000)  # bundle size ~constant at scale
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, f"a26_src_{n_zips}")
+    # v2: even bundles are forced-ZIP64 (r11 — the >4 GiB structures
+    # parse without >4 GiB fixtures); name bump invalidates v1 caches
+    src = os.path.join(base, f"a26_src2_{n_zips}")
     done = os.path.join(src, "_DONE")
     if os.path.exists(done):
         return src
@@ -3495,7 +3497,10 @@ def _docs_zip_src(sf_dir: str) -> str:
                     "stored" if i % 2 == 0 else "deflate",
                 )
             )
-        _write_atomic(os.path.join(tmp, f"corpus-{z:03d}.zip"), build_zip(members))
+        _write_atomic(
+            os.path.join(tmp, f"corpus-{z:03d}.zip"),
+            build_zip(members, zip64=(z % 2 == 0)),
+        )
     _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
     try:
         os.rename(tmp, src)
@@ -3517,9 +3522,12 @@ def _docs_zip_src(sf_dir: str) -> str:
     "bundles alongside the .gz/.zst shards of a21/a23): a structural "
     "PKWARE walk (EOCD discovery with comment-tolerant backward scan, "
     "central directory, local-header cross-validation, raw-deflate "
-    "inflation, per-member CRC-32 + size verification — no stdlib "
-    "zipfile in the data path; interop with zipfile is pinned both "
-    "ways in tests), and each member's NDJSON bytes are parsed by the "
+    "inflation, per-member CRC-32 + size verification, and since r11 "
+    "ZIP64: even bundles are forced-ZIP64 so the EOCD64/locator and "
+    "0x0001 extra-field paths parse every run — no stdlib zipfile in "
+    "the data path; interop with zipfile is pinned both ways in tests "
+    "incl. a >65535-member stdlib archive), and each member's NDJSON "
+    "bytes are parsed by the "
     "ENGINE'S OWN JsonParser (S1 — the reference-parity async parser), "
     "not a JSON library: the zip path exercises the same parser the "
     "tectonic-json source runs. n_deflated counts docs that arrived "
@@ -4548,7 +4556,9 @@ def _webdataset_src(sf_dir: str) -> tuple[str, int]:
     rows = [r for r in _docs_rows(sf_dir) if r[0] % 23 == 9]
     n_shards = max(2, len(rows) // 8000)
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, f"a29_src_{n_shards}")
+    # v2: even doc_ids get >100-char sample keys (deep category dirs),
+    # shards alternate pax / GNU longname encodings (r11)
+    src = os.path.join(base, f"a29_src2_{n_shards}")
     done = os.path.join(src, "_DONE")
     if os.path.exists(done):
         return src, n_shards
@@ -4567,7 +4577,13 @@ def _webdataset_src(sf_dir: str) -> tuple[str, int]:
         for d, text, lang, source, n in rows:
             if d % n_shards != i:
                 continue
-            key = f"{d:012d}"
+            # even doc_ids live under a deep category path whose full
+            # member names exceed ustar's 100-byte limit — the trio then
+            # rides pax 'path' records or GNU 'L' members (by shard)
+            if d % 2 == 0:
+                key = f"corpus/{lang}/{'category-' + source:-<96}/{d:012d}"
+            else:
+                key = f"{d:012d}"
             img = ((d * 7 + i64 * 13) % 256).astype(np.uint8).reshape(8, 8)
             members.append(
                 (f"{key}.json", json.dumps(
@@ -4576,7 +4592,10 @@ def _webdataset_src(sf_dir: str) -> tuple[str, int]:
             )
             members.append((f"{key}.txt", text.encode("utf-8")))
             members.append((f"{key}.png", encode_png(img)))
-        _write_atomic(os.path.join(tmp, f"shard-{i:05d}.tar"), build_tar(members))
+        _write_atomic(
+            os.path.join(tmp, f"shard-{i:05d}.tar"),
+            build_tar(members, longname_mode="pax" if i % 2 == 0 else "gnu"),
+        )
     _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
     try:
         os.rename(tmp, src)
@@ -4598,7 +4617,11 @@ def _webdataset_src(sf_dir: str) -> tuple[str, int]:
     "multimodal training-shard format: .tar files whose same-key "
     "members form one sample): each sample is {key}.json metadata "
     "(parsed by the ENGINE'S S1 JsonParser) + {key}.txt text + "
-    "{key}.png image (decoded by the engine's own PNG codec). The "
+    "{key}.png image (decoded by the engine's own PNG codec). Since "
+    "r11 even doc_ids carry >100-char sample keys (deep category "
+    "dirs) riding pax 'path' records or GNU 'L' longname members by "
+    "shard — both long-name encodings real shards use cross the walk "
+    "every run. The "
     "walk verifies ustar header checksums, groups members by sample "
     "key, raises on incomplete trios, and every oracle column crosses "
     "a different modality: lang from the JSON, chars from the TEXT "

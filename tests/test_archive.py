@@ -117,11 +117,14 @@ class TestErrors:
         with pytest.raises(NotImplementedError, match="encrypted"):
             parse_zip(bytes(z))
 
-    def test_zip64_refused(self):
-        z = build_zip(MEMBERS)
-        loc = b"PK\x06\x07" + bytes(16)
-        with pytest.raises(NotImplementedError, match="ZIP64"):
-            parse_zip(z[:-22] + loc + z[-22:])
+    def test_zip64_multidisk_refused(self):
+        # a locator claiming >1 disks is the remaining named boundary
+        z = build_zip(MEMBERS, zip64=True)
+        hacked = bytearray(z)
+        # locator sits 20 bytes before the EOCD; total-disks is its last u32
+        hacked[-22 - 4 : -22] = (2).to_bytes(4, "little")
+        with pytest.raises(NotImplementedError, match="multi-disk"):
+            parse_zip(bytes(hacked))
 
     def test_bad_deflate(self):
         z = bytearray(build_zip([("d", b"compressible " * 50, "deflate")]))
@@ -193,19 +196,35 @@ class TestTar:
         with pytest.raises(EOFError, match="end-of-archive"):
             parse_tar(t[:-1024])
 
-    def test_long_name_extensions_refused(self):
+    def test_stdlib_pax_long_name(self):
         import io
         import tarfile
 
         from tectonic_spark.operators.archive import parse_tar
 
         buf = io.BytesIO()
+        long = "dir/" + "x" * 150 + "/file.txt"
         with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as to:
-            ti = tarfile.TarInfo("x" * 150)  # forces a pax header record
+            ti = tarfile.TarInfo(long)  # forces a pax 'path' record
             ti.size = 1
             to.addfile(ti, io.BytesIO(b"y"))
-        with pytest.raises(NotImplementedError, match="pax"):
-            parse_tar(buf.getvalue())
+        got = parse_tar(buf.getvalue())
+        assert [(m["name"], m["data"]) for m in got] == [(long, b"y")]
+
+    def test_stdlib_gnu_long_name(self):
+        import io
+        import tarfile
+
+        from tectonic_spark.operators.archive import parse_tar
+
+        buf = io.BytesIO()
+        long = "g/" + "y" * 140 + ".bin"
+        with tarfile.open(fileobj=buf, mode="w", format=tarfile.GNU_FORMAT) as to:
+            ti = tarfile.TarInfo(long)  # forces a GNU 'L' member
+            ti.size = 3
+            to.addfile(ti, io.BytesIO(b"abc"))
+        got = parse_tar(buf.getvalue())
+        assert [(m["name"], m["data"]) for m in got] == [(long, b"abc")]
 
     @settings(max_examples=30, deadline=None)
     @given(
@@ -243,3 +262,122 @@ class TestAdviceR11:
         assert [(m["name"], m["data"]) for m in got] == [
             (n, d) for n, d, _ in MEMBERS
         ]
+
+
+class TestZip64:
+    def test_forced_zip64_roundtrip(self):
+        z = build_zip(MEMBERS, zip64=True)
+        # EOCD fields are saturated; parse must route through EOCD64
+        assert b"PK\x06\x06" in z and b"PK\x06\x07" in z
+        got = parse_zip(z)
+        assert [(m["name"], m["data"]) for m in got] == [
+            (n, d) for n, d, _ in MEMBERS
+        ]
+
+    def test_stdlib_reads_our_zip64(self):
+        import io
+        import zipfile
+
+        z = build_zip(MEMBERS, zip64=True)
+        with zipfile.ZipFile(io.BytesIO(z)) as zf:
+            assert zf.namelist() == [n for n, _, _ in MEMBERS]
+            for n, d, _m in MEMBERS:
+                assert zf.read(n) == d
+
+    def test_we_read_stdlib_zip64(self):
+        # stdlib emits real ZIP64 structures when the entry count
+        # saturates the 16-bit EOCD field (>65535 members) — the
+        # sparse way to trigger the format without >4 GiB payloads
+        import io
+        import zipfile
+
+        buf = io.BytesIO()
+        n = 65540
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            for i in range(n):
+                zf.writestr(f"m{i:05d}", b"")
+        got = parse_zip(buf.getvalue())
+        assert len(got) == n
+        assert got[0]["name"] == "m00000" and got[-1]["name"] == f"m{n-1:05d}"
+
+    def test_saturated_without_locator_rejected(self):
+        z = bytearray(build_zip(MEMBERS))
+        z[-12:-10] = b"\xff\xff"  # saturate the entry count
+        with pytest.raises(ValueError, match="EOCD64"):
+            parse_zip(bytes(z))
+
+
+class TestTarLongNames:
+    LONG = "prefix/" + "n" * 130 + "/payload.json"
+
+    def test_pax_roundtrip(self):
+        from tectonic_spark.operators.archive import build_tar, parse_tar
+
+        members = [(self.LONG, b"data1"), ("short.txt", b"data2")]
+        got = parse_tar(build_tar(members, longname_mode="pax"))
+        assert [(m["name"], m["data"]) for m in got] == members
+
+    def test_gnu_roundtrip(self):
+        from tectonic_spark.operators.archive import build_tar, parse_tar
+
+        members = [(self.LONG, b"data1"), ("short.txt", b"data2")]
+        got = parse_tar(build_tar(members, longname_mode="gnu"))
+        assert [(m["name"], m["data"]) for m in got] == members
+
+    def test_stdlib_reads_our_pax(self):
+        import io
+        import tarfile
+
+        from tectonic_spark.operators.archive import build_tar
+
+        blob = build_tar([(self.LONG, b"zz")], longname_mode="pax")
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            names = tf.getnames()
+            assert self.LONG in names
+            assert tf.extractfile(self.LONG).read() == b"zz"
+
+    def test_stdlib_reads_our_gnu(self):
+        import io
+        import tarfile
+
+        from tectonic_spark.operators.archive import build_tar
+
+        blob = build_tar([(self.LONG, b"qq")], longname_mode="gnu")
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            assert tf.extractfile(self.LONG).read() == b"qq"
+
+    def test_pax_size_override_and_base256(self):
+        from tectonic_spark.operators.archive import (
+            _octal,
+            _pax_record,
+            _parse_pax,
+        )
+
+        # base-256 numeric field (how >8 GiB sizes are stored)
+        big = 9 * 1024**3
+        field = bytes([0x80]) + big.to_bytes(11, "big")
+        assert _octal(field, "size") == big
+        # self-referential pax record length
+        rec = _pax_record("size", "12345")
+        n = int(rec.split(b" ", 1)[0])
+        assert len(rec) == n
+        assert _parse_pax(rec) == {"size": "12345"}
+
+    def test_pax_global_defaults(self):
+        from tectonic_spark.operators.archive import (
+            _pad,
+            _pax_record,
+            _tar_header,
+            parse_tar,
+        )
+
+        g = _pax_record("comment", "corpus-wide")
+        blob = (
+            _tar_header(b"g-hdr", len(g), b"g")
+            + _pad(g)
+            + _tar_header(b"a.txt", 2, b"0")
+            + _pad(b"hi")
+            + bytes(1024)
+        )
+        got = parse_tar(blob)
+        assert [(m["name"], m["data"]) for m in got] == [("a.txt", b"hi")]
