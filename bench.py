@@ -73,6 +73,37 @@ def _parallel_canary() -> float:
     return round(best, 1)
 
 
+def _quick_par_canary() -> float:
+    """One cheap pass of the all-core canary (~0.3 s) for MID-RUN
+    segment sampling (VERDICT r10 item 6: the r10 driver row's end
+    canary collapsed 40% under idle and silently skewed the normalized
+    headline — per-segment samples let a judge attribute any delta to
+    the segment where load actually arrived). Mid-run samples run with
+    the Spark JVM alive, whose idle threads depress the reading a few
+    percent (the r8 lesson) — so segment samples are compared to EACH
+    OTHER and to the two JVM-free end readings, and any normalization
+    over them uses the MAX of bracketing samples (a depressed canary
+    would otherwise FLATTER the normalized number)."""
+    import concurrent.futures as cf
+    import hashlib
+    import time as _t
+
+    nthreads = os.cpu_count() or 8
+    buf = b"\xab" * (1 << 20)
+    reps = 32  # 32 MB per thread, single pass
+
+    def work(_):
+        h = hashlib.sha256()
+        for _ in range(reps):
+            h.update(buf)
+        return h.digest()
+
+    t0 = _t.perf_counter()
+    with cf.ThreadPoolExecutor(nthreads) as ex:
+        list(ex.map(work, range(nthreads)))
+    return round(nthreads * reps / (_t.perf_counter() - t0), 1)
+
+
 def _loadavg() -> list[float] | None:
     try:
         with open("/proc/loadavg") as f:
@@ -955,6 +986,7 @@ def main() -> None:
     # median on a cold JVM (observed r4: b07 medians 1.13 at 3 passes vs
     # 0.81 at steady state). The median of 5 kills both at ~3x wall cost.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5"))
+    seg_canaries: dict[str, float] = {"pre_headline": _quick_par_canary()}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = ops.REGISTRY[name]
@@ -964,6 +996,7 @@ def main() -> None:
             q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             passes.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(passes), 3)
+    seg_canaries["post_headline"] = _quick_par_canary()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     extras = {
@@ -979,8 +1012,10 @@ def main() -> None:
         **_pdf_extract_rate(),
         **_audio_codec_rates(),
         **_stream_latency(spark, sf_dir),
-        **_sf1_headroom(spark, sf_dir, timings),
     }
+    seg_canaries["post_extras"] = _quick_par_canary()
+    extras.update(_sf1_headroom(spark, sf_dir, timings))
+    seg_canaries["post_sf1"] = _quick_par_canary()
     # Host-speed canary (VERDICT r4 item 4): the single-thread pure-Python
     # JSON full-parse rate is Spark-independent and scales 1:1 with CPU
     # contention, so a co-tenant-loaded driver run self-documents.
@@ -1020,6 +1055,33 @@ def main() -> None:
             if PAR_CANARY_START and idle_par
             else None
         ),
+        # segment-bracketed normalization (VERDICT r10 item 6): the
+        # headline segment normalized by the MAX of its own bracketing
+        # mid-run samples — max because the JVM-alive samples read a
+        # few % low, and a depressed canary would FLATTER the number;
+        # external load during the segment depresses both brackets, so
+        # max still reflects real contention
+        "segment_canaries_mb_per_sec": seg_canaries,
+        # the sf1 subset rides the post_extras..post_sf1 bracket; a
+        # clear collapse (either bracket >25% under the idle parallel
+        # ref) flags those rows as contended instead of letting them
+        # silently skew (the rebase_sf10 gate, applied to bench)
+        "sf1_contended": (
+            min(seg_canaries["post_extras"], seg_canaries["post_sf1"])
+            < 0.75 * idle_par
+            if idle_par
+            else None
+        ),
+        "headline_normalized_parallel_segment": (
+            round(
+                value
+                * max(seg_canaries["pre_headline"], seg_canaries["post_headline"])
+                / idle_par,
+                3,
+            )
+            if idle_par
+            else None
+        ),
         "extras": extras,
     }
     print(json.dumps(out))
@@ -1041,6 +1103,10 @@ def main() -> None:
                 "par_canary_start": PAR_CANARY_START,
                 "par_canary_end": par_canary_end,
                 "par_canary_idle_ref": idle_par,
+                "segment_canaries": seg_canaries,
+                "headline_normalized_parallel_segment": out[
+                    "headline_normalized_parallel_segment"
+                ],
                 "loadavg_start": LOADAVG_START,
                 "loadavg_end": out["loadavg_end"],
                 "steal_pct": out["host_steal_pct"],
