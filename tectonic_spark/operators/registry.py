@@ -72,8 +72,34 @@ def register(
 # REGISTRY in this order; duplicates below dedupe first-wins; names not
 # listed keep registration order at the tail.
 PRIORITY: list[str] = [
-    # --- r9 tier 1: zero green rows ever — none (closed in r7).
-    # --- r9 tier 2: new registrations this round ---
+    # --- r11 tier 1: never driver-sampled — the 16 r10 registrations
+    # (VERDICT r10 item 8: the judge's independent 16/16 oracle run is
+    # strong but driver rows are the standing hard signal) ---
+    "a25_warc_ingest",
+    "a26_zip_scan",
+    "a27_wet_wat_ingest",
+    "a28_warc_export_roundtrip",
+    "a29_webdataset_scan",
+    "c03_url_normalize",
+    "c03_sitemap_census",
+    "c03_robots_eval",
+    "c03_feed_census",
+    "c05_crawl_curation",
+    "m20_webp_decode",
+    "m21_exif_extract",
+    "m22_ogg_census",
+    "m23_id3_extract",
+    "m24_pdf_extract",
+    "s15_warc_stream",
+    # --- r11 tier 2: new registrations this round ---
+    "a30_cdxj_fetch",  # CDXJ index + bounded-byte selective fetch
+    "m25_webm_census",  # WebM/MKV EBML container census
+    # --- r11 tier 3: changed code this round (Content-Encoding +
+    # charset sniffing run inside a25/a28/c05_crawl/s15 above; ZIP64 /
+    # tar longnames inside a26/a29; the pdf xref fix inside m24) ---
+    "m12_flac_decode",  # LPC kernel unroll + rice rewindow + crc16 words
+    "s12_stream_media_decode",  # rides the same flac decode path
+    # --- r9 tier 2 (now warm fill) ---
     # PNG codec + wavefront unfilter engine + segment-lane pool (png.py)
     "m17_png_decode",
     # GIF codec: LZW + interlace + animation census (gif.py)
