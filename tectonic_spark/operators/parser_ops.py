@@ -3045,7 +3045,7 @@ def _render_response_record(
     return rec, http
 
 
-def _extract_crawl_response(rec: dict) -> tuple:
+def _extract_crawl_response(rec: dict, http: dict | None = None) -> tuple:
     """The shared per-record extraction stage: HTTP parse (framing +
     Content-Encoding decode) -> charset sniff/decode -> HTML -> text ->
     probe verification/strip. Returns (doc_id, text, lang, source,
@@ -3064,7 +3064,8 @@ def _extract_crawl_response(rec: dict) -> tuple:
     d = int(uri.rsplit("/", 1)[1])
     host = uri.split("//", 1)[1].split("/", 1)[0]
     source = host.split(".", 1)[0]
-    http = parse_http_response(rec["payload"])
+    if http is None:
+        http = parse_http_response(rec["payload"])
     ce = http["content_encoding"]
     if ce is not None and not http["ce_decoded"]:
         raise ValueError(f"doc {d}: undecoded content coding {ce!r}")
@@ -4416,6 +4417,435 @@ def _warc_cdxj_src(sf_dir: str) -> tuple[str, int]:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
     return src, n_shards
+
+
+def _warc_revisit_src(sf_dir: str) -> tuple[str, int]:
+    """Crawl with REVISIT records (ISO 28500 §6.7.2, the
+    identical-payload-digest profile): every doc has an original
+    response capture; every 5th doc was recrawled at a different URL
+    and the crawler, seeing the same payload digest, stored a revisit
+    record (headers-only payload, WARC-Refers-To the original record,
+    WARC-Payload-Digest of the referred payload) instead of the body —
+    the URL-level dedup mechanism real crawls (incl. Common Crawl)
+    ship. Revisits land in a DIFFERENT shard than their original
+    (shard (d+1) % n), so resolution requires a corpus-wide join, not
+    per-shard lookup. Returns (dir, n_shards)."""
+    import hashlib
+
+    from tectonic_spark.operators.cdxj import payload_digest
+    from tectonic_spark.operators.warc import build_warc_record, write_warc
+
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"a31_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for d, text, lang, source, _n in rows:
+        rec, http = _render_response_record(d, text, lang, source)
+        shards[d % n_shards].append(rec)
+        if d % 5 == 0:
+            uri = f"https://{source}.example/doc/{d}"
+            # the original's default record id (warc.py derivation)
+            orig_id = "<urn:uuid:%s>" % hashlib.sha256(
+                repr(("response", uri, _WARC_DATE)).encode()
+            ).hexdigest()[:32]
+            revisit = build_warc_record(
+                "revisit",
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+                uri=f"https://{source}.example/recrawl/{d}",
+                date=_WARC_DATE,
+                content_type="application/http; msgtype=response",
+                extra={
+                    "WARC-Profile": "http://netpreserve.org/warc/1.1/"
+                    "revisit/identical-payload-digest",
+                    "WARC-Refers-To": orig_id,
+                    "WARC-Refers-To-Target-URI": uri,
+                    "WARC-Payload-Digest": payload_digest(http),
+                },
+            )
+            shards[(d + 1) % n_shards].append(revisit)
+    for i, recs in enumerate(shards):
+        _write_atomic(
+            os.path.join(tmp, f"crawl-{i:03d}.warc.gz"), write_warc(recs)
+        )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "a31_warc_revisit",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_revisits,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_revisit
+    FROM documents GROUP BY lang
+    """,
+    doc="WARC revisit resolution (ISO 28500 identical-payload-digest "
+    "profile — how real crawls dedup recrawled URLs: the second "
+    "capture stores only headers + WARC-Refers-To + the payload "
+    "digest, never the body): shards carry original captures plus "
+    "cross-shard revisit records; the query extracts both kinds in "
+    "one walk, then RESOLVES every revisit to its original via a "
+    "corpus-wide digest join — chars_revisit sums the n_chars of the "
+    "ORIGINAL extracted text each revisit resolved to, so the column "
+    "crosses extraction AND resolution; the builder asserts in code "
+    "that every revisit resolves exactly once and that the resolved "
+    "original's record id equals the revisit's WARC-Refers-To. 100 TB "
+    "shape: resolution is a shuffle join keyed on the digest (tiny "
+    "projected columns — digest, lang, n_chars — never payload "
+    "bytes); revisits are NOT broadcast because real crawls are "
+    "30-50% revisits, the same scale as originals.",
+)
+def a31_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src, _n = _warc_revisit_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.warc.gz"))
+    schema = StructType(
+        [
+            StructField("kind", StringType(), True),
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("digest", StringType(), True),
+            StructField("record_id", StringType(), True),
+            StructField("refers_to", StringType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import payload_digest
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] == "response":
+                        d, text, lang, _s, *_rest = _extract_crawl_response(rec)
+                        rows.append(
+                            (
+                                "capture",
+                                d,
+                                lang,
+                                len(text),
+                                payload_digest(rec["payload"]),
+                                rec["record_id"],
+                                None,
+                            )
+                        )
+                    elif rec["type"] == "revisit":
+                        f = {k.lower(): v for k, v in rec["fields"]}
+                        profile = f.get("warc-profile", "")
+                        if "identical-payload-digest" not in profile:
+                            raise ValueError(
+                                f"unsupported revisit profile {profile!r}"
+                            )
+                        rows.append(
+                            (
+                                "revisit",
+                                None,
+                                None,
+                                None,
+                                f["warc-payload-digest"],
+                                rec["record_id"],
+                                f["warc-refers-to"],
+                            )
+                        )
+                    # warcinfo/request records carry no resolution state
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "kind",
+                    "doc_id",
+                    "lang",
+                    "n_chars",
+                    "digest",
+                    "record_id",
+                    "refers_to",
+                ],
+            )
+
+    parsed = files.select("content").mapInPandas(walk, schema)
+    captures = parsed.filter(F.col("kind") == "capture").select(
+        "doc_id", "lang", "n_chars", "digest", "record_id"
+    )
+    revisits = parsed.filter(F.col("kind") == "revisit").select(
+        F.col("digest").alias("r_digest"), "refers_to"
+    )
+    # corpus-wide digest resolution: shuffle join (revisits are the
+    # same scale as captures in a real crawl — no broadcast)
+    resolved = revisits.join(
+        captures, revisits["r_digest"] == captures["digest"], "inner"
+    )
+    resolved = resolved.persist()
+    n_rev, n_res, n_badref = (
+        revisits.count(),
+        resolved.count(),
+        resolved.filter(F.col("refers_to") != F.col("record_id")).count(),
+    )
+    if n_res != n_rev or n_badref:
+        resolved.unpersist()
+        raise RuntimeError(
+            f"a31: {n_rev} revisits, {n_res} resolved, {n_badref} bad refs"
+        )
+    agg = (
+        captures.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .join(
+            resolved.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_revisits"),
+                F.sum("n_chars").alias("chars_revisit"),
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_revisits", F.lit(0)).alias("n_revisits"),
+            F.coalesce("chars_revisit", F.lit(0)).alias("chars_revisit"),
+        )
+    )
+    agg_rows = agg.collect()
+    resolved.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)
+
+
+def _warc_redirect_src(sf_dir: str) -> tuple[str, int]:
+    """Crawl with HTTP redirect captures: every doc has its content
+    capture at /doc/{d}; every 7th doc was ALSO crawled at an alias
+    URL (/alias/{d}) answering 301 with a Location to the real page,
+    and every 14th additionally at /alias2/{d} -> /alias/{d} — a
+    2-hop chain. Redirect captures land in different shards than
+    their targets, so resolution requires corpus-wide joins.
+    Returns (dir, n_shards)."""
+    from tectonic_spark.operators.warc import (
+        build_http_response,
+        build_warc_record,
+        write_warc,
+    )
+
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"a32_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+
+    def _redirect(from_path: str, to_path: str, source: str) -> bytes:
+        host = f"{source}.example"
+        return build_warc_record(
+            "response",
+            build_http_response(
+                b"",
+                status=301,
+                reason="Moved Permanently",
+                content_type="text/html",
+                headers={"Location": f"https://{host}{to_path}"},
+            ),
+            uri=f"https://{host}{from_path}",
+            date=_WARC_DATE,
+            content_type="application/http; msgtype=response",
+        )
+
+    for d, text, lang, source, _n in rows:
+        shards[d % n_shards].append(
+            _render_response_record(d, text, lang, source)[0]
+        )
+        if d % 7 == 0:
+            shards[(d + 2) % n_shards].append(
+                _redirect(f"/alias/{d}", f"/doc/{d}", source)
+            )
+        if d % 14 == 0:
+            shards[(d + 3) % n_shards].append(
+                _redirect(f"/alias2/{d}", f"/alias/{d}", source)
+            )
+    for i, recs in enumerate(shards):
+        _write_atomic(
+            os.path.join(tmp, f"crawl-{i:03d}.warc.gz"), write_warc(recs)
+        )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "a32_redirect_resolution",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN doc_id % 14 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_redirects,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN n_chars ELSE 0 END)
+              + SUM(CASE WHEN doc_id % 14 = 0 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_resolved
+    FROM documents GROUP BY lang
+    """,
+    doc="HTTP redirect resolution over a crawl (3xx captures are a "
+    "large slice of any real frontier; a pipeline that drops them "
+    "loses the URL graph): the walk splits captures into content "
+    "pages (status 200 -> full extraction stack) and redirects "
+    "(status 301 -> Location edge), then resolves every redirect to "
+    "its final document with a BOUNDED-HOP iterative join — hop 1 "
+    "joins edges to content URLs, unresolved edges take a second hop "
+    "through the edge set (the fixture's max chain is 2; production "
+    "loops the same join to a fixpoint under a hop cap). "
+    "chars_resolved sums the n_chars of the documents the aliases "
+    "land on, crossing extraction AND both join hops; the builder "
+    "asserts every redirect resolved. 100 TB shape: edges and "
+    "content rows are tiny projections (urls, lang, n_chars — no "
+    "payloads); each hop is one shuffle join keyed on url; no "
+    "broadcast assumption (a frontier's redirect set scales with the "
+    "crawl).",
+)
+def a32_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src, _n = _warc_redirect_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.warc.gz"))
+    schema = StructType(
+        [
+            StructField("kind", StringType(), True),
+            StructField("url", StringType(), True),
+            StructField("to_url", StringType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import (
+            parse_http_response,
+            parse_warc,
+        )
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "response":
+                        continue
+                    http = parse_http_response(rec["payload"])
+                    if http["status"] == 301:
+                        loc = next(
+                            v
+                            for k, v in http["headers"]
+                            if k.lower() == "location"
+                        )
+                        rows.append(("edge", rec["uri"], loc, None, None))
+                    elif http["status"] == 200:
+                        _d, text, lang, _s, *_rest = _extract_crawl_response(
+                            rec, http
+                        )
+                        rows.append(
+                            ("page", rec["uri"], None, lang, len(text))
+                        )
+                    else:
+                        raise ValueError(f"unexpected status {http['status']}")
+            yield pd.DataFrame(
+                rows, columns=["kind", "url", "to_url", "lang", "n_chars"]
+            )
+
+    parsed = files.select("content").mapInPandas(walk, schema)
+    pages = parsed.filter(F.col("kind") == "page").select(
+        F.col("url").alias("page_url"), "lang", "n_chars"
+    )
+    edges = parsed.filter(F.col("kind") == "edge").select(
+        F.col("url").alias("from_url"), "to_url"
+    )
+    # hop 1: edge -> page
+    j1 = edges.join(pages, edges["to_url"] == pages["page_url"], "left")
+    direct = j1.filter(F.col("page_url").isNotNull()).select(
+        "from_url", "lang", "n_chars"
+    )
+    pending = j1.filter(F.col("page_url").isNull()).select(
+        "from_url", F.col("to_url").alias("mid_url")
+    )
+    # hop 2: edge -> edge -> page (fixture max chain = 2; production
+    # repeats this join to a fixpoint under a hop cap)
+    hop2 = pending.join(
+        edges.select(
+            F.col("from_url").alias("e2_from"), F.col("to_url").alias("e2_to")
+        ),
+        F.col("mid_url") == F.col("e2_from"),
+        "left",
+    ).join(pages, F.col("e2_to") == pages["page_url"], "left")
+    second = hop2.filter(F.col("page_url").isNotNull()).select(
+        "from_url", "lang", "n_chars"
+    )
+    resolved = direct.unionByName(second).persist()
+    n_edges, n_resolved = edges.count(), resolved.count()
+    if n_edges != n_resolved:
+        resolved.unpersist()
+        raise RuntimeError(
+            f"a32: {n_edges} redirect edges, {n_resolved} resolved"
+        )
+    agg = (
+        pages.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            resolved.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("n_redirects"),
+                F.sum("n_chars").alias("chars_resolved"),
+            ),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_redirects", F.lit(0)).alias("n_redirects"),
+            F.coalesce("chars_resolved", F.lit(0)).alias("chars_resolved"),
+        )
+    )
+    agg_rows = agg.collect()
+    resolved.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)
 
 
 @register(

@@ -265,6 +265,10 @@ def _parse_warc_plain(data: bytes) -> list[dict]:
                 "record_id": _get(fields, "WARC-Record-ID"),
                 "content_type": _get(fields, "Content-Type"),
                 "content_length": clen,
+                # the full named-field list, for record types whose
+                # semantics live in extension fields (revisit:
+                # WARC-Refers-To / WARC-Payload-Digest / WARC-Profile)
+                "fields": fields,
                 "payload": data[body_start:body_end],
             }
         )
