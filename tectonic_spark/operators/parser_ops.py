@@ -4849,6 +4849,239 @@ def a32_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c03_page_metadata",
+    oracle="""
+    SELECT doc_id,
+           'doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source AS title,
+           lang,
+           CASE doc_id % 4 WHEN 0 THEN 'default'
+                           WHEN 1 THEN 'header'
+                           ELSE 'meta' END AS charset_origin
+    FROM documents
+    """,
+    doc="Page metadata census over the crawl (c03 text family — "
+    "title/declared-language/charset-provenance are the first fields "
+    "any curation pipeline reads before touching body text): runs on "
+    "the a25 WARC shards; every column crosses the ingestion stack — "
+    "title via <title> extraction with entity decode and whitespace "
+    "collapse (pinned verbatim against the closed-form page title), "
+    "lang via the <html lang> attribute, charset_origin from WHERE "
+    "the sniffer actually found the encoding (Content-Type header / "
+    "meta tag incl. the http-equiv pragma form / the undeclared "
+    "default) — a sniffer that silently falls back to the default "
+    "mismatches the origin column even when the decode happens to "
+    "look right. 100 TB shape: stateless per-shard walk, per-doc "
+    "rows, no shuffle beyond the driver compare.",
+)
+def c03_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src, _n = _warc_shards_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.warc.gz"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("title", StringType(), True),
+            StructField("lang", StringType(), True),
+            StructField("charset_origin", StringType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.warc import (
+            decode_page,
+            html_lang,
+            html_title,
+            parse_http_response,
+            parse_warc,
+        )
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "response":
+                        continue
+                    d = int(rec["uri"].rsplit("/", 1)[1])
+                    http = parse_http_response(rec["payload"])
+                    decoded, _codec, origin = decode_page(
+                        http["body"], http["content_type"]
+                    )
+                    page = decoded.encode("utf-8")
+                    rows.append(
+                        (d, html_title(page), html_lang(page), origin)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "title", "lang", "charset_origin"]
+            )
+
+    return files.select("content").mapInPandas(walk, schema)
+
+
+def _warc_encoding_census_src(sf_dir: str) -> tuple[str, int]:
+    """Crawl where every 11th response is served with an encoding the
+    engine deliberately does not decode (``br`` — vendoring the RFC
+    7932 static dictionary is a named scope boundary): its body is an
+    opaque compressed blob. The rest carry the normal a25 matrix.
+    Returns (dir, n_shards)."""
+    from tectonic_spark.operators.warc import build_warc_record, write_warc
+
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"a33_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for i in range(n_shards):
+        recs = []
+        for d, text, lang, source, _n in rows:
+            if d % n_shards != i:
+                continue
+            if d % 11 == 0:
+                # opaque brotli-coded body: deterministic bytes the
+                # engine must census WITHOUT interpreting
+                blob = bytes((d * 37 + j * 11) % 256 for j in range(80 + d % 200))
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Content-Encoding: br\r\n"
+                    b"Content-Length: " + str(len(blob)).encode() + b"\r\n\r\n"
+                    + blob
+                )
+                recs.append(
+                    build_warc_record(
+                        "response",
+                        http,
+                        uri=f"https://{source}.example/doc/{d}",
+                        date=_WARC_DATE,
+                        content_type="application/http; msgtype=response",
+                    )
+                )
+            else:
+                recs.append(_render_response_record(d, text, lang, source)[0])
+        _write_atomic(os.path.join(tmp, f"crawl-{i:03d}.warc.gz"), write_warc(recs))
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "a33_content_encoding_census",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN doc_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_extracted,
+           CAST(SUM(CASE WHEN doc_id % 11 <> 0 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars,
+           CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_br_skipped,
+           CAST(SUM(CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 < 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+           CAST(SUM(CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 = 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_identity
+    FROM documents
+    """,
+    doc="Content-coding census with the skip path end-to-end (the "
+    "boundary behavior a 100 TB crawl hits daily: some bodies arrive "
+    "in codings the engine does not decode — here ``br``, whose RFC "
+    "7932 static dictionary stays a named vendoring boundary): every "
+    "11th response carries an opaque brotli-coded body; the walk "
+    "CENSUSES it (encoding token, untouched bytes) and extracts only "
+    "decodable responses — an undecodable body is skipped-and-counted, "
+    "never mangled into the corpus and never a task-killing raise. "
+    "n_decoded/n_identity pin the gzip/deflate-vs-identity split of "
+    "the extracted set from the parser's own ce_decoded flags. 100 TB "
+    "shape: same per-shard walk as a25, one single-row census "
+    "aggregate.",
+)
+def a33_content_encoding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src, _n = _warc_encoding_census_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.warc.gz"))
+    schema = StructType(
+        [
+            StructField("kind", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("ce", StringType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import (
+            parse_http_response,
+            parse_warc,
+        )
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "response":
+                        continue
+                    http = parse_http_response(rec["payload"])
+                    ce = http["content_encoding"]
+                    if ce is not None and not http["ce_decoded"]:
+                        # censused, not mangled: count the coding token,
+                        # leave the opaque body out of the corpus
+                        rows.append(("skipped", None, ce.strip().lower()))
+                        continue
+                    _d, text, _lang, _s, *_rest = _extract_crawl_response(
+                        rec, http
+                    )
+                    rows.append(
+                        (
+                            "extracted",
+                            len(text),
+                            "identity" if ce is None else "decoded",
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["kind", "n_chars", "ce"])
+
+    parsed = files.select("content").mapInPandas(walk, schema)
+    return parsed.agg(
+        F.sum(F.when(F.col("kind") == "extracted", 1).otherwise(0)).alias(
+            "n_extracted"
+        ),
+        F.sum(F.when(F.col("kind") == "extracted", F.col("n_chars"))).alias(
+            "chars"
+        ),
+        F.sum(F.when(F.col("ce") == "br", 1).otherwise(0)).alias(
+            "n_br_skipped"
+        ),
+        F.sum(F.when(F.col("ce") == "decoded", 1).otherwise(0)).alias(
+            "n_decoded"
+        ),
+        F.sum(F.when(F.col("ce") == "identity", 1).otherwise(0)).alias(
+            "n_identity"
+        ),
+    )
+
+
+@register(
     "a30_cdxj_fetch",
     oracle="""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -96,6 +96,8 @@ PRIORITY: list[str] = [
     "m25_webm_census",  # WebM/MKV EBML container census
     "a31_warc_revisit",  # revisit-record resolution (digest join)
     "a32_redirect_resolution",  # bounded-hop redirect chains
+    "a33_content_encoding_census",  # undecodable codings censused, not mangled
+    "c03_page_metadata",  # title/lang/charset-provenance census
     # --- r11 tier 3: changed code this round (Content-Encoding +
     # charset sniffing run inside a25/a28/c05_crawl/s15 above; ZIP64 /
     # tar longnames inside a26/a29; the pdf xref fix inside m24) ---

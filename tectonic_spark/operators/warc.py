@@ -57,6 +57,7 @@ __all__ = [
     "decode_page",
     "html_lang",
     "html_page",
+    "html_title",
     "html_to_text",
     "main_content",
     "parse_http_response",
@@ -557,6 +558,17 @@ def html_to_text(html: bytes | str) -> str:
 
 _MAIN = re.compile(rb"<main\b[^>]*>(.*?)</main\s*>", re.IGNORECASE | re.DOTALL)
 _LANG = re.compile(rb"<html\b[^>]*?\blang\s*=\s*[\"']([^\"']+)[\"']", re.IGNORECASE)
+_TITLE = re.compile(rb"<title\b[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+
+
+def html_title(html: bytes) -> str | None:
+    """The document's <title> text (entity-decoded, whitespace
+    collapsed), or None — the first metadata field any curation
+    pipeline reads."""
+    m = _TITLE.search(html)
+    if m is None:
+        return None
+    return " ".join(html_to_text(m.group(1)).split())
 
 
 def main_content(html: bytes) -> bytes:

@@ -420,3 +420,21 @@ class TestCharsetSniff:
         page = html_page("body text here", probe="pröbe ✓")
         txt = html_to_text(main_content(page))
         assert txt == "body text here\n\npröbe ✓"
+
+
+class TestHtmlTitle:
+    def test_title_extracted(self):
+        from tectonic_spark.operators.warc import html_title
+
+        page = html_page("body", title="Doc & <Friends>", lang="en")
+        assert html_title(page) == "Doc & <Friends>"
+
+    def test_no_title(self):
+        from tectonic_spark.operators.warc import html_title
+
+        assert html_title(b"<html><body>x</body></html>") is None
+
+    def test_whitespace_collapsed(self):
+        from tectonic_spark.operators.warc import html_title
+
+        assert html_title(b"<title>  a \n  b  </title>") == "a b"
