@@ -4505,10 +4505,11 @@ def _warc_revisit_src(sf_dir: str) -> tuple[str, int]:
     "crosses extraction AND resolution; the builder asserts in code "
     "that every revisit resolves exactly once and that the resolved "
     "original's record id equals the revisit's WARC-Refers-To. 100 TB "
-    "shape: resolution is a shuffle join keyed on the digest (tiny "
-    "projected columns — digest, lang, n_chars — never payload "
-    "bytes); revisits are NOT broadcast because real crawls are "
-    "30-50% revisits, the same scale as originals.",
+    "shape: resolution is a keyed join on the digest over tiny "
+    "projected columns (digest, lang, n_chars — never payload bytes) "
+    "with NO broadcast hint: real crawls are 30-50% revisits, the "
+    "same scale as originals, so at volume AQE plans a shuffle join "
+    "(at toy SF it may legitimately broadcast from runtime stats).",
 )
 def a31_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -4730,9 +4731,9 @@ def _warc_redirect_src(sf_dir: str) -> tuple[str, int]:
     "land on, crossing extraction AND both join hops; the builder "
     "asserts every redirect resolved. 100 TB shape: edges and "
     "content rows are tiny projections (urls, lang, n_chars — no "
-    "payloads); each hop is one shuffle join keyed on url; no "
-    "broadcast assumption (a frontier's redirect set scales with the "
-    "crawl).",
+    "payloads); each hop is one keyed join on url with no broadcast "
+    "hint (a frontier's redirect set scales with the crawl, so at "
+    "volume AQE plans shuffle joins).",
 )
 def a32_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
