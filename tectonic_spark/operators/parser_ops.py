@@ -4590,7 +4590,11 @@ def a31_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    parsed = files.select("content").mapInPandas(walk, schema)
+    # persist the SMALL projected frame (kind + scalars, no payloads):
+    # the builder pins and the final aggregate are several actions, and
+    # without the cache each one would re-walk every shard through the
+    # full extraction stack (observed 2-3x the wall at sf10)
+    parsed = files.select("content").mapInPandas(walk, schema).persist()
     captures = parsed.filter(F.col("kind") == "capture").select(
         "doc_id", "lang", "n_chars", "digest", "record_id"
     )
@@ -4610,6 +4614,7 @@ def a31_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if n_res != n_rev or n_badref:
         resolved.unpersist()
+        parsed.unpersist()
         raise RuntimeError(
             f"a31: {n_rev} revisits, {n_res} resolved, {n_badref} bad refs"
         )
@@ -4635,6 +4640,7 @@ def a31_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg_rows = agg.collect()
     resolved.unpersist()
+    parsed.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
 
 
@@ -4792,7 +4798,10 @@ def a32_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["kind", "url", "to_url", "lang", "n_chars"]
             )
 
-    parsed = files.select("content").mapInPandas(walk, schema)
+    # persist the small projected frame: edges/pages and the builder
+    # pin are several actions — uncached, each re-walks every shard
+    # through the full extraction stack (observed 2-3x wall at sf10)
+    parsed = files.select("content").mapInPandas(walk, schema).persist()
     pages = parsed.filter(F.col("kind") == "page").select(
         F.col("url").alias("page_url"), "lang", "n_chars"
     )
@@ -4823,6 +4832,7 @@ def a32_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges, n_resolved = edges.count(), resolved.count()
     if n_edges != n_resolved:
         resolved.unpersist()
+        parsed.unpersist()
         raise RuntimeError(
             f"a32: {n_edges} redirect edges, {n_resolved} resolved"
         )
@@ -4846,6 +4856,7 @@ def a32_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg_rows = agg.collect()
     resolved.unpersist()
+    parsed.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
 
 
