@@ -98,10 +98,13 @@ def _quick_par_canary() -> float:
             h.update(buf)
         return h.digest()
 
-    t0 = _t.perf_counter()
-    with cf.ThreadPoolExecutor(nthreads) as ex:
-        list(ex.map(work, range(nthreads)))
-    return round(nthreads * reps / (_t.perf_counter() - t0), 1)
+    best = 0.0
+    for _ in range(2):  # best-of-2: a single pass is too noisy to flag on
+        t0 = _t.perf_counter()
+        with cf.ThreadPoolExecutor(nthreads) as ex:
+            list(ex.map(work, range(nthreads)))
+        best = max(best, nthreads * reps / (_t.perf_counter() - t0))
+    return round(best, 1)
 
 
 def _loadavg() -> list[float] | None:
@@ -1056,26 +1059,35 @@ def main() -> None:
             else None
         ),
         # segment-bracketed normalization (VERDICT r10 item 6): the
-        # headline segment normalized by the MAX of its own bracketing
-        # mid-run samples — max because the JVM-alive samples read a
-        # few % low, and a depressed canary would FLATTER the number;
-        # external load during the segment depresses both brackets, so
-        # max still reflects real contention
+        # headline segment normalized by the max of the JVM-free
+        # pre-Spark reading AND its bracketing mid-run samples. The
+        # pre-Spark reading is in the max because JVM-alive samples
+        # read systematically low (first bench run: ~70-77% of the
+        # JVM-free idle ref even on an idle host) and normalizing by a
+        # depressed canary FLATTERS the number; with it included, an
+        # idle run normalizes to ~raw, a loaded-whole-run normalizes
+        # down by the real slowdown, and mid-run-only load leaves the
+        # raw (inflated, conservative) number standing
         "segment_canaries_mb_per_sec": seg_canaries,
-        # the sf1 subset rides the post_extras..post_sf1 bracket; a
-        # clear collapse (either bracket >25% under the idle parallel
-        # ref) flags those rows as contended instead of letting them
-        # silently skew (the rebase_sf10 gate, applied to bench)
+        # the sf1 subset rides the post_extras..post_sf1 bracket; the
+        # flag compares the bracket's ends against EACH OTHER — both
+        # are JVM-alive samples in the same engine state, so a >30%
+        # drop across the section means load arrived DURING it (the
+        # r10 failure mode). Absolute thresholds don't work here:
+        # JVM-alive samples read anywhere from ~50% to ~80% of the
+        # JVM-free rate depending on what the extras left running,
+        # even on an idle host
         "sf1_contended": (
-            min(seg_canaries["post_extras"], seg_canaries["post_sf1"])
-            < 0.75 * idle_par
-            if idle_par
-            else None
+            seg_canaries["post_sf1"] < 0.7 * seg_canaries["post_extras"]
         ),
         "headline_normalized_parallel_segment": (
             round(
                 value
-                * max(seg_canaries["pre_headline"], seg_canaries["post_headline"])
+                * max(
+                    PAR_CANARY_START,
+                    seg_canaries["pre_headline"],
+                    seg_canaries["post_headline"],
+                )
                 / idle_par,
                 3,
             )
