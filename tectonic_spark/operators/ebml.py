@@ -13,8 +13,9 @@ element registry — no vendored tables beyond the element IDs used):
 * **Muxer**: EBML header (DocType webm/matroska), Segment with Info
   (TimestampScale, Duration), Tracks (video: CodecID/PixelWidth/
   PixelHeight; audio: CodecID/SamplingFrequency/Channels), Clusters
-  of SimpleBlocks (keyframe flag, Xiph lacing) and BlockGroup/Block
-  (+BlockDuration) — the three block shapes real muxers emit.
+  of SimpleBlocks (keyframe flag; Xiph, EBML signed-vint-delta, and
+  fixed-size lacing) and BlockGroup/Block (+BlockDuration) — every
+  block shape and all three lacing modes real muxers emit.
 * **Census parser**: doc type + version, timestamp scale, duration,
   per-track codec/dimensions/audio params, cluster/block/keyframe/
   lacing counts, media payload byte total, and ``bytes_walked`` so a
@@ -97,6 +98,25 @@ def _el(eid: int, body: bytes) -> bytes:
 
 def _uint(v: int) -> bytes:
     return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def _encode_signed_vint(delta: int) -> bytes:
+    """EBML lacing size delta: a vint whose value is biased by
+    2^(7*len-1)-1 (RFC 8794 §4: signed vints store value + bias)."""
+    for length in range(1, 9):
+        bias = (1 << (7 * length - 1)) - 1
+        stored = delta + bias
+        if 0 <= stored < (1 << (7 * length)) - 1:
+            return (stored | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError(f"signed vint delta {delta} out of range")
+
+
+def _read_signed_vint(data: bytes, pos: int) -> tuple[int, int]:
+    raw, new_pos = _read_vint(data, pos, keep_marker=False)
+    if raw < 0:
+        raise ValueError("signed vint cannot be unknown-size")
+    length = new_pos - pos
+    return raw - ((1 << (7 * length - 1)) - 1), new_pos
 
 
 def _read_vint(data: bytes, pos: int, *, keep_marker: bool) -> tuple[int, int]:
@@ -199,6 +219,28 @@ def encode_mkv(
                     lace += b"\xff" * (n // 255) + bytes([n % 255])
                 body = tn + off + bytes([flags]) + lace + b"".join(frames)
                 cb += _el(_SIMPLE_BLOCK, body)
+            elif "frames_ebml" in blk:  # EBML-laced SimpleBlock
+                frames = blk["frames_ebml"]
+                flags = 0x80 | 0x06  # keyframe + EBML lacing
+                lace = bytes([len(frames) - 1])
+                if len(frames) > 1:  # sizes cover all but the last frame
+                    lace += _encode_size(len(frames[0]))
+                    prev = len(frames[0])
+                    for fr in frames[1:-1]:
+                        lace += _encode_signed_vint(len(fr) - prev)
+                        prev = len(fr)
+                body = tn + off + bytes([flags]) + lace + b"".join(frames)
+                cb += _el(_SIMPLE_BLOCK, body)
+            elif "frames_fixed" in blk:  # fixed-size lacing
+                frames = blk["frames_fixed"]
+                if len({len(fr) for fr in frames}) != 1:
+                    raise ValueError("fixed lacing needs equal frame sizes")
+                flags = 0x80 | 0x04  # keyframe + fixed lacing
+                body = (
+                    tn + off + bytes([flags]) + bytes([len(frames) - 1])
+                    + b"".join(frames)
+                )
+                cb += _el(_SIMPLE_BLOCK, body)
             elif "group_frame" in blk:  # BlockGroup/Block
                 body = tn + off + bytes([0]) + blk["group_frame"]
                 grp = _el(_BLOCK, body) + _el(
@@ -220,8 +262,8 @@ def encode_mkv(
 
 def _parse_block(body: bytes, *, simple: bool) -> dict:
     """A (Simple)Block body → {track, offset, keyframe, lacing,
-    n_frames, media_bytes}. Xiph lacing unpacked to frame extents;
-    EBML/fixed lacing refused as named boundaries."""
+    n_frames, media_bytes}. All three lacing modes unpack: Xiph
+    255-spill size runs, EBML signed-vint deltas, fixed equal-split."""
     track, pos = _read_vint(body, 0, keep_marker=False)
     if track < 0:
         raise ValueError("block track number cannot be unknown-size")
@@ -269,9 +311,53 @@ def _parse_block(body: bytes, *, simple: bool) -> dict:
             "n_frames": n_frames,
             "media_bytes": rest,
         }
-    raise NotImplementedError(
-        f"{'EBML' if lacing == 3 else 'fixed'} lacing is not parsed"
-    )
+    if pos >= len(body):
+        raise EOFError("truncated lace count")
+    n_frames = body[pos] + 1
+    pos += 1
+    if lacing == 2:  # fixed-size lacing: no size table at all
+        rest = len(body) - pos
+        if rest % n_frames:
+            raise ValueError("fixed lacing: payload does not divide evenly")
+        return {
+            "track": track,
+            "offset": offset,
+            "keyframe": keyframe,
+            "lacing": "fixed",
+            "n_frames": n_frames,
+            "media_bytes": rest,
+        }
+    # EBML lacing: first size a plain vint, the rest signed-vint deltas
+    # (sizes cover all but the last frame — a 1-frame block has none)
+    if n_frames == 1:
+        return {
+            "track": track,
+            "offset": offset,
+            "keyframe": keyframe,
+            "lacing": "ebml",
+            "n_frames": 1,
+            "media_bytes": len(body) - pos,
+        }
+    first, pos = _read_vint(body, pos, keep_marker=False)
+    if first < 0:
+        raise ValueError("EBML lace size cannot be unknown")
+    sizes = [first]
+    for _ in range(n_frames - 2):
+        delta, pos = _read_signed_vint(body, pos)
+        sizes.append(sizes[-1] + delta)
+        if sizes[-1] < 0:
+            raise ValueError("EBML lace delta drives a negative size")
+    rest = len(body) - pos
+    if sum(sizes) > rest:
+        raise ValueError("EBML lace sizes overrun block")
+    return {
+        "track": track,
+        "offset": offset,
+        "keyframe": keyframe,
+        "lacing": "ebml",
+        "n_frames": n_frames,
+        "media_bytes": rest,
+    }
 
 
 def parse_mkv(data: bytes) -> dict:

@@ -2658,7 +2658,7 @@ def m16_mp4_census(spark, sf_dir: str) -> DataFrame:
              2 + doc_id % 6 AS n_video,
              1 + doc_id % 5 AS n_audio,
              1 + doc_id % 2 AS n_clusters,
-             doc_id % 3 AS amode
+             doc_id % 5 AS amode
       FROM documents WHERE doc_id % 41 = 7
     )
     SELECT doc_id,
@@ -2670,20 +2670,22 @@ def m16_mp4_census(spark, sf_dir: str) -> DataFrame:
            CAST(48 + 16 * (doc_id % 3) AS BIGINT) AS height,
            CAST(1 + doc_id % 2 AS BIGINT) AS channels,
            CAST(n_clusters AS BIGINT) AS n_clusters,
-           CAST(n_video + CASE WHEN amode = 2 THEN 1 ELSE n_audio END
+           CAST(n_video + CASE WHEN amode >= 2 THEN 1 ELSE n_audio END
                 AS BIGINT) AS n_blocks,
            CAST(CASE WHEN amode = 1 THEN n_audio ELSE 0 END AS BIGINT)
              AS n_block_groups,
-           CAST(n_clusters + CASE WHEN amode = 2 THEN 1 ELSE 0 END
+           CAST(n_clusters + CASE WHEN amode >= 2 THEN 1 ELSE 0 END
                 AS BIGINT) AS n_keyframes,
            CAST(n_video + n_audio AS BIGINT) AS n_frames,
-           CAST(CASE WHEN amode = 2 THEN 1 ELSE 0 END AS BIGINT)
+           CAST(CASE WHEN amode >= 2 THEN 1 ELSE 0 END AS BIGINT)
              AS n_laced,
            CAST(list_sum(list_transform(range(0, n_video),
                   k -> 10 + (doc_id * 13 + k * 7) % 50))
-              + list_sum(list_transform(range(0, n_audio),
-                  k -> 5 + (doc_id * 11 + k * 3) % 20)) AS BIGINT)
-             AS media_bytes,
+              + CASE WHEN amode = 4
+                     THEN n_audio * (5 + (doc_id * 11) % 20)
+                     ELSE list_sum(list_transform(range(0, n_audio),
+                            k -> 5 + (doc_id * 11 + k * 3) % 20)) END
+                AS BIGINT) AS media_bytes,
            CAST(33 * n_video AS BIGINT) AS duration_ms,
            TRUE AS mkv_agree,
            TRUE AS extent_ok
@@ -2696,10 +2698,11 @@ def m16_mp4_census(spark, sf_dir: str) -> DataFrame:
     "EBML muxer (ebml.py — RFC 8794 vints, Info/Tracks/Cluster tree) "
     "and censused by the EBML walk: codec IDs, pixel dimensions, audio "
     "channels, cluster/block/keyframe counts, media payload bytes and "
-    "duration all cross the parse. The fixture matrix exercises the "
-    "three block shapes real muxers emit — SimpleBlocks, BlockGroup/"
-    "Block(+BlockDuration), and a Xiph-laced SimpleBlock (255-spill "
-    "lace sizes) by doc_id%3 — plus both doc types: the SAME streams "
+    "duration all cross the parse. The fixture matrix exercises EVERY "
+    "block shape real muxers emit by doc_id%5 — SimpleBlocks, "
+    "BlockGroup/Block(+BlockDuration), Xiph lacing (255-spill sizes), "
+    "EBML lacing (signed-vint deltas), and fixed-size lacing — plus "
+    "both doc types: the SAME streams "
     "are wrapped twice (webm + matroska) and mkv_agree pins that both "
     "censuses agree field-for-field except DocType. extent_ok pins the "
     "walk covering the whole file. VP8/VP9/Opus payload decode is a "
@@ -2745,7 +2748,7 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
         n_video = 2 + d % 6
         n_audio = 1 + d % 5
         n_clusters = 1 + d % 2
-        amode = d % 3
+        amode = d % 5
         tracks = [
             {
                 "number": 1,
@@ -2766,10 +2769,18 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
             bytes((d * 31 + k * 17 + j) % 256 for j in range(10 + (d * 13 + k * 7) % 50))
             for k in range(n_video)
         ]
-        aframes = [
-            bytes((d * 19 + k * 11 + j) % 256 for j in range(5 + (d * 11 + k * 3) % 20))
-            for k in range(n_audio)
-        ]
+        if amode == 4:  # fixed lacing needs equal frame sizes
+            aframes = [
+                bytes((d * 19 + k * 11 + j) % 256
+                      for j in range(5 + (d * 11) % 20))
+                for k in range(n_audio)
+            ]
+        else:
+            aframes = [
+                bytes((d * 19 + k * 11 + j) % 256
+                      for j in range(5 + (d * 11 + k * 3) % 20))
+                for k in range(n_audio)
+            ]
         clusters = [
             {"timestamp": ci * 100, "blocks": []} for ci in range(n_clusters)
         ]
@@ -2781,6 +2792,14 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
             )
         if amode == 2:  # one Xiph-laced SimpleBlock carrying all frames
             clusters[-1]["blocks"].append({"track": 2, "frames": aframes})
+        elif amode == 3:  # EBML lacing (signed-vint size deltas)
+            clusters[-1]["blocks"].append(
+                {"track": 2, "frames_ebml": aframes}
+            )
+        elif amode == 4:  # fixed-size lacing (equal frames, no table)
+            clusters[-1]["blocks"].append(
+                {"track": 2, "frames_fixed": aframes}
+            )
         elif amode == 1:  # BlockGroup/Block each
             for k, fr in enumerate(aframes):
                 clusters[-1]["blocks"].append(

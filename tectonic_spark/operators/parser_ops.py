@@ -4937,6 +4937,206 @@ def c03_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.select("content").mapInPandas(walk, schema)
 
 
+def _warc_robots_src(sf_dir: str) -> tuple[str, int]:
+    """Crawl whose shards ALSO carry each host's /robots.txt capture
+    (a resource record, placed in a different shard than most of the
+    host's pages): every host disallows paths ending in 7 under /doc/
+    via a wildcard+anchor rule ('Disallow: /doc/*7$') plus an inert
+    /private/ rule — so the polite-filter verdict is doc_id%10==7,
+    SQL-expressible. Returns (dir, n_shards)."""
+    from tectonic_spark.operators.warc import build_warc_record, write_warc
+
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"a34_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for si, source in enumerate(sorted({r[3] for r in rows})):
+        robots = (
+            "User-agent: *\r\n"
+            "Disallow: /doc/*7$\r\n"
+            "Disallow: /private/\r\n"
+            "\r\n"
+            "User-agent: other-bot\r\n"
+            "Disallow: /\r\n"
+        ).encode()
+        shards[(si * 3 + 1) % n_shards].append(
+            build_warc_record(
+                "resource",
+                robots,
+                uri=f"https://{source}.example/robots.txt",
+                date=_WARC_DATE,
+                content_type="text/plain",
+            )
+        )
+    for d, text, lang, source, _n in rows:
+        shards[d % n_shards].append(
+            _render_response_record(d, text, lang, source)[0]
+        )
+    for i, recs in enumerate(shards):
+        _write_atomic(
+            os.path.join(tmp, f"crawl-{i:03d}.warc.gz"), write_warc(recs)
+        )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "c05_robots_gate",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(CASE WHEN doc_id % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allowed,
+           CAST(SUM(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(CASE WHEN doc_id % 10 <> 7 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_allowed
+    FROM documents GROUP BY lang
+    """,
+    doc="Robots-gated crawl filtering (the polite-crawl policy stage "
+    "every production pipeline runs before curation — RFC 9309 makes "
+    "disallowed pages unusable regardless of quality): the crawl "
+    "shards carry each host's /robots.txt as a resource record "
+    "alongside the page captures; the walk splits the two kinds, the "
+    "host rule tables are joined to the pages KEYED ON HOST (left "
+    "join — a host without robots defaults to allowed; no broadcast "
+    "hint, hosts scale with the crawl), and each page's path is "
+    "evaluated by the engine's own RFC 9309 evaluator (robots.py: "
+    "group selection, longest-match precedence, wildcards + the '$' "
+    "anchor — the fixture's 'Disallow: /doc/*7$' rule needs both) "
+    "inside Arrow-batched mapInPandas with the parsed rule table "
+    "cached per distinct robots text. chars_allowed crosses "
+    "extraction AND the verdict. 100 TB shape: one keyed join on "
+    "host over tiny projections, per-row evaluation, one aggregate "
+    "exchange.",
+)
+def c05_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src, _n = _warc_robots_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.warc.gz"))
+    schema = StructType(
+        [
+            StructField("kind", StringType(), True),
+            StructField("host", StringType(), True),
+            StructField("path", StringType(), True),
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("robots_text", StringType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    uri = rec["uri"] or ""
+                    host = uri.split("//", 1)[-1].split("/", 1)[0]
+                    path = "/" + uri.split("//", 1)[-1].split("/", 1)[-1]
+                    if rec["type"] == "resource" and path == "/robots.txt":
+                        rows.append(
+                            (
+                                "robots",
+                                host,
+                                path,
+                                None,
+                                None,
+                                None,
+                                rec["payload"].decode("utf-8", "replace"),
+                            )
+                        )
+                    elif rec["type"] == "response":
+                        d, text, lang, _s, *_rest = _extract_crawl_response(rec)
+                        rows.append(
+                            ("page", host, path, d, lang, len(text), None)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "kind", "host", "path", "doc_id", "lang", "n_chars",
+                    "robots_text",
+                ],
+            )
+
+    parsed = files.select("content").mapInPandas(walk, schema).persist()
+    pages = parsed.filter(F.col("kind") == "page").select(
+        "host", "path", "doc_id", "lang", "n_chars"
+    )
+    robots = parsed.filter(F.col("kind") == "robots").select(
+        F.col("host").alias("r_host"), "robots_text"
+    )
+    joined = pages.join(robots, pages["host"] == robots["r_host"], "left")
+
+    vschema = StructType(
+        [
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("allowed", BooleanType(), True),
+        ]
+    )
+
+    def judge(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.robots import parse_robots, robots_allowed
+
+        cache: dict = {}
+        for pdf in batches:
+            out = []
+            for path, lang, n_chars, rtext in zip(
+                pdf["path"], pdf["lang"], pdf["n_chars"], pdf["robots_text"]
+            ):
+                if rtext is None or (isinstance(rtext, float)):
+                    allowed = True  # no robots captured for the host
+                else:
+                    rules = cache.get(rtext)
+                    if rules is None:
+                        rules = cache[rtext] = parse_robots(rtext)
+                    allowed = robots_allowed(rules, "genericbot", path)
+                out.append((lang, int(n_chars), allowed))
+            yield pd.DataFrame(out, columns=["lang", "n_chars", "allowed"])
+
+    verdicts = joined.select(
+        "path", "lang", "n_chars", "robots_text"
+    ).mapInPandas(judge, vschema)
+    agg = verdicts.groupBy("lang").agg(
+        F.sum(F.when(F.col("allowed"), 1).otherwise(0)).alias("n_allowed"),
+        F.sum(F.when(~F.col("allowed"), 1).otherwise(0)).alias("n_blocked"),
+        F.sum(F.when(F.col("allowed"), F.col("n_chars")).otherwise(0)).alias(
+            "chars_allowed"
+        ),
+    )
+    agg_rows = agg.collect()
+    parsed.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)
+
+
 def _warc_encoding_census_src(sf_dir: str) -> tuple[str, int]:
     """Crawl where every 11th response is served with an encoding the
     engine deliberately does not decode (``br`` — vendoring the RFC

@@ -130,17 +130,22 @@ class TestErrors:
         with pytest.raises(NotImplementedError, match="unknown-size"):
             parse_mkv(hacked)
 
-    def test_ebml_lacing_refused(self):
-        mkv = bytearray(
-            encode_mkv([AUDIO], [{"timestamp": 0, "blocks": [_simple(2, b"qq")]}])
+    def test_ebml_lace_overrun(self):
+        # EBML lacing whose declared first size overruns the payload
+        mkv = encode_mkv(
+            [AUDIO],
+            [{"timestamp": 0, "blocks": [
+                {"track": 2, "frames_ebml": [b"aaaa", b"bb", b"c"]}]}],
         )
-        # SimpleBlock element for track 2: id A3, size 86, track vint 82
-        i = mkv.find(b"\xa3\x86\x82")
+        # body = track(1)+ts(2)+flags(1)+count(1)+vint(1)+delta(1)+7 = 14
+        i = mkv.find(b"\xa3\x8e\x82")  # full element prefix, not bare A3
         assert i >= 0
-        # body: track vint(1) + int16 offset(2) + flags(1)
-        mkv[i + 2 + 3] |= 0x06  # lacing bits 11 = EBML
-        with pytest.raises(NotImplementedError, match="EBML lacing"):
-            parse_mkv(bytes(mkv))
+        hacked = bytearray(mkv)
+        j = i + 2 + 4  # id(1) size(1) track(1) ts(2) flags(1) -> count byte
+        assert hacked[j] == 2  # 3 frames -> count-1 == 2
+        hacked[j + 1] = 0x80 | 120  # first size claims 120 bytes
+        with pytest.raises(ValueError, match="overrun"):
+            parse_mkv(bytes(hacked))
 
     def test_bad_doctype(self):
         mkv = encode_mkv([VIDEO], [], doc_type="avi?")
@@ -173,3 +178,79 @@ class TestProperty:
         assert info["media_bytes"] == total
         assert info["n_keyframes"] == len(cluster_frames)
         assert info["n_clusters"] == len(cluster_frames)
+
+
+class TestLacingModes:
+    def test_ebml_lacing_roundtrip(self):
+        # ascending, descending and 255-boundary sizes through the
+        # signed-delta table
+        frames = [b"a" * 300, b"b" * 40, b"c" * 41, b"d" * 255]
+        mkv = encode_mkv(
+            [AUDIO],
+            [{"timestamp": 0, "blocks": [{"track": 2, "frames_ebml": frames}]}],
+        )
+        info = parse_mkv(mkv)
+        assert info["n_blocks"] == 1
+        assert info["n_laced_blocks"] == 1
+        assert info["n_frames"] == 4
+        assert info["media_bytes"] == 300 + 40 + 41 + 255
+
+    def test_fixed_lacing_roundtrip(self):
+        frames = [b"x" * 24] * 5
+        mkv = encode_mkv(
+            [AUDIO],
+            [{"timestamp": 0, "blocks": [{"track": 2, "frames_fixed": frames}]}],
+        )
+        info = parse_mkv(mkv)
+        assert info["n_blocks"] == 1
+        assert info["n_laced_blocks"] == 1
+        assert info["n_frames"] == 5
+        assert info["media_bytes"] == 120
+
+    def test_fixed_lacing_uneven_rejected(self):
+        mkv = bytearray(
+            encode_mkv(
+                [AUDIO],
+                [{"timestamp": 0, "blocks": [
+                    {"track": 2, "frames_fixed": [b"x" * 4] * 3}]}],
+            )
+        )
+        # body = track(1)+ts(2)+flags(1)+count(1)+payload(12) = 17
+        i = bytes(mkv).find(bytes([0xA3, 0x80 | 17, 0x82]))
+        assert i >= 0
+        # claim 5 frames over the 12-byte payload: 12 % 5 != 0
+        j = i + 2 + 4  # count byte
+        assert mkv[j] == 2
+        mkv[j] = 4
+        with pytest.raises(ValueError, match="divide"):
+            parse_mkv(bytes(mkv))
+
+    def test_fixed_lacing_unequal_writer_rejected(self):
+        with pytest.raises(ValueError, match="equal frame sizes"):
+            encode_mkv(
+                [AUDIO],
+                [{"timestamp": 0, "blocks": [
+                    {"track": 2, "frames_fixed": [b"xx", b"yyy"]}]}],
+            )
+
+    def test_signed_vint_roundtrip(self):
+        from tectonic_spark.operators.ebml import (
+            _encode_signed_vint,
+            _read_signed_vint,
+        )
+
+        for delta in (-63, -1, 0, 1, 62, 63, 64, -64, 8000, -8000):
+            enc = _encode_signed_vint(delta)
+            got, pos = _read_signed_vint(enc, 0)
+            assert got == delta and pos == len(enc)
+
+    def test_single_frame_laced_blocks(self):
+        # 1-frame laced blocks carry NO size table (sizes cover all but
+        # the last frame)
+        for key in ("frames", "frames_ebml", "frames_fixed"):
+            mkv = encode_mkv(
+                [AUDIO],
+                [{"timestamp": 0, "blocks": [{"track": 2, key: [b"only9byte"]}]}],
+            )
+            info = parse_mkv(mkv)
+            assert info["n_frames"] == 1 and info["media_bytes"] == 9, key
