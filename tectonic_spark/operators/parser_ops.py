@@ -4937,6 +4937,102 @@ def c03_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.select("content").mapInPandas(walk, schema)
 
 
+@register(
+    "a35_zone_map_layout",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE doc_id >= 100 AND doc_id <= 199
+    GROUP BY lang
+    """,
+    doc="Zone-map data layout for point access (the parquet sibling of "
+    "a30's CDXJ tier: a 100 TB lakehouse answers 'these doc_ids' "
+    "through min/max row-group statistics, and statistics only prune "
+    "if the LAYOUT clusters the key): documents are written "
+    "repartitionByRange + sortWithinPartitions on doc_id, then the "
+    "builder asserts BOTH halves of the contract in code — (1) the "
+    "range predicate reaches the parquet scan as PushedFilters, and "
+    "(2) reading every row-group's doc_id min/max footer statistics "
+    "via pyarrow, at most a small fraction of row-groups overlap the "
+    "probe range (>=80% of the corpus is prunable from footers alone; "
+    "an unsorted layout overlaps everywhere and fails). The aggregate "
+    "itself is oracle-checked. 100 TB shape: range-clustered writes "
+    "cost one shuffle at ingest and buy footer-level pruning on every "
+    "subsequent point/range read — the standard layout discipline for "
+    "id-keyed corpora.",
+)
+def a35_zone_map_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.plans import explain_str
+    from tectonic_spark.tables import table
+
+    out = os.path.join(_fixture_dir(sf_dir), "a35_docs_ranged")
+    done = os.path.join(out, "_SPARK_DONE")
+    if not os.path.exists(done):
+        (
+            table(spark, sf_dir, "documents")
+            .repartitionByRange(16, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        _write_atomic(done, b"ok")
+    lo, hi = 100, 199
+    df = spark.read.parquet(out).filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+    )
+    plan = explain_str(df.select("doc_id"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    if not (
+        pushed
+        and "GreaterThanOrEqual(doc_id" in pushed[0]
+        and "LessThanOrEqual(doc_id" in pushed[0]
+    ):
+        raise RuntimeError(
+            "a35: range predicate did not reach the parquet scan's "
+            f"PushedFilters: {pushed[:1]}"
+        )
+    # footer-statistics pin: the layout must make most row-groups
+    # prunable from min/max alone
+    import pyarrow.parquet as pq
+
+    total_rg, total_rows, overlapping = 0, 0, 0
+    for entry in os.scandir(out):
+        if not entry.name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(entry.path).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }["doc_id"]
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = rg.column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise RuntimeError("a35: row group without doc_id stats")
+            total_rg += 1
+            total_rows += rg.num_rows
+            if st.min <= hi and st.max >= lo:
+                overlapping += 1
+    # the clustering contract, relative to the MINIMAL covering: a
+    # perfectly sorted layout needs ceil(hits / rows-per-group) groups
+    # for the probe; allow +2 for boundary straddle. An unsorted layout
+    # overlaps nearly everywhere and fails by an order of magnitude.
+    n_hits = df.count()
+    min_groups = -(-n_hits * total_rg // total_rows) if total_rows else 0
+    if total_rg < 8 or overlapping > min_groups + 2:
+        raise RuntimeError(
+            f"a35: {overlapping}/{total_rg} row groups overlap the probe "
+            f"(minimal covering {min_groups}) — the layout is not "
+            "clustering doc_id"
+        )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
 def _warc_robots_src(sf_dir: str) -> tuple[str, int]:
     """Crawl whose shards ALSO carry each host's /robots.txt capture
     (a resource record, placed in a different shard than most of the
