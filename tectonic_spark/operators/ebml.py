@@ -260,10 +260,12 @@ def encode_mkv(
 # ---------------------------------------------------------------------------
 
 
-def _parse_block(body: bytes, *, simple: bool) -> dict:
+def _parse_block(body: bytes, *, simple: bool, keep_frames: bool = False) -> dict:
     """A (Simple)Block body → {track, offset, keyframe, lacing,
-    n_frames, media_bytes}. All three lacing modes unpack: Xiph
-    255-spill size runs, EBML signed-vint deltas, fixed equal-split."""
+    n_frames, media_bytes[, frames]}. All three lacing modes unpack:
+    Xiph 255-spill size runs, EBML signed-vint deltas, fixed
+    equal-split. ``keep_frames`` additionally materializes the frame
+    payloads (off by default — the census never copies media bytes)."""
     track, pos = _read_vint(body, 0, keep_marker=False)
     if track < 0:
         raise ValueError("block track number cannot be unknown-size")
@@ -274,98 +276,82 @@ def _parse_block(body: bytes, *, simple: bool) -> dict:
     pos += 3
     lacing = (flags >> 1) & 0x3
     keyframe = bool(flags & 0x80) if simple else False
+    sizes: list[int] | None = None  # explicit sizes for all but last frame
     if lacing == 0:
-        return {
-            "track": track,
-            "offset": offset,
-            "keyframe": keyframe,
-            "lacing": "none",
-            "n_frames": 1,
-            "media_bytes": len(body) - pos,
-        }
-    if lacing == 1:  # Xiph
+        lace_name, n_frames = "none", 1
+    else:
         if pos >= len(body):
             raise EOFError("truncated lace count")
         n_frames = body[pos] + 1
         pos += 1
-        sizes = []
-        for _ in range(n_frames - 1):
-            size = 0
-            while True:
-                if pos >= len(body):
-                    raise EOFError("truncated Xiph lace size")
-                b = body[pos]
-                pos += 1
-                size += b
-                if b != 255:
-                    break
-            sizes.append(size)
-        rest = len(body) - pos
-        if sum(sizes) > rest:
-            raise ValueError("Xiph lace sizes overrun block")
-        return {
-            "track": track,
-            "offset": offset,
-            "keyframe": keyframe,
-            "lacing": "xiph",
-            "n_frames": n_frames,
-            "media_bytes": rest,
-        }
-    if pos >= len(body):
-        raise EOFError("truncated lace count")
-    n_frames = body[pos] + 1
-    pos += 1
-    if lacing == 2:  # fixed-size lacing: no size table at all
-        rest = len(body) - pos
-        if rest % n_frames:
-            raise ValueError("fixed lacing: payload does not divide evenly")
-        return {
-            "track": track,
-            "offset": offset,
-            "keyframe": keyframe,
-            "lacing": "fixed",
-            "n_frames": n_frames,
-            "media_bytes": rest,
-        }
-    # EBML lacing: first size a plain vint, the rest signed-vint deltas
-    # (sizes cover all but the last frame — a 1-frame block has none)
-    if n_frames == 1:
-        return {
-            "track": track,
-            "offset": offset,
-            "keyframe": keyframe,
-            "lacing": "ebml",
-            "n_frames": 1,
-            "media_bytes": len(body) - pos,
-        }
-    first, pos = _read_vint(body, pos, keep_marker=False)
-    if first < 0:
-        raise ValueError("EBML lace size cannot be unknown")
-    sizes = [first]
-    for _ in range(n_frames - 2):
-        delta, pos = _read_signed_vint(body, pos)
-        sizes.append(sizes[-1] + delta)
-        if sizes[-1] < 0:
-            raise ValueError("EBML lace delta drives a negative size")
-    rest = len(body) - pos
-    if sum(sizes) > rest:
-        raise ValueError("EBML lace sizes overrun block")
-    return {
+        if lacing == 1:  # Xiph: 255-spill size runs
+            lace_name = "xiph"
+            sizes = []
+            for _ in range(n_frames - 1):
+                size = 0
+                while True:
+                    if pos >= len(body):
+                        raise EOFError("truncated Xiph lace size")
+                    b = body[pos]
+                    pos += 1
+                    size += b
+                    if b != 255:
+                        break
+                sizes.append(size)
+        elif lacing == 2:  # fixed-size: no table, payload divides evenly
+            lace_name = "fixed"
+            if (len(body) - pos) % n_frames:
+                raise ValueError("fixed lacing: payload does not divide evenly")
+            each = (len(body) - pos) // n_frames
+            sizes = [each] * (n_frames - 1)
+        else:  # EBML: first size a plain vint, then signed-vint deltas
+            # (sizes cover all but the last frame — 1-frame blocks none)
+            lace_name = "ebml"
+            if n_frames > 1:
+                first, pos = _read_vint(body, pos, keep_marker=False)
+                if first < 0:
+                    raise ValueError("EBML lace size cannot be unknown")
+                sizes = [first]
+                for _ in range(n_frames - 2):
+                    delta, pos = _read_signed_vint(body, pos)
+                    sizes.append(sizes[-1] + delta)
+                    if sizes[-1] < 0:
+                        raise ValueError(
+                            "EBML lace delta drives a negative size"
+                        )
+            else:
+                sizes = []
+        if sum(sizes) > len(body) - pos:
+            raise ValueError(f"{lace_name} lace sizes overrun block")
+    out = {
         "track": track,
         "offset": offset,
         "keyframe": keyframe,
-        "lacing": "ebml",
+        "lacing": lace_name,
         "n_frames": n_frames,
-        "media_bytes": rest,
+        "media_bytes": len(body) - pos,
     }
+    if keep_frames:
+        frames = []
+        fp = pos
+        for s in sizes or []:
+            frames.append(body[fp : fp + s])
+            fp += s
+        frames.append(body[fp:])  # last frame: the remainder
+        out["frames"] = frames
+    return out
 
 
-def parse_mkv(data: bytes) -> dict:
+def parse_mkv(data: bytes, *, keep_frames: bool = False) -> dict:
     """Census walk of a Matroska/WebM file. Returns doc_type,
     doc_type_version, timestamp_scale, duration_ms (int, None if
     absent), tracks (list: number/type/codec_id + dims or audio
     params), n_clusters, n_blocks, n_block_groups, n_keyframes,
-    n_frames, n_laced_blocks, media_bytes, bytes_walked."""
+    n_frames, n_laced_blocks, media_bytes, bytes_walked.
+    ``keep_frames=True`` additionally returns ``frames`` as
+    ``[(track, frame_bytes), ...]`` in stream order — what a
+    cross-container comparison or a downstream packet decoder needs;
+    off by default so the census never copies media bytes."""
     out: dict = {
         "doc_type": None,
         "doc_type_version": None,
@@ -380,6 +366,8 @@ def parse_mkv(data: bytes) -> dict:
         "n_laced_blocks": 0,
         "media_bytes": 0,
     }
+    if keep_frames:
+        out["frames"] = []
 
     def walk(lo: int, hi: int, depth: int, ctx: str) -> int:
         pos = lo
@@ -419,7 +407,9 @@ def parse_mkv(data: bytes) -> dict:
             elif eid == _CLUSTER:
                 out["n_clusters"] += 1
             elif eid == _SIMPLE_BLOCK:
-                blk = _parse_block(data[body_lo:body_hi], simple=True)
+                blk = _parse_block(
+                    data[body_lo:body_hi], simple=True, keep_frames=keep_frames
+                )
                 out["n_blocks"] += 1
                 out["n_frames"] += blk["n_frames"]
                 out["media_bytes"] += blk["media_bytes"]
@@ -427,13 +417,23 @@ def parse_mkv(data: bytes) -> dict:
                     out["n_keyframes"] += 1
                 if blk["lacing"] != "none":
                     out["n_laced_blocks"] += 1
+                if keep_frames:
+                    out["frames"].extend(
+                        (blk["track"], fr) for fr in blk["frames"]
+                    )
             elif eid == _BLOCK_GROUP:
                 out["n_block_groups"] += 1
             elif eid == _BLOCK:
-                blk = _parse_block(data[body_lo:body_hi], simple=False)
+                blk = _parse_block(
+                    data[body_lo:body_hi], simple=False, keep_frames=keep_frames
+                )
                 out["n_blocks"] += 1
                 out["n_frames"] += blk["n_frames"]
                 out["media_bytes"] += blk["media_bytes"]
+                if keep_frames:
+                    out["frames"].extend(
+                        (blk["track"], fr) for fr in blk["frames"]
+                    )
             if eid in _MASTERS:
                 walked = walk(body_lo, body_hi, depth + 1, f"0x{eid:X}")
                 if walked != body_hi:  # pragma: no cover — loop invariant

@@ -2885,6 +2885,161 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m26_opus_dual_container",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 7 AS BIGINT) AS n_packets,
+           CAST(1 + doc_id % 7 AS BIGINT) AS n_frames,
+           CAST((1 + doc_id % 7) * 960 AS BIGINT) AS toc_ogg,
+           CAST((1 + doc_id % 7) * 960 AS BIGINT) AS toc_mkv,
+           CAST(list_sum(list_transform(range(0, 1 + doc_id % 7),
+                  k -> 40 + (doc_id * 13 + k * 37) % 180)) AS BIGINT)
+             AS media_bytes,
+           CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+           CAST(312 + doc_id % 100 AS BIGINT) AS pre_skip,
+           TRUE AS containers_agree
+    FROM documents WHERE doc_id % 43 = 11
+    """,
+    doc="Cross-container Opus agreement (the real-corpus situation m22 "
+    "and m25 each see half of: the SAME audio stream ships in Ogg on "
+    "one site and WebM on another, and a census that disagrees "
+    "between containers is wrong in at least one): every 43rd "
+    "document's Opus packet stream is wrapped TWICE — Ogg (RFC 3533 "
+    "pages via ogg.py) and Matroska A_OPUS SimpleBlocks (ebml.py, "
+    "parse_mkv(keep_frames=True)) — and the two walks must agree on "
+    "packet count, payload bytes, and RFC 6716 TOC-derived duration, "
+    "where the MKV side's duration comes from running "
+    "opus_packet_samples over the frames the EBML walk extracted — "
+    "the TOC accounting is container-independent, so a lacing or "
+    "page-reassembly bug cannot agree with the other container. "
+    "containers_agree is computed from the two parses, never assumed. "
+    "100 TB shape: per-payload header walks in Arrow-batched "
+    "mapInPandas, no shuffle.",
+)
+def m26_opus_dual_container(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.ebml import encode_mkv, parse_mkv
+    from tectonic_spark.operators.ogg import (
+        encode_ogg_opus,
+        opus_packet_samples,
+        parse_ogg,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 43 == 11)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_packets", LongType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("toc_ogg", LongType(), True),
+            StructField("toc_mkv", LongType(), True),
+            StructField("media_bytes", LongType(), True),
+            StructField("channels", LongType(), True),
+            StructField("pre_skip", LongType(), True),
+            StructField("containers_agree", BooleanType(), True),
+        ]
+    )
+
+    def packets_for(d: int) -> list[bytes]:
+        toc = (1 << 3) | ((d % 2) << 2)  # 20 ms SILK, stereo bit
+        out = []
+        for k in range(1 + d % 7):
+            size = 40 + (d * 13 + k * 37) % 180
+            out.append(bytes([toc]) + bytes((d * 7 + j) % 256 for j in range(size - 1)))
+        return out
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                packets = packets_for(d)
+                channels = 1 + d % 2
+                pre_skip = 312 + d % 100
+                ogg_blob = encode_ogg_opus(
+                    packets, channels=channels, pre_skip=pre_skip
+                )
+                o = parse_ogg(ogg_blob)["streams"][0]
+                # clusters hold CONTIGUOUS time ranges (how real muxers
+                # cut them) — packets stay in stream order across them
+                n_clusters = 1 + d % 2
+                half = (len(packets) + n_clusters - 1) // n_clusters
+                clusters = []
+                for ci in range(n_clusters):
+                    chunk = packets[ci * half : (ci + 1) * half]
+                    clusters.append(
+                        {
+                            "timestamp": ci * half * 20,
+                            "blocks": [
+                                {"track": 1, "frame": p, "offset": 20 * k,
+                                 "keyframe": True}
+                                for k, p in enumerate(chunk)
+                            ],
+                        }
+                    )
+                mkv_blob = encode_mkv(
+                    [
+                        {
+                            "number": 1,
+                            "type": "audio",
+                            "codec_id": "A_OPUS",
+                            "sampling": 48000.0,
+                            "channels": channels,
+                        }
+                    ],
+                    clusters,
+                )
+                m = parse_mkv(mkv_blob, keep_frames=True)
+                frames = [fr for tr, fr in m["frames"] if tr == 1]
+                toc_mkv = sum(opus_packet_samples(fr) for fr in frames)
+                # the Ogg stream carries OpusHead + OpusTags as its two
+                # header packets (RFC 7845); Matroska moves them into
+                # CodecPrivate, so the audio packet count is n - 2
+                n_audio_ogg = o["n_packets"] - 2
+                agree = (
+                    n_audio_ogg == m["n_frames"]
+                    and o["toc_duration_samples"] == toc_mkv
+                    and m["media_bytes"] == sum(len(p) for p in packets)
+                    and b"".join(frames) == b"".join(packets)
+                )
+                rows.append(
+                    (
+                        d,
+                        n_audio_ogg,
+                        m["n_frames"],
+                        o["toc_duration_samples"],
+                        toc_mkv,
+                        m["media_bytes"],
+                        o["channels"],
+                        o["pre_skip"],
+                        agree,
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_packets",
+                "n_frames",
+                "toc_ogg",
+                "toc_mkv",
+                "media_bytes",
+                "channels",
+                "pre_skip",
+                "containers_agree",
+            ],
+        )
+
+    return docs.mapInPandas(walk, schema)
+
+
+@register(
     "m23_id3_extract",
     oracle="""
     SELECT doc_id,
