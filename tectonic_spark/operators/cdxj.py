@@ -43,11 +43,15 @@ import zlib
 
 __all__ = [
     "build_cdxj",
+    "build_cluster_idx",
     "fetch_member",
     "parse_cdxj",
+    "parse_cluster_idx",
     "surt",
     "warc_timestamp",
     "write_warc_indexed",
+    "write_zipnum",
+    "zipnum_block_range",
 ]
 
 
@@ -136,6 +140,90 @@ def parse_cdxj(data: bytes) -> list[dict]:
         e["ts"] = ts
         out.append(e)
     return out
+
+
+# ---------------------------------------------------------------------------
+# zipnum: the two-level compressed index (Common Crawl's cluster.idx
+# shape) — CDXJ lines grouped into gzip-member blocks, plus a tiny
+# plain-text secondary index of (first key, offset, length) per block,
+# so a lookup touches ONE small file end-to-end plus the exact blocks
+# its keys land in. At 100 TB the flat CDXJ is itself tens of GB; this
+# is the tier that keeps point lookups O(blocks touched).
+# ---------------------------------------------------------------------------
+
+
+def write_zipnum(lines: list[str], *, block_lines: int = 64) -> tuple[bytes, list[dict]]:
+    """SORTED CDXJ lines → (blob, cluster entries): every ``block_lines``
+    lines become one independent gzip member; each entry records the
+    block's first SURT key and byte extent — exactly what cluster.idx
+    needs. Raises if the lines are not sorted (an unsorted zipnum is
+    silently unsearchable)."""
+    if any(lines[i] > lines[i + 1] for i in range(len(lines) - 1)):
+        raise ValueError("zipnum input lines must be sorted")
+    out = bytearray()
+    entries: list[dict] = []
+    for i in range(0, len(lines), block_lines):
+        block = ("\n".join(lines[i : i + block_lines]) + "\n").encode("utf-8")
+        off = len(out)
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        out += co.compress(block) + co.flush()
+        entries.append(
+            {
+                "key": lines[i].split(" ", 1)[0],
+                "offset": off,
+                "length": len(out) - off,
+            }
+        )
+    return bytes(out), entries
+
+
+def build_cluster_idx(entries: list[dict], filename: str) -> bytes:
+    """Cluster entries → the tab-separated secondary index
+    (``key<TAB>filename<TAB>offset<TAB>length`` per block, in order)."""
+    return (
+        "\n".join(
+            f"{e['key']}\t{filename}\t{e['offset']}\t{e['length']}"
+            for e in entries
+        )
+        + "\n"
+    ).encode("utf-8")
+
+
+def parse_cluster_idx(data: bytes) -> list[dict]:
+    out = []
+    for ln in data.decode("utf-8").splitlines():
+        if not ln:
+            continue
+        parts = ln.split("\t")
+        if len(parts) != 4:
+            raise ValueError(f"malformed cluster.idx line {ln[:60]!r}")
+        out.append(
+            {
+                "key": parts[0],
+                "filename": parts[1],
+                "offset": int(parts[2]),
+                "length": int(parts[3]),
+            }
+        )
+    return out
+
+
+def zipnum_block_range(block_keys: list[str], key: str) -> tuple[int, int]:
+    """The [lo, hi) block indices that can hold ``key`` given each
+    block's FIRST key (blocks partition the sorted line space): binary
+    search — the block whose first key precedes-or-equals the target,
+    extended right across any run of blocks starting with the same key
+    (an equal key can span block boundaries)."""
+    import bisect
+
+    hi = bisect.bisect_right(block_keys, key)
+    if hi == 0:
+        return 0, 0  # key sorts before every block
+    # equal keys can START in the block before the first block whose
+    # first key equals the target (the run spills backward), so lo is
+    # one left of bisect_left, never just bisect_right-1
+    lo = max(0, bisect.bisect_left(block_keys, key) - 1)
+    return lo, hi
 
 
 def fetch_member(f, offset: int, length: int) -> bytes:

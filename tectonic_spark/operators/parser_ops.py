@@ -4937,6 +4937,257 @@ def c03_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.select("content").mapInPandas(walk, schema)
 
 
+def _zipnum_src(sf_dir: str) -> tuple[str, str, int]:
+    """The two-level compressed index over the a30 crawl (Common
+    Crawl's cluster.idx shape): all per-shard CDXJ lines merge-sorted,
+    grouped into 64-line gzip-member blocks (index.zipnum.gz), plus the
+    tiny plain-text cluster.idx of (first key, offset, length) per
+    block. Returns (index_dir, warc_dir, n_blocks)."""
+    from tectonic_spark.operators.cdxj import build_cluster_idx, write_zipnum
+
+    warc_src, _n = _warc_cdxj_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "a36_idx")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, warc_src, len(
+            open(os.path.join(src, "cluster.idx"), "rb").read().splitlines()
+        )
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    lines: list[str] = []
+    for entry in sorted(os.scandir(warc_src), key=lambda e: e.name):
+        if entry.name.endswith(".cdxj"):
+            with open(entry.path, encoding="utf-8") as f:
+                lines.extend(ln for ln in f.read().splitlines() if ln)
+    lines.sort()
+    blob, entries = write_zipnum(lines, block_lines=64)
+    _write_atomic(os.path.join(tmp, "index.zipnum.gz"), blob)
+    _write_atomic(
+        os.path.join(tmp, "cluster.idx"),
+        build_cluster_idx(entries, "index.zipnum.gz"),
+    )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, warc_src, len(entries)
+
+
+@register(
+    "a36_zipnum_lookup",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE doc_id % 199 = 5 GROUP BY lang
+    """,
+    doc="Two-level compressed index lookup (zipnum — the shape Common "
+    "Crawl's index actually ships: the flat CDXJ at 100 TB is itself "
+    "tens of GB, so its sorted lines are grouped into gzip-member "
+    "blocks with a TINY plain-text cluster.idx of per-block first "
+    "keys): 'fetch these URIs' (doc_id % 199 = 5) runs the full "
+    "random-access ladder — probe URLs become SURT keys with JVM "
+    "built-ins, each key binary-searches the broadcast cluster.idx to "
+    "its candidate block range, the DEDUPED block set is ranged-read "
+    "and inflated (one mapInPandas), the recovered CDXJ entries "
+    "semi-join back to the probe keys, and the matched WARC members "
+    "are ranged-fetched, digest-verified and extracted (the a30 "
+    "kernel). BOTH access bounds are asserted in code: at most two "
+    "index blocks are touched PER PROBE KEY (the binary-search "
+    "contract — a ladder that degenerates to scanning the zipnum "
+    "fails), and member bytes equal the matched entries' indexed "
+    "lengths. 100 TB shape: "
+    "cluster.idx is the only always-resident piece (one short line "
+    "per 64 captures); everything else is seek+read of exactly the "
+    "blocks and members the probe set needs.",
+)
+def a36_zipnum_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.operators.cdxj import parse_cluster_idx
+    from tectonic_spark.tables import table
+
+    idx_dir, warc_dir, n_blocks = _zipnum_src(sf_dir)
+    with open(os.path.join(idx_dir, "cluster.idx"), "rb") as f:
+        cluster = parse_cluster_idx(f.read())
+    block_keys = [e["key"] for e in cluster]
+
+    # probes: URL -> SURT key entirely with JVM built-ins
+    probes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 199 == 5)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("example,"), F.col("source"), F.lit(")/doc/"),
+                F.col("doc_id"),
+            ).alias("key"),
+        )
+    )
+
+    bschema = StructType([StructField("block", LongType(), True)])
+
+    def assign_blocks(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import zipnum_block_range
+
+        for pdf in batches:
+            blocks = set()
+            for key in pdf["key"]:
+                lo, hi = zipnum_block_range(block_keys, key)
+                blocks.update(range(lo, hi))
+            yield pd.DataFrame(sorted(blocks), columns=["block"])
+
+    blocks = (
+        probes.select("key")
+        .mapInPandas(assign_blocks, bschema)
+        .distinct()
+    )
+
+    eschema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("url", StringType(), True),
+            StructField("filename", StringType(), True),
+            StructField("offset", LongType(), True),
+            StructField("length", LongType(), True),
+            StructField("digest", StringType(), True),
+            StructField("block_bytes", LongType(), True),
+        ]
+    )
+
+    zipnum_path = os.path.join(idx_dir, "index.zipnum.gz")
+
+    def fetch_blocks(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            rows = []
+            with open(zipnum_path, "rb") as f:
+                for b in pdf["block"]:
+                    e = cluster[int(b)]
+                    block = fetch_member(f, e["offset"], e["length"])
+                    first = True
+                    for ln in block.decode("utf-8").splitlines():
+                        key, _ts, blob = ln.split(" ", 2)
+                        j = _json.loads(blob)
+                        rows.append(
+                            (
+                                key,
+                                j["url"],
+                                j["filename"],
+                                j["offset"],
+                                j["length"],
+                                j["digest"],
+                                e["length"] if first else 0,
+                            )
+                        )
+                        first = False
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "url", "filename", "offset", "length", "digest",
+                    "block_bytes",
+                ],
+            )
+
+    entries = blocks.mapInPandas(fetch_blocks, eschema).persist()
+    matched = entries.join(probes, "key", "inner")
+
+    mschema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("bytes_read", LongType(), True),
+        ]
+    )
+
+    def fetch_docs(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member, payload_digest
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            by_file: dict = {}
+            for r in pdf.itertuples(index=False):
+                by_file.setdefault(r.filename, []).append(r)
+            for fname, items in by_file.items():
+                items.sort(key=lambda r: r.offset)
+                with open(_os.path.join(warc_dir, fname), "rb") as f:
+                    for r in items:
+                        member = fetch_member(f, int(r.offset), int(r.length))
+                        (rec,) = parse_warc(member)
+                        if payload_digest(rec["payload"]) != r.digest:
+                            raise ValueError(
+                                f"{fname}@{r.offset}: digest mismatch"
+                            )
+                        d, text, lang, *_rest = _extract_crawl_response(rec)
+                        rows.append((d, lang, len(text), int(r.length)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lang", "n_chars", "bytes_read"]
+            )
+
+    fetched = (
+        matched.select("filename", "offset", "length", "digest")
+        .repartition(8, "filename")
+        .mapInPandas(fetch_docs, mschema)
+        .persist()
+    )
+    # both access bounds, asserted in code
+    n_probes = probes.count()
+    n_touched = blocks.count()
+    got = fetched.agg(
+        F.sum("bytes_read").alias("br"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    want_bytes = matched.agg(F.sum("length")).collect()[0][0]
+    if got["n"] != n_probes or got["br"] != want_bytes:
+        fetched.unpersist()
+        entries.unpersist()
+        raise RuntimeError(
+            f"a36: {got['n']} docs fetched for {n_probes} probes, "
+            f"{got['br']} member bytes vs indexed {want_bytes}"
+        )
+    # the binary-search contract: <= 2 blocks per probe key (1 + the
+    # equal-key spill) — a ladder that degenerates to scanning the
+    # whole zipnum fails here regardless of corpus size
+    if n_touched > 2 * n_probes:
+        fetched.unpersist()
+        entries.unpersist()
+        raise RuntimeError(
+            f"a36: {n_touched} index blocks touched for {n_probes} "
+            "probes — the cluster ladder is not pruning"
+        )
+    agg = fetched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    entries.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)
+
+
 @register(
     "a35_zone_map_layout",
     oracle="""

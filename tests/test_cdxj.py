@@ -158,3 +158,90 @@ class TestCdxjLines:
     def test_bad_timestamp(self):
         with pytest.raises(ValueError, match="timestamp"):
             parse_cdxj(b'key notadigit14 {"url":"x"}\n')
+
+
+class TestZipnum:
+    def _lines(self, n=200):
+        # sorted synthetic CDXJ lines over 3 hosts
+        lines = []
+        for i in range(n):
+            host = ("a", "b", "c")[i % 3]
+            lines.append(
+                f'example,{host})/doc/{i:05d} 20240101000000 '
+                f'{{"url":"https://{host}.example/doc/{i:05d}","length":{i}}}'
+            )
+        return sorted(lines)
+
+    def test_blocks_partition_lines(self):
+        from tectonic_spark.operators.cdxj import write_zipnum
+
+        lines = self._lines()
+        blob, entries = write_zipnum(lines, block_lines=32)
+        # extents tile the blob; inflating every block recovers all lines
+        pos = 0
+        got = []
+        import io
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for e in entries:
+            assert e["offset"] == pos
+            pos += e["length"]
+            block = fetch_member(io.BytesIO(blob), e["offset"], e["length"])
+            blines = block.decode().splitlines()
+            assert blines[0].split(" ", 1)[0] == e["key"]
+            got.extend(blines)
+        assert pos == len(blob)
+        assert got == lines
+
+    def test_unsorted_rejected(self):
+        from tectonic_spark.operators.cdxj import write_zipnum
+
+        with pytest.raises(ValueError, match="sorted"):
+            write_zipnum(["b x", "a x"])
+
+    def test_cluster_idx_roundtrip(self):
+        from tectonic_spark.operators.cdxj import (
+            build_cluster_idx,
+            parse_cluster_idx,
+            write_zipnum,
+        )
+
+        _, entries = write_zipnum(self._lines(), block_lines=32)
+        back = parse_cluster_idx(build_cluster_idx(entries, "idx.gz"))
+        assert [(b["key"], b["offset"], b["length"]) for b in back] == [
+            (e["key"], e["offset"], e["length"]) for e in entries
+        ]
+        assert all(b["filename"] == "idx.gz" for b in back)
+
+    def test_block_range_binary_search(self):
+        from tectonic_spark.operators.cdxj import (
+            write_zipnum,
+            zipnum_block_range,
+        )
+
+        lines = self._lines()
+        _, entries = write_zipnum(lines, block_lines=32)
+        keys = [e["key"] for e in entries]
+        # every line's key must land inside its actual block's range
+        for i, ln in enumerate(lines):
+            key = ln.split(" ", 1)[0]
+            lo, hi = zipnum_block_range(keys, key)
+            assert lo <= i // 32 < hi, (key, lo, hi, i // 32)
+            assert hi - lo <= 2
+        # a key before everything -> empty range
+        assert zipnum_block_range(keys, "aaa") == (0, 0)
+
+    def test_equal_key_spans_blocks(self):
+        from tectonic_spark.operators.cdxj import (
+            write_zipnum,
+            zipnum_block_range,
+        )
+
+        # the same SURT key repeated across a block boundary (multiple
+        # captures of one URL) must widen the candidate range
+        lines = sorted(["k)/dup 20240101000000 {}"] * 70 + ["a)/x 20240101000000 {}"])
+        _, entries = write_zipnum(lines, block_lines=32)
+        keys = [e["key"] for e in entries]
+        lo, hi = zipnum_block_range(keys, "k)/dup")
+        assert hi - lo >= 2  # spans at least two blocks
