@@ -1,0 +1,295 @@
+"""HEIF/AVIF structural census — the web's fastest-growing image
+format (AVIF = AV1 stills in the HEIF/ISOBMFF item structure), so an
+image census limited to JPEG/PNG/GIF/TIFF/WebP goes blind exactly
+where new crawls grow.
+
+Scope (structural, ISO/IEC 14496-12 + 23008-12 derivable):
+
+* **Box grammar**: the same 32-bit/64-bit/to-end size forms the MP4
+  walker uses (h264.py:parse_mp4 — cited for the shared grammar).
+* **Item structure** (the HEIF half MP4 lacks): ``meta`` fullbox with
+  ``hdlr`` (handler must be ``pict``), ``pitm`` (primary item),
+  ``iinf``/``infe`` (item registry: id → type), ``iloc`` (item →
+  byte extents; version 0, file-offset construction), ``iprp`` =
+  ``ipco`` (property pool: ``ispe`` spatial extents, ``av1C`` codec
+  config, ``pixi`` bit depths, ``auxC`` auxiliary type) + ``ipma``
+  (item → property associations, essential bit), and ``iref`` with
+  ``auxl`` references (how an alpha plane points at its master).
+* **Census**: brand, item count/types, primary item dimensions (via
+  its ipma→ispe association, not guessed), bit depth, alpha presence
+  (auxl edge + auxC urn), per-item byte extents verified inside mdat,
+  ``bytes_walked``.
+
+AV1 OBU payload decode is documented OUT of scope (the m16 H.264 /
+m25 VP8-VP9 boundary): payloads are censused byte ranges.
+
+Error taxonomy: ``EOFError`` truncation, ``ValueError`` structural.
+100 TB shape: per-payload header walk in Arrow-batched mapInPandas.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["encode_avif", "parse_avif"]
+
+_ALPHA_URN = "urn:mpeg:mpegB:cicp:systems:auxiliary:alpha"
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _fullbox(btype: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+def encode_avif(
+    *,
+    width: int,
+    height: int,
+    primary_payload: bytes,
+    alpha_payload: bytes | None = None,
+    bit_depth: int = 8,
+) -> bytes:
+    """A structurally complete AVIF still: ftyp(avif), meta with the
+    full item apparatus, payload bytes in mdat with iloc extents
+    pointing at their true file offsets (two-pass assembly: the meta
+    size is fixed, so offsets resolve exactly)."""
+    ftyp = _box(b"ftyp", b"avif" + bytes(4) + b"avif" + b"mif1")
+    items = [(1, b"av01", primary_payload)]
+    if alpha_payload is not None:
+        items.append((2, b"av01", alpha_payload))
+
+    def build_meta(offsets: list[int]) -> bytes:
+        hdlr = _fullbox(b"hdlr", bytes(4) + b"pict" + bytes(12) + b"\x00")
+        pitm = _fullbox(b"pitm", struct.pack(">H", 1))
+        infes = b"".join(
+            _fullbox(
+                b"infe",
+                struct.pack(">HH", iid, 0) + itype + b"\x00",
+                version=2,
+            )
+            for iid, itype, _p in items
+        )
+        iinf = _fullbox(b"iinf", struct.pack(">H", len(items)) + infes)
+        # property pool: 1 ispe, 2 av1C, 3 pixi, (4 auxC when alpha)
+        props = [
+            _fullbox(b"ispe", struct.pack(">II", width, height)),
+            # av1C: marker|version, profile/level byte, flags byte —
+            # opaque config (OBU decode out of scope)
+            _box(b"av1C", bytes([0x81, 0x00, 0x0C, 0x00])),
+            _fullbox(b"pixi", bytes([3, bit_depth, bit_depth, bit_depth])),
+        ]
+        if alpha_payload is not None:
+            props.append(
+                _fullbox(b"auxC", _ALPHA_URN.encode("ascii") + b"\x00")
+            )
+        ipco = _box(b"ipco", b"".join(props))
+        # associations: primary -> (1,2,3); alpha -> (1,2,3,4)
+        assoc = struct.pack(">I", len(items))
+        assoc_rows = {1: [1, 2, 3], 2: [1, 2, 3, 4]}
+        for iid, _t, _p in items:
+            idxs = assoc_rows[iid]
+            assoc += struct.pack(">HB", iid, len(idxs))
+            assoc += bytes(0x80 | i for i in idxs)  # essential bit set
+        ipma = _fullbox(b"ipma", assoc)
+        iprp = _box(b"iprp", ipco + ipma)
+        # iloc v0: offset_size=4 length_size=4 base_offset_size=0
+        il = bytes([0x44, 0x00]) + struct.pack(">H", len(items))
+        for (iid, _t, payload), off in zip(items, offsets):
+            il += struct.pack(">HHH", iid, 0, 1)  # id, dref, extent_count
+            il += struct.pack(">II", off, len(payload))
+        iloc = _fullbox(b"iloc", il)
+        body = hdlr + pitm + iinf + iprp + iloc
+        if alpha_payload is not None:
+            # iref v0: auxl reference alpha(2) -> primary(1)
+            body += _fullbox(
+                b"iref", _box(b"auxl", struct.pack(">HHH", 2, 1, 1))
+            )
+        return _fullbox(b"meta", body)
+
+    meta0 = build_meta([0] * len(items))
+    mdat_body_start = len(ftyp) + len(meta0) + 8
+    offsets = []
+    pos = mdat_body_start
+    for _iid, _t, payload in items:
+        offsets.append(pos)
+        pos += len(payload)
+    meta = build_meta(offsets)
+    if len(meta) != len(meta0):  # pragma: no cover — fixed-width offsets
+        raise ValueError("meta size changed across offset resolution")
+    mdat = _box(b"mdat", b"".join(p for _i, _t, p in items))
+    return ftyp + meta + mdat
+
+
+# ---------------------------------------------------------------------------
+# census parser
+# ---------------------------------------------------------------------------
+
+
+def _boxes(data: bytes, lo: int, hi: int):
+    p = lo
+    while p + 8 <= hi:
+        (size,) = struct.unpack_from(">I", data, p)
+        btype = data[p + 4 : p + 8]
+        body = p + 8
+        if size == 1:
+            if p + 16 > hi:
+                raise EOFError("truncated 64-bit box size")
+            (size,) = struct.unpack_from(">Q", data, p + 8)
+            body = p + 16
+        elif size == 0:
+            size = hi - p
+        if size < 8 or p + size > hi:
+            raise ValueError(f"invalid box size at {p}")
+        yield btype, body, p + size
+        p += size
+    if p != hi:
+        raise ValueError("trailing bytes between boxes")
+
+
+def parse_avif(data: bytes) -> dict:
+    """Census walk of an AVIF/HEIF still. Returns brand, n_items,
+    primary (id/type/width/height/bit_depth), has_alpha, item extents
+    (id → [(offset, length)]), total_item_bytes, extents_ok (every
+    extent inside mdat), bytes_walked."""
+    brand = None
+    meta_seen = False
+    mdat_span: tuple[int, int] | None = None
+    items: dict[int, str] = {}
+    extents: dict[int, list[tuple[int, int]]] = {}
+    props: list[tuple[bytes, bytes]] = []
+    assoc: dict[int, list[int]] = {}
+    primary_id = None
+    aux_edges: list[tuple[int, int]] = []
+    handler = None
+    walked = 0
+
+    def parse_meta(lo: int, hi: int) -> None:
+        nonlocal primary_id, handler
+        for btype, body, end in _boxes(data, lo, hi):
+            if btype == b"hdlr":
+                handler = data[body + 8 : body + 12].decode("ascii")
+            elif btype == b"pitm":
+                (primary_id,) = struct.unpack_from(">H", data, body + 4)
+            elif btype == b"iinf":
+                (cnt,) = struct.unpack_from(">H", data, body + 4)
+                got = 0
+                for itype, ibody, _iend in _boxes(data, body + 6, end):
+                    if itype != b"infe":
+                        raise ValueError("iinf child is not infe")
+                    iid, _prot = struct.unpack_from(">HH", data, ibody + 4)
+                    items[iid] = data[ibody + 8 : ibody + 12].decode("ascii")
+                    got += 1
+                if got != cnt:
+                    raise ValueError(f"iinf declared {cnt} items, found {got}")
+            elif btype == b"iprp":
+                for ptype, pbody, pend in _boxes(data, body, end):
+                    if ptype == b"ipco":
+                        for ct, cb, ce in _boxes(data, pbody, pend):
+                            props.append((ct, data[cb:ce]))
+                    elif ptype == b"ipma":
+                        (ecnt,) = struct.unpack_from(">I", data, pbody + 4)
+                        p = pbody + 8
+                        for _ in range(ecnt):
+                            iid, acnt = struct.unpack_from(">HB", data, p)
+                            p += 3
+                            assoc[iid] = [
+                                data[p + k] & 0x7F for k in range(acnt)
+                            ]
+                            p += acnt
+            elif btype == b"iloc":
+                ver = data[body]
+                if ver != 0:
+                    raise NotImplementedError(
+                        f"iloc version {ver} is not parsed"
+                    )
+                sizes = data[body + 4]
+                off_sz, len_sz = sizes >> 4, sizes & 0xF
+                base_sz = data[body + 5] >> 4
+                if (off_sz, len_sz, base_sz) != (4, 4, 0):
+                    raise NotImplementedError(
+                        "only 4/4/0 iloc field widths are parsed"
+                    )
+                (icnt,) = struct.unpack_from(">H", data, body + 6)
+                p = body + 8
+                for _ in range(icnt):
+                    iid, _dref, xcnt = struct.unpack_from(">HHH", data, p)
+                    p += 6
+                    exts = []
+                    for _ in range(xcnt):
+                        off, ln = struct.unpack_from(">II", data, p)
+                        p += 8
+                        exts.append((off, ln))
+                    extents[iid] = exts
+            elif btype == b"iref":
+                for rt, rb, _re2 in _boxes(data, body + 4, end):
+                    if rt == b"auxl":
+                        frm, rcnt = struct.unpack_from(">HH", data, rb)
+                        for k in range(rcnt):
+                            (to,) = struct.unpack_from(">H", data, rb + 4 + 2 * k)
+                            aux_edges.append((frm, to))
+
+    for btype, body, end in _boxes(data, 0, len(data)):
+        walked += end - (body - 8)
+        if btype == b"ftyp":
+            brand = data[body : body + 4].decode("ascii")
+        elif btype == b"meta":
+            meta_seen = True
+            parse_meta(body + 4, end)
+        elif btype == b"mdat":
+            mdat_span = (body, end)
+    if brand not in ("avif", "avis", "mif1", "heic"):
+        raise ValueError(f"not a HEIF/AVIF brand: {brand!r}")
+    if not meta_seen or primary_id is None:
+        raise ValueError("missing meta/pitm item structure")
+    if handler != "pict":
+        raise ValueError(f"handler {handler!r} is not pict")
+    if primary_id not in items:
+        raise ValueError(f"primary item {primary_id} not in iinf")
+
+    def prop_for(iid: int, ptype: bytes) -> bytes | None:
+        for idx in assoc.get(iid, []):
+            if 1 <= idx <= len(props) and props[idx - 1][0] == ptype:
+                return props[idx - 1][1]
+        return None
+
+    ispe = prop_for(primary_id, b"ispe")
+    if ispe is None:
+        raise ValueError("primary item has no ispe association")
+    width, height = struct.unpack_from(">II", ispe, 4)
+    pixi = prop_for(primary_id, b"pixi")
+    bit_depth = pixi[5] if pixi is not None else None
+    has_alpha = False
+    for frm, to in aux_edges:
+        aux_c = prop_for(frm, b"auxC")
+        if to == primary_id and aux_c is not None:
+            urn = aux_c[4:].split(b"\x00", 1)[0].decode("ascii")
+            if "alpha" in urn:
+                has_alpha = True
+    total = 0
+    extents_ok = mdat_span is not None
+    for iid, exts in extents.items():
+        for off, ln in exts:
+            total += ln
+            if mdat_span is None or not (
+                mdat_span[0] <= off and off + ln <= mdat_span[1]
+            ):
+                extents_ok = False
+    if prop_for(primary_id, b"av1C") is None:
+        raise ValueError("primary item has no av1C codec configuration")
+    return {
+        "brand": brand,
+        "n_items": len(items),
+        "primary_id": primary_id,
+        "primary_type": items[primary_id],
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "has_alpha": has_alpha,
+        "extents": extents,
+        "total_item_bytes": total,
+        "extents_ok": extents_ok,
+        "bytes_walked": walked,
+    }

@@ -2885,6 +2885,117 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m27_avif_census",
+    oracle="""
+    SELECT doc_id,
+           'avif' AS brand,
+           CAST(64 + 16 * (doc_id % 5) AS BIGINT) AS width,
+           CAST(48 + 16 * (doc_id % 4) AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_items,
+           doc_id % 3 = 0 AS has_alpha,
+           CAST(8 + 2 * (doc_id % 2) AS BIGINT) AS bit_depth,
+           CAST(100 + (doc_id * 13) % 300
+              + CASE WHEN doc_id % 3 = 0
+                     THEN 50 + (doc_id * 7) % 100 ELSE 0 END AS BIGINT)
+             AS total_item_bytes,
+           TRUE AS extents_ok
+    FROM documents WHERE doc_id % 53 = 17
+    """,
+    doc="AVIF/HEIF image census (heif.py — AVIF is the web's fastest-"
+    "growing image format, AV1 stills in the ISOBMFF item structure, "
+    "so a census limited to JPEG/PNG/GIF/TIFF/WebP goes blind exactly "
+    "where new crawls grow): every 53rd document carries a "
+    "structurally complete AVIF built by the vendored writer (ftyp, "
+    "meta with hdlr/pitm/iinf/iprp(ipco+ipma)/iloc/iref, payloads in "
+    "mdat at true file offsets via two-pass assembly) and censused by "
+    "the item walk — width/height come from the primary item's "
+    "ipma->ispe ASSOCIATION (not the first ispe found), bit depth "
+    "from pixi, alpha from the auxl reference edge plus the auxC urn, "
+    "total_item_bytes from iloc extents each verified INSIDE the mdat "
+    "span (extents_ok). AV1 OBU payload decode is documented out (the "
+    "m16/m25 codec-config boundary). 100 TB shape: per-payload header "
+    "walk in Arrow-batched mapInPandas, no shuffle.",
+)
+def m27_avif_census(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.heif import encode_avif, parse_avif
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 53 == 17)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("brand", StringType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("n_items", LongType(), True),
+            StructField("has_alpha", BooleanType(), True),
+            StructField("bit_depth", LongType(), True),
+            StructField("total_item_bytes", LongType(), True),
+            StructField("extents_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                prim = bytes(
+                    (d * 31 + j) % 256 for j in range(100 + (d * 13) % 300)
+                )
+                alph = (
+                    bytes((d * 17 + j) % 256 for j in range(50 + (d * 7) % 100))
+                    if d % 3 == 0
+                    else None
+                )
+                payload = encode_avif(
+                    width=64 + 16 * (d % 5),
+                    height=48 + 16 * (d % 4),
+                    primary_payload=prim,
+                    alpha_payload=alph,
+                    bit_depth=8 + 2 * (d % 2),
+                )
+                info = parse_avif(payload)
+                rows.append(
+                    (
+                        d,
+                        info["brand"],
+                        info["width"],
+                        info["height"],
+                        info["n_items"],
+                        info["has_alpha"],
+                        info["bit_depth"],
+                        info["total_item_bytes"],
+                        info["extents_ok"]
+                        and info["bytes_walked"] == len(payload),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "brand",
+                "width",
+                "height",
+                "n_items",
+                "has_alpha",
+                "bit_depth",
+                "total_item_bytes",
+                "extents_ok",
+            ],
+        )
+
+    return docs.mapInPandas(walk, schema)
+
+
+@register(
     "m26_opus_dual_container",
     oracle="""
     SELECT doc_id,
