@@ -3005,7 +3005,7 @@ _WARC_DATE = "2024-01-01T00:00:00Z"
 
 
 def _render_response_record(
-    d: int, text: str, lang: str, source: str
+    d: int, text: str, lang: str, source: str, date: str = _WARC_DATE
 ) -> tuple[bytes, bytes]:
     """Render one document as a WARC response record per the fixture
     matrix (charset by d%4, Content-Encoding by d%3, chunked by d%2).
@@ -3039,7 +3039,7 @@ def _render_response_record(
         "response",
         http,
         uri=f"https://{source}.example/doc/{d}",
-        date=_WARC_DATE,
+        date=date,
         content_type="application/http; msgtype=response",
     )
     return rec, http
@@ -4935,6 +4935,154 @@ def c03_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return files.select("content").mapInPandas(walk, schema)
+
+
+_WARC_DATE_V2 = "2024-02-01T00:00:00Z"
+
+
+def _warc_timeline_src(sf_dir: str) -> tuple[str, int]:
+    """Two crawl snapshots of one corpus: every doc captured at the
+    January date; every 5th doc RE-captured at the February date with
+    CHANGED content (the page gained a ' rev2' suffix — so the two
+    captures carry different payload digests, unlike a31's
+    identical-digest revisits). Second captures land in different
+    shards than their originals. Returns (dir, n_shards)."""
+    from tectonic_spark.operators.warc import write_warc
+
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"a37_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for d, text, lang, source, _n in rows:
+        shards[d % n_shards].append(
+            _render_response_record(d, text, lang, source)[0]
+        )
+        if d % 5 == 0:
+            shards[(d + 4) % n_shards].append(
+                _render_response_record(
+                    d, text + " rev2", lang, source, date=_WARC_DATE_V2
+                )[0]
+            )
+    for i, recs in enumerate(shards):
+        _write_atomic(
+            os.path.join(tmp, f"crawl-{i:03d}.warc.gz"), write_warc(recs)
+        )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "a37_capture_timeline",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(n_chars + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END)
+                AS BIGINT) AS chars_latest
+    FROM documents GROUP BY lang
+    """,
+    doc="Capture timeline over a multi-snapshot crawl (the temporal "
+    "query every recrawling corpus needs: which URLs have multiple "
+    "captures, which CHANGED between snapshots, and what is the "
+    "latest content): two crawl dates of one corpus, every 5th doc "
+    "re-captured with changed content in a DIFFERENT shard; the walk "
+    "emits one row per capture (doc_id, WARC-Date, payload digest, "
+    "extracted chars) and latest-wins is a WINDOW over (doc_id) "
+    "ordered by capture date with the digest as unique tie-break — "
+    "n_changed counts docs whose distinct-digest count exceeds 1 "
+    "(content actually changed, not merely recrawled), and "
+    "chars_latest sums the EXTRACTED length of each doc's newest "
+    "capture, crossing extraction, the timeline window, and the "
+    "change detection at once. 100 TB shape: per-shard extraction, "
+    "then ONE window shuffle keyed on doc_id over tiny projected "
+    "columns — the shape of every crawl-delta pipeline stage.",
+)
+def a37_capture_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src, _n = _warc_timeline_src(sf_dir)
+    files = spark.read.format("binaryFile").load(os.path.join(src, "*.warc.gz"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("ts", StringType(), True),
+            StructField("digest", StringType(), True),
+            StructField("n_chars", LongType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import payload_digest
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "response":
+                        continue
+                    d, text, lang, _s, *_rest = _extract_crawl_response(rec)
+                    rows.append(
+                        (
+                            d,
+                            lang,
+                            rec["date"],
+                            payload_digest(rec["payload"]),
+                            len(text),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lang", "ts", "digest", "n_chars"]
+            )
+
+    captures = files.select("content").mapInPandas(walk, schema)
+    # latest-wins: ONE window shuffle keyed on doc_id (ISO-8601 dates
+    # order lexically; digest is the unique tie-break the determinism
+    # doctrine requires)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("ts"), F.desc("digest")
+    )
+    ranked = captures.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_caps", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).withColumn(
+        "n_digests",
+        F.size(F.collect_set("digest").over(Window.partitionBy("doc_id"))),
+    )
+    latest = ranked.filter(F.col("rn") == 1)
+    return latest.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_caps") > 1, 1).otherwise(0)).alias("n_multi"),
+        F.sum(F.when(F.col("n_digests") > 1, 1).otherwise(0)).alias(
+            "n_changed"
+        ),
+        F.sum("n_chars").alias("chars_latest"),
+    )
 
 
 def _zipnum_src(sf_dir: str) -> tuple[str, str, int]:

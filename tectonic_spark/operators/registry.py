@@ -103,6 +103,7 @@ PRIORITY: list[str] = [
     "m26_opus_dual_container",  # Ogg vs MKV agreement on one Opus stream
     "a36_zipnum_lookup",  # two-level compressed index (cluster.idx ladder)
     "m27_avif_census",  # AVIF/HEIF ISOBMFF item-structure census
+    "a37_capture_timeline",  # multi-snapshot latest-wins + change detection
     # --- r11 tier 3: changed code this round (Content-Encoding +
     # charset sniffing run inside a25/a28/c05_crawl/s15 above; ZIP64 /
     # tar longnames inside a26/a29; the pdf xref fix inside m24) ---
