@@ -3005,13 +3005,21 @@ _WARC_DATE = "2024-01-01T00:00:00Z"
 
 
 def _render_response_record(
-    d: int, text: str, lang: str, source: str, date: str = _WARC_DATE
+    d: int,
+    text: str,
+    lang: str,
+    source: str,
+    date: str = _WARC_DATE,
+    ce: str | None = "matrix",
 ) -> tuple[bytes, bytes]:
     """Render one document as a WARC response record per the fixture
     matrix (charset by d%4, Content-Encoding by d%3, chunked by d%2).
-    Returns (record_bytes, http_message_bytes) — the HTTP message is
-    what CDX payload digests are computed over. Shared by the a25/a30
-    fixture builders and the a28 exporter so every surface renders the
+    ``ce`` overrides the Content-Encoding lane (the a33 brotli matrix
+    passes ``"br:<mode>"``); the default keeps the d%3 matrix
+    byte-identical for every other fixture family. Returns
+    (record_bytes, http_message_bytes) — the HTTP message is what CDX
+    payload digests are computed over. Shared by the a25/a30 fixture
+    builders and the a28 exporter so every surface renders the
     identical crawl."""
     from tectonic_spark.operators.warc import (
         build_http_response,
@@ -3033,7 +3041,7 @@ def _render_response_record(
         page,
         chunked=(d % 2 == 0),
         content_type=ct,
-        content_encoding=_WARC_ENCODINGS[d % 3],
+        content_encoding=_WARC_ENCODINGS[d % 3] if ce == "matrix" else ce,
     )
     rec = build_warc_record(
         "response",
@@ -5632,18 +5640,26 @@ def c05_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(agg_rows, agg.schema)
 
 
+_BR_MODES = ("br:lz", "br:literals", "br:uncompressed")
+
+
 def _warc_encoding_census_src(sf_dir: str) -> tuple[str, int]:
-    """Crawl where every 11th response is served with an encoding the
-    engine deliberately does not decode (``br`` — vendoring the RFC
-    7932 static dictionary is a named scope boundary): its body is an
-    opaque compressed blob. The rest carry the normal a25 matrix.
+    """Crawl with a REAL brotli lane (r12, VERDICT r11 item 1): every
+    11th response body is brotli-coded by the vendored RFC 7932 subset
+    encoder (mode cycling lz/literals/uncompressed by (d//11)%3) and
+    now DECODES; within that lane, every 5th doc (d%55==0) instead
+    carries a stream whose copy reaches into the static dictionary —
+    the named boundary the decoder refuses — so the censused skip path
+    stays exercised end-to-end. The rest carry the normal a25 matrix.
     Returns (dir, n_shards)."""
+    from tectonic_spark.operators.brotli import dictionary_ref_stream
     from tectonic_spark.operators.warc import build_warc_record, write_warc
 
     rows = _docs_rows(sf_dir)
     n_shards = max(4, len(rows) // 15000)
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, f"a33_src_{n_shards}")
+    # v2: the br lane decodes (name bump invalidates cached v1 dirs)
+    src = os.path.join(base, f"a33_src2_{n_shards}")
     done = os.path.join(src, "_DONE")
     if os.path.exists(done):
         return src, n_shards
@@ -5652,20 +5668,21 @@ def _warc_encoding_census_src(sf_dir: str) -> tuple[str, int]:
     tmp = f"{src}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
+    dict_ref = dictionary_ref_stream()
     for i in range(n_shards):
         recs = []
         for d, text, lang, source, _n in rows:
             if d % n_shards != i:
                 continue
-            if d % 11 == 0:
-                # opaque brotli-coded body: deterministic bytes the
-                # engine must census WITHOUT interpreting
-                blob = bytes((d * 37 + j * 11) % 256 for j in range(80 + d % 200))
+            if d % 55 == 0:
+                # dictionary-referencing stream: valid per spec, but
+                # hits the named vendoring boundary — censused, the
+                # opaque bytes never enter the corpus
                 http = (
                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
                     b"Content-Encoding: br\r\n"
-                    b"Content-Length: " + str(len(blob)).encode() + b"\r\n\r\n"
-                    + blob
+                    b"Content-Length: " + str(len(dict_ref)).encode()
+                    + b"\r\n\r\n" + dict_ref
                 )
                 recs.append(
                     build_warc_record(
@@ -5675,6 +5692,13 @@ def _warc_encoding_census_src(sf_dir: str) -> tuple[str, int]:
                         date=_WARC_DATE,
                         content_type="application/http; msgtype=response",
                     )
+                )
+            elif d % 11 == 0:
+                recs.append(
+                    _render_response_record(
+                        d, text, lang, source,
+                        ce=_BR_MODES[(d // 11) % 3],
+                    )[0]
                 )
             else:
                 recs.append(_render_response_record(d, text, lang, source)[0])
@@ -5690,30 +5714,40 @@ def _warc_encoding_census_src(sf_dir: str) -> tuple[str, int]:
 @register(
     "a33_content_encoding_census",
     oracle="""
-    SELECT CAST(SUM(CASE WHEN doc_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_extracted,
-           CAST(SUM(CASE WHEN doc_id % 11 <> 0 THEN n_chars ELSE 0 END)
-                AS BIGINT) AS chars,
-           CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_br_skipped,
+    SELECT CAST(SUM(CASE WHEN doc_id % 11 <> 0 OR
+                         (doc_id % 11 = 0 AND doc_id % 55 <> 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extracted,
+           CAST(SUM(CASE WHEN doc_id % 11 <> 0 OR
+                         (doc_id % 11 = 0 AND doc_id % 55 <> 0)
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS chars,
+           CAST(SUM(CASE WHEN doc_id % 11 = 0 AND doc_id % 55 <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_br_decoded,
+           CAST(SUM(CASE WHEN doc_id % 11 = 0 AND doc_id % 55 <> 0
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS chars_br,
+           CAST(SUM(CASE WHEN doc_id % 55 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_br_censused,
            CAST(SUM(CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 < 2
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
            CAST(SUM(CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 = 2
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_identity
     FROM documents
     """,
-    doc="Content-coding census with the skip path end-to-end (the "
-    "boundary behavior a 100 TB crawl hits daily: some bodies arrive "
-    "in codings the engine does not decode — here ``br``, whose RFC "
-    "7932 static dictionary stays a named vendoring boundary): every "
-    "11th response carries an opaque brotli-coded body; the walk "
-    "CENSUSES it (encoding token, untouched bytes) and extracts only "
-    "decodable responses — an undecodable body is skipped-and-counted, "
-    "never mangled into the corpus and never a task-killing raise. "
+    doc="Content-coding census with the brotli lane DECODING (r12 — "
+    "VERDICT r11 item 1: br is a large share of live-web responses): "
+    "every 11th response body is brotli-coded (RFC 7932 bit-stream "
+    "decoder, brotli.py; fixture encoder cycles its lz / literals / "
+    "uncompressed meta-block lanes) and extracts EXACTLY — chars_br "
+    "pins the decoded text against the documents oracle character-"
+    "for-character, crossing brotli decode, charset sniff and HTML "
+    "extraction. Every 55th doc instead carries a stream whose copy "
+    "reaches into the RFC 7932 static dictionary — the named "
+    "vendoring boundary (the ~122 KB dictionary blob cannot be "
+    "reproduced offline with provenance) — and is CENSUSED "
+    "(ce_decoded=False, untouched bytes, never a task-killing raise): "
+    "the skip path a real crawl still needs stays end-to-end. "
     "n_decoded/n_identity pin the gzip/deflate-vs-identity split of "
-    "the extracted set from the parser's own ce_decoded flags. 100 TB "
-    "shape: same per-shard walk as a25, one single-row census "
-    "aggregate.",
+    "the non-br lanes. 100 TB shape: same per-shard walk as a25, one "
+    "single-row census aggregate.",
 )
 def a33_content_encoding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -5754,30 +5788,35 @@ def a33_content_encoding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if ce is not None and not http["ce_decoded"]:
                         # censused, not mangled: count the coding token,
                         # leave the opaque body out of the corpus
-                        rows.append(("skipped", None, ce.strip().lower()))
+                        rows.append(
+                            ("skipped", None, ce.strip().lower() + "-censused")
+                        )
                         continue
                     _d, text, _lang, _s, *_rest = _extract_crawl_response(
                         rec, http
                     )
-                    rows.append(
-                        (
-                            "extracted",
-                            len(text),
-                            "identity" if ce is None else "decoded",
-                        )
-                    )
+                    if ce is None:
+                        tag = "identity"
+                    elif ce.strip().lower() == "br":
+                        tag = "br"
+                    else:
+                        tag = "decoded"
+                    rows.append(("extracted", len(text), tag))
             yield pd.DataFrame(rows, columns=["kind", "n_chars", "ce"])
 
     parsed = files.select("content").mapInPandas(walk, schema)
+    extracted = F.col("kind") == "extracted"
     return parsed.agg(
-        F.sum(F.when(F.col("kind") == "extracted", 1).otherwise(0)).alias(
-            "n_extracted"
-        ),
-        F.sum(F.when(F.col("kind") == "extracted", F.col("n_chars"))).alias(
-            "chars"
-        ),
+        F.sum(F.when(extracted, 1).otherwise(0)).alias("n_extracted"),
+        F.sum(F.when(extracted, F.col("n_chars"))).alias("chars"),
         F.sum(F.when(F.col("ce") == "br", 1).otherwise(0)).alias(
-            "n_br_skipped"
+            "n_br_decoded"
+        ),
+        F.sum(F.when(F.col("ce") == "br", F.col("n_chars"))).alias(
+            "chars_br"
+        ),
+        F.sum(F.when(F.col("ce") == "br-censused", 1).otherwise(0)).alias(
+            "n_br_censused"
         ),
         F.sum(F.when(F.col("ce") == "decoded", 1).otherwise(0)).alias(
             "n_decoded"

@@ -131,11 +131,20 @@ def build_http_response(
         ce = content_encoding.lower()
         if ce in ("gzip", "x-gzip"):
             co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            body = co.compress(body) + co.flush()
         elif ce == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, 15)
+            body = co.compress(body) + co.flush()
+        elif ce in ("br", "br:lz", "br:literals", "br:uncompressed"):
+            # the ":mode" suffix picks the fixture encoder lane; the
+            # wire header is always plain "br"
+            from tectonic_spark.operators.brotli import compress
+
+            mode = ce.split(":", 1)[1] if ":" in ce else "lz"
+            body = compress(body, mode=mode)
+            content_encoding = "br"
         else:
             raise ValueError(f"unsupported content_encoding {content_encoding!r}")
-        body = co.compress(body) + co.flush()
         lines.append(f"Content-Encoding: {content_encoding}")
     for k, v in (headers or {}).items():
         lines.append(f"{k}: {v}")
@@ -296,13 +305,26 @@ def parse_warc(data: bytes) -> list[dict]:
 
 def _decode_content(body: bytes, codings: list[str]) -> tuple[bytes, bool]:
     """Apply Content-Encoding codings in reverse application order.
-    Returns (body, decoded). Unknown codings (``br``, ``zstd``, …) leave
-    the remaining body untouched and report decoded=False — censused,
-    never mangled. ``deflate`` tries the RFC 9110 zlib form first, then
-    the raw-deflate form many legacy servers actually send."""
+    Returns (body, decoded). ``br`` decodes through the vendored RFC
+    7932 bit-stream decoder (brotli.py); its two named boundaries —
+    static-dictionary references and UTF8/Signed multi-tree contexts —
+    census as decoded=False, never mangled, as do wholly unknown
+    codings (``zstd``, …). ``deflate`` tries the RFC 9110 zlib form
+    first, then the raw-deflate form many legacy servers actually
+    send."""
     for i in range(len(codings) - 1, -1, -1):
         ce = codings[i]
         if ce in ("identity", ""):
+            continue
+        if ce == "br":
+            from tectonic_spark.operators.brotli import decompress
+
+            try:
+                body = decompress(body)
+            except NotImplementedError:
+                # BrotliDictionaryReference / BrotliUnsupportedContext:
+                # the named scope boundaries — census, don't touch
+                return body, False
             continue
         if ce in ("gzip", "x-gzip"):
             wbits_options = (31,)

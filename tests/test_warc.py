@@ -312,8 +312,29 @@ class TestContentEncoding:
         got = parse_http_response(msg)
         assert got["body"] == body and got["chunked"] and got["ce_decoded"]
 
-    def test_br_censused_not_mangled(self):
-        blob = b"\x00\x01\x02brotli-ish"
+    def test_br_decodes_all_encoder_modes(self):
+        # r12: the br lane decodes through the vendored RFC 7932
+        # decoder (brotli.py) — round trip for every fixture lane
+        body = b"<html><body>" + b"<p>brotli body</p>" * 40 + b"</body>"
+        for lane in ("br:lz", "br:literals", "br:uncompressed"):
+            msg = build_http_response(body, content_encoding=lane)
+            got = parse_http_response(msg)
+            assert got["body"] == body
+            assert got["ce_decoded"] is True
+            assert got["content_encoding"] == "br"  # wire header is plain
+
+    def test_br_chunked_plus_brotli_layering(self):
+        body = b"layered brotli " * 64
+        msg = build_http_response(body, chunked=True, content_encoding="br")
+        got = parse_http_response(msg)
+        assert got["body"] == body and got["chunked"] and got["ce_decoded"]
+
+    def test_br_dictionary_reference_censused_not_mangled(self):
+        # the named boundary: a valid stream whose copy reaches into
+        # the RFC 7932 static dictionary is censused, never mangled
+        from tectonic_spark.operators.brotli import dictionary_ref_stream
+
+        blob = dictionary_ref_stream()
         msg = (
             b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
             b"Content-Length: " + str(len(blob)).encode() + b"\r\n\r\n" + blob
@@ -322,6 +343,17 @@ class TestContentEncoding:
         assert got["body"] == blob  # untouched
         assert got["ce_decoded"] is False
         assert got["content_encoding"] == "br"
+
+    def test_br_corrupt_stream_raises(self):
+        # structural corruption is a loud raise (the gzip doctrine),
+        # distinct from the censused dictionary boundary
+        blob = b"\x00\x01\x02brotli-ish"
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+            b"Content-Length: " + str(len(blob)).encode() + b"\r\n\r\n" + blob
+        )
+        with pytest.raises((ValueError, EOFError)):
+            parse_http_response(msg)
 
     def test_truncated_gzip_raises_eof(self):
         body = b"x" * 500
