@@ -10,7 +10,10 @@ Scope (structural, ISO/IEC 14496-12 + 23008-12 derivable):
 * **Item structure** (the HEIF half MP4 lacks): ``meta`` fullbox with
   ``hdlr`` (handler must be ``pict``), ``pitm`` (primary item),
   ``iinf``/``infe`` (item registry: id → type), ``iloc`` (item →
-  byte extents; version 0, file-offset construction), ``iprp`` =
+  byte extents; versions 0/1/2, field widths 0/4/8, base_offset,
+  construction methods 0 = file offsets and 1 = idat-housed — the
+  forms real iPhone HEICs ship; method 2 (item offsets) and nonzero
+  extent_index stay named refusals), ``idat``, ``iprp`` =
   ``ipco`` (property pool: ``ispe`` spatial extents, ``av1C`` codec
   config, ``pixi`` bit depths, ``auxC`` auxiliary type) + ``ipma``
   (item → property associations, essential bit), and ``iref`` with
@@ -51,17 +54,32 @@ def encode_avif(
     primary_payload: bytes,
     alpha_payload: bytes | None = None,
     bit_depth: int = 8,
+    iloc_version: int = 0,
+    construction: str = "file",
+    base_offset: bool = False,
 ) -> bytes:
     """A structurally complete AVIF still: ftyp(avif), meta with the
-    full item apparatus, payload bytes in mdat with iloc extents
-    pointing at their true file offsets (two-pass assembly: the meta
-    size is fixed, so offsets resolve exactly)."""
+    full item apparatus, payloads in mdat (``construction="file"``,
+    iloc extents at true file offsets via two-pass assembly — the meta
+    size is fixed, so offsets resolve exactly) or housed in an idat
+    box inside meta (``construction="idat"``, iloc v1/v2 construction
+    method 1, idat-relative extents — the form real HEICs ship
+    thumbnails and small items in). ``iloc_version`` picks the 0/1/2
+    entry layout (v2 = 32-bit item IDs); ``base_offset`` (file
+    construction only) writes extents relative to a 4-byte
+    base_offset at the mdat payload start instead of absolute."""
+    if iloc_version not in (0, 1, 2):
+        raise ValueError(f"iloc version {iloc_version} not writable")
+    if construction not in ("file", "idat"):
+        raise ValueError(f"unknown construction {construction!r}")
+    if construction == "idat" and iloc_version == 0:
+        raise ValueError("idat construction needs iloc version >= 1")
     ftyp = _box(b"ftyp", b"avif" + bytes(4) + b"avif" + b"mif1")
     items = [(1, b"av01", primary_payload)]
     if alpha_payload is not None:
         items.append((2, b"av01", alpha_payload))
 
-    def build_meta(offsets: list[int]) -> bytes:
+    def build_meta(offsets: list[int], base: int = 0) -> bytes:
         hdlr = _fullbox(b"hdlr", bytes(4) + b"pict" + bytes(12) + b"\x00")
         pitm = _fullbox(b"pitm", struct.pack(">H", 1))
         infes = b"".join(
@@ -95,13 +113,31 @@ def encode_avif(
             assoc += bytes(0x80 | i for i in idxs)  # essential bit set
         ipma = _fullbox(b"ipma", assoc)
         iprp = _box(b"iprp", ipco + ipma)
-        # iloc v0: offset_size=4 length_size=4 base_offset_size=0
-        il = bytes([0x44, 0x00]) + struct.pack(">H", len(items))
+        # iloc: offset_size=4 length_size=4; base_offset_size 4 when
+        # the base_offset lane is on, else 0; index_size 0 (v1/v2)
+        base_sz = 4 if base_offset else 0
+        method = 1 if construction == "idat" else 0
+        il = bytes([0x44, base_sz << 4])
+        if iloc_version == 2:
+            il += struct.pack(">I", len(items))
+        else:
+            il += struct.pack(">H", len(items))
         for (iid, _t, payload), off in zip(items, offsets):
-            il += struct.pack(">HHH", iid, 0, 1)  # id, dref, extent_count
+            if iloc_version == 2:
+                il += struct.pack(">I", iid)
+            else:
+                il += struct.pack(">H", iid)
+            if iloc_version >= 1:
+                il += struct.pack(">H", method)  # 12 reserved + 4 bits
+            il += struct.pack(">H", 0)  # data_reference_index
+            if base_sz:
+                il += struct.pack(">I", base)
+            il += struct.pack(">H", 1)  # extent_count
             il += struct.pack(">II", off, len(payload))
-        iloc = _fullbox(b"iloc", il)
+        iloc = _fullbox(b"iloc", il, version=iloc_version)
         body = hdlr + pitm + iinf + iprp + iloc
+        if construction == "idat":
+            body += _box(b"idat", b"".join(p for _i, _t, p in items))
         if alpha_payload is not None:
             # iref v0: auxl reference alpha(2) -> primary(1)
             body += _fullbox(
@@ -109,14 +145,24 @@ def encode_avif(
             )
         return _fullbox(b"meta", body)
 
+    if construction == "idat":
+        # idat-relative extents: no second pass needed
+        offsets = []
+        pos = 0
+        for _iid, _t, payload in items:
+            offsets.append(pos)
+            pos += len(payload)
+        meta = build_meta(offsets)
+        return ftyp + meta
+
     meta0 = build_meta([0] * len(items))
     mdat_body_start = len(ftyp) + len(meta0) + 8
     offsets = []
-    pos = mdat_body_start
+    pos = 0 if base_offset else mdat_body_start
     for _iid, _t, payload in items:
         offsets.append(pos)
         pos += len(payload)
-    meta = build_meta(offsets)
+    meta = build_meta(offsets, base=mdat_body_start if base_offset else 0)
     if len(meta) != len(meta0):  # pragma: no cover — fixed-width offsets
         raise ValueError("meta size changed across offset resolution")
     mdat = _box(b"mdat", b"".join(p for _i, _t, p in items))
@@ -157,8 +203,11 @@ def parse_avif(data: bytes) -> dict:
     brand = None
     meta_seen = False
     mdat_span: tuple[int, int] | None = None
+    idat_span: tuple[int, int] | None = None
+    iloc_version = None
     items: dict[int, str] = {}
     extents: dict[int, list[tuple[int, int]]] = {}
+    methods: dict[int, int] = {}
     props: list[tuple[bytes, bytes]] = []
     assoc: dict[int, list[int]] = {}
     primary_id = None
@@ -167,7 +216,7 @@ def parse_avif(data: bytes) -> dict:
     walked = 0
 
     def parse_meta(lo: int, hi: int) -> None:
-        nonlocal primary_id, handler
+        nonlocal primary_id, handler, idat_span, iloc_version
         for btype, body, end in _boxes(data, lo, hi):
             if btype == b"hdlr":
                 handler = data[body + 8 : body + 12].decode("ascii")
@@ -199,30 +248,73 @@ def parse_avif(data: bytes) -> dict:
                                 data[p + k] & 0x7F for k in range(acnt)
                             ]
                             p += acnt
+            elif btype == b"idat":
+                idat_span = (body, end)  # plain box: payload = body..end
             elif btype == b"iloc":
                 ver = data[body]
-                if ver != 0:
+                iloc_version = ver
+                if ver > 2:
                     raise NotImplementedError(
                         f"iloc version {ver} is not parsed"
                     )
                 sizes = data[body + 4]
                 off_sz, len_sz = sizes >> 4, sizes & 0xF
                 base_sz = data[body + 5] >> 4
-                if (off_sz, len_sz, base_sz) != (4, 4, 0):
-                    raise NotImplementedError(
-                        "only 4/4/0 iloc field widths are parsed"
+                idx_sz = data[body + 5] & 0xF if ver in (1, 2) else 0
+                for nm, sz in (("offset", off_sz), ("length", len_sz),
+                               ("base_offset", base_sz), ("index", idx_sz)):
+                    if sz not in (0, 4, 8):
+                        raise ValueError(f"iloc {nm}_size {sz} invalid")
+
+                def _field(p: int, sz: int) -> tuple[int, int]:
+                    if sz == 0:
+                        return 0, p
+                    return (
+                        int.from_bytes(data[p : p + sz], "big"),
+                        p + sz,
                     )
-                (icnt,) = struct.unpack_from(">H", data, body + 6)
-                p = body + 8
+
+                if ver == 2:
+                    (icnt,) = struct.unpack_from(">I", data, body + 6)
+                    p = body + 10
+                else:
+                    (icnt,) = struct.unpack_from(">H", data, body + 6)
+                    p = body + 8
                 for _ in range(icnt):
-                    iid, _dref, xcnt = struct.unpack_from(">HHH", data, p)
-                    p += 6
+                    if ver == 2:
+                        (iid,) = struct.unpack_from(">I", data, p)
+                        p += 4
+                    else:
+                        (iid,) = struct.unpack_from(">H", data, p)
+                        p += 2
+                    method = 0
+                    if ver in (1, 2):
+                        (cm,) = struct.unpack_from(">H", data, p)
+                        method = cm & 0xF
+                        p += 2
+                    if method == 2:
+                        raise NotImplementedError(
+                            "iloc construction method 2 (item offsets) "
+                            "is not parsed"
+                        )
+                    (_dref,) = struct.unpack_from(">H", data, p)
+                    p += 2
+                    base, p = _field(p, base_sz)
+                    (xcnt,) = struct.unpack_from(">H", data, p)
+                    p += 2
                     exts = []
                     for _ in range(xcnt):
-                        off, ln = struct.unpack_from(">II", data, p)
-                        p += 8
-                        exts.append((off, ln))
+                        eidx, p = _field(p, idx_sz)
+                        if eidx:
+                            raise NotImplementedError(
+                                "nonzero iloc extent_index (construction "
+                                "method 2 apparatus) is not parsed"
+                            )
+                        off, p = _field(p, off_sz)
+                        ln, p = _field(p, len_sz)
+                        exts.append((base + off, ln))
                     extents[iid] = exts
+                    methods[iid] = method
             elif btype == b"iref":
                 for rt, rb, _re2 in _boxes(data, body + 4, end):
                     if rt == b"auxl":
@@ -269,14 +361,21 @@ def parse_avif(data: bytes) -> dict:
             if "alpha" in urn:
                 has_alpha = True
     total = 0
-    extents_ok = mdat_span is not None
+    extents_ok = bool(extents)
     for iid, exts in extents.items():
+        method = methods.get(iid, 0)
         for off, ln in exts:
             total += ln
-            if mdat_span is None or not (
-                mdat_span[0] <= off and off + ln <= mdat_span[1]
-            ):
-                extents_ok = False
+            if method == 1:  # idat-relative
+                if idat_span is None or off + ln > (
+                    idat_span[1] - idat_span[0]
+                ):
+                    extents_ok = False
+            else:  # file offsets — must land inside mdat
+                if mdat_span is None or not (
+                    mdat_span[0] <= off and off + ln <= mdat_span[1]
+                ):
+                    extents_ok = False
     if prop_for(primary_id, b"av1C") is None:
         raise ValueError("primary item has no av1C codec configuration")
     return {
@@ -289,6 +388,8 @@ def parse_avif(data: bytes) -> dict:
         "bit_depth": bit_depth,
         "has_alpha": has_alpha,
         "extents": extents,
+        "methods": methods,
+        "iloc_version": iloc_version,
         "total_item_bytes": total,
         "extents_ok": extents_ok,
         "bytes_walked": walked,

@@ -2889,6 +2889,8 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            'avif' AS brand,
+           CASE doc_id % 4 WHEN 0 THEN 'v0-file' WHEN 1 THEN 'v1-base'
+                WHEN 2 THEN 'v1-idat' ELSE 'v2-file' END AS iloc_form,
            CAST(64 + 16 * (doc_id % 5) AS BIGINT) AS width,
            CAST(48 + 16 * (doc_id % 4) AS BIGINT) AS height,
            CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
@@ -2907,15 +2909,21 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
     "so a census limited to JPEG/PNG/GIF/TIFF/WebP goes blind exactly "
     "where new crawls grow): every 53rd document carries a "
     "structurally complete AVIF built by the vendored writer (ftyp, "
-    "meta with hdlr/pitm/iinf/iprp(ipco+ipma)/iloc/iref, payloads in "
-    "mdat at true file offsets via two-pass assembly) and censused by "
-    "the item walk — width/height come from the primary item's "
+    "meta with hdlr/pitm/iinf/iprp(ipco+ipma)/iloc/iref) and censused "
+    "by the item walk — width/height come from the primary item's "
     "ipma->ispe ASSOCIATION (not the first ispe found), bit depth "
     "from pixi, alpha from the auxl reference edge plus the auxC urn, "
-    "total_item_bytes from iloc extents each verified INSIDE the mdat "
-    "span (extents_ok). AV1 OBU payload decode is documented out (the "
-    "m16/m25 codec-config boundary). 100 TB shape: per-payload header "
-    "walk in Arrow-batched mapInPandas, no shuffle.",
+    "total_item_bytes from iloc extents each verified inside its "
+    "housing span (extents_ok). The d%4 lane covers the iloc forms "
+    "real HEICs ship (r12, VERDICT r11 item 3): v0 absolute file "
+    "offsets, v1 with a 4-byte base_offset, v1 construction method 1 "
+    "(payloads housed in meta's idat box, idat-relative extents), and "
+    "v2 32-bit item IDs — iloc_form crosses version, construction "
+    "method and extent verification per lane. Construction method 2 "
+    "and nonzero extent_index stay named refusals (taxonomy tests). "
+    "AV1 OBU payload decode is documented out (the m16/m25 codec-"
+    "config boundary). 100 TB shape: per-payload header walk in "
+    "Arrow-batched mapInPandas, no shuffle.",
 )
 def m27_avif_census(spark, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import BooleanType
@@ -2932,6 +2940,7 @@ def m27_avif_census(spark, sf_dir: str) -> DataFrame:
         [
             StructField("doc_id", LongType(), True),
             StructField("brand", StringType(), True),
+            StructField("iloc_form", StringType(), True),
             StructField("width", LongType(), True),
             StructField("height", LongType(), True),
             StructField("n_items", LongType(), True),
@@ -2941,6 +2950,13 @@ def m27_avif_census(spark, sf_dir: str) -> DataFrame:
             StructField("extents_ok", BooleanType(), True),
         ]
     )
+    # the iloc-form lane: (name, encode_avif kwargs, expected method)
+    lanes = [
+        ("v0-file", dict(iloc_version=0), 0),
+        ("v1-base", dict(iloc_version=1, base_offset=True), 0),
+        ("v1-idat", dict(iloc_version=1, construction="idat"), 1),
+        ("v2-file", dict(iloc_version=2), 0),
+    ]
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
@@ -2955,18 +2971,24 @@ def m27_avif_census(spark, sf_dir: str) -> DataFrame:
                     if d % 3 == 0
                     else None
                 )
+                form, kwargs, want_method = lanes[d % 4]
                 payload = encode_avif(
                     width=64 + 16 * (d % 5),
                     height=48 + 16 * (d % 4),
                     primary_payload=prim,
                     alpha_payload=alph,
                     bit_depth=8 + 2 * (d % 2),
+                    **kwargs,
                 )
                 info = parse_avif(payload)
+                lane_ok = info["iloc_version"] == kwargs.get(
+                    "iloc_version", 0
+                ) and all(m == want_method for m in info["methods"].values())
                 rows.append(
                     (
                         d,
                         info["brand"],
+                        form,
                         info["width"],
                         info["height"],
                         info["n_items"],
@@ -2974,6 +2996,7 @@ def m27_avif_census(spark, sf_dir: str) -> DataFrame:
                         info["bit_depth"],
                         info["total_item_bytes"],
                         info["extents_ok"]
+                        and lane_ok
                         and info["bytes_walked"] == len(payload),
                     )
                 )
@@ -2982,6 +3005,7 @@ def m27_avif_census(spark, sf_dir: str) -> DataFrame:
             columns=[
                 "doc_id",
                 "brand",
+                "iloc_form",
                 "width",
                 "height",
                 "n_items",

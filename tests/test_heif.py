@@ -82,12 +82,58 @@ class TestErrors:
         with pytest.raises(ValueError, match="pict"):
             parse_avif(bytes(b))
 
-    def test_iloc_v1_refused(self):
+    def test_iloc_v3_refused(self):
         b = bytearray(encode_avif(width=8, height=8, primary_payload=b"x"))
         i = bytes(b).find(b"iloc")
-        b[i + 4] = 1  # version byte of the fullbox
+        b[i + 4] = 3  # version byte of the fullbox
         with pytest.raises(NotImplementedError, match="iloc version"):
             parse_avif(bytes(b))
+
+    def test_iloc_construction_method_2_refused(self):
+        b = bytearray(
+            encode_avif(
+                width=8, height=8, primary_payload=b"x", iloc_version=1,
+                construction="idat",
+            )
+        )
+        i = bytes(b).find(b"iloc")
+        # tag(4) ver+flags(4) sizes(2) count(2) item_ID(2) then the
+        # 12+4 construction-method halfword — flip method 1 -> 2
+        p = i + 4 + 4 + 2 + 2 + 2 + 1
+        assert b[p] == 1
+        b[p] = 2
+        with pytest.raises(NotImplementedError, match="method 2"):
+            parse_avif(bytes(b))
+
+    def test_iloc_lane_round_trips(self):
+        # the m27 lane matrix: v0-file / v1-base / v1-idat / v2-file
+        lanes = [
+            (dict(iloc_version=0), 0),
+            (dict(iloc_version=1, base_offset=True), 0),
+            (dict(iloc_version=1, construction="idat"), 1),
+            (dict(iloc_version=2), 0),
+            (dict(iloc_version=2, construction="idat"), 1),
+        ]
+        for kwargs, want_method in lanes:
+            blob = encode_avif(
+                width=64, height=48, primary_payload=b"P" * 99,
+                alpha_payload=b"A" * 33, bit_depth=10, **kwargs,
+            )
+            info = parse_avif(blob)
+            assert info["extents_ok"], kwargs
+            assert info["total_item_bytes"] == 132
+            assert info["iloc_version"] == kwargs.get("iloc_version", 0)
+            assert all(
+                m == want_method for m in info["methods"].values()
+            ), kwargs
+            assert info["bytes_walked"] == len(blob)
+
+    def test_idat_needs_v1(self):
+        with pytest.raises(ValueError, match="idat construction"):
+            encode_avif(
+                width=8, height=8, primary_payload=b"x", iloc_version=0,
+                construction="idat",
+            )
 
 
 class TestProperty:
