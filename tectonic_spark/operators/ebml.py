@@ -7,9 +7,11 @@ element registry — no vendored tables beyond the element IDs used):
 
 * **EBML primitives**: variable-length element IDs (leading-zero
   length marker retained, per RFC 8794 §4) and data-size VINTs
-  (marker stripped; the all-ones size means "unknown" and is refused
-  as a named boundary — unknown-size streaming segments need resync
-  heuristics out of census scope).
+  (marker stripped; the all-ones size means "unknown"). Unknown-size
+  Segment and Cluster elements — the live-stream capture shape — are
+  parsed with child-boundary resync (RFC 8794 §6.2: the element ends
+  at the first ID that is not a valid child); unknown size on any
+  other element stays a named refusal (the Matroska profile).
 * **Muxer**: EBML header (DocType webm/matroska), Segment with Info
   (TimestampScale, Duration), Tracks (video: CodecID/PixelWidth/
   PixelHeight; audio: CodecID/SamplingFrequency/Channels), Clusters
@@ -72,6 +74,57 @@ _BLOCK_DURATION = 0x9B
 
 _MASTERS = {_EBML, _SEGMENT, _INFO, _TRACKS, _TRACK_ENTRY, _VIDEO, _AUDIO,
             _CLUSTER, _BLOCK_GROUP}
+
+# elements that MAY be written with the all-ones "unknown" size (the
+# live-stream shape — Matroska profile restricts unknown-size to
+# Segment and Cluster), and the child IDs that may follow inside each:
+# an unknown-size element ends at the first element that is not a
+# valid child (RFC 8794 §6.2 / Matroska resync)
+_SEEK_HEAD = 0x114D9B74
+_CUES = 0x1C53BB6B
+_CHAPTERS = 0x1043A770
+_TAGS = 0x1254C367
+_ATTACHMENTS = 0x1941A469
+_CLUSTER_POSITION = 0xA7
+_CLUSTER_PREV_SIZE = 0xAB
+_UNKNOWN_OK_CHILDREN = {
+    _SEGMENT: {
+        _INFO, _TRACKS, _CLUSTER, _SEEK_HEAD, _CUES, _CHAPTERS, _TAGS,
+        _ATTACHMENTS,
+    },
+    _CLUSTER: {
+        _CLUSTER_TS, _SIMPLE_BLOCK, _BLOCK_GROUP, _CLUSTER_POSITION,
+        _CLUSTER_PREV_SIZE,
+    },
+}
+
+
+def _resolve_unknown_end(data: bytes, eid: int, lo: int, hi: int) -> int:
+    """End position of an unknown-size ``eid`` whose body starts at
+    ``lo``: scan forward element-by-element until the first ID that is
+    not a valid child (or ``hi``). Nested unknown-size elements (a
+    live stream's unknown Clusters inside an unknown Segment) resolve
+    recursively."""
+    children = _UNKNOWN_OK_CHILDREN[eid]
+    pos = lo
+    while pos < hi:
+        cid, p = _read_vint(data, pos, keep_marker=True)
+        if cid not in children:
+            break
+        size, p = _read_vint(data, p, keep_marker=False)
+        if size >= 0:
+            if p + size > hi:
+                raise EOFError(
+                    f"element 0x{cid:X} at {pos} overruns its parent"
+                )
+            pos = p + size
+        else:
+            if cid not in _UNKNOWN_OK_CHILDREN:
+                raise NotImplementedError(
+                    f"unknown-size element 0x{cid:X} is not resyncable"
+                )
+            pos = _resolve_unknown_end(data, cid, p, hi)
+    return pos
 
 
 # ---------------------------------------------------------------------------
@@ -153,6 +206,7 @@ def encode_mkv(
     doc_type_version: int = 4,
     timestamp_scale: int = 1_000_000,
     duration_ms: float | None = None,
+    unknown_size: str | None = None,
 ) -> bytes:
     """Serialize a Matroska/WebM file.
 
@@ -162,7 +216,13 @@ def encode_mkv(
     dict with ``track``, ``offset`` (relative ts), and either
     ``frame`` (bytes; ``keyframe`` bool; SimpleBlock), ``frames``
     (list of bytes; Xiph-laced SimpleBlock), or ``group_frame``
-    (bytes; BlockGroup/Block with ``duration``)."""
+    (bytes; BlockGroup/Block with ``duration``).
+    ``unknown_size``: ``"segment"`` writes the Segment with the
+    all-ones size (the live-stream shape); ``"segment+clusters"``
+    additionally writes every Cluster unknown-size (resynced at the
+    next Cluster / end of stream)."""
+    if unknown_size not in (None, "segment", "segment+clusters"):
+        raise ValueError(f"unknown_size {unknown_size!r} not a valid form")
     head = _el(
         _EBML,
         _el(_EBML_VERSION, _uint(1))
@@ -251,7 +311,12 @@ def encode_mkv(
                 flags = 0x80 if blk.get("keyframe") else 0x00
                 body = tn + off + bytes([flags]) + blk["frame"]
                 cb += _el(_SIMPLE_BLOCK, body)
-        seg_body += _el(_CLUSTER, cb)
+        if unknown_size == "segment+clusters":
+            seg_body += _encode_id(_CLUSTER) + b"\xff" + cb
+        else:
+            seg_body += _el(_CLUSTER, cb)
+    if unknown_size is not None:
+        return head + _encode_id(_SEGMENT) + b"\xff" + seg_body
     return head + _el(_SEGMENT, seg_body)
 
 
@@ -375,14 +440,20 @@ def parse_mkv(data: bytes, *, keep_frames: bool = False) -> dict:
             eid, p = _read_vint(data, pos, keep_marker=True)
             size, p = _read_vint(data, p, keep_marker=False)
             if size < 0:
-                raise NotImplementedError(
-                    "unknown-size EBML elements are not parsed"
-                )
-            if p + size > hi:
-                raise EOFError(
-                    f"element 0x{eid:X} at {pos} overruns its parent"
-                )
-            body_lo, body_hi = p, p + size
+                if eid not in _UNKNOWN_OK_CHILDREN:
+                    raise NotImplementedError(
+                        f"unknown-size 0x{eid:X} is not parsed (only "
+                        "Segment and Cluster may omit their size)"
+                    )
+                # live-stream shape: resync on the first non-child
+                body_lo = p
+                body_hi = _resolve_unknown_end(data, eid, p, hi)
+            else:
+                if p + size > hi:
+                    raise EOFError(
+                        f"element 0x{eid:X} at {pos} overruns its parent"
+                    )
+                body_lo, body_hi = p, p + size
             if eid == _DOCTYPE:
                 out["doc_type"] = data[body_lo:body_hi].decode("ascii")
             elif eid == _DOCTYPE_VERSION:

@@ -2688,6 +2688,7 @@ def m16_mp4_census(spark, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS media_bytes,
            CAST(33 * n_video AS BIGINT) AS duration_ms,
            TRUE AS mkv_agree,
+           TRUE AS unknown_ok,
            TRUE AS extent_ok
     FROM m
     """,
@@ -2704,7 +2705,12 @@ def m16_mp4_census(spark, sf_dir: str) -> DataFrame:
     "EBML lacing (signed-vint deltas), and fixed-size lacing — plus "
     "both doc types: the SAME streams "
     "are wrapped twice (webm + matroska) and mkv_agree pins that both "
-    "censuses agree field-for-field except DocType. extent_ok pins the "
+    "censuses agree field-for-field except DocType. unknown_ok (r12, "
+    "VERDICT r11 item 4) additionally wraps the same stream with the "
+    "all-ones UNKNOWN segment size (the live-stream capture shape; "
+    "odd doc_ids also write every Cluster unknown-size) and pins that "
+    "child-boundary resync censuses identically with the walk still "
+    "covering every byte. extent_ok pins the "
     "walk covering the whole file. VP8/VP9/Opus payload decode is a "
     "named out-of-scope boundary (the m16/m22 doctrine). 100 TB shape: "
     "per-payload header walk in Arrow-batched mapInPandas, no shuffle.",
@@ -2738,11 +2744,12 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
             StructField("media_bytes", LongType(), True),
             StructField("duration_ms", LongType(), True),
             StructField("mkv_agree", BooleanType(), True),
+            StructField("unknown_ok", BooleanType(), True),
             StructField("extent_ok", BooleanType(), True),
         ]
     )
 
-    def build(d: int, doc_type: str):
+    def build(d: int, doc_type: str, unknown: str | None = None):
         from tectonic_spark.operators.ebml import encode_mkv as _enc
 
         n_video = 2 + d % 6
@@ -2816,6 +2823,7 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
             clusters,
             doc_type=doc_type,
             duration_ms=float(33 * n_video),
+            unknown_size=unknown,
         )
 
     def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2827,14 +2835,22 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
                 info = parse_mkv(payload)
                 # both-container agreement pin: the identical streams
                 # wrapped as matroska must census identically
+                agree_keys = (
+                    "tracks", "n_clusters", "n_blocks", "n_block_groups",
+                    "n_keyframes", "n_frames", "n_laced_blocks",
+                    "media_bytes", "duration_ms", "timestamp_scale",
+                )
                 info2 = parse_mkv(build(d, "matroska"))
                 agree = info2["doc_type"] == "matroska" and all(
-                    info[k] == info2[k]
-                    for k in (
-                        "tracks", "n_clusters", "n_blocks", "n_block_groups",
-                        "n_keyframes", "n_frames", "n_laced_blocks",
-                        "media_bytes", "duration_ms", "timestamp_scale",
-                    )
+                    info[k] == info2[k] for k in agree_keys
+                )
+                # unknown-size pin (r12): the live-stream wrapping of
+                # the SAME stream censuses identically, full coverage
+                form = "segment" if d % 2 == 0 else "segment+clusters"
+                ublob = build(d, "webm", unknown=form)
+                info3 = parse_mkv(ublob)
+                unknown_ok = info3["bytes_walked"] == len(ublob) and all(
+                    info[k] == info3[k] for k in agree_keys
                 )
                 v, a = info["tracks"]
                 rows.append(
@@ -2855,6 +2871,7 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
                         info["media_bytes"],
                         info["duration_ms"],
                         agree,
+                        unknown_ok,
                         info["bytes_walked"] == len(payload),
                     )
                 )
@@ -2877,6 +2894,7 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
                 "media_bytes",
                 "duration_ms",
                 "mkv_agree",
+                "unknown_ok",
                 "extent_ok",
             ],
         )

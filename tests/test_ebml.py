@@ -122,13 +122,60 @@ class TestErrors:
         with pytest.raises(EOFError):
             parse_mkv(mkv[:-3])
 
-    def test_unknown_size_refused(self):
-        # hand-build: EBML header then a Segment with all-ones size
+    def test_unknown_size_segment_accepted(self):
+        # r12: the live-stream shape — Segment (and Clusters) written
+        # with the all-ones size census identically to the sized form
+        clusters = [
+            {"timestamp": 0, "blocks": [_simple(1, b"v0", key=True)]},
+            {"timestamp": 50, "blocks": [_simple(1, b"v1v1")]},
+        ]
+        base = parse_mkv(encode_mkv([VIDEO], clusters, duration_ms=66.0))
+        for form in ("segment", "segment+clusters"):
+            blob = encode_mkv(
+                [VIDEO], clusters, duration_ms=66.0, unknown_size=form
+            )
+            info = parse_mkv(blob)
+            assert info["bytes_walked"] == len(blob)
+            for k in (
+                "tracks", "n_clusters", "n_blocks", "n_keyframes",
+                "n_frames", "media_bytes", "duration_ms", "doc_type",
+            ):
+                assert info[k] == base[k], (form, k)
+
+    def test_unknown_cluster_resyncs_on_next_cluster(self):
+        # cluster boundary = the next Cluster ID, not a stored size
+        clusters = [
+            {"timestamp": 0, "blocks": [_simple(1, b"aa", key=True)]},
+            {"timestamp": 10, "blocks": [_simple(1, b"bbb")]},
+            {"timestamp": 20, "blocks": [_simple(1, b"cccc")]},
+        ]
+        blob = encode_mkv([VIDEO], clusters, unknown_size="segment+clusters")
+        info = parse_mkv(blob, keep_frames=True)
+        assert info["n_clusters"] == 3
+        assert [f for _t, f in info["frames"]] == [b"aa", b"bbb", b"cccc"]
+
+    def test_unknown_size_other_elements_refused(self):
+        # only Segment/Cluster may omit their size (Matroska profile):
+        # an unknown-size Info is a named refusal
         good = encode_mkv([VIDEO], [])
-        head_end = good.find(b"\x18\x53\x80\x67")
-        hacked = good[:head_end] + b"\x18\x53\x80\x67\xff" + b"\x1f\x43\xb6\x75\x80"
+        info_id = b"\x15\x49\xa9\x66"
+        at = good.find(info_id)
+        size_len = 9 - good[at + 4].bit_length()
+        hacked = (
+            good[: at + 4] + b"\xff"
+            + good[at + 4 + size_len :]
+        )
         with pytest.raises(NotImplementedError, match="unknown-size"):
             parse_mkv(hacked)
+
+    def test_unknown_segment_truncation_still_raises(self):
+        blob = encode_mkv(
+            [VIDEO],
+            [{"timestamp": 0, "blocks": [_simple(1, b"xxxx")]}],
+            unknown_size="segment+clusters",
+        )
+        with pytest.raises(EOFError):
+            parse_mkv(blob[:-3])
 
     def test_ebml_lace_overrun(self):
         # EBML lacing whose declared first size overruns the payload
