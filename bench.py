@@ -1053,11 +1053,11 @@ def main() -> None:
         "headline_normalized": (
             round(value * canary / idle_ref, 3) if canary else None
         ),
-        "headline_normalized_parallel": (
-            round(value * PAR_CANARY_START / idle_par, 3)
-            if PAR_CANARY_START and idle_par
-            else None
-        ),
+        # the legacy start-canary-only parallel normalization was
+        # DROPPED in r12 (VERDICT r11 item 6): on a loaded host it
+        # over-normalized into uselessness (2.151 vs the bracketed
+        # 4.938 in r11) — the segment-bracketed variant below is the
+        # one parallel-normalized number
         # segment-bracketed normalization (VERDICT r10 item 6): the
         # headline segment normalized by the max of the JVM-free
         # pre-Spark reading AND its bracketing mid-run samples. The
@@ -1107,9 +1107,12 @@ def main() -> None:
                 "metric": "headline_summary",
                 "headline_raw": value,
                 "headline_normalized": out["headline_normalized"],
-                "headline_normalized_parallel": out[
-                    "headline_normalized_parallel"
-                ],
+                # r12 (VERDICT r11 item 6): the sf1 contention flag
+                # rides the compact line the driver tail keeps, and the
+                # segment-bracketed number is the ONE parallel-
+                # normalized figure (legacy start-canary-only variant
+                # dropped — it over-normalizes on a loaded host)
+                "sf1_contended": out["sf1_contended"],
                 "canary": canary,
                 "canary_idle_ref": idle_ref,
                 "par_canary_start": PAR_CANARY_START,

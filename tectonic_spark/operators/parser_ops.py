@@ -5452,7 +5452,7 @@ def _warc_robots_src(sf_dir: str) -> tuple[str, int]:
     rows = _docs_rows(sf_dir)
     n_shards = max(4, len(rows) // 15000)
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, f"a34_src_{n_shards}")
+    src = os.path.join(base, f"c05_robots_src_{n_shards}")  # named for its query (r12: was a34_src, a name with no a34 query)
     done = os.path.join(src, "_DONE")
     if os.path.exists(done):
         return src, n_shards

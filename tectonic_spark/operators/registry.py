@@ -72,6 +72,67 @@ def register(
 # REGISTRY in this order; duplicates below dedupe first-wins; names not
 # listed keep registration order at the tail.
 PRIORITY: list[str] = [
+    # --- r12 tier 2: registered this round (first driver rows) ---
+    "a38_temporal_index_lookup",  # temporal answers from the zipnum index
+    "a39_revisit_index_fetch",  # two-hop revisit resolution via the index
+    # --- r12 tier 3: changed code this round — warc.py gained the
+    # brotli decode path (+_render_response_record's ce override), so
+    # every query riding parse_http_response/_extract_crawl_response
+    # re-verifies; ebml.py gained unknown-size resync (m25/m26/s13
+    # riders); heif.py gained iloc v1/v2/idat (m27); the robots
+    # fixture dir was renamed (c05_robots_gate) ---
+    "a33_content_encoding_census",  # br lane now decodes (matrix v2)
+    "a25_warc_ingest",
+    "a27_wet_wat_ingest",
+    "a28_warc_export_roundtrip",
+    "a30_cdxj_fetch",
+    "a31_warc_revisit",
+    "a32_redirect_resolution",
+    "a36_zipnum_lookup",
+    "a37_capture_timeline",
+    "c03_page_metadata",
+    "c05_robots_gate",
+    "c05_crawl_curation",
+    "s15_warc_stream",
+    "m25_webm_census",  # + the new unknown_ok column
+    "m26_opus_dual_container",
+    "m27_avif_census",  # + the new iloc_form column
+    # --- r12 tier 4: warm fill = the 32 LONGEST-UNSAMPLED names
+    # (VERDICT r11 item 5: all 209 r11 names are driver-green, so the
+    # window re-verifies the oldest evidence — last driver rows r1-r3,
+    # then the r4 head) ---
+    "b11_session_window",  # r1
+    "b12_dedup_earliest",  # r1
+    "b13_grouped_map_udf",  # r1
+    "a08_csv_sink_roundtrip",  # r2
+    "a09_json_sink_roundtrip",  # r2
+    "a10_tectonic_json_writer",  # r2
+    "a11_tectonic_csv_writer",  # r2
+    "b03_join_anti",  # r2
+    "b03_join_outer",  # r2
+    "b03_join_semi",  # r2
+    "b05_distinct_agg",  # r2
+    "b06_cube",  # r2
+    "b07_rank_dense",  # r2
+    "b07_running_window",  # r2
+    "b10_array_map_json",  # r2
+    "b10_datetime_functions",  # r2
+    "c03_bpe_tokens",  # r2
+    "c03_fingerprint",  # r2
+    "m03_resize",  # r2
+    "m04_feature_extract",  # r2
+    "m05_audio_window_stats",  # r2
+    "a07_parquet_sink_roundtrip",  # r3
+    "a12_catalog_table_roundtrip",  # r3
+    "a14_csv_filter_pushdown",  # r3
+    "c01_dedup_exact",  # r3
+    "c02_ann_ivf",  # r3
+    "c03_lang_id",  # r3
+    "q02_min_cost_supplier",  # r3
+    "q11_important_stock",  # r3
+    "a01_json_scan",  # r4
+    "a02_csv_scan",  # r4
+    "a03_projection_pushdown",  # r4
     # --- r11 tier 1: never driver-sampled — the 16 r10 registrations
     # (VERDICT r10 item 8: the judge's independent 16/16 oracle run is
     # strong but driver rows are the standing hard signal) ---
