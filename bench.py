@@ -552,6 +552,48 @@ def _warc_extract_rate() -> dict[str, float]:
     return {"warc_extract_mb_per_sec": round(html_bytes / 1e6 / best, 2)}
 
 
+def _brotli_rate() -> dict[str, float]:
+    """RFC 7932 codec floor, single core, best-of-3 CPU-time (r12):
+    decode rated over the DECODED page bytes (the number the crawl
+    extraction path pays per br-coded response body), encode over the
+    input bytes (the fixture-builder cost)."""
+    import time as _t
+
+    from tectonic_spark.operators.brotli import compress, decompress
+    from tectonic_spark.operators.warc import html_page
+
+    pages = [
+        html_page(
+            " ".join(f"word{(i * 17 + j) % 97}" for j in range(60)),
+            title=f"doc {i}",
+            lang="en",
+        )
+        for i in range(200)
+    ]
+    blobs = [compress(p, mode="lz") for p in pages]
+    out_mb = sum(len(p) for p in pages) / 1e6
+
+    def run() -> None:
+        for blob, page in zip(blobs, pages):
+            if decompress(blob) != page:
+                raise RuntimeError("brotli round-trip mismatch")
+
+    run()  # warm
+    best = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        run()
+        best = min(best, _t.process_time() - t0)
+    t0 = _t.process_time()
+    for p in pages:
+        compress(p, mode="lz")
+    t_enc = _t.process_time() - t0
+    return {
+        "brotli_decode_mb_per_sec": round(out_mb / best, 2),
+        "brotli_encode_mb_per_sec": round(out_mb / t_enc, 2),
+    }
+
+
 def _pdf_extract_rate() -> dict[str, float]:
     """PDF text-extraction rate, single core, best-of-3 CPU-time (r10):
     FlateDecode'd multi-page documents through the xref-stream/ObjStm
@@ -1012,6 +1054,7 @@ def main() -> None:
         **_gif_decode_rate(),
         **_webp_decode_rate(),
         **_warc_extract_rate(),
+        **_brotli_rate(),
         **_pdf_extract_rate(),
         **_audio_codec_rates(),
         **_stream_latency(spark, sf_dir),

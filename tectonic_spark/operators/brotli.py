@@ -248,12 +248,18 @@ class _BitWriter:
 _CONST = "const"  # marker for 0-bit single-symbol codes
 
 
+_TABLE_BITS = 10  # flat-table cap: longer codes fall back bit-serially
+
+
 def _huff_decoder(lengths: list[int]):
-    """Canonical code-lengths → a flat LSB-indexed decode table
-    ``(table, maxlen)``. Codes are canonical MSB-first (assigned in
-    (length, symbol) order) read first-bit-first, so the table index is
-    the bit-reversed code padded to ``maxlen``. Rejects over/under-
-    subscribed length sets (RFC 7932 requires complete codes)."""
+    """Canonical code-lengths → ``(table, nbits, long_codes)``: a flat
+    LSB-indexed decode table over ``nbits = min(maxlen, 10)`` bits,
+    plus a (length, code) → symbol dict for the rare longer codes
+    (building a full 2^15 table per tree dominated small-body decode).
+    Codes are canonical MSB-first (assigned in (length, symbol) order)
+    read first-bit-first, so the table index is the bit-reversed code.
+    Rejects over/under-subscribed length sets (RFC 7932 requires
+    complete codes)."""
     maxlen = max(lengths)
     kraft = sum((1 << (maxlen - l)) for l in lengths if l)
     if kraft != (1 << maxlen):
@@ -267,29 +273,48 @@ def _huff_decoder(lengths: list[int]):
     for l in range(1, maxlen + 1):
         code = (code + bl_count[l - 1]) << 1
         next_code[l] = code
-    table: list = [None] * (1 << maxlen)
+    nbits = min(maxlen, _TABLE_BITS)
+    table: list = [None] * (1 << nbits)
+    long_codes: dict[tuple[int, int], int] = {}
     for sym, l in enumerate(lengths):
         if not l:
             continue
         c = next_code[l]
         next_code[l] += 1
+        if l > nbits:
+            long_codes[(l, c)] = sym
+            continue
         rev = 0
         for k in range(l):
             rev = (rev << 1) | ((c >> k) & 1)
         entry = (sym, l)
-        step = 1 << l
-        for idx in range(rev, 1 << maxlen, step):
+        for idx in range(rev, 1 << nbits, 1 << l):
             table[idx] = entry
-    return table, maxlen
+    return table, nbits, long_codes
 
 
 def _read_sym(br: _BitReader, dec) -> int:
     if dec[0] is _CONST:
         return dec[1]
-    table, maxlen = dec
-    sym, length = table[br.peek(maxlen)]
-    br.consume(length)
-    return sym
+    table, nbits, long_codes = dec
+    entry = table[br.peek(nbits)]
+    if entry is not None:
+        br.consume(entry[1])
+        return entry[0]
+    # long code: accumulate MSB-first past the table width
+    code = 0
+    bits = br.peek(nbits)
+    for k in range(nbits):
+        code = (code << 1) | ((bits >> k) & 1)
+    br.consume(nbits)
+    length = nbits
+    while length < 16:
+        code = (code << 1) | br.read(1)
+        length += 1
+        sym = long_codes.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("prefix code walk exceeded 15 bits")
 
 
 _SIMPLE_SHAPES = {1: (0,), 2: (1, 1), 3: (1, 2, 2)}
@@ -561,6 +586,16 @@ def decompress(data: bytes, *, max_output: int = 1 << 31) -> bytes:
             else [0] * (4 * bs_d.n)
         )
         lit_dec = [_read_prefix_code(br, 256) for _ in range(ntrees_l)]
+        # the common shape (one literal block type, one tree, every
+        # code inside the flat table) gets an inlined per-byte loop
+        lit_fast = (
+            lit_dec[0]
+            if bs_l.n == 1
+            and ntrees_l == 1
+            and lit_dec[0][0] is not _CONST
+            and not lit_dec[0][2]
+            else None
+        )
         cmd_dec = [_read_prefix_code(br, 704) for _ in range(bs_i.n)]
         dist_alpha = 16 + ndirect + (48 << npostfix)
         dist_dec = [_read_prefix_code(br, dist_alpha) for _ in range(ntrees_d)]
@@ -582,20 +617,48 @@ def decompress(data: bytes, *, max_output: int = 1 << 31) -> bytes:
             base, extra = _CPY_BASE[cpy_code]
             cpy_len = base + br.read(extra)
 
-            for _ in range(ins_len):
-                bt_l = bs_l.tick(br)
-                mode = modes[bt_l]
-                if mode == 0:
-                    ctx = p1 & 0x3F
-                elif mode == 1:
-                    ctx = p1 >> 2
-                else:
-                    ctx = 0  # constant row — pinned above
-                byte = _read_sym(br, lit_dec[cmap_l[64 * bt_l + ctx]])
-                out.append(byte)
-                p2 = p1
-                p1 = byte
-                mpos += 1
+            if lit_fast is not None and ins_len:
+                # fast path (one literal block type, one tree): the
+                # bit reservoir is pulled into locals so the per-byte
+                # cost is one table lookup + integer ops, no calls
+                table, maxlen, _lc = lit_fast
+                mask = (1 << maxlen) - 1
+                buf, cnt, bpos = br.buf, br.cnt, br.byte
+                data = br.data
+                for _ in range(ins_len):
+                    while cnt < maxlen:
+                        chunk = data[bpos : bpos + 8]
+                        if not chunk:
+                            break
+                        buf |= int.from_bytes(chunk, "little") << cnt
+                        cnt += 8 * len(chunk)
+                        bpos += len(chunk)
+                    byte, length = table[buf & mask]
+                    if length > cnt:
+                        raise EOFError("truncated brotli stream")
+                    buf >>= length
+                    cnt -= length
+                    out.append(byte)
+                br.buf, br.cnt, br.byte = buf, cnt, bpos
+                bs_l.remaining -= ins_len
+                mpos += ins_len
+                p1 = out[-1]
+                p2 = out[-2] if len(out) > 1 else 0
+            else:
+                for _ in range(ins_len):
+                    bt_l = bs_l.tick(br)
+                    mode = modes[bt_l]
+                    if mode == 0:
+                        ctx = p1 & 0x3F
+                    elif mode == 1:
+                        ctx = p1 >> 2
+                    else:
+                        ctx = 0  # constant row — pinned above
+                    byte = _read_sym(br, lit_dec[cmap_l[64 * bt_l + ctx]])
+                    out.append(byte)
+                    p2 = p1
+                    p1 = byte
+                    mpos += 1
             if mpos >= mlen:
                 if mpos > mlen:
                     raise ValueError("insert run overruns meta-block")
@@ -747,8 +810,9 @@ def _write_prefix_code(
         seq[s] = l
     while seq and seq[-1] == 0:
         seq.pop()
+    stream = _cl_symbol_stream(seq)
     cl_freq: dict[int, int] = {}
-    for v in seq:
+    for v, _e, _n in stream:
         cl_freq[v] = cl_freq.get(v, 0) + 1
     if len(cl_freq) == 1:
         (v,) = cl_freq
@@ -774,10 +838,70 @@ def _write_prefix_code(
             space -= 32 >> v
             if space <= 0:
                 break
-    for v in seq:
+    for v, extra, nbits in stream:
         code, l = cl_codes[v]
         w.write_code(code, l)
+        if nbits:
+            w.write(extra, nbits)
     return _canonical_codes(lengths)
+
+
+def _run_extras(run: int, factor: int) -> list[int]:
+    """Extra-bit values for a 16/17 chain totalling EXACTLY ``run``
+    repeats, mirroring the decoder's accumulation rule
+    ``r' = (r-2)*factor + 3 + e`` (r12 — without run codes, a sparse
+    704-symbol command alphabet costs ~700 header symbols per
+    meta-block and header decode dominates small-body work). The
+    per-depth reachable ranges are contiguous, so any run >= 3 up to
+    alphabet size has an exact chain."""
+    lo, hi = 3, 2 + factor
+    ranges = [(lo, hi)]
+    while ranges[-1][1] < run:
+        lo, hi = ranges[-1]
+        ranges.append(((lo - 2) * factor + 3, (hi - 2) * factor + 2 + factor))
+    targets = [run]
+    for k in range(len(ranges) - 2, -1, -1):
+        nxt = targets[0]
+        # pick r_k with (r_k-2)*factor+3 <= nxt <= (r_k-2)*factor+2+factor
+        r_k = 2 + (nxt - 3) // factor
+        if (r_k - 2) * factor + 2 + factor < nxt:  # pragma: no cover
+            r_k += 1
+        r_k = max(ranges[k][0], min(ranges[k][1], r_k))
+        targets.insert(0, r_k)
+    extras = [targets[0] - 3]
+    for prev, cur in zip(targets, targets[1:]):
+        extras.append(cur - ((prev - 2) * factor + 3))
+    if not all(0 <= e < factor for e in extras):  # pragma: no cover
+        raise AssertionError(f"run {run}: bad chain extras {extras}")
+    return extras
+
+
+def _cl_symbol_stream(seq: list[int]) -> list[tuple[int, int, int]]:
+    """Code-length sequence → (cl_symbol, extra_value, extra_bits)
+    stream using the 16 (repeat previous) / 17 (zero run) codes."""
+    out: list[tuple[int, int, int]] = []
+    i = 0
+    n = len(seq)
+    while i < n:
+        v = seq[i]
+        j = i
+        while j < n and seq[j] == v:
+            j += 1
+        run = j - i
+        if v == 0:
+            if run < 3:
+                out.extend((0, 0, 0) for _ in range(run))
+            else:
+                out.extend((17, e, 3) for e in _run_extras(run, 8))
+        else:
+            out.append((v, 0, 0))
+            rep = run - 1
+            if rep < 3:
+                out.extend((v, 0, 0) for _ in range(rep))
+            else:
+                out.extend((16, e, 2) for e in _run_extras(rep, 4))
+        i = j
+    return out
 
 
 def _ins_code(n: int) -> int:

@@ -6909,3 +6909,100 @@ def a39_revisit_index_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved.unpersist()
     probes.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
+
+
+def _docs_br_mixed_src(sf_dir: str) -> str:
+    """documents as 4 NDJSON shards in the mixed compression layout a
+    real crawl drop ships once brotli is in the mix: plain, .gz, and
+    two .br shards whose streams exercise both the LZ and the
+    uncompressed-meta-block encoder lanes (r12 — the a20/a23 family
+    extended with the vendored RFC 7932 codec)."""
+    import gzip
+
+    from tectonic_spark.operators.brotli import compress
+
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "a40_src")
+    done = os.path.join(src, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        rows = _docs_rows(sf_dir)
+        lines = [
+            json.dumps(
+                {"doc_id": d, "text": t, "lang": lg, "source": s, "n_chars": n}
+            )
+            for d, t, lg, s, n in rows
+        ]
+        quarter = (len(lines) + 3) // 4
+        for i in range(4):
+            body = ("\n".join(lines[i * quarter : (i + 1) * quarter]) + "\n").encode()
+            if i == 0:
+                _write_atomic(os.path.join(src, "part-0.jsonl"), body)
+            elif i == 1:
+                _write_atomic(
+                    os.path.join(src, "part-1.jsonl.br"),
+                    compress(body, mode="lz"),
+                )
+            elif i == 2:
+                _write_atomic(
+                    os.path.join(src, "part-2.jsonl.gz"), gzip.compress(body)
+                )
+            else:
+                _write_atomic(
+                    os.path.join(src, "part-3.jsonl.br"),
+                    compress(body, mode="uncompressed"),
+                )
+        _write_atomic(done, b"ok")
+    return src
+
+
+@register(
+    "a40_brotli_jsonl_scan",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Brotli NDJSON ingestion (r12, beyond the ask list — the "
+    "compressed-scan family a20/.gz + a23/.zst gains the web's other "
+    "codec): a directory mixing plain, .gz and .br shards scans "
+    "through the same tectonic-json source; .br files decode through "
+    "the vendored RFC 7932 decoder (brotli.py) and plan as ONE whole-"
+    "file split each (brotli is not block-splittable; the two .br "
+    "shards exercise the LZ and uncompressed-meta-block stream "
+    "shapes), while the plain shard keeps its byte-range splits — the "
+    "builder raises unless the planner actually produced both split "
+    "kinds. The aggregate must equal the uncompressed table exactly, "
+    "so chars pins the brotli round trip line-for-line. 100 TB shape: "
+    "per-file executor-side decode, scan parallelism = shard count "
+    "(the compressed-layout doctrine: shard size stays bounded, counts "
+    "scale with the corpus).",
+)
+def a40_brotli_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.sources.json_source import list_input_files, plan_splits
+
+    register_tectonic_sources(spark)
+    src = _docs_br_mixed_src(sf_dir)
+    files = list_input_files(src)
+    splits = plan_splits(files, split_bytes=16 * 1024, splittable=True)
+    br = [sp for sp in splits if sp.file.endswith(".br")]
+    plain = [sp for sp in splits if sp.file.endswith(".jsonl")]
+    if len(br) != 2 or not plain:
+        raise RuntimeError("a40: fixture must plan both br and plain splits")
+    if any(sp.start != 0 or sp.end != sp.file_size for sp in br):
+        raise RuntimeError("a40: br files must plan as whole-file splits")
+    d = (
+        spark.read.format("tectonic-json")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("splitSizeBytes", str(16 * 1024))
+        .load(src)
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )

@@ -81,14 +81,19 @@ def list_input_files(path: str, suffix: str | None = None) -> list[str]:
     return hits
 
 
-_COMPRESSED_EXTS = (".gz", ".bz2", ".xz")
+_COMPRESSED_EXTS = (".gz", ".bz2", ".xz", ".br")
 
 
 def open_input(path: str):
-    """Binary handle; ``.gz``/``.bz2``/``.xz`` transparently
-    stream-decompress (none are block-splittable, so compressed files
-    always plan as ONE whole-file split and the read paths treat their
-    end bound as EOF)."""
+    """Binary handle; ``.gz``/``.bz2``/``.xz``/``.br`` transparently
+    decompress (none are block-splittable, so compressed files always
+    plan as ONE whole-file split and the read paths treat their end
+    bound as EOF). ``.br`` decodes through the vendored RFC 7932
+    decoder (operators/brotli.py) into a memory buffer — shard-sized
+    files by the layout doctrine; a stream that hits the decoder's
+    named boundaries (static dictionary, UTF8 multi-tree contexts) is
+    a loud task error here, not a census: a file that cannot be
+    decoded cannot be scanned."""
     low = path.lower()
     if low.endswith(".gz"):
         import gzip
@@ -102,6 +107,13 @@ def open_input(path: str):
         import lzma
 
         return lzma.open(path, "rb")
+    if low.endswith(".br"):
+        import io
+
+        from tectonic_spark.operators.brotli import decompress
+
+        with open(path, "rb") as f:
+            return io.BytesIO(decompress(f.read()))
     return open(path, "rb")
 
 
