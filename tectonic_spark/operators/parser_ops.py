@@ -6912,47 +6912,53 @@ def a39_revisit_index_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_br_mixed_src(sf_dir: str) -> str:
-    """documents as 4 NDJSON shards in the mixed compression layout a
+    """documents as NDJSON shards in the mixed compression layout a
     real crawl drop ships once brotli is in the mix: plain, .gz, and
-    two .br shards whose streams exercise both the LZ and the
-    uncompressed-meta-block encoder lanes (r12 — the a20/a23 family
-    extended with the vendored RFC 7932 codec)."""
+    .br shards (alternating the LZ and uncompressed-meta-block encoder
+    lanes) — r12, the a20/a23 family extended with the vendored RFC
+    7932 codec. Shard COUNT scales with the corpus (the a25 layout
+    doctrine): compressed files are whole-file splits, so a fixed
+    shard count would serialize the scan at large SF behind one big
+    single-threaded decode."""
     import gzip
 
     from tectonic_spark.operators.brotli import compress
 
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, "a40_src")
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    src = os.path.join(base, f"a40_src_{n_shards}")
     done = os.path.join(src, "_DONE")
     if not os.path.exists(done):
         import shutil
 
         shutil.rmtree(src, ignore_errors=True)
         os.makedirs(src, exist_ok=True)
-        rows = _docs_rows(sf_dir)
         lines = [
             json.dumps(
                 {"doc_id": d, "text": t, "lang": lg, "source": s, "n_chars": n}
             )
             for d, t, lg, s, n in rows
         ]
-        quarter = (len(lines) + 3) // 4
-        for i in range(4):
-            body = ("\n".join(lines[i * quarter : (i + 1) * quarter]) + "\n").encode()
-            if i == 0:
-                _write_atomic(os.path.join(src, "part-0.jsonl"), body)
-            elif i == 1:
+        per = (len(lines) + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            body = ("\n".join(lines[i * per : (i + 1) * per]) + "\n").encode()
+            form = i % 4
+            if form == 0:
+                _write_atomic(os.path.join(src, f"part-{i:03d}.jsonl"), body)
+            elif form == 1:
                 _write_atomic(
-                    os.path.join(src, "part-1.jsonl.br"),
+                    os.path.join(src, f"part-{i:03d}.jsonl.br"),
                     compress(body, mode="lz"),
                 )
-            elif i == 2:
+            elif form == 2:
                 _write_atomic(
-                    os.path.join(src, "part-2.jsonl.gz"), gzip.compress(body)
+                    os.path.join(src, f"part-{i:03d}.jsonl.gz"),
+                    gzip.compress(body),
                 )
             else:
                 _write_atomic(
-                    os.path.join(src, "part-3.jsonl.br"),
+                    os.path.join(src, f"part-{i:03d}.jsonl.br"),
                     compress(body, mode="uncompressed"),
                 )
         _write_atomic(done, b"ok")
@@ -6971,15 +6977,16 @@ def _docs_br_mixed_src(sf_dir: str) -> str:
     "codec): a directory mixing plain, .gz and .br shards scans "
     "through the same tectonic-json source; .br files decode through "
     "the vendored RFC 7932 decoder (brotli.py) and plan as ONE whole-"
-    "file split each (brotli is not block-splittable; the two .br "
-    "shards exercise the LZ and uncompressed-meta-block stream "
-    "shapes), while the plain shard keeps its byte-range splits — the "
+    "file split each (brotli is not block-splittable; the .br shards "
+    "alternate the LZ and uncompressed-meta-block stream shapes), "
+    "while the plain shards keep their byte-range splits — the "
     "builder raises unless the planner actually produced both split "
     "kinds. The aggregate must equal the uncompressed table exactly, "
     "so chars pins the brotli round trip line-for-line. 100 TB shape: "
-    "per-file executor-side decode, scan parallelism = shard count "
-    "(the compressed-layout doctrine: shard size stays bounded, counts "
-    "scale with the corpus).",
+    "per-file executor-side decode with shard COUNT scaling with the "
+    "corpus (the layout doctrine — a fixed count would serialize the "
+    "scan behind one whole-file decode: the sf10 probe read 0.65x "
+    "linear on the fixed-4 variant and 0.39x on this shape).",
 )
 def a40_brotli_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -6992,7 +6999,7 @@ def a40_brotli_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits = plan_splits(files, split_bytes=16 * 1024, splittable=True)
     br = [sp for sp in splits if sp.file.endswith(".br")]
     plain = [sp for sp in splits if sp.file.endswith(".jsonl")]
-    if len(br) != 2 or not plain:
+    if len(br) < 2 or not plain:
         raise RuntimeError("a40: fixture must plan both br and plain splits")
     if any(sp.start != 0 or sp.end != sp.file_size for sp in br):
         raise RuntimeError("a40: br files must plan as whole-file splits")
