@@ -7013,3 +7013,262 @@ def a40_brotli_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
     )
+
+
+@register(
+    "s16_stream_brotli_ingest",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang
+    """,
+    doc="STREAMING brotli ingestion (r12 — the a40 story under "
+    "Structured Streaming, completing the compressed-arrival family "
+    "s14/.zst + s15/WARC with the web's other codec): the SAME mixed "
+    "plain/.gz/.br NDJSON shard directory streams through the "
+    "tectonic-json DataSourceStreamReader (directory-snapshot "
+    "offsets; compressed shards plan as whole-file splits and the .br "
+    "ones decode through the vendored RFC 7932 decoder inside their "
+    "micro-batch task) into a checkpointed append parquet sink, and "
+    "the sink aggregate must equal the uncompressed table exactly. "
+    "The arrival pattern of a real corpus drop: shards land "
+    "compressed, the pipeline never re-materializes them. 100 TB "
+    "shape: per-file executor-side decode, ingest parallelism = "
+    "shard count (scaling with the corpus, the a40 layout doctrine).",
+)
+def s16_stream_brotli_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    register_tectonic_sources(spark)
+    src = _docs_br_mixed_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s16_sink")
+    ck = os.path.join(base, "s16_ck")
+    for d in (out, ck):  # deterministic fresh run per invocation
+        shutil.rmtree(d, ignore_errors=True)
+    stream = (
+        spark.readStream.format("tectonic-json")
+        .schema("doc_id long, text string, lang string, source string, n_chars long")
+        .load(src)
+    )
+    q = (
+        stream.select("doc_id", "lang", "n_chars")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:
+        q.stop()
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
+@register(
+    "a41_surt_prefix_scan",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE CAST(substr(source, 4, 10) AS INT) % 4 = 1
+    GROUP BY lang
+    """,
+    doc="SURT prefix RANGE scan from the zipnum index (r12, beyond the "
+    "ask list — the other half of the wayback access pattern: a36/a38 "
+    "answer point lookups, this answers 'give me EVERY capture under "
+    "these hosts'): probe hosts (trailing source number % 4 = 1, a "
+    "quarter of the corpus) become SURT prefixes whose ')/'-terminated "
+    "host part cannot collide with longer host names (src1 never "
+    "matches src10); because the index is sorted, each prefix's "
+    "captures are one CONTIGUOUS run of lines, so the cluster.idx "
+    "bisect yields a minimal covering block range — asserted in code: "
+    "blocks touched <= matched_entries/block_lines + 2 per prefix (a "
+    "range scan that degenerates to the whole index fails), plus the "
+    "standard member-bytes == indexed-lengths and "
+    "every-fetched-doc-in-the-probe-set pins. Matched members are "
+    "ranged-fetched, digest-verified and extracted, so chars crosses "
+    "the range plan, the fetch and extraction. 100 TB shape: the "
+    "export job a real archive runs daily — work scales with the "
+    "MATCHED data (blocks + members), never with the corpus; "
+    "cluster.idx stays the only resident piece.",
+)
+def a41_surt_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.operators.cdxj import parse_cluster_idx
+    from tectonic_spark.tables import table
+
+    idx_dir, warc_dir, _n_blocks = _zipnum_src(sf_dir)
+    with open(os.path.join(idx_dir, "cluster.idx"), "rb") as f:
+        cluster = parse_cluster_idx(f.read())
+    block_keys = [e["key"] for e in cluster]
+
+    # probe hosts: a bounded collect of the tiny distinct-source set
+    hosts = [
+        r[0]
+        for r in table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .filter(F.substring("source", 4, 10).cast("int") % 4 == 1)
+        .collect()
+    ]
+    prefixes = sorted(f"example,{h})/" for h in hosts)
+
+    # contiguous block cover per prefix, from the resident cluster.idx
+    import bisect
+
+    block_ids: set[int] = set()
+    for pfx in prefixes:
+        lo = max(0, bisect.bisect_right(block_keys, pfx) - 1)
+        hi = bisect.bisect_left(block_keys, pfx + "\x7f")
+        block_ids.update(range(lo, min(hi + 1, len(cluster))))
+    n_touched = len(block_ids)
+    blocks = spark.createDataFrame(
+        [(b,) for b in sorted(block_ids)], "block long"
+    ).repartition(8)
+
+    eschema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("filename", StringType(), True),
+            StructField("offset", LongType(), True),
+            StructField("length", LongType(), True),
+            StructField("digest", StringType(), True),
+        ]
+    )
+    zipnum_path = os.path.join(idx_dir, "index.zipnum.gz")
+    pfx_tuple = tuple(prefixes)
+
+    def fetch_blocks(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            rows = []
+            with open(zipnum_path, "rb") as f:
+                for b in pdf["block"]:
+                    e = cluster[int(b)]
+                    block = fetch_member(f, e["offset"], e["length"])
+                    for ln in block.decode("utf-8").splitlines():
+                        key, _ts, blob = ln.split(" ", 2)
+                        if not key.startswith(pfx_tuple):
+                            continue
+                        j = _json.loads(blob)
+                        rows.append(
+                            (key, j["filename"], j["offset"], j["length"],
+                             j["digest"])
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "filename", "offset", "length", "digest"],
+            )
+
+    matched = blocks.mapInPandas(fetch_blocks, eschema).persist()
+
+    mschema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("source", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("bytes_read", LongType(), True),
+        ]
+    )
+
+    def fetch_docs(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member, payload_digest
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            by_file: dict = {}
+            for r in pdf.itertuples(index=False):
+                by_file.setdefault(r.filename, []).append(r)
+            for fname, items in by_file.items():
+                items.sort(key=lambda r: r.offset)
+                with open(_os.path.join(warc_dir, fname), "rb") as f:
+                    for r in items:
+                        member = fetch_member(f, int(r.offset), int(r.length))
+                        (rec,) = parse_warc(member)
+                        if payload_digest(rec["payload"]) != r.digest:
+                            raise ValueError(
+                                f"{fname}@{r.offset}: digest mismatch"
+                            )
+                        d, text, lang, src_host, *_rest = (
+                            _extract_crawl_response(rec)
+                        )
+                        rows.append(
+                            (d, lang, src_host, len(text), int(r.length))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "source", "n_chars", "bytes_read"],
+            )
+
+    fetched = (
+        matched.select("filename", "offset", "length", "digest")
+        .repartition(16, "filename")
+        .mapInPandas(fetch_docs, mschema)
+        .persist()
+    )
+
+    n_matched = matched.count()
+    got = fetched.agg(
+        F.sum("bytes_read").alias("br"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.substring("source", 4, 10).cast("int") % 4 != 1, 1
+            ).otherwise(0)
+        ).alias("off_probe"),
+    ).collect()[0]
+    want_bytes = matched.agg(F.sum("length")).collect()[0][0]
+    # the contiguity bound: a sorted index serves each prefix from a
+    # minimal covering run of blocks (+2 edge blocks per prefix)
+    max_blocks = n_matched // 64 + 2 * len(prefixes)
+    if (
+        got["n"] != n_matched
+        or got["br"] != want_bytes
+        or got["off_probe"]
+        or n_touched > max_blocks
+    ):
+        fetched.unpersist()
+        matched.unpersist()
+        raise RuntimeError(
+            f"a41: {got['n']} fetched of {n_matched} matched, "
+            f"{got['br']} bytes vs indexed {want_bytes}, "
+            f"{got['off_probe']} off-probe docs, {n_touched} blocks "
+            f"touched (bound {max_blocks})"
+        )
+    agg = fetched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    matched.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)

@@ -76,6 +76,8 @@ PRIORITY: list[str] = [
     "a38_temporal_index_lookup",  # temporal answers from the zipnum index
     "a39_revisit_index_fetch",  # two-hop revisit resolution via the index
     "a40_brotli_jsonl_scan",  # .br NDJSON through the tectonic source
+    "s16_stream_brotli_ingest",  # the same arrival pattern, streaming
+    "a41_surt_prefix_scan",  # host-prefix RANGE scan from the zipnum index
     # --- r12 tier 3: changed code this round — warc.py gained the
     # brotli decode path (+_render_response_record's ce override), so
     # every query riding parse_http_response/_extract_crawl_response
