@@ -7272,3 +7272,255 @@ def a41_surt_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetched.unpersist()
     matched.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
+
+
+@register(
+    "a42_wayback_closest",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 AND doc_id % 3 >= 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_feb,
+           CAST(SUM(n_chars + CASE WHEN doc_id % 5 = 0 AND doc_id % 3 >= 1
+                                   THEN 5 ELSE 0 END) AS BIGINT)
+             AS chars_closest
+    FROM documents WHERE doc_id % 9 = 4 GROUP BY lang
+    """,
+    doc="Closest-capture-to-timestamp lookup (r12, beyond the ask list "
+    "— THE wayback-machine request semantic: GET /web/<ts>/<url> "
+    "serves the capture nearest the requested instant): probes are "
+    "(url, requested-ts) pairs (doc_id % 9 = 4; the request instant "
+    "cycles before-first / between-snapshots / after-last by d%3) "
+    "over the a38 two-snapshot index; the winner is chosen from CDXJ "
+    "lines ALONE — JVM timestamp arithmetic (to_timestamp on the "
+    "14-digit key, absolute-second distance, larger-ts tie-break) "
+    "inside one min(struct) aggregate per key — then ranged-fetched, "
+    "digest-verified and extracted. The d%3=1 lane is the one that "
+    "catches a wrong implementation: requested 2024-01-20 sits 19 "
+    "days from the January capture and 12 from the February one, so "
+    "recaptured docs must serve FEBRUARY while single-capture docs "
+    "fall back to January — chars_closest pins the winning capture's "
+    "extracted text (rev2 docs carry +5 chars) against the closed-"
+    "form oracle. a36 access bounds asserted per probe. 100 TB "
+    "shape: the replay path of a web archive — cluster.idx bisect + "
+    "exact block reads + one member fetch per request, never a scan.",
+)
+def a42_wayback_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.operators.cdxj import parse_cluster_idx
+    from tectonic_spark.tables import table
+
+    src, _n = _timeline_index_src(sf_dir)
+    with open(os.path.join(src, "cluster.idx"), "rb") as f:
+        cluster = parse_cluster_idx(f.read())
+    block_keys = [e["key"] for e in cluster]
+
+    probes = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 4)
+        .select(
+            "doc_id",
+            "lang",
+            F.concat(
+                F.lit("example,"), F.col("source"), F.lit(")/doc/"),
+                F.col("doc_id"),
+            ).alias("key"),
+            # the requested instant: before-first / between / after-last
+            F.element_at(
+                F.array(
+                    F.lit("20231215000000"),
+                    F.lit("20240120000000"),
+                    F.lit("20240301000000"),
+                ),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("req_ts"),
+        )
+        .persist()
+    )
+
+    bschema = StructType([StructField("block", LongType(), True)])
+
+    def assign_blocks(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import zipnum_block_range
+
+        for pdf in batches:
+            blocks = set()
+            for key in pdf["key"]:
+                lo, hi = zipnum_block_range(block_keys, key)
+                blocks.update(range(lo, hi))
+            yield pd.DataFrame(sorted(blocks), columns=["block"])
+
+    blocks = probes.select("key").mapInPandas(assign_blocks, bschema).distinct()
+
+    eschema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("ts", StringType(), True),
+            StructField("digest", StringType(), True),
+            StructField("filename", StringType(), True),
+            StructField("offset", LongType(), True),
+            StructField("length", LongType(), True),
+        ]
+    )
+    zipnum_path = os.path.join(src, "index.zipnum.gz")
+
+    def fetch_blocks(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            rows = []
+            with open(zipnum_path, "rb") as f:
+                for b in pdf["block"]:
+                    e = cluster[int(b)]
+                    block = fetch_member(f, e["offset"], e["length"])
+                    for ln in block.decode("utf-8").splitlines():
+                        key, ts, blob = ln.split(" ", 2)
+                        j = _json.loads(blob)
+                        rows.append(
+                            (key, ts, j["digest"], j["filename"],
+                             j["offset"], j["length"])
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "ts", "digest", "filename", "offset",
+                         "length"],
+            )
+
+    entries = blocks.mapInPandas(fetch_blocks, eschema)
+    # nearest capture per probe, from the index alone: absolute-second
+    # distance with a larger-ts tie-break, all JVM arithmetic
+    cand = entries.join(probes, "key", "inner").withColumn(
+        "dist",
+        F.abs(
+            F.unix_timestamp(F.to_timestamp("ts", "yyyyMMddHHmmss"))
+            - F.unix_timestamp(F.to_timestamp("req_ts", "yyyyMMddHHmmss"))
+        ),
+    )
+    winners = (
+        cand.groupBy("doc_id", "lang", "req_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_caps"),
+            F.min(
+                F.struct(
+                    "dist",
+                    (F.lit(99999999999999) - F.col("ts").cast("long")).alias(
+                        "ts_inv"
+                    ),
+                    "ts", "digest", "filename", "offset", "length",
+                )
+            ).alias("w"),
+        )
+        .select(
+            "doc_id", "lang",
+            F.col("w.ts").alias("ts"),
+            F.col("w.digest").alias("digest"),
+            F.col("w.filename").alias("filename"),
+            F.col("w.offset").alias("offset"),
+            F.col("w.length").alias("length"),
+        )
+        .persist()
+    )
+
+    mschema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("is_feb", LongType(), True),
+            StructField("bytes_read", LongType(), True),
+        ]
+    )
+
+    def fetch_docs(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member, payload_digest
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            by_file: dict = {}
+            for r in pdf.itertuples(index=False):
+                by_file.setdefault(r.filename, []).append(r)
+            for fname, items in by_file.items():
+                items.sort(key=lambda r: r.offset)
+                with open(_os.path.join(src, fname), "rb") as f:
+                    for r in items:
+                        member = fetch_member(f, int(r.offset), int(r.length))
+                        (rec,) = parse_warc(member)
+                        if payload_digest(rec["payload"]) != r.digest:
+                            raise ValueError(
+                                f"{fname}@{r.offset}: digest mismatch"
+                            )
+                        d, text, lang, *_rest = _extract_crawl_response(rec)
+                        if d != int(r.doc_id):
+                            raise ValueError(
+                                f"index said doc {r.doc_id}, member is {d}"
+                            )
+                        rows.append(
+                            (
+                                d,
+                                lang,
+                                len(text),
+                                1 if r.ts.startswith("202402") else 0,
+                                int(r.length),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "n_chars", "is_feb", "bytes_read"],
+            )
+
+    fetched = (
+        winners.select("doc_id", "filename", "offset", "length", "digest",
+                       "ts")
+        .repartition(8, "filename")
+        .mapInPandas(fetch_docs, mschema)
+        .persist()
+    )
+    n_probes = probes.count()
+    n_win = winners.count()
+    n_touched = blocks.count()
+    got = fetched.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bytes_read").alias("br")
+    ).collect()[0]
+    want_bytes = winners.agg(F.sum("length")).collect()[0][0]
+    if (
+        n_win != n_probes
+        or got["n"] != n_probes
+        or got["br"] != want_bytes
+        or n_touched > 2 * n_probes
+    ):
+        fetched.unpersist()
+        winners.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a42: {n_probes} probes, {n_win} winners, {got['n']} "
+            f"fetched, {got['br']} bytes vs indexed {want_bytes}, "
+            f"{n_touched} blocks"
+        )
+    agg = fetched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("is_feb").alias("n_feb"),
+        F.sum("n_chars").alias("chars_closest"),
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    winners.unpersist()
+    probes.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)

@@ -78,6 +78,7 @@ PRIORITY: list[str] = [
     "a40_brotli_jsonl_scan",  # .br NDJSON through the tectonic source
     "s16_stream_brotli_ingest",  # the same arrival pattern, streaming
     "a41_surt_prefix_scan",  # host-prefix RANGE scan from the zipnum index
+    "a42_wayback_closest",  # closest-capture-to-timestamp replay lookup
     # --- r12 tier 3: changed code this round — warc.py gained the
     # brotli decode path (+_render_response_record's ce override), so
     # every query riding parse_http_response/_extract_crawl_response
