@@ -7524,3 +7524,342 @@ def a42_wayback_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners.unpersist()
     probes.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
+
+
+def _merged_index_src(sf_dir: str) -> tuple[str, str, str]:
+    """TWO crawl collections merged into ONE zipnum (r12 — pywb's
+    collection aggregation: a wayback deployment fronts many archives
+    through a single merged index whose lines carry a ``source``
+    collection tag): collection A = the a30 single-snapshot crawl
+    (per-shard .cdxj sidecars), collection B = the a38 two-snapshot
+    archive. Every document's January capture exists in BOTH
+    collections with the same (SURT, timestamp, digest), so the merge
+    must DEDUP — keep-first by collection precedence [A, B] — leaving
+    exactly one line per (key, ts, digest) with February captures
+    routed to B. Returns (index_dir, a_warc_dir, b_warc_dir)."""
+    import json as _json
+
+    from tectonic_spark.operators.cdxj import (
+        build_cluster_idx,
+        fetch_member,
+        parse_cluster_idx,
+        write_zipnum,
+    )
+
+    a_dir, _na = _warc_cdxj_src(sf_dir)
+    b_dir, _nb = _timeline_index_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "a43_idx")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, a_dir, b_dir
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    def tagged_lines(raw_lines, collection):
+        out = []
+        for ln in raw_lines:
+            if not ln:
+                continue
+            key, ts, blob = ln.split(" ", 2)
+            j = _json.loads(blob)
+            j["source"] = collection
+            out.append(
+                f"{key} {ts} "
+                + _json.dumps(j, sort_keys=True, ensure_ascii=False)
+            )
+        return out
+
+    lines: list[str] = []
+    for entry in sorted(os.scandir(a_dir), key=lambda e: e.name):
+        if entry.name.endswith(".cdxj"):
+            with open(entry.path, encoding="utf-8") as f:
+                lines.extend(tagged_lines(f.read().splitlines(), "A"))
+    with open(os.path.join(b_dir, "cluster.idx"), "rb") as f:
+        b_cluster = parse_cluster_idx(f.read())
+    with open(os.path.join(b_dir, "index.zipnum.gz"), "rb") as f:
+        for e in b_cluster:
+            block = fetch_member(f, e["offset"], e["length"])
+            lines.extend(tagged_lines(block.decode("utf-8").splitlines(), "B"))
+    # merge-sort + keep-first dedup on (key, ts, digest): collection A
+    # precedes B, and sorted() is stable, so sorting on the identity
+    # triple while tagging preserves precedence within each group
+    lines.sort(key=lambda ln: (ln.split(" ", 2)[0], ln.split(" ", 2)[1]))
+    merged: list[str] = []
+    seen: set[tuple[str, str, str]] = set()
+    for ln in lines:
+        key, ts, blob = ln.split(" ", 2)
+        ident = (key, ts, _json.loads(blob)["digest"])
+        if ident in seen:
+            continue
+        seen.add(ident)
+        merged.append(ln)
+    merged.sort()
+    zblob, zentries = write_zipnum(merged, block_lines=64)
+    _write_atomic(os.path.join(tmp, "index.zipnum.gz"), zblob)
+    _write_atomic(
+        os.path.join(tmp, "cluster.idx"),
+        build_cluster_idx(zentries, "index.zipnum.gz"),
+    )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, a_dir, b_dir
+
+
+@register(
+    "a43_collection_merge",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_from_b,
+           CAST(SUM(n_chars + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END)
+                AS BIGINT) AS chars_latest
+    FROM documents WHERE doc_id % 21 = 6 GROUP BY lang
+    """,
+    doc="Multi-collection index merge (r12, beyond the ask list — "
+    "pywb's collection aggregation: one wayback front over many "
+    "archives): the a30 single-snapshot crawl (collection A) and the "
+    "a38 two-snapshot archive (collection B) merge into ONE zipnum "
+    "whose lines carry a source tag; every January capture exists in "
+    "BOTH collections with identical (SURT, ts, digest), so the merge "
+    "DEDUPS keep-first by precedence [A, B] — the builder asserts the "
+    "merged line count equals the closed-form union (one line per "
+    "doc + one per recaptured doc), a merge that keeps duplicates or "
+    "drops captures fails. Probes (doc_id % 21 = 6) ask for the "
+    "LATEST capture per URL from the merged index alone; fetches "
+    "ROUTE by the winning line's collection tag to the right "
+    "archive's shards (January -> A by precedence, February -> B), "
+    "asserted per fetched doc, then digest-verify and extract — "
+    "chars_latest pins the routed winner's text (+5 for rev2). a36 "
+    "access bounds asserted. 100 TB shape: collection membership is "
+    "one more index column; the merged cluster.idx stays the only "
+    "resident piece and fetch work scales with the probe set.",
+)
+def a43_collection_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.operators.cdxj import parse_cluster_idx
+    from tectonic_spark.tables import table
+
+    idx_dir, a_dir, b_dir = _merged_index_src(sf_dir)
+    with open(os.path.join(idx_dir, "cluster.idx"), "rb") as f:
+        cluster = parse_cluster_idx(f.read())
+    block_keys = [e["key"] for e in cluster]
+    coll_dirs = {"A": a_dir, "B": b_dir}
+
+    docs = table(spark, sf_dir, "documents")
+    # the closed-form union pin: one line per doc + one per recapture
+    n_docs, n_recap = docs.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)),
+    ).collect()[0]
+    total_lines = 0
+    with open(os.path.join(idx_dir, "index.zipnum.gz"), "rb") as f:
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for e in cluster:
+            total_lines += len(
+                fetch_member(f, e["offset"], e["length"]).splitlines()
+            )
+    if total_lines != n_docs + n_recap:
+        raise RuntimeError(
+            f"a43: merged index has {total_lines} lines, the union is "
+            f"{n_docs} docs + {n_recap} recaptures"
+        )
+
+    probes = (
+        docs.filter(F.col("doc_id") % 21 == 6)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("example,"), F.col("source"), F.lit(")/doc/"),
+                F.col("doc_id"),
+            ).alias("key"),
+        )
+        .persist()
+    )
+
+    bschema = StructType([StructField("block", LongType(), True)])
+
+    def assign_blocks(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import zipnum_block_range
+
+        for pdf in batches:
+            blocks = set()
+            for key in pdf["key"]:
+                lo, hi = zipnum_block_range(block_keys, key)
+                blocks.update(range(lo, hi))
+            yield pd.DataFrame(sorted(blocks), columns=["block"])
+
+    blocks = probes.select("key").mapInPandas(assign_blocks, bschema).distinct()
+
+    eschema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("ts", StringType(), True),
+            StructField("digest", StringType(), True),
+            StructField("coll", StringType(), True),
+            StructField("filename", StringType(), True),
+            StructField("offset", LongType(), True),
+            StructField("length", LongType(), True),
+        ]
+    )
+    zipnum_path = os.path.join(idx_dir, "index.zipnum.gz")
+
+    def fetch_blocks(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            rows = []
+            with open(zipnum_path, "rb") as f:
+                for b in pdf["block"]:
+                    e = cluster[int(b)]
+                    block = fetch_member(f, e["offset"], e["length"])
+                    for ln in block.decode("utf-8").splitlines():
+                        key, ts, blob = ln.split(" ", 2)
+                        j = _json.loads(blob)
+                        rows.append(
+                            (key, ts, j["digest"], j["source"],
+                             j["filename"], j["offset"], j["length"])
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "ts", "digest", "coll", "filename",
+                         "offset", "length"],
+            )
+
+    entries = blocks.mapInPandas(fetch_blocks, eschema)
+    # latest capture per probe from the MERGED index
+    winners = (
+        entries.join(probes, "key", "inner")
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct("ts", "digest", "coll", "filename", "offset",
+                         "length")
+            ).alias("w")
+        )
+        .select(
+            "doc_id",
+            F.col("w.ts").alias("ts"),
+            F.col("w.digest").alias("digest"),
+            F.col("w.coll").alias("coll"),
+            F.col("w.filename").alias("filename"),
+            F.col("w.offset").alias("offset"),
+            F.col("w.length").alias("length"),
+        )
+        .persist()
+    )
+
+    mschema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("from_b", LongType(), True),
+            StructField("bytes_read", LongType(), True),
+        ]
+    )
+
+    def fetch_docs(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member, payload_digest
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            by_file: dict = {}
+            for r in pdf.itertuples(index=False):
+                by_file.setdefault((r.coll, r.filename), []).append(r)
+            for (coll, fname), items in by_file.items():
+                items.sort(key=lambda r: r.offset)
+                with open(_os.path.join(coll_dirs[coll], fname), "rb") as f:
+                    for r in items:
+                        member = fetch_member(f, int(r.offset), int(r.length))
+                        (rec,) = parse_warc(member)
+                        if payload_digest(rec["payload"]) != r.digest:
+                            raise ValueError(
+                                f"{coll}/{fname}@{r.offset}: digest mismatch"
+                            )
+                        d, text, lang, *_rest = _extract_crawl_response(rec)
+                        if d != int(r.doc_id):
+                            raise ValueError(
+                                f"index said doc {r.doc_id}, member is {d}"
+                            )
+                        # routing pin: January winners come from A (the
+                        # precedence collection), February from B
+                        want = "B" if r.ts.startswith("202402") else "A"
+                        if coll != want:
+                            raise ValueError(
+                                f"doc {d} ts {r.ts} routed to {coll}, "
+                                f"precedence says {want}"
+                            )
+                        rows.append(
+                            (
+                                d,
+                                lang,
+                                len(text),
+                                1 if coll == "B" else 0,
+                                int(r.length),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "n_chars", "from_b", "bytes_read"],
+            )
+
+    fetched = (
+        winners.repartition(8, "filename")
+        .mapInPandas(fetch_docs, mschema)
+        .persist()
+    )
+    n_probes = probes.count()
+    n_touched = blocks.count()
+    got = fetched.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bytes_read").alias("br")
+    ).collect()[0]
+    want_bytes = winners.agg(F.sum("length")).collect()[0][0]
+    if (
+        got["n"] != n_probes
+        or got["br"] != want_bytes
+        or n_touched > 2 * n_probes
+    ):
+        fetched.unpersist()
+        winners.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a43: {got['n']}/{n_probes} fetched, {got['br']} bytes vs "
+            f"indexed {want_bytes}, {n_touched} blocks"
+        )
+    agg = fetched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("from_b").alias("n_from_b"),
+        F.sum("n_chars").alias("chars_latest"),
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    winners.unpersist()
+    probes.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)

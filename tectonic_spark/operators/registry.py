@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     "s16_stream_brotli_ingest",  # the same arrival pattern, streaming
     "a41_surt_prefix_scan",  # host-prefix RANGE scan from the zipnum index
     "a42_wayback_closest",  # closest-capture-to-timestamp replay lookup
+    "a43_collection_merge",  # multi-collection merged index + routing
     # --- r12 tier 3: changed code this round — warc.py gained the
     # brotli decode path (+_render_response_record's ce override), so
     # every query riding parse_http_response/_extract_crawl_response
