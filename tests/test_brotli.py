@@ -611,3 +611,70 @@ def test_bitwriter_reader_round_trip():
     br = _BitReader(w.getvalue())
     for v, n in fields:
         assert br.read(n) == v
+
+
+# ---------------------------------------------------------------------------
+# adversarial robustness: malformed input must fail FAST with the
+# family taxonomy (ValueError / EOFError / the named boundaries) —
+# never hang, never loop, never return silently on corrupt bits
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_random_bytes_terminate():
+    rng = random.Random(0xFE11)
+    ok = 0
+    for n in (0, 1, 2, 3, 7, 40, 300, 4096):
+        for _ in range(40):
+            blob = bytes(rng.randrange(256) for _ in range(n))
+            try:
+                out = decompress(blob, max_output=1 << 22)
+                ok += 1  # a random blob CAN be a valid tiny stream
+                assert len(out) <= 1 << 22
+            except (ValueError, EOFError, NotImplementedError):
+                pass
+    # most random blobs must be rejected; a handful may parse (e.g.
+    # single-byte last-empty streams)
+    assert ok < 40
+
+
+def test_fuzz_bit_flips_of_valid_streams():
+    rng = random.Random(0xF11B)
+    payload = (b"the quick brown fox jumps over the lazy dog " * 30)[:900]
+    for mode in ("lz", "literals", "uncompressed"):
+        blob = bytearray(compress(payload, mode=mode))
+        for _ in range(150):
+            i = rng.randrange(len(blob))
+            bit = 1 << rng.randrange(8)
+            blob[i] ^= bit
+            try:
+                out = decompress(bytes(blob), max_output=1 << 22)
+                # a surviving flip may legitimately decode differently;
+                # it must still respect the output bound
+                assert len(out) <= 1 << 22
+            except (ValueError, EOFError, NotImplementedError):
+                pass
+            finally:
+                blob[i] ^= bit  # restore
+        assert decompress(bytes(blob)) == payload  # restoration sanity
+
+
+def test_fuzz_truncations_of_valid_stream():
+    payload = bytes(range(256)) * 8
+    blob = compress(payload, mode="lz")
+    for cut in range(1, len(blob)):
+        try:
+            out = decompress(blob[:cut])
+            assert len(out) <= len(payload)
+        except (ValueError, EOFError, NotImplementedError):
+            pass
+
+
+def test_max_output_guard():
+    # a 4 MiB output from a tiny stream must trip the bound, not
+    # allocate unboundedly (the zip-bomb shape: huge copy runs)
+    payload = b"\x00" * (1 << 22)
+    blob = compress(payload, mode="lz")
+    assert len(blob) < 4096  # it really is a bomb-shaped stream
+    with pytest.raises(ValueError, match="max_output"):
+        decompress(blob, max_output=1 << 20)
+    assert decompress(blob, max_output=1 << 22) == payload
