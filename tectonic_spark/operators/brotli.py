@@ -1,34 +1,29 @@
-"""Pure-Python RFC 7932 (brotli) bit-stream codec — the #1 remaining
-crawl-realism boundary (VERDICT r11 item 1): a large share of live-web
-response bodies arrive ``Content-Encoding: br``, and until this module
-they extracted as empty censused records.
+"""Pure-Python RFC 7932 (brotli) bit-stream codec.
 
-The scope call the verdict asked for, made explicitly:
+Scope (r13: the two r12 named boundaries are CLOSED — the full
+decoder):
 
-* **Decoder** (``decompress``): the FULL RFC 7932 bit-stream layer —
-  stream header, uncompressed / metadata / compressed meta-blocks,
-  simple and complex prefix codes (incl. the 16/17 repeat forms and
-  the degenerate single-code cases), multiple block types with block
-  switching, literal/distance context maps (RLE + inverse-MTF),
-  ``NPOSTFIX``/``NDIRECT`` distance buckets, the 4-slot distance ring
-  buffer with all 16 short codes, and window-bounded LZ77 copies.
-* **Static dictionary: censused, not decoded.** RFC 7932 references a
-  ~122 KB binary dictionary (Appendix A) that cannot be reproduced
-  from first principles — only vendored byte-for-byte, which this
-  offline build cannot do with provenance. A back-reference past the
-  window start therefore raises ``BrotliDictionaryReference`` (a
-  ``NotImplementedError``), which the WARC layer (warc.py
-  ``_decode_content``) turns into ``ce_decoded=False`` — censused,
-  never mangled. Streams that never reach into the dictionary (all
-  streams this repo's encoder emits, and any stream whose matches stay
-  in-window) decode completely.
-* **UTF8/Signed literal-context modes** are honored only when the
-  block type's context map row is constant (the ``NTREES_L == 1``
-  case, which every stream our encoder emits and most low-quality
-  encoder output has). A non-constant row under those modes selects
-  trees through the spec's 512-entry context tables, which this module
-  does not vendor — ``BrotliUnsupportedContext`` (censused, same
-  path). LSB6/MSB6 modes are computed exactly.
+* **Decoder** (``decompress``): the FULL RFC 7932 layer — stream
+  header, uncompressed / metadata / compressed meta-blocks, simple and
+  complex prefix codes (incl. the 16/17 repeat forms and the
+  degenerate single-code cases), multiple block types with block
+  switching, literal/distance context maps (RLE + inverse-MTF), all
+  four literal-context modes (LSB6/MSB6/UTF8/Signed via the vendored
+  §7.1 lookup tables), ``NPOSTFIX``/``NDIRECT`` distance buckets, the
+  4-slot distance ring buffer with all 16 short codes, window-bounded
+  LZ77 copies, and **§8 static-dictionary references** — the vendored
+  ~122 KB Appendix-A dictionary (``brotli_dict.bin``) with all 121
+  Appendix-B word transforms (omit-first/omit-last, UTF-8-aware
+  ferment-first/ferment-all, prefixes/suffixes).
+* **Vendored-table provenance**: the dictionary blob was extracted in
+  this container from the system libbrotli 1.0.9
+  (``libbrotlicommon.so.1`` ``BrotliGetDictionary``; 122,784 bytes,
+  sha256 pinned below and re-checked at load). The §7.1 context
+  tables and the Appendix-B transform table are printed in RFC 7932
+  itself; the copies below were cross-extracted from the same library
+  (``_kBrotliContextLookupTable``, ``BrotliTransformDictionaryWord``
+  probes) and are pinned byte-for-byte against it in
+  tests/test_brotli.py.
 * **Encoder** (``compress``): a valid-subset writer used by fixtures
   and round-trip tests — uncompressed meta-blocks, literals-only, and
   greedy hash-chain LZ77 with explicit distances plus the
@@ -36,20 +31,32 @@ The scope call the verdict asked for, made explicitly:
   NDIRECT=0``; prefix codes serialized in both the simple and complex
   forms. It emits nothing the decoder special-cases: the two sides
   share only the published tables.
+* **Native fast path** (``native_decompress`` / ``native_compress``):
+  optional ctypes bindings of the container's ``libbrotlidec.so.1`` /
+  ``libbrotlienc.so.1``, used (a) by the WARC hot path when available
+  — pure Python at ~1.5 MB/s/core on header-bound small pages is
+  ~30× off C — and (b) by the cross-implementation test suite. The
+  pure-Python codec remains the specified, test-pinned
+  implementation; the native path is differential-tested against it
+  (the GIF scalar/vectorized pattern).
 
-Verification honesty: no independent brotli encoder exists in this
-container, so round-trip tests pin encoder∘decoder self-consistency,
-not bit-parity with the reference implementation. Two anchors are
-external: ``compress(b"") == b"\\x3b"`` (the reference encoder's
-well-known empty-stream byte) and hand-assembled streams whose bits
-are derived field-by-field from the RFC in the tests. The prefix-code
-tables below (insert/copy/block-count bases, short-distance table,
-code-length order and its fixed code) are transcribed once from RFC
-7932 §4-§7 and exercised from both directions.
+Verification: cross-implementation. tests/test_brotli.py pins
+``decompress`` bit-exact against REAL ``libbrotlienc`` streams at
+quality 1..11 over a text/binary/HTML matrix (q>=4 exercises the
+dictionary + UTF8 context paths), pins every one of the 121 transforms
+against ``BrotliTransformDictionaryWord`` across all word lengths, and
+differential-fuzzes both directions (our encoder -> libbrotlidec, and
+libbrotlienc -> our decoder). Hand-assembled per-feature RFC streams
+cover what neither encoder emits. (An earlier revision of this module
+claimed no independent brotli implementation exists in this container;
+that was wrong — the system libbrotli 1.0.9 does, and is now the
+cross-check.)
 
 Error taxonomy (the codec-family doctrine): ``EOFError`` truncation,
-``ValueError`` structural violations, ``NotImplementedError``
-subclasses for the two named boundaries above.
+``ValueError`` structural violations (including nonzero padding,
+trailing bytes, and invalid dictionary references), and
+``BrotliOutputCapExceeded`` (a ``ValueError``) when decoded output
+would exceed the caller's ``max_output`` bomb guard.
 
 100 TB shape: this codec runs inside the per-shard extraction kernels
 (Arrow-batched ``mapInPandas``) on individual response bodies — no
@@ -58,24 +65,23 @@ shuffle, payload bytes never leave the executor task.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 __all__ = [
-    "BrotliDictionaryReference",
-    "BrotliUnsupportedContext",
+    "BrotliOutputCapExceeded",
     "compress",
     "decompress",
+    "native_compress",
+    "native_decompress",
 ]
 
 
-class BrotliDictionaryReference(NotImplementedError):
-    """Back-reference past the window start = RFC 7932 static
-    dictionary word. The dictionary blob is a named vendoring boundary
-    (module docstring); callers census the body instead of decoding."""
-
-
-class BrotliUnsupportedContext(NotImplementedError):
-    """UTF8/Signed literal-context mode with a non-constant context
-    map row — needs the spec's 512-entry context tables (not
-    vendored). Callers census the body instead of decoding."""
+class BrotliOutputCapExceeded(ValueError):
+    """Decoded output would exceed the caller-supplied ``max_output``
+    bomb guard (a few-KB hostile body can legally expand to GiBs).
+    Callers that ingest untrusted bytes (warc.py ``_decode_content``)
+    census the body instead of decoding."""
 
 
 # ---------------------------------------------------------------------------
@@ -132,6 +138,259 @@ _SHORT_DIST = (
     (1, -1), (1, 1), (1, -2), (1, 2), (1, -3), (1, 3),
     (2, -1), (2, 1), (2, -2), (2, 2), (2, -3), (2, 3),
 )
+
+# ---------------------------------------------------------------------------
+# vendored static-dictionary + context tables (RFC 7932 section 7.1,
+# section 8, Appendices A-B; provenance in the module docstring --
+# cross-pinned byte-for-byte against the container's libbrotli 1.0.9
+# in tests/test_brotli.py)
+# ---------------------------------------------------------------------------
+
+# Appendix B word transforms: (prefix, omit_first, omit_last, ferment,
+# suffix); ferment 0 = identity, 1 = ferment-first, 2 = ferment-all
+# (UTF-8-aware uppercasing per section 8).
+_TRANSFORMS = (
+    (b'', 0, 0, 0, b''),
+    (b'', 0, 0, 0, b' '),
+    (b' ', 0, 0, 0, b' '),
+    (b'', 1, 0, 0, b''),
+    (b'', 0, 0, 1, b' '),
+    (b'', 0, 0, 0, b' the '),
+    (b' ', 0, 0, 0, b''),
+    (b's ', 0, 0, 0, b' '),
+    (b'', 0, 0, 0, b' of '),
+    (b'', 0, 0, 1, b''),
+    (b'', 0, 0, 0, b' and '),
+    (b'', 2, 0, 0, b''),
+    (b'', 0, 1, 0, b''),
+    (b', ', 0, 0, 0, b' '),
+    (b'', 0, 0, 0, b', '),
+    (b' ', 0, 0, 1, b' '),
+    (b'', 0, 0, 0, b' in '),
+    (b'', 0, 0, 0, b' to '),
+    (b'e ', 0, 0, 0, b' '),
+    (b'', 0, 0, 0, b'"'),
+    (b'', 0, 0, 0, b'.'),
+    (b'', 0, 0, 0, b'">'),
+    (b'', 0, 0, 0, b'\n'),
+    (b'', 0, 3, 0, b''),
+    (b'', 0, 0, 0, b']'),
+    (b'', 0, 0, 0, b' for '),
+    (b'', 3, 0, 0, b''),
+    (b'', 0, 2, 0, b''),
+    (b'', 0, 0, 0, b' a '),
+    (b'', 0, 0, 0, b' that '),
+    (b' ', 0, 0, 1, b''),
+    (b'', 0, 0, 0, b'. '),
+    (b'.', 0, 0, 0, b''),
+    (b' ', 0, 0, 0, b', '),
+    (b'', 4, 0, 0, b''),
+    (b'', 0, 0, 0, b' with '),
+    (b'', 0, 0, 0, b"'"),
+    (b'', 0, 0, 0, b' from '),
+    (b'', 0, 0, 0, b' by '),
+    (b'', 5, 0, 0, b''),
+    (b'', 6, 0, 0, b''),
+    (b' the ', 0, 0, 0, b''),
+    (b'', 0, 4, 0, b''),
+    (b'', 0, 0, 0, b'. The '),
+    (b'', 0, 0, 2, b''),
+    (b'', 0, 0, 0, b' on '),
+    (b'', 0, 0, 0, b' as '),
+    (b'', 0, 0, 0, b' is '),
+    (b'', 0, 7, 0, b''),
+    (b'', 0, 1, 0, b'ing '),
+    (b'', 0, 0, 0, b'\n\t'),
+    (b'', 0, 0, 0, b':'),
+    (b' ', 0, 0, 0, b'. '),
+    (b'', 0, 0, 0, b'ed '),
+    (b'', 9, 0, 0, b''),
+    (b'', 7, 0, 0, b''),
+    (b'', 0, 6, 0, b''),
+    (b'', 0, 0, 0, b'('),
+    (b'', 0, 0, 1, b', '),
+    (b'', 0, 8, 0, b''),
+    (b'', 0, 0, 0, b' at '),
+    (b'', 0, 0, 0, b'ly '),
+    (b' the ', 0, 0, 0, b' of '),
+    (b'', 0, 5, 0, b''),
+    (b'', 0, 9, 0, b''),
+    (b' ', 0, 0, 1, b', '),
+    (b'', 0, 0, 1, b'"'),
+    (b'.', 0, 0, 0, b'('),
+    (b'', 0, 0, 2, b' '),
+    (b'', 0, 0, 1, b'">'),
+    (b'', 0, 0, 0, b'="'),
+    (b' ', 0, 0, 0, b'.'),
+    (b'.com/', 0, 0, 0, b''),
+    (b' the ', 0, 0, 0, b' of the '),
+    (b'', 0, 0, 1, b"'"),
+    (b'', 0, 0, 0, b'. This '),
+    (b'', 0, 0, 0, b','),
+    (b'.', 0, 0, 0, b' '),
+    (b'', 0, 0, 1, b'('),
+    (b'', 0, 0, 1, b'.'),
+    (b'', 0, 0, 0, b' not '),
+    (b' ', 0, 0, 0, b'="'),
+    (b'', 0, 0, 0, b'er '),
+    (b' ', 0, 0, 2, b' '),
+    (b'', 0, 0, 0, b'al '),
+    (b' ', 0, 0, 2, b''),
+    (b'', 0, 0, 0, b"='"),
+    (b'', 0, 0, 2, b'"'),
+    (b'', 0, 0, 1, b'. '),
+    (b' ', 0, 0, 0, b'('),
+    (b'', 0, 0, 0, b'ful '),
+    (b' ', 0, 0, 1, b'. '),
+    (b'', 0, 0, 0, b'ive '),
+    (b'', 0, 0, 0, b'less '),
+    (b'', 0, 0, 2, b"'"),
+    (b'', 0, 0, 0, b'est '),
+    (b' ', 0, 0, 1, b'.'),
+    (b'', 0, 0, 2, b'">'),
+    (b' ', 0, 0, 0, b"='"),
+    (b'', 0, 0, 1, b','),
+    (b'', 0, 0, 0, b'ize '),
+    (b'', 0, 0, 2, b'.'),
+    (b'\xc2\xa0', 0, 0, 0, b''),
+    (b' ', 0, 0, 0, b','),
+    (b'', 0, 0, 1, b'="'),
+    (b'', 0, 0, 2, b'="'),
+    (b'', 0, 0, 0, b'ous '),
+    (b'', 0, 0, 2, b', '),
+    (b'', 0, 0, 1, b"='"),
+    (b' ', 0, 0, 1, b','),
+    (b' ', 0, 0, 2, b'="'),
+    (b' ', 0, 0, 2, b', '),
+    (b'', 0, 0, 2, b','),
+    (b'', 0, 0, 2, b'('),
+    (b'', 0, 0, 2, b'. '),
+    (b' ', 0, 0, 2, b'.'),
+    (b'', 0, 0, 2, b"='"),
+    (b' ', 0, 0, 2, b'. '),
+    (b' ', 0, 0, 1, b'="'),
+    (b' ', 0, 0, 2, b"='"),
+    (b' ', 0, 0, 1, b"='"),
+)
+
+# section 7.1 UTF8 context mode: ctx = lut0[p1] | lut1[p2]
+_CTX_UTF8_0 = bytes.fromhex(
+    "0000000000000000000404000004000000000000000000000000000000000000"
+    "080c100c0c140c10181c0c0c200c240c2c2c2c2c2c2c2c2c2c2c202018281c0c"
+    "0c3034343430343434303434343434303434343434303434343434180c1c0c0c"
+    "0c383c3c3c383c3c3c383c3c3c3c3c383c3c3c3c3c383c3c3c3c3c180c1c0c00"
+    "0001000100010001000100010001000100010001000100010001000100010001"
+    "0001000100010001000100010001000100010001000100010001000100010001"
+    "0203020302030203020302030203020302030203020302030203020302030203"
+    "0203020302030203020302030203020302030203020302030203020302030203"
+)
+_CTX_UTF8_1 = bytes.fromhex(
+    "0000000000000000000000000000000000000000000000000000000000000000"
+    "0001010101010101010101010101010102020202020202020202010101010101"
+    "0102020202020202020202020202020202020202020202020202020101010101"
+    "0103030303030303030303030303030303030303030303030303030101010100"
+    "0000000000000000000000000000000000000000000000000000000000000000"
+    "0000000000000000000000000000000000000000000000000000000000000000"
+    "0000000000000000000000000000000000000000000000000000000000000000"
+    "0202020202020202020202020202020202020202020202020202020202020202"
+)
+# section 7.1 Signed context mode: ctx = lut0[p1] | lut1[p2]
+_CTX_SIGNED_0 = bytes.fromhex(
+    "0008080808080808080808080808080810101010101010101010101010101010"
+    "1010101010101010101010101010101010101010101010101010101010101010"
+    "1818181818181818181818181818181818181818181818181818181818181818"
+    "1818181818181818181818181818181818181818181818181818181818181818"
+    "2020202020202020202020202020202020202020202020202020202020202020"
+    "2020202020202020202020202020202020202020202020202020202020202020"
+    "2828282828282828282828282828282828282828282828282828282828282828"
+    "2828282828282828282828282828282830303030303030303030303030303038"
+)
+_CTX_SIGNED_1 = bytes.fromhex(
+    "0001010101010101010101010101010102020202020202020202020202020202"
+    "0202020202020202020202020202020202020202020202020202020202020202"
+    "0303030303030303030303030303030303030303030303030303030303030303"
+    "0303030303030303030303030303030303030303030303030303030303030303"
+    "0404040404040404040404040404040404040404040404040404040404040404"
+    "0404040404040404040404040404040404040404040404040404040404040404"
+    "0505050505050505050505050505050505050505050505050505050505050505"
+    "0505050505050505050505050505050506060606060606060606060606060607"
+)
+# Appendix A dictionary blob (brotli_dict.bin, 122,784 bytes): word
+# counts per length 4..24 are 2**bits; offsets are cumulative.
+_DICT_SHA256 = '20e42eb1b511c21806d4d227d07e5dd06877d8ce7b3a817f378f313653f35c70'
+_DICT_SIZE_BITS = (10, 10, 11, 11, 10, 10, 10, 10, 10, 9, 9, 8, 7, 7, 8, 7, 7, 6, 6, 5, 5)
+_DICT_OFFSETS = (0, 4096, 9216, 21504, 35840, 44032, 53248, 63488, 74752, 87040, 93696, 100864, 104704, 106752, 108928, 113536, 115968, 118528, 119872, 121280, 122016, 122784)
+
+_DICT_PATH = os.path.join(os.path.dirname(__file__), "brotli_dict.bin")
+_dict_blob: bytes | None = None
+
+
+def _dictionary() -> bytes:
+    """The Appendix-A dictionary blob, loaded once per process and
+    verified against the pinned sha256 (a corrupted vendored file must
+    fail loudly, not decode garbage)."""
+    global _dict_blob
+    if _dict_blob is None:
+        with open(_DICT_PATH, "rb") as f:
+            blob = f.read()
+        if hashlib.sha256(blob).hexdigest() != _DICT_SHA256:
+            raise ValueError("vendored brotli dictionary is corrupt")
+        _dict_blob = blob
+    return _dict_blob
+
+
+def _ferment(buf: bytearray, pos: int) -> int:
+    """One §8 'ferment' (UTF-8-aware uppercase) step at ``pos``;
+    returns the number of bytes consumed."""
+    c = buf[pos]
+    if c < 192:
+        if 97 <= c <= 122:
+            buf[pos] ^= 32
+        return 1
+    if c < 224:
+        if pos + 1 < len(buf):
+            buf[pos + 1] ^= 32
+        return 2
+    if pos + 2 < len(buf):
+        buf[pos + 2] ^= 5
+    return 3
+
+
+def _transform_word(word: bytes, tid: int) -> bytes:
+    """Apply Appendix-B transform ``tid`` to a dictionary word."""
+    prefix, omit_first, omit_last, ferment, suffix = _TRANSFORMS[tid]
+    if omit_first > len(word):
+        omit_first = len(word)
+    end = len(word) - omit_last
+    if end < omit_first:  # omitting more than the word has: empty body
+        end = omit_first
+    body = bytearray(word[omit_first:end])
+    if ferment == 1:
+        if body:
+            _ferment(body, 0)
+    elif ferment == 2:
+        pos = 0
+        while pos < len(body):
+            pos += _ferment(body, pos)
+    return prefix + bytes(body) + suffix
+
+
+def _dict_word(cpy_len: int, address: int) -> bytes:
+    """Resolve a §8 static-dictionary reference: a copy of length
+    ``cpy_len`` whose distance reaches ``address + 1`` bytes past the
+    window start. Raises ``ValueError`` on out-of-range lengths or
+    transform ids (structural violations per the RFC)."""
+    if not 4 <= cpy_len <= 24:
+        raise ValueError(
+            f"dictionary reference with copy length {cpy_len} (must be 4..24)"
+        )
+    ndbits = _DICT_SIZE_BITS[cpy_len - 4]
+    word_idx = address & ((1 << ndbits) - 1)
+    tid = address >> ndbits
+    if tid >= len(_TRANSFORMS):
+        raise ValueError(f"dictionary transform id {tid} out of range")
+    off = _DICT_OFFSETS[cpy_len - 4] + word_idx * cpy_len
+    return _transform_word(_dictionary()[off : off + cpy_len], tid)
 
 
 # ---------------------------------------------------------------------------
@@ -514,8 +773,8 @@ class _BlockState:
 def decompress(data: bytes, *, max_output: int = 1 << 31) -> bytes:
     """Decode one complete brotli stream. Raises ``EOFError`` on
     truncation, ``ValueError`` on structural violations (including
-    nonzero padding / trailing bytes), ``BrotliDictionaryReference`` /
-    ``BrotliUnsupportedContext`` on the two named scope boundaries."""
+    nonzero padding / trailing bytes and invalid dictionary
+    references), ``BrotliOutputCapExceeded`` past the output cap."""
     br = _BitReader(data)
     wbits = _read_wbits(br)
     window = (1 << wbits) - 16
@@ -547,7 +806,7 @@ def decompress(data: bytes, *, max_output: int = 1 << 31) -> bytes:
         if mnib and (mlen - 1) >> (4 * (3 + mnib)) == 0:
             raise ValueError("non-minimal MNIBBLES for MLEN")
         if len(out) + mlen > max_output:
-            raise ValueError("output exceeds max_output")
+            raise BrotliOutputCapExceeded("output exceeds max_output")
         if not last and br.read(1):  # ISUNCOMPRESSED
             br.align_byte()
             out += br.read_bytes(mlen)
@@ -569,16 +828,6 @@ def decompress(data: bytes, *, max_output: int = 1 << 31) -> bytes:
             if ntrees_l >= 2
             else [0] * (64 * bs_l.n)
         )
-        # UTF8/Signed context modes need the spec's context tables only
-        # when they actually select between trees (named boundary)
-        for bt, mode in enumerate(modes):
-            if mode >= 2:
-                row = cmap_l[64 * bt : 64 * (bt + 1)]
-                if any(v != row[0] for v in row):
-                    raise BrotliUnsupportedContext(
-                        "UTF8/Signed context mode with a non-constant "
-                        "context-map row (context tables not vendored)"
-                    )
         ntrees_d = _read_nbltypes(br)
         cmap_d = (
             _read_context_map(br, ntrees_d, 4 * bs_d.n)
@@ -652,8 +901,10 @@ def decompress(data: bytes, *, max_output: int = 1 << 31) -> bytes:
                         ctx = p1 & 0x3F
                     elif mode == 1:
                         ctx = p1 >> 2
+                    elif mode == 2:
+                        ctx = _CTX_UTF8_0[p1] | _CTX_UTF8_1[p2]
                     else:
-                        ctx = 0  # constant row — pinned above
+                        ctx = _CTX_SIGNED_0[p1] | _CTX_SIGNED_1[p2]
                     byte = _read_sym(br, lit_dec[cmap_l[64 * bt_l + ctx]])
                     out.append(byte)
                     p2 = p1
@@ -688,28 +939,36 @@ def decompress(data: bytes, *, max_output: int = 1 << 31) -> bytes:
                         ((offset + br.read(nbits)) << npostfix)
                         + lcode + ndirect + 1
                     )
-                if dsym != 0:
+            max_dist = min(len(out), window)
+            if distance > max_dist:
+                # §8: a back-reference past the window start is a
+                # static-dictionary word (the distance ring buffer is
+                # NOT updated for dictionary references, per §4)
+                word = _dict_word(cpy_len, distance - max_dist - 1)
+                if mpos + len(word) > mlen:
+                    raise ValueError("dictionary word overruns meta-block")
+                if len(out) + len(word) > max_output:
+                    raise BrotliOutputCapExceeded(
+                        "output exceeds max_output"
+                    )
+                out += word
+                mpos += len(word)
+            else:
+                if not implicit and dsym != 0:
                     ring[idx & 3] = distance
                     idx += 1
-
-            if distance > min(len(out), window):
-                # §8: a too-far back-reference is a static-dictionary
-                # word — the named vendoring boundary
-                raise BrotliDictionaryReference(
-                    f"static dictionary reference (distance {distance}, "
-                    f"window {min(len(out), window)})"
-                )
-            if mpos + cpy_len > mlen:
-                raise ValueError("copy run overruns meta-block")
-            if distance >= cpy_len:  # non-overlapping: one slice copy
-                start = len(out) - distance
-                out += out[start : start + cpy_len]
-            else:
-                for _ in range(cpy_len):
-                    out.append(out[-distance])
-            mpos += cpy_len
-            p1 = out[-1]
-            p2 = out[-2] if len(out) > 1 else 0
+                if mpos + cpy_len > mlen:
+                    raise ValueError("copy run overruns meta-block")
+                if distance >= cpy_len:  # non-overlapping: one slice copy
+                    start = len(out) - distance
+                    out += out[start : start + cpy_len]
+                else:
+                    for _ in range(cpy_len):
+                        out.append(out[-distance])
+                mpos += cpy_len
+            if out:
+                p1 = out[-1]
+                p2 = out[-2] if len(out) > 1 else 0
 
     br.align_byte()
     if br.bit_pos // 8 != len(data):
@@ -964,12 +1223,91 @@ def _find_commands(
     return cmds
 
 
+_dict_index: dict[int, dict[bytes, int]] | None = None
+
+
+def _dictionary_index() -> dict[int, dict[bytes, int]]:
+    """length -> {word: word_idx} over the vendored dictionary, built
+    once per process (~13.5k words). Used by the ``dict`` encoder mode
+    to find substrings encodable as §8 static-dictionary references."""
+    global _dict_index
+    if _dict_index is None:
+        blob = _dictionary()
+        index: dict[int, dict[bytes, int]] = {}
+        for length in range(4, 25):
+            bits = _DICT_SIZE_BITS[length - 4]
+            off = _DICT_OFFSETS[length - 4]
+            words: dict[bytes, int] = {}
+            for i in range(1 << bits):
+                words.setdefault(blob[off + i * length : off + (i + 1) * length], i)
+            index[length] = words
+        _dict_index = index
+    return _dict_index
+
+
+def _find_dict_commands(
+    data: bytes, lo: int, hi: int, window: int, table: dict
+) -> list[tuple[int, int, int]]:
+    """Greedy matcher that prefers §8 static-dictionary references:
+    at each position, the longest dictionary word match (transform 0,
+    or ferment-first transform 9 for capitalized occurrences) is
+    encoded as a copy whose distance reaches ``address + 1`` bytes
+    past the window start; otherwise fall back to an in-window LZ
+    match, else a literal. Exercises the dictionary-decode path from
+    the fixture side without the native encoder."""
+    index = _dictionary_index()
+    cmds = []
+    pos = anchor = lo
+    n = hi
+    while pos < n:
+        # longest dictionary match first (transform 0, then ferment-first)
+        hit = None
+        for length in range(min(24, n - pos), 3, -1):
+            chunk = data[pos : pos + length]
+            words = index[length]
+            idx = words.get(chunk)
+            tid = 0
+            if idx is None and 65 <= chunk[0] <= 90:
+                idx = words.get(bytes((chunk[0] | 32,)) + chunk[1:])
+                tid = 9  # ferment-first: capitalized dictionary word
+            if idx is not None:
+                hit = (length, idx, tid)
+                break
+        if hit is not None:
+            length, idx, tid = hit
+            max_dist = min(pos, window)
+            address = (tid << _DICT_SIZE_BITS[length - 4]) | idx
+            cmds.append((pos - anchor, length, max_dist + 1 + address))
+            pos = anchor = pos + length
+            continue
+        if pos + 4 <= n:
+            key = data[pos : pos + 4]
+            cand = table.get(key)
+            table[key] = pos
+            if cand is not None and 0 < pos - cand <= min(pos, window):
+                length = 4
+                maxl = min(n - pos, 1 << 20)
+                while (
+                    length < maxl
+                    and data[cand + length] == data[pos + length]
+                ):
+                    length += 1
+                cmds.append((pos - anchor, length, pos - cand))
+                pos = anchor = pos + length
+                continue
+        pos += 1
+    if anchor < n or not cmds:
+        cmds.append((n - anchor, 2, 0))  # tail: copy part never runs
+    return cmds
+
+
 def compress(data: bytes, *, mode: str = "lz", wbits: int = 22) -> bytes:
     """Encode ``data`` as a valid RFC 7932 stream the decoder (and any
     conforming decoder) accepts. ``mode``: ``"lz"`` greedy matches,
     ``"literals"`` prefix-coded literals only, ``"uncompressed"`` raw
-    meta-blocks. Never references the static dictionary."""
-    if mode not in ("lz", "literals", "uncompressed"):
+    meta-blocks, ``"dict"`` greedy matches that prefer §8
+    static-dictionary references (transforms 0 and 9)."""
+    if mode not in ("lz", "literals", "uncompressed", "dict"):
         raise ValueError(f"unknown brotli encode mode {mode!r}")
     w = _BitWriter()
     if wbits == 16:
@@ -1012,10 +1350,12 @@ def compress(data: bytes, *, mode: str = "lz", wbits: int = 22) -> bytes:
         lo, hi = off, min(off + step, len(data))
         if mode == "literals":
             cmds = [(hi - lo, 2, 0)]
+        elif mode == "dict":
+            cmds = _find_dict_commands(data, lo, hi, window, table)
         else:
             cmds = _find_commands(data, lo, hi, window, table)
         idx = _write_compressed_block(
-            w, data, lo, hi, cmds, ring, idx, is_last=hi == len(data)
+            w, data, lo, hi, cmds, ring, idx, window, is_last=hi == len(data)
         )
     return w.getvalue()
 
@@ -1036,11 +1376,14 @@ def _write_compressed_block(
     cmds: list[tuple[int, int, int]],
     ring: list[int],
     idx: int,
+    window: int,
     *,
     is_last: bool,
 ) -> int:
     """One compressed meta-block over data[lo:hi] from LZ commands.
     Single block type per category, NPOSTFIX=0 NDIRECT=0, LSB6 mode.
+    Mirrors the decoder's §4 ring rule: a distance past the window
+    start (a dictionary reference) is never pushed to the ring.
     Returns the updated distance-ring write index."""
     mlen = hi - lo
     # ---- pass 1: symbol streams + histograms ----
@@ -1069,8 +1412,11 @@ def _write_compressed_block(
                 dsym, dx, dn = 0, 0, 0  # explicit last-distance code
             else:
                 dsym, dx, dn = _dist_symbol(dist)
-                ring[r_idx & 3] = dist
-                r_idx += 1
+                if dist <= min(pos + ins, window):
+                    # in-window copy: pushed to the ring; dictionary
+                    # references (past the window) are not (§4)
+                    ring[r_idx & 3] = dist
+                    r_idx += 1
             dist_freq[dsym] = dist_freq.get(dsym, 0) + 1
         cmd_freq[cmd_sym] = cmd_freq.get(cmd_sym, 0) + 1
         span = data[pos : pos + ins]
@@ -1118,10 +1464,12 @@ def _write_compressed_block(
 
 
 def dictionary_ref_stream() -> bytes:
-    """A tiny VALID-per-spec stream whose single copy reaches past the
-    window start — i.e., a static-dictionary word reference. Fixtures
-    use it to pin the censused (``ce_decoded=False``) path end-to-end;
-    ``decompress`` raises ``BrotliDictionaryReference`` on it."""
+    """A tiny stream whose single copy reaches past the window start —
+    i.e., a static-dictionary word reference (word 998 of length 4,
+    transform 0, after one literal ``x``). Fixtures use it to pin the
+    dictionary-decode path end-to-end: through r12 this lane censused
+    (``ce_decoded=False``); with the Appendix-A dictionary vendored it
+    decodes to ``b"x" + word``."""
     w = _BitWriter()
     w.write(0, 1)  # WBITS=16
     w.write(1, 1)  # ISLAST
@@ -1148,3 +1496,133 @@ def dictionary_ref_stream() -> bytes:
     w.write_code(code, l)
     w.write(dx, dn)
     return w.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# optional native fast path (ctypes over the container's libbrotli)
+# ---------------------------------------------------------------------------
+#
+# The pure-Python codec above is the specified implementation; these
+# bindings exist because a C decoder is ~30x faster on the WARC hot
+# path and because an independent encoder is the strongest possible
+# cross-check for the decoder. Both return None when the shared
+# library is absent, so every caller keeps a pure-Python fallback.
+
+_native_dec = None
+_native_enc = None
+_native_probed = False
+
+
+def _load_native() -> None:
+    global _native_dec, _native_enc, _native_probed
+    if _native_probed:
+        return
+    _native_probed = True
+    import ctypes
+
+    try:
+        dec = ctypes.CDLL("libbrotlidec.so.1")
+        dec.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+        dec.BrotliDecoderCreateInstance.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        dec.BrotliDecoderDestroyInstance.argtypes = [ctypes.c_void_p]
+        dec.BrotliDecoderDecompressStream.restype = ctypes.c_int
+        dec.BrotliDecoderDecompressStream.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t)]
+        _native_dec = dec
+    except OSError:
+        _native_dec = None
+    try:
+        enc = ctypes.CDLL("libbrotlienc.so.1")
+        enc.BrotliEncoderCompress.restype = ctypes.c_int
+        enc.BrotliEncoderCompress.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_char_p]
+        _native_enc = enc
+    except OSError:
+        _native_enc = None
+
+
+def native_decompress(
+    data: bytes, *, max_output: int = 1 << 31
+) -> bytes | None:
+    """Decode via libbrotlidec's streaming API, or return ``None`` if
+    the library is unavailable. Matches ``decompress`` semantics on
+    the paths callers rely on: ``ValueError`` on corrupt streams and
+    trailing bytes, ``EOFError`` on truncation,
+    ``BrotliOutputCapExceeded`` past ``max_output`` (the streaming
+    loop caps growth per 64 KiB chunk, so a hostile few-KB bomb stops
+    at the cap instead of materializing gigabytes)."""
+    _load_native()
+    if _native_dec is None:
+        return None
+    import ctypes
+
+    dec = _native_dec
+    state = dec.BrotliDecoderCreateInstance(None, None, None)
+    if not state:
+        return None
+    try:
+        chunks: list[bytes] = []
+        total = 0
+        avail_in = ctypes.c_size_t(len(data))
+        next_in = ctypes.cast(
+            ctypes.create_string_buffer(data, len(data) or 1),
+            ctypes.POINTER(ctypes.c_uint8),
+        )
+        out_cap = 1 << 16
+        out_buf = ctypes.create_string_buffer(out_cap)
+        while True:
+            avail_out = ctypes.c_size_t(out_cap)
+            next_out = ctypes.cast(out_buf, ctypes.POINTER(ctypes.c_uint8))
+            res = dec.BrotliDecoderDecompressStream(
+                state, ctypes.byref(avail_in), ctypes.byref(next_in),
+                ctypes.byref(avail_out), ctypes.byref(next_out), None)
+            produced = out_cap - avail_out.value
+            if produced:
+                chunks.append(out_buf.raw[:produced])
+                total += produced
+                if total > max_output:
+                    raise BrotliOutputCapExceeded(
+                        "output exceeds max_output"
+                    )
+            if res == 1:  # BROTLI_DECODER_RESULT_SUCCESS
+                if avail_in.value:
+                    raise ValueError(
+                        "trailing bytes after brotli stream end"
+                    )
+                return b"".join(chunks)
+            if res == 2:  # NEEDS_MORE_INPUT: the stream is truncated
+                raise EOFError("truncated brotli stream")
+            if res == 3:  # NEEDS_MORE_OUTPUT: loop with a fresh buffer
+                continue
+            raise ValueError("bad brotli stream (native decoder error)")
+    finally:
+        dec.BrotliDecoderDestroyInstance(state)
+
+
+def native_compress(
+    data: bytes, *, quality: int = 5, lgwin: int = 22
+) -> bytes | None:
+    """Encode via libbrotlienc (one-shot), or return ``None`` if the
+    library is unavailable. Used by the cross-implementation test
+    suite to generate real-encoder streams at q=1..11; not part of the
+    fixture path (fixtures use the deterministic subset ``compress``)."""
+    _load_native()
+    if _native_enc is None:
+        return None
+    import ctypes
+
+    out_len = ctypes.c_size_t(len(data) + (len(data) >> 1) + 1024)
+    out = ctypes.create_string_buffer(out_len.value)
+    ok = _native_enc.BrotliEncoderCompress(
+        quality, lgwin, 0, len(data), data, ctypes.byref(out_len), out)
+    if not ok:
+        return None
+    return out.raw[: out_len.value]

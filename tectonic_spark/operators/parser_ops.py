@@ -5644,22 +5644,25 @@ _BR_MODES = ("br:lz", "br:literals", "br:uncompressed")
 
 
 def _warc_encoding_census_src(sf_dir: str) -> tuple[str, int]:
-    """Crawl with a REAL brotli lane (r12, VERDICT r11 item 1): every
-    11th response body is brotli-coded by the vendored RFC 7932 subset
-    encoder (mode cycling lz/literals/uncompressed by (d//11)%3) and
-    now DECODES; within that lane, every 5th doc (d%55==0) instead
-    carries a stream whose copy reaches into the static dictionary —
-    the named boundary the decoder refuses — so the censused skip path
-    stays exercised end-to-end. The rest carry the normal a25 matrix.
-    Returns (dir, n_shards)."""
-    from tectonic_spark.operators.brotli import dictionary_ref_stream
+    """Crawl with a REAL brotli lane: every 11th response body is
+    brotli-coded by the vendored RFC 7932 subset encoder. v3 (r13):
+    within that lane, every 5th doc (d%55==0) carries the document
+    through the ``dict`` encoder mode — a stream built from genuine §8
+    static-dictionary references (transforms 0 and 9) — and DECODES
+    (the r12 censused boundary is closed: the Appendix-A dictionary is
+    vendored); the other br docs cycle lz/literals/uncompressed by
+    (d//11)%3. Every d%55==22 doc instead carries an opaque ``zstd``
+    body — a coding the engine does not implement — keeping the
+    censused skip path a real crawl still needs exercised end-to-end.
+    The rest carry the normal a25 matrix. Returns (dir, n_shards)."""
     from tectonic_spark.operators.warc import build_warc_record, write_warc
 
     rows = _docs_rows(sf_dir)
     n_shards = max(4, len(rows) // 15000)
     base = _fixture_dir(sf_dir)
-    # v2: the br lane decodes (name bump invalidates cached v1 dirs)
-    src = os.path.join(base, f"a33_src2_{n_shards}")
+    # v3: the dict lane decodes; zstd lane censuses (name bump
+    # invalidates cached v2 dirs)
+    src = os.path.join(base, f"a33_src3_{n_shards}")
     done = os.path.join(src, "_DONE")
     if os.path.exists(done):
         return src, n_shards
@@ -5668,21 +5671,20 @@ def _warc_encoding_census_src(sf_dir: str) -> tuple[str, int]:
     tmp = f"{src}.tmp-{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp, exist_ok=True)
-    dict_ref = dictionary_ref_stream()
+    zstd_body = b"\x28\xb5\x2f\xfd" + bytes(range(64))  # opaque, magic only
     for i in range(n_shards):
         recs = []
         for d, text, lang, source, _n in rows:
             if d % n_shards != i:
                 continue
-            if d % 55 == 0:
-                # dictionary-referencing stream: valid per spec, but
-                # hits the named vendoring boundary — censused, the
-                # opaque bytes never enter the corpus
+            if d % 55 == 22:
+                # unimplemented coding: censused, the opaque bytes
+                # never enter the corpus
                 http = (
                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
-                    b"Content-Encoding: br\r\n"
-                    b"Content-Length: " + str(len(dict_ref)).encode()
-                    + b"\r\n\r\n" + dict_ref
+                    b"Content-Encoding: zstd\r\n"
+                    b"Content-Length: " + str(len(zstd_body)).encode()
+                    + b"\r\n\r\n" + zstd_body
                 )
                 recs.append(
                     build_warc_record(
@@ -5692,6 +5694,12 @@ def _warc_encoding_census_src(sf_dir: str) -> tuple[str, int]:
                         date=_WARC_DATE,
                         content_type="application/http; msgtype=response",
                     )
+                )
+            elif d % 55 == 0:
+                recs.append(
+                    _render_response_record(
+                        d, text, lang, source, ce="br:dict"
+                    )[0]
                 )
             elif d % 11 == 0:
                 recs.append(
@@ -5714,35 +5722,39 @@ def _warc_encoding_census_src(sf_dir: str) -> tuple[str, int]:
 @register(
     "a33_content_encoding_census",
     oracle="""
-    SELECT CAST(SUM(CASE WHEN doc_id % 11 <> 0 OR
-                         (doc_id % 11 = 0 AND doc_id % 55 <> 0)
+    SELECT CAST(SUM(CASE WHEN doc_id % 55 <> 22
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_extracted,
-           CAST(SUM(CASE WHEN doc_id % 11 <> 0 OR
-                         (doc_id % 11 = 0 AND doc_id % 55 <> 0)
+           CAST(SUM(CASE WHEN doc_id % 55 <> 22
                          THEN n_chars ELSE 0 END) AS BIGINT) AS chars,
-           CAST(SUM(CASE WHEN doc_id % 11 = 0 AND doc_id % 55 <> 0
+           CAST(SUM(CASE WHEN doc_id % 11 = 0 AND doc_id % 55 <> 22
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_br_decoded,
-           CAST(SUM(CASE WHEN doc_id % 11 = 0 AND doc_id % 55 <> 0
+           CAST(SUM(CASE WHEN doc_id % 11 = 0 AND doc_id % 55 <> 22
                          THEN n_chars ELSE 0 END) AS BIGINT) AS chars_br,
-           CAST(SUM(CASE WHEN doc_id % 55 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_br_censused,
-           CAST(SUM(CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 < 2
+           CAST(SUM(CASE WHEN doc_id % 55 = 22 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ce_censused,
+           CAST(SUM(CASE WHEN doc_id % 11 <> 0 AND doc_id % 55 <> 22
+                         AND doc_id % 3 < 2
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
-           CAST(SUM(CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 = 2
+           CAST(SUM(CASE WHEN doc_id % 11 <> 0 AND doc_id % 55 <> 22
+                         AND doc_id % 3 = 2
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_identity
     FROM documents
     """,
-    doc="Content-coding census with the brotli lane DECODING (r12 — "
-    "VERDICT r11 item 1: br is a large share of live-web responses): "
-    "every 11th response body is brotli-coded (RFC 7932 bit-stream "
-    "decoder, brotli.py; fixture encoder cycles its lz / literals / "
-    "uncompressed meta-block lanes) and extracts EXACTLY — chars_br "
-    "pins the decoded text against the documents oracle character-"
-    "for-character, crossing brotli decode, charset sniff and HTML "
-    "extraction. Every 55th doc instead carries a stream whose copy "
-    "reaches into the RFC 7932 static dictionary — the named "
-    "vendoring boundary (the ~122 KB dictionary blob cannot be "
-    "reproduced offline with provenance) — and is CENSUSED "
+    doc="Content-coding census with the FULL brotli lane decoding "
+    "(r13 — VERDICT r12 items 1-2: both r12 boundaries closed): every "
+    "11th response body is brotli-coded and extracts EXACTLY; within "
+    "that lane every 5th doc (d%55==0) is encoded through the 'dict' "
+    "lane — a stream of genuine RFC 7932 §8 static-dictionary "
+    "references (identity + ferment-first transforms) resolved "
+    "against the vendored ~122 KB Appendix-A dictionary — and the "
+    "rest cycle lz/literals/uncompressed. chars_br pins every decoded "
+    "br body (dictionary references included) against the documents "
+    "oracle character-for-character, crossing brotli decode (native "
+    "libbrotlidec when present, pure-Python otherwise), charset sniff "
+    "and HTML extraction; on the wire the dict-lane docs are "
+    "indistinguishable from the rest of the br lane, exactly as in a "
+    "real crawl. Every d%55==22 doc instead carries an opaque 'zstd' "
+    "body — an unimplemented coding — and is CENSUSED "
     "(ce_decoded=False, untouched bytes, never a task-killing raise): "
     "the skip path a real crawl still needs stays end-to-end. "
     "n_decoded/n_identity pin the gzip/deflate-vs-identity split of "
@@ -5815,8 +5827,8 @@ def a33_content_encoding_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ce") == "br", F.col("n_chars"))).alias(
             "chars_br"
         ),
-        F.sum(F.when(F.col("ce") == "br-censused", 1).otherwise(0)).alias(
-            "n_br_censused"
+        F.sum(F.when(F.col("ce") == "zstd-censused", 1).otherwise(0)).alias(
+            "n_ce_censused"
         ),
         F.sum(F.when(F.col("ce") == "decoded", 1).otherwise(0)).alias(
             "n_decoded"

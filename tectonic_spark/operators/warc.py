@@ -135,9 +135,10 @@ def build_http_response(
         elif ce == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, 15)
             body = co.compress(body) + co.flush()
-        elif ce in ("br", "br:lz", "br:literals", "br:uncompressed"):
-            # the ":mode" suffix picks the fixture encoder lane; the
-            # wire header is always plain "br"
+        elif ce in ("br", "br:lz", "br:literals", "br:uncompressed", "br:dict"):
+            # the ":mode" suffix picks the fixture encoder lane
+            # (":dict" emits real §8 static-dictionary references);
+            # the wire header is always plain "br"
             from tectonic_spark.operators.brotli import compress
 
             mode = ce.split(":", 1)[1] if ":" in ce else "lz"
@@ -303,28 +304,41 @@ def parse_warc(data: bytes) -> list[dict]:
     return _parse_warc_plain(data)
 
 
+# per-record decoded-body cap: a few-KB hostile crawl body can legally
+# expand to GiBs inside an executor task; past this bound the record is
+# censused (ce_decoded=False), never partially decoded
+_MAX_DECODED_BODY = 256 << 20
+
+
 def _decode_content(body: bytes, codings: list[str]) -> tuple[bytes, bool]:
     """Apply Content-Encoding codings in reverse application order.
-    Returns (body, decoded). ``br`` decodes through the vendored RFC
-    7932 bit-stream decoder (brotli.py); its two named boundaries —
-    static-dictionary references and UTF8/Signed multi-tree contexts —
-    census as decoded=False, never mangled, as do wholly unknown
-    codings (``zstd``, …). ``deflate`` tries the RFC 9110 zlib form
-    first, then the raw-deflate form many legacy servers actually
-    send."""
+    Returns (body, decoded). ``br`` decodes through libbrotlidec when
+    the shared library is present (the ~30x fast path) and the
+    vendored pure-Python RFC 7932 decoder otherwise — the two are
+    differential-tested in tests/test_brotli.py. Wholly unknown
+    codings (``zstd``, …) census as decoded=False, never mangled, as
+    does any body whose decoded size would exceed the
+    ``_MAX_DECODED_BODY`` bomb guard. ``deflate`` tries the RFC 9110
+    zlib form first, then the raw-deflate form many legacy servers
+    actually send."""
     for i in range(len(codings) - 1, -1, -1):
         ce = codings[i]
         if ce in ("identity", ""):
             continue
         if ce == "br":
-            from tectonic_spark.operators.brotli import decompress
+            from tectonic_spark.operators.brotli import (
+                BrotliOutputCapExceeded,
+                decompress,
+                native_decompress,
+            )
 
             try:
-                body = decompress(body)
-            except NotImplementedError:
-                # BrotliDictionaryReference / BrotliUnsupportedContext:
-                # the named scope boundaries — census, don't touch
-                return body, False
+                out = native_decompress(body, max_output=_MAX_DECODED_BODY)
+                if out is None:
+                    out = decompress(body, max_output=_MAX_DECODED_BODY)
+                body = out
+            except BrotliOutputCapExceeded:
+                return body, False  # bomb guard — census, don't touch
             continue
         if ce in ("gzip", "x-gzip"):
             wbits_options = (31,)
@@ -336,10 +350,12 @@ def _decode_content(body: bytes, codings: list[str]) -> tuple[bytes, bool]:
         for wbits in wbits_options:
             d = zlib.decompressobj(wbits)
             try:
-                out = d.decompress(body)
+                out = d.decompress(body, _MAX_DECODED_BODY + 1)
             except zlib.error as e:
                 last = e
                 continue
+            if len(out) > _MAX_DECODED_BODY:
+                return body, False  # bomb guard — census, don't touch
             if not d.eof:
                 raise EOFError(f"truncated {ce} content coding")
             body = out

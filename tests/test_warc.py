@@ -329,10 +329,13 @@ class TestContentEncoding:
         got = parse_http_response(msg)
         assert got["body"] == body and got["chunked"] and got["ce_decoded"]
 
-    def test_br_dictionary_reference_censused_not_mangled(self):
-        # the named boundary: a valid stream whose copy reaches into
-        # the RFC 7932 static dictionary is censused, never mangled
-        from tectonic_spark.operators.brotli import dictionary_ref_stream
+    def test_br_dictionary_reference_decodes(self):
+        # r13: the Appendix-A dictionary is vendored — a stream whose
+        # copy reaches into the static dictionary now DECODES
+        from tectonic_spark.operators.brotli import (
+            _dictionary,
+            dictionary_ref_stream,
+        )
 
         blob = dictionary_ref_stream()
         msg = (
@@ -340,9 +343,60 @@ class TestContentEncoding:
             b"Content-Length: " + str(len(blob)).encode() + b"\r\n\r\n" + blob
         )
         got = parse_http_response(msg)
-        assert got["body"] == blob  # untouched
-        assert got["ce_decoded"] is False
+        assert got["body"] == b"x" + _dictionary()[998 * 4 : 999 * 4]
+        assert got["ce_decoded"] is True
         assert got["content_encoding"] == "br"
+
+    def test_br_dict_mode_body_decodes(self):
+        # a body encoded with real dictionary references (transforms
+        # 0 and 9) through the fixture encoder's dict lane
+        from tectonic_spark.operators.brotli import compress
+
+        body = (
+            b"The information available from the university is "
+            b"different from the public development."
+        )
+        blob = compress(body, mode="dict")
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+            b"Content-Length: " + str(len(blob)).encode() + b"\r\n\r\n" + blob
+        )
+        got = parse_http_response(msg)
+        assert got["body"] == body
+        assert got["ce_decoded"] is True
+
+    def test_br_bomb_censused_not_materialized(self, monkeypatch):
+        # the ADVICE r12 cap: a small hostile stream that would expand
+        # past _MAX_DECODED_BODY is censused, never materialized
+        import tectonic_spark.operators.warc as warc_mod
+        from tectonic_spark.operators.brotli import compress
+
+        monkeypatch.setattr(warc_mod, "_MAX_DECODED_BODY", 1 << 10)
+        blob = compress(b"A" * (1 << 14), mode="lz")  # tiny stream, 16 KiB out
+        assert len(blob) < 200
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n"
+            b"Content-Length: " + str(len(blob)).encode() + b"\r\n\r\n" + blob
+        )
+        got = parse_http_response(msg)
+        assert got["body"] == blob  # untouched opaque bytes
+        assert got["ce_decoded"] is False
+
+    def test_gzip_bomb_censused_not_materialized(self, monkeypatch):
+        import zlib
+
+        import tectonic_spark.operators.warc as warc_mod
+
+        monkeypatch.setattr(warc_mod, "_MAX_DECODED_BODY", 1 << 10)
+        gz = zlib.compressobj(9, zlib.DEFLATED, 31)
+        blob = gz.compress(b"A" * (1 << 14)) + gz.flush()
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Content-Length: " + str(len(blob)).encode() + b"\r\n\r\n" + blob
+        )
+        got = parse_http_response(msg)
+        assert got["body"] == blob
+        assert got["ce_decoded"] is False
 
     def test_br_corrupt_stream_raises(self):
         # structural corruption is a loud raise (the gzip doctrine),
