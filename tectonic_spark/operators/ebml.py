@@ -87,14 +87,19 @@ _TAGS = 0x1254C367
 _ATTACHMENTS = 0x1941A469
 _CLUSTER_POSITION = 0xA7
 _CLUSTER_PREV_SIZE = 0xAB
+_VOID = 0xEC
+_CRC32 = 0xBF
 _UNKNOWN_OK_CHILDREN = {
+    # Void and CRC-32 are global elements real muxers emit anywhere
+    # inside Segment/Cluster (ADVICE r12) — without them a resync
+    # would truncate the census at the first padding element
     _SEGMENT: {
         _INFO, _TRACKS, _CLUSTER, _SEEK_HEAD, _CUES, _CHAPTERS, _TAGS,
-        _ATTACHMENTS,
+        _ATTACHMENTS, _VOID, _CRC32,
     },
     _CLUSTER: {
         _CLUSTER_TS, _SIMPLE_BLOCK, _BLOCK_GROUP, _CLUSTER_POSITION,
-        _CLUSTER_PREV_SIZE,
+        _CLUSTER_PREV_SIZE, _VOID, _CRC32,
     },
 }
 

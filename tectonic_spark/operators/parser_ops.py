@@ -4960,7 +4960,8 @@ def _warc_timeline_src(sf_dir: str) -> tuple[str, int]:
     rows = _docs_rows(sf_dir)
     n_shards = max(4, len(rows) // 15000)
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, f"a37_src_{n_shards}")
+    # v2: recapture shard is (d+1)%n — (d+4)%n was a no-op at n=4
+    src = os.path.join(base, f"a37_src2_{n_shards}")
     done = os.path.join(src, "_DONE")
     if os.path.exists(done):
         return src, n_shards
@@ -4975,7 +4976,7 @@ def _warc_timeline_src(sf_dir: str) -> tuple[str, int]:
             _render_response_record(d, text, lang, source)[0]
         )
         if d % 5 == 0:
-            shards[(d + 4) % n_shards].append(
+            shards[(d + 1) % n_shards].append(
                 _render_response_record(
                     d, text + " rev2", lang, source, date=_WARC_DATE_V2
                 )[0]
@@ -6144,7 +6145,8 @@ def _timeline_index_src(sf_dir: str) -> tuple[str, int]:
     rows = _docs_rows(sf_dir)
     n_shards = max(4, len(rows) // 15000)
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, f"a38_src_{n_shards}")
+    # v2: recapture shard is (d+1)%n — (d+4)%n was a no-op at n=4
+    src = os.path.join(base, f"a38_src2_{n_shards}")
     done = os.path.join(src, "_DONE")
     if os.path.exists(done):
         return src, n_shards
@@ -6176,7 +6178,7 @@ def _timeline_index_src(sf_dir: str) -> tuple[str, int]:
     for d, text, lang, source, _n in rows:
         add(d % n_shards, d, text, lang, source, _WARC_DATE)
         if d % 5 == 0:  # recaptured with CHANGED content, other shard
-            add((d + 4) % n_shards, d, text + " rev2", lang, source,
+            add((d + 1) % n_shards, d, text + " rev2", lang, source,
                 _WARC_DATE_V2)
     all_entries: list[dict] = []
     for i, recs in enumerate(shards):
@@ -7127,6 +7129,10 @@ def a41_surt_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tectonic_spark.tables import table
 
     idx_dir, warc_dir, _n_blocks = _zipnum_src(sf_dir)
+    # fetch width scales with the corpus (the a30 doctrine): the
+    # matched set is ~a quarter of the corpus by construction, so a
+    # fixed width would cap the range scan at 100x (VERDICT r12)
+    _src, n_shards = _warc_cdxj_src(sf_dir)
     with open(os.path.join(idx_dir, "cluster.idx"), "rb") as f:
         cluster = parse_cluster_idx(f.read())
     block_keys = [e["key"] for e in cluster]
@@ -7243,7 +7249,7 @@ def a41_surt_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fetched = (
         matched.select("filename", "offset", "length", "digest")
-        .repartition(16, "filename")
+        .repartition(n_shards, "filename")
         .mapInPandas(fetch_docs, mschema)
         .persist()
     )
@@ -7561,7 +7567,8 @@ def _merged_index_src(sf_dir: str) -> tuple[str, str, str]:
     a_dir, _na = _warc_cdxj_src(sf_dir)
     b_dir, _nb = _timeline_index_src(sf_dir)
     base = _fixture_dir(sf_dir)
-    src = os.path.join(base, "a43_idx")
+    # v2: rebuilt over the a38_src2 collection (offsets changed)
+    src = os.path.join(base, "a43_idx2")
     done = os.path.join(src, "_DONE")
     if os.path.exists(done):
         return src, a_dir, b_dir

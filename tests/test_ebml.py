@@ -154,6 +154,28 @@ class TestErrors:
         assert info["n_clusters"] == 3
         assert [f for _t, f in info["frames"]] == [b"aa", b"bbb", b"cccc"]
 
+    def test_unknown_size_resync_tolerates_void_and_crc(self):
+        # ADVICE r12: real muxers emit Void (0xEC) and CRC-32 (0xBF)
+        # padding inside Segment/Cluster — a resync must scan past
+        # them, not end the unknown-size element there
+        clusters = [
+            {"timestamp": 0, "blocks": [_simple(1, b"aa", key=True)]},
+            {"timestamp": 10, "blocks": [_simple(1, b"bbb")]},
+        ]
+        blob = encode_mkv([VIDEO], clusters, unknown_size="segment+clusters")
+        void = b"\xec\x84\x00\x00\x00\x00"  # Void, size 4
+        crc = b"\xbf\x84\x01\x02\x03\x04"  # CRC-32, size 4
+        cluster_id = b"\x1f\x43\xb6\x75"
+        second = blob.find(cluster_id, blob.find(cluster_id) + 4)
+        assert second > 0
+        # Void inside the first unknown-size cluster, CRC-32 between
+        # the clusters (a Segment-level global element)
+        spliced = blob[:second] + void + crc + blob[second:]
+        info = parse_mkv(spliced, keep_frames=True)
+        assert info["bytes_walked"] == len(spliced)
+        assert info["n_clusters"] == 2
+        assert [f for _t, f in info["frames"]] == [b"aa", b"bbb"]
+
     def test_unknown_size_other_elements_refused(self):
         # only Segment/Cluster may omit their size (Matroska profile):
         # an unknown-size Info is a named refusal
