@@ -248,3 +248,144 @@ def fetch_member(f, offset: int, length: int) -> bytes:
             f"indexed length {length} overshoots member at offset {offset}"
         )
     return rec
+
+
+def cluster_entries_by_file(entries: list[dict]) -> dict[str, list[dict]]:
+    """Group a (possibly multi-file) cluster.idx into per-file block
+    lists in file order (offset order) — the unit the zipnum ladder
+    binary-searches. A merged index's block key ranges may overlap
+    ACROSS files but never within one, so lookups run the a36 ladder
+    once per file (<= 2 blocks each), never over the merged list."""
+    by_file: dict[str, list[dict]] = {}
+    for e in entries:
+        by_file.setdefault(e["filename"], []).append(e)
+    for blocks in by_file.values():
+        blocks.sort(key=lambda e: e["offset"])
+        keys = [e["key"] for e in blocks]
+        if any(keys[i] > keys[i + 1] for i in range(len(keys) - 1)):
+            raise ValueError("cluster.idx blocks unsorted within a file")
+    return by_file
+
+
+def multi_zipnum_blocks(
+    by_file: dict[str, list[dict]], key: str
+) -> list[dict]:
+    """Candidate blocks for ``key`` across every block file of a
+    merged index: per-file ``zipnum_block_range`` (<= 2 blocks per
+    file for point keys)."""
+    out: list[dict] = []
+    for blocks in by_file.values():
+        lo, hi = zipnum_block_range([e["key"] for e in blocks], key)
+        out.extend(blocks[lo:hi])
+    return out
+
+
+def incremental_zipnum_update(
+    index_dir: str,
+    delta_lines: list[str],
+    *,
+    generation: int = 1,
+    block_lines: int = 64,
+) -> dict:
+    """Append a new crawl's CDXJ lines to an existing zipnum index
+    WITHOUT rewriting it (the write side of wayback collection
+    maintenance; the read side is the a43 merge): the existing block
+    file(s) are never touched — the delta's surviving lines become new
+    gzip member blocks in ``delta-{generation:03d}.zipnum.gz`` and
+    cluster.idx is rewritten (it is the tiny always-resident tier) to
+    cover both files.
+
+    Dedup is keep-first against the EXISTING collection: a delta line
+    whose ``(key, ts, digest)`` triple already exists is dropped — the
+    original capture's location stays authoritative (re-ingesting an
+    overlapping export must not re-point members). The existence check
+    is itself index-served: only the candidate blocks of each delta
+    key are ranged-read (bytes accounted in the returned stats), never
+    the whole index — at 100 TB the index is GBs and the delta is the
+    small side.
+
+    Returns ``{"delta_file", "n_delta", "n_dropped", "n_appended",
+    "n_new_blocks", "dedup_blocks_read", "dedup_bytes_read"}``.
+    Raises ``ValueError`` on unsorted delta lines or a malformed
+    existing index; raises ``FileExistsError`` if this generation's
+    delta file already exists (an update must be explicit, never an
+    overwrite)."""
+    import json as _json
+    import os as _os
+
+    if any(
+        delta_lines[i] > delta_lines[i + 1]
+        for i in range(len(delta_lines) - 1)
+    ):
+        raise ValueError("delta lines must be sorted")
+    delta_file = f"delta-{generation:03d}.zipnum.gz"
+    delta_path = _os.path.join(index_dir, delta_file)
+    if _os.path.exists(delta_path):
+        raise FileExistsError(f"{delta_file} already exists in {index_dir}")
+    with open(_os.path.join(index_dir, "cluster.idx"), "rb") as f:
+        entries = parse_cluster_idx(f.read())
+    by_file = cluster_entries_by_file(entries)
+
+    # --- index-served dedup: ranged-read only candidate blocks ---
+    needed: dict[tuple[str, int, int], None] = {}
+    for ln in delta_lines:
+        key = ln.split(" ", 1)[0]
+        for e in multi_zipnum_blocks(by_file, key):
+            needed[(e["filename"], e["offset"], e["length"])] = None
+    existing: set[tuple[str, str, str]] = set()
+    bytes_read = 0
+    handles: dict[str, object] = {}
+    try:
+        for fname, off, length in needed:
+            f = handles.get(fname)
+            if f is None:
+                f = handles[fname] = open(_os.path.join(index_dir, fname), "rb")
+            block = fetch_member(f, off, length)
+            bytes_read += length
+            for ln in block.decode("utf-8").splitlines():
+                key, ts, blob = ln.split(" ", 2)
+                existing.add((key, ts, _json.loads(blob)["digest"]))
+    finally:
+        for f in handles.values():
+            f.close()
+
+    kept: list[str] = []
+    for ln in delta_lines:
+        key, ts, blob = ln.split(" ", 2)
+        if (key, ts, _json.loads(blob)["digest"]) not in existing:
+            kept.append(ln)
+
+    # --- new blocks + merged cluster.idx; existing files untouched ---
+    new_entries: list[dict] = []
+    if kept:
+        zblob, zentries = write_zipnum(kept, block_lines=block_lines)
+        tmp = delta_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(zblob)
+        _os.rename(tmp, delta_path)
+        for e in zentries:
+            new_entries.append(dict(e, filename=delta_file))
+    merged = sorted(
+        [dict(e) for e in entries] + new_entries,
+        key=lambda e: (e["key"], e["filename"], e["offset"]),
+    )
+    idx_blob = (
+        "\n".join(
+            f"{e['key']}\t{e['filename']}\t{e['offset']}\t{e['length']}"
+            for e in merged
+        )
+        + "\n"
+    ).encode("utf-8")
+    tmp = _os.path.join(index_dir, "cluster.idx.tmp")
+    with open(tmp, "wb") as f:
+        f.write(idx_blob)
+    _os.rename(tmp, _os.path.join(index_dir, "cluster.idx"))
+    return {
+        "delta_file": delta_file,
+        "n_delta": len(delta_lines),
+        "n_dropped": len(delta_lines) - len(kept),
+        "n_appended": len(kept),
+        "n_new_blocks": len(new_entries),
+        "dedup_blocks_read": len(needed),
+        "dedup_bytes_read": bytes_read,
+    }

@@ -7882,3 +7882,533 @@ def a43_collection_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners.unpersist()
     probes.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
+
+
+def _incremental_index_src(sf_dir: str) -> tuple[str, str, str]:
+    """a44 (r13, VERDICT r12 item 5): the WRITE side of wayback
+    collection maintenance. Start from the a30 crawl's zipnum (the
+    existing archive index), then ingest the a38 two-snapshot
+    collection's full CDXJ export as a DELTA through
+    ``incremental_zipnum_update``: every January line duplicates an
+    existing capture (same SURT/ts/digest — the a43 premise) and is
+    dropped keep-first, every February recapture is new and lands in
+    ``delta-001.zipnum.gz``; the original ``index.zipnum.gz`` is never
+    rewritten (sha256 recorded before/after in update.json, re-checked
+    by the query). Returns (index_dir, a_warc_dir, b_warc_dir)."""
+    import hashlib
+    import json as _json
+
+    from tectonic_spark.operators.cdxj import (
+        fetch_member,
+        incremental_zipnum_update,
+        parse_cluster_idx,
+    )
+
+    a_idx_dir, a_warc_dir, _nb = _zipnum_src(sf_dir)
+    b_dir, _nb2 = _timeline_index_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "a44_idx")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, a_warc_dir, b_dir
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for fname in ("index.zipnum.gz", "cluster.idx"):
+        shutil.copyfile(
+            os.path.join(a_idx_dir, fname), os.path.join(tmp, fname)
+        )
+    with open(os.path.join(tmp, "index.zipnum.gz"), "rb") as f:
+        base_sha = hashlib.sha256(f.read()).hexdigest()
+
+    # the delta export: EVERY line of collection B, dupes included
+    delta_lines: list[str] = []
+    with open(os.path.join(b_dir, "cluster.idx"), "rb") as f:
+        b_cluster = parse_cluster_idx(f.read())
+    with open(os.path.join(b_dir, "index.zipnum.gz"), "rb") as f:
+        for e in b_cluster:
+            delta_lines.extend(
+                fetch_member(f, e["offset"], e["length"])
+                .decode("utf-8")
+                .splitlines()
+            )
+    stats = incremental_zipnum_update(tmp, sorted(delta_lines))
+    with open(os.path.join(tmp, "index.zipnum.gz"), "rb") as f:
+        after_sha = hashlib.sha256(f.read()).hexdigest()
+    if after_sha != base_sha:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError("a44: incremental update rewrote the base index")
+    _write_atomic(
+        os.path.join(tmp, "update.json"),
+        _json.dumps(dict(stats, base_sha256=base_sha)).encode("utf-8"),
+    )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, a_warc_dir, b_dir
+
+
+@register(
+    "a44_incremental_index_update",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recaptured,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars + 5
+                         ELSE n_chars END) AS BIGINT) AS chars_latest
+    FROM documents WHERE doc_id % 19 = 7 GROUP BY lang
+    """,
+    doc="Incremental zipnum UPDATE (r13, VERDICT r12 item 5 — the "
+    "write side of the wayback story a43's merge opened): a new "
+    "crawl's CDXJ export is appended to an existing archive index "
+    "WITHOUT rewriting it — surviving lines become new gzip member "
+    "blocks in delta-001.zipnum.gz, only the tiny cluster.idx is "
+    "rewritten, and the original index.zipnum.gz is byte-identical "
+    "(sha256 recorded pre-update, re-asserted by this query). Dedup "
+    "is keep-first against the existing collection and itself "
+    "index-served (only candidate blocks of delta keys are ranged-"
+    "read). Probe lookups (doc_id % 19 = 7) then run the zipnum "
+    "ladder PER BLOCK FILE (<= 2 blocks each) over the updated "
+    "cluster.idx, and the builder asserts field-for-field agreement "
+    "with a FULL REBUILD audit for every probe: base lines + the "
+    "complete delta export (dupes included) deduped keep-first in a "
+    "distributed pass must yield the same caps / first_ts / distinct "
+    "digests / latest (ts, digest, location) — the a38 walk-is-the-"
+    "pin template applied to index maintenance, plus a line-count pin "
+    "(updated index lines == audit's deduped union). Latest members "
+    "are ranged-fetched with collection routing derived from WHICH "
+    "block file answered (January -> the original archive, February "
+    "-> the delta), digest-verified and extracted, so chars_latest "
+    "crosses the update, the routing, the fetch and extraction at "
+    "once. 100 TB shape: the immutable block files never churn — an "
+    "update writes only the delta's blocks plus the resident "
+    "cluster.idx; the rebuild audit is run here BECAUSE it is the "
+    "pin, a production update runs only the incremental half.",
+)
+def a44_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.operators.cdxj import (
+        cluster_entries_by_file,
+        parse_cluster_idx,
+    )
+    from tectonic_spark.tables import table
+
+    idx_dir, a_warc, b_warc = _incremental_index_src(sf_dir)
+    with open(os.path.join(idx_dir, "update.json"), "rb") as f:
+        meta = _json.loads(f.read())
+    # pin 1: the immutable tier really is immutable
+    with open(os.path.join(idx_dir, "index.zipnum.gz"), "rb") as f:
+        if hashlib.sha256(f.read()).hexdigest() != meta["base_sha256"]:
+            raise RuntimeError("a44: base index.zipnum.gz was rewritten")
+    with open(os.path.join(idx_dir, "cluster.idx"), "rb") as f:
+        cluster = parse_cluster_idx(f.read())
+    by_file = cluster_entries_by_file(cluster)
+    if set(by_file) != {"index.zipnum.gz", "delta-001.zipnum.gz"}:
+        raise RuntimeError(f"a44: unexpected block files {sorted(by_file)}")
+    # collection precedence by block file: the original archive wins
+    prec = {"index.zipnum.gz": 0, "delta-001.zipnum.gz": 1}
+    warc_dirs = {0: a_warc, 1: b_warc}
+
+    docs = table(spark, sf_dir, "documents")
+    probes = (
+        docs.filter(F.col("doc_id") % 19 == 7)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("example,"), F.col("source"), F.lit(")/doc/"),
+                F.col("doc_id"),
+            ).alias("key"),
+        )
+        .persist()
+    )
+
+    bschema = StructType(
+        [
+            StructField("src_file", StringType(), True),
+            StructField("b_offset", LongType(), True),
+            StructField("b_length", LongType(), True),
+        ]
+    )
+
+    def assign_blocks(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import multi_zipnum_blocks
+
+        for pdf in batches:
+            blocks = set()
+            for key in pdf["key"]:
+                for e in multi_zipnum_blocks(by_file, key):
+                    blocks.add((e["filename"], e["offset"], e["length"]))
+            yield pd.DataFrame(
+                sorted(blocks),
+                columns=["src_file", "b_offset", "b_length"],
+            )
+
+    blocks = (
+        probes.select("key").mapInPandas(assign_blocks, bschema).distinct()
+    )
+
+    eschema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("ts", StringType(), True),
+            StructField("digest", StringType(), True),
+            StructField("prec", LongType(), True),
+            StructField("filename", StringType(), True),
+            StructField("offset", LongType(), True),
+            StructField("length", LongType(), True),
+        ]
+    )
+
+    def fetch_blocks(batches):
+        import json as _json2
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            rows = []
+            handles: dict = {}
+            try:
+                for r in pdf.itertuples(index=False):
+                    f = handles.get(r.src_file)
+                    if f is None:
+                        f = handles[r.src_file] = open(
+                            _os.path.join(idx_dir, r.src_file), "rb"
+                        )
+                    block = fetch_member(
+                        f, int(r.b_offset), int(r.b_length)
+                    )
+                    p = prec[r.src_file]
+                    for ln in block.decode("utf-8").splitlines():
+                        key, ts, blob = ln.split(" ", 2)
+                        j = _json2.loads(blob)
+                        rows.append(
+                            (key, ts, j["digest"], p, j["filename"],
+                             j["offset"], j["length"])
+                        )
+            finally:
+                for f in handles.values():
+                    f.close()
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "ts", "digest", "prec", "filename",
+                         "offset", "length"],
+            )
+
+    entries = blocks.mapInPandas(fetch_blocks, eschema)
+    latest = F.max(
+        F.struct("ts", "digest", "prec", "filename", "offset", "length")
+    ).alias("l")
+    index_ans = (
+        entries.join(probes, "key", "inner")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("i_caps"),
+            F.min("ts").alias("i_first_ts"),
+            F.countDistinct("digest").alias("i_digests"),
+            latest,
+        )
+        .select(
+            "doc_id", "i_caps", "i_first_ts", "i_digests",
+            F.col("l.ts").alias("ts"),
+            F.col("l.digest").alias("digest"),
+            F.col("l.prec").alias("prec"),
+            F.col("l.filename").alias("filename"),
+            F.col("l.offset").alias("offset"),
+            F.col("l.length").alias("length"),
+        )
+        .persist()
+    )
+
+    # --- the FULL REBUILD audit: base lines + the complete delta
+    # export (dupes included), deduped keep-first, distributed ---
+    a_blocks = [
+        ("A", e["offset"], e["length"]) for e in by_file["index.zipnum.gz"]
+    ]
+    with open(os.path.join(b_warc, "cluster.idx"), "rb") as f:
+        b_cluster = parse_cluster_idx(f.read())
+    b_blocks = [("B", e["offset"], e["length"]) for e in b_cluster]
+    paths = {"A": os.path.join(idx_dir, "index.zipnum.gz"),
+             "B": os.path.join(b_warc, "index.zipnum.gz")}
+    manifest = spark.createDataFrame(
+        a_blocks + b_blocks, "coll string, b_offset long, b_length long"
+    ).repartition(max(8, (len(a_blocks) + len(b_blocks)) // 16))
+
+    rschema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("ts", StringType(), True),
+            StructField("digest", StringType(), True),
+            StructField("prec", LongType(), True),
+            StructField("filename", StringType(), True),
+            StructField("offset", LongType(), True),
+            StructField("length", LongType(), True),
+        ]
+    )
+
+    def scan_all(batches):
+        import json as _json2
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            rows = []
+            handles: dict = {}
+            try:
+                for r in pdf.itertuples(index=False):
+                    f = handles.get(r.coll)
+                    if f is None:
+                        f = handles[r.coll] = open(paths[r.coll], "rb")
+                    block = fetch_member(
+                        f, int(r.b_offset), int(r.b_length)
+                    )
+                    p = 0 if r.coll == "A" else 1
+                    for ln in block.decode("utf-8").splitlines():
+                        key, ts, blob = ln.split(" ", 2)
+                        j = _json2.loads(blob)
+                        rows.append(
+                            (key, ts, j["digest"], p, j["filename"],
+                             j["offset"], j["length"])
+                        )
+            finally:
+                for f in handles.values():
+                    f.close()
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "ts", "digest", "prec", "filename",
+                         "offset", "length"],
+            )
+
+    union = manifest.mapInPandas(scan_all, rschema)
+    rebuilt = (
+        union.groupBy("key", "ts", "digest")
+        .agg(
+            F.min(F.struct("prec", "filename", "offset", "length")).alias(
+                "w"
+            )
+        )
+        .select(
+            "key", "ts", "digest",
+            F.col("w.prec").alias("prec"),
+            F.col("w.filename").alias("filename"),
+            F.col("w.offset").alias("offset"),
+            F.col("w.length").alias("length"),
+        )
+        .persist()
+    )
+    # line-count pin: the updated index holds exactly the deduped union
+    n_rebuilt = rebuilt.count()
+    uschema = StructType([StructField("n", LongType(), True)])
+
+    def count_lines(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            n = 0
+            handles: dict = {}
+            try:
+                for r in pdf.itertuples(index=False):
+                    f = handles.get(r.src_file)
+                    if f is None:
+                        f = handles[r.src_file] = open(
+                            _os.path.join(idx_dir, r.src_file), "rb"
+                        )
+                    n += len(
+                        fetch_member(f, int(r.b_offset), int(r.b_length))
+                        .splitlines()
+                    )
+            finally:
+                for f in handles.values():
+                    f.close()
+            yield pd.DataFrame([n], columns=["n"])
+
+    all_blocks = spark.createDataFrame(
+        [
+            (fname, e["offset"], e["length"])
+            for fname, blist in by_file.items()
+            for e in blist
+        ],
+        "src_file string, b_offset long, b_length long",
+    ).repartition(8)
+    n_updated = (
+        all_blocks.mapInPandas(count_lines, uschema)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    if n_updated != n_rebuilt:
+        rebuilt.unpersist()
+        index_ans.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a44: updated index holds {n_updated} lines, the rebuilt "
+            f"union has {n_rebuilt}"
+        )
+
+    # field-for-field agreement for EVERY probe
+    audit_ans = (
+        rebuilt.join(probes, "key", "inner")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("r_caps"),
+            F.min("ts").alias("r_first_ts"),
+            F.countDistinct("digest").alias("r_digests"),
+            F.max(
+                F.struct("ts", "digest", "prec", "filename", "offset",
+                         "length")
+            ).alias("rl"),
+        )
+        .select(
+            "doc_id", "r_caps", "r_first_ts", "r_digests",
+            F.col("rl.ts").alias("r_ts"),
+            F.col("rl.digest").alias("r_digest"),
+            F.col("rl.prec").alias("r_prec"),
+            F.col("rl.filename").alias("r_filename"),
+            F.col("rl.offset").alias("r_offset"),
+        )
+    )
+    n_probes = probes.count()
+    cmp = index_ans.join(audit_ans, "doc_id", "full")
+    n_mismatch = cmp.filter(
+        (F.col("i_caps") != F.col("r_caps"))
+        | (F.col("i_first_ts") != F.col("r_first_ts"))
+        | (F.col("i_digests") != F.col("r_digests"))
+        | (F.col("ts") != F.col("r_ts"))
+        | (F.col("digest") != F.col("r_digest"))
+        | (F.col("prec") != F.col("r_prec"))
+        | (F.col("filename") != F.col("r_filename"))
+        | (F.col("offset") != F.col("r_offset"))
+        | F.col("i_caps").isNull()
+        | F.col("r_caps").isNull()
+    ).count()
+    n_touched = blocks.count()
+    if n_mismatch or index_ans.count() != n_probes:
+        rebuilt.unpersist()
+        index_ans.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a44: {n_mismatch} probe disagreements between the updated "
+            "index and the full rebuild"
+        )
+    if n_touched > 2 * len(by_file) * n_probes:
+        rebuilt.unpersist()
+        index_ans.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a44: {n_touched} blocks for {n_probes} probes across "
+            f"{len(by_file)} files — the per-file ladder is not pruning"
+        )
+    rebuilt.unpersist()
+
+    # ranged-fetch every probe's LATEST member, routed by which block
+    # file answered (prec 0 -> original archive, 1 -> delta collection)
+    mschema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("bytes_read", LongType(), True),
+        ]
+    )
+
+    def fetch_docs(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member, payload_digest
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            by_loc: dict = {}
+            for r in pdf.itertuples(index=False):
+                by_loc.setdefault((int(r.prec), r.filename), []).append(r)
+            for (p, fname), items in by_loc.items():
+                items.sort(key=lambda r: r.offset)
+                with open(_os.path.join(warc_dirs[p], fname), "rb") as f:
+                    for r in items:
+                        member = fetch_member(f, int(r.offset), int(r.length))
+                        (rec,) = parse_warc(member)
+                        if payload_digest(rec["payload"]) != r.digest:
+                            raise ValueError(
+                                f"{fname}@{r.offset}: digest mismatch"
+                            )
+                        d, text, lang, *_rest = _extract_crawl_response(rec)
+                        if d != int(r.doc_id):
+                            raise ValueError(
+                                f"index said doc {r.doc_id}, member is {d}"
+                            )
+                        # routing pin: February winners come from the
+                        # delta collection, January from the original
+                        want = 1 if r.ts.startswith("202402") else 0
+                        if p != want:
+                            raise ValueError(
+                                f"doc {d} ts {r.ts} routed to file set "
+                                f"{p}, the update says {want}"
+                            )
+                        rows.append((d, lang, len(text), int(r.length)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "n_chars", "bytes_read"],
+            )
+
+    fetched = (
+        index_ans.select(
+            "doc_id", "ts", "digest", "prec", "filename", "offset", "length"
+        )
+        .repartition(8, "prec", "filename")
+        .mapInPandas(fetch_docs, mschema)
+        .persist()
+    )
+    got = fetched.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bytes_read").alias("br")
+    ).collect()[0]
+    want_bytes = index_ans.agg(F.sum("length")).collect()[0][0]
+    if got["n"] != n_probes or got["br"] != want_bytes:
+        fetched.unpersist()
+        index_ans.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a44: fetched {got['n']}/{n_probes} members, {got['br']} "
+            f"bytes vs indexed {want_bytes}"
+        )
+    agg = (
+        fetched.join(index_ans.select("doc_id", "i_caps"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("i_caps") > 1, 1).otherwise(0)).alias(
+                "n_recaptured"
+            ),
+            F.sum("n_chars").alias("chars_latest"),
+        )
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    index_ans.unpersist()
+    probes.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)

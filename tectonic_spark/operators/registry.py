@@ -72,6 +72,68 @@ def register(
 # REGISTRY in this order; duplicates below dedupe first-wins; names not
 # listed keep registration order at the tail.
 PRIORITY: list[str] = [
+    # ======================= r13 window (50) =======================
+    # --- r13 tier 2: registered this round (first driver row) ---
+    "a44_incremental_index_update",  # zipnum write-side: append + dedup
+    # --- r13 tier 3: changed code this round — brotli.py closed both
+    # decoder boundaries (dictionary + context modes) and warc.py
+    # gained the native fast path + decode caps, so every query riding
+    # _decode_content re-verifies; a33's fixture flipped to v3 (dict
+    # lane decodes, zstd lane censuses); a37/a38 fixtures moved to v2
+    # (cross-shard recapture fix) with a41-a43 riding; ebml.py gained
+    # Void/CRC resync children (m25/m26) ---
+    "a33_content_encoding_census",  # the dict lane decodes (matrix v3)
+    "a25_warc_ingest",
+    "a27_wet_wat_ingest",
+    "a28_warc_export_roundtrip",
+    "a30_cdxj_fetch",
+    "a31_warc_revisit",
+    "a32_redirect_resolution",
+    "a36_zipnum_lookup",
+    "a37_capture_timeline",  # fixture v2
+    "a38_temporal_index_lookup",  # fixture v2
+    "a39_revisit_index_fetch",
+    "a40_brotli_jsonl_scan",
+    "a41_surt_prefix_scan",  # corpus-scaled fetch width
+    "a42_wayback_closest",  # rides the a38 v2 fixture
+    "a43_collection_merge",  # merged index rebuilt (a43_idx2)
+    "s15_warc_stream",
+    "s16_stream_brotli_ingest",
+    "c05_crawl_curation",
+    "m25_webm_census",  # Void/CRC in the resync whitelists
+    "m26_opus_dual_container",
+    # --- r13 tier 4: warm fill = the longest-unsampled names by the
+    # r1-r12 union (q02/q11 last green r3; then the r4 cohort the r12
+    # fill did not reach) ---
+    "q02_min_cost_supplier",  # r3
+    "q11_important_stock",  # r3
+    "a01_json_scan",  # r4
+    "a02_csv_scan",  # r4
+    "a03_projection_pushdown",  # r4
+    "a04_filter_pushdown",  # r4
+    "a05_schema_inference",  # r4
+    "a06_malformed_handling",  # r4
+    "a13_nested_pushdown",  # r4
+    "a17_partitioned_sink_pruning",  # r4
+    "a18_bucketed_join_no_shuffle",  # r4
+    "b01_project_compute",  # r4
+    "b02_filter_pushdown",  # r4
+    "b03_join_star",  # r4
+    "b04_range_join",  # r4
+    "b06_rollup",  # r4
+    "b07_topn_per_group",  # r4
+    "b08_topk",  # r4
+    "b09_setops",  # r4
+    "b10_scalar_functions",  # r4
+    "b11_tumbling_window",  # r4
+    "b12_dedup_distinct",  # r4
+    "b13_pandas_udf",  # r4
+    "b14_sql_surface",  # r4
+    "c01_dedup_clusters",  # r4
+    "c01_embedding_neardup",  # r4
+    "c01_line_dedup",  # r4
+    "c02_ann_lsh",  # r4
+    # ==================== end r13 window ====================
     # --- r12 tier 2: registered this round (first driver rows) ---
     "a38_temporal_index_lookup",  # temporal answers from the zipnum index
     "a39_revisit_index_fetch",  # two-hop revisit resolution via the index

@@ -245,3 +245,120 @@ class TestZipnum:
         keys = [e["key"] for e in entries]
         lo, hi = zipnum_block_range(keys, "k)/dup")
         assert hi - lo >= 2  # spans at least two blocks
+
+
+class TestIncrementalUpdate:
+    def _mk_lines(self, ids, ts="20240101000000", digest_tag="J"):
+        lines = []
+        for i in ids:
+            host = ("a", "b", "c")[i % 3]
+            lines.append(
+                f'example,{host})/doc/{i:05d} {ts} '
+                f'{{"url":"https://{host}.example/doc/{i:05d}",'
+                f'"digest":"D{digest_tag}{i:05d}","filename":"crawl.warc.gz",'
+                f'"offset":{i * 100},"length":90}}'
+            )
+        return sorted(lines)
+
+    def _base_index(self, tmp_path, n=300):
+        from tectonic_spark.operators.cdxj import (
+            build_cluster_idx,
+            write_zipnum,
+        )
+
+        lines = self._mk_lines(range(n))
+        blob, entries = write_zipnum(lines, block_lines=32)
+        (tmp_path / "index.zipnum.gz").write_bytes(blob)
+        (tmp_path / "cluster.idx").write_bytes(
+            build_cluster_idx(entries, "index.zipnum.gz")
+        )
+        return lines
+
+    def test_update_appends_without_rewriting(self, tmp_path):
+        import hashlib
+
+        from tectonic_spark.operators.cdxj import (
+            cluster_entries_by_file,
+            fetch_member,
+            incremental_zipnum_update,
+            multi_zipnum_blocks,
+            parse_cluster_idx,
+        )
+
+        base = self._base_index(tmp_path)
+        before = hashlib.sha256(
+            (tmp_path / "index.zipnum.gz").read_bytes()
+        ).hexdigest()
+        # delta: 100 duplicates of existing lines + 60 new Feb captures
+        dupes = self._mk_lines(range(0, 300, 3))
+        feb = self._mk_lines(range(0, 300, 5), ts="20240201000000",
+                             digest_tag="F")
+        stats = incremental_zipnum_update(
+            str(tmp_path), sorted(dupes + feb), block_lines=32
+        )
+        assert stats["n_delta"] == len(dupes) + len(feb)
+        assert stats["n_dropped"] == len(dupes)
+        assert stats["n_appended"] == len(feb)
+        # the existing block file is byte-identical
+        after = hashlib.sha256(
+            (tmp_path / "index.zipnum.gz").read_bytes()
+        ).hexdigest()
+        assert after == before
+        assert (tmp_path / "delta-001.zipnum.gz").exists()
+        # dedup read a bounded fraction, not the whole index
+        assert stats["dedup_bytes_read"] < len(
+            (tmp_path / "index.zipnum.gz").read_bytes()
+        ) * 2
+        # every line is findable through the updated index, exactly once
+        entries = parse_cluster_idx((tmp_path / "cluster.idx").read_bytes())
+        by_file = cluster_entries_by_file(entries)
+        assert set(by_file) == {"index.zipnum.gz", "delta-001.zipnum.gz"}
+        all_lines = set(base) | set(feb)
+        found = []
+        handles = {
+            f: open(tmp_path / f, "rb") for f in by_file
+        }
+        seen_blocks = set()
+        for ln in sorted(all_lines):
+            key = ln.split(" ", 1)[0]
+            hit = 0
+            for e in multi_zipnum_blocks(by_file, key):
+                bid = (e["filename"], e["offset"])
+                block = fetch_member(
+                    handles[e["filename"]], e["offset"], e["length"]
+                )
+                seen_blocks.add(bid)
+                hit += block.decode().splitlines().count(ln)
+            found.append(hit)
+        for f in handles.values():
+            f.close()
+        assert all(h == 1 for h in found)
+        # dupes resolve to the ORIGINAL collection's line (keep-first):
+        # no delta block contains a January line
+        with open(tmp_path / "delta-001.zipnum.gz", "rb") as f:
+            for e in by_file["delta-001.zipnum.gz"]:
+                block = fetch_member(f, e["offset"], e["length"])
+                assert b" 20240101000000 " not in block
+
+    def test_second_generation_and_overwrite_refused(self, tmp_path):
+        from tectonic_spark.operators.cdxj import incremental_zipnum_update
+
+        self._base_index(tmp_path, n=60)
+        feb = self._mk_lines(range(0, 60, 5), ts="20240201000000",
+                             digest_tag="F")
+        incremental_zipnum_update(str(tmp_path), feb, block_lines=32)
+        with pytest.raises(FileExistsError):
+            incremental_zipnum_update(str(tmp_path), feb, block_lines=32)
+        # generation 2: the SAME lines now dedup against generation 1
+        stats = incremental_zipnum_update(
+            str(tmp_path), feb, generation=2, block_lines=32
+        )
+        assert stats["n_appended"] == 0 and stats["n_dropped"] == len(feb)
+        assert not (tmp_path / "delta-002.zipnum.gz").exists()
+
+    def test_unsorted_delta_rejected(self, tmp_path):
+        from tectonic_spark.operators.cdxj import incremental_zipnum_update
+
+        self._base_index(tmp_path, n=40)
+        with pytest.raises(ValueError, match="sorted"):
+            incremental_zipnum_update(str(tmp_path), ["b x {}", "a x {}"])
