@@ -1119,9 +1119,19 @@ def main() -> None:
         # r10 failure mode). Absolute thresholds don't work here:
         # JVM-alive samples read anywhere from ~50% to ~80% of the
         # JVM-free rate depending on what the extras left running,
-        # even on an idle host
+        # even on an idle host. r13 (VERDICT r12 item 7): ALSO flag
+        # when the bracket's floor sits below half the JVM-free idle
+        # parallel reference — the r12 failure mode was a host
+        # depressed EARLY in the bracket that recovered by its end
+        # (6,011 -> 14,250), which the ends-only comparison read as
+        # "rising, fine" while the rows ran up to 90% slow
         "sf1_contended": (
             seg_canaries["post_sf1"] < 0.7 * seg_canaries["post_extras"]
+            or (
+                idle_par is not None
+                and min(seg_canaries["post_extras"], seg_canaries["post_sf1"])
+                < 0.5 * idle_par
+            )
         ),
         "headline_normalized_parallel_segment": (
             round(
