@@ -8412,3 +8412,367 @@ def a44_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_ans.unpersist()
     probes.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
+
+
+def _conflict_index_src(sf_dir: str) -> tuple[str, str, str]:
+    """a45 (r13): two collections claim the SAME (SURT key, timestamp)
+    with DIFFERENT payload digests — the wayback-operations failure a
+    merged index must surface, never silently resolve. Collection C
+    re-captures every d%7==3 doc at the original January timestamp:
+    even doc_ids (d%14==10) carry ALTERED content (text + " alt" — a
+    genuine conflict), odd ones (d%14==3) are byte-identical re-submits
+    (exact dupes). C is ingested into a copy of the a30 archive index
+    through ``incremental_zipnum_update``: the dupes are dropped
+    keep-first, the conflicts survive into delta-001.zipnum.gz (a
+    conflict is NOT a dupe — the digest differs), and the fixture
+    asserts both counts. Returns (index_dir, a_warc_dir, c_warc_dir)."""
+    import hashlib
+    import json as _json
+
+    from tectonic_spark.operators.cdxj import (
+        build_cdxj,
+        incremental_zipnum_update,
+        payload_digest,
+        warc_timestamp,
+        write_warc_indexed,
+    )
+
+    a_idx_dir, a_warc_dir, _nb = _zipnum_src(sf_dir)
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    base = _fixture_dir(sf_dir)
+    c_dir = os.path.join(base, f"a45_conflict_src_{n_shards}")
+    idx_dir = os.path.join(base, "a45_idx")
+    if os.path.exists(os.path.join(idx_dir, "_DONE")):
+        return idx_dir, a_warc_dir, c_dir
+    import shutil
+
+    # --- collection C: the conflicting re-crawl ---
+    tmp_c = f"{c_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp_c, ignore_errors=True)
+    os.makedirs(tmp_c, exist_ok=True)
+    shards: list[list[tuple[bytes, dict | None]]] = [
+        [] for _ in range(n_shards)
+    ]
+    n_conflicts = n_dupes = 0
+    for d, text, lang, source, _n in rows:
+        if d % 7 != 3:
+            continue
+        if d % 2 == 0:
+            body, n_conflicts = text + " alt", n_conflicts + 1
+        else:
+            body, n_dupes = text, n_dupes + 1
+        rec, http = _render_response_record(d, body, lang, source,
+                                            date=_WARC_DATE)
+        shards[d % n_shards].append(
+            (
+                rec,
+                {
+                    "url": f"https://{source}.example/doc/{d}",
+                    "ts": warc_timestamp(_WARC_DATE),
+                    "digest": payload_digest(http),
+                    "mime": "text/html",
+                    "status": 200,
+                    "filename": f"crawl-{d % n_shards:03d}.warc.gz",
+                },
+            )
+        )
+    c_lines: list[str] = []
+    for i, recs in enumerate(shards):
+        blob, entries = write_warc_indexed(recs)
+        _write_atomic(os.path.join(tmp_c, f"crawl-{i:03d}.warc.gz"), blob)
+        c_lines.extend(
+            build_cdxj(entries).decode("utf-8").splitlines()
+        )
+    _write_atomic(os.path.join(tmp_c, "_DONE"), b"ok")
+    try:
+        os.rename(tmp_c, c_dir)
+    except OSError:
+        shutil.rmtree(tmp_c, ignore_errors=True)
+
+    # --- the updated (now conflicted) index ---
+    tmp = f"{idx_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    for fname in ("index.zipnum.gz", "cluster.idx"):
+        shutil.copyfile(
+            os.path.join(a_idx_dir, fname), os.path.join(tmp, fname)
+        )
+    with open(os.path.join(tmp, "index.zipnum.gz"), "rb") as f:
+        base_sha = hashlib.sha256(f.read()).hexdigest()
+    stats = incremental_zipnum_update(tmp, sorted(c_lines))
+    if stats["n_dropped"] != n_dupes or stats["n_appended"] != n_conflicts:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"a45: update dropped {stats['n_dropped']} (want {n_dupes} "
+            f"dupes), appended {stats['n_appended']} (want {n_conflicts} "
+            "conflicts)"
+        )
+    _write_atomic(
+        os.path.join(tmp, "update.json"),
+        _json.dumps(dict(stats, base_sha256=base_sha)).encode("utf-8"),
+    )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, idx_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return idx_dir, a_warc_dir, c_dir
+
+
+@register(
+    "a45_conflict_census",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_conflicts,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_winner,
+           CAST(SUM(n_chars + 4) AS BIGINT) AS chars_loser
+    FROM documents WHERE doc_id % 14 = 10 GROUP BY lang
+    """,
+    doc="Collection-precedence CONFLICT census (r13 — the other half "
+    "of index maintenance a44 opened): after a new collection is "
+    "ingested, lines that share a (SURT key, timestamp) but differ in "
+    "digest are genuine conflicts — two crawlers captured different "
+    "content for the same URL-second, or a collection is corrupt — "
+    "and a wayback front must SURFACE them (census + deterministic "
+    "precedence), never silently merge. The census is one distributed "
+    "pass over the updated index's blocks (the index is the tiny "
+    "tier; conflict detection is an index-wide maintenance job): "
+    "group by (key, ts), conflicts have >1 distinct digest; the "
+    "builder asserts every conflict has exactly two sides, the winner "
+    "routed to the original archive (precedence) and the loser to the "
+    "delta file. BOTH sides of every conflict are then ranged-fetched "
+    "and extracted — chars_winner pins the original capture, "
+    "chars_loser the conflicting re-crawl (text + ' alt'), proving "
+    "the two captures really differ and the index told the truth "
+    "about both locations; exact-dupe re-submits (d%14==3) were "
+    "dropped by the update and must NOT appear as conflicts (asserted "
+    "via the fixture's update stats). 100 TB shape: the census "
+    "shuffles index LINES only (bytes proportional to the index, not "
+    "the corpus); fetch width scales with the conflict set "
+    "(corpus-scaled repartition, the a41 doctrine).",
+)
+def a45_conflict_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.operators.cdxj import (
+        cluster_entries_by_file,
+        parse_cluster_idx,
+    )
+
+    idx_dir, a_warc, c_warc = _conflict_index_src(sf_dir)
+    with open(os.path.join(idx_dir, "update.json"), "rb") as f:
+        meta = _json.loads(f.read())
+    with open(os.path.join(idx_dir, "cluster.idx"), "rb") as f:
+        cluster = parse_cluster_idx(f.read())
+    by_file = cluster_entries_by_file(cluster)
+    prec = {"index.zipnum.gz": 0, "delta-001.zipnum.gz": 1}
+    warc_dirs = {0: a_warc, 1: c_warc}
+    _src, n_shards = _warc_cdxj_src(sf_dir)
+
+    # one distributed pass over ALL index blocks
+    manifest = spark.createDataFrame(
+        [
+            (fname, e["offset"], e["length"])
+            for fname, blist in by_file.items()
+            for e in blist
+        ],
+        "src_file string, b_offset long, b_length long",
+    ).repartition(max(8, len(cluster) // 16))
+
+    eschema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("ts", StringType(), True),
+            StructField("digest", StringType(), True),
+            StructField("prec", LongType(), True),
+            StructField("filename", StringType(), True),
+            StructField("offset", LongType(), True),
+            StructField("length", LongType(), True),
+        ]
+    )
+
+    def scan_blocks(batches):
+        import json as _json2
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            rows = []
+            handles: dict = {}
+            try:
+                for r in pdf.itertuples(index=False):
+                    f = handles.get(r.src_file)
+                    if f is None:
+                        f = handles[r.src_file] = open(
+                            _os.path.join(idx_dir, r.src_file), "rb"
+                        )
+                    block = fetch_member(
+                        f, int(r.b_offset), int(r.b_length)
+                    )
+                    p = prec[r.src_file]
+                    for ln in block.decode("utf-8").splitlines():
+                        key, ts, blob = ln.split(" ", 2)
+                        j = _json2.loads(blob)
+                        rows.append(
+                            (key, ts, j["digest"], p, j["filename"],
+                             j["offset"], j["length"])
+                        )
+            finally:
+                for f in handles.values():
+                    f.close()
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "ts", "digest", "prec", "filename",
+                         "offset", "length"],
+            )
+
+    lines = manifest.mapInPandas(scan_blocks, eschema)
+    grouped = (
+        lines.groupBy("key", "ts")
+        .agg(
+            F.countDistinct("digest").alias("n_digests"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.collect_list(
+                F.struct("prec", "digest", "filename", "offset", "length")
+            ).alias("sides"),
+        )
+        .persist()
+    )
+    conflicts = grouped.filter(F.col("n_digests") > 1).persist()
+    # structural pins: a conflict has exactly two sides, one per
+    # collection; non-conflict keys have exactly one line (the update
+    # deduped exact re-submits — none survive as same-digest pairs)
+    bad_shape = conflicts.filter(
+        (F.col("n_lines") != 2)
+        | (F.size(F.filter("sides", lambda s: s["prec"] == 0)) != 1)
+        | (F.size(F.filter("sides", lambda s: s["prec"] == 1)) != 1)
+    ).count()
+    dup_lines = grouped.filter(
+        (F.col("n_digests") == 1) & (F.col("n_lines") > 1)
+    ).count()
+    n_conflicts = conflicts.count()
+    if bad_shape or dup_lines or n_conflicts != meta["n_appended"]:
+        grouped.unpersist()
+        conflicts.unpersist()
+        raise RuntimeError(
+            f"a45: {n_conflicts} conflicts (update appended "
+            f"{meta['n_appended']}), {bad_shape} mis-shaped, "
+            f"{dup_lines} surviving same-digest duplicates"
+        )
+    grouped.unpersist()
+
+    # fetch BOTH sides of every conflict, routed by precedence
+    sides = conflicts.select(
+        "key", "ts", F.explode("sides").alias("s")
+    ).select(
+        "key", "ts",
+        F.col("s.prec").alias("prec"),
+        F.col("s.digest").alias("digest"),
+        F.col("s.filename").alias("filename"),
+        F.col("s.offset").alias("offset"),
+        F.col("s.length").alias("length"),
+    )
+
+    mschema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("prec", LongType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("bytes_read", LongType(), True),
+        ]
+    )
+
+    def fetch_sides(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member, payload_digest
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            by_loc: dict = {}
+            for r in pdf.itertuples(index=False):
+                by_loc.setdefault((int(r.prec), r.filename), []).append(r)
+            for (p, fname), items in by_loc.items():
+                items.sort(key=lambda r: r.offset)
+                with open(_os.path.join(warc_dirs[p], fname), "rb") as f:
+                    for r in items:
+                        member = fetch_member(f, int(r.offset), int(r.length))
+                        (rec,) = parse_warc(member)
+                        if payload_digest(rec["payload"]) != r.digest:
+                            raise ValueError(
+                                f"{fname}@{r.offset}: digest mismatch"
+                            )
+                        d, text, lang, *_rest = _extract_crawl_response(rec)
+                        rows.append((d, lang, p, len(text), int(r.length)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "prec", "n_chars", "bytes_read"],
+            )
+
+    fetched = (
+        sides.repartition(n_shards, "prec", "filename")
+        .mapInPandas(fetch_sides, mschema)
+        .persist()
+    )
+    got = fetched.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bytes_read").alias("br")
+    ).collect()[0]
+    want = sides.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("length").alias("b")
+    ).collect()[0]
+    # the conflict is REAL: the loser's extracted text is longer than
+    # the winner's for every conflict pair (the ' alt' suffix)
+    pair_bad = (
+        fetched.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("prec") == 0, F.col("n_chars"))).alias("wc"),
+            F.max(F.when(F.col("prec") == 1, F.col("n_chars"))).alias("lc"),
+        )
+        .filter(
+            F.col("wc").isNull()
+            | F.col("lc").isNull()
+            | (F.col("lc") != F.col("wc") + 4)
+        )
+        .count()
+    )
+    if got["n"] != want["n"] or got["br"] != want["b"] or pair_bad:
+        fetched.unpersist()
+        conflicts.unpersist()
+        raise RuntimeError(
+            f"a45: fetched {got['n']}/{want['n']} sides, {got['br']} "
+            f"bytes vs indexed {want['b']}, {pair_bad} pairs whose "
+            "sides do not differ by the conflict suffix"
+        )
+    agg = (
+        fetched.groupBy("doc_id", "lang")
+        .agg(
+            F.max(F.when(F.col("prec") == 0, F.col("n_chars"))).alias("wc"),
+            F.max(F.when(F.col("prec") == 1, F.col("n_chars"))).alias("lc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_conflicts"),
+            F.sum("wc").alias("chars_winner"),
+            F.sum("lc").alias("chars_loser"),
+        )
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    conflicts.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)
