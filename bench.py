@@ -588,10 +588,29 @@ def _brotli_rate() -> dict[str, float]:
     for p in pages:
         compress(p, mode="lz")
     t_enc = _t.process_time() - t0
-    return {
+    out = {
         "brotli_decode_mb_per_sec": round(out_mb / best, 2),
         "brotli_encode_mb_per_sec": round(out_mb / t_enc, 2),
     }
+    # r13: the WARC hot path rides libbrotlidec when present — rate the
+    # fast path too so the crawl-decode story carries both numbers
+    from tectonic_spark.operators.brotli import native_decompress
+
+    if native_decompress(blobs[0]) is not None:
+
+        def run_native() -> None:
+            for blob, page in zip(blobs, pages):
+                if native_decompress(blob) != page:
+                    raise RuntimeError("brotli native mismatch")
+
+        run_native()
+        best_n = 1e9
+        for _ in range(3):
+            t0 = _t.process_time()
+            run_native()
+            best_n = min(best_n, _t.process_time() - t0)
+        out["brotli_native_decode_mb_per_sec"] = round(out_mb / best_n, 2)
+    return out
 
 
 def _pdf_extract_rate() -> dict[str, float]:

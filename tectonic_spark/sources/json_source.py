@@ -88,12 +88,11 @@ def open_input(path: str):
     """Binary handle; ``.gz``/``.bz2``/``.xz``/``.br`` transparently
     decompress (none are block-splittable, so compressed files always
     plan as ONE whole-file split and the read paths treat their end
-    bound as EOF). ``.br`` decodes through the vendored RFC 7932
-    decoder (operators/brotli.py) into a memory buffer — shard-sized
-    files by the layout doctrine; a stream that hits the decoder's
-    named boundaries (static dictionary, UTF8 multi-tree contexts) is
-    a loud task error here, not a census: a file that cannot be
-    decoded cannot be scanned."""
+    bound as EOF). ``.br`` decodes through libbrotlidec when present
+    (the ~30x fast path) and the vendored RFC 7932 decoder
+    (operators/brotli.py) otherwise — the two are differential-tested;
+    an undecodable stream is a loud task error here, not a census: a
+    file that cannot be decoded cannot be scanned."""
     low = path.lower()
     if low.endswith(".gz"):
         import gzip
@@ -110,10 +109,17 @@ def open_input(path: str):
     if low.endswith(".br"):
         import io
 
-        from tectonic_spark.operators.brotli import decompress
+        from tectonic_spark.operators.brotli import (
+            decompress,
+            native_decompress,
+        )
 
         with open(path, "rb") as f:
-            return io.BytesIO(decompress(f.read()))
+            blob = f.read()
+        out = native_decompress(blob)
+        if out is None:
+            out = decompress(blob)
+        return io.BytesIO(out)
     return open(path, "rb")
 
 
