@@ -8776,3 +8776,431 @@ def a45_conflict_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetched.unpersist()
     conflicts.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
+
+
+def _index_export_src(sf_dir: str) -> tuple[str, str, str]:
+    """s17: the a38 collection's CDXJ lines split into THREE sorted
+    export files (round-robin over the sorted lines, so every file
+    carries both January duplicates and February recaptures) — the
+    arrival shape of a live archive's per-crawl index exports. Returns
+    (exports_dir, a_idx_dir, b_dir)."""
+    from tectonic_spark.operators.cdxj import fetch_member, parse_cluster_idx
+
+    a_idx_dir, _a_warc, _nb = _zipnum_src(sf_dir)
+    b_dir, _nb2 = _timeline_index_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, "s17_exports")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, a_idx_dir, b_dir
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    lines: list[str] = []
+    with open(os.path.join(b_dir, "cluster.idx"), "rb") as f:
+        b_cluster = parse_cluster_idx(f.read())
+    with open(os.path.join(b_dir, "index.zipnum.gz"), "rb") as f:
+        for e in b_cluster:
+            lines.extend(
+                fetch_member(f, e["offset"], e["length"])
+                .decode("utf-8")
+                .splitlines()
+            )
+    lines.sort()
+    for g in range(3):
+        part = sorted(lines[g::3])
+        _write_atomic(
+            os.path.join(tmp, f"export-{g:03d}.cdxj"),
+            ("\n".join(part) + "\n").encode("utf-8"),
+        )
+    _write_atomic(done.replace(src, tmp), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return src, a_idx_dir, b_dir
+
+
+@register(
+    "s17_stream_index_update",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recaptured,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars + 5
+                         ELSE n_chars END) AS BIGINT) AS chars_latest
+    FROM documents WHERE doc_id % 29 = 11 GROUP BY lang
+    """,
+    doc="STREAMING index maintenance (r13 — the continuous form of "
+    "a44): per-crawl CDXJ export files ARRIVE as a stream "
+    "(maxFilesPerTrigger=1, Trigger.AvailableNow) and each micro-batch "
+    "is appended to the live archive index through "
+    "incremental_zipnum_update as its own GENERATION — new member "
+    "blocks in delta-00N.zipnum.gz, only cluster.idx rewritten, the "
+    "base file byte-identical throughout. Dedup composes across "
+    "generations: every export carries January lines that duplicate "
+    "the base archive (dropped keep-first on arrival, whichever "
+    "generation sees them) and February recaptures (appended); the "
+    "builder pins sum(appended) == recapture count and sum(dropped) "
+    "== document count across the stream, plus the closed-form "
+    "line-count union on the final index. Probe lookups (doc_id % 29 "
+    "= 11) then run the per-file zipnum ladder over base + all "
+    "generations (<= 2 blocks per file per probe, asserted), latest "
+    "members are ranged-fetched with routing derived from WHICH file "
+    "answered (base -> original archive, any delta -> the new "
+    "crawl's shards), digest-verified and extracted — chars_latest "
+    "is exact under the oracle. 100 TB shape: the arriving export is "
+    "the small side (index lines, not corpus bytes) so the per-batch "
+    "maintenance is driver-side by design, exactly like production "
+    "wayback index maintenance; block files never churn.",
+)
+def s17_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.operators.cdxj import (
+        cluster_entries_by_file,
+        incremental_zipnum_update,
+        parse_cluster_idx,
+    )
+    from tectonic_spark.tables import table
+
+    exports_dir, a_idx_dir, b_dir = _index_export_src(sf_dir)
+    _src, _n = _warc_cdxj_src(sf_dir)
+    a_warc = _src
+    base = _fixture_dir(sf_dir)
+    live = os.path.join(base, "s17_live")
+    ck = os.path.join(base, "s17_ck")
+    for d in (live, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(live, exist_ok=True)
+    for fname in ("index.zipnum.gz", "cluster.idx"):
+        shutil.copyfile(
+            os.path.join(a_idx_dir, fname), os.path.join(live, fname)
+        )
+
+    totals = {"appended": 0, "dropped": 0, "generations": 0, "batches": 0}
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        # the arriving export is index LINES (the tiny tier) — the
+        # per-batch collect is the delta, never corpus bytes
+        lines = sorted(r["value"] for r in batch_df.collect() if r["value"])
+        if not lines:
+            return
+        totals["batches"] += 1
+        stats = incremental_zipnum_update(
+            live, lines, generation=totals["generations"] + 1
+        )
+        totals["appended"] += stats["n_appended"]
+        totals["dropped"] += stats["n_dropped"]
+        if stats["n_new_blocks"]:
+            totals["generations"] += 1
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.cdxj")
+        .load(exports_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(600)
+    finally:
+        _stop_stream_quietly(q)
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs, n_recap = docs.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)),
+    ).collect()[0]
+    if (
+        totals["batches"] < 3
+        or totals["appended"] != n_recap
+        or totals["dropped"] != n_docs
+    ):
+        raise RuntimeError(
+            f"s17: {totals['batches']} batches, appended "
+            f"{totals['appended']} (want {n_recap}), dropped "
+            f"{totals['dropped']} (want {n_docs})"
+        )
+    with open(os.path.join(live, "cluster.idx"), "rb") as f:
+        cluster = parse_cluster_idx(f.read())
+    by_file = cluster_entries_by_file(cluster)
+    if len(by_file) != 1 + totals["generations"]:
+        raise RuntimeError(
+            f"s17: cluster.idx covers {len(by_file)} files, want base + "
+            f"{totals['generations']} generations"
+        )
+
+    # closed-form union pin on the final index
+    uschema = StructType([StructField("n", LongType(), True)])
+
+    def count_lines(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            n = 0
+            handles: dict = {}
+            try:
+                for r in pdf.itertuples(index=False):
+                    f = handles.get(r.src_file)
+                    if f is None:
+                        f = handles[r.src_file] = open(
+                            _os.path.join(live, r.src_file), "rb"
+                        )
+                    n += len(
+                        fetch_member(f, int(r.b_offset), int(r.b_length))
+                        .splitlines()
+                    )
+            finally:
+                for f in handles.values():
+                    f.close()
+            yield pd.DataFrame([n], columns=["n"])
+
+    all_blocks = spark.createDataFrame(
+        [
+            (fname, e["offset"], e["length"])
+            for fname, blist in by_file.items()
+            for e in blist
+        ],
+        "src_file string, b_offset long, b_length long",
+    ).repartition(8)
+    n_lines = (
+        all_blocks.mapInPandas(count_lines, uschema)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    if n_lines != n_docs + n_recap:
+        raise RuntimeError(
+            f"s17: final index holds {n_lines} lines, the union is "
+            f"{n_docs} + {n_recap}"
+        )
+
+    probes = (
+        docs.filter(F.col("doc_id") % 29 == 11)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("example,"), F.col("source"), F.lit(")/doc/"),
+                F.col("doc_id"),
+            ).alias("key"),
+        )
+        .persist()
+    )
+
+    bschema = StructType(
+        [
+            StructField("src_file", StringType(), True),
+            StructField("b_offset", LongType(), True),
+            StructField("b_length", LongType(), True),
+        ]
+    )
+
+    def assign_blocks(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import multi_zipnum_blocks
+
+        for pdf in batches:
+            blocks = set()
+            for key in pdf["key"]:
+                for e in multi_zipnum_blocks(by_file, key):
+                    blocks.add((e["filename"], e["offset"], e["length"]))
+            yield pd.DataFrame(
+                sorted(blocks),
+                columns=["src_file", "b_offset", "b_length"],
+            )
+
+    blocks = (
+        probes.select("key").mapInPandas(assign_blocks, bschema).distinct()
+    )
+
+    eschema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("ts", StringType(), True),
+            StructField("digest", StringType(), True),
+            StructField("from_delta", LongType(), True),
+            StructField("filename", StringType(), True),
+            StructField("offset", LongType(), True),
+            StructField("length", LongType(), True),
+        ]
+    )
+
+    def fetch_blocks(batches):
+        import json as _json2
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            rows = []
+            handles: dict = {}
+            try:
+                for r in pdf.itertuples(index=False):
+                    f = handles.get(r.src_file)
+                    if f is None:
+                        f = handles[r.src_file] = open(
+                            _os.path.join(live, r.src_file), "rb"
+                        )
+                    block = fetch_member(
+                        f, int(r.b_offset), int(r.b_length)
+                    )
+                    fd = 0 if r.src_file == "index.zipnum.gz" else 1
+                    for ln in block.decode("utf-8").splitlines():
+                        key, ts, blob = ln.split(" ", 2)
+                        j = _json2.loads(blob)
+                        rows.append(
+                            (key, ts, j["digest"], fd, j["filename"],
+                             j["offset"], j["length"])
+                        )
+            finally:
+                for f in handles.values():
+                    f.close()
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "ts", "digest", "from_delta", "filename",
+                         "offset", "length"],
+            )
+
+    entries = blocks.mapInPandas(fetch_blocks, eschema)
+    winners = (
+        entries.join(probes, "key", "inner")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("caps"),
+            F.max(
+                F.struct("ts", "digest", "from_delta", "filename",
+                         "offset", "length")
+            ).alias("w"),
+        )
+        .select(
+            "doc_id", "caps",
+            F.col("w.ts").alias("ts"),
+            F.col("w.digest").alias("digest"),
+            F.col("w.from_delta").alias("from_delta"),
+            F.col("w.filename").alias("filename"),
+            F.col("w.offset").alias("offset"),
+            F.col("w.length").alias("length"),
+        )
+        .persist()
+    )
+    n_probes = probes.count()
+    n_touched = blocks.count()
+    if winners.count() != n_probes:
+        winners.unpersist()
+        probes.unpersist()
+        raise RuntimeError("s17: a probe found no index answer")
+    if n_touched > 2 * len(by_file) * n_probes:
+        winners.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"s17: {n_touched} blocks for {n_probes} probes across "
+            f"{len(by_file)} files — the per-file ladder is not pruning"
+        )
+
+    warc_dirs = {0: a_warc, 1: b_dir}
+    mschema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("caps", LongType(), True),
+            StructField("bytes_read", LongType(), True),
+        ]
+    )
+
+    def fetch_docs(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member, payload_digest
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            by_loc: dict = {}
+            for r in pdf.itertuples(index=False):
+                by_loc.setdefault((int(r.from_delta), r.filename), []).append(r)
+            for (fd, fname), items in by_loc.items():
+                items.sort(key=lambda r: r.offset)
+                with open(_os.path.join(warc_dirs[fd], fname), "rb") as f:
+                    for r in items:
+                        member = fetch_member(f, int(r.offset), int(r.length))
+                        (rec,) = parse_warc(member)
+                        if payload_digest(rec["payload"]) != r.digest:
+                            raise ValueError(
+                                f"{fname}@{r.offset}: digest mismatch"
+                            )
+                        d, text, lang, *_rest = _extract_crawl_response(rec)
+                        if d != int(r.doc_id):
+                            raise ValueError(
+                                f"index said doc {r.doc_id}, member is {d}"
+                            )
+                        # routing pin: February winners come from a
+                        # delta generation, January from the base
+                        want = 1 if r.ts.startswith("202402") else 0
+                        if fd != want:
+                            raise ValueError(
+                                f"doc {d} ts {r.ts} routed from_delta="
+                                f"{fd}, the stream says {want}"
+                            )
+                        rows.append(
+                            (d, lang, len(text), int(r.caps), int(r.length))
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "n_chars", "caps", "bytes_read"],
+            )
+
+    fetched = (
+        winners.repartition(8, "from_delta", "filename")
+        .mapInPandas(fetch_docs, mschema)
+        .persist()
+    )
+    got = fetched.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bytes_read").alias("br")
+    ).collect()[0]
+    want_bytes = winners.agg(F.sum("length")).collect()[0][0]
+    if got["n"] != n_probes or got["br"] != want_bytes:
+        fetched.unpersist()
+        winners.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"s17: fetched {got['n']}/{n_probes} members, {got['br']} "
+            f"bytes vs indexed {want_bytes}"
+        )
+    agg = fetched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("caps") > 1, 1).otherwise(0)).alias(
+            "n_recaptured"
+        ),
+        F.sum("n_chars").alias("chars_latest"),
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    winners.unpersist()
+    probes.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)

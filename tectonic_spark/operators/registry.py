@@ -76,6 +76,7 @@ PRIORITY: list[str] = [
     # --- r13 tier 2: registered this round (first driver row) ---
     "a44_incremental_index_update",  # zipnum write-side: append + dedup
     "a45_conflict_census",  # same (key, ts), different digest across collections
+    "s17_stream_index_update",  # per-crawl exports appended as streaming generations
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding
