@@ -267,15 +267,31 @@ def cluster_entries_by_file(entries: list[dict]) -> dict[str, list[dict]]:
     return by_file
 
 
+def file_block_keys(by_file: dict[str, list[dict]]) -> dict[str, list[str]]:
+    """Per-file first-key lists for ``multi_zipnum_blocks`` — compute
+    ONCE per lookup batch: rebuilding them per probed key turns an
+    O(log blocks) bisect into an O(blocks) scan (measured 64 s of a
+    79 s x100 update before this existed)."""
+    return {f: [e["key"] for e in blocks] for f, blocks in by_file.items()}
+
+
 def multi_zipnum_blocks(
-    by_file: dict[str, list[dict]], key: str
+    by_file: dict[str, list[dict]],
+    key: str,
+    keys_by_file: dict[str, list[str]] | None = None,
 ) -> list[dict]:
     """Candidate blocks for ``key`` across every block file of a
     merged index: per-file ``zipnum_block_range`` (<= 2 blocks per
-    file for point keys)."""
+    file for point keys). Pass ``keys_by_file`` (``file_block_keys``)
+    when probing many keys against the same index."""
     out: list[dict] = []
-    for blocks in by_file.values():
-        lo, hi = zipnum_block_range([e["key"] for e in blocks], key)
+    for fname, blocks in by_file.items():
+        keys = (
+            keys_by_file[fname]
+            if keys_by_file is not None
+            else [e["key"] for e in blocks]
+        )
+        lo, hi = zipnum_block_range(keys, key)
         out.extend(blocks[lo:hi])
     return out
 
@@ -327,10 +343,11 @@ def incremental_zipnum_update(
     by_file = cluster_entries_by_file(entries)
 
     # --- index-served dedup: ranged-read only candidate blocks ---
+    keys_by_file = file_block_keys(by_file)
     needed: dict[tuple[str, int, int], None] = {}
     for ln in delta_lines:
         key = ln.split(" ", 1)[0]
-        for e in multi_zipnum_blocks(by_file, key):
+        for e in multi_zipnum_blocks(by_file, key, keys_by_file):
             needed[(e["filename"], e["offset"], e["length"])] = None
     existing: set[tuple[str, str, str]] = set()
     bytes_read = 0

@@ -8047,12 +8047,16 @@ def a44_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     def assign_blocks(batches):
         import pandas as pd
 
-        from tectonic_spark.operators.cdxj import multi_zipnum_blocks
+        from tectonic_spark.operators.cdxj import (
+            file_block_keys,
+            multi_zipnum_blocks,
+        )
 
+        keys_by_file = file_block_keys(by_file)
         for pdf in batches:
             blocks = set()
             for key in pdf["key"]:
-                for e in multi_zipnum_blocks(by_file, key):
+                for e in multi_zipnum_blocks(by_file, key, keys_by_file):
                     blocks.add((e["filename"], e["offset"], e["length"]))
             yield pd.DataFrame(
                 sorted(blocks),
@@ -9017,12 +9021,16 @@ def s17_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     def assign_blocks(batches):
         import pandas as pd
 
-        from tectonic_spark.operators.cdxj import multi_zipnum_blocks
+        from tectonic_spark.operators.cdxj import (
+            file_block_keys,
+            multi_zipnum_blocks,
+        )
 
+        keys_by_file = file_block_keys(by_file)
         for pdf in batches:
             blocks = set()
             for key in pdf["key"]:
-                for e in multi_zipnum_blocks(by_file, key):
+                for e in multi_zipnum_blocks(by_file, key, keys_by_file):
                     blocks.add((e["filename"], e["offset"], e["length"]))
             yield pd.DataFrame(
                 sorted(blocks),
