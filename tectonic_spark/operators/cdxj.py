@@ -406,3 +406,58 @@ def incremental_zipnum_update(
         "dedup_blocks_read": len(needed),
         "dedup_bytes_read": bytes_read,
     }
+
+
+def compact_zipnum(index_dir: str, *, block_lines: int = 64) -> dict:
+    """Compact a multi-generation zipnum index back to ONE block file
+    (the maintenance step that bounds generation sprawl: after N
+    incremental updates every lookup pays N ladders, so a wayback
+    deployment periodically rewrites). All generations' lines are
+    merge-read, globally re-sorted, and written as a fresh
+    ``index.zipnum.gz`` + cluster.idx; the old block files are removed
+    only after the new index is fully in place (write-then-rename, so
+    a crash leaves either the old or the new index, never neither).
+    Compaction preserves every line byte-for-byte — dedup already
+    happened at append time, and a compactor that edits lines is a
+    corruption vector, so the caller-visible contract is
+    ``lines_before == lines_after`` (returned for pinning).
+
+    Returns ``{"n_lines", "n_files_before", "n_blocks_after",
+    "bytes_before", "bytes_after"}``."""
+    import os as _os
+
+    with open(_os.path.join(index_dir, "cluster.idx"), "rb") as f:
+        entries = parse_cluster_idx(f.read())
+    by_file = cluster_entries_by_file(entries)
+    lines: list[str] = []
+    bytes_before = 0
+    for fname, blocks in by_file.items():
+        with open(_os.path.join(index_dir, fname), "rb") as f:
+            for e in blocks:
+                lines.extend(
+                    fetch_member(f, e["offset"], e["length"])
+                    .decode("utf-8")
+                    .splitlines()
+                )
+                bytes_before += e["length"]
+    n_before = len(lines)
+    lines.sort()
+    zblob, zentries = write_zipnum(lines, block_lines=block_lines)
+    tmp_z = _os.path.join(index_dir, "index.zipnum.gz.compact")
+    with open(tmp_z, "wb") as f:
+        f.write(zblob)
+    tmp_c = _os.path.join(index_dir, "cluster.idx.compact")
+    with open(tmp_c, "wb") as f:
+        f.write(build_cluster_idx(zentries, "index.zipnum.gz"))
+    old_files = [fn for fn in by_file if fn != "index.zipnum.gz"]
+    _os.rename(tmp_z, _os.path.join(index_dir, "index.zipnum.gz"))
+    _os.rename(tmp_c, _os.path.join(index_dir, "cluster.idx"))
+    for fn in old_files:
+        _os.remove(_os.path.join(index_dir, fn))
+    return {
+        "n_lines": n_before,
+        "n_files_before": len(by_file),
+        "n_blocks_after": len(zentries),
+        "bytes_before": bytes_before,
+        "bytes_after": len(zblob),
+    }

@@ -7952,6 +7952,229 @@ def _incremental_index_src(sf_dir: str) -> tuple[str, str, str]:
     return src, a_warc_dir, b_dir
 
 
+
+
+# ---------------------------------------------------------------------------
+# multi-file zipnum lookup kernels (shared by a44 / s17 / a46): a
+# merged or incrementally-updated index spreads its blocks over
+# several files; lookups run the a36 ladder once per file, candidate
+# blocks are ranged-read distributed, and winners are fetched with
+# routing derived from WHICH file answered
+# ---------------------------------------------------------------------------
+
+
+def _mi_blocks_df(spark, by_file: dict, probes):
+    """Probe keys -> distinct candidate (src_file, b_offset, b_length)
+    rows via the per-file zipnum ladder (<= 2 blocks per file per
+    key). ``probes`` must carry a ``key`` column."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    bschema = StructType(
+        [
+            StructField("src_file", StringType(), True),
+            StructField("b_offset", LongType(), True),
+            StructField("b_length", LongType(), True),
+        ]
+    )
+
+    def assign_blocks(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import (
+            file_block_keys,
+            multi_zipnum_blocks,
+        )
+
+        keys_by_file = file_block_keys(by_file)
+        for pdf in batches:
+            blocks = set()
+            for key in pdf["key"]:
+                for e in multi_zipnum_blocks(by_file, key, keys_by_file):
+                    blocks.add((e["filename"], e["offset"], e["length"]))
+            yield pd.DataFrame(
+                sorted(blocks),
+                columns=["src_file", "b_offset", "b_length"],
+            )
+
+    return probes.select("key").mapInPandas(assign_blocks, bschema).distinct()
+
+
+def _mi_entries_df(spark, idx_dir: str, blocks, prec: dict):
+    """Candidate-block rows -> CDXJ entry rows with a ``prec`` column
+    (the collection precedence of the block file that held the line,
+    per the ``prec`` map)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    eschema = StructType(
+        [
+            StructField("key", StringType(), True),
+            StructField("ts", StringType(), True),
+            StructField("digest", StringType(), True),
+            StructField("prec", LongType(), True),
+            StructField("filename", StringType(), True),
+            StructField("offset", LongType(), True),
+            StructField("length", LongType(), True),
+        ]
+    )
+
+    def fetch_blocks(batches):
+        import json as _json
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            rows = []
+            handles: dict = {}
+            try:
+                for r in pdf.itertuples(index=False):
+                    f = handles.get(r.src_file)
+                    if f is None:
+                        f = handles[r.src_file] = open(
+                            _os.path.join(idx_dir, r.src_file), "rb"
+                        )
+                    block = fetch_member(f, int(r.b_offset), int(r.b_length))
+                    p = prec[r.src_file]
+                    for ln in block.decode("utf-8").splitlines():
+                        key, ts, blob = ln.split(" ", 2)
+                        j = _json.loads(blob)
+                        rows.append(
+                            (key, ts, j["digest"], p, j["filename"],
+                             j["offset"], j["length"])
+                        )
+            finally:
+                for f in handles.values():
+                    f.close()
+            yield pd.DataFrame(
+                rows,
+                columns=["key", "ts", "digest", "prec", "filename",
+                         "offset", "length"],
+            )
+
+    return blocks.mapInPandas(fetch_blocks, eschema)
+
+
+def _mi_count_lines(spark, idx_dir: str, by_file: dict) -> int:
+    """Total CDXJ lines across every block file — the closed-form
+    union pin, computed distributed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    uschema = StructType([StructField("n", LongType(), True)])
+
+    def count_lines(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            n = 0
+            handles: dict = {}
+            try:
+                for r in pdf.itertuples(index=False):
+                    f = handles.get(r.src_file)
+                    if f is None:
+                        f = handles[r.src_file] = open(
+                            _os.path.join(idx_dir, r.src_file), "rb"
+                        )
+                    n += len(
+                        fetch_member(f, int(r.b_offset), int(r.b_length))
+                        .splitlines()
+                    )
+            finally:
+                for f in handles.values():
+                    f.close()
+            yield pd.DataFrame([n], columns=["n"])
+
+    all_blocks = spark.createDataFrame(
+        [
+            (fname, e["offset"], e["length"])
+            for fname, blist in by_file.items()
+            for e in blist
+        ],
+        "src_file string, b_offset long, b_length long",
+    ).repartition(8)
+    return (
+        all_blocks.mapInPandas(count_lines, uschema)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+
+
+def _mi_routed_fetch(winners, warc_dirs: dict, *, carry: tuple = ()):
+    """Ranged-fetch + extract each winner row, routed by its ``prec``
+    (which collection's shards hold the member). Verifies the payload
+    digest, the doc id, and the temporal routing pin (February
+    captures must come from the non-base collection, January from the
+    base). ``carry`` columns are passed through."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    mschema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("lang", StringType(), True),
+            StructField("n_chars", LongType(), True),
+            StructField("bytes_read", LongType(), True),
+        ]
+        + [StructField(c, LongType(), True) for c in carry]
+    )
+
+    def fetch_docs(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member, payload_digest
+        from tectonic_spark.operators.parser_ops import _extract_crawl_response
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf in batches:
+            rows = []
+            by_loc: dict = {}
+            for r in pdf.itertuples(index=False):
+                by_loc.setdefault((int(r.prec), r.filename), []).append(r)
+            for (p, fname), items in by_loc.items():
+                items.sort(key=lambda r: r.offset)
+                with open(_os.path.join(warc_dirs[p], fname), "rb") as f:
+                    for r in items:
+                        member = fetch_member(f, int(r.offset), int(r.length))
+                        (rec,) = parse_warc(member)
+                        if payload_digest(rec["payload"]) != r.digest:
+                            raise ValueError(
+                                f"{fname}@{r.offset}: digest mismatch"
+                            )
+                        d, text, lang, *_rest = _extract_crawl_response(rec)
+                        if d != int(r.doc_id):
+                            raise ValueError(
+                                f"index said doc {r.doc_id}, member is {d}"
+                            )
+                        # routing pin: February winners come from the
+                        # delta/new collection, January from the base
+                        want = 1 if r.ts.startswith("202402") else 0
+                        if p != want:
+                            raise ValueError(
+                                f"doc {d} ts {r.ts} routed to collection "
+                                f"{p}, the index layout says {want}"
+                            )
+                        rows.append(
+                            (d, lang, len(text), int(r.length))
+                            + tuple(int(getattr(r, c)) for c in carry)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "n_chars", "bytes_read"]
+                + list(carry),
+            )
+
+    return winners.repartition(8, "prec", "filename").mapInPandas(
+        fetch_docs, mschema
+    )
+
+
 @register(
     "a44_incremental_index_update",
     oracle="""
@@ -8036,88 +8259,8 @@ def a44_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    bschema = StructType(
-        [
-            StructField("src_file", StringType(), True),
-            StructField("b_offset", LongType(), True),
-            StructField("b_length", LongType(), True),
-        ]
-    )
-
-    def assign_blocks(batches):
-        import pandas as pd
-
-        from tectonic_spark.operators.cdxj import (
-            file_block_keys,
-            multi_zipnum_blocks,
-        )
-
-        keys_by_file = file_block_keys(by_file)
-        for pdf in batches:
-            blocks = set()
-            for key in pdf["key"]:
-                for e in multi_zipnum_blocks(by_file, key, keys_by_file):
-                    blocks.add((e["filename"], e["offset"], e["length"]))
-            yield pd.DataFrame(
-                sorted(blocks),
-                columns=["src_file", "b_offset", "b_length"],
-            )
-
-    blocks = (
-        probes.select("key").mapInPandas(assign_blocks, bschema).distinct()
-    )
-
-    eschema = StructType(
-        [
-            StructField("key", StringType(), True),
-            StructField("ts", StringType(), True),
-            StructField("digest", StringType(), True),
-            StructField("prec", LongType(), True),
-            StructField("filename", StringType(), True),
-            StructField("offset", LongType(), True),
-            StructField("length", LongType(), True),
-        ]
-    )
-
-    def fetch_blocks(batches):
-        import json as _json2
-        import os as _os
-
-        import pandas as pd
-
-        from tectonic_spark.operators.cdxj import fetch_member
-
-        for pdf in batches:
-            rows = []
-            handles: dict = {}
-            try:
-                for r in pdf.itertuples(index=False):
-                    f = handles.get(r.src_file)
-                    if f is None:
-                        f = handles[r.src_file] = open(
-                            _os.path.join(idx_dir, r.src_file), "rb"
-                        )
-                    block = fetch_member(
-                        f, int(r.b_offset), int(r.b_length)
-                    )
-                    p = prec[r.src_file]
-                    for ln in block.decode("utf-8").splitlines():
-                        key, ts, blob = ln.split(" ", 2)
-                        j = _json2.loads(blob)
-                        rows.append(
-                            (key, ts, j["digest"], p, j["filename"],
-                             j["offset"], j["length"])
-                        )
-            finally:
-                for f in handles.values():
-                    f.close()
-            yield pd.DataFrame(
-                rows,
-                columns=["key", "ts", "digest", "prec", "filename",
-                         "offset", "length"],
-            )
-
-    entries = blocks.mapInPandas(fetch_blocks, eschema)
+    blocks = _mi_blocks_df(spark, by_file, probes)
+    entries = _mi_entries_df(spark, idx_dir, blocks, prec)
     latest = F.max(
         F.struct("ts", "digest", "prec", "filename", "offset", "length")
     ).alias("l")
@@ -8221,47 +8364,7 @@ def a44_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # line-count pin: the updated index holds exactly the deduped union
     n_rebuilt = rebuilt.count()
-    uschema = StructType([StructField("n", LongType(), True)])
-
-    def count_lines(batches):
-        import os as _os
-
-        import pandas as pd
-
-        from tectonic_spark.operators.cdxj import fetch_member
-
-        for pdf in batches:
-            n = 0
-            handles: dict = {}
-            try:
-                for r in pdf.itertuples(index=False):
-                    f = handles.get(r.src_file)
-                    if f is None:
-                        f = handles[r.src_file] = open(
-                            _os.path.join(idx_dir, r.src_file), "rb"
-                        )
-                    n += len(
-                        fetch_member(f, int(r.b_offset), int(r.b_length))
-                        .splitlines()
-                    )
-            finally:
-                for f in handles.values():
-                    f.close()
-            yield pd.DataFrame([n], columns=["n"])
-
-    all_blocks = spark.createDataFrame(
-        [
-            (fname, e["offset"], e["length"])
-            for fname, blist in by_file.items()
-            for e in blist
-        ],
-        "src_file string, b_offset long, b_length long",
-    ).repartition(8)
-    n_updated = (
-        all_blocks.mapInPandas(count_lines, uschema)
-        .agg(F.sum("n"))
-        .collect()[0][0]
-    )
+    n_updated = _mi_count_lines(spark, idx_dir, by_file)
     if n_updated != n_rebuilt:
         rebuilt.unpersist()
         index_ans.unpersist()
@@ -8328,66 +8431,14 @@ def a44_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ranged-fetch every probe's LATEST member, routed by which block
     # file answered (prec 0 -> original archive, 1 -> delta collection)
-    mschema = StructType(
-        [
-            StructField("doc_id", LongType(), True),
-            StructField("lang", StringType(), True),
-            StructField("n_chars", LongType(), True),
-            StructField("bytes_read", LongType(), True),
-        ]
-    )
-
-    def fetch_docs(batches):
-        import os as _os
-
-        import pandas as pd
-
-        from tectonic_spark.operators.cdxj import fetch_member, payload_digest
-        from tectonic_spark.operators.parser_ops import _extract_crawl_response
-        from tectonic_spark.operators.warc import parse_warc
-
-        for pdf in batches:
-            rows = []
-            by_loc: dict = {}
-            for r in pdf.itertuples(index=False):
-                by_loc.setdefault((int(r.prec), r.filename), []).append(r)
-            for (p, fname), items in by_loc.items():
-                items.sort(key=lambda r: r.offset)
-                with open(_os.path.join(warc_dirs[p], fname), "rb") as f:
-                    for r in items:
-                        member = fetch_member(f, int(r.offset), int(r.length))
-                        (rec,) = parse_warc(member)
-                        if payload_digest(rec["payload"]) != r.digest:
-                            raise ValueError(
-                                f"{fname}@{r.offset}: digest mismatch"
-                            )
-                        d, text, lang, *_rest = _extract_crawl_response(rec)
-                        if d != int(r.doc_id):
-                            raise ValueError(
-                                f"index said doc {r.doc_id}, member is {d}"
-                            )
-                        # routing pin: February winners come from the
-                        # delta collection, January from the original
-                        want = 1 if r.ts.startswith("202402") else 0
-                        if p != want:
-                            raise ValueError(
-                                f"doc {d} ts {r.ts} routed to file set "
-                                f"{p}, the update says {want}"
-                            )
-                        rows.append((d, lang, len(text), int(r.length)))
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "lang", "n_chars", "bytes_read"],
-            )
-
-    fetched = (
+    fetched = _mi_routed_fetch(
         index_ans.select(
-            "doc_id", "ts", "digest", "prec", "filename", "offset", "length"
-        )
-        .repartition(8, "prec", "filename")
-        .mapInPandas(fetch_docs, mschema)
-        .persist()
-    )
+            "doc_id", "ts", "digest", "prec", "filename", "offset",
+            "length", F.col("i_caps").alias("caps"),
+        ),
+        warc_dirs,
+        carry=("caps",),
+    ).persist()
     got = fetched.agg(
         F.count(F.lit(1)).alias("n"), F.sum("bytes_read").alias("br")
     ).collect()[0]
@@ -8400,22 +8451,19 @@ def a44_incremental_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"a44: fetched {got['n']}/{n_probes} members, {got['br']} "
             f"bytes vs indexed {want_bytes}"
         )
-    agg = (
-        fetched.join(index_ans.select("doc_id", "i_caps"), "doc_id")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("i_caps") > 1, 1).otherwise(0)).alias(
-                "n_recaptured"
-            ),
-            F.sum("n_chars").alias("chars_latest"),
-        )
+    agg = fetched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("caps") > 1, 1).otherwise(0)).alias(
+            "n_recaptured"
+        ),
+        F.sum("n_chars").alias("chars_latest"),
     )
     agg_rows = agg.collect()
     fetched.unpersist()
     index_ans.unpersist()
     probes.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
+
 
 
 def _conflict_index_src(sf_dir: str) -> tuple[str, str, str]:
@@ -8864,12 +8912,6 @@ def s17_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from pyspark.sql import functions as F
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
 
     from tectonic_spark.operators.cdxj import (
         cluster_entries_by_file,
@@ -8951,47 +8993,7 @@ def s17_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # closed-form union pin on the final index
-    uschema = StructType([StructField("n", LongType(), True)])
-
-    def count_lines(batches):
-        import os as _os
-
-        import pandas as pd
-
-        from tectonic_spark.operators.cdxj import fetch_member
-
-        for pdf in batches:
-            n = 0
-            handles: dict = {}
-            try:
-                for r in pdf.itertuples(index=False):
-                    f = handles.get(r.src_file)
-                    if f is None:
-                        f = handles[r.src_file] = open(
-                            _os.path.join(live, r.src_file), "rb"
-                        )
-                    n += len(
-                        fetch_member(f, int(r.b_offset), int(r.b_length))
-                        .splitlines()
-                    )
-            finally:
-                for f in handles.values():
-                    f.close()
-            yield pd.DataFrame([n], columns=["n"])
-
-    all_blocks = spark.createDataFrame(
-        [
-            (fname, e["offset"], e["length"])
-            for fname, blist in by_file.items()
-            for e in blist
-        ],
-        "src_file string, b_offset long, b_length long",
-    ).repartition(8)
-    n_lines = (
-        all_blocks.mapInPandas(count_lines, uschema)
-        .agg(F.sum("n"))
-        .collect()[0][0]
-    )
+    n_lines = _mi_count_lines(spark, live, by_file)
     if n_lines != n_docs + n_recap:
         raise RuntimeError(
             f"s17: final index holds {n_lines} lines, the union is "
@@ -9009,96 +9011,18 @@ def s17_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-
-    bschema = StructType(
-        [
-            StructField("src_file", StringType(), True),
-            StructField("b_offset", LongType(), True),
-            StructField("b_length", LongType(), True),
-        ]
-    )
-
-    def assign_blocks(batches):
-        import pandas as pd
-
-        from tectonic_spark.operators.cdxj import (
-            file_block_keys,
-            multi_zipnum_blocks,
-        )
-
-        keys_by_file = file_block_keys(by_file)
-        for pdf in batches:
-            blocks = set()
-            for key in pdf["key"]:
-                for e in multi_zipnum_blocks(by_file, key, keys_by_file):
-                    blocks.add((e["filename"], e["offset"], e["length"]))
-            yield pd.DataFrame(
-                sorted(blocks),
-                columns=["src_file", "b_offset", "b_length"],
-            )
-
-    blocks = (
-        probes.select("key").mapInPandas(assign_blocks, bschema).distinct()
-    )
-
-    eschema = StructType(
-        [
-            StructField("key", StringType(), True),
-            StructField("ts", StringType(), True),
-            StructField("digest", StringType(), True),
-            StructField("from_delta", LongType(), True),
-            StructField("filename", StringType(), True),
-            StructField("offset", LongType(), True),
-            StructField("length", LongType(), True),
-        ]
-    )
-
-    def fetch_blocks(batches):
-        import json as _json2
-        import os as _os
-
-        import pandas as pd
-
-        from tectonic_spark.operators.cdxj import fetch_member
-
-        for pdf in batches:
-            rows = []
-            handles: dict = {}
-            try:
-                for r in pdf.itertuples(index=False):
-                    f = handles.get(r.src_file)
-                    if f is None:
-                        f = handles[r.src_file] = open(
-                            _os.path.join(live, r.src_file), "rb"
-                        )
-                    block = fetch_member(
-                        f, int(r.b_offset), int(r.b_length)
-                    )
-                    fd = 0 if r.src_file == "index.zipnum.gz" else 1
-                    for ln in block.decode("utf-8").splitlines():
-                        key, ts, blob = ln.split(" ", 2)
-                        j = _json2.loads(blob)
-                        rows.append(
-                            (key, ts, j["digest"], fd, j["filename"],
-                             j["offset"], j["length"])
-                        )
-            finally:
-                for f in handles.values():
-                    f.close()
-            yield pd.DataFrame(
-                rows,
-                columns=["key", "ts", "digest", "from_delta", "filename",
-                         "offset", "length"],
-            )
-
-    entries = blocks.mapInPandas(fetch_blocks, eschema)
+    # precedence by block file: the base archive is 0, every streamed
+    # generation routes to the new crawl's shards
+    prec = {f: (0 if f == "index.zipnum.gz" else 1) for f in by_file}
+    blocks = _mi_blocks_df(spark, by_file, probes)
+    entries = _mi_entries_df(spark, live, blocks, prec)
     winners = (
         entries.join(probes, "key", "inner")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("caps"),
             F.max(
-                F.struct("ts", "digest", "from_delta", "filename",
+                F.struct("ts", "digest", "prec", "filename",
                          "offset", "length")
             ).alias("w"),
         )
@@ -9106,7 +9030,7 @@ def s17_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "caps",
             F.col("w.ts").alias("ts"),
             F.col("w.digest").alias("digest"),
-            F.col("w.from_delta").alias("from_delta"),
+            F.col("w.prec").alias("prec"),
             F.col("w.filename").alias("filename"),
             F.col("w.offset").alias("offset"),
             F.col("w.length").alias("length"),
@@ -9128,66 +9052,7 @@ def s17_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     warc_dirs = {0: a_warc, 1: b_dir}
-    mschema = StructType(
-        [
-            StructField("doc_id", LongType(), True),
-            StructField("lang", StringType(), True),
-            StructField("n_chars", LongType(), True),
-            StructField("caps", LongType(), True),
-            StructField("bytes_read", LongType(), True),
-        ]
-    )
-
-    def fetch_docs(batches):
-        import os as _os
-
-        import pandas as pd
-
-        from tectonic_spark.operators.cdxj import fetch_member, payload_digest
-        from tectonic_spark.operators.parser_ops import _extract_crawl_response
-        from tectonic_spark.operators.warc import parse_warc
-
-        for pdf in batches:
-            rows = []
-            by_loc: dict = {}
-            for r in pdf.itertuples(index=False):
-                by_loc.setdefault((int(r.from_delta), r.filename), []).append(r)
-            for (fd, fname), items in by_loc.items():
-                items.sort(key=lambda r: r.offset)
-                with open(_os.path.join(warc_dirs[fd], fname), "rb") as f:
-                    for r in items:
-                        member = fetch_member(f, int(r.offset), int(r.length))
-                        (rec,) = parse_warc(member)
-                        if payload_digest(rec["payload"]) != r.digest:
-                            raise ValueError(
-                                f"{fname}@{r.offset}: digest mismatch"
-                            )
-                        d, text, lang, *_rest = _extract_crawl_response(rec)
-                        if d != int(r.doc_id):
-                            raise ValueError(
-                                f"index said doc {r.doc_id}, member is {d}"
-                            )
-                        # routing pin: February winners come from a
-                        # delta generation, January from the base
-                        want = 1 if r.ts.startswith("202402") else 0
-                        if fd != want:
-                            raise ValueError(
-                                f"doc {d} ts {r.ts} routed from_delta="
-                                f"{fd}, the stream says {want}"
-                            )
-                        rows.append(
-                            (d, lang, len(text), int(r.caps), int(r.length))
-                        )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "lang", "n_chars", "caps", "bytes_read"],
-            )
-
-    fetched = (
-        winners.repartition(8, "from_delta", "filename")
-        .mapInPandas(fetch_docs, mschema)
-        .persist()
-    )
+    fetched = _mi_routed_fetch(winners, warc_dirs, carry=("caps",)).persist()
     got = fetched.agg(
         F.count(F.lit(1)).alias("n"), F.sum("bytes_read").alias("br")
     ).collect()[0]
@@ -9210,5 +9075,218 @@ def s17_stream_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_rows = agg.collect()
     fetched.unpersist()
     winners.unpersist()
+    probes.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)
+
+
+@register(
+    "a46_index_compaction",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recaptured,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars + 5
+                         ELSE n_chars END) AS BIGINT) AS chars_latest
+    FROM documents WHERE doc_id % 31 = 13 GROUP BY lang
+    """,
+    doc="Index COMPACTION (r13 — the maintenance step that closes the "
+    "a44/s17 lifecycle: every incremental generation adds one ladder "
+    "to every lookup, so a wayback deployment periodically rewrites "
+    "the block files back into one). The query builds a live index, "
+    "appends the a38 collection's export through "
+    "incremental_zipnum_update (two block files), snapshots every "
+    "probe's answer (doc_id % 31 = 13) through the multi-file ladder, "
+    "then runs compact_zipnum — all generations merge-read, globally "
+    "re-sorted, rewritten as ONE index.zipnum.gz with a "
+    "write-then-rename so a crash leaves a whole index — and asserts: "
+    "line count preserved exactly (a compactor that edits lines is a "
+    "corruption vector), post-compaction probe answers "
+    "field-for-field equal to pre-compaction on (caps, ts, digest, "
+    "member location), single block file with the <= 2-blocks-per-"
+    "probe bound restored, and the delta files gone. Latest members "
+    "are then fetched THROUGH THE COMPACTED INDEX — compaction moved "
+    "index lines, never members, so routing now derives from each "
+    "line's recorded timestamp — digest-verified and extracted; "
+    "chars_latest is exact under the oracle. 100 TB shape: compaction "
+    "is a sequential merge of sorted block files (index bytes, not "
+    "corpus bytes), the one full-index pass the maintenance schedule "
+    "amortizes over many appends.",
+)
+def a46_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.operators.cdxj import (
+        cluster_entries_by_file,
+        compact_zipnum,
+        fetch_member,
+        incremental_zipnum_update,
+        parse_cluster_idx,
+    )
+    from tectonic_spark.tables import table
+
+    a_idx_dir, a_warc, _nb = _zipnum_src(sf_dir)
+    b_dir, _nb2 = _timeline_index_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    live = os.path.join(base, "a46_live")
+    shutil.rmtree(live, ignore_errors=True)
+    os.makedirs(live, exist_ok=True)
+    for fname in ("index.zipnum.gz", "cluster.idx"):
+        shutil.copyfile(
+            os.path.join(a_idx_dir, fname), os.path.join(live, fname)
+        )
+    # ingest the a38 export (Jan dupes drop, Feb recaptures append)
+    delta_lines: list[str] = []
+    with open(os.path.join(b_dir, "cluster.idx"), "rb") as f:
+        b_cluster = parse_cluster_idx(f.read())
+    with open(os.path.join(b_dir, "index.zipnum.gz"), "rb") as f:
+        for e in b_cluster:
+            delta_lines.extend(
+                fetch_member(f, e["offset"], e["length"])
+                .decode("utf-8")
+                .splitlines()
+            )
+    up = incremental_zipnum_update(live, sorted(delta_lines))
+
+    docs = table(spark, sf_dir, "documents")
+    probes = (
+        docs.filter(F.col("doc_id") % 31 == 13)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("example,"), F.col("source"), F.lit(")/doc/"),
+                F.col("doc_id"),
+            ).alias("key"),
+        )
+        .persist()
+    )
+
+    def answers(by_file):
+        prec = {f: (0 if f == "index.zipnum.gz" else 1) for f in by_file}
+        blocks = _mi_blocks_df(spark, by_file, probes)
+        entries = _mi_entries_df(spark, live, blocks, prec)
+        return blocks, (
+            entries.join(probes, "key", "inner")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("caps"),
+                F.max(
+                    F.struct("ts", "digest", "filename", "offset", "length")
+                ).alias("w"),
+            )
+            .select(
+                "doc_id", "caps",
+                F.col("w.ts").alias("ts"),
+                F.col("w.digest").alias("digest"),
+                F.col("w.filename").alias("filename"),
+                F.col("w.offset").alias("offset"),
+                F.col("w.length").alias("length"),
+            )
+        )
+
+    with open(os.path.join(live, "cluster.idx"), "rb") as f:
+        by_file_pre = cluster_entries_by_file(parse_cluster_idx(f.read()))
+    if len(by_file_pre) != 2:
+        raise RuntimeError(
+            f"a46: pre-compaction index has {len(by_file_pre)} files"
+        )
+    _pre_blocks, pre_ans = answers(by_file_pre)
+    pre_rows = {
+        r["doc_id"]: r
+        for r in pre_ans.collect()
+    }
+
+    # --- compact ---
+    stats = compact_zipnum(live)
+    if stats["n_files_before"] != 2:
+        raise RuntimeError("a46: compaction saw an unexpected file set")
+    with open(os.path.join(live, "cluster.idx"), "rb") as f:
+        by_file_post = cluster_entries_by_file(parse_cluster_idx(f.read()))
+    if set(by_file_post) != {"index.zipnum.gz"}:
+        raise RuntimeError(
+            f"a46: compaction left {sorted(by_file_post)} on disk"
+        )
+    if os.path.exists(os.path.join(live, up["delta_file"])):
+        raise RuntimeError("a46: the delta generation was not removed")
+    # line-count preservation pin, distributed
+    n_docs, n_recap = docs.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)),
+    ).collect()[0]
+    n_post = _mi_count_lines(spark, live, by_file_post)
+    if n_post != stats["n_lines"] or n_post != n_docs + n_recap:
+        raise RuntimeError(
+            f"a46: compacted index holds {n_post} lines, compactor read "
+            f"{stats['n_lines']}, union is {n_docs} + {n_recap}"
+        )
+
+    post_blocks, post_ans = answers(by_file_post)
+    post = post_ans.persist()
+    n_probes = probes.count()
+    n_touched = post_blocks.count()
+    if n_touched > 2 * n_probes:
+        post.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a46: {n_touched} blocks for {n_probes} probes after "
+            "compaction — the single-file ladder bound regressed"
+        )
+    # field-for-field: every probe answers identically before/after
+    # (caps, latest ts, digest, member location — lines moved between
+    # block files, members never moved)
+    mismatches = 0
+    post_rows = {r["doc_id"]: r for r in post.collect()}
+    if set(post_rows) != set(pre_rows):
+        mismatches = -1
+    else:
+        for d, r in post_rows.items():
+            pr = pre_rows[d]
+            if any(
+                r[c] != pr[c]
+                for c in ("caps", "ts", "digest", "filename", "offset",
+                          "length")
+            ):
+                mismatches += 1
+    if mismatches:
+        post.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a46: {mismatches} probe answers changed across compaction"
+        )
+
+    # fetch through the COMPACTED index: routing derives from the
+    # line's timestamp (Feb -> the new crawl's shards, Jan -> base)
+    winners = post.select(
+        "doc_id", "caps", "ts", "digest",
+        F.when(F.col("ts").startswith("202402"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("prec"),
+        "filename", "offset", "length",
+    )
+    warc_dirs = {0: a_warc, 1: b_dir}
+    fetched = _mi_routed_fetch(winners, warc_dirs, carry=("caps",)).persist()
+    got = fetched.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bytes_read").alias("br")
+    ).collect()[0]
+    want_bytes = post.agg(F.sum("length")).collect()[0][0]
+    if got["n"] != n_probes or got["br"] != want_bytes:
+        fetched.unpersist()
+        post.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a46: fetched {got['n']}/{n_probes} members, {got['br']} "
+            f"bytes vs indexed {want_bytes}"
+        )
+    agg = fetched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("caps") > 1, 1).otherwise(0)).alias(
+            "n_recaptured"
+        ),
+        F.sum("n_chars").alias("chars_latest"),
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    post.unpersist()
     probes.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)

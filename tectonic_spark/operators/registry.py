@@ -77,6 +77,7 @@ PRIORITY: list[str] = [
     "a44_incremental_index_update",  # zipnum write-side: append + dedup
     "a45_conflict_census",  # same (key, ts), different digest across collections
     "s17_stream_index_update",  # per-crawl exports appended as streaming generations
+    "a46_index_compaction",  # generations rewritten back into one block file
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding

@@ -362,3 +362,43 @@ class TestIncrementalUpdate:
         self._base_index(tmp_path, n=40)
         with pytest.raises(ValueError, match="sorted"):
             incremental_zipnum_update(str(tmp_path), ["b x {}", "a x {}"])
+
+    def test_compaction_preserves_lines_and_removes_generations(self, tmp_path):
+        import hashlib
+
+        from tectonic_spark.operators.cdxj import (
+            cluster_entries_by_file,
+            compact_zipnum,
+            fetch_member,
+            incremental_zipnum_update,
+            parse_cluster_idx,
+        )
+
+        base = self._base_index(tmp_path)
+        feb = self._mk_lines(range(0, 300, 5), ts="20240201000000",
+                             digest_tag="F")
+        incremental_zipnum_update(str(tmp_path), feb, block_lines=32)
+        stats = compact_zipnum(str(tmp_path), block_lines=32)
+        assert stats["n_files_before"] == 2
+        assert stats["n_lines"] == len(base) + len(feb)
+        assert not (tmp_path / "delta-001.zipnum.gz").exists()
+        entries = parse_cluster_idx((tmp_path / "cluster.idx").read_bytes())
+        by_file = cluster_entries_by_file(entries)
+        assert set(by_file) == {"index.zipnum.gz"}
+        # every line present exactly once, globally sorted
+        got = []
+        with open(tmp_path / "index.zipnum.gz", "rb") as f:
+            for e in by_file["index.zipnum.gz"]:
+                got.extend(
+                    fetch_member(f, e["offset"], e["length"])
+                    .decode()
+                    .splitlines()
+                )
+        assert got == sorted(base + feb)
+        # idempotent: compacting a compacted index is a no-op rewrite
+        h = hashlib.sha256((tmp_path / "index.zipnum.gz").read_bytes()).hexdigest()
+        stats2 = compact_zipnum(str(tmp_path), block_lines=32)
+        assert stats2["n_lines"] == stats["n_lines"]
+        assert hashlib.sha256(
+            (tmp_path / "index.zipnum.gz").read_bytes()
+        ).hexdigest() == h
