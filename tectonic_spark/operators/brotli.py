@@ -789,8 +789,10 @@ def decompress(data: bytes, *, max_output: int = 1 << 31) -> bytes:
             break
         mnib = br.read(2)
         if mnib == 3:  # metadata meta-block (§9.2): skipped bytes
-            if last:
-                raise ValueError("metadata meta-block flagged ISLAST")
+            # a metadata block MAY carry ISLAST — the reference
+            # implementation accepts and ends the stream there (pinned
+            # in tests against libbrotlidec; an earlier revision
+            # rejected this shape)
             if br.read(1):
                 raise ValueError("reserved metadata bit set")
             skip_bytes = br.read(2)

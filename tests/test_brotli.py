@@ -1050,3 +1050,35 @@ def test_dict_mode_random_round_trips():
         n = rng.randrange(0, 4000)
         data = b" ".join(rng.choice(words) for _ in range(n // 6 + 1))[:n]
         assert decompress(compress(data, mode="dict")) == data
+
+
+def test_metadata_metablock_with_islast_accepted():
+    """A metadata meta-block carrying ISLAST ends the stream — the
+    reference implementation's reading (an earlier revision rejected
+    this shape; the pure decoder now matches libbrotlidec)."""
+    w = _BitWriter()
+    w.write(0, 1)  # WBITS=16
+    w.write(1, 1)  # ISLAST
+    w.write(0, 1)  # ISLASTEMPTY=0
+    w.write(3, 2)  # MNIBBLES code 3 -> metadata
+    w.write(0, 1)  # reserved
+    w.write(0, 2)  # MSKIPBYTES=0
+    blob = w.getvalue()
+    assert decompress(blob) == b""
+    nd = native_decompress(blob)
+    assert nd is None or nd == b""
+    # and with skipped payload bytes
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(1, 1)
+    w.write(0, 1)
+    w.write(3, 2)
+    w.write(0, 1)
+    w.write(1, 2)  # MSKIPBYTES=1
+    w.write(4, 8)  # skip 5 bytes
+    w.align_byte()
+    w.write_bytes(b"meta!")
+    blob = w.getvalue()
+    assert decompress(blob) == b""
+    nd = native_decompress(blob)
+    assert nd is None or nd == b""
