@@ -44,7 +44,12 @@ import zlib
 __all__ = [
     "build_cdxj",
     "build_cluster_idx",
+    "cluster_entries_by_file",
+    "compact_zipnum",
     "fetch_member",
+    "file_block_keys",
+    "incremental_zipnum_update",
+    "multi_zipnum_blocks",
     "parse_cdxj",
     "parse_cluster_idx",
     "surt",
