@@ -3461,3 +3461,142 @@ def m24_pdf_extract(spark, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m28_woff2_census",
+    oracle="""
+    SELECT doc_id, 'ttf' AS flavor, CAST(8 AS BIGINT) AS n_tables,
+           CAST(1000 + (doc_id % 5) * 24 AS BIGINT) AS units_per_em,
+           CAST(10 + doc_id % 50 AS BIGINT) AS num_glyphs,
+           CAST(doc_id % 2 AS BIGINT) AS loca_format,
+           CAST(157 + 4 * (10 + doc_id % 50) + 100 + (doc_id * 11) % 200
+              + (11 + doc_id % 50) * (2 + 2 * (doc_id % 2)) AS BIGINT)
+             AS total_orig_bytes,
+           CASE doc_id % 3 WHEN 0 THEN 'lz' WHEN 1 THEN 'dict'
+                ELSE 'literals' END AS br_mode,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 31 ELSE 0 END AS BIGINT)
+             AS meta_orig_len,
+           TRUE AS census_ok
+    FROM documents WHERE doc_id % 61 = 19
+    """,
+    doc="WOFF2 web-font census (woff2.py — every modern page pulls "
+    ".woff2, and the format is the r13 brotli work's natural rider: "
+    "the entire sfnt table payload is ONE brotli stream, real-world "
+    "emitted at the qualities whose static-dictionary references and "
+    "UTF8 contexts the vendored decoder now handles): every 61st "
+    "document carries an 8-table font built by the vendored writer "
+    "(head/hhea/hmtx/maxp/name/cmap/glyf/loca, null transforms, "
+    "known-tag directory indexes, UIntBase128 lengths) and censused "
+    "by the walk — units_per_em/loca_format read out of the "
+    "DECOMPRESSED head table, num_glyphs from maxp, and census_ok "
+    "folds the spec arithmetic (totalSfntSize recomputed from "
+    "4-aligned origLengths, decompressed stream length == sum of "
+    "table lengths, every file byte accounted) plus "
+    "num_hmetrics==num_glyphs and the exact tag set. The d%3 lane "
+    "cycles the brotli encoder's lz/dict/literals modes — the dict "
+    "lane puts genuine RFC 7932 static-dictionary references inside "
+    "a font file — and every 4th doc adds the brotli-compressed "
+    "extended-metadata block (meta_orig_len pins its decoded "
+    "length). The glyf/loca preprocessing transform is a named "
+    "refusal (taxonomy-tested); known-tag indexes past the "
+    "transcribed head of W3C Table 1 census as '#<n>'. 100 TB shape: "
+    "per-payload walk + one in-task brotli decode in Arrow-batched "
+    "mapInPandas, no shuffle.",
+)
+def m28_woff2_census(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.woff2 import encode_woff2, parse_woff2
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 61 == 19)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("flavor", StringType(), True),
+            StructField("n_tables", LongType(), True),
+            StructField("units_per_em", LongType(), True),
+            StructField("num_glyphs", LongType(), True),
+            StructField("loca_format", LongType(), True),
+            StructField("total_orig_bytes", LongType(), True),
+            StructField("br_mode", StringType(), True),
+            StructField("meta_orig_len", LongType(), True),
+            StructField("census_ok", BooleanType(), True),
+        ]
+    )
+    want_tags = ["cmap", "glyf", "head", "hhea", "hmtx", "loca", "maxp",
+                 "name"]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                upem = 1000 + (d % 5) * 24
+                ng = 10 + d % 50
+                lf = d % 2
+                head = bytearray(54)
+                head[12:16] = struct.pack(">I", 0x5F0F3CF5)
+                head[18:20] = struct.pack(">H", upem)
+                head[50:52] = struct.pack(">h", lf)
+                glyf = bytes((d * 7 + j) % 256
+                             for j in range(100 + (d * 11) % 200))
+                tables = [
+                    (b"head", bytes(head)),
+                    (b"maxp", struct.pack(">IH", 0x00010000, ng)
+                     + b"\x00" * 26),
+                    (b"hhea", b"\x00" * 34 + struct.pack(">H", ng)),
+                    (b"hmtx", bytes(4 * ng)),
+                    (b"glyf", glyf),
+                    (b"loca", bytes((ng + 1) * (2 + 2 * lf))),
+                    (b"name", b"Doc Font %06d" % d),
+                    (b"cmap", bytes(20)),
+                ]
+                mode = ("lz", "dict", "literals")[d % 3]
+                meta = (
+                    b"<metadata>doc %06d</metadata>" % d
+                    if d % 4 == 1
+                    else None
+                )
+                payload = encode_woff2(tables, br_mode=mode, metadata=meta)
+                info = parse_woff2(payload)
+                rows.append(
+                    (
+                        d,
+                        info["flavor"],
+                        info["n_tables"],
+                        info["units_per_em"],
+                        info["num_glyphs"],
+                        info["loca_format"],
+                        info["total_orig_bytes"],
+                        mode,
+                        info["meta_orig_len"],
+                        info["sfnt_size_ok"]
+                        and info["stream_ok"]
+                        and info["bytes_walked"] == len(payload)
+                        and info["num_hmetrics"] == info["num_glyphs"]
+                        and info["tags"] == want_tags,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "flavor",
+                    "n_tables",
+                    "units_per_em",
+                    "num_glyphs",
+                    "loca_format",
+                    "total_orig_bytes",
+                    "br_mode",
+                    "meta_orig_len",
+                    "census_ok",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)

@@ -78,6 +78,7 @@ PRIORITY: list[str] = [
     "a45_conflict_census",  # same (key, ts), different digest across collections
     "s17_stream_index_update",  # per-crawl exports appended as streaming generations
     "a46_index_compaction",  # generations rewritten back into one block file
+    "m28_woff2_census",  # WOFF2 web fonts: sfnt tables ride one brotli stream
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding
