@@ -1082,3 +1082,43 @@ def test_metadata_metablock_with_islast_accepted():
     assert decompress(blob) == b""
     nd = native_decompress(blob)
     assert nd is None or nd == b""
+
+
+# ---------------------------------------------------------------------------
+# property-based round trips (Hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=3000))
+    def test_property_dict_mode_round_trip(data):
+        """Any byte string survives the dictionary-matching encoder
+        lane (slices that happen to equal dictionary words become §8
+        references; everything else stays literal/LZ)."""
+        assert decompress(compress(data, mode="dict")) == data
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.text(
+            alphabet="the of and informatio n develpublic universty é€ .<>/",
+            max_size=2000,
+        ),
+        st.sampled_from(["lz", "dict", "literals", "uncompressed"]),
+    )
+    def test_property_modes_cross_decoder(text, mode):
+        """Every encoder lane's output decodes identically through the
+        pure decoder AND (when present) libbrotlidec."""
+        data = text.encode()
+        blob = compress(data, mode=mode)
+        assert decompress(blob) == data
+        nd = native_decompress(blob)
+        assert nd is None or nd == data
