@@ -8090,14 +8090,16 @@ def _mi_count_lines(spark, idx_dir: str, by_file: dict) -> int:
                     f.close()
             yield pd.DataFrame([n], columns=["n"])
 
+    rows = [
+        (fname, e["offset"], e["length"])
+        for fname, blist in by_file.items()
+        for e in blist
+    ]
+    # width scales with the index (the a41 doctrine): a fixed 8 would
+    # cap this full-index pass regardless of cluster size
     all_blocks = spark.createDataFrame(
-        [
-            (fname, e["offset"], e["length"])
-            for fname, blist in by_file.items()
-            for e in blist
-        ],
-        "src_file string, b_offset long, b_length long",
-    ).repartition(8)
+        rows, "src_file string, b_offset long, b_length long"
+    ).repartition(max(8, len(rows) // 64))
     return (
         all_blocks.mapInPandas(count_lines, uschema)
         .agg(F.sum("n"))
