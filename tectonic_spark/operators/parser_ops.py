@@ -9292,3 +9292,196 @@ def a46_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     post.unpersist()
     probes.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
+
+
+def _font_crawl_src(sf_dir: str) -> tuple[str, int]:
+    """c03_font_census fixture: web fonts as CRAWL ASSETS — every 67th
+    document's host serves a .woff2 at /font/{d}.woff2, carried as a
+    WARC ``resource`` record (content-type font/woff2) in
+    corpus-scaled shards. Font parameters derive from the doc id
+    exactly as m28's (upem/glyphs/loca/br-mode/metadata lanes), so the
+    oracle is closed-form; the ``dict`` brotli lane ships genuine RFC
+    7932 static-dictionary references inside crawl payloads. Returns
+    (dir, n_shards)."""
+    import struct as _struct
+
+    from tectonic_spark.operators.warc import build_warc_record, write_warc
+    from tectonic_spark.operators.woff2 import encode_woff2
+
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"c03_fonts_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for d, _text, _lang, source, _n in rows:
+        if d % 67 != 21:
+            continue
+        upem = 1000 + (d % 5) * 24
+        ng = 10 + d % 50
+        lf = d % 2
+        head = bytearray(54)
+        head[12:16] = _struct.pack(">I", 0x5F0F3CF5)
+        head[18:20] = _struct.pack(">H", upem)
+        head[50:52] = _struct.pack(">h", lf)
+        tables = [
+            (b"head", bytes(head)),
+            (b"maxp", _struct.pack(">IH", 0x00010000, ng) + b"\x00" * 26),
+            (b"hhea", b"\x00" * 34 + _struct.pack(">H", ng)),
+            (b"hmtx", bytes(4 * ng)),
+            (b"glyf", bytes((d * 7 + j) % 256
+                            for j in range(100 + (d * 11) % 200))),
+            (b"loca", bytes((ng + 1) * (2 + 2 * lf))),
+            (b"name", b"Doc Font %06d" % d),
+            (b"cmap", bytes(20)),
+        ]
+        payload = encode_woff2(
+            tables,
+            br_mode=("lz", "dict", "literals")[d % 3],
+            metadata=(
+                b"<metadata>doc %06d</metadata>" % d if d % 4 == 1 else None
+            ),
+        )
+        shards[d % n_shards].append(
+            build_warc_record(
+                "resource",
+                payload,
+                uri=f"https://{source}.example/font/{d}.woff2",
+                date=_WARC_DATE,
+                content_type="font/woff2",
+            )
+        )
+    for i, recs in enumerate(shards):
+        _write_atomic(
+            os.path.join(tmp, f"fonts-{i:03d}.warc.gz"), write_warc(recs)
+        )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "c03_font_census",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_fonts,
+           CAST(SUM(10 + doc_id % 50) AS BIGINT) AS total_glyphs,
+           CAST(SUM(157 + 4 * (10 + doc_id % 50) + 100 + (doc_id * 11) % 200
+              + (11 + doc_id % 50) * (2 + 2 * (doc_id % 2))) AS BIGINT)
+             AS total_orig_bytes,
+           CAST(SUM(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_meta,
+           CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dict_lane,
+           CAST(COUNT(*) AS BIGINT) AS n_census_ok
+    FROM documents WHERE doc_id % 67 = 21 GROUP BY lang
+    """,
+    doc="Web-font census over the CRAWL (r13 — m28's walk as a crawl "
+    "asset pipeline: real crawls carry fonts as resource records, and "
+    "a corpus curation pass wants per-host/per-cohort font stats the "
+    "same way it wants robots/sitemap stats): every 67th document's "
+    "host serves a .woff2 at /font/{d}.woff2 as a WARC ``resource`` "
+    "record (content-type font/woff2); the per-shard walk routes "
+    "font/woff2 payloads into the WOFF2 census (one in-task brotli "
+    "decode each — the d%3 dict lane means genuine RFC 7932 "
+    "static-dictionary references arrive inside crawl payloads), "
+    "verifies the spec arithmetic per font, and the per-lang "
+    "aggregate (fonts joined to their documents by doc id) pins "
+    "glyph counts, original table bytes, metadata and dict-lane "
+    "populations in closed form. census_ok folds sfnt-size, stream "
+    "and byte-accounting checks — n_census_ok == n_fonts or the row "
+    "mismatches. 100 TB shape: stateless per-shard walk, Arrow-"
+    "batched; the only shuffle is the tiny font-row -> documents "
+    "keyed join and the final aggregate.",
+)
+def c03_font_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.tables import table
+
+    src, _n = _font_crawl_src(sf_dir)
+    files = spark.read.format("binaryFile").load(
+        os.path.join(src, "*.warc.gz")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("num_glyphs", LongType(), True),
+            StructField("orig_bytes", LongType(), True),
+            StructField("has_meta", BooleanType(), True),
+            StructField("dict_lane", BooleanType(), True),
+            StructField("census_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.warc import parse_warc
+        from tectonic_spark.operators.woff2 import parse_woff2
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "resource":
+                        continue
+                    if rec["content_type"] != "font/woff2":
+                        continue
+                    d = int(rec["uri"].rsplit("/", 1)[1].split(".")[0])
+                    info = parse_woff2(rec["payload"])
+                    rows.append(
+                        (
+                            d,
+                            info["num_glyphs"],
+                            info["total_orig_bytes"],
+                            info["meta_orig_len"] > 0,
+                            d % 3 == 1,
+                            info["sfnt_size_ok"]
+                            and info["stream_ok"]
+                            and info["bytes_walked"] == len(rec["payload"])
+                            and info["num_hmetrics"] == info["num_glyphs"]
+                            and info["units_per_em"] == 1000 + (d % 5) * 24,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "num_glyphs", "orig_bytes", "has_meta",
+                         "dict_lane", "census_ok"],
+            )
+
+    fonts = files.select("content").mapInPandas(walk, schema)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        fonts.join(docs, "doc_id", "inner")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_fonts"),
+            F.sum("num_glyphs").alias("total_glyphs"),
+            F.sum("orig_bytes").alias("total_orig_bytes"),
+            F.sum(F.when(F.col("has_meta"), 1).otherwise(0)).alias(
+                "n_with_meta"
+            ),
+            F.sum(F.when(F.col("dict_lane"), 1).otherwise(0)).alias(
+                "n_dict_lane"
+            ),
+            F.sum(F.when(F.col("census_ok"), 1).otherwise(0)).alias(
+                "n_census_ok"
+            ),
+        )
+    )

@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     "s17_stream_index_update",  # per-crawl exports appended as streaming generations
     "a46_index_compaction",  # generations rewritten back into one block file
     "m28_woff2_census",  # WOFF2 web fonts: sfnt tables ride one brotli stream
+    "c03_font_census",  # fonts as crawl assets: resource records -> WOFF2 walk
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding
