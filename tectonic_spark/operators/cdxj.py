@@ -466,3 +466,173 @@ def compact_zipnum(index_dir: str, *, block_lines: int = 64) -> dict:
         "bytes_before": bytes_before,
         "bytes_after": len(zblob),
     }
+
+
+def retain_zipnum(
+    index_dir: str,
+    *,
+    cutoff_ts: str,
+    block_lines: int = 64,
+) -> dict:
+    """Retention/expiry rewrite — the policy step of index
+    maintenance (append = ``incremental_zipnum_update``, conflict
+    surfacing = a45, compaction = ``compact_zipnum``; this is the
+    deliberate-forgetting step real wayback deployments run): a
+    capture EXPIRES when its timestamp is older than ``cutoff_ts``
+    AND a newer capture of the same SURT key exists. The latest
+    capture of every key is retained regardless of age — retention
+    must never orphan a URL (a key that was ever indexed keeps at
+    least its most recent capture), so lookups after retention still
+    answer for every key, just with pruned history.
+
+    All generations are merge-read (so retention composes with
+    pending incremental updates), the expired lines are written
+    FIRST to an audit sidecar ``expired.cdxj.gz`` (one gzip stream of
+    the dropped lines, sorted — the census trail a deletion pass owes
+    its operators), then the retained lines are rewritten as one
+    fresh ``index.zipnum.gz`` + cluster.idx via write-then-rename
+    (a crash leaves either the old or the new index, never neither);
+    old generation files are removed last.
+
+    Retained lines are preserved byte-for-byte (an expiry pass that
+    edits surviving lines is a corruption vector). Returns
+    ``{"n_before", "n_expired", "n_retained", "n_files_before",
+    "n_blocks_after", "expired_file"}``."""
+    import gzip as _gzip
+    import os as _os
+
+    if not (len(cutoff_ts) == 14 and cutoff_ts.isdigit()):
+        raise ValueError(f"bad cutoff timestamp {cutoff_ts!r}")
+    with open(_os.path.join(index_dir, "cluster.idx"), "rb") as f:
+        entries = parse_cluster_idx(f.read())
+    by_file = cluster_entries_by_file(entries)
+    lines: list[str] = []
+    for fname, blocks in by_file.items():
+        with open(_os.path.join(index_dir, fname), "rb") as f:
+            for e in blocks:
+                lines.extend(
+                    fetch_member(f, e["offset"], e["length"])
+                    .decode("utf-8")
+                    .splitlines()
+                )
+    lines.sort()
+    latest: dict[str, str] = {}
+    for ln in lines:
+        key, ts, _rest = ln.split(" ", 2)
+        if ts > latest.get(key, ""):
+            latest[key] = ts
+    retained: list[str] = []
+    expired: list[str] = []
+    for ln in lines:
+        key, ts, _rest = ln.split(" ", 2)
+        if ts < cutoff_ts and ts < latest[key]:
+            expired.append(ln)
+        else:
+            retained.append(ln)
+    expired_file = "expired.cdxj.gz"
+    tmp_e = _os.path.join(index_dir, expired_file + ".retain")
+    with open(tmp_e, "wb") as f:
+        f.write(_gzip.compress(("\n".join(expired) + "\n").encode("utf-8")
+                               if expired else b""))
+    zblob, zentries = write_zipnum(retained, block_lines=block_lines)
+    tmp_z = _os.path.join(index_dir, "index.zipnum.gz.retain")
+    with open(tmp_z, "wb") as f:
+        f.write(zblob)
+    tmp_c = _os.path.join(index_dir, "cluster.idx.retain")
+    with open(tmp_c, "wb") as f:
+        f.write(build_cluster_idx(zentries, "index.zipnum.gz"))
+    old_files = [fn for fn in by_file if fn != "index.zipnum.gz"]
+    _os.rename(tmp_e, _os.path.join(index_dir, expired_file))
+    _os.rename(tmp_z, _os.path.join(index_dir, "index.zipnum.gz"))
+    _os.rename(tmp_c, _os.path.join(index_dir, "cluster.idx"))
+    for fn in old_files:
+        _os.remove(_os.path.join(index_dir, fn))
+    return {
+        "n_before": len(lines),
+        "n_expired": len(expired),
+        "n_retained": len(retained),
+        "n_files_before": len(by_file),
+        "n_blocks_after": len(zentries),
+        "expired_file": expired_file,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Classic CDX-11 interchange — the space-delimited, 11-field index
+# format (" CDX N b a m s k r M S V g") that predates CDXJ and that
+# wayback tooling still reads/writes. The field mapping to this
+# engine's CDXJ lines: N=SURT key, b=timestamp, a=original url,
+# m=mime, s=status, k=digest, r/M='-' (redirect/meta unused here),
+# S=member length, V=member offset, g=WARC filename.
+
+CDX11_HEADER = " CDX N b a m s k r M S V g"
+
+
+def cdxj_to_cdx11(lines: list[str]) -> str:
+    """Serialize CDXJ lines as a classic CDX-11 file (header + one
+    space-delimited record per line, input order preserved — callers
+    keep lines sorted, as zipnum blocks already are). Fields that
+    would break the space-delimited framing raise ``ValueError``
+    (CDX-11 cannot carry embedded spaces); a missing optional field
+    writes the format's ``-`` placeholder."""
+    out = [CDX11_HEADER]
+    for ln in lines:
+        key, ts, blob = ln.split(" ", 2)
+        e = json.loads(blob)
+        fields = [
+            key, ts, str(e["url"]), str(e.get("mime", "-")),
+            str(e.get("status", "-")), str(e["digest"]), "-", "-",
+            str(e["length"]), str(e["offset"]), str(e["filename"]),
+        ]
+        for f in fields:
+            if " " in f or not f:
+                raise ValueError(
+                    f"field {f!r} cannot ride space-delimited CDX-11"
+                )
+        out.append(" ".join(fields))
+    return "\n".join(out) + "\n"
+
+
+def cdx11_to_cdxj(text: str) -> list[str]:
+    """Parse a classic CDX-11 file back into CDXJ lines. The header
+    must declare exactly the 11-field layout this engine writes;
+    records with a different field count are structural errors. The
+    inverse mapping re-serializes the JSON payload with sorted keys —
+    byte-identical to ``build_cdxj`` output for entries whose fields
+    all fit CDX-11 (url/mime/status/digest/filename/offset/length)."""
+    lines = text.splitlines()
+    if not lines or lines[0] != CDX11_HEADER:
+        raise ValueError(
+            f"bad CDX header {lines[0][:40]!r}" if lines
+            else "empty CDX file"
+        )
+    out = []
+    for ln in lines[1:]:
+        if not ln:
+            continue
+        parts = ln.split(" ")
+        if len(parts) != 11:
+            raise ValueError(
+                f"CDX-11 record has {len(parts)} fields: {ln[:60]!r}"
+            )
+        key, ts, url, mime, status, digest, _r, _m, length, offset, fname = (
+            parts
+        )
+        if not (len(ts) == 14 and ts.isdigit()):
+            raise ValueError(f"bad CDX timestamp {ts!r}")
+        payload: dict = {
+            "url": url,
+            "digest": digest,
+            "filename": fname,
+            "offset": int(offset),
+            "length": int(length),
+        }
+        if mime != "-":
+            payload["mime"] = mime
+        if status != "-":
+            payload["status"] = int(status)
+        out.append(
+            f"{key} {ts} "
+            + json.dumps(payload, sort_keys=True, ensure_ascii=False)
+        )
+    return out

@@ -3600,3 +3600,331 @@ def m28_woff2_census(spark, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m29_font_reconstruct",
+    oracle="""
+    SELECT doc_id,
+           CAST(6 + doc_id % 9 AS BIGINT) AS num_glyphs,
+           CAST(4 * ((6 + doc_id % 9 + 3) // 4)
+              + 8 * ((6 + doc_id % 9) // 4) AS BIGINT) AS n_points,
+           CAST((6 + doc_id % 9 + 3) // 4
+              + 2 * ((6 + doc_id % 9) // 4) AS BIGINT) AS n_contours,
+           CAST((6 + doc_id % 9 + 1) // 4 AS BIGINT) AS n_composites,
+           CAST((6 + doc_id % 9 + 2) // 4 AS BIGINT) AS n_empty_glyphs,
+           CAST(CASE WHEN doc_id % 5 = 2 THEN (6 + doc_id % 9) // 4
+                ELSE 0 END AS BIGINT) AS n_overlap,
+           CAST((6 + doc_id % 9 + 1) // 4
+              + CASE WHEN doc_id % 2 = 0 THEN (6 + doc_id % 9 + 3) // 4
+                ELSE 0 END AS BIGINT) AS n_explicit_bbox,
+           CAST(doc_id % 2 AS BIGINT) AS loca_format,
+           CASE doc_id % 3 WHEN 0 THEN 'lz' WHEN 1 THEN 'dict'
+                ELSE 'literals' END AS br_mode,
+           TRUE AS reconstruct_ok
+    FROM documents WHERE doc_id % 63 = 23
+    """,
+    doc="WOFF2 glyf/loca preprocessing transform + full sfnt "
+    "reconstruction (woff2.py §5.1-5.3 — the transform real tools "
+    "emit by default, closing m28's named refusal): every 63rd "
+    "document carries a font whose glyph set cycles "
+    "simple/empty/composite/multi-contour kinds (g%4), with point "
+    "deltas spanning every §5.2 triplet size class, off-curve "
+    "points, instructions, an overlap-bitmap lane (d%5==2), an "
+    "explicit-bbox lane (d%2==0) and F2Dot14-scaled composite "
+    "components. The glyf table rides the transform (seven "
+    "sub-streams, 255UInt16 counts, transformed-loca empty) inside "
+    "the WOFF2 brotli stream (d%3 cycles the encoder's "
+    "lz/dict/literals lanes); the census DECODES it — triplet by "
+    "triplet — and reconstruct_ok folds: reconstructed glyf AND "
+    "loca byte-equal to the independent direct serialization, "
+    "directory origLengths matched exactly, head.indexToLocFormat "
+    "== transform indexFormat, maxp.numGlyphs == transform "
+    "numGlyphs, the spec arithmetic (sfnt_size_ok/stream_ok/every "
+    "byte walked), plus the sfnt layer: the de-transformed tables "
+    "reassembled into a real OpenType binary whose directory "
+    "checksums, searchRange family and head.checkSumAdjustment all "
+    "re-verify from bytes (whole-font checksum == 0xB1B0AFBA). "
+    "100 TB shape: per-payload transform decode in Arrow-batched "
+    "mapInPandas, no shuffle, font bytes never leave the task.",
+)
+def m29_font_reconstruct(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.woff2 import (
+        _table_checksum,
+        build_glyf,
+        encode_woff2,
+        glyph_composite,
+        glyph_simple,
+        parse_woff2,
+        reconstruct_sfnt,
+        transform_glyf,
+        verify_sfnt,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 63 == 23)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("num_glyphs", LongType(), True),
+            StructField("n_points", LongType(), True),
+            StructField("n_contours", LongType(), True),
+            StructField("n_composites", LongType(), True),
+            StructField("n_empty_glyphs", LongType(), True),
+            StructField("n_overlap", LongType(), True),
+            StructField("n_explicit_bbox", LongType(), True),
+            StructField("loca_format", LongType(), True),
+            StructField("br_mode", StringType(), True),
+            StructField("reconstruct_ok", BooleanType(), True),
+        ]
+    )
+
+    def glyphs_of(d: int) -> list:
+        ng = 6 + d % 9
+        overlap = d % 5 == 2
+        out: list = []
+        for g in range(ng):
+            kind = g % 4
+            if kind == 1:
+                out.append(None)
+            elif kind == 0:
+                bx, by = (d % 37) * 7, (d % 23) * 5
+                w, h = 40 + (d % 7) * 90, 80 + (d % 11) * 35
+                out.append(glyph_simple(
+                    [[(bx, by, True), (bx + w, by, d % 2 == 0),
+                      (bx + w, by + h, True), (bx, by + h, True)]],
+                    instructions=b"\x01\x02"[: d % 3],
+                ))
+            elif kind == 2:
+                out.append(glyph_composite(
+                    [{"glyph_index": (g + 1) % ng, "dx": 5 + d % 120,
+                      "dy": -3 - d % 50,
+                      "scale": 0.5 if d % 3 == 0 else None},
+                     {"glyph_index": (g + 2) % ng,
+                      "dx": 200 + 150 * (d % 2), "dy": -200,
+                      "scale": None}],
+                    bbox=(-10 - d % 20, -10, 600 + d % 30, 900),
+                    instructions=b"\xAA" if d % 2 == 0 else b"",
+                ))
+            else:
+                out.append(glyph_simple(
+                    [[(0, 0, True), (300 + (d % 13) * 400, 0, True),
+                      (5, 700, False)],
+                     [(-1000 - (d % 5) * 800, -50, True),
+                      (2000, 3000, True), (-4000, 100, False),
+                      (7, 8, True), (9, 10, True)]],
+                    overlap=overlap,
+                ))
+        return out
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                glyphs = glyphs_of(d)
+                ng = len(glyphs)
+                lf = d % 2
+                mode = ("lz", "dict", "literals")[d % 3]
+                explicit = (
+                    {g for g in range(ng) if g % 4 == 0}
+                    if d % 2 == 0
+                    else set()
+                )
+                glyf, loca = build_glyf(glyphs, lf)
+                head = bytearray(54)
+                head[12:16] = struct.pack(">I", 0x5F0F3CF5)
+                head[18:20] = struct.pack(">H", 1000 + (d % 5) * 24)
+                head[50:52] = struct.pack(">h", lf)
+                tables = [
+                    (b"head", bytes(head)),
+                    (b"maxp", struct.pack(">IH", 0x00010000, ng)
+                     + b"\x00" * 26),
+                    (b"hhea", b"\x00" * 34 + struct.pack(">H", ng)),
+                    (b"hmtx", bytes(4 * ng)),
+                    (b"glyf", glyf),
+                    (b"loca", loca),
+                    (b"cmap", bytes(20)),
+                ]
+                payload = encode_woff2(
+                    tables,
+                    br_mode=mode,
+                    transformed={
+                        b"glyf": transform_glyf(
+                            glyphs, lf, explicit_bbox=explicit
+                        ),
+                        b"loca": b"",
+                    },
+                )
+                info = parse_woff2(payload, keep_tables=True)
+                got = dict(info["table_bytes"])
+                sfnt = reconstruct_sfnt(info["table_bytes"])
+                v = verify_sfnt(sfnt)
+                ok = (
+                    info["glyf_transformed"]
+                    and info["sfnt_size_ok"]
+                    and info["stream_ok"]
+                    and info["bytes_walked"] == len(payload)
+                    and got[b"glyf"] == glyf
+                    and got[b"loca"] == loca
+                    and v["search_ok"]
+                    and v["checksums_ok"]
+                    and bool(v["adjustment_ok"])
+                    and _table_checksum(sfnt) == 0xB1B0AFBA
+                )
+                rows.append(
+                    (d, info["num_glyphs"], info["n_points"],
+                     info["n_contours"], info["n_composites"],
+                     info["n_empty_glyphs"], info["n_overlap"],
+                     info["n_explicit_bbox"], info["loca_format"],
+                     mode, ok)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "num_glyphs", "n_points", "n_contours",
+                     "n_composites", "n_empty_glyphs", "n_overlap",
+                     "n_explicit_bbox", "loca_format", "br_mode",
+                     "reconstruct_ok"],
+        )
+
+    return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m30_woff1_census",
+    oracle="""
+    SELECT doc_id, 'ttf' AS flavor, CAST(8 AS BIGINT) AS n_tables,
+           CAST(1000 + (doc_id % 5) * 24 AS BIGINT) AS units_per_em,
+           CAST(10 + doc_id % 50 AS BIGINT) AS num_glyphs,
+           CAST(doc_id % 2 AS BIGINT) AS loca_format,
+           CAST(190 + 4 * (10 + doc_id % 50) + 4 * (25 + doc_id % 50)
+              + (11 + doc_id % 50) * (2 + 2 * (doc_id % 2)) AS BIGINT)
+             AS total_orig_bytes,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_stored,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 31 ELSE 0 END AS BIGINT)
+             AS meta_orig_len,
+           TRUE AS census_ok
+    FROM documents WHERE doc_id % 71 = 29
+    """,
+    doc="WOFF 1.0 web-font census (woff2.py encode_woff1/parse_woff1 "
+    "— the zlib-era sibling older crawls still serve; per-table "
+    "compression instead of WOFF2's one brotli stream): every 71st "
+    "document carries an 8-table font where each table rides its own "
+    "zlib stream, the d%3==1 lane forces glyf STORED (compLength == "
+    "origLength, the spec's store-when-bigger path), and every 4th "
+    "doc adds the zlib-compressed extended-metadata block. census_ok "
+    "folds: per-table inflate lengths == origLength, every "
+    "origChecksum re-verified from bytes (head's with its "
+    "checkSumAdjustment zeroed), totalSfntSize recomputed from "
+    "4-aligned origLengths, byte accounting, sorted directory, "
+    "num_hmetrics==num_glyphs, the exact tag set, AND the decoded "
+    "tables reassembled through the sfnt layer with all checksums "
+    "re-verifying. 100 TB shape: per-payload walk + per-table "
+    "inflate in Arrow-batched mapInPandas, no shuffle.",
+)
+def m30_woff1_census(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.woff2 import (
+        encode_woff1,
+        parse_woff1,
+        reconstruct_sfnt,
+        verify_sfnt,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 71 == 29)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("flavor", StringType(), True),
+            StructField("n_tables", LongType(), True),
+            StructField("units_per_em", LongType(), True),
+            StructField("num_glyphs", LongType(), True),
+            StructField("loca_format", LongType(), True),
+            StructField("total_orig_bytes", LongType(), True),
+            StructField("n_stored", LongType(), True),
+            StructField("meta_orig_len", LongType(), True),
+            StructField("census_ok", BooleanType(), True),
+        ]
+    )
+    want_tags = ["cmap", "glyf", "head", "hhea", "hmtx", "loca", "maxp",
+                 "name"]
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                upem = 1000 + (d % 5) * 24
+                ng = 10 + d % 50
+                lf = d % 2
+                head = bytearray(54)
+                head[12:16] = struct.pack(">I", 0x5F0F3CF5)
+                head[18:20] = struct.pack(">H", upem)
+                head[50:52] = struct.pack(">h", lf)
+                # every table compressible (repetitive motifs) so the
+                # stored count is the forced lane, exactly
+                glyf = struct.pack(">I", d & 0xFFFFFFFF) * (25 + d % 50)
+                tables = [
+                    (b"head", bytes(head)),
+                    (b"maxp", struct.pack(">IH", 0x00010000, ng)
+                     + b"\x00" * 26),
+                    (b"hhea", b"\x00" * 34 + struct.pack(">H", ng)),
+                    (b"hmtx", bytes(4 * ng)),
+                    (b"glyf", glyf),
+                    (b"loca", bytes((ng + 1) * (2 + 2 * lf))),
+                    (b"name", (b"Doc Font %06d " % d) * 3),
+                    (b"cmap", bytes(20)),
+                ]
+                meta = (
+                    b"<metadata>doc %06d</metadata>" % d
+                    if d % 4 == 1
+                    else None
+                )
+                store = frozenset({b"glyf"}) if d % 3 == 1 else frozenset()
+                payload = encode_woff1(
+                    tables, metadata=meta, store_tags=store
+                )
+                info = parse_woff1(payload, keep_tables=True)
+                v = verify_sfnt(reconstruct_sfnt(info["table_bytes"]))
+                rows.append(
+                    (
+                        d,
+                        info["flavor"],
+                        info["n_tables"],
+                        info["units_per_em"],
+                        info["num_glyphs"],
+                        info["loca_format"],
+                        info["total_orig_bytes"],
+                        info["n_stored"],
+                        info["meta_orig_len"],
+                        info["sfnt_size_ok"]
+                        and info["checksums_ok"]
+                        and info["bytes_walked"] == len(payload)
+                        and info["num_hmetrics"] == info["num_glyphs"]
+                        and info["tags"] == want_tags
+                        and v["search_ok"]
+                        and v["checksums_ok"]
+                        and bool(v["adjustment_ok"]),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "flavor", "n_tables", "units_per_em",
+                     "num_glyphs", "loca_format", "total_orig_bytes",
+                     "n_stored", "meta_orig_len", "census_ok"],
+        )
+
+    return docs.mapInPandas(walk, schema)

@@ -9485,3 +9485,499 @@ def c03_font_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "a47_retention_expiry",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_expired,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars + 5
+                         ELSE n_chars END) AS BIGINT) AS chars_latest
+    FROM documents WHERE doc_id % 37 = 17 GROUP BY lang
+    """,
+    doc="Index RETENTION/EXPIRY (r13 — the deliberate-forgetting step "
+    "that completes the maintenance lifecycle: append a44, streaming "
+    "generations s17, conflicts a45, compaction a46; real wayback "
+    "deployments also run an expiry policy). The query builds the "
+    "two-generation live index (base + the a38 export through "
+    "incremental_zipnum_update), snapshots every probe's answer "
+    "(doc_id % 37 = 17), then runs cdxj.retain_zipnum with a Feb-1 "
+    "cutoff: a capture expires iff it is BOTH older than the cutoff "
+    "AND superseded by a newer capture of its key — the latest "
+    "capture always survives, so retention never orphans a URL. "
+    "Pins: expired/retained counts in closed form (the Jan captures "
+    "of recaptured d%5==0 docs expire, nothing else), post-retention "
+    "line count distributed-verified, every probe still answers with "
+    "caps==1 and the SAME latest (ts, digest, member location) as "
+    "before retention, the expired audit sidecar (expired.cdxj.gz) "
+    "read back distributed — every expired line is a Jan capture of "
+    "a d%5==0 key, exactly one per recaptured doc — and the latest "
+    "members fetched THROUGH the retained index, digest-verified, "
+    "temporally routed (Feb winners from the recrawl shards, Jan "
+    "from base). 100 TB shape: retention is one sequential pass over "
+    "index bytes (never corpus bytes) + write-then-rename; the audit "
+    "sidecar scales with what was dropped; probe verification rides "
+    "the resident cluster.idx ladder (<=2 blocks per probe).",
+)
+def a47_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.operators.cdxj import (
+        cluster_entries_by_file,
+        fetch_member,
+        incremental_zipnum_update,
+        parse_cluster_idx,
+        retain_zipnum,
+    )
+    from tectonic_spark.tables import table
+
+    a_idx_dir, a_warc, _nb = _zipnum_src(sf_dir)
+    b_dir, _nb2 = _timeline_index_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    live = os.path.join(base, "a47_live")
+    shutil.rmtree(live, ignore_errors=True)
+    os.makedirs(live, exist_ok=True)
+    for fname in ("index.zipnum.gz", "cluster.idx"):
+        shutil.copyfile(
+            os.path.join(a_idx_dir, fname), os.path.join(live, fname)
+        )
+    delta_lines: list[str] = []
+    with open(os.path.join(b_dir, "cluster.idx"), "rb") as f:
+        b_cluster = parse_cluster_idx(f.read())
+    with open(os.path.join(b_dir, "index.zipnum.gz"), "rb") as f:
+        for e in b_cluster:
+            delta_lines.extend(
+                fetch_member(f, e["offset"], e["length"])
+                .decode("utf-8")
+                .splitlines()
+            )
+    incremental_zipnum_update(live, sorted(delta_lines))
+
+    docs = table(spark, sf_dir, "documents")
+    probes = (
+        docs.filter(F.col("doc_id") % 37 == 17)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("example,"), F.col("source"), F.lit(")/doc/"),
+                F.col("doc_id"),
+            ).alias("key"),
+        )
+        .persist()
+    )
+
+    def answers(by_file):
+        prec = {f: (0 if f == "index.zipnum.gz" else 1) for f in by_file}
+        blocks = _mi_blocks_df(spark, by_file, probes)
+        entries = _mi_entries_df(spark, live, blocks, prec)
+        return (
+            entries.join(probes, "key", "inner")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("caps"),
+                F.max(
+                    F.struct("ts", "digest", "filename", "offset", "length")
+                ).alias("w"),
+            )
+            .select(
+                "doc_id", "caps",
+                F.col("w.ts").alias("ts"),
+                F.col("w.digest").alias("digest"),
+                F.col("w.filename").alias("filename"),
+                F.col("w.offset").alias("offset"),
+                F.col("w.length").alias("length"),
+            )
+        )
+
+    with open(os.path.join(live, "cluster.idx"), "rb") as f:
+        by_file_pre = cluster_entries_by_file(parse_cluster_idx(f.read()))
+    if len(by_file_pre) != 2:
+        raise RuntimeError(
+            f"a47: pre-retention index has {len(by_file_pre)} files"
+        )
+    pre_rows = {r["doc_id"]: r for r in answers(by_file_pre).collect()}
+
+    # --- retention: Feb-1 cutoff expires superseded Jan captures ---
+    stats = retain_zipnum(live, cutoff_ts="20240201000000")
+    n_docs_total, n_recap_total = docs.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)),
+    ).collect()[0]
+    if (
+        stats["n_before"] != n_docs_total + n_recap_total
+        or stats["n_expired"] != n_recap_total
+        or stats["n_retained"] != n_docs_total
+    ):
+        raise RuntimeError(
+            f"a47: retention stats {stats} vs corpus "
+            f"({n_docs_total} docs, {n_recap_total} recaptures)"
+        )
+    with open(os.path.join(live, "cluster.idx"), "rb") as f:
+        by_file_post = cluster_entries_by_file(parse_cluster_idx(f.read()))
+    if set(by_file_post) != {"index.zipnum.gz"}:
+        raise RuntimeError(
+            f"a47: retention left {sorted(by_file_post)} on disk"
+        )
+    n_post = _mi_count_lines(spark, live, by_file_post)
+    if n_post != n_docs_total:
+        raise RuntimeError(
+            f"a47: retained index holds {n_post} lines, want "
+            f"{n_docs_total}"
+        )
+
+    # the audit sidecar, read back DISTRIBUTED: every expired line is
+    # a January capture of a d%5==0 key, exactly one per recaptured doc
+    expired = (
+        spark.read.text(os.path.join(live, stats["expired_file"]))
+        .withColumn("key", F.split(F.col("value"), " ").getItem(0))
+        .withColumn("ets", F.split(F.col("value"), " ").getItem(1))
+        .withColumn(
+            "doc_id",
+            F.regexp_extract(F.col("key"), r"/doc/(\d+)$", 1).cast("long"),
+        )
+    )
+    bad_expired = expired.filter(
+        (F.col("doc_id") % 5 != 0) | ~F.col("ets").startswith("202401")
+    ).count()
+    n_expired_lines, n_expired_keys = expired.agg(
+        F.count(F.lit(1)), F.countDistinct("doc_id")
+    ).collect()[0]
+    if bad_expired or n_expired_lines != n_recap_total or (
+        n_expired_keys != n_recap_total
+    ):
+        raise RuntimeError(
+            f"a47: audit sidecar carries {n_expired_lines} lines / "
+            f"{n_expired_keys} keys ({bad_expired} policy violations), "
+            f"want {n_recap_total}"
+        )
+
+    post = answers(by_file_post).persist()
+    n_probes = probes.count()
+    # post-retention: every probe answers once, with the SAME latest
+    # capture it had before retention (expiry never changes winners)
+    post_rows = {r["doc_id"]: r for r in post.collect()}
+    mismatches = 0
+    if set(post_rows) != set(pre_rows):
+        mismatches = -1
+    else:
+        for d, r in post_rows.items():
+            pr = pre_rows[d]
+            want_caps = 2 if d % 5 == 0 else 1
+            if (
+                pr["caps"] != want_caps
+                or r["caps"] != 1
+                or any(
+                    r[c] != pr[c]
+                    for c in ("ts", "digest", "filename", "offset",
+                              "length")
+                )
+            ):
+                mismatches += 1
+    if mismatches:
+        post.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a47: {mismatches} probe answers drifted across retention"
+        )
+
+    winners = post.select(
+        "doc_id",
+        F.when(F.col("ts").startswith("202402"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("expired_one"),
+        "ts", "digest",
+        F.when(F.col("ts").startswith("202402"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("prec"),
+        "filename", "offset", "length",
+    )
+    warc_dirs = {0: a_warc, 1: b_dir}
+    fetched = _mi_routed_fetch(
+        winners, warc_dirs, carry=("expired_one",)
+    ).persist()
+    got = fetched.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bytes_read").alias("br")
+    ).collect()[0]
+    want_bytes = post.agg(F.sum("length")).collect()[0][0]
+    if got["n"] != n_probes or got["br"] != want_bytes:
+        fetched.unpersist()
+        post.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a47: fetched {got['n']}/{n_probes} members, {got['br']} "
+            f"bytes vs indexed {want_bytes}"
+        )
+    agg = fetched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("expired_one").alias("n_expired"),
+        F.sum("n_chars").alias("chars_latest"),
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    post.unpersist()
+    probes.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)
+
+
+@register(
+    "a48_cdx_interchange",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE doc_id % 41 = 19 GROUP BY lang
+    """,
+    doc="Classic CDX-11 interchange (r13 — the space-delimited "
+    "11-field index format wayback tooling still reads; an engine "
+    "that owns a CDXJ/zipnum tier must interoperate): the a30 "
+    "collection's zipnum index is EXPORTED distributed — block "
+    "extents fan out corpus-scaled, each partition ranged-reads its "
+    "blocks, converts lines through cdxj.cdxj_to_cdx11 and writes "
+    "one valid .cdx shard (header + records) executor-side — then "
+    "READ BACK wholetext, each shard parsed by cdx11_to_cdxj "
+    "(header + field-count + timestamp validation), and the round "
+    "trip is pinned BYTE-EXACT in both directions (exceptAll "
+    "original-vs-parsed == 0 == parsed-vs-original; the JSON "
+    "payload re-serialization is canonical, so CDXJ -> CDX-11 -> "
+    "CDXJ is the identity on every line). Probe lookups (doc_id % "
+    "41 = 19) then run AGAINST THE PARSED-BACK ENTRIES — field "
+    "extraction via JVM-side get_json_object, exactly one capture "
+    "per probe asserted — and members are ranged-fetched and "
+    "digest-verified through the a30 kernel. 100 TB shape: both "
+    "conversion directions are per-partition streaming passes over "
+    "index bytes (never corpus bytes), shard width scales with the "
+    "corpus, and the lookup stage stays JVM-side until the bounded "
+    "fetch.",
+)
+def a48_cdx_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.operators.cdxj import (
+        cluster_entries_by_file,
+        parse_cluster_idx,
+    )
+    from tectonic_spark.tables import table
+
+    idx_dir, warc_dir, _nb = _zipnum_src(sf_dir)
+    out = os.path.join(_fixture_dir(sf_dir), "a48_cdx")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    with open(os.path.join(idx_dir, "cluster.idx"), "rb") as f:
+        by_file = cluster_entries_by_file(parse_cluster_idx(f.read()))
+    n_lines_idx = _mi_count_lines(spark, idx_dir, by_file)
+    blocks = [
+        (fname, e["offset"], e["length"])
+        for fname, es in by_file.items()
+        for e in es
+    ]
+    n_rows = len(_docs_rows(sf_dir))
+    n_shards = max(4, n_rows // 15000)
+    bschema = StructType(
+        [
+            StructField("filename", StringType(), True),
+            StructField("offset", LongType(), True),
+            StructField("length", LongType(), True),
+        ]
+    )
+    bdf = spark.createDataFrame(blocks, bschema).repartition(n_shards)
+
+    eschema = StructType(
+        [
+            StructField("shard", StringType(), True),
+            StructField("n_lines", LongType(), True),
+        ]
+    )
+
+    def export(batches):
+        import os as _os
+        import tempfile as _tf
+        import uuid
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import (
+            cdxj_to_cdx11,
+            fetch_member,
+        )
+
+        lines: list[str] = []
+        for pdf in batches:
+            by_f: dict = {}
+            for r in pdf.itertuples(index=False):
+                by_f.setdefault(r.filename, []).append(
+                    (int(r.offset), int(r.length))
+                )
+            for fname, extents in by_f.items():
+                extents.sort()
+                with open(_os.path.join(idx_dir, fname), "rb") as f:
+                    for off, length in extents:
+                        lines.extend(
+                            fetch_member(f, off, length)
+                            .decode("utf-8")
+                            .splitlines()
+                        )
+        if not lines:
+            yield pd.DataFrame([], columns=["shard", "n_lines"])
+            return
+        cdx = cdxj_to_cdx11(lines)
+        name = f"export-{uuid.uuid4().hex[:12]}.cdx"
+        fd, tmp = _tf.mkstemp(dir=out)
+        with _os.fdopen(fd, "wb") as f:
+            f.write(cdx.encode("utf-8"))
+        _os.replace(tmp, _os.path.join(out, name))
+        yield pd.DataFrame([(name, len(lines))], columns=["shard", "n_lines"])
+
+    exp = bdf.mapInPandas(export, eschema).agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n_lines").alias("n_lines"),
+    ).collect()[0]
+    if exp["n_lines"] != n_lines_idx:
+        raise RuntimeError(
+            f"a48: exported {exp['n_lines']} lines, index holds "
+            f"{n_lines_idx}"
+        )
+
+    # read back: every shard is a VALID CDX file (header + 11 fields),
+    # parsed distributed
+    lschema = StructType([StructField("line", StringType(), True)])
+
+    def parse_back(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import cdx11_to_cdxj
+
+        for pdf in batches:
+            rows = []
+            for text in pdf["value"]:
+                rows.extend(cdx11_to_cdxj(text))
+            yield pd.DataFrame({"line": rows})
+
+    shards = spark.read.text(out, wholetext=True)
+    parsed = shards.mapInPandas(parse_back, lschema)
+
+    # original lines, distributed, for the bidirectional byte pin
+    def read_lines(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from tectonic_spark.operators.cdxj import fetch_member
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                with open(_os.path.join(idx_dir, r.filename), "rb") as f:
+                    rows.extend(
+                        fetch_member(f, int(r.offset), int(r.length))
+                        .decode("utf-8")
+                        .splitlines()
+                    )
+            yield pd.DataFrame({"line": rows})
+
+    orig = bdf.mapInPandas(read_lines, lschema)
+    parsed = parsed.persist()
+    d1 = parsed.exceptAll(orig).count()
+    d2 = orig.exceptAll(parsed).count()
+    if d1 or d2:
+        parsed.unpersist()
+        raise RuntimeError(
+            f"a48: round trip drifted ({d1} lines not in original, "
+            f"{d2} lines lost)"
+        )
+
+    # probe lookups against the PARSED-BACK entries, JVM-side fields
+    docs = table(spark, sf_dir, "documents")
+    probes = (
+        docs.filter(F.col("doc_id") % 41 == 19)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("example,"), F.col("source"), F.lit(")/doc/"),
+                F.col("doc_id"),
+            ).alias("key"),
+        )
+        .persist()
+    )
+    entries = parsed.select(
+        F.split(F.col("line"), " ").getItem(0).alias("key"),
+        F.split(F.col("line"), " ").getItem(1).alias("ts"),
+        F.regexp_extract(F.col("line"), r"^\S+ \S+ (.*)$", 1).alias("blob"),
+    ).select(
+        "key", "ts",
+        F.get_json_object("blob", "$.digest").alias("digest"),
+        F.get_json_object("blob", "$.filename").alias("filename"),
+        F.get_json_object("blob", "$.offset").cast("long").alias("offset"),
+        F.get_json_object("blob", "$.length").cast("long").alias("length"),
+    )
+    matched = (
+        entries.join(probes, "key", "inner")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("caps"),
+            F.max(
+                F.struct("ts", "digest", "filename", "offset", "length")
+            ).alias("w"),
+        )
+        .select(
+            "doc_id", "caps",
+            F.col("w.ts").alias("ts"),
+            F.col("w.digest").alias("digest"),
+            F.col("w.filename").alias("filename"),
+            F.col("w.offset").alias("offset"),
+            F.col("w.length").alias("length"),
+        )
+        .persist()
+    )
+    n_probes = probes.count()
+    n_matched, n_multi = matched.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("caps") != 1, 1).otherwise(0)),
+    ).collect()[0]
+    if n_matched != n_probes or n_multi:
+        matched.unpersist()
+        parsed.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a48: {n_matched}/{n_probes} probes matched, {n_multi} "
+            "with duplicate captures"
+        )
+    winners = matched.select(
+        "doc_id", "caps", "ts", "digest",
+        F.lit(0).alias("prec"), "filename", "offset", "length",
+    )
+    fetched = _mi_routed_fetch(winners, {0: warc_dir}).persist()
+    got = fetched.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bytes_read").alias("br")
+    ).collect()[0]
+    want_bytes = matched.agg(F.sum("length")).collect()[0][0]
+    if got["n"] != n_probes or got["br"] != want_bytes:
+        fetched.unpersist()
+        matched.unpersist()
+        parsed.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"a48: fetched {got['n']}/{n_probes} members, {got['br']} "
+            f"bytes vs indexed {want_bytes}"
+        )
+    agg = fetched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    matched.unpersist()
+    parsed.unpersist()
+    probes.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)

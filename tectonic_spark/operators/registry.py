@@ -80,6 +80,10 @@ PRIORITY: list[str] = [
     "a46_index_compaction",  # generations rewritten back into one block file
     "m28_woff2_census",  # WOFF2 web fonts: sfnt tables ride one brotli stream
     "c03_font_census",  # fonts as crawl assets: resource records -> WOFF2 walk
+    "m29_font_reconstruct",  # glyf/loca transform decode + sfnt checksum layer
+    "m30_woff1_census",  # WOFF 1.0: per-table zlib + origChecksum audit
+    "a47_retention_expiry",  # index expiry policy + audit sidecar
+    "a48_cdx_interchange",  # classic CDX-11 export/parse round trip
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding

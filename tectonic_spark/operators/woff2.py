@@ -22,15 +22,35 @@ operators/brotli.py:
   decompressed tables: ``head`` magic/unitsPerEm/indexToLocFormat,
   ``maxp`` numGlyphs, ``hhea`` numberOfHMetrics.
 
-Scope boundaries, named: the glyf/loca preprocessing transform
-(transform version 0 on those tags) is a documented
-``NotImplementedError`` refusal — fixtures use the spec's null
-transform (version 3), which real subsetters also emit; reserved
-transform versions on other tags and all structural violations raise
-``ValueError``; truncation raises ``EOFError`` (the codec-family
-taxonomy). Known-tag indexes 0..12 (cmap head hhea hmtx maxp name
-OS/2 post cvt fpgm glyf loca prep — W3C Table 1's head) are
-transcribed; higher indexes census as ``#<index>`` rather than guess.
+* **glyf/loca preprocessing transform** (W3C WOFF2 §5.1–5.3, the
+  format real tools — woff2_compress, fontTools — emit by default):
+  transform version 0 on glyf carries the seven sub-streams
+  (nContour / nPoints / flag / glyph / composite / bbox /
+  instruction), point deltas in the §5.2 triplet encoding,
+  per-contour point counts and instruction lengths as 255UInt16,
+  the bbox bitmap (+ optional overlapSimpleBitmap via optionFlags
+  bit 0), and composite component records. ``transform_glyf``
+  (encoder) and ``reconstruct_transformed_glyf`` (decoder) are
+  independent implementations pinned byte-for-byte through the
+  normalized serializer ``build_glyf`` (no repeat-flag packing,
+  shortest coordinate widths); the reconstructed glyf/loca must
+  match the directory's origLengths exactly, loca's transformLength
+  must be 0, and head.indexToLocFormat must agree with the
+  transform's indexFormat — all hard ``ValueError``s.
+* **sfnt layer** (``reconstruct_sfnt`` / ``verify_sfnt``): the
+  decompressed (and de-transformed) tables re-serialize into a real
+  OpenType binary — directory with searchRange/entrySelector/
+  rangeShift, per-table checksums, head.checkSumAdjustment =
+  0xB1B0AFBA − font checksum — and the verifier recomputes every
+  checksum from bytes.
+
+Remaining scope boundaries, named: reserved transform versions
+(1/2 on glyf/loca, nonzero elsewhere) and all structural violations
+raise ``ValueError``; truncation raises ``EOFError`` (the
+codec-family taxonomy). Known-tag indexes 0..12 (cmap head hhea
+hmtx maxp name OS/2 post cvt fpgm glyf loca prep — W3C Table 1's
+head) are transcribed; higher indexes census as ``#<index>`` rather
+than guess.
 
 100 TB shape: per-payload header walk + one in-task brotli decode in
 Arrow-batched ``mapInPandas`` — no shuffle, font bytes never leave
@@ -41,7 +61,17 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["encode_woff2", "parse_woff2"]
+__all__ = [
+    "encode_woff2",
+    "parse_woff2",
+    "glyph_simple",
+    "glyph_composite",
+    "build_glyf",
+    "transform_glyf",
+    "reconstruct_transformed_glyf",
+    "reconstruct_sfnt",
+    "verify_sfnt",
+]
 
 _SIGNATURE = 0x774F4632  # 'wOF2'
 # W3C WOFF2 Table 1 (head of the known-tag list; higher indexes are a
@@ -98,15 +128,26 @@ def encode_woff2(
     flavor: bytes = b"\x00\x01\x00\x00",
     br_mode: str = "lz",
     metadata: bytes | None = None,
+    transformed: dict[bytes, bytes] | None = None,
 ) -> bytes:
-    """Serialize ``(tag, table_bytes)`` pairs as a WOFF2 file: null
-    transforms only (glyf/loca carry transform version 3, everything
-    else version 0), known-tag flag indexes where transcribed, one
-    brotli stream over the concatenated tables (``br_mode`` picks the
-    engine encoder's lane), optional brotli-compressed extended
-    metadata. Tables are sorted by tag (the sfnt convention)."""
+    """Serialize ``(tag, table_bytes)`` pairs as a WOFF2 file:
+    known-tag flag indexes where transcribed, one brotli stream over
+    the concatenated tables (``br_mode`` picks the engine encoder's
+    lane), optional brotli-compressed extended metadata. Tables are
+    sorted by tag (the sfnt convention).
+
+    By default glyf/loca carry the null transform (version 3) and
+    every other table version 0. ``transformed`` maps a tag
+    (``b"glyf"`` / ``b"loca"``) to its PREPROCESSED payload (W3C §5.1
+    transform version 0): the directory then writes origLength (the
+    untransformed table's size, from ``tables``) followed by
+    transformLength, and the stream carries the transformed bytes —
+    for loca the spec requires an empty transformed payload."""
     from tectonic_spark.operators.brotli import compress
 
+    transformed = transformed or {}
+    if not set(transformed) <= {b"glyf", b"loca"}:
+        raise ValueError("only glyf/loca have a defined transform")
     tables = sorted(tables, key=lambda t: t[0])
     directory = bytearray()
     stream = bytearray()
@@ -115,14 +156,24 @@ def encode_woff2(
         if len(tag) != 4:
             raise ValueError(f"bad table tag {tag!r}")
         idx = _KNOWN_INDEX.get(tag)
-        xform = 3 if tag in (b"glyf", b"loca") else 0  # null transforms
+        if tag in transformed:
+            xform = 0  # preprocessing transform applied
+        else:
+            xform = 3 if tag in (b"glyf", b"loca") else 0  # null
         if idx is None:
             directory.append(0x3F | (xform << 6))
             directory += tag
         else:
             directory.append(idx | (xform << 6))
         directory += _write_base128(len(blob))
-        stream += blob
+        if tag in transformed:
+            tblob = transformed[tag]
+            if tag == b"loca" and tblob:
+                raise ValueError("transformed loca must be empty")
+            directory += _write_base128(len(tblob))
+            stream += tblob
+        else:
+            stream += blob
         total_sfnt += _pad4(len(blob))
     compressed = compress(bytes(stream), mode=br_mode)
     meta_blob = b""
@@ -156,13 +207,22 @@ def encode_woff2(
     return out
 
 
-def parse_woff2(data: bytes) -> dict:
+def parse_woff2(data: bytes, *, keep_tables: bool = False) -> dict:
     """Census one WOFF2 file. Returns header fields, the per-table
     directory (tag, origLength), the spec-arithmetic verdicts
     (``sfnt_size_ok``, ``stream_ok``, ``bytes_walked``), the decoded
     extended metadata length (``meta_orig_len``), and the sfnt fields
     read from the decompressed tables (``units_per_em``,
-    ``loca_format``, ``num_glyphs``, ``num_hmetrics``)."""
+    ``loca_format``, ``num_glyphs``, ``num_hmetrics``). A transformed
+    glyf/loca pair (W3C §5.1 transform version 0) is reconstructed
+    back into standard tables — reconstructed sizes must equal the
+    directory origLengths, loca's transformLength must be 0, and
+    head/maxp must agree with the transform header — and the glyph
+    census (``n_points`` / ``n_contours`` / ``n_composites`` /
+    ``n_empty_glyphs`` / ``n_explicit_bbox`` / ``n_overlap``) is
+    reported. ``keep_tables=True`` adds ``table_bytes`` — the
+    decompressed (de-transformed) ``(tag, bytes)`` list in directory
+    order, ready for :func:`reconstruct_sfnt`."""
     from tectonic_spark.operators.brotli import decompress, native_decompress
 
     if len(data) < 48:
@@ -181,7 +241,8 @@ def parse_woff2(data: bytes) -> dict:
             f"WOFF2 length field {total_len} != file size {len(data)}"
         )
     pos = 48
-    entries: list[tuple[bytes, int, int]] = []  # (tag, orig_len, xform)
+    # (tag, orig_len, xform, transform_len-or-None)
+    entries: list[tuple[bytes, int, int, int | None]] = []
     for _ in range(n_tables):
         if pos >= len(data):
             raise EOFError("truncated WOFF2 table directory")
@@ -199,16 +260,24 @@ def parse_woff2(data: bytes) -> dict:
         else:
             tag = b"#%02d" % idx  # untranscribed known index (boundary)
         null_xform = 3 if tag in (b"glyf", b"loca") else 0
-        if xform != null_xform:
-            if tag in (b"glyf", b"loca") and xform == 0:
-                raise NotImplementedError(
-                    "WOFF2 glyf/loca preprocessing transform not implemented"
-                )
+        if xform != null_xform and not (
+            tag in (b"glyf", b"loca") and xform == 0
+        ):
             raise ValueError(
                 f"reserved transform version {xform} on table {tag!r}"
             )
         orig_len, pos = _read_base128(data, pos)
-        entries.append((tag, orig_len, xform))
+        # W3C §4.1: transformLength is present iff a non-null transform
+        # applies — for glyf/loca that is version 0 (the preprocessing
+        # transform); the null transform (3) writes origLength only.
+        transform_len: int | None = None
+        if tag in (b"glyf", b"loca") and xform == 0:
+            transform_len, pos = _read_base128(data, pos)
+            if tag == b"loca" and transform_len != 0:
+                raise ValueError(
+                    "transformed loca must have transformLength 0"
+                )
+        entries.append((tag, orig_len, xform, transform_len))
     comp = data[pos : pos + comp_size]
     if len(comp) < comp_size:
         raise EOFError("truncated WOFF2 compressed stream")
@@ -216,9 +285,15 @@ def parse_woff2(data: bytes) -> dict:
     if stream is None:
         stream = decompress(comp)
     stream_end = pos + comp_size
-    # spec arithmetic: totalSfntSize from 4-aligned origLengths
-    want_sfnt = 12 + 16 * n_tables + sum(_pad4(o) for _t, o, _x in entries)
-    total_table = sum(o for _t, o, _x in entries)
+    # spec arithmetic: totalSfntSize from 4-aligned origLengths; the
+    # decompressed stream carries transformLength bytes for
+    # transformed entries, origLength for null-transform entries
+    want_sfnt = 12 + 16 * n_tables + sum(
+        _pad4(o) for _t, o, _x, _tl in entries
+    )
+    total_table = sum(
+        (tl if tl is not None else o) for _t, o, _x, tl in entries
+    )
     # the metadata block (brotli-compressed XML) if present
     meta_orig_len = 0
     walked = stream_end
@@ -244,21 +319,937 @@ def parse_woff2(data: bytes) -> dict:
     if walked != len(data):
         raise ValueError("trailing bytes after WOFF2 structures")
 
-    # read real fields out of the decompressed table stream
+    # slice the decompressed table stream (transform-aware widths)
     off = 0
     spans: dict[bytes, bytes] = {}
-    for tag, orig_len, _x in entries:
-        spans[tag] = stream[off : off + orig_len]
-        off += orig_len
+    orig_lens: dict[bytes, int] = {}
+    for tag, orig_len, _x, tl in entries:
+        width = tl if tl is not None else orig_len
+        spans[tag] = stream[off : off + width]
+        orig_lens[tag] = orig_len
+        off += width
+    glyf_transformed = any(
+        t == b"glyf" and tl is not None for t, _o, _x, tl in entries
+    )
+    recon: dict | None = None
+    if glyf_transformed:
+        loca_tl = [tl for t, _o, _x, tl in entries if t == b"loca"]
+        if not loca_tl or loca_tl[0] is None:
+            raise ValueError(
+                "transformed glyf requires a transformed loca"
+            )
+        recon = reconstruct_transformed_glyf(spans[b"glyf"])
+        if len(recon["glyf"]) != orig_lens[b"glyf"]:
+            raise ValueError(
+                f"reconstructed glyf {len(recon['glyf'])} bytes != "
+                f"directory origLength {orig_lens[b'glyf']}"
+            )
+        if len(recon["loca"]) != orig_lens[b"loca"]:
+            raise ValueError(
+                f"reconstructed loca {len(recon['loca'])} bytes != "
+                f"directory origLength {orig_lens[b'loca']}"
+            )
+        spans[b"glyf"] = recon["glyf"]
+        spans[b"loca"] = recon["loca"]
     info: dict = {
         "flavor": "otto" if flavor == 0x4F54544F else "ttf",
         "n_tables": n_tables,
-        "tags": [t.decode("latin-1") for t, _o, _x in entries],
-        "total_orig_bytes": total_table,
+        "tags": [t.decode("latin-1") for t, _o, _x, _tl in entries],
+        "total_orig_bytes": sum(o for _t, o, _x, _tl in entries),
         "sfnt_size_ok": want_sfnt == total_sfnt,
         "stream_ok": len(stream) == total_table,
         "meta_orig_len": meta_orig_len,
         "bytes_walked": walked,
+        "units_per_em": None,
+        "loca_format": None,
+        "num_glyphs": None,
+        "num_hmetrics": None,
+        "glyf_transformed": glyf_transformed,
+        "n_points": recon["n_points"] if recon else None,
+        "n_contours": recon["n_contours"] if recon else None,
+        "n_composites": recon["n_composites"] if recon else None,
+        "n_empty_glyphs": recon["n_empty"] if recon else None,
+        "n_explicit_bbox": recon["n_explicit_bbox"] if recon else None,
+        "n_overlap": recon["n_overlap"] if recon else None,
+    }
+    head = spans.get(b"head")
+    if head is not None and len(head) >= 54:
+        if struct.unpack(">I", head[12:16])[0] != 0x5F0F3CF5:
+            raise ValueError("bad head table magic")
+        info["units_per_em"] = struct.unpack(">H", head[18:20])[0]
+        info["loca_format"] = struct.unpack(">h", head[50:52])[0]
+        if recon is not None and info["loca_format"] != recon["index_format"]:
+            raise ValueError(
+                f"head.indexToLocFormat {info['loca_format']} != "
+                f"transform indexFormat {recon['index_format']}"
+            )
+    maxp = spans.get(b"maxp")
+    if maxp is not None and len(maxp) >= 6:
+        info["num_glyphs"] = struct.unpack(">H", maxp[4:6])[0]
+        if recon is not None and info["num_glyphs"] != recon["num_glyphs"]:
+            raise ValueError(
+                f"maxp numGlyphs {info['num_glyphs']} != transform "
+                f"numGlyphs {recon['num_glyphs']}"
+            )
+    hhea = spans.get(b"hhea")
+    if hhea is not None and len(hhea) >= 36:
+        info["num_hmetrics"] = struct.unpack(">H", hhea[34:36])[0]
+    if keep_tables:
+        info["table_bytes"] = [
+            (t, spans[t]) for t, _o, _x, _tl in entries
+        ]
+    return info
+
+
+# ---------------------------------------------------------------------------
+# glyf/loca preprocessing transform (W3C WOFF2 §5.1–5.3)
+#
+# The glyph model used by the fixture builders:
+#   * ``None``                      — empty glyph (zero glyf bytes)
+#   * ``glyph_simple(contours, …)`` — list of contours, each a list of
+#     ``(x, y, on_curve)`` points in absolute font units
+#   * ``glyph_composite(components, bbox, …)`` — component references
+#
+# ``build_glyf`` serializes the model into STANDARD glyf/loca bytes
+# (the normalized form: no repeat-flag packing, shortest coordinate
+# widths, every glyph 2-padded so loca format 0 stays legal);
+# ``transform_glyf`` encodes the SAME model into the §5.1 transformed
+# table; ``reconstruct_transformed_glyf`` decodes a transformed table
+# back into standard glyf/loca through the same normalized serializer
+# — so encoder→decoder round-trips are pinned byte-for-byte against
+# the direct serialization, and the triplet/255UInt16/stream layers
+# are exercised as genuinely independent code paths.
+
+
+def glyph_simple(
+    contours: list[list[tuple[int, int, bool]]],
+    *,
+    instructions: bytes = b"",
+    overlap: bool = False,
+) -> dict:
+    """Simple-glyph model entry: ``contours`` is a list of contours,
+    each a list of ``(x, y, on_curve)`` absolute points."""
+    if not contours or any(not c for c in contours):
+        raise ValueError("simple glyph needs at least one non-empty contour")
+    return {
+        "contours": [list(c) for c in contours],
+        "instructions": bytes(instructions),
+        "overlap": bool(overlap),
+    }
+
+
+def glyph_composite(
+    components: list[dict],
+    bbox: tuple[int, int, int, int],
+    *,
+    instructions: bytes = b"",
+) -> dict:
+    """Composite-glyph model entry: each component is
+    ``{"glyph_index": int, "dx": int, "dy": int, "scale": float|None}``
+    (ARGS_ARE_XY_VALUES form). The bbox is explicit — §5.1 requires
+    composite glyphs to carry one in the bbox stream."""
+    if not components:
+        raise ValueError("composite glyph needs at least one component")
+    return {
+        "components": [dict(c) for c in components],
+        "bbox": tuple(bbox),
+        "instructions": bytes(instructions),
+    }
+
+
+def _write_255ushort(n: int) -> bytes:
+    """255UInt16 (W3C §5.2): shortest form."""
+    if n < 0 or n > 0xFFFF:
+        raise ValueError("255UInt16 out of range")
+    if n < 253:
+        return bytes([n])
+    if n < 506:
+        return bytes([255, n - 253])
+    if n < 762:
+        return bytes([254, n - 506])
+    return bytes([253, n >> 8, n & 0xFF])
+
+
+def _read_255ushort(data: bytes, pos: int) -> tuple[int, int]:
+    if pos >= len(data):
+        raise EOFError("truncated 255UInt16")
+    code = data[pos]
+    pos += 1
+    if code == 253:  # wordCode
+        if pos + 2 > len(data):
+            raise EOFError("truncated 255UInt16 word")
+        return (data[pos] << 8) | data[pos + 1], pos + 2
+    if code == 255:  # oneMoreByteCode1
+        if pos >= len(data):
+            raise EOFError("truncated 255UInt16")
+        return data[pos] + 253, pos + 1
+    if code == 254:  # oneMoreByteCode2
+        if pos >= len(data):
+            raise EOFError("truncated 255UInt16")
+        return data[pos] + 506, pos + 1
+    return code, pos
+
+
+def _encode_triplet(dx: int, dy: int, on_curve: bool) -> tuple[int, bytes]:
+    """§5.2 triplet encoding, shortest form. Sign convention per the
+    spec's ``withSign``: flag bit 0 set = dx positive, bit 1 set = dy
+    positive; flag bit 7 set = OFF-curve point."""
+    ax, ay = abs(dx), abs(dy)
+    sx = 1 if dx >= 0 else 0
+    sy = 1 if dy >= 0 else 0
+    if dx == 0 and ay < 1280:
+        k = ay >> 8
+        f, data = 2 * k + sy, bytes([ay & 0xFF])
+    elif dy == 0 and 0 < ax < 1280:
+        k = ax >> 8
+        f, data = 10 + 2 * k + sx, bytes([ax & 0xFF])
+    elif 1 <= ax <= 64 and 1 <= ay <= 64:
+        b0 = (
+            ((ax - 1) & 0x30)
+            | ((((ay - 1) >> 4) & 0x3) << 2)
+            | (sy << 1)
+            | sx
+        )
+        b1 = (((ax - 1) & 0x0F) << 4) | ((ay - 1) & 0x0F)
+        f, data = 20 + b0, bytes([b1])
+    elif 1 <= ax <= 768 and 1 <= ay <= 768:
+        b0 = 12 * ((ax - 1) >> 8) + 4 * ((ay - 1) >> 8) + (sy << 1) + sx
+        f, data = 84 + b0, bytes([(ax - 1) & 0xFF, (ay - 1) & 0xFF])
+    elif ax <= 4095 and ay <= 4095:
+        f = 120 + (sy << 1) + sx
+        data = bytes([ax >> 4, ((ax & 0xF) << 4) | (ay >> 8), ay & 0xFF])
+    elif ax <= 0xFFFF and ay <= 0xFFFF:
+        f = 124 + (sy << 1) + sx
+        data = bytes([ax >> 8, ax & 0xFF, ay >> 8, ay & 0xFF])
+    else:
+        raise ValueError("point delta exceeds 16 bits")
+    return (f | (0 if on_curve else 0x80)), data
+
+
+def _decode_triplet(
+    flag: int, glyph_stream: bytes, gpos: int
+) -> tuple[bool, int, int, int]:
+    """Decode one §5.2 triplet → (on_curve, dx, dy, new_gpos)."""
+
+    def with_sign(f: int, mag: int) -> int:
+        return mag if f & 1 else -mag
+
+    on_curve = not (flag >> 7)
+    f = flag & 0x7F
+    n = 1 if f < 84 else 2 if f < 120 else 3 if f < 124 else 4
+    if gpos + n > len(glyph_stream):
+        raise EOFError("truncated triplet data in glyph stream")
+    b = glyph_stream[gpos : gpos + n]
+    if f < 10:
+        dx = 0
+        dy = with_sign(f, ((f & 14) << 7) + b[0])
+    elif f < 20:
+        dx = with_sign(f, (((f - 10) & 14) << 7) + b[0])
+        dy = 0
+    elif f < 84:
+        b0 = f - 20
+        dx = with_sign(f, 1 + (b0 & 0x30) + (b[0] >> 4))
+        dy = with_sign(f >> 1, 1 + ((b0 & 0x0C) << 2) + (b[0] & 0x0F))
+    elif f < 120:
+        b0 = f - 84
+        dx = with_sign(f, 1 + ((b0 // 12) << 8) + b[0])
+        dy = with_sign(f >> 1, 1 + (((b0 % 12) >> 2) << 8) + b[1])
+    elif f < 124:
+        dx = with_sign(f, (b[0] << 4) + (b[1] >> 4))
+        dy = with_sign(f >> 1, ((b[1] & 0x0F) << 8) + b[2])
+    else:
+        dx = with_sign(f, (b[0] << 8) + b[1])
+        dy = with_sign(f >> 1, (b[2] << 8) + b[3])
+    return on_curve, dx, dy, gpos + n
+
+
+def _bbox_of(contours: list[list[tuple[int, int, bool]]]) -> tuple:
+    xs = [p[0] for c in contours for p in c]
+    ys = [p[1] for c in contours for p in c]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def _simple_glyph_bytes(
+    contours: list[list[tuple[int, int, bool]]],
+    instructions: bytes,
+    bbox: tuple[int, int, int, int],
+    overlap: bool,
+) -> bytes:
+    """Standard simple glyph, normalized: one flag byte per point (no
+    repeat packing), dx==0 → omitted + SAME bit, |dx|<=255 → short
+    with sign bit, else Int16; OVERLAP_SIMPLE (0x40) on the first
+    point when requested."""
+    out = bytearray(struct.pack(">hhhhh", len(contours), *bbox))
+    end = -1
+    for c in contours:
+        end += len(c)
+        out += struct.pack(">H", end)
+    out += struct.pack(">H", len(instructions)) + instructions
+    flags = bytearray()
+    xbytes = bytearray()
+    ybytes = bytearray()
+    px = py = 0
+    first = True
+    for c in contours:
+        for x, y, on in c:
+            dx, dy = x - px, y - py
+            px, py = x, y
+            f = 0x01 if on else 0x00
+            if dx == 0:
+                f |= 0x10  # same x
+            elif -255 <= dx <= 255:
+                f |= 0x02 | (0x10 if dx > 0 else 0)
+                xbytes.append(abs(dx))
+            else:
+                xbytes += struct.pack(">h", dx)
+            if dy == 0:
+                f |= 0x20  # same y
+            elif -255 <= dy <= 255:
+                f |= 0x04 | (0x20 if dy > 0 else 0)
+                ybytes.append(abs(dy))
+            else:
+                ybytes += struct.pack(">h", dy)
+            if first and overlap:
+                f |= 0x40  # OVERLAP_SIMPLE
+            first = False
+            flags.append(f)
+    out += flags + xbytes + ybytes
+    return bytes(out)
+
+
+def _composite_records(
+    components: list[dict], have_instructions: bool
+) -> bytes:
+    """Component records (OpenType glyf composite form, ARGS_ARE_XY
+    only): ARG_1_AND_2_ARE_WORDS chosen by range, optional
+    WE_HAVE_A_SCALE (F2Dot14), MORE_COMPONENTS chaining,
+    WE_HAVE_INSTRUCTIONS on the last record."""
+    out = bytearray()
+    for i, comp in enumerate(components):
+        dx, dy = int(comp["dx"]), int(comp["dy"])
+        scale = comp.get("scale")
+        flags = 0x0002  # ARGS_ARE_XY_VALUES
+        words = not (-128 <= dx <= 127 and -128 <= dy <= 127)
+        if words:
+            flags |= 0x0001  # ARG_1_AND_2_ARE_WORDS
+        if scale is not None:
+            flags |= 0x0008  # WE_HAVE_A_SCALE
+        if i + 1 < len(components):
+            flags |= 0x0020  # MORE_COMPONENTS
+        elif have_instructions:
+            flags |= 0x0100  # WE_HAVE_INSTRUCTIONS
+        out += struct.pack(">HH", flags, int(comp["glyph_index"]))
+        out += struct.pack(">hh" if words else ">bb", dx, dy)
+        if scale is not None:
+            out += struct.pack(">h", int(round(scale * 16384)))  # F2Dot14
+    return bytes(out)
+
+
+def _parse_composite_records(data: bytes, pos: int) -> tuple[bytes, bool, int]:
+    """Walk component records at ``pos`` → (record_bytes,
+    has_instructions, new_pos). The transform copies records verbatim;
+    only the flag/size walk is needed to find the end."""
+    start = pos
+    have_instr = False
+    while True:
+        if pos + 4 > len(data):
+            raise EOFError("truncated composite component record")
+        flags = struct.unpack(">H", data[pos : pos + 2])[0]
+        pos += 4
+        pos += 4 if flags & 0x0001 else 2  # args
+        if flags & 0x0008:
+            pos += 2  # WE_HAVE_A_SCALE
+        elif flags & 0x0040:
+            pos += 4  # X_AND_Y_SCALE
+        elif flags & 0x0080:
+            pos += 8  # 2x2 matrix
+        if pos > len(data):
+            raise EOFError("truncated composite component record")
+        if flags & 0x0100:
+            have_instr = True
+        if not flags & 0x0020:  # MORE_COMPONENTS clear
+            break
+    return data[start:pos], have_instr, pos
+
+
+def _glyph_record(glyph: dict | None) -> bytes:
+    """One glyph's standard glyf bytes (2-padded), from the model."""
+    if glyph is None:
+        return b""
+    if "contours" in glyph:
+        rec = _simple_glyph_bytes(
+            glyph["contours"],
+            glyph["instructions"],
+            _bbox_of(glyph["contours"]),
+            glyph.get("overlap", False),
+        )
+    else:
+        rec = bytearray(struct.pack(">hhhhh", -1, *glyph["bbox"]))
+        rec += _composite_records(
+            glyph["components"], bool(glyph["instructions"])
+        )
+        if glyph["instructions"]:
+            rec += struct.pack(">H", len(glyph["instructions"]))
+            rec += glyph["instructions"]
+        rec = bytes(rec)
+    return rec + b"\x00" * (len(rec) & 1)
+
+
+def _loca_bytes(offsets: list[int], index_format: int) -> bytes:
+    if index_format == 0:
+        if offsets[-1] // 2 > 0xFFFF:
+            raise ValueError("glyf too large for loca format 0")
+        return struct.pack(">%dH" % len(offsets), *(o // 2 for o in offsets))
+    return struct.pack(">%dI" % len(offsets), *offsets)
+
+
+def build_glyf(
+    glyphs: list[dict | None], index_format: int
+) -> tuple[bytes, bytes]:
+    """Serialize the glyph model into standard (glyf, loca) bytes."""
+    if index_format not in (0, 1):
+        raise ValueError("indexToLocFormat must be 0 or 1")
+    glyf = bytearray()
+    offsets = [0]
+    for g in glyphs:
+        glyf += _glyph_record(g)
+        offsets.append(len(glyf))
+    return bytes(glyf), _loca_bytes(offsets, index_format)
+
+
+def transform_glyf(
+    glyphs: list[dict | None],
+    index_format: int,
+    *,
+    explicit_bbox: set[int] | frozenset[int] = frozenset(),
+) -> bytes:
+    """Encode the glyph model as a §5.1 transformed glyf table.
+    Composite glyphs always get an explicit bbox (spec requirement);
+    ``explicit_bbox`` additionally writes computed bboxes for the
+    named simple-glyph indexes (exercising the bitmap on both glyph
+    kinds). The transformed loca payload is empty by definition."""
+    if index_format not in (0, 1):
+        raise ValueError("indexToLocFormat must be 0 or 1")
+    ng = len(glyphs)
+    n_contour = bytearray()
+    n_points = bytearray()
+    flag_s = bytearray()
+    glyph_s = bytearray()
+    comp_s = bytearray()
+    bbox_bitmap = bytearray((((ng + 31) >> 5) << 2))
+    bbox_s = bytearray()
+    instr_s = bytearray()
+    overlap_bitmap = bytearray((ng + 7) >> 3)
+    any_overlap = False
+    for gi, g in enumerate(glyphs):
+        if g is None:
+            n_contour += struct.pack(">h", 0)
+            continue
+        if "contours" in g:
+            contours = g["contours"]
+            n_contour += struct.pack(">h", len(contours))
+            px = py = 0
+            for c in contours:
+                n_points += _write_255ushort(len(c))
+                for x, y, on in c:
+                    f, data = _encode_triplet(x - px, y - py, on)
+                    px, py = x, y
+                    flag_s.append(f)
+                    glyph_s += data
+            glyph_s += _write_255ushort(len(g["instructions"]))
+            instr_s += g["instructions"]
+            if gi in explicit_bbox:
+                bbox_bitmap[gi >> 3] |= 0x80 >> (gi & 7)
+                bbox_s += struct.pack(">hhhh", *_bbox_of(contours))
+            if g.get("overlap"):
+                overlap_bitmap[gi >> 3] |= 0x80 >> (gi & 7)
+                any_overlap = True
+        else:
+            n_contour += struct.pack(">h", -1)
+            comp_s += _composite_records(
+                g["components"], bool(g["instructions"])
+            )
+            bbox_bitmap[gi >> 3] |= 0x80 >> (gi & 7)
+            bbox_s += struct.pack(">hhhh", *g["bbox"])
+            if g["instructions"]:
+                glyph_s += _write_255ushort(len(g["instructions"]))
+                instr_s += g["instructions"]
+    option_flags = 0x0001 if any_overlap else 0
+    bbox_stream = bytes(bbox_bitmap) + bytes(bbox_s)
+    out = struct.pack(
+        ">HHHHIIIIIII",
+        0,  # reserved (version)
+        option_flags,
+        ng,
+        index_format,
+        len(n_contour),
+        len(n_points),
+        len(flag_s),
+        len(glyph_s),
+        len(comp_s),
+        len(bbox_stream),
+        len(instr_s),
+    )
+    out += (
+        bytes(n_contour)
+        + bytes(n_points)
+        + bytes(flag_s)
+        + bytes(glyph_s)
+        + bytes(comp_s)
+        + bbox_stream
+        + bytes(instr_s)
+    )
+    if any_overlap:
+        out += bytes(overlap_bitmap)
+    return out
+
+
+def reconstruct_transformed_glyf(data: bytes) -> dict:
+    """Decode a §5.1 transformed glyf table → standard ``glyf`` and
+    ``loca`` bytes plus the glyph census. Every sub-stream must be
+    consumed exactly; structural violations raise ``ValueError``,
+    truncation ``EOFError``."""
+    if len(data) < 36:
+        raise EOFError("truncated transformed glyf header")
+    (
+        version, option_flags, ng, index_format,
+        sz_contour, sz_points, sz_flags, sz_glyph,
+        sz_comp, sz_bbox, sz_instr,
+    ) = struct.unpack(">HHHHIIIIIII", data[:36])
+    if version != 0:
+        raise ValueError(f"reserved transformed-glyf version {version}")
+    if option_flags & ~0x0001:
+        raise ValueError(
+            f"reserved transformed-glyf optionFlags {option_flags:#x}"
+        )
+    if index_format not in (0, 1):
+        raise ValueError(f"bad transform indexFormat {index_format}")
+    pos = 36
+    streams = []
+    for size in (sz_contour, sz_points, sz_flags, sz_glyph, sz_comp,
+                 sz_bbox, sz_instr):
+        if pos + size > len(data):
+            raise EOFError("truncated transformed-glyf stream")
+        streams.append(data[pos : pos + size])
+        pos += size
+    (contour_s, points_s, flag_s, glyph_s, comp_s, bbox_s,
+     instr_s) = streams
+    overlap_bitmap = b""
+    if option_flags & 0x0001:
+        n_ov = (ng + 7) >> 3
+        if pos + n_ov > len(data):
+            raise EOFError("truncated overlapSimpleBitmap")
+        overlap_bitmap = data[pos : pos + n_ov]
+        pos += n_ov
+    if pos != len(data):
+        raise ValueError("trailing bytes after transformed glyf streams")
+    bitmap_len = ((ng + 31) >> 5) << 2
+    if len(bbox_s) < bitmap_len:
+        raise EOFError("truncated bbox bitmap")
+    bbox_bitmap = bbox_s[:bitmap_len]
+    if len(contour_s) != 2 * ng:
+        raise ValueError(
+            f"nContourStream carries {len(contour_s)} bytes for "
+            f"{ng} glyphs"
+        )
+    ppos = fpos = gpos = cpos = ipos = 0
+    bpos = bitmap_len
+    stats = {"n_points": 0, "n_contours": 0, "n_composites": 0,
+             "n_empty": 0, "n_explicit_bbox": 0, "n_overlap": 0}
+    glyf = bytearray()
+    offsets = [0]
+    for gi in range(ng):
+        nc = struct.unpack(">h", contour_s[2 * gi : 2 * gi + 2])[0]
+        has_bbox = bool(bbox_bitmap[gi >> 3] & (0x80 >> (gi & 7)))
+        if nc < -1:
+            raise ValueError(f"glyph {gi}: bad numberOfContours {nc}")
+        if nc == 0:
+            if has_bbox:
+                raise ValueError(f"empty glyph {gi} with explicit bbox")
+            stats["n_empty"] += 1
+            offsets.append(len(glyf))
+            continue
+        if has_bbox:
+            if bpos + 8 > len(bbox_s):
+                raise EOFError("truncated bbox stream")
+            bbox = struct.unpack(">hhhh", bbox_s[bpos : bpos + 8])
+            bpos += 8
+            stats["n_explicit_bbox"] += 1
+        if nc == -1:
+            if not has_bbox:
+                raise ValueError(
+                    f"composite glyph {gi} without explicit bbox"
+                )
+            records, have_instr, cpos = _parse_composite_records(
+                comp_s, cpos
+            )
+            rec = bytearray(struct.pack(">hhhhh", -1, *bbox))
+            rec += records
+            if have_instr:
+                ilen, gpos = _read_255ushort(glyph_s, gpos)
+                if ipos + ilen > len(instr_s):
+                    raise EOFError("truncated instruction stream")
+                rec += struct.pack(">H", ilen)
+                rec += instr_s[ipos : ipos + ilen]
+                ipos += ilen
+            rec = bytes(rec)
+            glyf += rec + b"\x00" * (len(rec) & 1)
+            offsets.append(len(glyf))
+            stats["n_composites"] += 1
+            continue
+        # simple glyph: per-contour counts, then triplets
+        contours: list[list[tuple[int, int, bool]]] = []
+        x = y = 0
+        for _ in range(nc):
+            npts, ppos = _read_255ushort(points_s, ppos)
+            if npts == 0:
+                raise ValueError(f"glyph {gi}: zero-point contour")
+            pts = []
+            for _ in range(npts):
+                if fpos >= len(flag_s):
+                    raise EOFError("truncated flag stream")
+                on, dx, dy, gpos = _decode_triplet(
+                    flag_s[fpos], glyph_s, gpos
+                )
+                fpos += 1
+                x += dx
+                y += dy
+                pts.append((x, y, on))
+            contours.append(pts)
+        ilen, gpos = _read_255ushort(glyph_s, gpos)
+        if ipos + ilen > len(instr_s):
+            raise EOFError("truncated instruction stream")
+        instructions = instr_s[ipos : ipos + ilen]
+        ipos += ilen
+        computed = _bbox_of(contours)
+        if not has_bbox:
+            bbox = computed
+        overlap = bool(
+            overlap_bitmap
+            and overlap_bitmap[gi >> 3] & (0x80 >> (gi & 7))
+        )
+        if overlap:
+            stats["n_overlap"] += 1
+        rec = _simple_glyph_bytes(contours, instructions, bbox, overlap)
+        glyf += rec + b"\x00" * (len(rec) & 1)
+        offsets.append(len(glyf))
+        stats["n_contours"] += nc
+        stats["n_points"] += sum(len(c) for c in contours)
+    for name, cur, stream in (
+        ("nPoints", ppos, points_s), ("flag", fpos, flag_s),
+        ("glyph", gpos, glyph_s), ("composite", cpos, comp_s),
+        ("instruction", ipos, instr_s),
+    ):
+        if cur != len(stream):
+            raise ValueError(
+                f"{name} stream not fully consumed "
+                f"({cur} of {len(stream)} bytes)"
+            )
+    if bpos != len(bbox_s):
+        raise ValueError("bbox stream not fully consumed")
+    return {
+        "glyf": bytes(glyf),
+        "loca": _loca_bytes(offsets, index_format),
+        "index_format": index_format,
+        "num_glyphs": ng,
+        **stats,
+    }
+
+
+# ---------------------------------------------------------------------------
+# sfnt layer: reconstruction into a real OpenType binary + checksums
+
+
+def _table_checksum(data: bytes) -> int:
+    """OpenType table checksum: sum of big-endian UInt32s over the
+    4-padded bytes, mod 2^32."""
+    pad = data + b"\x00" * (-len(data) % 4)
+    return sum(struct.unpack(">%dI" % (len(pad) // 4), pad)) & 0xFFFFFFFF
+
+
+def reconstruct_sfnt(
+    tables: list[tuple[bytes, bytes]],
+    *,
+    flavor: bytes = b"\x00\x01\x00\x00",
+) -> bytes:
+    """Assemble ``(tag, bytes)`` tables into a standard OpenType
+    binary: sorted directory with searchRange/entrySelector/rangeShift,
+    4-padded tables, per-table checksums, and head.checkSumAdjustment
+    = 0xB1B0AFBA − checksum(whole font with the adjustment zeroed)."""
+    tables = sorted(tables, key=lambda t: t[0])
+    n = len(tables)
+    if not n:
+        raise ValueError("sfnt needs at least one table")
+    entry_selector = n.bit_length() - 1
+    search_range = 16 << entry_selector
+    header = struct.pack(
+        ">IHHHH",
+        struct.unpack(">I", flavor)[0],
+        n,
+        search_range,
+        entry_selector,
+        16 * n - search_range,
+    )
+    directory = bytearray()
+    body = bytearray()
+    offset = 12 + 16 * n
+    head_offset = None
+    for tag, blob in tables:
+        if tag == b"head":
+            if len(blob) < 12:
+                raise ValueError("head table too short")
+            head_offset = offset
+            blob = blob[:8] + b"\x00\x00\x00\x00" + blob[12:]
+        directory += struct.pack(
+            ">4sIII", tag, _table_checksum(blob), offset, len(blob)
+        )
+        body += blob + b"\x00" * (-len(blob) % 4)
+        offset = 12 + 16 * n + len(body)
+    font = bytearray(header + directory + body)
+    if head_offset is not None:
+        adjustment = (0xB1B0AFBA - _table_checksum(bytes(font))) & 0xFFFFFFFF
+        font[head_offset + 8 : head_offset + 12] = struct.pack(
+            ">I", adjustment
+        )
+    return bytes(font)
+
+
+def verify_sfnt(data: bytes) -> dict:
+    """Census + checksum audit of an OpenType binary: directory
+    arithmetic (searchRange family, sorted tags, 4-aligned in-bounds
+    offsets), every table checksum recomputed from bytes (head's with
+    its adjustment zeroed), and head.checkSumAdjustment re-derived
+    from the whole-font checksum."""
+    if len(data) < 12:
+        raise EOFError("truncated sfnt header")
+    version, n, search_range, entry_selector, range_shift = struct.unpack(
+        ">IHHHH", data[:12]
+    )
+    if version not in (0x00010000, 0x4F54544F):
+        raise ValueError(f"bad sfnt version {version:#x}")
+    if n == 0 or len(data) < 12 + 16 * n:
+        raise EOFError("truncated sfnt table directory")
+    es = n.bit_length() - 1
+    search_ok = (
+        search_range == 16 << es
+        and entry_selector == es
+        and range_shift == 16 * n - search_range
+    )
+    entries = []
+    for i in range(n):
+        tag, csum, off, length = struct.unpack(
+            ">4sIII", data[12 + 16 * i : 28 + 16 * i]
+        )
+        entries.append((tag, csum, off, length))
+    if [t for t, _c, _o, _l in entries] != sorted(
+        t for t, _c, _o, _l in entries
+    ):
+        raise ValueError("sfnt directory tags not sorted")
+    checksums_ok = True
+    head_entry = None
+    end = 12 + 16 * n
+    for tag, csum, off, length in entries:
+        if off % 4 or off < 12 + 16 * n or off + length > len(data):
+            raise ValueError(f"table {tag!r} offset/length out of bounds")
+        blob = data[off : off + length]
+        if tag == b"head":
+            head_entry = (off, length)
+            blob = blob[:8] + b"\x00\x00\x00\x00" + blob[12:]
+        if _table_checksum(blob) != csum:
+            checksums_ok = False
+        end = max(end, off + _pad4(length))
+    adjustment_ok = None
+    if head_entry is not None:
+        off, _length = head_entry
+        stored = struct.unpack(">I", data[off + 8 : off + 12])[0]
+        zeroed = bytearray(data)
+        zeroed[off + 8 : off + 12] = b"\x00\x00\x00\x00"
+        want = (0xB1B0AFBA - _table_checksum(bytes(zeroed))) & 0xFFFFFFFF
+        adjustment_ok = stored == want
+    return {
+        "n_tables": n,
+        "tags": [t.decode("latin-1") for t, _c, _o, _l in entries],
+        "search_ok": search_ok,
+        "checksums_ok": checksums_ok,
+        "adjustment_ok": adjustment_ok,
+        "bytes_walked": end,
+        "flavor": "otto" if version == 0x4F54544F else "ttf",
+    }
+
+
+# ---------------------------------------------------------------------------
+# WOFF 1.0 (W3C WOFF File Format 1.0) — the zlib-era sibling older
+# crawls still serve: each sfnt table compresses INDIVIDUALLY (zlib),
+# stored raw when compression would grow it, with the original sfnt
+# directory checksum carried per entry.
+
+_SIGNATURE_V1 = 0x774F4646  # 'wOFF'
+
+
+def encode_woff1(
+    tables: list[tuple[bytes, bytes]],
+    *,
+    flavor: bytes = b"\x00\x01\x00\x00",
+    metadata: bytes | None = None,
+    store_tags: frozenset[bytes] | set[bytes] = frozenset(),
+) -> bytes:
+    """Serialize ``(tag, table_bytes)`` pairs as a WOFF 1.0 file: a
+    44-byte header, the 20-byte-per-entry directory (tag, offset,
+    compLength, origLength, origChecksum), per-table zlib streams
+    (stored raw when zlib would not shrink the table, or when the tag
+    is in ``store_tags``), 4-aligned offsets, optional zlib-compressed
+    extended metadata. origChecksum is the sfnt directory checksum
+    (head's computed with its checkSumAdjustment zeroed)."""
+    import zlib
+
+    tables = sorted(tables, key=lambda t: t[0])
+    n = len(tables)
+    body = bytearray()
+    directory = bytearray()
+    offset = 44 + 20 * n
+    total_sfnt = 12 + 16 * n
+    for tag, blob in tables:
+        if len(tag) != 4:
+            raise ValueError(f"bad table tag {tag!r}")
+        csum_src = blob
+        if tag == b"head":
+            if len(blob) < 12:
+                raise ValueError("head table too short")
+            csum_src = blob[:8] + b"\x00\x00\x00\x00" + blob[12:]
+        comp = zlib.compress(blob, 9)
+        if tag in store_tags or len(comp) >= len(blob):
+            comp = blob
+        directory += struct.pack(
+            ">4sIIII", tag, offset, len(comp), len(blob),
+            _table_checksum(csum_src),
+        )
+        body += comp + b"\x00" * (-len(comp) % 4)
+        offset = 44 + 20 * n + len(body)
+        total_sfnt += _pad4(len(blob))
+    meta_blob = b""
+    meta_orig = 0
+    if metadata is not None:
+        meta_blob = zlib.compress(metadata, 9)
+        meta_orig = len(metadata)
+    meta_offset = 44 + 20 * n + len(body) if meta_blob else 0
+    total_len = 44 + 20 * n + len(body) + len(meta_blob)
+    header = struct.pack(
+        ">IIIHHIHHIIIII",
+        _SIGNATURE_V1,
+        struct.unpack(">I", flavor)[0],
+        total_len,
+        n,
+        0,  # reserved
+        total_sfnt,
+        1, 0,  # major/minor
+        meta_offset,
+        len(meta_blob),
+        meta_orig,
+        0, 0,  # privOffset/privLength
+    )
+    return header + bytes(directory) + bytes(body) + meta_blob
+
+
+def parse_woff1(data: bytes, *, keep_tables: bool = False) -> dict:
+    """Census one WOFF 1.0 file: header + directory validation
+    (4-aligned in-bounds offsets, compLength <= origLength), per-table
+    inflate with decompressed-length and origChecksum verification,
+    zero-padding and whole-file byte accounting, metadata inflate, and
+    the same sfnt field reads as :func:`parse_woff2`."""
+    import zlib
+
+    if len(data) < 44:
+        raise EOFError("truncated WOFF1 header")
+    (
+        sig, flavor, total_len, n, reserved, total_sfnt,
+        _maj, _min, meta_off, meta_len, meta_orig, priv_off, priv_len,
+    ) = struct.unpack(">IIIHHIHHIIIII", data[:44])
+    if sig != _SIGNATURE_V1:
+        raise ValueError("bad WOFF1 signature")
+    if reserved:
+        raise ValueError("reserved WOFF1 header field set")
+    if total_len != len(data):
+        raise ValueError(
+            f"WOFF1 length field {total_len} != file size {len(data)}"
+        )
+    if len(data) < 44 + 20 * n:
+        raise EOFError("truncated WOFF1 table directory")
+    entries = []
+    for i in range(n):
+        tag, off, comp_len, orig_len, csum = struct.unpack(
+            ">4sIIII", data[44 + 20 * i : 64 + 20 * i]
+        )
+        entries.append((tag, off, comp_len, orig_len, csum))
+    if [e[0] for e in entries] != sorted(e[0] for e in entries):
+        raise ValueError("WOFF1 directory tags not sorted")
+    spans: dict[bytes, bytes] = {}
+    checksums_ok = True
+    n_stored = 0
+    end = 44 + 20 * n
+    want_sfnt = 12 + 16 * n
+    table_list = []
+    for tag, off, comp_len, orig_len, csum in entries:
+        if off % 4 or off < 44 + 20 * n or off + comp_len > len(data):
+            raise ValueError(f"table {tag!r} offset/length out of bounds")
+        if comp_len > orig_len:
+            raise ValueError(
+                f"table {tag!r} compLength {comp_len} > origLength "
+                f"{orig_len}"
+            )
+        raw = data[off : off + comp_len]
+        if comp_len < orig_len:
+            try:
+                blob = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"table {tag!r} inflate failed: {exc}")
+        else:
+            blob = raw
+            n_stored += 1
+        if len(blob) != orig_len:
+            raise ValueError(
+                f"table {tag!r} inflated to {len(blob)} bytes, "
+                f"origLength {orig_len}"
+            )
+        csum_src = blob
+        if tag == b"head":
+            csum_src = blob[:8] + b"\x00\x00\x00\x00" + blob[12:]
+        if _table_checksum(csum_src) != csum:
+            checksums_ok = False
+        spans[tag] = blob
+        table_list.append((tag, blob))
+        end = max(end, off + _pad4(comp_len))
+        want_sfnt += _pad4(orig_len)
+    # inter-table padding must be zero (walk the gaps)
+    meta_orig_len = 0
+    walked = end
+    if meta_off:
+        blob = data[meta_off : meta_off + meta_len]
+        if len(blob) < meta_len:
+            raise EOFError("truncated WOFF1 metadata block")
+        try:
+            meta = zlib.decompress(blob)
+        except zlib.error as exc:
+            raise ValueError(f"metadata inflate failed: {exc}")
+        if len(meta) != meta_orig:
+            raise ValueError(
+                f"metadata origLength {meta_orig} != decoded {len(meta)}"
+            )
+        meta_orig_len = len(meta)
+        walked = meta_off + meta_len
+    if priv_off:
+        walked = priv_off + priv_len
+    if walked < len(data) and data[walked:].strip(b"\x00"):
+        raise ValueError("nonzero trailing bytes after WOFF1 structures")
+    info: dict = {
+        "flavor": "otto" if flavor == 0x4F54544F else "ttf",
+        "n_tables": n,
+        "tags": [t.decode("latin-1") for t, *_ in entries],
+        "total_orig_bytes": sum(o for _t, _f, _c, o, _s in entries),
+        "sfnt_size_ok": want_sfnt == total_sfnt,
+        "checksums_ok": checksums_ok,
+        "n_stored": n_stored,
+        "meta_orig_len": meta_orig_len,
+        "bytes_walked": max(walked, end),
         "units_per_em": None,
         "loca_format": None,
         "num_glyphs": None,
@@ -276,4 +1267,6 @@ def parse_woff2(data: bytes) -> dict:
     hhea = spans.get(b"hhea")
     if hhea is not None and len(hhea) >= 36:
         info["num_hmetrics"] = struct.unpack(">H", hhea[34:36])[0]
+    if keep_tables:
+        info["table_bytes"] = table_list
     return info

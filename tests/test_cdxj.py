@@ -402,3 +402,196 @@ class TestIncrementalUpdate:
         assert hashlib.sha256(
             (tmp_path / "index.zipnum.gz").read_bytes()
         ).hexdigest() == h
+
+
+class TestRetention(TestIncrementalUpdate):
+    def _live(self, tmp_path):
+        from tectonic_spark.operators.cdxj import incremental_zipnum_update
+
+        self._base_index(tmp_path)  # 300 Jan captures
+        feb = self._mk_lines(range(0, 300, 5), ts="20240201000000",
+                             digest_tag="F")
+        incremental_zipnum_update(str(tmp_path), feb, block_lines=32)
+
+    def test_expiry_keeps_latest_per_key(self, tmp_path):
+        import gzip
+
+        from tectonic_spark.operators.cdxj import (
+            cluster_entries_by_file,
+            fetch_member,
+            parse_cluster_idx,
+            retain_zipnum,
+        )
+
+        self._live(tmp_path)
+        stats = retain_zipnum(str(tmp_path), cutoff_ts="20240201000000",
+                              block_lines=32)
+        # Jan captures of the 60 recaptured keys expire; the other 240
+        # Jan captures are each their key's latest -> retained
+        assert stats["n_before"] == 360
+        assert stats["n_expired"] == 60
+        assert stats["n_retained"] == 300
+        assert stats["n_files_before"] == 2
+        # one block file remains, and it holds exactly the retained set
+        with open(tmp_path / "cluster.idx", "rb") as f:
+            by_file = cluster_entries_by_file(parse_cluster_idx(f.read()))
+        assert set(by_file) == {"index.zipnum.gz"}
+        lines = []
+        with open(tmp_path / "index.zipnum.gz", "rb") as f:
+            for e in by_file["index.zipnum.gz"]:
+                lines += fetch_member(
+                    f, e["offset"], e["length"]
+                ).decode().splitlines()
+        assert len(lines) == 300
+        keys = {}
+        for ln in lines:
+            k, ts, _ = ln.split(" ", 2)
+            keys.setdefault(k, []).append(ts)
+        # every key survives; recaptured keys hold ONLY the Feb capture
+        assert len(keys) == 300
+        for i in range(0, 300, 5):
+            host = ("a", "b", "c")[i % 3]
+            assert keys[f"example,{host})/doc/{i:05d}"] == [
+                "20240201000000"
+            ]
+        # audit sidecar carries the 60 expired Jan lines, sorted
+        expired = gzip.decompress(
+            (tmp_path / "expired.cdxj.gz").read_bytes()
+        ).decode().splitlines()
+        assert len(expired) == 60
+        assert expired == sorted(expired)
+        assert all(" 20240101000000 " in ln for ln in expired)
+        # delta generation file is gone
+        assert not (tmp_path / "delta-001.zipnum.gz").exists()
+
+    def test_cutoff_before_everything_is_noop(self, tmp_path):
+        from tectonic_spark.operators.cdxj import retain_zipnum
+
+        self._live(tmp_path)
+        stats = retain_zipnum(str(tmp_path), cutoff_ts="20240101000000",
+                              block_lines=32)
+        assert stats["n_expired"] == 0 and stats["n_retained"] == 360
+
+    def test_future_cutoff_still_keeps_latest(self, tmp_path):
+        from tectonic_spark.operators.cdxj import retain_zipnum
+
+        self._live(tmp_path)
+        stats = retain_zipnum(str(tmp_path), cutoff_ts="20990101000000",
+                              block_lines=32)
+        # every key keeps exactly its latest capture, nothing else
+        assert stats["n_retained"] == 300 and stats["n_expired"] == 60
+
+    def test_retained_lines_byte_identical(self, tmp_path):
+        from tectonic_spark.operators.cdxj import (
+            cluster_entries_by_file,
+            fetch_member,
+            parse_cluster_idx,
+            retain_zipnum,
+        )
+
+        self._live(tmp_path)
+        # snapshot all lines pre-retention
+        with open(tmp_path / "cluster.idx", "rb") as f:
+            by_file = cluster_entries_by_file(parse_cluster_idx(f.read()))
+        pre = []
+        for fname, blocks in by_file.items():
+            with open(tmp_path / fname, "rb") as f:
+                for e in blocks:
+                    pre += fetch_member(
+                        f, e["offset"], e["length"]
+                    ).decode().splitlines()
+        retain_zipnum(str(tmp_path), cutoff_ts="20240201000000",
+                      block_lines=32)
+        with open(tmp_path / "cluster.idx", "rb") as f:
+            by_file = cluster_entries_by_file(parse_cluster_idx(f.read()))
+        post = []
+        with open(tmp_path / "index.zipnum.gz", "rb") as f:
+            for e in by_file["index.zipnum.gz"]:
+                post += fetch_member(
+                    f, e["offset"], e["length"]
+                ).decode().splitlines()
+        assert set(post) <= set(pre)  # never edits a surviving line
+
+    def test_bad_cutoff_rejected(self, tmp_path):
+        from tectonic_spark.operators.cdxj import retain_zipnum
+
+        self._live(tmp_path)
+        with pytest.raises(ValueError, match="cutoff"):
+            retain_zipnum(str(tmp_path), cutoff_ts="2024-02-01")
+
+
+class TestCdx11Interchange:
+    def _lines(self, n=40):
+        from tectonic_spark.operators.cdxj import build_cdxj
+
+        entries = [
+            {"url": f"https://{h}.example/doc/{i:05d}",
+             "ts": "20240115083000", "digest": f"D{i:05d}",
+             "mime": "text/html", "status": 200,
+             "filename": "crawl-000.warc.gz", "offset": i * 100,
+             "length": 90}
+            for i, h in enumerate(("a", "b", "c") * (n // 3 + 1))
+        ][:n]
+        return build_cdxj(entries).decode().splitlines()
+
+    def test_round_trip_byte_exact(self):
+        from tectonic_spark.operators.cdxj import (
+            cdx11_to_cdxj,
+            cdxj_to_cdx11,
+        )
+
+        lines = self._lines()
+        assert cdx11_to_cdxj(cdxj_to_cdx11(lines)) == lines
+
+    def test_header_and_field_layout(self):
+        from tectonic_spark.operators.cdxj import CDX11_HEADER, cdxj_to_cdx11
+
+        cdx = cdxj_to_cdx11(self._lines(3)).splitlines()
+        assert cdx[0] == CDX11_HEADER == " CDX N b a m s k r M S V g"
+        assert all(len(ln.split(" ")) == 11 for ln in cdx[1:])
+
+    def test_missing_optional_fields_dash(self):
+        from tectonic_spark.operators.cdxj import (
+            cdx11_to_cdxj,
+            cdxj_to_cdx11,
+        )
+
+        import json
+
+        line = "example,a)/x 20240101000000 " + json.dumps(
+            {"digest": "D1", "filename": "f.warc.gz", "length": 9,
+             "offset": 0, "url": "https://a.example/x"},
+            sort_keys=True,
+        )
+        cdx = cdxj_to_cdx11([line])
+        rec = cdx.splitlines()[1].split(" ")
+        assert rec[3] == "-" and rec[4] == "-"  # mime, status
+        assert cdx11_to_cdxj(cdx) == [line]
+
+    def test_space_in_field_rejected(self):
+        from tectonic_spark.operators.cdxj import cdxj_to_cdx11
+
+        line = ('example,a)/x 20240101000000 {"digest":"D1",'
+                '"filename":"my file.warc.gz","length":9,"offset":0,'
+                '"url":"https://a.example/x"}')
+        with pytest.raises(ValueError, match="space-delimited"):
+            cdxj_to_cdx11([line])
+
+    def test_taxonomy(self):
+        from tectonic_spark.operators.cdxj import (
+            cdx11_to_cdxj,
+            cdxj_to_cdx11,
+        )
+
+        cdx = cdxj_to_cdx11(self._lines(2))
+        with pytest.raises(ValueError, match="header"):
+            cdx11_to_cdxj("not a header\n")
+        with pytest.raises(ValueError, match="empty"):
+            cdx11_to_cdxj("")
+        body = cdx.splitlines()
+        with pytest.raises(ValueError, match="fields"):
+            cdx11_to_cdxj("\n".join([body[0], body[1] + " extra"]) + "\n")
+        parts = body[1].split(" ")
+        parts[1] = "2024-01-15"
+        with pytest.raises(ValueError, match="timestamp"):
+            cdx11_to_cdxj("\n".join([body[0], " ".join(parts)]) + "\n")
