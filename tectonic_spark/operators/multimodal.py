@@ -3928,3 +3928,160 @@ def m30_woff1_census(spark, sf_dir: str) -> DataFrame:
         )
 
     return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m31_font_metrics",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 12 AS BIGINT) AS num_glyphs,
+           CAST(8 + doc_id % 12 - doc_id % 3 AS BIGINT) AS n_hmetrics,
+           CAST(doc_id % 3 AS BIGINT) AS n_short,
+           CAST((8 + doc_id % 12 - doc_id % 3) * (400 + doc_id % 80)
+              + 3 * (8 + doc_id % 12 - doc_id % 3)
+                  * (8 + doc_id % 12 - doc_id % 3 - 1) / 2
+              + (doc_id % 3) * ((400 + doc_id % 80)
+                  + 3 * (8 + doc_id % 12 - doc_id % 3 - 1)) AS BIGINT)
+             AS sum_advance,
+           CAST(2 AS BIGINT) AS n_segments,
+           CAST(8 + doc_id % 12 + 3 + doc_id % 4 AS BIGINT) AS n_mapped,
+           CAST(3 + doc_id % 4 AS BIGINT) AS n_gia,
+           TRUE AS metrics_ok
+    FROM documents WHERE doc_id % 73 = 31
+    """,
+    doc="Font METRICS census (operators/sfnt.py riding the m29 "
+    "container stack — character coverage and advance widths are "
+    "what a crawl-side font pipeline actually queries): every 73rd "
+    "document carries a WOFF2 font (glyf/loca TRANSFORMED, so the "
+    "full §5 decode runs under this query too) whose cmap is a real "
+    "format-4 subtable — one arithmetic idDelta segment (latin run) "
+    "plus one REVERSED run that must take the idRangeOffset "
+    "glyphIdArray indirection (the from-the-slot pointer-arithmetic "
+    "lane), 0xFFFF terminator, searchRange family validated — and "
+    "whose hmtx uses the SHORT form (d%3 trailing lsb-only glyphs "
+    "inheriting the last advance). The census de-transforms the "
+    "container, re-verifies the sfnt checksum layer, then decodes "
+    "cmap and hmtx out of the reconstructed tables; metrics_ok folds "
+    "mapping == fixture mapping exactly, hmtx advances/lsbs "
+    "recovered exactly (sum_advance closed-form under the oracle), "
+    "search arithmetic, and the container verdicts. 100 TB shape: "
+    "per-payload decode in Arrow-batched mapInPandas, no shuffle.",
+)
+def m31_font_metrics(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.sfnt import (
+        build_cmap4,
+        build_hmtx,
+        parse_cmap4,
+        parse_hmtx,
+    )
+    from tectonic_spark.operators.woff2 import (
+        build_glyf,
+        encode_woff2,
+        glyph_simple,
+        parse_woff2,
+        reconstruct_sfnt,
+        transform_glyf,
+        verify_sfnt,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 73 == 31)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("num_glyphs", LongType(), True),
+            StructField("n_hmetrics", LongType(), True),
+            StructField("n_short", LongType(), True),
+            StructField("sum_advance", LongType(), True),
+            StructField("n_segments", LongType(), True),
+            StructField("n_mapped", LongType(), True),
+            StructField("n_gia", LongType(), True),
+            StructField("metrics_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ng = 8 + d % 12
+                nh = ng - d % 3
+                a0 = 400 + d % 80
+                k = 3 + d % 4
+                lf = d % 2
+                glyphs = [None] + [
+                    glyph_simple(
+                        [[(g * 10, 0, True), (g * 10 + 30 + d % 5, 0, True),
+                          (g * 10, 40, True)]]
+                    )
+                    for g in range(1, ng)
+                ]
+                adv = [a0 + 3 * g for g in range(nh)]
+                adv += [a0 + 3 * (nh - 1)] * (ng - nh)
+                lsb = [-20 + g for g in range(ng)]
+                mapping = {65 + i: i + 1 for i in range(ng)}
+                mapping.update(
+                    {0x100 + i: ng - 1 - i for i in range(k)}
+                )
+                glyf, loca = build_glyf(glyphs, lf)
+                head = bytearray(54)
+                head[12:16] = struct.pack(">I", 0x5F0F3CF5)
+                head[18:20] = struct.pack(">H", 1000)
+                head[50:52] = struct.pack(">h", lf)
+                tables = [
+                    (b"head", bytes(head)),
+                    (b"maxp", struct.pack(">IH", 0x00010000, ng)
+                     + b"\x00" * 26),
+                    (b"hhea", b"\x00" * 34 + struct.pack(">H", nh)),
+                    (b"hmtx", build_hmtx(adv, lsb, nh)),
+                    (b"glyf", glyf),
+                    (b"loca", loca),
+                    (b"cmap", build_cmap4(mapping)),
+                ]
+                payload = encode_woff2(
+                    tables,
+                    br_mode=("lz", "dict", "literals")[d % 3],
+                    transformed={
+                        b"glyf": transform_glyf(glyphs, lf),
+                        b"loca": b"",
+                    },
+                )
+                info = parse_woff2(payload, keep_tables=True)
+                got = dict(info["table_bytes"])
+                v = verify_sfnt(reconstruct_sfnt(info["table_bytes"]))
+                cm = parse_cmap4(got[b"cmap"])
+                hm = parse_hmtx(got[b"hmtx"], nh, ng)
+                ok = (
+                    info["glyf_transformed"]
+                    and info["sfnt_size_ok"]
+                    and info["stream_ok"]
+                    and info["bytes_walked"] == len(payload)
+                    and got[b"glyf"] == glyf
+                    and v["checksums_ok"]
+                    and bool(v["adjustment_ok"])
+                    and v["search_ok"]
+                    and cm["mapping"] == mapping
+                    and cm["search_ok"]
+                    and hm["advances"] == adv
+                    and hm["lsbs"] == lsb
+                )
+                rows.append(
+                    (d, ng, nh, d % 3, hm["sum_advance"],
+                     cm["n_segments"], len(cm["mapping"]),
+                     cm["n_glyph_id_array"], ok)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "num_glyphs", "n_hmetrics", "n_short",
+                     "sum_advance", "n_segments", "n_mapped", "n_gia",
+                     "metrics_ok"],
+        )
+
+    return docs.mapInPandas(walk, schema)

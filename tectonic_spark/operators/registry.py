@@ -84,6 +84,7 @@ PRIORITY: list[str] = [
     "m30_woff1_census",  # WOFF 1.0: per-table zlib + origChecksum audit
     "a47_retention_expiry",  # index expiry policy + audit sidecar
     "a48_cdx_interchange",  # classic CDX-11 export/parse round trip
+    "m31_font_metrics",  # cmap format 4 + short-form hmtx decode
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding
