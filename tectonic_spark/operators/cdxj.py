@@ -307,6 +307,7 @@ def incremental_zipnum_update(
     *,
     generation: int = 1,
     block_lines: int = 64,
+    tombstones: set[tuple[str, str, str]] | None = None,
 ) -> dict:
     """Append a new crawl's CDXJ lines to an existing zipnum index
     WITHOUT rewriting it (the write side of wayback collection
@@ -325,8 +326,21 @@ def incremental_zipnum_update(
     the whole index — at 100 TB the index is GBs and the delta is the
     small side.
 
-    Returns ``{"delta_file", "n_delta", "n_dropped", "n_appended",
-    "n_new_blocks", "dedup_blocks_read", "dedup_bytes_read"}``.
+    ``tombstones`` (the ``(key, ts, digest)`` triples of lines expired
+    by ``retain_zipnum``, read from its audit sidecars) closes the
+    resurrection hole retention opens: a delta line whose capture
+    identity matches a tombstone is dropped BEFORE the index-served
+    dedup — once a capture has been expired by policy, a
+    late-arriving export overlapping it must not re-append it (the
+    index no longer holds the line, so dedup alone would wave it
+    through). The identity is the SAME triple dedup uses — two
+    collections index one capture with different member locations,
+    so byte-matching lines would miss real duplicates. Counted
+    separately as ``n_tombstoned``.
+
+    Returns ``{"delta_file", "n_delta", "n_dropped", "n_tombstoned",
+    "n_appended", "n_new_blocks", "dedup_blocks_read",
+    "dedup_bytes_read"}``.
     Raises ``ValueError`` on unsorted delta lines or a malformed
     existing index; raises ``FileExistsError`` if this generation's
     delta file already exists (an update must be explicit, never an
@@ -339,6 +353,17 @@ def incremental_zipnum_update(
         for i in range(len(delta_lines) - 1)
     ):
         raise ValueError("delta lines must be sorted")
+    n_raw = len(delta_lines)
+    n_tombstoned = 0
+    if tombstones:
+        survivors = []
+        for ln in delta_lines:
+            key, ts, blob = ln.split(" ", 2)
+            if (key, ts, _json.loads(blob)["digest"]) in tombstones:
+                n_tombstoned += 1
+            else:
+                survivors.append(ln)
+        delta_lines = survivors
     delta_file = f"delta-{generation:03d}.zipnum.gz"
     delta_path = _os.path.join(index_dir, delta_file)
     if _os.path.exists(delta_path):
@@ -404,7 +429,8 @@ def incremental_zipnum_update(
     _os.rename(tmp, _os.path.join(index_dir, "cluster.idx"))
     return {
         "delta_file": delta_file,
-        "n_delta": len(delta_lines),
+        "n_delta": n_raw,
+        "n_tombstoned": n_tombstoned,
         "n_dropped": len(delta_lines) - len(kept),
         "n_appended": len(kept),
         "n_new_blocks": len(new_entries),

@@ -9981,3 +9981,273 @@ def a48_cdx_interchange(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed.unpersist()
     probes.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
+
+
+@register(
+    "s18_stream_retention",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_expired,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars + 5
+                         ELSE n_chars END) AS BIGINT) AS chars_latest
+    FROM documents WHERE doc_id % 53 = 29 GROUP BY lang
+    """,
+    doc="STREAMING retention (r13 — the policy step running INSIDE "
+    "the live-archive stream: s17 appends per-crawl exports as "
+    "generations; here retention fires whenever two delta "
+    "generations accumulate, and once more when the stream drains). "
+    "The mechanism this query exists to pin is the RESURRECTION "
+    "hole: after a mid-stream expiry the index no longer holds the "
+    "expired lines, so a later export that overlaps them would "
+    "re-append (index-served dedup cannot see what retention "
+    "removed). The stream therefore folds every retention run's "
+    "audit sidecar into a tombstone set and passes it to "
+    "incremental_zipnum_update — tombstoned lines drop before "
+    "dedup, counted separately. Pins: every January line is dropped "
+    "exactly once stream-wide (dedup drops + tombstone drops == "
+    "doc count, appended == recapture count), expired-total across "
+    "all retention runs == recapture count exactly (each recaptured "
+    "doc's January capture expires once, never twice), at least one "
+    "retention ran mid-stream and collapsed the file set to one, "
+    "the final index holds exactly one line per document, the "
+    "accumulated sidecars census distributed (all January, d%5==0, "
+    "one per recaptured doc), and probes (doc_id % 53 = 29) fetch "
+    "their latest member through the retained index, "
+    "digest-verified and temporally routed. 100 TB shape: per-batch "
+    "work is delta-sized, retention passes touch index bytes only, "
+    "tombstones are bounded by what the policy expired (a real "
+    "deployment would consult the sidecar files themselves; the "
+    "in-memory set is the single-driver form of that join).",
+)
+def s18_stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.operators.cdxj import (
+        cluster_entries_by_file,
+        incremental_zipnum_update,
+        parse_cluster_idx,
+        retain_zipnum,
+    )
+    from tectonic_spark.tables import table
+
+    exports_dir, a_idx_dir, b_dir = _index_export_src(sf_dir)
+    a_warc, _n = _warc_cdxj_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    live = os.path.join(base, "s18_live")
+    ck = os.path.join(base, "s18_ck")
+    for d in (live, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(live, exist_ok=True)
+    for fname in ("index.zipnum.gz", "cluster.idx"):
+        shutil.copyfile(
+            os.path.join(a_idx_dir, fname), os.path.join(live, fname)
+        )
+
+    totals = {
+        "appended": 0, "dropped": 0, "tombstoned": 0, "generation": 0,
+        "batches": 0, "retention_runs": 0, "mid_stream_runs": 0,
+        "expired": 0,
+    }
+    tombstones: set[tuple[str, str, str]] = set()
+
+    def n_index_files() -> int:
+        with open(os.path.join(live, "cluster.idx"), "rb") as f:
+            return len(cluster_entries_by_file(parse_cluster_idx(f.read())))
+
+    def run_retention(mid_stream: bool) -> None:
+        import gzip as _gzip
+
+        stats = retain_zipnum(live, cutoff_ts="20240201000000")
+        totals["retention_runs"] += 1
+        totals["expired"] += stats["n_expired"]
+        if mid_stream:
+            totals["mid_stream_runs"] += 1
+        if n_index_files() != 1:
+            raise RuntimeError(
+                "s18: retention left a multi-file index behind"
+            )
+        import json as _json
+
+        sidecar = os.path.join(live, stats["expired_file"])
+        with open(sidecar, "rb") as f:
+            new_tombs = _gzip.decompress(f.read()).decode().splitlines()
+        if len(new_tombs) != stats["n_expired"]:
+            raise RuntimeError("s18: sidecar does not match expiry stats")
+        os.rename(
+            sidecar,
+            os.path.join(
+                live, f"expired-run{totals['retention_runs']:03d}.cdxj.gz"
+            ),
+        )
+        for ln in new_tombs:
+            key, ts, blob = ln.split(" ", 2)
+            tombstones.add((key, ts, _json.loads(blob)["digest"]))
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        lines = sorted(r["value"] for r in batch_df.collect() if r["value"])
+        if not lines:
+            return
+        totals["batches"] += 1
+        totals["generation"] += 1
+        stats = incremental_zipnum_update(
+            live, lines, generation=totals["generation"],
+            tombstones=tombstones,
+        )
+        totals["appended"] += stats["n_appended"]
+        totals["dropped"] += stats["n_dropped"]
+        totals["tombstoned"] += stats["n_tombstoned"]
+        # maintenance policy: two live delta generations -> retain
+        if n_index_files() >= 3:
+            run_retention(mid_stream=True)
+
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.cdxj")
+        .load(exports_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(600)
+    finally:
+        _stop_stream_quietly(q)
+    run_retention(mid_stream=False)  # drain: catch the straggler tail
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs, n_recap = docs.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)),
+    ).collect()[0]
+    if (
+        totals["batches"] < 3
+        or totals["mid_stream_runs"] < 1
+        or totals["appended"] != n_recap
+        or totals["dropped"] + totals["tombstoned"] != n_docs
+        or totals["expired"] != n_recap
+    ):
+        raise RuntimeError(f"s18: stream totals drifted: {totals}")
+
+    with open(os.path.join(live, "cluster.idx"), "rb") as f:
+        by_file = cluster_entries_by_file(parse_cluster_idx(f.read()))
+    if set(by_file) != {"index.zipnum.gz"}:
+        raise RuntimeError(f"s18: final index files {sorted(by_file)}")
+    n_lines = _mi_count_lines(spark, live, by_file)
+    if n_lines != n_docs:
+        raise RuntimeError(
+            f"s18: retained index holds {n_lines} lines, want {n_docs}"
+        )
+
+    # accumulated sidecars, censused distributed: every expired line
+    # is a January capture of a d%5==0 key, exactly one per recapture
+    expired = (
+        spark.read.text(os.path.join(live, "expired-run*.cdxj.gz"))
+        .withColumn("key", F.split(F.col("value"), " ").getItem(0))
+        .withColumn("ets", F.split(F.col("value"), " ").getItem(1))
+        .withColumn(
+            "doc_id",
+            F.regexp_extract(F.col("key"), r"/doc/(\d+)$", 1).cast("long"),
+        )
+    )
+    bad, n_exp_lines, n_exp_keys = expired.agg(
+        F.sum(
+            F.when(
+                (F.col("doc_id") % 5 != 0)
+                | ~F.col("ets").startswith("202401"),
+                1,
+            ).otherwise(0)
+        ),
+        F.count(F.lit(1)),
+        F.countDistinct("doc_id"),
+    ).collect()[0]
+    if bad or n_exp_lines != n_recap or n_exp_keys != n_recap:
+        raise RuntimeError(
+            f"s18: sidecar census {n_exp_lines} lines / {n_exp_keys} "
+            f"keys ({bad} policy violations), want {n_recap}"
+        )
+
+    probes = (
+        docs.filter(F.col("doc_id") % 53 == 29)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("example,"), F.col("source"), F.lit(")/doc/"),
+                F.col("doc_id"),
+            ).alias("key"),
+        )
+        .persist()
+    )
+    prec = {f: 0 for f in by_file}
+    blocks = _mi_blocks_df(spark, by_file, probes)
+    entries = _mi_entries_df(spark, live, blocks, prec)
+    winners = (
+        entries.join(probes, "key", "inner")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("caps"),
+            F.max(
+                F.struct("ts", "digest", "filename", "offset", "length")
+            ).alias("w"),
+        )
+        .select(
+            "doc_id", "caps",
+            F.col("w.ts").alias("ts"),
+            F.col("w.digest").alias("digest"),
+            F.col("w.filename").alias("filename"),
+            F.col("w.offset").alias("offset"),
+            F.col("w.length").alias("length"),
+        )
+        .persist()
+    )
+    n_probes = probes.count()
+    n_bad_caps = winners.filter(F.col("caps") != 1).count()
+    if winners.count() != n_probes or n_bad_caps:
+        winners.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"s18: {n_bad_caps} probes answered with history that "
+            "retention should have pruned"
+        )
+    routed = winners.select(
+        "doc_id", "caps", "ts", "digest",
+        F.when(F.col("ts").startswith("202402"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("expired_one"),
+        F.when(F.col("ts").startswith("202402"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("prec"),
+        "filename", "offset", "length",
+    )
+    warc_dirs = {0: a_warc, 1: b_dir}
+    fetched = _mi_routed_fetch(
+        routed, warc_dirs, carry=("expired_one",)
+    ).persist()
+    got = fetched.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bytes_read").alias("br")
+    ).collect()[0]
+    want_bytes = winners.agg(F.sum("length")).collect()[0][0]
+    if got["n"] != n_probes or got["br"] != want_bytes:
+        fetched.unpersist()
+        winners.unpersist()
+        probes.unpersist()
+        raise RuntimeError(
+            f"s18: fetched {got['n']}/{n_probes} members, {got['br']} "
+            f"bytes vs indexed {want_bytes}"
+        )
+    agg = fetched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("expired_one").alias("n_expired"),
+        F.sum("n_chars").alias("chars_latest"),
+    )
+    agg_rows = agg.collect()
+    fetched.unpersist()
+    winners.unpersist()
+    probes.unpersist()
+    return spark.createDataFrame(agg_rows, agg.schema)

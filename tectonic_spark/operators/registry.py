@@ -85,6 +85,7 @@ PRIORITY: list[str] = [
     "a47_retention_expiry",  # index expiry policy + audit sidecar
     "a48_cdx_interchange",  # classic CDX-11 export/parse round trip
     "m31_font_metrics",  # cmap format 4 + short-form hmtx decode
+    "s18_stream_retention",  # mid-stream expiry + tombstoned re-appends
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding

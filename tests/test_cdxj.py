@@ -595,3 +595,77 @@ class TestCdx11Interchange:
         parts[1] = "2024-01-15"
         with pytest.raises(ValueError, match="timestamp"):
             cdx11_to_cdxj("\n".join([body[0], " ".join(parts)]) + "\n")
+
+
+class TestTombstones(TestIncrementalUpdate):
+    def test_tombstoned_lines_never_resurrect(self, tmp_path):
+        import gzip
+
+        from tectonic_spark.operators.cdxj import (
+            incremental_zipnum_update,
+            retain_zipnum,
+        )
+
+        self._base_index(tmp_path)
+        feb = self._mk_lines(range(0, 300, 5), ts="20240201000000",
+                             digest_tag="F")
+        incremental_zipnum_update(str(tmp_path), feb, block_lines=32)
+        retain_zipnum(str(tmp_path), cutoff_ts="20240201000000",
+                      block_lines=32)
+        import json
+
+        expired_lines = gzip.decompress(
+            (tmp_path / "expired.cdxj.gz").read_bytes()
+        ).decode().splitlines()
+        tombs = set()
+        for ln in expired_lines:
+            key, ts, blob = ln.split(" ", 2)
+            tombs.add((key, ts, json.loads(blob)["digest"]))
+        assert len(tombs) == 60
+        # a late export re-delivers the EXPIRED Jan captures (from a
+        # DIFFERENT collection: same key/ts/digest, other member
+        # locations — the identity dedup and tombstones share) + 10
+        # fresh March captures; without tombstones the Jan captures
+        # would re-append (dedup can't see expired lines)
+        redelivered = [
+            ln.replace('"crawl.warc.gz"', '"other.warc.gz"')
+            for ln in expired_lines
+        ]
+        late = sorted(
+            redelivered + self._mk_lines(range(1, 11),
+                                         ts="20240301000000",
+                                         digest_tag="M")
+        )
+        stats = incremental_zipnum_update(
+            str(tmp_path), late, generation=2, block_lines=32,
+            tombstones=tombs,
+        )
+        assert stats["n_delta"] == 70
+        assert stats["n_tombstoned"] == 60
+        assert stats["n_dropped"] == 0
+        assert stats["n_appended"] == 10
+
+    def test_without_tombstones_the_hole_is_real(self, tmp_path):
+        import gzip
+
+        from tectonic_spark.operators.cdxj import (
+            incremental_zipnum_update,
+            retain_zipnum,
+        )
+
+        self._base_index(tmp_path)
+        feb = self._mk_lines(range(0, 300, 5), ts="20240201000000",
+                             digest_tag="F")
+        incremental_zipnum_update(str(tmp_path), feb, block_lines=32)
+        retain_zipnum(str(tmp_path), cutoff_ts="20240201000000",
+                      block_lines=32)
+        tombs = sorted(
+            gzip.decompress((tmp_path / "expired.cdxj.gz").read_bytes())
+            .decode().splitlines()
+        )
+        stats = incremental_zipnum_update(
+            str(tmp_path), tombs, generation=2, block_lines=32
+        )
+        # dedup alone waves every expired line back in — the
+        # documented hole the tombstones parameter exists to close
+        assert stats["n_appended"] == 60

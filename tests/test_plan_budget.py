@@ -64,6 +64,10 @@ EXCHANGE_BUDGET = {
     "b17_anomaly_zscore": 2,
     "b18_event_transitions": 2,
     "c04_datasheet": 5,
+    # r13 font walks: spread_small_scan repartition only (the m08 shape)
+    "m29_font_reconstruct": 2,
+    "m30_woff1_census": 2,
+    "m31_font_metrics": 2,
 }
 
 
