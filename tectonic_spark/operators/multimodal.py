@@ -4085,3 +4085,169 @@ def m31_font_metrics(spark, sf_dir: str) -> DataFrame:
         )
 
     return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m32_cff_census",
+    oracle="""
+    SELECT doc_id,
+           CAST(5 + doc_id % 10 AS BIGINT) AS n_glyphs,
+           CAST(2 * (5 + doc_id % 10) + 3 * ((5 + doc_id % 10) // 3)
+              + CASE WHEN (5 + doc_id % 10) % 3 = 2 THEN 1 ELSE 0 END
+              AS BIGINT) AS n_points,
+           CAST((5 + doc_id % 10 + 1) // 2 AS BIGINT) AS n_stems,
+           CAST((5 + doc_id % 10 - (5 + doc_id % 10) // 4)
+                  * (100 + doc_id % 50)
+              + ((5 + doc_id % 10) * (5 + doc_id % 10 - 1) // 2
+                 - 2 * ((5 + doc_id % 10) // 4) * ((5 + doc_id % 10) // 4)
+                 - (5 + doc_id % 10) // 4)
+              + ((5 + doc_id % 10) // 4) * (77 + doc_id % 20)
+              AS BIGINT) AS sum_width,
+           'otto' AS flavor,
+           CASE doc_id % 3 WHEN 0 THEN 'lz' WHEN 1 THEN 'dict'
+                ELSE 'literals' END AS br_mode,
+           TRUE AS cff_ok
+    FROM documents WHERE doc_id % 79 = 37
+    """,
+    doc="CFF census (operators/cff.py — the PostScript-outline table "
+    "'OTTO'-flavor OpenType fonts carry instead of glyf/loca; a "
+    "crawl-side font pipeline meets both families): every 79th "
+    "document carries an OTTO WOFF2 whose CFF is assembled by the "
+    "vendored writer — header, Name/TopDict/String/GlobalSubr "
+    "INDEXes (offset arrays with the smallest legal OffSize, "
+    "validated monotone on parse), Top DICT with CharStrings (op "
+    "17) and Private (op 18) pointers resolved by fix-point, and "
+    "real Type 2 charstrings: per-glyph width operands detected by "
+    "the spec's operand-parity rule (a d%4 lane OMITS the width so "
+    "the Private DICT's defaultWidthX path runs), hstem lanes, "
+    "rmoveto/rlineto outlines whose point counts and width sums are "
+    "closed-form under the oracle. The census walks the container "
+    "(arbitrary-tag directory entry — 'CFF ' is outside the "
+    "transcribed known-tag head), re-verifies the sfnt checksum "
+    "layer, parses the CFF, runs every charstring through the "
+    "bounded interpreter, and cff_ok folds per-glyph width/position "
+    "equality against the model plus maxp.numGlyphs == CharStrings "
+    "count. 100 TB shape: per-payload decode in Arrow-batched "
+    "mapInPandas, no shuffle.",
+)
+def m32_cff_census(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    from tectonic_spark.operators.cff import (
+        build_cff,
+        build_charstring,
+        parse_cff,
+    )
+    from tectonic_spark.operators.woff2 import (
+        encode_woff2,
+        parse_woff2,
+        reconstruct_sfnt,
+        verify_sfnt,
+    )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 79 == 37)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_glyphs", LongType(), True),
+            StructField("n_points", LongType(), True),
+            StructField("n_stems", LongType(), True),
+            StructField("sum_width", LongType(), True),
+            StructField("flavor", StringType(), True),
+            StructField("br_mode", StringType(), True),
+            StructField("cff_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ng = 5 + d % 10
+                w0 = 100 + d % 50
+                wd = 77 + d % 20
+                mode = ("lz", "dict", "literals")[d % 3]
+                css = []
+                want_glyphs = []
+                for g in range(ng):
+                    ops = []
+                    if g % 2 == 0:
+                        ops.append(("hstem", [10, 20 + g]))
+                    ops.append(("rmoveto", [10 * g + d % 7, 5]))
+                    pairs = [(4 + j, 4 - j) for j in range(1 + g % 3)]
+                    ops.append(
+                        ("rlineto", [c for p in pairs for c in p])
+                    )
+                    ops.append(("endchar", []))
+                    width = None if g % 4 == 3 else w0 + g
+                    css.append(build_charstring(ops, width=width))
+                    want_glyphs.append(
+                        {
+                            "width": wd if g % 4 == 3 else w0 + g,
+                            "n_points": 2 + g % 3,
+                            "n_stems": 1 if g % 2 == 0 else 0,
+                            "x": 10 * g + d % 7
+                            + sum(p[0] for p in pairs),
+                            "y": 5 + sum(p[1] for p in pairs),
+                        }
+                    )
+                cff = build_cff(
+                    "Doc-CFF-%06d" % d, css,
+                    private_entries=[(20, [wd]), (21, [0])],
+                )
+                head = bytearray(54)
+                head[12:16] = struct.pack(">I", 0x5F0F3CF5)
+                head[18:20] = struct.pack(">H", 1000)
+                tables = [
+                    (b"head", bytes(head)),
+                    (b"maxp", struct.pack(">IH", 0x00005000, ng)),
+                    (b"CFF ", cff),
+                    (b"cmap", bytes(20)),
+                ]
+                payload = encode_woff2(
+                    tables, flavor=b"OTTO", br_mode=mode
+                )
+                info = parse_woff2(payload, keep_tables=True)
+                got = dict(info["table_bytes"])
+                v = verify_sfnt(
+                    reconstruct_sfnt(info["table_bytes"], flavor=b"OTTO")
+                )
+                census = parse_cff(got[b"CFF "])
+                per_glyph_ok = all(
+                    gl["width"] == w["width"]
+                    and gl["n_points"] == w["n_points"]
+                    and gl["n_stems"] == w["n_stems"]
+                    and gl["x"] == w["x"]
+                    and gl["y"] == w["y"]
+                    for gl, w in zip(census["glyphs"], want_glyphs)
+                )
+                ok = (
+                    info["flavor"] == "otto"
+                    and info["sfnt_size_ok"]
+                    and info["stream_ok"]
+                    and info["bytes_walked"] == len(payload)
+                    and info["num_glyphs"] == census["n_glyphs"]
+                    and census["name"] == "Doc-CFF-%06d" % d
+                    and v["checksums_ok"]
+                    and bool(v["adjustment_ok"])
+                    and v["flavor"] == "otto"
+                    and per_glyph_ok
+                )
+                rows.append(
+                    (d, census["n_glyphs"], census["n_points"],
+                     census["n_stems"], census["sum_width"],
+                     info["flavor"], mode, ok)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_glyphs", "n_points", "n_stems",
+                     "sum_width", "flavor", "br_mode", "cff_ok"],
+        )
+
+    return docs.mapInPandas(walk, schema)

@@ -86,6 +86,7 @@ PRIORITY: list[str] = [
     "a48_cdx_interchange",  # classic CDX-11 export/parse round trip
     "m31_font_metrics",  # cmap format 4 + short-form hmtx decode
     "s18_stream_retention",  # mid-stream expiry + tombstoned re-appends
+    "m32_cff_census",  # CFF INDEX/DICT + bounded Type 2 interpreter
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding

@@ -68,6 +68,7 @@ EXCHANGE_BUDGET = {
     "m29_font_reconstruct": 2,
     "m30_woff1_census": 2,
     "m31_font_metrics": 2,
+    "m32_cff_census": 2,
 }
 
 
