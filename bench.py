@@ -613,6 +613,72 @@ def _brotli_rate() -> dict[str, float]:
     return out
 
 
+def _font_rate() -> dict[str, float]:
+    """Font codec floors, single core, best-of-3 CPU-time (r13): the
+    WOFF2 glyf/loca transform decode rated in glyphs/sec (triplet
+    decode + reconstruction, the m29/m31 kernel), and the bounded
+    Type 2 interpreter rated in charstrings/sec (the m32 kernel)."""
+    import time as _t
+
+    from tectonic_spark.operators.cff import (
+        build_charstring,
+        run_charstring,
+    )
+    from tectonic_spark.operators.woff2 import (
+        build_glyf,
+        glyph_simple,
+        reconstruct_transformed_glyf,
+        transform_glyf,
+    )
+
+    glyphs = [
+        glyph_simple(
+            [[(g * 3, 0, True), (g * 3 + 40 + g % 700, 0, g % 2 == 0),
+              (g * 3 + 20, 50 + (g * 37) % 4000, True),
+              (g * 3, 50, True)]],
+            instructions=b"\x01" * (g % 4),
+        )
+        for g in range(2000)
+    ]
+    transformed = transform_glyf(glyphs, 1)
+    want_glyf = build_glyf(glyphs, 1)[0]
+
+    def run() -> None:
+        if reconstruct_transformed_glyf(transformed)["glyf"] != want_glyf:
+            raise RuntimeError("transform round-trip mismatch")
+
+    run()  # warm
+    best = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        run()
+        best = min(best, _t.process_time() - t0)
+    css = [
+        build_charstring(
+            [("hstem", [10, 20]), ("rmoveto", [g % 300, 5]),
+             ("rlineto", [4, 4, 7, 1, 2, 9]),
+             ("rrcurveto", [1, 2, 3, 4, 5, 6]), ("endchar", [])],
+            width=100 + g % 50,
+        )
+        for g in range(2000)
+    ]
+
+    def run_cs() -> None:
+        for cs in css:
+            run_charstring(cs, nominal_width=400)
+
+    run_cs()
+    best_cs = 1e9
+    for _ in range(3):
+        t0 = _t.process_time()
+        run_cs()
+        best_cs = min(best_cs, _t.process_time() - t0)
+    return {
+        "woff2_transform_glyphs_per_sec": round(len(glyphs) / best, 1),
+        "cff_charstrings_per_sec": round(len(css) / best_cs, 1),
+    }
+
+
 def _pdf_extract_rate() -> dict[str, float]:
     """PDF text-extraction rate, single core, best-of-3 CPU-time (r10):
     FlateDecode'd multi-page documents through the xref-stream/ObjStm
@@ -1074,6 +1140,7 @@ def main() -> None:
         **_webp_decode_rate(),
         **_warc_extract_rate(),
         **_brotli_rate(),
+        **_font_rate(),
         **_pdf_extract_rate(),
         **_audio_codec_rates(),
         **_stream_latency(spark, sf_dir),

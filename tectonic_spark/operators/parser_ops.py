@@ -10251,3 +10251,285 @@ def s18_stream_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     winners.unpersist()
     probes.unpersist()
     return spark.createDataFrame(agg_rows, agg.schema)
+
+
+def _font_formats_src(sf_dir: str) -> tuple[str, int]:
+    """c03_font_formats fixture: every 83rd document's host serves ONE
+    web font whose FORMAT cycles by d%4 — WOFF2 null-transform,
+    WOFF2 with the glyf/loca preprocessing transform, WOFF 1.0
+    (per-table zlib), and OTTO-flavor WOFF2 carrying CFF — each as a
+    WARC ``resource`` record with its real content type
+    (font/woff2 / font/woff) in corpus-scaled shards. Every lane's
+    glyph count is the SAME closed form (6 + d%9), so the per-format
+    census aggregates are oracle-exact. Returns (dir, n_shards)."""
+    import struct as _struct
+
+    from tectonic_spark.operators.cff import build_cff, build_charstring
+    from tectonic_spark.operators.warc import build_warc_record, write_warc
+    from tectonic_spark.operators.woff2 import (
+        build_glyf,
+        encode_woff1,
+        encode_woff2,
+        glyph_simple,
+        transform_glyf,
+    )
+
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"c03_fontfmt_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    def head_tbl(lf: int) -> bytes:
+        head = bytearray(54)
+        head[12:16] = _struct.pack(">I", 0x5F0F3CF5)
+        head[18:20] = _struct.pack(">H", 1000)
+        head[50:52] = _struct.pack(">h", lf)
+        return bytes(head)
+
+    def truetype_tables(d: int, ng: int, lf: int) -> tuple[list, list]:
+        glyphs = [None] + [
+            glyph_simple(
+                [[(g * 8, 0, True), (g * 8 + 30 + d % 5, 0, True),
+                  (g * 8, 40, True)]]
+            )
+            for g in range(1, ng)
+        ]
+        glyf, loca = build_glyf(glyphs, lf)
+        return glyphs, [
+            (b"head", head_tbl(lf)),
+            (b"maxp", _struct.pack(">IH", 0x00010000, ng) + b"\x00" * 26),
+            (b"hhea", b"\x00" * 34 + _struct.pack(">H", ng)),
+            (b"hmtx", bytes(4 * ng)),
+            (b"glyf", glyf),
+            (b"loca", loca),
+            (b"cmap", bytes(20)),
+        ]
+
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for d, _text, _lang, source, _n in rows:
+        if d % 83 != 41:
+            continue
+        ng = 6 + d % 9
+        lf = d % 2
+        fmt = d % 4
+        mode = ("lz", "dict", "literals")[d % 3]
+        if fmt == 0:
+            _g, tables = truetype_tables(d, ng, lf)
+            payload = encode_woff2(tables, br_mode=mode)
+            ext, ctype = "woff2", "font/woff2"
+        elif fmt == 1:
+            glyphs, tables = truetype_tables(d, ng, lf)
+            payload = encode_woff2(
+                tables, br_mode=mode,
+                transformed={b"glyf": transform_glyf(glyphs, lf),
+                             b"loca": b""},
+            )
+            ext, ctype = "woff2", "font/woff2"
+        elif fmt == 2:
+            _g, tables = truetype_tables(d, ng, lf)
+            payload = encode_woff1(tables)
+            ext, ctype = "woff", "font/woff"
+        else:
+            css = [
+                build_charstring(
+                    [("rmoveto", [g, 5]), ("endchar", [])],
+                    width=100 + g,
+                )
+                for g in range(ng)
+            ]
+            cff = build_cff("Doc-CFF-%06d" % d, css,
+                            private_entries=[(20, [0]), (21, [0])])
+            tables = [
+                (b"head", head_tbl(0)),
+                (b"maxp", _struct.pack(">IH", 0x00005000, ng)),
+                (b"CFF ", cff),
+                (b"cmap", bytes(20)),
+            ]
+            payload = encode_woff2(tables, flavor=b"OTTO", br_mode=mode)
+            ext, ctype = "woff2", "font/woff2"
+        shards[d % n_shards].append(
+            build_warc_record(
+                "resource",
+                payload,
+                uri=f"https://{source}.example/font/{d}.{ext}",
+                date=_WARC_DATE,
+                content_type=ctype,
+            )
+        )
+    for i, recs in enumerate(shards):
+        _write_atomic(
+            os.path.join(tmp, f"fontfmt-{i:03d}.warc.gz"), write_warc(recs)
+        )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "c03_font_formats",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_fonts,
+           CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(SUM(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_transformed,
+           CAST(SUM(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_woff1,
+           CAST(SUM(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_otto,
+           CAST(SUM(6 + doc_id % 9) AS BIGINT) AS total_glyphs,
+           CAST(SUM(CASE WHEN doc_id % 4 = 3 THEN 0
+                         ELSE 6 + doc_id % 9 END) AS BIGINT)
+             AS truetype_glyphs
+    FROM documents WHERE doc_id % 83 = 41 GROUP BY lang
+    """,
+    doc="Mixed font-FORMAT census over the crawl (r13 — real sites "
+    "serve whatever their build pipeline emitted: WOFF2 with null "
+    "or preprocessed glyf, legacy WOFF 1.0, CFF-flavored OTTO; a "
+    "crawl-side asset pipeline must ROUTE by what actually arrives, "
+    "not by file extension): every 83rd document's host serves one "
+    "font whose format cycles d%4 across all four families. The "
+    "per-shard walk routes each payload by its SIGNATURE bytes "
+    "(wOF2 vs wOFF — content type is carried but the sniff "
+    "decides), then runs the right decoder end-to-end: the "
+    "transformed lane does the full §5 triplet reconstruction, the "
+    "WOFF1 lane inflates and checksum-audits per table, the OTTO "
+    "lane parses CFF and interprets every Type 2 charstring. Each "
+    "record pins its glyph count to the shared closed form and its "
+    "format to the doc-id lane; the lang aggregate pins all four "
+    "lane populations and the glyph totals. 100 TB shape: "
+    "shard-parallel walk, one in-task decode per payload, font "
+    "bytes never leave the executor, shard count scales with the "
+    "corpus.",
+)
+def c03_font_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.tables import table
+
+    src, _n = _font_formats_src(sf_dir)
+    files = spark.read.format("binaryFile").load(
+        os.path.join(src, "*.warc.gz")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("fmt", StringType(), True),
+            StructField("n_glyphs", LongType(), True),
+            StructField("census_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.cff import parse_cff
+        from tectonic_spark.operators.warc import parse_warc
+        from tectonic_spark.operators.woff2 import parse_woff1, parse_woff2
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "resource":
+                        continue
+                    if not rec["content_type"].startswith("font/"):
+                        continue
+                    d = int(rec["uri"].rsplit("/", 1)[1].split(".")[0])
+                    payload = rec["payload"]
+                    sig = payload[:4]
+                    if sig == b"wOF2":
+                        info = parse_woff2(payload, keep_tables=True)
+                        if info["flavor"] == "otto":
+                            fmt = "otto"
+                            census = parse_cff(
+                                dict(info["table_bytes"])[b"CFF "]
+                            )
+                            ng = census["n_glyphs"]
+                            ok = (
+                                ng == info["num_glyphs"]
+                                and census["sum_width"]
+                                == sum(100 + g for g in range(ng))
+                            )
+                        elif info["glyf_transformed"]:
+                            fmt = "woff2t"
+                            ng = info["num_glyphs"]
+                            # the transform census saw ng-1 simple
+                            # triangles and one empty .notdef
+                            ok = (
+                                info["n_points"] == 3 * (ng - 1)
+                                and info["n_empty_glyphs"] == 1
+                            )
+                        else:
+                            fmt = "woff2"
+                            ng = info["num_glyphs"]
+                            ok = info["num_hmetrics"] == ng
+                        ok = ok and info["sfnt_size_ok"] and info["stream_ok"]
+                    elif sig == b"wOFF":
+                        fmt = "woff1"
+                        info = parse_woff1(payload)
+                        ng = info["num_glyphs"]
+                        ok = (
+                            info["checksums_ok"]
+                            and info["sfnt_size_ok"]
+                            and rec["content_type"] == "font/woff"
+                        )
+                    else:
+                        raise ValueError(
+                            f"unknown font signature {sig!r}"
+                        )
+                    want_fmt = ("woff2", "woff2t", "woff1", "otto")[d % 4]
+                    ok = (
+                        ok
+                        and fmt == want_fmt
+                        and ng == 6 + d % 9
+                        and info["bytes_walked"] == len(payload)
+                    )
+                    rows.append((d, fmt, ng, ok))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "n_glyphs", "census_ok"]
+            )
+
+    fonts = files.select("content").mapInPandas(walk, schema)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = fonts.join(docs, "doc_id", "inner")
+    bad = joined.filter(~F.col("census_ok")).count()
+    if bad:
+        raise RuntimeError(f"c03_font_formats: {bad} fonts failed census")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_fonts"),
+        F.sum(F.when(F.col("fmt") == "woff2", 1).otherwise(0)).alias(
+            "n_null"
+        ),
+        F.sum(F.when(F.col("fmt") == "woff2t", 1).otherwise(0)).alias(
+            "n_transformed"
+        ),
+        F.sum(F.when(F.col("fmt") == "woff1", 1).otherwise(0)).alias(
+            "n_woff1"
+        ),
+        F.sum(F.when(F.col("fmt") == "otto", 1).otherwise(0)).alias(
+            "n_otto"
+        ),
+        F.sum("n_glyphs").alias("total_glyphs"),
+        F.sum(
+            F.when(F.col("fmt") == "otto", 0).otherwise(F.col("n_glyphs"))
+        ).alias("truetype_glyphs"),
+    )

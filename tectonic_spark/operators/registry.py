@@ -87,6 +87,7 @@ PRIORITY: list[str] = [
     "m31_font_metrics",  # cmap format 4 + short-form hmtx decode
     "s18_stream_retention",  # mid-stream expiry + tombstoned re-appends
     "m32_cff_census",  # CFF INDEX/DICT + bounded Type 2 interpreter
+    "c03_font_formats",  # signature-routed mixed-format font crawl
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding
