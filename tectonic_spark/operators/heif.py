@@ -57,6 +57,7 @@ def encode_avif(
     iloc_version: int = 0,
     construction: str = "file",
     base_offset: bool = False,
+    derived_span: tuple[int, int] | None = None,
 ) -> bytes:
     """A structurally complete AVIF still: ftyp(avif), meta with the
     full item apparatus, payloads in mdat (``construction="file"``,
@@ -74,6 +75,14 @@ def encode_avif(
         raise ValueError(f"unknown construction {construction!r}")
     if construction == "idat" and iloc_version == 0:
         raise ValueError("idat construction needs iloc version >= 1")
+    if derived_span is not None:
+        if iloc_version == 0 or construction != "file":
+            raise ValueError(
+                "derived (construction method 2) items need iloc "
+                "version >= 1 and file construction"
+            )
+        if derived_span[0] + derived_span[1] > len(primary_payload):
+            raise ValueError("derived span exceeds the primary payload")
     ftyp = _box(b"ftyp", b"avif" + bytes(4) + b"avif" + b"mif1")
     items = [(1, b"av01", primary_payload)]
     if alpha_payload is not None:
@@ -90,7 +99,13 @@ def encode_avif(
             )
             for iid, itype, _p in items
         )
-        iinf = _fullbox(b"iinf", struct.pack(">H", len(items)) + infes)
+        n_infe = len(items)
+        if derived_span is not None:
+            infes += _fullbox(
+                b"infe", struct.pack(">HH", 3, 0) + b"av01\x00", version=2
+            )
+            n_infe += 1
+        iinf = _fullbox(b"iinf", struct.pack(">H", n_infe) + infes)
         # property pool: 1 ispe, 2 av1C, 3 pixi, (4 auxC when alpha)
         props = [
             _fullbox(b"ispe", struct.pack(">II", width, height)),
@@ -105,9 +120,13 @@ def encode_avif(
             )
         ipco = _box(b"ipco", b"".join(props))
         # associations: primary -> (1,2,3); alpha -> (1,2,3,4)
-        assoc = struct.pack(">I", len(items))
-        assoc_rows = {1: [1, 2, 3], 2: [1, 2, 3, 4]}
-        for iid, _t, _p in items:
+        n_assoc = len(items) + (1 if derived_span is not None else 0)
+        assoc = struct.pack(">I", n_assoc)
+        assoc_rows = {1: [1, 2, 3], 2: [1, 2, 3, 4], 3: [1, 2, 3]}
+        assoc_ids = [iid for iid, _t, _p in items]
+        if derived_span is not None:
+            assoc_ids.append(3)
+        for iid in assoc_ids:
             idxs = assoc_rows[iid]
             assoc += struct.pack(">HB", iid, len(idxs))
             assoc += bytes(0x80 | i for i in idxs)  # essential bit set
@@ -116,33 +135,52 @@ def encode_avif(
         # iloc: offset_size=4 length_size=4; base_offset_size 4 when
         # the base_offset lane is on, else 0; index_size 0 (v1/v2)
         base_sz = 4 if base_offset else 0
+        idx_sz = 4 if derived_span is not None else 0
         method = 1 if construction == "idat" else 0
-        il = bytes([0x44, base_sz << 4])
+        il = bytes([0x44, (base_sz << 4) | idx_sz])
+        n_entries = len(items) + (1 if derived_span is not None else 0)
         if iloc_version == 2:
-            il += struct.pack(">I", len(items))
+            il += struct.pack(">I", n_entries)
         else:
-            il += struct.pack(">H", len(items))
-        for (iid, _t, payload), off in zip(items, offsets):
+            il += struct.pack(">H", n_entries)
+        entry_rows = [
+            (iid, method, base if base_sz else 0, 0, off, len(payload))
+            for (iid, _t, payload), off in zip(items, offsets)
+        ]
+        if derived_span is not None:
+            # method 2: offsets index the data of the item named by the
+            # 'iloc' item reference (extent_index is 1-based into it)
+            entry_rows.append(
+                (3, 2, 0, 1, derived_span[0], derived_span[1])
+            )
+        for iid, mth, bval, eidx, off, ln in entry_rows:
             if iloc_version == 2:
                 il += struct.pack(">I", iid)
             else:
                 il += struct.pack(">H", iid)
             if iloc_version >= 1:
-                il += struct.pack(">H", method)  # 12 reserved + 4 bits
+                il += struct.pack(">H", mth)  # 12 reserved + 4 bits
             il += struct.pack(">H", 0)  # data_reference_index
             if base_sz:
-                il += struct.pack(">I", base)
+                il += struct.pack(">I", bval)
             il += struct.pack(">H", 1)  # extent_count
-            il += struct.pack(">II", off, len(payload))
+            if idx_sz:
+                il += struct.pack(">I", eidx)
+            il += struct.pack(">II", off, ln)
         iloc = _fullbox(b"iloc", il, version=iloc_version)
         body = hdlr + pitm + iinf + iprp + iloc
         if construction == "idat":
             body += _box(b"idat", b"".join(p for _i, _t, p in items))
+        refs = b""
         if alpha_payload is not None:
             # iref v0: auxl reference alpha(2) -> primary(1)
-            body += _fullbox(
-                b"iref", _box(b"auxl", struct.pack(">HHH", 2, 1, 1))
-            )
+            refs += _box(b"auxl", struct.pack(">HHH", 2, 1, 1))
+        if derived_span is not None:
+            # 'iloc' reference: derived(3) reads its bytes from
+            # primary(1) — the construction-method-2 source list
+            refs += _box(b"iloc", struct.pack(">HHH", 3, 1, 1))
+        if refs:
+            body += _fullbox(b"iref", refs)
         return _fullbox(b"meta", body)
 
     if construction == "idat":
@@ -207,6 +245,8 @@ def parse_avif(data: bytes) -> dict:
     iloc_version = None
     items: dict[int, str] = {}
     extents: dict[int, list[tuple[int, int]]] = {}
+    ext_indexes: dict[int, list[int]] = {}
+    iloc_refs: dict[int, list[int]] = {}
     methods: dict[int, int] = {}
     props: list[tuple[bytes, bytes]] = []
     assoc: dict[int, list[int]] = {}
@@ -292,10 +332,14 @@ def parse_avif(data: bytes) -> dict:
                         (cm,) = struct.unpack_from(">H", data, p)
                         method = cm & 0xF
                         p += 2
-                    if method == 2:
-                        raise NotImplementedError(
-                            "iloc construction method 2 (item offsets) "
-                            "is not parsed"
+                    if method > 2:
+                        raise ValueError(
+                            f"reserved iloc construction method {method}"
+                        )
+                    if method == 2 and idx_sz == 0:
+                        raise ValueError(
+                            "construction method 2 requires a nonzero "
+                            "index_size"
                         )
                     (_dref,) = struct.unpack_from(">H", data, p)
                     p += 2
@@ -303,17 +347,25 @@ def parse_avif(data: bytes) -> dict:
                     (xcnt,) = struct.unpack_from(">H", data, p)
                     p += 2
                     exts = []
+                    eidxs = []
                     for _ in range(xcnt):
                         eidx, p = _field(p, idx_sz)
-                        if eidx:
-                            raise NotImplementedError(
-                                "nonzero iloc extent_index (construction "
-                                "method 2 apparatus) is not parsed"
+                        if method == 2 and eidx == 0:
+                            raise ValueError(
+                                "method 2 extent_index is 1-based; 0 "
+                                "is reserved"
+                            )
+                        if method != 2 and eidx:
+                            raise ValueError(
+                                "nonzero extent_index outside "
+                                "construction method 2"
                             )
                         off, p = _field(p, off_sz)
                         ln, p = _field(p, len_sz)
                         exts.append((base + off, ln))
+                        eidxs.append(eidx)
                     extents[iid] = exts
+                    ext_indexes[iid] = eidxs
                     methods[iid] = method
             elif btype == b"iref":
                 for rt, rb, _re2 in _boxes(data, body + 4, end):
@@ -322,6 +374,14 @@ def parse_avif(data: bytes) -> dict:
                         for k in range(rcnt):
                             (to,) = struct.unpack_from(">H", data, rb + 4 + 2 * k)
                             aux_edges.append((frm, to))
+                    elif rt == b"iloc":
+                        # construction-method-2 source list: the items
+                        # whose data a method-2 item's extents index
+                        frm, rcnt = struct.unpack_from(">HH", data, rb)
+                        iloc_refs[frm] = [
+                            struct.unpack_from(">H", data, rb + 4 + 2 * k)[0]
+                            for k in range(rcnt)
+                        ]
 
     for btype, body, end in _boxes(data, 0, len(data)):
         walked += end - (body - 8)
@@ -362,8 +422,46 @@ def parse_avif(data: bytes) -> dict:
                 has_alpha = True
     total = 0
     extents_ok = bool(extents)
+
+    def item_size(iid: int) -> int:
+        return sum(ln for _o, ln in extents.get(iid, []))
+
     for iid, exts in extents.items():
         method = methods.get(iid, 0)
+        if method == 2:
+            # every extent indexes the data of a source item from the
+            # 'iloc' reference list; the chain must terminate in a
+            # stored (method 0/1) item
+            refs = iloc_refs.get(iid)
+            if not refs:
+                raise ValueError(
+                    f"method 2 item {iid} has no 'iloc' item reference"
+                )
+            seen = {iid}
+            probe = iid
+            while methods.get(probe, 0) == 2:
+                srcs = iloc_refs.get(probe)
+                if not srcs:
+                    raise ValueError(
+                        f"method 2 item {probe} has no 'iloc' reference"
+                    )
+                probe = srcs[0]
+                if probe in seen:
+                    raise ValueError(
+                        "construction method 2 reference cycle"
+                    )
+                seen.add(probe)
+            for (off, ln), eidx in zip(exts, ext_indexes.get(iid, [])):
+                total += ln
+                if eidx > len(refs):
+                    raise ValueError(
+                        f"extent_index {eidx} exceeds the {len(refs)} "
+                        "'iloc' references"
+                    )
+                src_id = refs[eidx - 1]
+                if src_id not in extents or off + ln > item_size(src_id):
+                    extents_ok = False
+            continue
         for off, ln in exts:
             total += ln
             if method == 1:  # idat-relative

@@ -2911,14 +2911,19 @@ def m25_webm_census(spark, sf_dir: str) -> DataFrame:
                 WHEN 2 THEN 'v1-idat' ELSE 'v2-file' END AS iloc_form,
            CAST(64 + 16 * (doc_id % 5) AS BIGINT) AS width,
            CAST(48 + 16 * (doc_id % 4) AS BIGINT) AS height,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
-             AS n_items,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+              + CASE WHEN doc_id % 7 = 2 AND doc_id % 4 IN (1, 3)
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_items,
            doc_id % 3 = 0 AS has_alpha,
            CAST(8 + 2 * (doc_id % 2) AS BIGINT) AS bit_depth,
            CAST(100 + (doc_id * 13) % 300
               + CASE WHEN doc_id % 3 = 0
-                     THEN 50 + (doc_id * 7) % 100 ELSE 0 END AS BIGINT)
+                     THEN 50 + (doc_id * 7) % 100 ELSE 0 END
+              + CASE WHEN doc_id % 7 = 2 AND doc_id % 4 IN (1, 3)
+                     THEN 30 + doc_id % 40 ELSE 0 END AS BIGINT)
              AS total_item_bytes,
+           CAST(CASE WHEN doc_id % 7 = 2 AND doc_id % 4 IN (1, 3)
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_method2,
            TRUE AS extents_ok
     FROM documents WHERE doc_id % 53 = 17
     """,
@@ -2965,6 +2970,7 @@ def m27_avif_census(spark, sf_dir: str) -> DataFrame:
             StructField("has_alpha", BooleanType(), True),
             StructField("bit_depth", LongType(), True),
             StructField("total_item_bytes", LongType(), True),
+            StructField("n_method2", LongType(), True),
             StructField("extents_ok", BooleanType(), True),
         ]
     )
@@ -2990,18 +2996,28 @@ def m27_avif_census(spark, sf_dir: str) -> DataFrame:
                     else None
                 )
                 form, kwargs, want_method = lanes[d % 4]
+                span = None
+                if d % 7 == 2 and d % 4 in (1, 3):
+                    span = (10 + d % 20, 30 + d % 40)
                 payload = encode_avif(
                     width=64 + 16 * (d % 5),
                     height=48 + 16 * (d % 4),
                     primary_payload=prim,
                     alpha_payload=alph,
                     bit_depth=8 + 2 * (d % 2),
+                    derived_span=span,
                     **kwargs,
                 )
                 info = parse_avif(payload)
                 lane_ok = info["iloc_version"] == kwargs.get(
                     "iloc_version", 0
-                ) and all(m == want_method for m in info["methods"].values())
+                ) and all(
+                    m == (2 if iid == 3 else want_method)
+                    for iid, m in info["methods"].items()
+                )
+                n_m2 = sum(1 for m in info["methods"].values() if m == 2)
+                if span is not None:
+                    lane_ok = lane_ok and info["extents"][3] == [span]
                 rows.append(
                     (
                         d,
@@ -3013,6 +3029,7 @@ def m27_avif_census(spark, sf_dir: str) -> DataFrame:
                         info["has_alpha"],
                         info["bit_depth"],
                         info["total_item_bytes"],
+                        n_m2,
                         info["extents_ok"]
                         and lane_ok
                         and info["bytes_walked"] == len(payload),
@@ -3030,6 +3047,7 @@ def m27_avif_census(spark, sf_dir: str) -> DataFrame:
                 "has_alpha",
                 "bit_depth",
                 "total_item_bytes",
+                "n_method2",
                 "extents_ok",
             ],
         )

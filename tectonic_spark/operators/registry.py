@@ -115,6 +115,7 @@ PRIORITY: list[str] = [
     "c05_crawl_curation",
     "m25_webm_census",  # Void/CRC in the resync whitelists
     "m26_opus_dual_container",
+    "m27_avif_census",  # r13 session 2: iloc construction method 2 lane
     # --- r13 tier 4: warm fill = the longest-unsampled names by the
     # r1-r12 union (q02/q11 last green r3; then the r4 cohort the r12
     # fill did not reach) ---

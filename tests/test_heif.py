@@ -89,7 +89,9 @@ class TestErrors:
         with pytest.raises(NotImplementedError, match="iloc version"):
             parse_avif(bytes(b))
 
-    def test_iloc_construction_method_2_refused(self):
+    def test_iloc_method_2_without_index_size_rejected(self):
+        # flipping a method-1 entry to method 2 leaves index_size 0 —
+        # structurally invalid (the extent_index field is missing)
         b = bytearray(
             encode_avif(
                 width=8, height=8, primary_payload=b"x", iloc_version=1,
@@ -102,8 +104,95 @@ class TestErrors:
         p = i + 4 + 4 + 2 + 2 + 2 + 1
         assert b[p] == 1
         b[p] = 2
-        with pytest.raises(NotImplementedError, match="method 2"):
+        with pytest.raises(ValueError, match="index_size"):
             parse_avif(bytes(b))
+
+    def test_reserved_method_rejected(self):
+        b = bytearray(
+            encode_avif(
+                width=8, height=8, primary_payload=b"x", iloc_version=1,
+                construction="idat",
+            )
+        )
+        i = bytes(b).find(b"iloc")
+        p = i + 4 + 4 + 2 + 2 + 2 + 1
+        b[p] = 3
+        with pytest.raises(ValueError, match="reserved iloc construction"):
+            parse_avif(bytes(b))
+
+
+class TestConstructionMethod2:
+    def _blob(self, span=(30, 90), **kw):
+        return encode_avif(
+            width=64, height=48, primary_payload=bytes(range(200)),
+            derived_span=span, **kw,
+        )
+
+    @pytest.mark.parametrize("ver", [1, 2])
+    def test_derived_item_round_trip(self, ver):
+        info = parse_avif(self._blob(iloc_version=ver))
+        assert info["methods"][3] == 2
+        assert info["extents_ok"]
+        assert info["extents"][3] == [(30, 90)]
+        assert info["total_item_bytes"] == 200 + 90
+
+    def test_alpha_and_derived_coexist(self):
+        blob = encode_avif(
+            width=64, height=48, primary_payload=bytes(range(200)),
+            alpha_payload=bytes(60), iloc_version=2,
+            derived_span=(0, 200),
+        )
+        info = parse_avif(blob)
+        assert info["n_items"] == 3 and info["has_alpha"]
+        assert info["methods"] == {1: 0, 2: 0, 3: 2}
+        assert info["extents_ok"]
+
+    def test_span_past_source_flags_extents(self):
+        # lengthen the derived extent past the primary's size: the
+        # source-bounds check must flag it (offset 30 + 180 > 200)
+        b = bytearray(self._blob(iloc_version=1))
+        i = bytes(b).find(b"iloc")
+        # find the method-2 entry's length field: last 4 bytes of the
+        # iloc body are (offset, length) of entry 3
+        (size,) = __import__("struct").unpack_from(">I", bytes(b), i - 4)
+        end = i - 4 + size
+        b[end - 4 : end] = (180).to_bytes(4, "big")
+        info = parse_avif(bytes(b))
+        assert info["extents_ok"] is False
+
+    def test_missing_iloc_reference_rejected(self):
+        b = bytearray(self._blob(iloc_version=1))
+        i = bytes(b).find(b"iref")
+        # retype the iref's iloc child so item 3 has no source list
+        j = bytes(b).find(b"iloc", i)
+        b[j : j + 4] = b"thmb"
+        with pytest.raises(ValueError, match="no 'iloc' item reference"):
+            parse_avif(bytes(b))
+
+    def test_zero_extent_index_rejected(self):
+        b = bytearray(self._blob(iloc_version=1))
+        i = bytes(b).find(b"iloc")
+        (size,) = __import__("struct").unpack_from(">I", bytes(b), i - 4)
+        end = i - 4 + size
+        # entry 3 tail: extent_index(4) offset(4) length(4)
+        b[end - 12 : end - 8] = (0).to_bytes(4, "big")
+        with pytest.raises(ValueError, match="1-based"):
+            parse_avif(bytes(b))
+
+    def test_self_reference_cycle_rejected(self):
+        b = bytearray(self._blob(iloc_version=1))
+        i = bytes(b).find(b"iref")
+        j = bytes(b).find(b"iloc", i)
+        # iloc ref payload: from(2) count(2) to(2) -> point 3 at itself
+        b[j + 4 + 4 : j + 4 + 6] = (3).to_bytes(2, "big")
+        with pytest.raises(ValueError, match="cycle"):
+            parse_avif(bytes(b))
+
+    def test_writer_validation(self):
+        with pytest.raises(ValueError, match="version >= 1"):
+            self._blob(iloc_version=0)
+        with pytest.raises(ValueError, match="exceeds the primary"):
+            self._blob(span=(150, 100), iloc_version=1)
 
     def test_iloc_lane_round_trips(self):
         # the m27 lane matrix: v0-file / v1-base / v1-idat / v2-file
