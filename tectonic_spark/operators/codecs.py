@@ -348,3 +348,148 @@ def parse_mp3(data: bytes) -> dict:
         "vbr": len(kbps_seen) > 1,
         "mean_bitrate_kbps": kbps_sum // n_frames,
     }
+
+
+# ---------------------------------------------------------------------- ICO
+# Windows icon container (favicon.ico — one per crawled host).  Two
+# payload kinds per the public ICO format: a headerless BMP (a bare
+# BITMAPINFOHEADER whose biHeight covers XOR+AND masks) and, since
+# Vista, a whole PNG file.  Width/height bytes encode 256 as 0.
+
+
+def encode_ico(images: list[dict]) -> bytes:
+    """Serialize an .ico.  Each image dict: ``w``, ``h``, ``pixels``
+    (BGR top-down, w*h*3 bytes), ``fmt`` ``"bmp"`` or ``"png"``.  BMP
+    entries carry a 24-bit XOR block plus an all-zero 1-bpp AND mask
+    (fully opaque); PNG entries embed a complete PNG stream."""
+    if not images:
+        raise ValueError("ico: at least one image")
+    payloads = []
+    for im in images:
+        w, h, px, fmt = im["w"], im["h"], im["pixels"], im["fmt"]
+        if not 1 <= w <= 256 or not 1 <= h <= 256:
+            raise ValueError(f"ico: dimensions {w}x{h} out of range")
+        if len(px) != w * h * 3:
+            raise ValueError("ico: pixels must be w*h*3 BGR bytes")
+        if fmt == "bmp":
+            xor_row = (w * 3 + 3) // 4 * 4
+            and_row = (w + 31) // 32 * 4
+            body = bytearray()
+            body += struct.pack(
+                "<IiiHHIIiiII", 40, w, h * 2, 1, 24, 0,
+                xor_row * h + and_row * h, 0, 0, 0, 0,
+            )
+            pad = b"\x00" * (xor_row - w * 3)
+            for y in range(h - 1, -1, -1):  # bottom-up
+                body += px[y * w * 3 : (y + 1) * w * 3] + pad
+            body += b"\x00" * (and_row * h)  # opaque AND mask
+            payloads.append(bytes(body))
+        elif fmt == "png":
+            import numpy as np
+
+            from tectonic_spark.operators.png import encode_png
+
+            bgr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+            payloads.append(encode_png(bgr[:, :, ::-1]))  # BGR → RGB
+        else:
+            raise ValueError(f"ico: unknown payload format {fmt!r}")
+    out = bytearray(struct.pack("<HHH", 0, 1, len(images)))
+    offset = 6 + 16 * len(images)
+    for im, payload in zip(images, payloads):
+        w, h = im["w"], im["h"]
+        bpp = 24 if im["fmt"] == "bmp" else 32
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, bpp,
+            len(payload), offset,
+        )
+        offset += len(payload)
+    for payload in payloads:
+        out += payload
+    return bytes(out)
+
+
+def parse_ico(data: bytes) -> list[dict]:
+    """Walk an .ico → per-image dicts ``{w, h, fmt, pixels}`` with the
+    decoded BGR top-down pixels; directory dims are verified against the
+    payload's own header, payloads must tile the file contiguously, and
+    BMP entries must carry the doubled-height XOR+AND layout."""
+    if len(data) < 6:
+        raise EOFError("truncated ICONDIR")
+    reserved, rtype, count = struct.unpack_from("<HHH", data, 0)
+    if reserved != 0 or rtype != 1:
+        raise ValueError("not an ICO stream (bad ICONDIR)")
+    if count == 0:
+        raise ValueError("ico: empty directory")
+    if 6 + 16 * count > len(data):
+        raise EOFError("truncated ICONDIRENTRY table")
+    out = []
+    expect_off = 6 + 16 * count
+    for k in range(count):
+        wb, hb, _pal, _rsv, _planes, bpp, size, off = struct.unpack_from(
+            "<BBBBHHII", data, 6 + 16 * k
+        )
+        w, h = wb or 256, hb or 256
+        if off != expect_off:
+            raise ValueError(
+                f"ico: image {k} at offset {off}, expected {expect_off}"
+                " (payloads must be contiguous)"
+            )
+        if off + size > len(data):
+            raise EOFError(f"ico: image {k} overruns the file")
+        payload = data[off : off + size]
+        expect_off = off + size
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            import numpy as np  # noqa: F401
+
+            from tectonic_spark.operators.png import decode_png
+
+            rgb = decode_png(payload)
+            if rgb.ndim != 3 or rgb.shape[2] != 3:
+                raise ValueError("ico: PNG payload is not 8-bit RGB")
+            ph, pw = rgb.shape[:2]
+            if (pw, ph) != (w, h):
+                raise ValueError(
+                    f"ico: directory says {w}x{h}, PNG says {pw}x{ph}"
+                )
+            out.append(
+                {"w": w, "h": h, "fmt": "png",
+                 "pixels": rgb[:, :, ::-1].tobytes()}
+            )
+            continue
+        if len(payload) < 40:
+            raise EOFError(f"ico: image {k}: truncated BITMAPINFOHEADER")
+        hsz, bw, bh, planes, pbpp, comp = struct.unpack_from(
+            "<IiiHHI", payload, 0
+        )
+        if hsz != 40 or comp != 0:
+            raise NotImplementedError(
+                "ico: only uncompressed BITMAPINFOHEADER BMP payloads"
+            )
+        if pbpp != 24:
+            raise NotImplementedError(
+                f"ico: {pbpp}-bpp BMP payloads are not decoded natively"
+            )
+        if bw != w or bh != h * 2:
+            raise ValueError(
+                f"ico: directory {w}x{h} vs DIB {bw}x{bh} (biHeight must"
+                " be 2*h for the XOR+AND layout)"
+            )
+        xor_row = (w * 3 + 3) // 4 * 4
+        and_row = (w + 31) // 32 * 4
+        need = 40 + xor_row * h + and_row * h
+        if len(payload) != need:
+            raise ValueError(
+                f"ico: image {k}: payload {len(payload)} B, layout"
+                f" needs {need}"
+            )
+        px = bytearray(w * h * 3)
+        for y in range(h):
+            src = 40 + (h - 1 - y) * xor_row
+            px[y * w * 3 : (y + 1) * w * 3] = payload[src : src + w * 3]
+        out.append({"w": w, "h": h, "fmt": "bmp", "pixels": bytes(px)})
+    if expect_off != len(data):
+        raise ValueError(
+            f"ico: {len(data) - expect_off} trailing byte(s) after the"
+            " last payload"
+        )
+    return out

@@ -4269,3 +4269,486 @@ def m32_cff_census(spark, sf_dir: str) -> DataFrame:
         )
 
     return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m33_docx_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id, n_chars,
+        CAST(CEIL((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                  / 8.0) AS BIGINT) AS np
+      FROM documents WHERE doc_id % 89 = 47)
+    SELECT doc_id,
+           np AS n_paragraphs,
+           CAST(CASE WHEN np > 2 AND doc_id % 2 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_headings,
+           CAST(n_chars AS BIGINT) AS chars,
+           'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           doc_id % 3 = 0 AS has_table,
+           CAST(CASE WHEN doc_id % 3 = 0
+                THEN 4 * (9 + LENGTH(CAST(doc_id AS VARCHAR)))
+                ELSE 0 END AS BIGINT) AS n_table_chars,
+           CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE 'w' END AS ns_prefix,
+           TRUE AS extract_ok
+    FROM d
+    """,
+    doc="OOXML .docx text extraction (r13, ooxml.py — the office format "
+    "crawls meet second only to PDF, and a first-class training-data "
+    "source): every 89th document renders as a real .docx package "
+    "(OPC ZIP via archive.py, WordprocessingML via xmlparse.py) — "
+    "paragraphs as 8-word lines with Heading1/Heading2 pStyle lanes, "
+    "multi-run bodies with xml:space-preserving edge whitespace, a "
+    "2x2 w:tbl every third doc, Dublin Core docProps — then "
+    "extracted back OPC-correctly: the main part resolved through "
+    "_rels/.rels (never a hardcoded path), content type verified "
+    "against [Content_Types].xml, the body walked by NAMESPACE URI "
+    "(the d%7==0 lane binds WordprocessingML to a non-standard "
+    "prefix to prove it). chars counts the re-joined extracted "
+    "paragraphs, asserted in-task equal to the source text "
+    "(extraction drift is a hard error, the m24 pattern); table "
+    "cells, heading styles and core metadata are pinned the same "
+    "way. 100 TB shape: per-payload build+parse in Arrow-batched "
+    "mapInPandas, no shuffle.",
+)
+def m33_docx_extract(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 89 == 47)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_paragraphs", LongType(), True),
+            StructField("n_headings", LongType(), True),
+            StructField("chars", LongType(), True),
+            StructField("title", StringType(), True),
+            StructField("has_table", BooleanType(), True),
+            StructField("n_table_chars", LongType(), True),
+            StructField("ns_prefix", StringType(), True),
+            StructField("extract_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.ooxml import build_docx, extract_docx
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = text.split(" ")
+                lines = [
+                    " ".join(words[i : i + 8])
+                    for i in range(0, len(words), 8)
+                ]
+                paras = []
+                for j, ln in enumerate(lines):
+                    style = "Normal"
+                    if j == 0:
+                        style = "Heading1"
+                    elif j == 2 and len(lines) > 2 and d % 2 == 0:
+                        style = "Heading2"
+                    paras.append((style, ln))
+                tbl = (
+                    [
+                        [f"r0c0 doc {d}", f"r0c1 doc {d}"],
+                        [f"r1c0 doc {d}", f"r1c1 doc {d}"],
+                    ]
+                    if d % 3 == 0
+                    else None
+                )
+                prefix = "x" if d % 7 == 0 else "w"
+                payload = build_docx(
+                    paras,
+                    title=f"doc {d}",
+                    creator=f"crawler {d % 7}",
+                    table_rows=tbl,
+                    w_prefix=prefix,
+                )
+                out = extract_docx(payload)
+                rejoined = " ".join(t for _, t in out["paragraphs"])
+                if rejoined != text:
+                    raise ValueError(f"doc {d}: docx extraction drift")
+                if tbl is not None and out["tables"] != [tbl]:
+                    raise ValueError(f"doc {d}: docx table drift")
+                ok = (
+                    out["title"] == f"doc {d}"
+                    and out["creator"] == f"crawler {d % 7}"
+                    and [s for s, _ in out["paragraphs"]]
+                    == [s for s, _ in paras]
+                )
+                rows.append(
+                    (
+                        d,
+                        len(out["paragraphs"]),
+                        sum(
+                            1
+                            for s, _ in out["paragraphs"]
+                            if s.startswith("Heading")
+                        ),
+                        len(rejoined),
+                        out["title"],
+                        bool(out["tables"]),
+                        sum(
+                            len(c)
+                            for t in out["tables"]
+                            for r in t
+                            for c in r
+                        ),
+                        prefix,
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_paragraphs",
+                    "n_headings",
+                    "chars",
+                    "title",
+                    "has_table",
+                    "n_table_chars",
+                    "ns_prefix",
+                    "extract_ok",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m34_epub_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_chapters,
+           CAST(n_chars AS BIGINT) AS chars,
+           'book ' || CAST(doc_id AS VARCHAR) AS book_title,
+           lang,
+           'c' || CAST(doc_id % (1 + doc_id % 3) AS VARCHAR)
+             AS spine_first,
+           TRUE AS extract_ok
+    FROM documents WHERE doc_id % 97 = 53
+    """,
+    doc="EPUB e-book extraction (r13, epub.py — long-document "
+    "training data: books arrive as OCF/OPF packages): every 97th "
+    "document becomes a real .epub — stored-first mimetype member "
+    "(the OCF rule), container.xml -> OPF -> spine resolution, "
+    "1-3 XHTML chapters whose FILE order is rotated against reading "
+    "order (spine_first pins that extraction followed the spine, "
+    "not the directory), dc:language carrying the row's lang column "
+    "- and extracted back: chapter prose re-joined across the spine "
+    "is asserted in-task equal to the source text; chapter titles, "
+    "book metadata and manifest size are pinned. 100 TB shape: "
+    "per-payload build+parse in Arrow-batched mapInPandas, no "
+    "shuffle.",
+)
+def m34_epub_extract(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .where(F.col("doc_id") % 97 == 53)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_chapters", LongType(), True),
+            StructField("chars", LongType(), True),
+            StructField("book_title", StringType(), True),
+            StructField("lang", StringType(), True),
+            StructField("spine_first", StringType(), True),
+            StructField("extract_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.epub import build_epub, extract_epub
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"]
+            ):
+                d = int(doc_id)
+                words = text.split(" ")
+                lines = [
+                    " ".join(words[i : i + 8])
+                    for i in range(0, len(words), 8)
+                ]
+                nc = 1 + d % 3
+                per = (len(lines) + nc - 1) // nc
+                groups = [
+                    lines[i : i + per] for i in range(0, len(lines), per)
+                ]
+                while len(groups) < nc:
+                    groups.append([])
+                chaps = [
+                    (f"ch {k} of doc {d}", "\n".join(g))
+                    for k, g in enumerate(groups)
+                ]
+                payload = build_epub(
+                    chaps,
+                    title=f"book {d}",
+                    author="crawler",
+                    lang=str(lang),
+                    spine_rotate=d % nc,
+                )
+                out = extract_epub(payload)
+                rejoined = " ".join(
+                    ln
+                    for _, body in out["chapters"]
+                    for ln in body.split("\n")
+                    if ln
+                )
+                if rejoined != text:
+                    raise ValueError(f"doc {d}: epub extraction drift")
+                ok = (
+                    out["title"] == f"book {d}"
+                    and out["author"] == "crawler"
+                    and out["lang"] == str(lang)
+                    and [t for t, _ in out["chapters"]]
+                    == [t for t, _ in chaps]
+                    and out["n_manifest"] == nc
+                )
+                rows.append(
+                    (
+                        d,
+                        len(out["chapters"]),
+                        len(rejoined),
+                        out["title"],
+                        out["lang"],
+                        out["spine_ids"][0],
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_chapters",
+                    "chars",
+                    "book_title",
+                    "lang",
+                    "spine_first",
+                    "extract_ok",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m35_rtf_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id, n_chars,
+        CAST(CEIL((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                  / 8.0) AS BIGINT) AS np
+      FROM documents WHERE doc_id % 101 = 59)
+    SELECT doc_id,
+           np AS n_paragraphs,
+           CAST(n_chars + CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END
+                AS BIGINT) AS chars,
+           'doc ' || CAST(doc_id AS VARCHAR) || ' rtf' AS title,
+           CASE WHEN doc_id % 2 = 0 THEN 'latin' ELSE 'cjk' END
+             AS uni_lane,
+           CAST(doc_id % 4 AS BIGINT) AS bold_every,
+           TRUE AS extract_ok
+    FROM d
+    """,
+    doc="RTF text extraction (r13, rtf.py — the legacy office format "
+    "still abundant in older crawls and mail archives): every 101st "
+    "document renders through the RTF writer — 8-word-line "
+    "paragraphs separated by \\\\par, a {\\\\b} formatting group "
+    "every (d%4)-th word, \\\\info title metadata, and a non-ASCII "
+    "suffix lane (even docs append latin-1 chars that ride \\\\'xx "
+    "cp1252 escapes + \\\\uN, odd docs a CJK char that rides the "
+    "signed-16 \\\\uN rule) — then tokenized back: group-scoped "
+    "\\\\uc fallback skipping, destination skipping (fonttbl/"
+    "colortbl/{\\\\*\\\\generator}), cp1252 hex decode. Extracted "
+    "text is asserted in-task equal to the paragraphs (drift = "
+    "hard error); chars is the closed-form n_chars plus the "
+    "suffix-lane width. 100 TB shape: per-payload build+parse in "
+    "Arrow-batched mapInPandas, no shuffle.",
+)
+def m35_rtf_extract(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 101 == 59)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_paragraphs", LongType(), True),
+            StructField("chars", LongType(), True),
+            StructField("title", StringType(), True),
+            StructField("uni_lane", StringType(), True),
+            StructField("bold_every", LongType(), True),
+            StructField("extract_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.rtf import build_rtf, extract_rtf
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = text.split(" ")
+                paras = [
+                    " ".join(words[i : i + 8])
+                    for i in range(0, len(words), 8)
+                ]
+                suffix = " é€" if d % 2 == 0 else " 中"
+                paras[-1] += suffix
+                payload = build_rtf(
+                    paras, title=f"doc {d} rtf", bold_every=d % 4
+                )
+                out = extract_rtf(payload)
+                want = "\n".join(paras)
+                if out["text"] != want:
+                    raise ValueError(f"doc {d}: rtf extraction drift")
+                rows.append(
+                    (
+                        d,
+                        len(paras),
+                        len(want),
+                        out["title"],
+                        "latin" if d % 2 == 0 else "cjk",
+                        d % 4,
+                        out["title"] == f"doc {d} rtf",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_paragraphs",
+                    "chars",
+                    "title",
+                    "uni_lane",
+                    "bold_every",
+                    "extract_ok",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m36_ico_census",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_images,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 48
+                ELSE 112 END AS BIGINT) AS sum_width,
+           CAST(CASE WHEN doc_id % 3 = 0
+                     THEN CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                     WHEN doc_id % 3 = 1 THEN 1
+                     ELSE CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+                END AS BIGINT) AS n_png,
+           CAST((1 + doc_id % 3)
+                - CASE WHEN doc_id % 3 = 0
+                       THEN CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                       WHEN doc_id % 3 = 1 THEN 1
+                       ELSE CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END
+                  END AS BIGINT) AS n_bmp,
+           TRUE AS census_ok
+    FROM documents WHERE doc_id % 103 = 61
+    """,
+    doc="ICO favicon census (r13, codecs.py encode_ico/parse_ico — "
+    "one favicon.ico per crawled host, the most-fetched image on "
+    "the web): every 103rd document's host serves an icon with "
+    "1-3 images (16/32/64 px), each payload either a headerless "
+    "BMP DIB (24-bit XOR block + 1-bpp AND mask under the "
+    "doubled-biHeight rule) or a whole PNG stream (the Vista+ "
+    "form), alternating by (d+k)%2. The census re-decodes every "
+    "payload (PNG through the engine's own png.py decoder), "
+    "verifies directory dims against the payload's own header, "
+    "requires payloads to tile the file contiguously with zero "
+    "trailing bytes, and census_ok folds pixel-exact comparison "
+    "of every decoded image against the generator. 100 TB shape: "
+    "per-payload walk in Arrow-batched mapInPandas, no shuffle.",
+)
+def m36_ico_census(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 103 == 61)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_images", LongType(), True),
+            StructField("sum_width", LongType(), True),
+            StructField("n_png", LongType(), True),
+            StructField("n_bmp", LongType(), True),
+            StructField("census_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.codecs import encode_ico, parse_ico
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 1 + d % 3
+                imgs = []
+                for k in range(n):
+                    s = 16 << k
+                    imgs.append(
+                        {
+                            "w": s,
+                            "h": s,
+                            "fmt": "png" if (d + k) % 2 == 0 else "bmp",
+                            "pixels": bytes(
+                                (i * (d % 251 + k + 1) + d) % 256
+                                for i in range(s * s * 3)
+                            ),
+                        }
+                    )
+                back = parse_ico(encode_ico(imgs))
+                ok = len(back) == n and all(
+                    (a["w"], a["h"], a["fmt"], a["pixels"])
+                    == (b["w"], b["h"], b["fmt"], b["pixels"])
+                    for a, b in zip(imgs, back)
+                )
+                rows.append(
+                    (
+                        d,
+                        len(back),
+                        sum(b["w"] for b in back),
+                        sum(1 for b in back if b["fmt"] == "png"),
+                        sum(1 for b in back if b["fmt"] == "bmp"),
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_images",
+                    "sum_width",
+                    "n_png",
+                    "n_bmp",
+                    "census_ok",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)

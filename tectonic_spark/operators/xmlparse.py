@@ -85,8 +85,14 @@ def _decode_text(raw: str, what: str) -> str:
     return re.sub(r"&([^;&\s]{1,10});", deref, raw) if "&" in raw else raw
 
 
-def parse_xml(data: bytes | str) -> Element:
-    """Parse one well-formed XML document → root :class:`Element`."""
+def parse_xml(data: bytes | str, *, preserve_space: bool = False) -> Element:
+    """Parse one well-formed XML document → root :class:`Element`.
+
+    ``preserve_space=True`` keeps character data verbatim (no strip, no
+    whitespace-only drop) — the mode document formats whose text nodes
+    carry load-bearing whitespace (WordprocessingML ``w:t`` under
+    ``xml:space="preserve"``, XHTML prose) opt into.  The default strips,
+    which is what the sitemap/feed/metadata consumers expect."""
     s = data.decode("utf-8") if isinstance(data, bytes) else data
     n = len(s)
     pos = 0
@@ -96,7 +102,9 @@ def parse_xml(data: bytes | str) -> Element:
     def text_to(end: int) -> None:
         if stack and pos < end:
             chunk = s[pos:end]
-            if chunk.strip():
+            if preserve_space:
+                stack[-1].text += _decode_text(chunk, "text")
+            elif chunk.strip():
                 stack[-1].text += _decode_text(chunk, "text").strip()
 
     while pos < n:

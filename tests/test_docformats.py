@@ -1,0 +1,306 @@
+"""Unit tests for the document-format codecs: ooxml.py (.docx),
+epub.py (.epub), rtf.py (.rtf) and the ICO favicon codec in codecs.py.
+Round-trip matrices plus the error taxonomy (EOFError truncation,
+ValueError structural, NotImplementedError named refusals)."""
+
+import struct
+
+import pytest
+
+from tectonic_spark.operators.archive import build_zip
+from tectonic_spark.operators.codecs import encode_ico, parse_ico
+from tectonic_spark.operators.epub import build_epub, extract_epub
+from tectonic_spark.operators.ooxml import build_docx, extract_docx
+from tectonic_spark.operators.rtf import build_rtf, extract_rtf
+
+# ------------------------------------------------------------------- DOCX
+
+PARAS = [
+    ("Heading1", "the title line"),
+    ("Normal", "a small data filter column part row window"),
+    ("Normal", "tabbed\tvalue and\nbroken line"),
+    ("Heading2", "sub"),
+    ("Normal", "x"),
+]
+TABLE = [["cell a", "cell b"], ["c", "multi word cell"]]
+
+
+@pytest.mark.parametrize("prefix", ["w", "ns0", "word"])
+def test_docx_roundtrip(prefix):
+    data = build_docx(
+        PARAS, title="doc 17", creator="crawler", table_rows=TABLE,
+        w_prefix=prefix,
+    )
+    out = extract_docx(data)
+    assert out["paragraphs"] == PARAS
+    assert out["tables"] == [TABLE]
+    assert out["title"] == "doc 17"
+    assert out["creator"] == "crawler"
+    assert out["n_runs"] >= len(PARAS)
+
+
+def test_docx_preserves_edge_whitespace():
+    paras = [("Normal", "lead  mid   trail"), ("Normal", "a  b")]
+    out = extract_docx(build_docx(paras, title="t", creator="c"))
+    assert out["paragraphs"] == paras
+
+
+def test_docx_no_table():
+    out = extract_docx(build_docx(PARAS[:2], title="t", creator="c"))
+    assert out["tables"] == []
+
+
+def test_docx_escapes():
+    paras = [("Normal", 'angle <b> & "quote" done')]
+    out = extract_docx(build_docx(paras, title="a & b", creator="c"))
+    assert out["paragraphs"] == paras
+    assert out["title"] == "a & b"
+
+
+def test_docx_missing_content_types():
+    bad = build_zip([("word/document.xml", b"<d/>", "deflate")])
+    with pytest.raises(ValueError, match="Content_Types"):
+        extract_docx(bad)
+
+
+def test_docx_missing_rels():
+    good = build_docx(PARAS[:1], title="t", creator="c")
+    from tectonic_spark.operators.archive import parse_zip
+
+    members = [
+        (m["name"], m["data"], "deflate")
+        for m in parse_zip(good)
+        if m["name"] != "_rels/.rels"
+    ]
+    with pytest.raises(ValueError, match="relationships"):
+        extract_docx(build_zip(members))
+
+
+def test_docx_wrong_namespace_refused():
+    # document.xml whose root binds the prefix to the WRONG namespace
+    members = [
+        (
+            "[Content_Types].xml",
+            (
+                '<Types xmlns="http://schemas.openxmlformats.org/package'
+                '/2006/content-types">'
+                '<Default Extension="rels" ContentType="application/vnd.'
+                'openxmlformats-package.relationships+xml"/>'
+                '<Override PartName="/word/document.xml" ContentType='
+                '"application/vnd.openxmlformats-officedocument.'
+                'wordprocessingml.document.main+xml"/>'
+                "</Types>"
+            ).encode(),
+            "deflate",
+        ),
+        (
+            "_rels/.rels",
+            (
+                '<Relationships xmlns="http://schemas.openxmlformats.org'
+                '/package/2006/relationships">'
+                '<Relationship Id="rId1" Type="http://schemas.'
+                "openxmlformats.org/officeDocument/2006/relationships"
+                '/officeDocument" Target="word/document.xml"/>'
+                "</Relationships>"
+            ).encode(),
+            "deflate",
+        ),
+        (
+            "word/document.xml",
+            b'<w:document xmlns:w="urn:wrong"><w:body/></w:document>',
+            "deflate",
+        ),
+    ]
+    with pytest.raises(ValueError, match="not w:document"):
+        extract_docx(build_zip(members))
+
+
+def test_docx_truncation_is_eof():
+    data = build_docx(PARAS[:1], title="t", creator="c")
+    with pytest.raises(EOFError):
+        extract_docx(data[: len(data) // 2])
+
+
+# ------------------------------------------------------------------- EPUB
+
+CHAPS = [
+    ("Intro", "first line\nsecond line"),
+    ("Middle", "one paragraph"),
+    ("End", "a\nb\nc"),
+]
+
+
+@pytest.mark.parametrize("rot", [0, 1, 2])
+def test_epub_roundtrip_spine_rotation(rot):
+    data = build_epub(
+        CHAPS, title="Doc 42", author="crawler", lang="en",
+        spine_rotate=rot,
+    )
+    out = extract_epub(data)
+    assert out["chapters"] == CHAPS  # spine order, not file order
+    assert out["title"] == "Doc 42"
+    assert out["author"] == "crawler"
+    assert out["lang"] == "en"
+    assert out["n_manifest"] == 3
+    assert out["spine_ids"][0] == f"c{rot % 3}"
+
+
+def test_epub_mimetype_must_be_first_and_stored():
+    good = build_epub(CHAPS[:1], title="t", author="a", lang="en")
+    from tectonic_spark.operators.archive import parse_zip
+
+    members = parse_zip(good)
+    # deflate the mimetype → OCF violation
+    reordered = [(m["name"], m["data"], "deflate") for m in members]
+    with pytest.raises(ValueError, match="stored"):
+        extract_epub(build_zip(reordered))
+    # drop it entirely
+    dropped = [
+        (m["name"], m["data"], "deflate")
+        for m in members
+        if m["name"] != "mimetype"
+    ]
+    with pytest.raises(ValueError, match="mimetype"):
+        extract_epub(build_zip(dropped))
+
+
+def test_epub_wrong_mimetype_payload():
+    good = build_epub(CHAPS[:1], title="t", author="a", lang="en")
+    from tectonic_spark.operators.archive import parse_zip
+
+    members = [
+        (
+            m["name"],
+            b"text/plain" if m["name"] == "mimetype" else m["data"],
+            "stored" if m["name"] == "mimetype" else "deflate",
+        )
+        for m in parse_zip(good)
+    ]
+    with pytest.raises(ValueError, match="wrong mimetype"):
+        extract_epub(build_zip(members))
+
+
+def test_epub_truncation_is_eof():
+    data = build_epub(CHAPS, title="t", author="a", lang="en")
+    with pytest.raises(EOFError):
+        extract_epub(data[:-7])
+
+
+# -------------------------------------------------------------------- RTF
+
+RTF_PARAS = [
+    "a small data filter column",
+    "tabbed\tvalue and\nbroken line",
+    "café naïve € 中文 ok",
+    "braces {x} and back\\slash",
+]
+
+
+@pytest.mark.parametrize("bold_every", [0, 2, 3])
+def test_rtf_roundtrip(bold_every):
+    data = build_rtf(RTF_PARAS, title="doc é", bold_every=bold_every)
+    out = extract_rtf(data)
+    assert out["text"] == "\n".join(RTF_PARAS)
+    assert out["title"] == "doc é"
+
+
+def test_rtf_uc_scoping():
+    # \uc is group-scoped: a \uc2 inside a group must not leak out
+    src = b"{\\rtf1\\uc1 a{\\uc2 \\u233xy}b\\u234? c}"
+    out = extract_rtf(src)
+    #   \u233 swallows "xy" (uc=2 in group); \u234 swallows "?" (uc=1)
+    assert out["text"] == "a" + chr(233) + "b" + chr(234) + " c"
+
+
+def test_rtf_negative_unicode():
+    # signed-16 rule: \u-10179 is U+D83D... use BMP-safe: -1 → 0xFFFF
+    out = extract_rtf(b"{\\rtf1\\uc1 x\\u-4096?y}")
+    assert out["text"] == "x" + chr(0x10000 - 4096) + "y"
+
+
+def test_rtf_skip_destinations():
+    src = (
+        b"{\\rtf1{\\fonttbl{\\f0 Arial;}}{\\colortbl;\\red1\\green2"
+        b"\\blue3;}{\\*\\mystery junk here}visible}"
+    )
+    assert extract_rtf(src)["text"] == "visible"
+
+
+def test_rtf_hex_escape_cp1252():
+    out = extract_rtf(b"{\\rtf1 caf\\'e9 \\'80}")
+    assert out["text"] == "caf\xe9 €"  # 0x80 is the euro in cp1252
+
+
+def test_rtf_taxonomy():
+    with pytest.raises(ValueError):
+        extract_rtf(b"not rtf")
+    with pytest.raises(EOFError):
+        extract_rtf(b"{\\rtf1 unclosed")
+    with pytest.raises(EOFError):
+        extract_rtf(b"{\\rtf1 trailing\\")
+    with pytest.raises(ValueError):
+        extract_rtf(b"{\\rtf1 \\'zz}")
+
+
+# -------------------------------------------------------------------- ICO
+
+
+def _px(w, h, seed):
+    return bytes((i * seed + 3) % 256 for i in range(w * h * 3))
+
+
+def test_ico_roundtrip_mixed():
+    imgs = [
+        {"w": 16, "h": 16, "fmt": "bmp", "pixels": _px(16, 16, 7)},
+        {"w": 33, "h": 9, "fmt": "bmp", "pixels": _px(33, 9, 11)},
+        {"w": 48, "h": 48, "fmt": "png", "pixels": _px(48, 48, 13)},
+        {"w": 256, "h": 256, "fmt": "png", "pixels": _px(256, 256, 3)},
+    ]
+    back = parse_ico(encode_ico(imgs))
+    assert [(b["w"], b["h"], b["fmt"]) for b in back] == [
+        (i["w"], i["h"], i["fmt"]) for i in imgs
+    ]
+    for a, b in zip(imgs, back):
+        assert a["pixels"] == b["pixels"]
+
+
+def test_ico_256_encodes_as_zero():
+    data = encode_ico(
+        [{"w": 256, "h": 256, "fmt": "png", "pixels": _px(256, 256, 5)}]
+    )
+    assert data[6] == 0 and data[7] == 0  # width/height bytes
+
+
+def test_ico_dim_mismatch_refused():
+    data = bytearray(
+        encode_ico([{"w": 16, "h": 16, "fmt": "bmp",
+                     "pixels": _px(16, 16, 7)}])
+    )
+    data[6] = 17  # directory width no longer matches the DIB
+    with pytest.raises(ValueError, match="DIB"):
+        parse_ico(bytes(data))
+
+
+def test_ico_taxonomy():
+    with pytest.raises(ValueError):
+        parse_ico(b"\x00\x00\x02\x00\x01\x00" + b"\x00" * 16)  # type 2=cur
+    with pytest.raises(EOFError):
+        parse_ico(b"\x00\x00\x01\x00\x02\x00" + b"\x00" * 16)
+    good = encode_ico(
+        [{"w": 8, "h": 8, "fmt": "bmp", "pixels": _px(8, 8, 9)}]
+    )
+    with pytest.raises(EOFError):
+        parse_ico(good[:-10])
+    with pytest.raises(ValueError, match="trailing"):
+        parse_ico(good + b"\x00")
+
+
+def test_ico_noncontiguous_refused():
+    good = bytearray(
+        encode_ico([{"w": 8, "h": 8, "fmt": "bmp",
+                     "pixels": _px(8, 8, 9)}])
+    )
+    off = struct.unpack_from("<I", good, 6 + 12)[0]
+    struct.pack_into("<I", good, 6 + 12, off + 4)
+    with pytest.raises(ValueError, match="contiguous"):
+        parse_ico(bytes(good))
