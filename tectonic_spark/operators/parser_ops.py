@@ -10533,3 +10533,272 @@ def c03_font_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("fmt") == "otto", 0).otherwise(F.col("n_glyphs"))
         ).alias("truetype_glyphs"),
     )
+
+
+def _attachment_src(sf_dir: str) -> tuple[str, int]:
+    """c05_attachment_extraction fixture: every 107th document's host
+    serves ONE document attachment whose FORMAT cycles by d%4 — PDF,
+    OOXML .docx, EPUB, RTF — each as a WARC ``resource`` record with
+    its real content type, in corpus-scaled shards. Every lane's body
+    is built from the document's own text, so extracted chars equal
+    n_chars in closed form. Returns (dir, n_shards)."""
+    from tectonic_spark.operators.epub import build_epub
+    from tectonic_spark.operators.ooxml import build_docx
+    from tectonic_spark.operators.pdf import build_pdf
+    from tectonic_spark.operators.rtf import build_rtf
+    from tectonic_spark.operators.warc import build_warc_record, write_warc
+
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"c05_attach_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for d, text, lang, source, _n in rows:
+        if d % 107 != 63:
+            continue
+        words = text.split(" ")
+        lines = [" ".join(words[i : i + 8]) for i in range(0, len(words), 8)]
+        fmt = d % 4
+        if fmt == 0:
+            np_ = 1 + d % 3
+            per = (len(lines) + np_ - 1) // np_
+            pages = [lines[i : i + per] for i in range(0, len(lines), per)]
+            while len(pages) < np_:
+                pages.append([])
+            payload = build_pdf(
+                pages,
+                compress=(d % 2 == 0),
+                xref_stream=(d % 3 == 0),
+                title=f"doc {d}",
+            )
+            ext, ctype = "pdf", "application/pdf"
+        elif fmt == 1:
+            payload = build_docx(
+                [("Normal", ln) for ln in lines],
+                title=f"doc {d}",
+                creator="crawler",
+                w_prefix="x" if d % 7 == 0 else "w",
+            )
+            ext = "docx"
+            ctype = (
+                "application/vnd.openxmlformats-officedocument"
+                ".wordprocessingml.document"
+            )
+        elif fmt == 2:
+            nc = 1 + d % 3
+            per = (len(lines) + nc - 1) // nc
+            groups = [lines[i : i + per] for i in range(0, len(lines), per)]
+            while len(groups) < nc:
+                groups.append([])
+            payload = build_epub(
+                [
+                    (f"ch {k} of doc {d}", "\n".join(g))
+                    for k, g in enumerate(groups)
+                ],
+                title=f"doc {d}",
+                author="crawler",
+                lang=str(lang),
+                spine_rotate=d % nc,
+            )
+            ext, ctype = "epub", "application/epub+zip"
+        else:
+            payload = build_rtf(
+                lines, title=f"doc {d}", bold_every=d % 4
+            )
+            ext, ctype = "rtf", "application/rtf"
+        shards[d % n_shards].append(
+            build_warc_record(
+                "resource",
+                payload,
+                uri=f"https://{source}.example/attach/{d}.{ext}",
+                date=_WARC_DATE,
+                content_type=ctype,
+            )
+        )
+    for i, recs in enumerate(shards):
+        _write_atomic(
+            os.path.join(tmp, f"attach-{i:03d}.warc.gz"), write_warc(recs)
+        )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "c05_attachment_extraction",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pdf,
+           CAST(SUM(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docx,
+           CAST(SUM(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_epub,
+           CAST(SUM(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rtf,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 107 = 63 GROUP BY lang
+    """,
+    doc="Heterogeneous document-attachment extraction over the crawl "
+    "(r13 — the training-data ingestion story: a corpus pipeline "
+    "meets PDF, .docx, EPUB and RTF attachments and must route each "
+    "arriving payload by what it IS, then extract comparable text "
+    "from all of them): every 107th document's host serves one "
+    "attachment whose format cycles d%4 across the four families, "
+    "as WARC resource records with real content types. The "
+    "per-shard walk routes by SIGNATURE bytes — %PDF, PK+OCF "
+    "mimetype probe at byte 30 (the ZIP-level epub-vs-docx "
+    "distinction real sniffers use), PK without it, {\\\\rtf — and "
+    "runs the right extractor end-to-end (COS/xref/BT-ET for PDF, "
+    "OPC+namespace walk for DOCX, container->OPF->spine for EPUB, "
+    "the RTF tokenizer). Every record's extracted text, re-joined, "
+    "must equal the source document's n_chars EXACTLY (asserted "
+    "JVM-side over the whole matched set before aggregation — "
+    "extraction drift anywhere fails the query); the lang rollup "
+    "pins all four lane populations and the char totals. 100 TB "
+    "shape: shard-parallel walk, one in-task parse per payload, "
+    "attachment bytes never leave the executor, shard count scales "
+    "with the corpus.",
+)
+def c05_attachment_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.tables import table
+
+    src, _n = _attachment_src(sf_dir)
+    files = spark.read.format("binaryFile").load(
+        os.path.join(src, "*.warc.gz")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("fmt", StringType(), True),
+            StructField("chars", LongType(), True),
+            StructField("extract_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.epub import extract_epub
+        from tectonic_spark.operators.ooxml import extract_docx
+        from tectonic_spark.operators.pdf import analyze_pdf
+        from tectonic_spark.operators.rtf import extract_rtf
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf_batch in batches:
+            rows = []
+            for blob in pdf_batch["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "resource":
+                        continue
+                    if "/attach/" not in rec["uri"]:
+                        continue
+                    d = int(rec["uri"].rsplit("/", 1)[1].split(".")[0])
+                    payload = rec["payload"]
+                    if payload[:4] == b"%PDF":
+                        fmt = "pdf"
+                        info, pages = analyze_pdf(payload)
+                        rejoined = " ".join(
+                            ln
+                            for pg in pages
+                            for ln in pg.split("\n")
+                            if ln
+                        )
+                        ok = (
+                            info["title"] == f"doc {d}"
+                            and info["n_pages"] == 1 + d % 3
+                        )
+                    elif payload[:4] == b"PK\x03\x04":
+                        # OCF probe: an EPUB's first local header is the
+                        # stored 'mimetype' member, so the literal
+                        # 'mimetypeapplication/epub+zip' sits at byte 30
+                        if payload[30:58] == (
+                            b"mimetypeapplication/epub+zip"
+                        ):
+                            fmt = "epub"
+                            out = extract_epub(payload)
+                            rejoined = " ".join(
+                                ln
+                                for _, body in out["chapters"]
+                                for ln in body.split("\n")
+                                if ln
+                            )
+                            ok = (
+                                out["title"] == f"doc {d}"
+                                and len(out["chapters"]) == 1 + d % 3
+                                and out["spine_ids"][0]
+                                == f"c{d % (1 + d % 3)}"
+                            )
+                        else:
+                            fmt = "docx"
+                            out = extract_docx(payload)
+                            rejoined = " ".join(
+                                t for _, t in out["paragraphs"]
+                            )
+                            ok = (
+                                out["title"] == f"doc {d}"
+                                and out["creator"] == "crawler"
+                            )
+                    elif payload[:5] == b"{\\rtf":
+                        fmt = "rtf"
+                        out = extract_rtf(payload)
+                        rejoined = " ".join(out["text"].split("\n"))
+                        ok = out["title"] == f"doc {d}"
+                    else:
+                        raise ValueError(
+                            f"unknown attachment signature"
+                            f" {payload[:8]!r}"
+                        )
+                    want_fmt = ("pdf", "docx", "epub", "rtf")[d % 4]
+                    rows.append(
+                        (d, fmt, len(rejoined), ok and fmt == want_fmt)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "chars", "extract_ok"]
+            )
+
+    attachments = files.select("content").mapInPandas(walk, schema)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    joined = attachments.join(docs, "doc_id", "inner")
+    bad = joined.filter(
+        (~F.col("extract_ok")) | (F.col("chars") != F.col("n_chars"))
+    ).count()
+    if bad:
+        raise RuntimeError(
+            f"c05_attachment_extraction: {bad} attachments drifted"
+        )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("fmt") == "pdf", 1).otherwise(0)).alias("n_pdf"),
+        F.sum(F.when(F.col("fmt") == "docx", 1).otherwise(0)).alias(
+            "n_docx"
+        ),
+        F.sum(F.when(F.col("fmt") == "epub", 1).otherwise(0)).alias(
+            "n_epub"
+        ),
+        F.sum(F.when(F.col("fmt") == "rtf", 1).otherwise(0)).alias("n_rtf"),
+        F.sum("chars").alias("total_chars"),
+    )

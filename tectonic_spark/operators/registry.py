@@ -88,6 +88,11 @@ PRIORITY: list[str] = [
     "s18_stream_retention",  # mid-stream expiry + tombstoned re-appends
     "m32_cff_census",  # CFF INDEX/DICT + bounded Type 2 interpreter
     "c03_font_formats",  # signature-routed mixed-format font crawl
+    "m33_docx_extract",  # OPC/WordprocessingML text extraction
+    "m34_epub_extract",  # OCF/OPF spine-ordered chapter extraction
+    "m35_rtf_extract",  # RTF tokenizer: \\uc scoping, cp1252, destinations
+    "m36_ico_census",  # favicon container: BMP DIB + PNG payload lanes
+    "c05_attachment_extraction",  # signature-routed pdf/docx/epub/rtf crawl
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding
@@ -128,25 +133,11 @@ PRIORITY: list[str] = [
     "a05_schema_inference",  # r4
     "a06_malformed_handling",  # r4
     "a13_nested_pushdown",  # r4
-    "a17_partitioned_sink_pruning",  # r4
-    "a18_bucketed_join_no_shuffle",  # r4
-    "b01_project_compute",  # r4
-    "b02_filter_pushdown",  # r4
-    "b03_join_star",  # r4
-    "b04_range_join",  # r4
-    "b06_rollup",  # r4
-    "b07_topn_per_group",  # r4
-    "b08_topk",  # r4
-    "b09_setops",  # r4
-    "b10_scalar_functions",  # r4
-    "b11_tumbling_window",  # r4
-    "b12_dedup_distinct",  # r4
-    "b13_pandas_udf",  # r4
-    "b14_sql_surface",  # r4
-    "c01_dedup_clusters",  # r4
-    "c01_embedding_neardup",  # r4
-    "c01_line_dedup",  # r4
-    "c02_ann_lsh",  # r4
+    "a17_partitioned_sink_pruning",  # r4 — window slot 50
+    # (r13 session 3: the five document-format registrations above
+    # displaced the fill tail — a18/b01-b14/c01 heads/c02_ann_lsh
+    # drop out of the 50-name window; they keep their r4 driver rows
+    # and stay under the local full sweep + sf1 gates)
     # ==================== end r13 window ====================
     # --- r12 tier 2: registered this round (first driver rows) ---
     "a38_temporal_index_lookup",  # temporal answers from the zipnum index
