@@ -4752,3 +4752,122 @@ def m36_ico_census(spark, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m37_xlsx_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+        CAST(2 + doc_id % 5 AS BIGINT) AS R
+      FROM documents WHERE doc_id % 109 = 67)
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_sheets,
+           R + 2 * (doc_id % 2) AS n_rows,
+           R AS n_string_cells,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE R END AS BIGINT)
+             AS n_shared_unique,
+           CAST(R * (doc_id % 100) + 3 * R * (R - 1) / 2
+                + R * (R + 1) / 2
+                + (doc_id % 2) * (2 * (doc_id % 50) + 1) AS BIGINT)
+             AS sum_numeric,
+           doc_id % 3 = 0 AS inline,
+           TRUE AS extract_ok
+    FROM d
+    """,
+    doc="SpreadsheetML .xlsx extraction (r13, ooxml.py XLSX layer — "
+    "tabular training data: spreadsheets are the third big OOXML "
+    "surface after text and PDF): every 109th document carries a "
+    "workbook with a (2 + d%5)-row x 3-col data sheet (numeric / "
+    "shared-string / numeric columns) and, every second doc, a "
+    "second sheet — resolved OPC-correctly: workbook part through "
+    "the package rels, worksheets through the workbook's OWN "
+    "relationship part by r:id (never by filename), strings "
+    "through the shared-strings table with uniqueCount verified, "
+    "every cell's A1 reference cross-checked against its actual "
+    "position, shared indices bounds-checked. The d%3==0 lane "
+    "writes inline strings (t=inlineStr) instead — same extracted "
+    "values, zero shared entries, proving both string paths. "
+    "extract_ok folds cell-exact comparison of every sheet against "
+    "the generator; sums/counts are closed-form. 100 TB shape: "
+    "per-payload build+parse in Arrow-batched mapInPandas, no "
+    "shuffle.",
+)
+def m37_xlsx_extract(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 109 == 67)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_sheets", LongType(), True),
+            StructField("n_rows", LongType(), True),
+            StructField("n_string_cells", LongType(), True),
+            StructField("n_shared_unique", LongType(), True),
+            StructField("sum_numeric", LongType(), True),
+            StructField("inline", BooleanType(), True),
+            StructField("extract_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.ooxml import build_xlsx, extract_xlsx
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                r_n = 2 + d % 5
+                data_rows = [
+                    [d % 100 + 3 * r, f"w{(d + r) % 7}", r + 1]
+                    for r in range(r_n)
+                ]
+                sheets = [("data", data_rows)]
+                if d % 2 == 1:
+                    sheets.append(
+                        ("extra", [[d % 50 + r] for r in range(2)])
+                    )
+                inline = d % 3 == 0
+                payload = build_xlsx(sheets, inline_lane=inline)
+                out = extract_xlsx(payload)
+                if out["sheets"] != sheets:
+                    raise ValueError(f"doc {d}: xlsx extraction drift")
+                total_rows = sum(len(rws) for _, rws in out["sheets"])
+                sum_numeric = sum(
+                    v
+                    for _, rws in out["sheets"]
+                    for row in rws
+                    for v in row
+                    if not isinstance(v, str)
+                )
+                rows.append(
+                    (
+                        d,
+                        len(out["sheets"]),
+                        total_rows,
+                        out["n_string_cells"],
+                        out["n_shared_unique"],
+                        int(sum_numeric),
+                        out["inline"],
+                        out["inline"] == inline,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_sheets",
+                    "n_rows",
+                    "n_string_cells",
+                    "n_shared_unique",
+                    "sum_numeric",
+                    "inline",
+                    "extract_ok",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)

@@ -418,3 +418,410 @@ def _parse_content_types(data: bytes) -> dict[str, str]:
             return defaults.get(ext, default)
 
     return _CT()
+
+
+# -------------------------------------------------------------- XLSX layer
+# SpreadsheetML (.xlsx) — the tabular sibling: workbook part resolved
+# through the SAME OPC relationship machinery, sheets resolved through
+# the workbook's OWN relationship part (xl/_rels/workbook.xml.rels),
+# cell values through the shared-strings table (t="s" indices), inline
+# strings (t="inlineStr") and numbers, with A1-style references
+# cross-checked against each cell's actual position.
+
+S_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+R_NS = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+)
+REL_WORKSHEET = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    "/worksheet"
+)
+REL_SHARED_STRINGS = (
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    "/sharedStrings"
+)
+CT_WORKBOOK = (
+    "application/vnd.openxmlformats-officedocument.spreadsheetml"
+    ".sheet.main+xml"
+)
+CT_WORKSHEET = (
+    "application/vnd.openxmlformats-officedocument.spreadsheetml"
+    ".worksheet+xml"
+)
+CT_SHARED_STRINGS = (
+    "application/vnd.openxmlformats-officedocument.spreadsheetml"
+    ".sharedStrings+xml"
+)
+
+
+def col_letters(idx: int) -> str:
+    """0-based column index → A1 letters (0→A, 25→Z, 26→AA)."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def col_index(letters: str) -> int:
+    """A1 letters → 0-based column index (inverse of col_letters)."""
+    idx = 0
+    for ch in letters:
+        if not "A" <= ch <= "Z":
+            raise ValueError(f"xlsx: bad column letters {letters!r}")
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def build_xlsx(
+    sheets: list[tuple[str, list[list]]],
+    *,
+    inline_lane: bool = False,
+) -> bytes:
+    """Serialize a .xlsx.  ``sheets`` are ``(name, rows)``; each cell is
+    an int/float (numeric cell) or str.  Strings go through the shared-
+    strings table (deduplicated, the real-world default) unless
+    ``inline_lane`` puts them inline (``t="inlineStr"``)."""
+    shared: dict[str, int] = {}
+    n_string_cells = 0
+    if not inline_lane:
+        for _, rows in sheets:
+            for row in rows:
+                for v in row:
+                    if isinstance(v, str):
+                        n_string_cells += 1
+                        shared.setdefault(v, len(shared))
+
+    def cell_xml(r: int, c: int, v) -> str:
+        ref = f"{col_letters(c)}{r + 1}"
+        if isinstance(v, str):
+            if inline_lane:
+                return (
+                    f'<c r="{ref}" t="inlineStr"><is><t>{_esc(v)}</t>'
+                    "</is></c>"
+                )
+            return f'<c r="{ref}" t="s"><v>{shared[v]}</v></c>'
+        return f'<c r="{ref}"><v>{v!r}</v></c>'
+
+    members: list[tuple[str, bytes, str]] = []
+    sheet_parts = []
+    for i, (_name, rows) in enumerate(sheets):
+        rows_xml = "".join(
+            f'<row r="{r + 1}">'
+            + "".join(cell_xml(r, c, v) for c, v in enumerate(row))
+            + "</row>"
+            for r, row in enumerate(rows)
+        )
+        sheet_parts.append(
+            (
+                f"xl/worksheets/sheet{i + 1}.xml",
+                (
+                    '<?xml version="1.0" encoding="UTF-8" standalone='
+                    f'"yes"?><worksheet xmlns="{S_NS}">'
+                    f"<sheetData>{rows_xml}</sheetData></worksheet>"
+                ).encode(),
+            )
+        )
+
+    wb_sheets = "".join(
+        f'<sheet name="{_esc(name)}" sheetId="{i + 1}" r:id="rSh{i + 1}"/>'
+        for i, (name, _) in enumerate(sheets)
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{S_NS}" xmlns:r="{R_NS}">'
+        f"<sheets>{wb_sheets}</sheets></workbook>"
+    ).encode()
+    wb_rels = [
+        f'<Relationship Id="rSh{i + 1}" Type="{REL_WORKSHEET}"'
+        f' Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets))
+    ]
+    overrides = [
+        f'<Override PartName="/xl/workbook.xml" ContentType="{CT_WORKBOOK}"/>'
+    ] + [
+        f'<Override PartName="/{p}" ContentType="{CT_WORKSHEET}"/>'
+        for p, _ in sheet_parts
+    ]
+    if shared:
+        sst = "".join(
+            f"<si><t>{_esc(s)}</t></si>"
+            for s, _ in sorted(shared.items(), key=lambda kv: kv[1])
+        )
+        members.append(
+            (
+                "xl/sharedStrings.xml",
+                (
+                    '<?xml version="1.0" encoding="UTF-8" standalone='
+                    f'"yes"?><sst xmlns="{S_NS}" count="{n_string_cells}"'
+                    f' uniqueCount="{len(shared)}">{sst}</sst>'
+                ).encode(),
+                "deflate",
+            )
+        )
+        wb_rels.append(
+            f'<Relationship Id="rSst" Type="{REL_SHARED_STRINGS}"'
+            ' Target="sharedStrings.xml"/>'
+        )
+        overrides.append(
+            '<Override PartName="/xl/sharedStrings.xml" ContentType='
+            f'"{CT_SHARED_STRINGS}"/>'
+        )
+
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Types xmlns="{CT_NS}">'
+        '<Default Extension="rels" ContentType='
+        '"application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        + "".join(overrides)
+        + "</Types>"
+    ).encode()
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{REL_NS}">'
+        f'<Relationship Id="rId1" Type="{REL_OFFICE_DOC}"'
+        ' Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    ).encode()
+    wb_rels_xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{REL_NS}">' + "".join(wb_rels)
+        + "</Relationships>"
+    ).encode()
+    members = [
+        ("[Content_Types].xml", content_types, "deflate"),
+        ("_rels/.rels", rels, "deflate"),
+        ("xl/workbook.xml", workbook, "deflate"),
+        ("xl/_rels/workbook.xml.rels", wb_rels_xml, "deflate"),
+    ] + members
+    for p, b in sheet_parts:
+        members.append((p, b, "deflate"))
+    return build_zip(members)
+
+
+def extract_xlsx(data: bytes) -> dict:
+    """Parse a .xlsx → ``{sheets: [(name, rows)], n_shared_unique,
+    n_string_cells, inline}``.  Cells come back typed (int/float/str);
+    every cell's A1 reference is cross-checked against its position and
+    shared-string indices are bounds-checked."""
+    members = {m["name"]: m["data"] for m in parse_zip(data)}
+    if "[Content_Types].xml" not in members:
+        raise ValueError("xlsx: missing [Content_Types].xml")
+    content_types = _parse_content_types(members["[Content_Types].xml"])
+    rels = _parse_rels(members["_rels/.rels"])
+    wb_part = rels.get(REL_OFFICE_DOC)
+    if wb_part is None:
+        raise ValueError("xlsx: no officeDocument relationship")
+    if content_types.get("/" + wb_part) != CT_WORKBOOK:
+        raise ValueError("xlsx: main part is not a SpreadsheetML workbook")
+    wb_dir = wb_part.rsplit("/", 1)[0] if "/" in wb_part else ""
+    wb_rels_name = (
+        f"{wb_dir}/_rels/{wb_part.rsplit('/', 1)[-1]}.rels"
+        if wb_dir
+        else f"_rels/{wb_part}.rels"
+    )
+    if wb_rels_name not in members:
+        raise ValueError("xlsx: missing workbook relationship part")
+    wb_rels = _parse_rels_by_id(members[wb_rels_name])
+
+    shared: list[str] = []
+    n_string_cells = 0
+    inline_seen = False
+    sst_target = None
+    for rid, (rtype, target) in wb_rels.items():
+        if rtype == REL_SHARED_STRINGS:
+            sst_target = _join_part(wb_dir, target)
+    if sst_target is not None:
+        if sst_target not in members:
+            raise ValueError("xlsx: sharedStrings part absent")
+        sroot = parse_xml(members[sst_target], preserve_space=True)
+        su, sl, sscope = _resolve(sroot, {})
+        if (su, sl) != (S_NS, "sst"):
+            raise ValueError("xlsx: malformed sharedStrings")
+        for si in sroot.children:
+            iu, il, iscope = _resolve(si, sscope)
+            if (iu, il) != (S_NS, "si"):
+                continue
+            t = None
+            for tc in si.children:
+                tu, tl, _ = _resolve(tc, iscope)
+                if (tu, tl) == (S_NS, "t"):
+                    t = tc.text
+            if t is None:
+                raise ValueError("xlsx: si without t")
+            shared.append(t)
+        declared = _attr(sroot, sscope, "", "uniqueCount")
+        if declared is not None and int(declared) != len(shared):
+            raise ValueError(
+                f"xlsx: sharedStrings uniqueCount {declared} != "
+                f"{len(shared)} actual"
+            )
+
+    wroot = parse_xml(members[wb_part])
+    wu, wl, wscope = _resolve(wroot, {})
+    if (wu, wl) != (S_NS, "workbook"):
+        raise ValueError("xlsx: workbook root mismatch")
+    sheets_out: list[tuple[str, list[list]]] = []
+    for c in wroot.children:
+        cu, cl, cscope = _resolve(c, wscope)
+        if (cu, cl) != (S_NS, "sheets"):
+            continue
+        for sh in c.children:
+            shu, shl, shscope = _resolve(sh, cscope)
+            if (shu, shl) != (S_NS, "sheet"):
+                continue
+            name = _attr(sh, shscope, "", "name")
+            rid = _attr(sh, shscope, R_NS, "id")
+            if name is None or rid is None:
+                raise ValueError("xlsx: sheet missing name/r:id")
+            if rid not in wb_rels:
+                raise ValueError(f"xlsx: dangling sheet r:id {rid!r}")
+            rtype, target = wb_rels[rid]
+            if rtype != REL_WORKSHEET:
+                raise ValueError(f"xlsx: r:id {rid!r} is not a worksheet")
+            part = _join_part(wb_dir, target)
+            if part not in members:
+                raise ValueError(f"xlsx: worksheet {part!r} absent")
+            if content_types.get("/" + part) != CT_WORKSHEET:
+                raise ValueError(
+                    f"xlsx: {part!r} not declared as a worksheet"
+                )
+            rows, n_str, inl = _sheet_rows(members[part], shared)
+            n_string_cells += n_str
+            inline_seen = inline_seen or inl
+            sheets_out.append((name, rows))
+    if not sheets_out:
+        raise ValueError("xlsx: workbook declares no sheets")
+    return {
+        "sheets": sheets_out,
+        "n_shared_unique": len(shared),
+        "n_string_cells": n_string_cells,
+        "inline": inline_seen,
+    }
+
+
+def _sheet_rows(
+    data: bytes, shared: list[str]
+) -> tuple[list[list], int, bool]:
+    root = parse_xml(data, preserve_space=True)
+    u, l, scope = _resolve(root, {})
+    if (u, l) != (S_NS, "worksheet"):
+        raise ValueError("xlsx: worksheet root mismatch")
+    rows: list[list] = []
+    n_str = 0
+    inline = False
+    for sd in root.children:
+        su, sl, sdscope = _resolve(sd, scope)
+        if (su, sl) != (S_NS, "sheetData"):
+            continue
+        for row_el in sd.children:
+            ru, rl, rscope = _resolve(row_el, sdscope)
+            if (ru, rl) != (S_NS, "row"):
+                continue
+            r_decl = _attr(row_el, rscope, "", "r")
+            r_idx = len(rows)
+            if r_decl is not None and int(r_decl) != r_idx + 1:
+                raise ValueError(
+                    f"xlsx: row r={r_decl} at position {r_idx + 1}"
+                )
+            row: list = []
+            for cell in row_el.children:
+                cu, cl2, cscope = _resolve(cell, rscope)
+                if (cu, cl2) != (S_NS, "c"):
+                    continue
+                ref = _attr(cell, cscope, "", "r")
+                if ref is not None:
+                    letters = ref.rstrip("0123456789")
+                    digits = ref[len(letters) :]
+                    if (
+                        col_index(letters) != len(row)
+                        or int(digits) != r_idx + 1
+                    ):
+                        raise ValueError(
+                            f"xlsx: cell ref {ref} at row {r_idx + 1}"
+                            f" col {len(row)}"
+                        )
+                ctype = _attr(cell, cscope, "", "t") or "n"
+                v_el = None
+                is_el = None
+                for cc in cell.children:
+                    ccu, ccl, _ = _resolve(cc, cscope)
+                    if (ccu, ccl) == (S_NS, "v"):
+                        v_el = cc
+                    elif (ccu, ccl) == (S_NS, "is"):
+                        is_el = cc
+                if ctype == "s":
+                    if v_el is None:
+                        raise ValueError("xlsx: shared cell without v")
+                    idx = int(v_el.text)
+                    if not 0 <= idx < len(shared):
+                        raise ValueError(
+                            f"xlsx: shared index {idx} out of range"
+                        )
+                    row.append(shared[idx])
+                    n_str += 1
+                elif ctype == "inlineStr":
+                    if is_el is None:
+                        raise ValueError("xlsx: inlineStr cell without is")
+                    t = None
+                    _, _, iscope = _resolve(is_el, cscope)
+                    for tc in is_el.children:
+                        tu, tl, _ = _resolve(tc, iscope)
+                        if (tu, tl) == (S_NS, "t"):
+                            t = tc.text
+                    if t is None:
+                        raise ValueError("xlsx: is without t")
+                    row.append(t)
+                    n_str += 1
+                    inline = True
+                elif ctype == "n":
+                    if v_el is None:
+                        raise ValueError("xlsx: numeric cell without v")
+                    txt = v_el.text
+                    row.append(
+                        int(txt)
+                        if txt.lstrip("-").isdigit()
+                        else float(txt)
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"xlsx: cell type {ctype!r} (formulas/booleans"
+                        " are out of the fixture grammar)"
+                    )
+            rows.append(row)
+    return rows, n_str, inline
+
+
+def _parse_rels_by_id(data: bytes) -> dict[str, tuple[str, str]]:
+    """Relationship Id → (Type URI, target) — the form workbook-level
+    parts need (one Type may repeat across many sheets)."""
+    root = parse_xml(data)
+    uri, local, scope = _resolve(root, {})
+    if (uri, local) != (REL_NS, "Relationships"):
+        raise ValueError("xlsx: malformed relationships part")
+    out: dict[str, tuple[str, str]] = {}
+    for c in root.children:
+        cu, cl, cscope = _resolve(c, scope)
+        if (cu, cl) != (REL_NS, "Relationship"):
+            continue
+        rid = _attr(c, cscope, "", "Id")
+        rtype = _attr(c, cscope, "", "Type")
+        target = _attr(c, cscope, "", "Target")
+        if rid is None or rtype is None or target is None:
+            raise ValueError("xlsx: relationship missing Id/Type/Target")
+        if rid in out:
+            raise ValueError(f"xlsx: duplicate relationship id {rid!r}")
+        out[rid] = (rtype, target.lstrip("/"))
+    return out
+
+
+def _join_part(base_dir: str, target: str) -> str:
+    import posixpath
+
+    return (
+        posixpath.normpath(posixpath.join(base_dir, target))
+        if base_dir
+        else target
+    )

@@ -896,3 +896,113 @@ def c03_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth.cast("long").alias("path_depth"),
         F.size(kept).cast("long").alias("n_params_kept"),
     )
+
+
+@register(
+    "c03_structured_data",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'jsonld' WHEN 1 THEN 'microdata'
+                ELSE 'og' END AS syntax,
+           'Article' AS sd_type,
+           'doc ' || CAST(doc_id AS VARCHAR) AS headline,
+           'crawler ' || CAST(doc_id % 5 AS VARCHAR) AS author,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+                AS BIGINT) AS word_count,
+           TRUE AS sd_ok
+    FROM documents WHERE doc_id % 113 = 71
+    """,
+    doc="Structured-data extraction (r13, structured_data.py — the "
+    "schema.org layer that powers search snippets is the "
+    "highest-signal metadata a crawl pipeline pulls from a page, "
+    "and the modern web expresses it in THREE syntaxes a consumer "
+    "must normalize across): every 113th document renders as an "
+    "XHTML page whose Article item (headline/author/wordCount) is "
+    "embedded per the d%3 lane as JSON-LD (<script "
+    "type=application/ld+json>), WHATWG microdata (itemscope/"
+    "itemtype/itemprop with the nearest-ancestor property "
+    "assignment and a NESTED Person item for the author), or "
+    "OpenGraph meta tags. The extractor sniffs what is actually "
+    "present — never the lane hint — and normalizes; sd_ok folds "
+    "the syntax matching the lane. word_count is the document's "
+    "real word count, closed-form in SQL. 100 TB shape: per-page "
+    "build+parse in Arrow-batched mapInPandas, no shuffle.",
+)
+def c03_structured_data(spark, sf_dir: str):
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.tables import spread_small_scan
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 113 == 71)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("syntax", StringType(), True),
+            StructField("sd_type", StringType(), True),
+            StructField("headline", StringType(), True),
+            StructField("author", StringType(), True),
+            StructField("word_count", LongType(), True),
+            StructField("sd_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.structured_data import (
+            build_page,
+            extract_structured,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                lane = ("jsonld", "microdata", "og")[d % 3]
+                wc = len(text.split(" "))
+                page = build_page(
+                    syntax=lane,
+                    headline=f"doc {d}",
+                    author=f"crawler {d % 5}",
+                    word_count=wc,
+                    body_words=text,
+                )
+                out = extract_structured(page)
+                rows.append(
+                    (
+                        d,
+                        out["syntax"],
+                        out["sd_type"],
+                        out["headline"],
+                        out["author"],
+                        out["word_count"],
+                        out["syntax"] == lane
+                        and out["word_count"] == wc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "syntax",
+                    "sd_type",
+                    "headline",
+                    "author",
+                    "word_count",
+                    "sd_ok",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)

@@ -304,3 +304,170 @@ def test_ico_noncontiguous_refused():
     struct.pack_into("<I", good, 6 + 12, off + 4)
     with pytest.raises(ValueError, match="contiguous"):
         parse_ico(bytes(good))
+
+
+# ------------------------------------------------------------------- XLSX
+
+from tectonic_spark.operators.ooxml import (  # noqa: E402
+    build_xlsx,
+    col_index,
+    col_letters,
+    extract_xlsx,
+)
+
+SHEETS = [
+    ("data", [[17, "w0", 1], [20, "w1", 2], [23, "w0", 3]]),
+    ("extra", [[5, 9], [7, 11]]),
+]
+
+
+@pytest.mark.parametrize("inline", [False, True])
+def test_xlsx_roundtrip(inline):
+    out = extract_xlsx(build_xlsx(SHEETS, inline_lane=inline))
+    assert out["sheets"] == SHEETS
+    assert out["inline"] == inline
+    assert out["n_string_cells"] == 3
+    assert out["n_shared_unique"] == (0 if inline else 2)
+
+
+def test_xlsx_floats_and_negatives():
+    sheets = [("s", [[-4, 2.5], [1.25, -0.5]])]
+    assert extract_xlsx(build_xlsx(sheets))["sheets"] == sheets
+
+
+def test_xlsx_col_letters():
+    for i in (0, 1, 25, 26, 27, 51, 52, 701, 702):
+        assert col_index(col_letters(i)) == i
+    assert col_letters(0) == "A" and col_letters(26) == "AA"
+    assert col_letters(701) == "ZZ" and col_letters(702) == "AAA"
+
+
+def test_xlsx_shared_index_bounds():
+    data = build_xlsx(SHEETS)
+    # corrupt: bump a shared index beyond the table inside sheet1
+    from tectonic_spark.operators.archive import parse_zip
+
+    members = []
+    for m in parse_zip(data):
+        body = m["data"]
+        if m["name"] == "xl/worksheets/sheet1.xml":
+            body = body.replace(b't="s"><v>0<', b't="s"><v>9<', 1)
+        members.append((m["name"], body, "deflate"))
+    with pytest.raises(ValueError, match="out of range"):
+        extract_xlsx(build_zip(members))
+
+
+def test_xlsx_cell_ref_mismatch():
+    data = build_xlsx([("s", [[1, 2]])])
+    from tectonic_spark.operators.archive import parse_zip
+
+    members = []
+    for m in parse_zip(data):
+        body = m["data"]
+        if m["name"] == "xl/worksheets/sheet1.xml":
+            body = body.replace(b'r="B1"', b'r="C1"')
+        members.append((m["name"], body, "deflate"))
+    with pytest.raises(ValueError, match="cell ref"):
+        extract_xlsx(build_zip(members))
+
+
+def test_xlsx_unique_count_verified():
+    data = build_xlsx(SHEETS)
+    from tectonic_spark.operators.archive import parse_zip
+
+    members = []
+    for m in parse_zip(data):
+        body = m["data"]
+        if m["name"] == "xl/sharedStrings.xml":
+            body = body.replace(b'uniqueCount="2"', b'uniqueCount="5"')
+        members.append((m["name"], body, "deflate"))
+    with pytest.raises(ValueError, match="uniqueCount"):
+        extract_xlsx(build_zip(members))
+
+
+def test_xlsx_formula_cells_refused():
+    data = build_xlsx([("s", [[1]])])
+    from tectonic_spark.operators.archive import parse_zip
+
+    members = []
+    for m in parse_zip(data):
+        body = m["data"]
+        if m["name"] == "xl/worksheets/sheet1.xml":
+            body = body.replace(b'<c r="A1">', b'<c r="A1" t="b">')
+        members.append((m["name"], body, "deflate"))
+    with pytest.raises(NotImplementedError, match="cell type"):
+        extract_xlsx(build_zip(members))
+
+
+# -------------------------------------------------- structured data
+
+from tectonic_spark.operators.structured_data import (  # noqa: E402
+    build_page,
+    extract_structured,
+)
+
+
+@pytest.mark.parametrize("syntax", ["jsonld", "microdata", "og"])
+def test_structured_roundtrip(syntax):
+    page = build_page(
+        syntax=syntax,
+        headline='doc 17 "quoted" & more',
+        author="crawler 3",
+        word_count=42,
+        body_words="some body words",
+    )
+    out = extract_structured(page)
+    assert out["syntax"] == syntax
+    assert out["sd_type"] == "Article"
+    assert out["headline"] == 'doc 17 "quoted" & more'
+    assert out["author"] == "crawler 3"
+    assert out["word_count"] == 42
+
+
+def test_structured_microdata_nested_item():
+    # the author Person is a NESTED item, not a flat string
+    page = build_page(
+        syntax="microdata", headline="h", author="a", word_count=1
+    )
+    out = extract_structured(page)
+    assert out["author"] == "a"
+
+
+def test_structured_itemprop_outside_scope_refused():
+    bad = (
+        b'<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+        b"<title>t</title></head><body>"
+        b'<span itemprop="headline">x</span></body></html>'
+    )
+    with pytest.raises(ValueError, match="outside any itemscope"):
+        extract_structured(bad)
+
+
+def test_structured_malformed_jsonld_refused():
+    bad = (
+        b'<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+        b"<title>t</title></head><body>"
+        b'<script type="application/ld+json">{nope}</script>'
+        b"</body></html>"
+    )
+    with pytest.raises(ValueError, match="malformed JSON-LD"):
+        extract_structured(bad)
+
+
+def test_structured_og_requires_title_and_type():
+    bad = (
+        b'<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+        b'<meta property="og:title" content="x"/>'
+        b"</head><body/></html>"
+    )
+    with pytest.raises(ValueError, match="og:title and og:type"):
+        extract_structured(bad)
+
+
+def test_structured_none_refused():
+    bad = (
+        b'<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+        b"<title>x</title></head><body/></html>"
+    )
+    with pytest.raises(ValueError, match="no structured data"):
+        extract_structured(bad)
