@@ -4871,3 +4871,111 @@ def m37_xlsx_extract(spark, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m38_odt_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id, n_chars,
+        CAST(CEIL((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                  / 8.0) AS BIGINT) AS np
+      FROM documents WHERE doc_id % 127 = 73)
+    SELECT doc_id,
+           np AS n_paragraphs,
+           CAST(CASE WHEN np > 2 AND doc_id % 2 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_headings,
+           CAST(n_chars + 5 AS BIGINT) AS chars,
+           'odt ' || CAST(doc_id AS VARCHAR) AS title,
+           TRUE AS extract_ok
+    FROM d
+    """,
+    doc="OpenDocument .odt extraction (r13, odf.py — the "
+    "LibreOffice-default ODF format completing the office trio next "
+    "to OOXML and RTF; government/academic corpora are full of it): "
+    "every 127th document renders as a real .odt — mimetype-first "
+    "STORED member (ODF 1.2 Part 3's sniffing rule, verified), "
+    "META-INF manifest cross-checked against the actual parts, "
+    "content.xml with text:h outline-level headings and text:p "
+    "paragraphs in two text:span runs — and the ODF WHITESPACE "
+    "RULE for real: the last paragraph gets a double-space suffix "
+    "that must round-trip through <text:s text:c>, which only an "
+    "extractor with an ORDER-PRESERVING mixed-content view can "
+    "expand correctly (xmlparse grew Element.content for exactly "
+    "this). chars = n_chars + the 5-char suffix, closed-form; "
+    "extraction drift is an in-task hard error. 100 TB shape: "
+    "per-payload build+parse in Arrow-batched mapInPandas, no "
+    "shuffle.",
+)
+def m38_odt_extract(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 127 == 73)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_paragraphs", LongType(), True),
+            StructField("n_headings", LongType(), True),
+            StructField("chars", LongType(), True),
+            StructField("title", StringType(), True),
+            StructField("extract_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.odf import build_odt, extract_odt
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = text.split(" ")
+                lines = [
+                    " ".join(words[i : i + 8])
+                    for i in range(0, len(words), 8)
+                ]
+                paras = []
+                for j, ln in enumerate(lines):
+                    level = 0
+                    if j == 0:
+                        level = 1
+                    elif j == 2 and len(lines) > 2 and d % 2 == 0:
+                        level = 2
+                    paras.append((level, ln))
+                # the whitespace-rule lane: "  ab " is 5 chars with a
+                # double-space AND a trailing space — both must ride
+                # text:s elements to survive
+                lvl, last = paras[-1]
+                paras[-1] = (lvl, last + "  ab ")
+                payload = build_odt(paras, title=f"odt {d}")
+                out = extract_odt(payload)
+                if out["paragraphs"] != paras:
+                    raise ValueError(f"doc {d}: odt extraction drift")
+                rows.append(
+                    (
+                        d,
+                        len(out["paragraphs"]),
+                        sum(1 for lv, _ in out["paragraphs"] if lv > 0),
+                        sum(len(t) for _, t in out["paragraphs"])
+                        + (len(paras) - 1),
+                        out["title"],
+                        out["title"] == f"odt {d}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_paragraphs",
+                    "n_headings",
+                    "chars",
+                    "title",
+                    "extract_ok",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)

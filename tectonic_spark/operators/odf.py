@@ -1,0 +1,300 @@
+"""OpenDocument Text (.odt) codec — the OASIS ODF 1.2 format
+(LibreOffice/OpenOffice default), the third member of the office trio
+next to OOXML (ooxml.py) and RTF (rtf.py); government and academic
+corpora are full of it.
+
+An .odt is a ZIP whose first member must be the ``mimetype`` stored
+uncompressed (ODF 1.2 Part 3 §3.3 — the same magic-sniffing rule as
+EPUB's OCF), with ``META-INF/manifest.xml`` listing every part and
+``content.xml`` carrying the document body in the ODF namespaces.
+
+* **Writer** (``build_odt``): mimetype-first packaging, manifest,
+  ``content.xml`` (``office:document-content`` → ``office:body`` →
+  ``office:text`` with ``text:h``/``text:p`` paragraphs, ``text:span``
+  runs, ``text:tab`` / ``text:line-break``), ``meta.xml`` with
+  ``dc:title``.  The ODF whitespace rule is implemented for real:
+  consecutive spaces are encoded as one literal space plus
+  ``<text:s text:c="n"/>`` (ODF collapses literal runs), and leading
+  spaces likewise ride ``text:s``.
+* **Extractor** (``extract_odt``): verifies the mimetype rule, checks
+  every package part against the manifest, resolves the ODF
+  namespaces by URI, walks paragraphs/headings in order, expands
+  ``text:s``/``text:tab``/``text:line-break``, and reads the title
+  out of ``meta.xml``.
+
+Error taxonomy: ``EOFError`` truncation (ZIP layer), ``ValueError``
+structural (mimetype violations, manifest mismatches, wrong
+namespaces).
+
+Reference framing: beyond-reference crawl-ingestion surface, same
+evidence class as ooxml.py / epub.py / rtf.py.
+"""
+
+from __future__ import annotations
+
+from tectonic_spark.operators.archive import build_zip, parse_zip
+from tectonic_spark.operators.ooxml import _attr, _resolve
+from tectonic_spark.operators.xmlparse import Element, parse_xml
+
+__all__ = ["build_odt", "extract_odt"]
+
+MIMETYPE = b"application/vnd.oasis.opendocument.text"
+OFFICE_NS = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+TEXT_NS = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+MANIFEST_NS = "urn:oasis:names:tc:opendocument:xmlns:manifest:1.0"
+META_NS = "urn:oasis:names:tc:opendocument:xmlns:meta:1.0"
+DC_NS = "http://purl.org/dc/elements/1.1/"
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+# ------------------------------------------------------------------ writer
+
+
+def _encode_ws(piece: str) -> str:
+    """Escape a text piece per the ODF whitespace rule: any run of 2+
+    spaces becomes one literal space + ``<text:s text:c="n-1"/>``; a
+    LEADING space becomes ``<text:s/>`` outright."""
+    out: list[str] = []
+    i = 0
+    n = len(piece)
+    while i < n:
+        if piece[i] == " ":
+            j = i
+            while j < n and piece[j] == " ":
+                j += 1
+            run = j - i
+            if i == 0:
+                out.append(
+                    f'<text:s text:c="{run}"/>' if run > 1 else "<text:s/>"
+                )
+            elif run > 1:
+                out.append(" ")
+                out.append(
+                    f'<text:s text:c="{run - 1}"/>'
+                    if run > 2
+                    else "<text:s/>"
+                )
+            else:
+                out.append(" ")
+            i = j
+        else:
+            j = i
+            while j < n and piece[j] != " ":
+                j += 1
+            out.append(_esc(piece[i:j]))
+            i = j
+    return "".join(out)
+
+
+def _para_xml(text: str) -> str:
+    """Paragraph body: TAB → text:tab, NL → text:line-break, spaces per
+    the whitespace rule, split into two text:span runs."""
+    words = text.split(" ")
+    mid = (len(words) + 1) // 2
+    chunks = [" ".join(words[:mid]), " ".join(words[mid:])]
+    spans = []
+    for i, chunk in enumerate(chunks):
+        if not chunk and i > 0:
+            continue
+        if i == 0 and len(chunks) > 1 and chunks[1]:
+            chunk += " "
+        parts = []
+        for j, seg in enumerate(chunk.split("\t")):
+            if j:
+                parts.append("<text:tab/>")
+            for k, piece in enumerate(seg.split("\n")):
+                if k:
+                    parts.append("<text:line-break/>")
+                if piece:
+                    parts.append(_encode_ws(piece))
+        spans.append(f"<text:span>{''.join(parts)}</text:span>")
+    return "".join(spans)
+
+
+def build_odt(
+    paragraphs: list[tuple[int, str]],
+    *,
+    title: str,
+) -> bytes:
+    """Serialize an .odt.  ``paragraphs`` are ``(outline_level, text)``
+    — level 0 is a body paragraph (``text:p``), level ≥ 1 a heading
+    (``text:h text:outline-level``)."""
+    body = []
+    for level, text in paragraphs:
+        inner = _para_xml(text)
+        if level > 0:
+            body.append(
+                f'<text:h text:outline-level="{level}">{inner}</text:h>'
+            )
+        else:
+            body.append(f"<text:p>{inner}</text:p>")
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{OFFICE_NS}"'
+        f' xmlns:text="{TEXT_NS}" office:version="1.2">'
+        "<office:body><office:text>"
+        + "".join(body)
+        + "</office:text></office:body></office:document-content>"
+    ).encode()
+    meta = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-meta xmlns:office="{OFFICE_NS}"'
+        f' xmlns:meta="{META_NS}" xmlns:dc="{DC_NS}"'
+        ' office:version="1.2"><office:meta>'
+        f"<dc:title>{_esc(title)}</dc:title>"
+        "</office:meta></office:document-meta>"
+    ).encode()
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<manifest:manifest xmlns:manifest="{MANIFEST_NS}"'
+        ' manifest:version="1.2">'
+        '<manifest:file-entry manifest:full-path="/"'
+        f' manifest:media-type="{MIMETYPE.decode()}"/>'
+        '<manifest:file-entry manifest:full-path="content.xml"'
+        ' manifest:media-type="text/xml"/>'
+        '<manifest:file-entry manifest:full-path="meta.xml"'
+        ' manifest:media-type="text/xml"/>'
+        "</manifest:manifest>"
+    ).encode()
+    return build_zip(
+        [
+            ("mimetype", MIMETYPE, "stored"),
+            ("META-INF/manifest.xml", manifest, "deflate"),
+            ("content.xml", content, "deflate"),
+            ("meta.xml", meta, "deflate"),
+        ]
+    )
+
+
+# --------------------------------------------------------------- extractor
+
+
+def extract_odt(data: bytes) -> dict:
+    """Parse an .odt → ``{paragraphs: [(level, text)], title,
+    n_spans}``, enforcing the mimetype-first rule and the manifest."""
+    members = parse_zip(data)
+    if not members or members[0]["name"] != "mimetype":
+        raise ValueError("odt: first member must be 'mimetype' (ODF 1.2)")
+    if members[0]["method"] != 0:
+        raise ValueError("odt: mimetype member must be stored")
+    if members[0]["data"] != MIMETYPE:
+        raise ValueError("odt: wrong mimetype payload")
+    by_name = {m["name"]: m["data"] for m in members}
+
+    if "META-INF/manifest.xml" not in by_name:
+        raise ValueError("odt: missing META-INF/manifest.xml")
+    listed = _manifest_paths(by_name["META-INF/manifest.xml"])
+    for name in by_name:
+        if name in ("mimetype", "META-INF/manifest.xml"):
+            continue
+        if name not in listed:
+            raise ValueError(f"odt: part {name!r} not in the manifest")
+    if "content.xml" not in by_name:
+        raise ValueError("odt: missing content.xml")
+
+    root = parse_xml(by_name["content.xml"], preserve_space=True)
+    u, l, scope = _resolve(root, {})
+    if (u, l) != (OFFICE_NS, "document-content"):
+        raise ValueError("odt: root is not office:document-content")
+    paragraphs: list[tuple[int, str]] = []
+    n_spans = 0
+    for body in _kids(root, scope, OFFICE_NS, "body"):
+        for otext in _kids(body[0], body[1], OFFICE_NS, "text"):
+            for c in otext[0].children:
+                cu, cl, cscope = _resolve(c, otext[1])
+                if cu != TEXT_NS:
+                    continue
+                if cl == "p":
+                    t, ns = _para_text(c, cscope)
+                    paragraphs.append((0, t))
+                    n_spans += ns
+                elif cl == "h":
+                    lvl = _attr(c, cscope, TEXT_NS, "outline-level")
+                    t, ns = _para_text(c, cscope)
+                    paragraphs.append((int(lvl or 1), t))
+                    n_spans += ns
+                else:
+                    raise ValueError(f"odt: unexpected text child {cl}")
+
+    title = None
+    if "meta.xml" in by_name:
+        mroot = parse_xml(by_name["meta.xml"])
+        mu, ml, mscope = _resolve(mroot, {})
+        if (mu, ml) != (OFFICE_NS, "document-meta"):
+            raise ValueError("odt: malformed meta.xml")
+        for om in _kids(mroot, mscope, OFFICE_NS, "meta"):
+            for c in om[0].children:
+                cu, cl, _ = _resolve(c, om[1])
+                if (cu, cl) == (DC_NS, "title"):
+                    title = c.text
+    return {"paragraphs": paragraphs, "title": title, "n_spans": n_spans}
+
+
+def _manifest_paths(data: bytes) -> set[str]:
+    root = parse_xml(data)
+    u, l, scope = _resolve(root, {})
+    if (u, l) != (MANIFEST_NS, "manifest"):
+        raise ValueError("odt: malformed manifest")
+    out: set[str] = set()
+    for c in root.children:
+        cu, cl, cscope = _resolve(c, scope)
+        if (cu, cl) != (MANIFEST_NS, "file-entry"):
+            continue
+        path = _attr(c, cscope, MANIFEST_NS, "full-path")
+        if path is None:
+            raise ValueError("odt: file-entry without full-path")
+        out.add(path)
+    return out
+
+
+def _kids(el, scope, uri, local):
+    out = []
+    for c in el.children:
+        cu, cl, cscope = _resolve(c, scope)
+        if (cu, cl) == (uri, local):
+            out.append((c, cscope))
+    return out
+
+
+def _para_text(el: Element, scope: dict) -> tuple[str, int]:
+    n_spans = 0
+    pieces: list[str] = []
+    for c in el.children:
+        cu, cl, cscope = _resolve(c, scope)
+        if (cu, cl) != (TEXT_NS, "span"):
+            raise ValueError(f"odt: unexpected paragraph child {cl}")
+        n_spans += 1
+        pieces.append(_span_text(c, cscope))
+    return "".join(pieces), n_spans
+
+
+def _span_text(span: Element, scope: dict) -> str:
+    """Expand a text:span via the parser's mixed-content view (character
+    data and expansion elements in DOCUMENT order — the ordering .text
+    + .children cannot express)."""
+    out: list[str] = []
+    for item in span.content:
+        if isinstance(item, str):
+            out.append(item)
+            continue
+        iu, il, iscope = _resolve(item, scope)
+        if iu != TEXT_NS:
+            raise ValueError(f"odt: unexpected span child {item.tag}")
+        if il == "s":
+            c = _attr(item, iscope, TEXT_NS, "c")
+            out.append(" " * (int(c) if c is not None else 1))
+        elif il == "tab":
+            out.append("\t")
+        elif il == "line-break":
+            out.append("\n")
+        else:
+            raise ValueError(f"odt: unexpected span child text:{il}")
+    return "".join(out)

@@ -93,6 +93,9 @@ PRIORITY: list[str] = [
     "m35_rtf_extract",  # RTF tokenizer: \\uc scoping, cp1252, destinations
     "m36_ico_census",  # favicon container: BMP DIB + PNG payload lanes
     "c05_attachment_extraction",  # signature-routed pdf/docx/epub/rtf crawl
+    "m37_xlsx_extract",  # SpreadsheetML: shared strings, A1 cross-checks
+    "m38_odt_extract",  # ODF: mimetype-first rule + text:s whitespace
+    "c03_structured_data",  # JSON-LD / microdata / OpenGraph normalize
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding
@@ -130,14 +133,12 @@ PRIORITY: list[str] = [
     "a02_csv_scan",  # r4
     "a03_projection_pushdown",  # r4
     "a04_filter_pushdown",  # r4
-    "a05_schema_inference",  # r4
-    "a06_malformed_handling",  # r4
-    "a13_nested_pushdown",  # r4
-    "a17_partitioned_sink_pruning",  # r4 — window slot 50
-    # (r13 session 3: the five document-format registrations above
-    # displaced the fill tail — a18/b01-b14/c01 heads/c02_ann_lsh
-    # drop out of the 50-name window; they keep their r4 driver rows
-    # and stay under the local full sweep + sf1 gates)
+    "a05_schema_inference",  # r4 — window slot 50
+    # (r13 session 3: the eight document-format/structured-data
+    # registrations above displaced the fill tail — a06/a13/a17/a18/
+    # b01-b14/c01 heads/c02_ann_lsh drop out of the 50-name window;
+    # they keep their r4 driver rows and stay under the local full
+    # sweep + sf1 gates)
     # ==================== end r13 window ====================
     # --- r12 tier 2: registered this round (first driver rows) ---
     "a38_temporal_index_lookup",  # temporal answers from the zipnum index

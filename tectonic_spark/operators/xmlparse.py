@@ -39,13 +39,25 @@ _ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "apos": "'", "quot": '"'}
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "text")
+    __slots__ = ("tag", "attrs", "children", "text", "content")
 
     def __init__(self, tag: str, attrs: dict[str, str]) -> None:
         self.tag = tag
         self.attrs = attrs
         self.children: list[Element] = []
         self.text = ""  # concatenated character data directly under this tag
+        # mixed-content view: character data and child Elements in
+        # DOCUMENT ORDER (what .text + .children cannot express) —
+        # needed by consumers of formats that interleave text with
+        # inline markup (ODF text:s/text:tab, XHTML prose)
+        self.content: list["Element | str"] = []
+
+    def _add_text(self, chunk: str) -> None:
+        self.text += chunk
+        if self.content and isinstance(self.content[-1], str):
+            self.content[-1] += chunk
+        else:
+            self.content.append(chunk)
 
     def find(self, tag: str) -> "Element | None":
         for c in self.children:
@@ -103,9 +115,9 @@ def parse_xml(data: bytes | str, *, preserve_space: bool = False) -> Element:
         if stack and pos < end:
             chunk = s[pos:end]
             if preserve_space:
-                stack[-1].text += _decode_text(chunk, "text")
+                stack[-1]._add_text(_decode_text(chunk, "text"))
             elif chunk.strip():
-                stack[-1].text += _decode_text(chunk, "text").strip()
+                stack[-1]._add_text(_decode_text(chunk, "text").strip())
 
     while pos < n:
         lt = s.find("<", pos)
@@ -126,7 +138,7 @@ def parse_xml(data: bytes | str, *, preserve_space: bool = False) -> Element:
             if end < 0:
                 raise EOFError("unterminated CDATA section")
             if stack:
-                stack[-1].text += s[pos + 9 : end]
+                stack[-1]._add_text(s[pos + 9 : end])
             elif s[pos + 9 : end].strip():
                 raise ValueError("CDATA outside the root element")
             pos = end + 3
@@ -218,6 +230,7 @@ def parse_xml(data: bytes | str, *, preserve_space: bool = False) -> Element:
         el = Element(tag, attrs)
         if stack:
             stack[-1].children.append(el)
+            stack[-1].content.append(el)
         elif root is None:
             root = el
         else:

@@ -471,3 +471,89 @@ def test_structured_none_refused():
     )
     with pytest.raises(ValueError, match="no structured data"):
         extract_structured(bad)
+
+
+# -------------------------------------------------------------------- ODT
+
+from tectonic_spark.operators.odf import build_odt, extract_odt  # noqa: E402
+
+ODT_PARAS = [
+    (1, "the title line"),
+    (0, "a small data filter column part row"),
+    (0, "tabbed\tvalue and\nbroken line"),
+    (2, "sub head"),
+    (0, "double  space   run and trailing "),
+    (0, " leading space"),
+]
+
+
+def test_odt_roundtrip():
+    out = extract_odt(build_odt(ODT_PARAS, title="odt doc & co"))
+    assert out["paragraphs"] == ODT_PARAS
+    assert out["title"] == "odt doc & co"
+
+
+def test_odt_whitespace_rule():
+    # the ODF rule: literal runs of spaces must ride text:s — feed
+    # pathological spacing and demand exact recovery
+    paras = [(0, "a" + " " * 7 + "b"), (0, " " * 3 + "c" + " " * 2)]
+    out = extract_odt(build_odt(paras, title="t"))
+    assert out["paragraphs"] == paras
+
+
+def test_odt_mimetype_rules():
+    from tectonic_spark.operators.archive import parse_zip
+
+    good = build_odt(ODT_PARAS[:1], title="t")
+    deflated = build_zip(
+        [(m["name"], m["data"], "deflate") for m in parse_zip(good)]
+    )
+    with pytest.raises(ValueError, match="stored"):
+        extract_odt(deflated)
+    wrong = build_zip(
+        [
+            (
+                m["name"],
+                b"text/plain" if m["name"] == "mimetype" else m["data"],
+                "stored" if m["name"] == "mimetype" else "deflate",
+            )
+            for m in parse_zip(good)
+        ]
+    )
+    with pytest.raises(ValueError, match="wrong mimetype"):
+        extract_odt(wrong)
+
+
+def test_odt_unmanifested_part_refused():
+    from tectonic_spark.operators.archive import parse_zip
+
+    good = build_odt(ODT_PARAS[:1], title="t")
+    members = [
+        (m["name"], m["data"], "stored" if m["name"] == "mimetype"
+         else "deflate")
+        for m in parse_zip(good)
+    ]
+    members.append(("extra.xml", b"<x/>", "deflate"))
+    with pytest.raises(ValueError, match="not in the manifest"):
+        extract_odt(build_zip(members))
+
+
+def test_odt_truncation_is_eof():
+    data = build_odt(ODT_PARAS, title="t")
+    with pytest.raises(EOFError):
+        extract_odt(data[:-9])
+
+
+def test_xmlparse_mixed_content_order():
+    # the ordered view Element.content preserves what .text+.children
+    # cannot: interleaving
+    from tectonic_spark.operators.xmlparse import parse_xml
+
+    root = parse_xml(b"<p>alpha<b/>beta<i/>gamma</p>",
+                     preserve_space=True)
+    kinds = [
+        item if isinstance(item, str) else f"<{item.tag}>"
+        for item in root.content
+    ]
+    assert kinds == ["alpha", "<b>", "beta", "<i>", "gamma"]
+    assert root.text == "alphabetagamma"
