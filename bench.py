@@ -679,6 +679,64 @@ def _font_rate() -> dict[str, float]:
     }
 
 
+def _doc_extract_rate() -> dict[str, float]:
+    """Office-document extraction floors, single core, best-of-3
+    CPU-time (r13 session 3): DOCX and RTF extraction rated in
+    docs/sec over 15-paragraph fixtures (the m33/m35 kernels — OPC
+    resolution + namespace walk, and the RTF tokenizer), XLSX rated
+    in cells/sec over a 2000x4 sheet (the m37 kernel: shared-string
+    resolution + A1 cross-checks per cell)."""
+    import time as _t
+
+    from tectonic_spark.operators.ooxml import (
+        build_docx,
+        build_xlsx,
+        extract_docx,
+        extract_xlsx,
+    )
+    from tectonic_spark.operators.rtf import build_rtf, extract_rtf
+
+    paras = [
+        ("Heading1" if j == 0 else "Normal",
+         " ".join(f"word{(j * 8 + k) % 97}" for k in range(8)))
+        for j in range(15)
+    ]
+    docx_payloads = [
+        build_docx(paras, title=f"doc {i}", creator="bench")
+        for i in range(60)
+    ]
+    rtf_payloads = [
+        build_rtf([t for _, t in paras], title=f"doc {i}", bold_every=3)
+        for i in range(60)
+    ]
+    rows = [
+        [r * 4 + c if c % 2 == 0 else f"w{(r + c) % 31}"
+         for c in range(4)]
+        for r in range(2000)
+    ]
+    xlsx_payload = build_xlsx([("data", rows)])
+
+    def best_of_3(fn) -> float:
+        fn()  # warm
+        best = 1e9
+        for _ in range(3):
+            t0 = _t.process_time()
+            fn()
+            best = min(best, _t.process_time() - t0)
+        return best
+
+    b_docx = best_of_3(
+        lambda: [extract_docx(p) for p in docx_payloads]
+    )
+    b_rtf = best_of_3(lambda: [extract_rtf(p) for p in rtf_payloads])
+    b_xlsx = best_of_3(lambda: extract_xlsx(xlsx_payload))
+    return {
+        "docx_extract_docs_per_sec": round(len(docx_payloads) / b_docx, 1),
+        "rtf_extract_docs_per_sec": round(len(rtf_payloads) / b_rtf, 1),
+        "xlsx_extract_cells_per_sec": round(8000 / b_xlsx, 1),
+    }
+
+
 def _pdf_extract_rate() -> dict[str, float]:
     """PDF text-extraction rate, single core, best-of-3 CPU-time (r10):
     FlateDecode'd multi-page documents through the xref-stream/ObjStm
@@ -1142,6 +1200,7 @@ def main() -> None:
         **_brotli_rate(),
         **_font_rate(),
         **_pdf_extract_rate(),
+        **_doc_extract_rate(),
         **_audio_codec_rates(),
         **_stream_latency(spark, sf_dir),
     }
