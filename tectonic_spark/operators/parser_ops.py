@@ -10674,6 +10674,47 @@ def _attachment_src(sf_dir: str) -> tuple[str, int]:
 )
 def c05_attachment_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    src, _n = _attachment_src(sf_dir)
+    files = spark.read.format("binaryFile").load(
+        os.path.join(src, "*.warc.gz")
+    )
+    attachments = attachment_extract_kernel(files)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    joined = attachments.join(docs, "doc_id", "inner")
+    bad = joined.filter(
+        (~F.col("extract_ok")) | (F.col("chars") != F.col("n_chars"))
+    ).count()
+    if bad:
+        raise RuntimeError(
+            f"c05_attachment_extraction: {bad} attachments drifted"
+        )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("fmt") == "pdf", 1).otherwise(0)).alias("n_pdf"),
+        F.sum(F.when(F.col("fmt") == "docx", 1).otherwise(0)).alias(
+            "n_docx"
+        ),
+        F.sum(F.when(F.col("fmt") == "epub", 1).otherwise(0)).alias(
+            "n_epub"
+        ),
+        F.sum(F.when(F.col("fmt") == "rtf", 1).otherwise(0)).alias("n_rtf"),
+        F.sum("chars").alias("total_chars"),
+    )
+
+
+def attachment_extract_kernel(files: DataFrame) -> DataFrame:
+    """Attachment-routing stage: a DataFrame with a binary ``content``
+    column of WARC shard bytes → (doc_id, fmt, chars, extract_ok) per
+    attachment, routed by SIGNATURE bytes (%PDF, PK + the byte-30 OCF
+    mimetype probe separating epub from docx, {\\rtf) into the matching
+    extractor. Stateless per shard — shared verbatim by the batch
+    composition (c05_attachment_extraction) and the streaming ingest
+    (s19_stream_attachments), the warc_extract_kernel pattern."""
     from pyspark.sql.types import (
         BooleanType,
         LongType,
@@ -10682,12 +10723,6 @@ def c05_attachment_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    from tectonic_spark.tables import table
-
-    src, _n = _attachment_src(sf_dir)
-    files = spark.read.format("binaryFile").load(
-        os.path.join(src, "*.warc.gz")
-    )
     schema = StructType(
         [
             StructField("doc_id", LongType(), True),
@@ -10778,18 +10813,118 @@ def c05_attachment_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "fmt", "chars", "extract_ok"]
             )
 
-    attachments = files.select("content").mapInPandas(walk, schema)
+    return files.select("content").mapInPandas(walk, schema)
+
+
+@register(
+    "s19_stream_attachments",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pdf,
+           CAST(SUM(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docx,
+           CAST(SUM(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_epub,
+           CAST(SUM(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rtf,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 107 = 63 GROUP BY lang
+    """,
+    doc="STREAMING attachment ingestion — the continuous form of "
+    "c05_attachment_extraction, the s15 pattern applied to the "
+    "document-format tier: WARC shards of mixed PDF/.docx/EPUB/RTF "
+    "attachments arrive as a binaryFile stream and flow through the "
+    "SAME attachment_extract_kernel as the batch path (signature "
+    "routing incl. the byte-30 OCF mimetype probe, then the full "
+    "matching extractor per payload) into an append parquet sink; "
+    "the maintained sink is then joined to the source table and "
+    "every extracted text pinned equal to n_chars before the "
+    "per-lang rollup. Extraction is stateless per shard — no state "
+    "store, scales with arrival rate. Builder raises unless >=2 "
+    "micro-batches committed, the sink holds exactly one row per "
+    "attachment, and zero extractions drifted.",
+)
+def s19_stream_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    src, n_shards = _attachment_src(sf_dir)
+    base = _fixture_dir(sf_dir)
+    out = os.path.join(base, "s19_sink")
+    ck = os.path.join(base, "s19_ck")
+    for d in (out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+
+    per_trigger = max(2, n_shards // 4)
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long,"
+            " content binary"
+        )
+        .option("maxFilesPerTrigger", str(per_trigger))
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(src)
+    )
+    attachments = attachment_extract_kernel(stream)
+    q = (
+        attachments.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    expected = sum(1 for d, *_ in _docs_rows(sf_dir) if d % 107 == 63)
+    sink_rows, n_commits = 0, 0
+    commits_dir = os.path.join(ck, "commits")
+    try:
+        deadline = time.time() + 240 + expected // 50
+        while time.time() < deadline:
+            try:
+                sink_rows = spark.read.parquet(out).count()
+            except Exception:
+                sink_rows = 0
+            n_commits = (
+                len(
+                    [
+                        f
+                        for f in os.listdir(commits_dir)
+                        if not f.startswith(".")
+                    ]
+                )
+                if os.path.isdir(commits_dir)
+                else 0
+            )
+            if sink_rows >= expected and n_commits >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        _stop_stream_quietly(q)
+    if sink_rows != expected:
+        raise RuntimeError(
+            f"s19: sink has {sink_rows} attachments, expected {expected}"
+        )
+    if n_commits < 2:
+        raise RuntimeError(
+            f"s19: only {n_commits} committed micro-batches — ingestion"
+            " never spanned a batch boundary"
+        )
+    sunk = spark.read.parquet(out)
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    joined = attachments.join(docs, "doc_id", "inner")
+    joined = sunk.join(docs, "doc_id", "inner")
     bad = joined.filter(
         (~F.col("extract_ok")) | (F.col("chars") != F.col("n_chars"))
     ).count()
     if bad:
-        raise RuntimeError(
-            f"c05_attachment_extraction: {bad} attachments drifted"
-        )
+        raise RuntimeError(f"s19: {bad} streamed attachments drifted")
     return joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("fmt") == "pdf", 1).otherwise(0)).alias("n_pdf"),
