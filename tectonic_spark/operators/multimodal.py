@@ -4979,3 +4979,120 @@ def m38_odt_extract(spark, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m39_svg_census",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + (doc_id % 4) * 16 AS BIGINT) AS width,
+           CAST(1 + doc_id % 3 AS BIGINT) AS n_rects,
+           CAST(doc_id % 2 AS BIGINT) AS n_circles,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_paths,
+           CAST(doc_id % 4 + 4
+                + CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 0 END AS BIGINT)
+             AS path_commands,
+           CAST(doc_id % 4 + 1 AS BIGINT) AS n_implicit,
+           TRUE AS census_ok
+    FROM documents WHERE doc_id % 131 = 79
+    """,
+    doc="SVG census (r13, svg.py — the web's vector format: icons and "
+    "logos on every modern page; the substance is the SVG path-data "
+    "micro-grammar): every 131st document's host serves an icon with "
+    "1-3 rects, an optional circle and one or two paths whose d "
+    "attributes exercise the grammar for real — implicit command "
+    "repetition (the spec's M-then-implicit-L rule), relative h/v/z "
+    "one-axis commands on the second-path lane, tight number "
+    "tokenization. The census walks the element tree (including the "
+    "d%2 grouped lane), parses every path with exact current-point "
+    "tracking, verifies viewBox against width/height, and "
+    "census_ok folds the endpoint of the closed main path returning "
+    "to its subpath start. 100 TB shape: per-payload build+parse in "
+    "Arrow-batched mapInPandas, no shuffle.",
+)
+def m39_svg_census(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 131 == 79)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("n_rects", LongType(), True),
+            StructField("n_circles", LongType(), True),
+            StructField("n_paths", LongType(), True),
+            StructField("path_commands", LongType(), True),
+            StructField("n_implicit", LongType(), True),
+            StructField("census_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.svg import build_svg, census_svg
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                side = 16 + (d % 4) * 16
+                k = 2 + d % 4  # line segments in the main path
+                coords = " ".join(
+                    f"{(d + i) % side} {(d * 3 + i * 7) % side}"
+                    for i in range(k)
+                )
+                paths = [f"M0 0 L{coords} Z"]
+                if d % 3 == 0:
+                    paths.append(f"m1 1h{1 + d % 5}v{1 + d % 7}z")
+                payload = build_svg(
+                    width=side,
+                    height=side,
+                    rects=[
+                        (i, i, 2 + i, 2 + i) for i in range(1 + d % 3)
+                    ],
+                    circles=(
+                        [(side // 2, side // 2, 3)] if d % 2 else []
+                    ),
+                    paths=paths,
+                    grouped=(d % 2 == 0),
+                )
+                out = census_svg(payload)
+                ok = (
+                    out["width"] == side
+                    and out["height"] == side
+                    and out["endpoints"][0] == (0, 0)
+                    and out["path_subpaths"] == len(paths)
+                    and out["counts"]["g"] == (1 if d % 2 == 0 else 0)
+                )
+                rows.append(
+                    (
+                        d,
+                        out["width"],
+                        out["counts"]["rect"],
+                        out["counts"]["circle"],
+                        out["counts"]["path"],
+                        out["path_commands"],
+                        out["path_implicit"],
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "n_rects",
+                    "n_circles",
+                    "n_paths",
+                    "path_commands",
+                    "n_implicit",
+                    "census_ok",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)

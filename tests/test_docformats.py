@@ -557,3 +557,80 @@ def test_xmlparse_mixed_content_order():
     ]
     assert kinds == ["alpha", "<b>", "beta", "<i>", "gamma"]
     assert root.text == "alphabetagamma"
+
+
+# -------------------------------------------------------------------- SVG
+
+from tectonic_spark.operators.svg import (  # noqa: E402
+    build_svg,
+    census_svg,
+    parse_path,
+)
+
+
+def test_svg_path_tight_tokenization():
+    p = parse_path("M.5.5L1-2")
+    assert p["endpoint"] == (1, -2)
+    assert p["per_cmd"] == {"M": 1, "L": 1}
+
+
+def test_svg_path_implicit_repetition():
+    # after M, implicit repetition is LINETO per spec
+    p = parse_path("M 0 0 10 0 10 10 Z")
+    assert p["per_cmd"] == {"M": 1, "L": 2, "Z": 1}
+    assert p["n_implicit"] == 2
+    assert p["endpoint"] == (0, 0)  # Z returns to subpath start
+
+
+def test_svg_path_relative_and_reflection():
+    p = parse_path("m1 1 h4 v4 l-2 0 s1 2 3 4 z")
+    assert p["endpoint"] == (1, 1)
+    assert p["per_cmd"]["S"] == 1
+
+
+def test_svg_path_arc_flags_unspaced():
+    # the two arc flags are single chars: "01" is two flags
+    p = parse_path("M0 0A5 5 0 01 10 0")
+    assert p["per_cmd"]["A"] == 1
+    assert p["endpoint"] == (10, 0)
+
+
+def test_svg_path_multi_subpath():
+    p = parse_path("M0 0L5 0ZM10 10L15 10Z")
+    assert p["n_subpaths"] == 2
+
+
+def test_svg_path_errors():
+    with pytest.raises(ValueError, match="moveto"):
+        parse_path("L 1 2")
+    with pytest.raises(ValueError, match="after Z"):
+        parse_path("M 1 2 Z 3")
+    with pytest.raises(ValueError, match="trailing junk"):
+        parse_path("M 1 2 X")
+    with pytest.raises(ValueError, match="arc flag"):
+        parse_path("M0 0A5 5 0 2 0 10 0")
+
+
+def test_svg_census():
+    svg = build_svg(
+        width=64, height=48,
+        rects=[(0, 0, 10, 10), (5, 5, 2, 2)],
+        circles=[(3, 3, 2)],
+        paths=["M0 0 10 0 10 10Z", "M1 1h2v2z"],
+        grouped=True,
+    )
+    out = census_svg(svg)
+    assert out["counts"]["rect"] == 2
+    assert out["counts"]["circle"] == 1
+    assert out["counts"]["g"] == 1
+    assert out["path_commands"] == 8
+    assert out["path_subpaths"] == 2
+
+
+def test_svg_viewbox_mismatch_refused():
+    bad = (
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="10"'
+        b' height="10" viewBox="0 0 20 20"/>'
+    )
+    with pytest.raises(ValueError, match="viewBox"):
+        census_svg(bad)
