@@ -96,6 +96,9 @@ PRIORITY: list[str] = [
     "m37_xlsx_extract",  # SpreadsheetML: shared strings, A1 cross-checks
     "m38_odt_extract",  # ODF: mimetype-first rule + text:s whitespace
     "c03_structured_data",  # JSON-LD / microdata / OpenGraph normalize
+    "s19_stream_attachments",  # streaming form of c05 attachment routing
+    "m39_svg_census",  # path-data grammar: implicit repeats, arc flags
+    "c03_markdown_census",  # fence state machine masks decoy structure
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding
@@ -133,12 +136,11 @@ PRIORITY: list[str] = [
     "a02_csv_scan",  # r4
     "a03_projection_pushdown",  # r4
     "a04_filter_pushdown",  # r4
-    "a05_schema_inference",  # r4 — window slot 50
-    # (r13 session 3: the eight document-format/structured-data
-    # registrations above displaced the fill tail — a06/a13/a17/a18/
-    # b01-b14/c01 heads/c02_ann_lsh drop out of the 50-name window;
-    # they keep their r4 driver rows and stay under the local full
-    # sweep + sf1 gates)
+    # (r13 session 3: the eleven document-format/structured-data/
+    # markdown/svg registrations above displaced the fill tail — the
+    # 50-name window now ends at a02_csv_scan; a03-a06/a13/a17/a18/
+    # b01-b14/c01 heads/c02_ann_lsh drop out; they keep their r4
+    # driver rows and stay under the local full sweep + sf1 gates)
     # ==================== end r13 window ====================
     # --- r12 tier 2: registered this round (first driver rows) ---
     "a38_temporal_index_lookup",  # temporal answers from the zipnum index

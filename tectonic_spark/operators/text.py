@@ -1006,3 +1006,149 @@ def c03_structured_data(spark, sf_dir: str):
             )
 
     return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "c03_markdown_census",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+        LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS wc,
+        1 + doc_id % 3 AS ns
+      FROM documents WHERE doc_id % 137 = 83)
+    SELECT doc_id,
+           CAST(1 + ns AS BIGINT) AS n_headings,
+           CAST(1 + doc_id % 4 AS BIGINT) AS n_links,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_fences,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END AS BIGINT)
+             AS n_code_lines,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 0 END AS BIGINT)
+             AS n_list_items,
+           CAST(wc + 2 + 2 * ns + 1 + doc_id % 4
+                + CASE WHEN doc_id % 3 = 0 THEN 6 ELSE 0 END AS BIGINT)
+             AS n_prose_words,
+           TRUE AS census_ok
+    FROM d
+    """,
+    doc="Markdown structure census (r13, markdown.py — code-hosting "
+    "and documentation corpora are mostly markdown; structure "
+    "census drives chunking and quality scoring downstream): every "
+    "137th document renders as markdown — H1 title, 1-3 H2 "
+    "sections carrying the document's prose, a link paragraph "
+    "(1-4 inline links), a fenced code block on the even lane "
+    "whose content INCLUDES a decoy heading and a decoy link that "
+    "a naive regex census would miscount (the fence state machine "
+    "must mask them — they count as code lines, never as "
+    "structure), and a bullet list on the d%3 lane. Inline "
+    "backtick spans mask links too. n_prose_words is the real "
+    "word count closed-form: document words + heading words + link "
+    "texts + list items. 100 TB shape: per-payload build+parse in "
+    "Arrow-batched mapInPandas, no shuffle.",
+)
+def c03_markdown_census(spark, sf_dir: str):
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.tables import spread_small_scan
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 137 == 83)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_headings", LongType(), True),
+            StructField("n_links", LongType(), True),
+            StructField("n_fences", LongType(), True),
+            StructField("n_code_lines", LongType(), True),
+            StructField("n_list_items", LongType(), True),
+            StructField("n_prose_words", LongType(), True),
+            StructField("census_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.markdown import (
+            build_markdown,
+            parse_markdown,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = text.split(" ")
+                lines = [
+                    " ".join(words[i : i + 8])
+                    for i in range(0, len(words), 8)
+                ]
+                ns = 1 + d % 3
+                per = (len(lines) + ns - 1) // ns
+                groups = [
+                    lines[i : i + per] for i in range(0, len(lines), per)
+                ]
+                while len(groups) < ns:
+                    groups.append([])
+                sections = [
+                    (f"section {s}", g) for s, g in enumerate(groups)
+                ]
+                links = [
+                    (f"link{j}", f"https://x{d}.example/p{j}")
+                    for j in range(1 + d % 4)
+                ]
+                payload = build_markdown(
+                    sections,
+                    title=f"doc {d}",
+                    links=links,
+                    code_lines=(
+                        ["x = 1", "y = 2"] if d % 2 == 0 else None
+                    ),
+                    list_items=(
+                        ["item a", "item b", "item c"]
+                        if d % 3 == 0
+                        else None
+                    ),
+                )
+                out = parse_markdown(payload)
+                ok = (
+                    out["heading_levels"] == [1] + [2] * ns
+                    and out["n_images"] == 0
+                    and out["n_quotes"] == 0
+                )
+                rows.append(
+                    (
+                        d,
+                        out["n_headings"],
+                        out["n_links"],
+                        out["n_fences"],
+                        out["n_code_lines"],
+                        out["n_list_items"],
+                        out["n_prose_words"],
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_headings",
+                    "n_links",
+                    "n_fences",
+                    "n_code_lines",
+                    "n_list_items",
+                    "n_prose_words",
+                    "census_ok",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)

@@ -634,3 +634,59 @@ def test_svg_viewbox_mismatch_refused():
     )
     with pytest.raises(ValueError, match="viewBox"):
         census_svg(bad)
+
+
+# --------------------------------------------------------------- markdown
+
+from tectonic_spark.operators.markdown import (  # noqa: E402
+    build_markdown,
+    parse_markdown,
+)
+
+
+def test_markdown_census_full():
+    md = build_markdown(
+        [("alpha", ["one two three", "four `code [x](y)` five"]),
+         ("beta", ["> quoted words here"])],
+        title="doc 9",
+        links=[("a", "u1"), ("b", "u2")],
+        code_lines=["x = 1", "y = 2"],
+        list_items=["first", "second", "third"],
+    )
+    out = parse_markdown(md)
+    assert out["n_headings"] == 3
+    assert out["heading_levels"] == [1, 2, 2]
+    assert out["n_fences"] == 1
+    assert out["n_code_lines"] == 4  # 2 real + 2 decoys
+    assert out["n_list_items"] == 3
+    assert out["n_quotes"] == 1
+    assert out["n_links"] == 2  # fence decoy + backtick-masked excluded
+
+
+def test_markdown_fence_masks_structure():
+    md = b"```\n# not heading\n- not item\n[x](y)\n```\n# real\n"
+    out = parse_markdown(md)
+    assert out["n_headings"] == 1
+    assert out["n_list_items"] == 0
+    assert out["n_links"] == 0
+    assert out["n_code_lines"] == 3
+
+
+def test_markdown_fence_closer_rules():
+    # closer must be same char, >= length, nothing else on the line
+    out = parse_markdown(b"````\ncode\n```\nstill code\n````\nafter\n")
+    assert out["n_code_lines"] == 3
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_markdown(b"```\n~~~\n")  # tilde cannot close backtick
+
+
+def test_markdown_images_vs_links():
+    out = parse_markdown(b"![alt](img.png) and [text](page)\n")
+    assert out["n_images"] == 1
+    assert out["n_links"] == 1
+    assert out["n_prose_words"] == 3  # "alt and text" survive as prose
+
+
+def test_markdown_ordered_lists():
+    out = parse_markdown(b"1. one\n2) two\n- three\n")
+    assert out["n_list_items"] == 3
