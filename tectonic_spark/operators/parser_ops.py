@@ -10937,3 +10937,341 @@ def s19_stream_attachments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("fmt") == "rtf", 1).otherwise(0)).alias("n_rtf"),
         F.sum("chars").alias("total_chars"),
     )
+
+
+def _asset_src(sf_dir: str) -> tuple[str, int]:
+    """c05_asset_census fixture: every 139th document's host serves ONE
+    non-HTML asset whose KIND cycles by d%6 — XLSX workbook, ODT
+    document, SVG icon, markdown README, ICO favicon, CSV export —
+    each as a WARC ``resource`` record with its real content type, in
+    corpus-scaled shards. Every lane's unit metric is closed-form.
+    Returns (dir, n_shards)."""
+    from tectonic_spark.operators.codecs import encode_ico
+    from tectonic_spark.operators.markdown import build_markdown
+    from tectonic_spark.operators.odf import build_odt
+    from tectonic_spark.operators.ooxml import build_xlsx
+    from tectonic_spark.operators.svg import build_svg
+    from tectonic_spark.operators.warc import build_warc_record, write_warc
+
+    rows = _docs_rows(sf_dir)
+    n_shards = max(4, len(rows) // 15000)
+    base = _fixture_dir(sf_dir)
+    src = os.path.join(base, f"c05_asset_src_{n_shards}")
+    done = os.path.join(src, "_DONE")
+    if os.path.exists(done):
+        return src, n_shards
+    import shutil
+
+    tmp = f"{src}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for d, text, _lang, source, _n in rows:
+        if d % 139 != 87:
+            continue
+        kind = d % 6
+        if kind == 0:
+            r_n = 2 + d % 5
+            sheet = [
+                [d % 100 + 3 * r, f"w{(d + r) % 7}", r + 1]
+                for r in range(r_n)
+            ]
+            payload = build_xlsx([("data", sheet)])
+            ext = "xlsx"
+            ctype = (
+                "application/vnd.openxmlformats-officedocument"
+                ".spreadsheetml.sheet"
+            )
+        elif kind == 1:
+            words = text.split(" ")
+            lines = [
+                " ".join(words[i : i + 8])
+                for i in range(0, len(words), 8)
+            ]
+            payload = build_odt(
+                [(1 if j == 0 else 0, ln) for j, ln in enumerate(lines)],
+                title=f"odt {d}",
+            )
+            ext, ctype = "odt", "application/vnd.oasis.opendocument.text"
+        elif kind == 2:
+            side = 16 + (d % 4) * 16
+            k = 2 + d % 4
+            coords = " ".join(
+                f"{(d + i) % side} {(d * 3 + i * 7) % side}"
+                for i in range(k)
+            )
+            payload = build_svg(
+                width=side,
+                height=side,
+                rects=[(1, 1, 4, 4)],
+                paths=[f"M0 0 L{coords} Z"],
+            )
+            ext, ctype = "svg", "image/svg+xml"
+        elif kind == 3:
+            words = text.split(" ")
+            lines = [
+                " ".join(words[i : i + 8])
+                for i in range(0, len(words), 8)
+            ]
+            ns = 1 + d % 3
+            per = (len(lines) + ns - 1) // ns
+            groups = [
+                lines[i : i + per] for i in range(0, len(lines), per)
+            ]
+            while len(groups) < ns:
+                groups.append([])
+            payload = build_markdown(
+                [(f"section {s}", g) for s, g in enumerate(groups)],
+                title=f"doc {d}",
+            )
+            ext, ctype = "md", "text/markdown"
+        elif kind == 4:
+            n_img = 1 + d % 2
+            payload = encode_ico(
+                [
+                    {
+                        "w": 16 << k,
+                        "h": 16 << k,
+                        "fmt": "png" if (d + k) % 2 == 0 else "bmp",
+                        "pixels": bytes(
+                            (i * (d % 251 + k + 1) + d) % 256
+                            for i in range((16 << k) ** 2 * 3)
+                        ),
+                    }
+                    for k in range(n_img)
+                ]
+            )
+            ext, ctype = "ico", "image/x-icon"
+        else:
+            r2 = 3 + d % 7
+            body = "k,v,q\r\n" + "".join(
+                f'{i},"v,{d}",q{i}\r\n' for i in range(r2)
+            )
+            payload = body.encode()
+            ext, ctype = "csv", "text/csv"
+        shards[d % n_shards].append(
+            build_warc_record(
+                "resource",
+                payload,
+                uri=f"https://{source}.example/asset/{d}.{ext}",
+                date=_WARC_DATE,
+                content_type=ctype,
+            )
+        )
+    for i, recs in enumerate(shards):
+        _write_atomic(
+            os.path.join(tmp, f"asset-{i:03d}.warc.gz"), write_warc(recs)
+        )
+    _write_atomic(os.path.join(tmp, "_DONE"), b"ok")
+    try:
+        os.rename(tmp, src)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+    return src, n_shards
+
+
+@register(
+    "c05_asset_census",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang,
+        CAST(CEIL((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                  / 8.0) AS BIGINT) AS np
+      FROM documents WHERE doc_id % 139 = 87)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_xlsx,
+           CAST(SUM(CASE WHEN doc_id % 6 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_odt,
+           CAST(SUM(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_svg,
+           CAST(SUM(CASE WHEN doc_id % 6 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_md,
+           CAST(SUM(CASE WHEN doc_id % 6 = 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ico,
+           CAST(SUM(CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_csv,
+           CAST(SUM(CASE doc_id % 6
+                WHEN 0 THEN 3 * (2 + doc_id % 5)
+                WHEN 1 THEN np
+                WHEN 2 THEN doc_id % 4 + 4
+                WHEN 3 THEN 2 + doc_id % 3
+                WHEN 4 THEN 1 + doc_id % 2
+                ELSE 3 + doc_id % 7 END) AS BIGINT) AS sum_units
+    FROM d GROUP BY lang
+    """,
+    doc="Wide asset census over the crawl (r13 — the long tail of "
+    "non-HTML things a host serves: spreadsheets, office docs, "
+    "vector icons, READMEs, favicons, CSV exports; a crawl pipeline "
+    "must route ALL of them by what actually arrives): every 139th "
+    "document's host serves one asset cycling d%6 across six "
+    "formats. Routing is the interesting part at the ZIP level — "
+    "PK payloads are told apart by the byte-30 mimetype probe (ODT "
+    "vs EPUB) and, failing that, by parsing [Content_Types].xml "
+    "(XLSX workbook vs DOCX document override — the honest OPC "
+    "route); XML sniffs to SVG, 00 00 01 00 to ICO, a '# ' line to "
+    "markdown; the rest rides the ENGINE'S OWN reference-parity "
+    "CSV parser (core/csv_parser.py, quoted-comma cells included) "
+    "— tying the SURVEY 2.A surface into the crawl story. Each "
+    "lane contributes a closed-form unit metric (cells / "
+    "paragraphs / path commands / headings / images / rows); the "
+    "per-lang rollup pins all six lane populations and the unit "
+    "sum. 100 TB shape: shard-parallel walk, one in-task parse per "
+    "payload, asset bytes never leave the executor, shard count "
+    "scales with the corpus.",
+)
+def c05_asset_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from tectonic_spark.tables import table
+
+    src, _n = _asset_src(sf_dir)
+    files = spark.read.format("binaryFile").load(
+        os.path.join(src, "*.warc.gz")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("fmt", StringType(), True),
+            StructField("units", LongType(), True),
+            StructField("census_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.core.csv_parser import CsvConfig, CsvParser
+        from tectonic_spark.core.result import Failure
+        from tectonic_spark.core.value_builder import ValueBuilderPlate
+        from tectonic_spark.operators.archive import parse_zip
+        from tectonic_spark.operators.codecs import parse_ico
+        from tectonic_spark.operators.markdown import parse_markdown
+        from tectonic_spark.operators.odf import extract_odt
+        from tectonic_spark.operators.ooxml import extract_xlsx
+        from tectonic_spark.operators.svg import census_svg
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf_batch in batches:
+            rows = []
+            for blob in pdf_batch["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "resource":
+                        continue
+                    if "/asset/" not in rec["uri"]:
+                        continue
+                    d = int(rec["uri"].rsplit("/", 1)[1].split(".")[0])
+                    payload = rec["payload"]
+                    if payload[:4] == b"PK\x03\x04":
+                        probe = payload[30:38]
+                        if probe == b"mimetype":
+                            mt = payload[38:90]
+                            if mt.startswith(
+                                b"application/vnd.oasis.opendocument.text"
+                            ):
+                                fmt = "odt"
+                                out = extract_odt(payload)
+                                units = len(out["paragraphs"])
+                                ok = out["title"] == f"odt {d}"
+                            else:
+                                raise ValueError(
+                                    f"asset {d}: unexpected ZIP mimetype"
+                                    f" {mt[:40]!r}"
+                                )
+                        else:
+                            # OPC: decide by [Content_Types].xml
+                            names = {
+                                m["name"] for m in parse_zip(payload)
+                            }
+                            if "xl/workbook.xml" in names:
+                                fmt = "xlsx"
+                                out = extract_xlsx(payload)
+                                units = sum(
+                                    len(r)
+                                    for _, rws in out["sheets"]
+                                    for r in rws
+                                )
+                                ok = (
+                                    len(out["sheets"]) == 1
+                                    and out["n_shared_unique"]
+                                    == 2 + d % 5
+                                )
+                            elif "word/document.xml" in names:
+                                fmt = "docx"
+                                units = 0
+                                ok = False  # no docx lane in this census
+                            else:
+                                raise ValueError(
+                                    f"asset {d}: unroutable OPC package"
+                                )
+                    elif payload[:4] == b"\x00\x00\x01\x00":
+                        fmt = "ico"
+                        imgs = parse_ico(payload)
+                        units = len(imgs)
+                        ok = all(
+                            im["w"] == 16 << k
+                            for k, im in enumerate(imgs)
+                        )
+                    elif payload[:5] == b"<?xml" or payload[:4] == b"<svg":
+                        fmt = "svg"
+                        out = census_svg(payload)
+                        units = out["path_commands"]
+                        ok = (
+                            out["counts"]["rect"] == 1
+                            and out["endpoints"][0] == (0, 0)
+                        )
+                    elif payload[:2] == b"# ":
+                        fmt = "md"
+                        out = parse_markdown(payload)
+                        units = out["n_headings"]
+                        ok = out["heading_levels"][0] == 1
+                    else:
+                        fmt = "csv"
+                        parser = CsvParser(
+                            ValueBuilderPlate(), CsvConfig()
+                        )
+                        res = parser.absorb(payload)
+                        if isinstance(res, Failure):
+                            raise res.error
+                        crows = list(res.value)
+                        res = parser.finish()
+                        if isinstance(res, Failure):
+                            raise res.error
+                        crows.extend(res.value)
+                        units = len(crows)
+                        ok = all(
+                            r["v"] == f"v,{d}" and r["q"] == f"q{i}"
+                            for i, r in enumerate(crows)
+                        )
+                    want = ("xlsx", "odt", "svg", "md", "ico", "csv")[
+                        d % 6
+                    ]
+                    rows.append((d, fmt, units, ok and fmt == want))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "units", "census_ok"]
+            )
+
+    assets = files.select("content").mapInPandas(walk, schema)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = assets.join(docs, "doc_id", "inner")
+    bad = joined.filter(~F.col("census_ok")).count()
+    if bad:
+        raise RuntimeError(f"c05_asset_census: {bad} assets failed census")
+    agg_cols = [
+        F.count(F.lit(1)).alias("n_assets"),
+    ]
+    for name in ("xlsx", "odt", "svg", "md", "ico", "csv"):
+        agg_cols.append(
+            F.sum(F.when(F.col("fmt") == name, 1).otherwise(0)).alias(
+                f"n_{name}"
+            )
+        )
+    agg_cols.append(F.sum("units").alias("sum_units"))
+    return joined.groupBy("lang").agg(*agg_cols)
