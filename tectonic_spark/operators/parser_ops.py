@@ -10707,6 +10707,62 @@ def c05_attachment_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _route_attachment(payload: bytes, d: int) -> tuple[str, str, bool]:
+    """Route ONE attachment payload by signature → (fmt, extracted text
+    re-joined to the source layout, fixture pins ok).  The routing
+    brain shared by attachment_extract_kernel and
+    attachment_text_kernel."""
+    from tectonic_spark.operators.epub import extract_epub
+    from tectonic_spark.operators.ooxml import extract_docx
+    from tectonic_spark.operators.pdf import analyze_pdf
+    from tectonic_spark.operators.rtf import extract_rtf
+
+    if payload[:4] == b"%PDF":
+        fmt = "pdf"
+        info, pages = analyze_pdf(payload)
+        rejoined = " ".join(
+            ln for pg in pages for ln in pg.split("\n") if ln
+        )
+        ok = info["title"] == f"doc {d}" and info["n_pages"] == 1 + d % 3
+    elif payload[:4] == b"PK\x03\x04":
+        # OCF probe: an EPUB's first local header is the stored
+        # 'mimetype' member, so the literal
+        # 'mimetypeapplication/epub+zip' sits at byte 30
+        if payload[30:58] == b"mimetypeapplication/epub+zip":
+            fmt = "epub"
+            out = extract_epub(payload)
+            rejoined = " ".join(
+                ln
+                for _, body in out["chapters"]
+                for ln in body.split("\n")
+                if ln
+            )
+            ok = (
+                out["title"] == f"doc {d}"
+                and len(out["chapters"]) == 1 + d % 3
+                and out["spine_ids"][0] == f"c{d % (1 + d % 3)}"
+            )
+        else:
+            fmt = "docx"
+            out = extract_docx(payload)
+            rejoined = " ".join(t for _, t in out["paragraphs"])
+            ok = (
+                out["title"] == f"doc {d}"
+                and out["creator"] == "crawler"
+            )
+    elif payload[:5] == b"{\\rtf":
+        fmt = "rtf"
+        out = extract_rtf(payload)
+        rejoined = " ".join(out["text"].split("\n"))
+        ok = out["title"] == f"doc {d}"
+    else:
+        raise ValueError(
+            f"unknown attachment signature {payload[:8]!r}"
+        )
+    want_fmt = ("pdf", "docx", "epub", "rtf")[d % 4]
+    return fmt, rejoined, ok and fmt == want_fmt
+
+
 def attachment_extract_kernel(files: DataFrame) -> DataFrame:
     """Attachment-routing stage: a DataFrame with a binary ``content``
     column of WARC shard bytes → (doc_id, fmt, chars, extract_ok) per
@@ -10735,10 +10791,6 @@ def attachment_extract_kernel(files: DataFrame) -> DataFrame:
     def walk(batches):
         import pandas as pd
 
-        from tectonic_spark.operators.epub import extract_epub
-        from tectonic_spark.operators.ooxml import extract_docx
-        from tectonic_spark.operators.pdf import analyze_pdf
-        from tectonic_spark.operators.rtf import extract_rtf
         from tectonic_spark.operators.warc import parse_warc
 
         for pdf_batch in batches:
@@ -10750,67 +10802,58 @@ def attachment_extract_kernel(files: DataFrame) -> DataFrame:
                     if "/attach/" not in rec["uri"]:
                         continue
                     d = int(rec["uri"].rsplit("/", 1)[1].split(".")[0])
-                    payload = rec["payload"]
-                    if payload[:4] == b"%PDF":
-                        fmt = "pdf"
-                        info, pages = analyze_pdf(payload)
-                        rejoined = " ".join(
-                            ln
-                            for pg in pages
-                            for ln in pg.split("\n")
-                            if ln
-                        )
-                        ok = (
-                            info["title"] == f"doc {d}"
-                            and info["n_pages"] == 1 + d % 3
-                        )
-                    elif payload[:4] == b"PK\x03\x04":
-                        # OCF probe: an EPUB's first local header is the
-                        # stored 'mimetype' member, so the literal
-                        # 'mimetypeapplication/epub+zip' sits at byte 30
-                        if payload[30:58] == (
-                            b"mimetypeapplication/epub+zip"
-                        ):
-                            fmt = "epub"
-                            out = extract_epub(payload)
-                            rejoined = " ".join(
-                                ln
-                                for _, body in out["chapters"]
-                                for ln in body.split("\n")
-                                if ln
-                            )
-                            ok = (
-                                out["title"] == f"doc {d}"
-                                and len(out["chapters"]) == 1 + d % 3
-                                and out["spine_ids"][0]
-                                == f"c{d % (1 + d % 3)}"
-                            )
-                        else:
-                            fmt = "docx"
-                            out = extract_docx(payload)
-                            rejoined = " ".join(
-                                t for _, t in out["paragraphs"]
-                            )
-                            ok = (
-                                out["title"] == f"doc {d}"
-                                and out["creator"] == "crawler"
-                            )
-                    elif payload[:5] == b"{\\rtf":
-                        fmt = "rtf"
-                        out = extract_rtf(payload)
-                        rejoined = " ".join(out["text"].split("\n"))
-                        ok = out["title"] == f"doc {d}"
-                    else:
-                        raise ValueError(
-                            f"unknown attachment signature"
-                            f" {payload[:8]!r}"
-                        )
-                    want_fmt = ("pdf", "docx", "epub", "rtf")[d % 4]
-                    rows.append(
-                        (d, fmt, len(rejoined), ok and fmt == want_fmt)
+                    fmt, rejoined, ok = _route_attachment(
+                        rec["payload"], d
                     )
+                    rows.append((d, fmt, len(rejoined), ok))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "fmt", "chars", "extract_ok"]
+            )
+
+    return files.select("content").mapInPandas(walk, schema)
+
+
+def attachment_text_kernel(files: DataFrame) -> DataFrame:
+    """Same routing brain, text-bearing output: (doc_id, fmt, text,
+    extract_ok) — the stage a downstream corpus pipeline consumes
+    (c04_attachment_corpus)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("fmt", StringType(), True),
+            StructField("text", StringType(), True),
+            StructField("extract_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches):
+        import pandas as pd
+
+        from tectonic_spark.operators.warc import parse_warc
+
+        for pdf_batch in batches:
+            rows = []
+            for blob in pdf_batch["content"]:
+                for rec in parse_warc(bytes(blob)):
+                    if rec["type"] != "resource":
+                        continue
+                    if "/attach/" not in rec["uri"]:
+                        continue
+                    d = int(rec["uri"].rsplit("/", 1)[1].split(".")[0])
+                    fmt, rejoined, ok = _route_attachment(
+                        rec["payload"], d
+                    )
+                    rows.append((d, fmt, rejoined, ok))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "text", "extract_ok"]
             )
 
     return files.select("content").mapInPandas(walk, schema)
@@ -11275,3 +11318,66 @@ def c05_asset_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     agg_cols.append(F.sum("units").alias("sum_units"))
     return joined.groupBy("lang").agg(*agg_cols)
+
+
+@register(
+    "c04_attachment_corpus",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang,
+        LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS wc,
+        LENGTH(REPLACE(text, ' ', '')) AS cc,
+        CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+             WHEN 2 THEN 'epub' ELSE 'rtf' END AS fmt
+      FROM documents WHERE doc_id % 107 = 63)
+    SELECT lang, fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN wc >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(wc) AS BIGINT) AS total_words,
+           CAST(SUM(cc) AS DOUBLE) / SUM(wc) AS mean_word_len
+    FROM d GROUP BY lang, fmt
+    """,
+    doc="Training-corpus statistics over EXTRACTED attachment text "
+    "(r13 — the composition that closes the document-format arc: "
+    "extraction is the Python stage, corpus analytics stay "
+    "JVM-side): the c05 attachment shards flow through "
+    "attachment_text_kernel (the same routing brain as batch c05 "
+    "and streaming s19, text-bearing output), then EVERY metric is "
+    "computed with built-in Catalyst expressions over the extracted "
+    "text column — split/size word counts, space-stripped char "
+    "counts, a wc>=30 quality gate, and mean word length as "
+    "exact-integer sums with ONE double division (the davg "
+    "contract, bit-identical cross-engine). The oracle computes "
+    "the same statistics from the SOURCE documents table — they "
+    "can only match if extraction reproduced every document "
+    "byte-for-byte through four different container formats. "
+    "100 TB shape: shard-parallel extraction, JVM-side analytics, "
+    "one shuffle for the (lang, fmt) rollup.",
+)
+def c04_attachment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.tables import table
+
+    src, _n = _attachment_src(sf_dir)
+    files = spark.read.format("binaryFile").load(
+        os.path.join(src, "*.warc.gz")
+    )
+    texts = attachment_text_kernel(files)
+    bad = texts.filter(~F.col("extract_ok")).count()
+    if bad:
+        raise RuntimeError(f"c04_attachment_corpus: {bad} extractions bad")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    enriched = (
+        texts.join(docs, "doc_id", "inner")
+        .withColumn("wc", F.size(F.split(F.col("text"), " ")))
+        .withColumn(
+            "cc", F.length(F.regexp_replace(F.col("text"), " ", ""))
+        )
+    )
+    return enriched.groupBy("lang", "fmt").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("wc") >= 30, 1).otherwise(0)).alias("n_kept"),
+        F.sum("wc").alias("total_words"),
+        (F.sum("cc").cast("double") / F.sum("wc")).alias("mean_word_len"),
+    )

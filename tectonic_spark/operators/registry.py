@@ -99,6 +99,7 @@ PRIORITY: list[str] = [
     "s19_stream_attachments",  # streaming form of c05 attachment routing
     "m39_svg_census",  # path-data grammar: implicit repeats, arc flags
     "c03_markdown_census",  # fence state machine masks decoy structure
+    "c05_asset_census",  # six-format crawl asset routing incl. engine CSV
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding
