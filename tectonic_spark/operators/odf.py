@@ -104,7 +104,10 @@ def _para_xml(text: str) -> str:
     for i, chunk in enumerate(chunks):
         if not chunk and i > 0:
             continue
-        if i == 0 and len(chunks) > 1 and chunks[1]:
+        # the separator space between the two runs belongs to run 0 —
+        # and it exists whenever words continue past the split point,
+        # even if the remainder joins to "" (a trailing-space word)
+        if i == 0 and len(words) > mid:
             chunk += " "
         parts = []
         for j, seg in enumerate(chunk.split("\t")):

@@ -171,8 +171,10 @@ def _runs_xml(p: str, text: str) -> str:
         if not chunk and i > 0:
             continue
         # inner boundary: first run keeps its trailing space so the
-        # concatenation of run texts reproduces the paragraph exactly
-        if i == 0 and len(chunks) > 1 and chunks[1]:
+        # concatenation of run texts reproduces the paragraph exactly —
+        # the separator exists whenever words continue past the split
+        # point, even if the remainder joins to "" (trailing space)
+        if i == 0 and len(words) > mid:
             chunk += " "
         parts = []
         for j, seg in enumerate(chunk.split("\t")):

@@ -138,11 +138,12 @@ PRIORITY: list[str] = [
     "a02_csv_scan",  # r4
     "a03_projection_pushdown",  # r4
     "a04_filter_pushdown",  # r4
-    # (r13 session 3: the eleven document-format/structured-data/
-    # markdown/svg registrations above displaced the fill tail — the
-    # 50-name window now ends at a02_csv_scan; a03-a06/a13/a17/a18/
-    # b01-b14/c01 heads/c02_ann_lsh drop out; they keep their r4
-    # driver rows and stay under the local full sweep + sf1 gates)
+    # (r13 session 3: the thirteen document-format/structured-data/
+    # markdown/svg/corpus registrations above displaced the fill tail
+    # — the 50-name window now ends at q11_important_stock;
+    # a01-a06/a13/a17/a18/b01-b14/c01 heads/c02_ann_lsh drop out;
+    # they keep their r4 driver rows and stay under the local full
+    # sweep + sf1 gates)
     # ==================== end r13 window ====================
     # --- r12 tier 2: registered this round (first driver rows) ---
     "a38_temporal_index_lookup",  # temporal answers from the zipnum index
