@@ -5096,3 +5096,112 @@ def m39_svg_census(spark, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(walk, schema)
+
+
+@register(
+    "m40_ods_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id, CAST(2 + doc_id % 5 AS BIGINT) AS R
+      FROM documents WHERE doc_id % 149 = 91)
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS BIGINT) AS n_sheets,
+           R + doc_id % 2 AS n_rows,
+           4 * R + 2 * (doc_id % 2) AS n_cells,
+           3 * R + 2 * (doc_id % 2) AS n_repeated,
+           CAST(3 * (R * (doc_id % 7) + R * (R - 1) / 2)
+                + 100 * R + R * (R - 1) / 2 AS BIGINT) AS sum_numeric,
+           TRUE AS extract_ok
+    FROM d
+    """,
+    doc="OpenDocument Spreadsheet .ods extraction (r13, odf.py ODS "
+    "layer — completing the spreadsheet pair the way odt completed "
+    "the document pair): every 149th document carries a workbook "
+    "whose rows exercise the ODF storage quirk that matters at "
+    "parse time — table:number-columns-repeated compresses each "
+    "row's run of three identical numeric cells (LibreOffice emits "
+    "this for ANY repetition), and every second doc adds a string "
+    "sheet with a repeated text cell. The extractor expands runs "
+    "exactly ONCE each (n_repeated audits that the expansion "
+    "actually ran), recovers typed values (int-vs-float identity "
+    "guards the run comparison: 5 and 5.0 never merge), and "
+    "extract_ok folds cell-exact comparison against the generator. "
+    "Counts and the numeric sum are closed-form. 100 TB shape: "
+    "per-payload build+parse in Arrow-batched mapInPandas, no "
+    "shuffle.",
+)
+def m40_ods_extract(spark, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import BooleanType
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 149 == 91)
+    )
+    docs = spread_small_scan(docs, spark, "doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("n_sheets", LongType(), True),
+            StructField("n_rows", LongType(), True),
+            StructField("n_cells", LongType(), True),
+            StructField("n_repeated", LongType(), True),
+            StructField("sum_numeric", LongType(), True),
+            StructField("extract_ok", BooleanType(), True),
+        ]
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tectonic_spark.operators.odf import build_ods, extract_ods
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                r_n = 2 + d % 5
+                data_rows = [
+                    [d % 7 + r] * 3 + [100 + r] for r in range(r_n)
+                ]
+                sheets = [("data", data_rows)]
+                if d % 2 == 1:
+                    sheets.append(("tags", [["t", "t"]]))
+                payload = build_ods(sheets)
+                out = extract_ods(payload)
+                if out["sheets"] != sheets:
+                    raise ValueError(f"doc {d}: ods extraction drift")
+                total_rows = sum(len(rws) for _, rws in out["sheets"])
+                total_cells = sum(
+                    len(row) for _, rws in out["sheets"] for row in rws
+                )
+                sum_numeric = sum(
+                    v
+                    for _, rws in out["sheets"]
+                    for row in rws
+                    for v in row
+                    if not isinstance(v, str)
+                )
+                rows.append(
+                    (
+                        d,
+                        len(out["sheets"]),
+                        total_rows,
+                        total_cells,
+                        out["n_repeated_cells"],
+                        int(sum_numeric),
+                        out["n_repeated_cells"]
+                        == 3 * r_n + 2 * (d % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_sheets",
+                    "n_rows",
+                    "n_cells",
+                    "n_repeated",
+                    "sum_numeric",
+                    "extract_ok",
+                ],
+            )
+
+    return docs.mapInPandas(walk, schema)

@@ -301,3 +301,164 @@ def _span_text(span: Element, scope: dict) -> str:
         else:
             raise ValueError(f"odt: unexpected span child text:{il}")
     return "".join(out)
+
+
+# ------------------------------------------------------------ ODS layer
+# OpenDocument Spreadsheet — the ODF tabular sibling (the xlsx/ooxml
+# relationship mirrored): office:spreadsheet → table:table →
+# table:table-row → table:table-cell, typed values via
+# office:value-type / office:value, strings as text:p children, and
+# the ODF storage quirk that matters at parse time:
+# ``table:number-columns-repeated`` compresses runs of identical
+# cells (LibreOffice emits it for any repetition, including the
+# trailing-empty fill real sheets always have).
+
+TABLE_NS = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+ODS_MIMETYPE = b"application/vnd.oasis.opendocument.spreadsheet"
+
+
+def build_ods(
+    sheets: list[tuple[str, list[list]]],
+    *,
+    repeat_compress: bool = True,
+) -> bytes:
+    """Serialize an .ods.  Cells are int/float/str.  With
+    ``repeat_compress`` (the LibreOffice-faithful default), horizontal
+    runs of identical cells are stored ONCE with
+    ``table:number-columns-repeated``."""
+    body = []
+    for name, rows in sheets:
+        body.append(f'<table:table table:name="{_esc(name)}">')
+        for row in rows:
+            body.append("<table:table-row>")
+            c = 0
+            while c < len(row):
+                v = row[c]
+                run = 1
+                if repeat_compress:
+                    while c + run < len(row) and row[c + run] == v and (
+                        type(row[c + run]) is type(v)
+                    ):
+                        run += 1
+                rep = (
+                    f' table:number-columns-repeated="{run}"'
+                    if run > 1
+                    else ""
+                )
+                if isinstance(v, str):
+                    body.append(
+                        f'<table:table-cell{rep} office:value-type='
+                        f'"string"><text:p>{_esc(v)}</text:p>'
+                        "</table:table-cell>"
+                    )
+                else:
+                    body.append(
+                        f'<table:table-cell{rep} office:value-type='
+                        f'"float" office:value="{v!r}"/>'
+                    )
+                c += run
+            body.append("</table:table-row>")
+        body.append("</table:table>")
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{OFFICE_NS}"'
+        f' xmlns:table="{TABLE_NS}" xmlns:text="{TEXT_NS}"'
+        ' office:version="1.2">'
+        "<office:body><office:spreadsheet>"
+        + "".join(body)
+        + "</office:spreadsheet></office:body></office:document-content>"
+    ).encode()
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<manifest:manifest xmlns:manifest="{MANIFEST_NS}"'
+        ' manifest:version="1.2">'
+        '<manifest:file-entry manifest:full-path="/"'
+        f' manifest:media-type="{ODS_MIMETYPE.decode()}"/>'
+        '<manifest:file-entry manifest:full-path="content.xml"'
+        ' manifest:media-type="text/xml"/>'
+        "</manifest:manifest>"
+    ).encode()
+    return build_zip(
+        [
+            ("mimetype", ODS_MIMETYPE, "stored"),
+            ("META-INF/manifest.xml", manifest, "deflate"),
+            ("content.xml", content, "deflate"),
+        ]
+    )
+
+
+def extract_ods(data: bytes) -> dict:
+    """Parse an .ods → ``{sheets: [(name, rows)], n_repeated_cells}``
+    with repeated-cell runs expanded and typed values recovered;
+    ``n_repeated_cells`` counts cells that arrived compressed (the
+    audit that the expansion actually ran)."""
+    members = parse_zip(data)
+    if not members or members[0]["name"] != "mimetype":
+        raise ValueError("ods: first member must be 'mimetype' (ODF 1.2)")
+    if members[0]["method"] != 0:
+        raise ValueError("ods: mimetype member must be stored")
+    if members[0]["data"] != ODS_MIMETYPE:
+        raise ValueError("ods: wrong mimetype payload")
+    by_name = {m["name"]: m["data"] for m in members}
+    if "content.xml" not in by_name:
+        raise ValueError("ods: missing content.xml")
+    root = parse_xml(by_name["content.xml"], preserve_space=True)
+    u, l, scope = _resolve(root, {})
+    if (u, l) != (OFFICE_NS, "document-content"):
+        raise ValueError("ods: root is not office:document-content")
+    sheets: list[tuple[str, list[list]]] = []
+    n_repeated = 0
+    for body in _kids(root, scope, OFFICE_NS, "body"):
+        for ss in _kids(body[0], body[1], OFFICE_NS, "spreadsheet"):
+            for tbl, tscope in _kids(ss[0], ss[1], TABLE_NS, "table"):
+                name = _attr(tbl, tscope, TABLE_NS, "name")
+                if name is None:
+                    raise ValueError("ods: table without a name")
+                rows: list[list] = []
+                for tr, trs in _kids(tbl, tscope, TABLE_NS, "table-row"):
+                    row: list = []
+                    for cell, cs in _kids(
+                        tr, trs, TABLE_NS, "table-cell"
+                    ):
+                        rep_s = _attr(
+                            cell, cs, TABLE_NS, "number-columns-repeated"
+                        )
+                        rep = int(rep_s) if rep_s is not None else 1
+                        if rep < 1:
+                            raise ValueError(
+                                f"ods: non-positive repeat {rep}"
+                            )
+                        vt = _attr(cell, cs, OFFICE_NS, "value-type")
+                        if vt == "float":
+                            raw = _attr(cell, cs, OFFICE_NS, "value")
+                            if raw is None:
+                                raise ValueError(
+                                    "ods: float cell without a value"
+                                )
+                            v = (
+                                int(raw)
+                                if raw.lstrip("-").isdigit()
+                                else float(raw)
+                            )
+                        elif vt == "string":
+                            ps = _kids(cell, cs, TEXT_NS, "p")
+                            if not ps:
+                                raise ValueError(
+                                    "ods: string cell without text:p"
+                                )
+                            v = "\n".join(p[0].text for p in ps)
+                        elif vt is None:
+                            v = None  # covering empty cell
+                        else:
+                            raise NotImplementedError(
+                                f"ods: value-type {vt!r} (dates/"
+                                "currency are out of the fixture grammar)"
+                            )
+                        if rep > 1:
+                            n_repeated += rep
+                        row.extend([v] * rep)
+                    rows.append(row)
+                sheets.append((name, rows))
+    if not sheets:
+        raise ValueError("ods: no tables in the spreadsheet")
+    return {"sheets": sheets, "n_repeated_cells": n_repeated}

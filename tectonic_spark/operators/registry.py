@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     "c03_markdown_census",  # fence state machine masks decoy structure
     "c05_asset_census",  # six-format crawl asset routing incl. engine CSV
     "c04_attachment_corpus",  # JVM-side corpus stats over extracted text
+    "m40_ods_extract",  # ODS: number-columns-repeated expansion audit
     # --- r13 tier 3: changed code this round — brotli.py closed both
     # decoder boundaries (dictionary + context modes) and warc.py
     # gained the native fast path + decode caps, so every query riding

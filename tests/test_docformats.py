@@ -690,3 +690,84 @@ def test_markdown_images_vs_links():
 def test_markdown_ordered_lists():
     out = parse_markdown(b"1. one\n2) two\n- three\n")
     assert out["n_list_items"] == 3
+
+
+# -------------------------------------------------------------------- ODS
+
+from tectonic_spark.operators.odf import build_ods, extract_ods  # noqa: E402
+
+ODS_SHEETS = [
+    ("data", [[5, 5, 5, "x", "x", 7], [1, 2, 3], ["a", "a", "a", "a"]]),
+    ("extra", [[9]]),
+]
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_ods_roundtrip(compress):
+    out = extract_ods(build_ods(ODS_SHEETS, repeat_compress=compress))
+    assert out["sheets"] == ODS_SHEETS
+    assert (out["n_repeated_cells"] > 0) == compress
+
+
+def test_ods_type_identity_guards_runs():
+    # 5 and 5.0 compare equal in Python but are different cells
+    mixed = [("s", [[5, 5.0, 5]])]
+    out = extract_ods(build_ods(mixed))
+    assert out["sheets"] == mixed
+    assert out["n_repeated_cells"] == 0
+
+
+def test_ods_floats():
+    sheets = [("s", [[1.5, 1.5, -2.25]])]
+    out = extract_ods(build_ods(sheets))
+    assert out["sheets"] == sheets
+    assert out["n_repeated_cells"] == 2
+
+
+def test_ods_mimetype_rule():
+    from tectonic_spark.operators.archive import parse_zip
+
+    good = build_ods(ODS_SHEETS)
+    deflated = build_zip(
+        [(m["name"], m["data"], "deflate") for m in parse_zip(good)]
+    )
+    with pytest.raises(ValueError, match="stored"):
+        extract_ods(deflated)
+
+
+def test_ods_bad_repeat_refused():
+    from tectonic_spark.operators.archive import parse_zip
+
+    good = build_ods([("s", [[3, 3]])])
+    members = []
+    for m in parse_zip(good):
+        body = m["data"]
+        if m["name"] == "content.xml":
+            body = body.replace(
+                b'table:number-columns-repeated="2"',
+                b'table:number-columns-repeated="0"',
+            )
+        members.append(
+            (m["name"], body,
+             "stored" if m["name"] == "mimetype" else "deflate")
+        )
+    with pytest.raises(ValueError, match="non-positive repeat"):
+        extract_ods(build_zip(members))
+
+
+def test_ods_unknown_value_type_refused():
+    from tectonic_spark.operators.archive import parse_zip
+
+    good = build_ods([("s", [[3]])])
+    members = []
+    for m in parse_zip(good):
+        body = m["data"]
+        if m["name"] == "content.xml":
+            body = body.replace(b'office:value-type="float"',
+                                b'office:value-type="date"')
+        members.append(
+            (m["name"], body,
+             "stored" if m["name"] == "mimetype" else "deflate")
+        )
+    with pytest.raises(NotImplementedError, match="value-type"):
+        extract_ods(build_zip(members))
