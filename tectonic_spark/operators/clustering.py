@@ -7,11 +7,13 @@ web-scale through semantic deduplication", arXiv:2303.09540, public).
 Scale design (the 100 TB story):
 
 * **k-means assignment never shuffles the corpus — zero exchanges.**
-  The K centroids are packed into ONE broadcast row (a cid-sorted
-  array<struct>) and the argmin is a map-side ``F.aggregate`` fold over
-  that array inside whole-stage codegen: each vector is scored and
-  assigned in place, with no crossJoin fan-out and no per-vector
-  exchange at any iteration.
+  The argmin runs map-side as one vectorized Arrow-batch kernel per
+  partition against the K x DIM centroid matrix (collected between
+  iterations — the bounded-metadata concession MLlib makes); each
+  vector is scored and assigned in place, with no crossJoin fan-out
+  and no per-vector exchange at any iteration. (r13: this replaced an
+  interpreted ``F.aggregate`` fold — same arithmetic bit-for-bit, see
+  ``_assign`` — after the fold measured as the slowest sf1 bench row.)
 * **The centroid update shuffles K x DIM partials, not vectors.**
   ``posexplode`` fans each assigned vector into (cid, pos, x) map-side;
   partial aggregation reduces every partition to at most K x DIM rows
@@ -61,48 +63,90 @@ DIM = 64
 SEM_TAU = 0.45  # within-cluster cosine threshold for semantic near-dups
 
 
-def _sq_dist(e: Column, ce: Column) -> Column:
-    """Squared L2 distance, left-fold over DIM terms, rounded to 6 dp
-    (the cross-engine argmin comparison key)."""
-    return F.round(
-        F.aggregate(
-            F.zip_with(e, ce, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
+def spark_round6(a: "np.ndarray") -> "np.ndarray":
+    """Bit-exact replica of Spark's ``round(double, 6)`` over an array.
+
+    Spark's Round on DoubleType evaluates
+    ``BigDecimal(Double.toString(x)).setScale(6, HALF_UP).toDouble`` —
+    i.e. it rounds the SHORTEST decimal representation of the double,
+    half-up, then converts back. Python's ``repr(float)`` is the same
+    shortest round-trip representation, so
+    ``Decimal(repr(x)).quantize(1e-6, ROUND_HALF_UP)`` reproduces it
+    digit-for-digit (pinned against F.round by
+    tests/test_clustering.py::test_python_round6_matches_spark_round).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    flat = a.ravel()
+    out = np.empty(flat.shape, dtype=np.float64)
+    for i in range(flat.size):
+        out[i] = float(Decimal(repr(flat[i])).quantize(q6, ROUND_HALF_UP))
+    return out.reshape(a.shape)
 
 
-def _assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+def _exact_sq_dists(m: "np.ndarray", cm: "np.ndarray") -> "np.ndarray":
+    """(n, K) squared distances with the FOLD's summation order: for each
+    (row, centroid) the terms (e[d]-ce[d])^2 accumulate left-to-right over
+    d — one vectorized elementwise step per dimension, so every scalar sum
+    is ``((t0 + t1) + t2) ...``, bit-identical to the old Catalyst fold's
+    ``((0.0 + t0) + t1) ...`` (IEEE: 0.0 + t == t for the non-negative
+    squared terms). No matmul, no pairwise summation."""
+    n, kk = m.shape[0], cm.shape[0]
+    d2 = np.empty((n, kk), dtype=np.float64)
+    for j in range(kk):
+        diff = m[:, 0] - cm[j, 0]
+        acc = diff * diff
+        for d in range(1, cm.shape[1]):
+            diff = m[:, d] - cm[j, d]
+            acc = acc + diff * diff
+        d2[:, j] = acc
+    return d2
+
+
+def _assign(v: DataFrame, cent: DataFrame, k: int = K) -> DataFrame:
     """Nearest-centroid assignment with ZERO corpus shuffle.
 
-    The K centroids are packed into ONE row holding a cid-sorted
-    array<struct<cid, ce>>, broadcast, and the argmin runs as a map-side
-    ``F.aggregate`` fold over that array — no crossJoin fan-out, no
-    per-vector exchange. Ties keep the lower cid (strict ``<`` against a
-    cid-ascending array). Returns (vec_id, e, cid, rdist).
+    r13 optimization (guide §4.2): the previous implementation evaluated
+    an ``F.aggregate`` fold over a broadcast centroid array — a
+    CodegenFallback higher-order function interpreting ~K x 2 x DIM lambda
+    steps with an InternalRow allocation per step, the slowest sf1 bench
+    row at 17 s. (Unrolling the fold into K codegen expressions was tried
+    first and is WORSE: the 64-term chains blow janino's 64 KB method cap
+    and fall back to interpreted projection, 46 s.) The assignment now
+    runs as one vectorized Arrow-batch kernel per partition; the K x DIM
+    centroid matrix crosses the driver between iterations — the same
+    bounded-metadata concession MLlib's k-means and this module's
+    ``kmeans_scaled_df`` already make. The corpus still never shuffles
+    and never touches the driver.
+
+    Bit-exactness vs the fold (the oracle contract is unchanged):
+    :func:`_exact_sq_dists` reproduces the fold's left-to-right summation
+    order per (row, centroid); :func:`spark_round6` reproduces
+    ``F.round(_, 6)`` digit-for-digit; ``np.argmin`` over cid-ascending
+    columns keeps the first (lowest-cid) minimum — the fold's strict-<
+    tie-break. Returns (vec_id, e, cid, rdist).
     """
-    packed = cent.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cents")
-    )
-    zero = F.struct(
-        F.lit(float("inf")).alias("rdist"), F.lit(-1).cast("long").alias("cid")
-    )
+    from pyspark.sql.functions import pandas_udf
 
-    def step(acc: Column, c: Column) -> Column:
-        rd = _sq_dist(F.col("e"), c["ce"])
-        cand = F.struct(rd.alias("rdist"), c["cid"].alias("cid"))
-        better = (cand["rdist"] < acc["rdist"]) | (
-            (cand["rdist"] == acc["rdist"]) & (cand["cid"] < acc["cid"])
+    cp = cent.toPandas().sort_values("cid")
+    cm = np.stack(cp["ce"].to_numpy()).astype(np.float64)
+    cids = cp["cid"].to_numpy().astype(np.int64)
+
+    @pandas_udf("struct<cid: long, rdist: double>")
+    def best(e: pd.Series) -> pd.DataFrame:
+        if len(e) == 0:
+            return pd.DataFrame({"cid": pd.Series([], dtype="int64"),
+                                 "rdist": pd.Series([], dtype="float64")})
+        m = np.stack(e.to_numpy()).astype(np.float64)
+        r = spark_round6(_exact_sq_dists(m, cm))
+        idx = np.argmin(r, axis=1)  # first min wins == lowest cid
+        return pd.DataFrame(
+            {"cid": cids[idx], "rdist": r[np.arange(len(m)), idx]}
         )
-        return F.when(better, cand).otherwise(acc)
 
-    best = F.aggregate(F.col("cents"), zero, step)
-    return (
-        v.crossJoin(F.broadcast(packed))
-        .withColumn("b", best)
-        .select("vec_id", "e", F.col("b.cid").alias("cid"), F.col("b.rdist").alias("rdist"))
+    return v.withColumn("b", best("e")).select(
+        "vec_id", "e", F.col("b.cid").alias("cid"), F.col("b.rdist").alias("rdist")
     )
 
 
@@ -140,10 +184,19 @@ def kmeans_df(
     vector: (vec_id, cluster, dist2)."""
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    # local-scale fan-out: a tiny corpus arrives in 1-2 parquet splits,
+    # serializing the Arrow assignment kernel and the update's map-side
+    # partials; at real scale the scan already yields thousands of
+    # splits and this is a no-op (tables.spread_small_scan contract).
+    # Assignments are partitioning-invariant (decimal sums; pinned by
+    # test_kmeans_partitioning_invariant), so results are unchanged.
+    from tectonic_spark.tables import spread_small_scan
+
+    v = spread_small_scan(v, spark)
     cent = _seed_centroids(v, k)
     for _ in range(iters):
-        cent = _update(_assign(v, cent))
-    final = _assign(v, cent)
+        cent = _update(_assign(v, cent, k))
+    final = _assign(v, cent, k)
     return final.select(
         "vec_id", F.col("cid").alias("cluster"), F.col("rdist").alias("dist2")
     )
@@ -197,9 +250,10 @@ def _kmeans_oracle(k: int = K, iters: int = ITERS, with_dist: bool = True) -> st
     oracle=_kmeans_oracle(),
     doc=f"Distributed k-means (K={K}, {ITERS} Lloyd iterations, "
     "deterministic lowest-vec_id seeds) over the embeddings table, output "
-    "one (vec_id, cluster, dist2) row per vector. The whole loop is one "
-    "Catalyst plan: assignment is a map-side fold over a single broadcast "
-    "centroid-array row (zero corpus exchanges, plan-asserted), the "
+    "one (vec_id, cluster, dist2) row per vector. Assignment is a "
+    "map-side vectorized Arrow kernel against the K x DIM centroid "
+    "matrix (zero corpus exchanges, plan-asserted; only the centroid "
+    "matrix crosses the driver between iterations, MLlib-style), the "
     "centroid update shuffles at most K x DIM decimal partials per "
     "partition, and the corpus itself is never shuffled. Exact oracle despite float "
     "iteration: centroid means are order-insensitive decimal sums of "
@@ -291,9 +345,19 @@ def c02_kmeans_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    """Unrolled dot product over the fixed DIM (r13 optimization): the
+    previous ``F.aggregate`` fold is a CodegenFallback higher-order
+    function interpreted per element — Catalyst pushes SemDeDup's ``sim``
+    filter into the pairwise join condition, so the fold ran per
+    CANDIDATE PAIR (a thread dump showed one task burning 13 min in
+    ``ArrayAggregate.eval`` inside ``HashJoin.boundCondition`` at sf1).
+    The unrolled chain is one ~DIM-term codegen expression; it reproduces
+    the fold's exact summation order INCLUDING the leading 0.0 seed, so
+    even a -0.0 first product yields the identical signed-zero sum."""
+    acc: Column = F.lit(0.0)
+    for d in range(DIM):
+        acc = acc + a[d] * b[d]
+    return acc
 
 
 def semantic_dedup_df(
@@ -306,12 +370,10 @@ def semantic_dedup_df(
     vector: (vec_id, cluster, kept_by, n_dups)."""
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
-    assigned = _assign(v, _seed_centroids(v, k)).select(
+    # unrolled ||e||^2 chain (same fold order incl. the 0.0 seed) — the
+    # interpreted-HOF removal rationale is on _dot above
+    nrm = F.sqrt(_dot(F.col("e"), F.col("e")))
+    assigned = _assign(v, _seed_centroids(v, k), k).select(
         "vec_id", "e", "cid", nrm.alias("nrm")
     )
     a = assigned.select(

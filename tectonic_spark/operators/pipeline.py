@@ -5,8 +5,9 @@ pipeline runs between dedup (c1) and tokenized shards.
 
 100 TB design notes (per-op details in each docstring):
 
-* ``c04_repetition`` is a pure per-row computation — whole-stage codegen,
-  zero shuffles, scan pruned to (doc_id, text, n_chars).
+* ``c04_repetition`` is a pure per-row computation — one Arrow-batched
+  kernel (r13; the interpreted HOF pipeline before it was the slowest
+  sf1 row), no hash shuffle, scan pruned to (doc_id, text, n_chars).
 * ``c04_sequence_packing`` needs a *global* token offset per document; a
   naive ``Window.orderBy(doc_id)`` cumulative sum collapses to ONE
   partition. We instead run a three-level exclusive scan: bucket
@@ -24,7 +25,8 @@ pipeline runs between dedup (c1) and tokenized shards.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tectonic_spark.operators.registry import bounded_key, register
@@ -35,66 +37,6 @@ SEQ_LEN = 128  # tokens per packed training sequence
 PACK_BUCKET = 1024  # documents per offset bucket in the two-level scan
 DECON_K = 4  # shingle width for benchmark decontamination
 DECON_MOD = 50  # doc_id % DECON_MOD == 0 plays the held-out benchmark set
-
-
-def grams_col(w: Column, k: int) -> Column:
-    """Non-distinct k-word shingles (repetition counting needs duplicates,
-    unlike the dedup shingle helper which distincts)."""
-    n_sh = F.size(w) - F.lit(k - 1)
-    shifted = [F.slice(w, i + 1, n_sh) for i in range(k)]
-    acc = shifted[0]
-    for nxt in shifted[1:]:
-        acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
-    return acc
-
-
-def _bounds_col(g: Column) -> Column:
-    """Run-boundary indices (0-based) of a SORTED gram array: positions
-    ``i`` where a new distinct gram starts. One adjacent string comparison
-    per element.
-
-    ``g`` MUST be a plain column reference (not an inline expression):
-    higher-order functions are interpreted (CodegenFallback), so any
-    expression inside the lambda re-evaluates PER ELEMENT — an inlined
-    ``array_sort`` here turns the scan O(n²·log n) and hangs on real
-    documents (observed: the sf0.001 warm pass alone ran minutes). Staging
-    the sorted array as a projection attribute keeps the per-element work
-    to one element_at lookup; CollapseProject will not re-inline expensive
-    multiply-referenced expressions (SPARK-36718).
-    """
-    idx = F.sequence(F.lit(0), F.size(g) - 1)
-    return F.filter(
-        idx,
-        lambda i: F.when(i == 0, F.lit(True)).otherwise(
-            F.element_at(g, i + 1) != F.element_at(g, i)
-        ),
-    )
-
-
-def _runs_col(g: Column, bnd: Column) -> Column:
-    """Run summary ``array<struct(run, gram)>`` — one entry per DISTINCT
-    gram with its occurrence count — from a sorted gram array ``g`` and
-    its boundary indices ``bnd`` (both plain column references, see
-    :func:`_bounds_col`). Callers reduce this (much shorter) array.
-
-    Replaces a 5-field struct fold (r3 profile: slowest sf1 query at
-    23.6 s — each element paid ~10 conditional struct-field updates) with
-    flat array kernels. Still O(n log n) sort + O(n) scan entirely inside
-    the JVM, zero shuffles — the explode → groupBy(doc_id, gram)
-    equivalent would shuffle every gram of every document.
-
-    Callers must guard ``size >= 1`` (empty arrays short-circuit in their
-    ``when`` branches; under ANSI an element_at on the empty sorted array
-    would raise).
-    """
-    nxt = F.concat(F.slice(bnd, 2, F.size(bnd) - 1), F.array(F.size(g)))
-    return F.zip_with(
-        bnd,
-        nxt,
-        lambda b, e: F.struct(
-            (e - b).cast("long").alias("run"), F.element_at(g, b + 1).alias("gram")
-        ),
-    )
 
 
 # DuckDB mirrors the run-length scan with the explode → group → window
@@ -146,55 +88,68 @@ LEFT JOIN dup3 USING (doc_id)
     doc="Repetition-based quality signals in the style of the Gopher data "
     "pipeline (Rae et al. 2021, public): duplicate-word fraction, fraction "
     "of characters in the most frequent 2-gram, fraction of characters in "
-    "duplicated 3-grams. Pure per-row higher-order-function computation — "
-    "no shuffle, no Python; gram counting is a sort + boundary-scan into "
-    "per-run structs inside codegen rather than an explode/groupBy "
-    "shuffle. Most-frequent-gram ties break toward the lexicographically "
-    "LARGER gram (struct(run, gram) ordering == the oracle's ORDER BY "
-    "cnt DESC, gram DESC) so both engines agree.",
+    "duplicated 3-grams. One Arrow-batched per-row kernel (guide §4.2) — "
+    "no shuffle beyond the local small-scan fan-out; gram counting is a "
+    "hash count per document, never an explode/groupBy shuffle. All "
+    "metrics are INTEGER counts divided once in double, so the kernel is "
+    "bit-identical to the oracle regardless of summation order. "
+    "Most-frequent-gram ties break toward the lexicographically LARGER "
+    "gram (max over (count, gram) == the oracle's ORDER BY cnt DESC, "
+    "gram DESC). r13: replaced the interpreted higher-order-function "
+    "sort + boundary-scan pipeline (array_sort + filter + zip_with + "
+    "aggregate per row were CodegenFallback, ~18 s at sf1 -> ~2 s).",
 )
 def c04_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    # stage sorted gram arrays and their boundaries as real projection
-    # attributes — HOF lambdas must only touch cheap column refs
-    staged = d.select(
-        "doc_id",
-        "n_chars",
-        w.alias("w"),
-        F.array_sort(grams_col(w, 2)).alias("g2"),
-        F.array_sort(grams_col(w, 3)).alias("g3"),
-    ).select(
-        "*",
-        _bounds_col(F.col("g2")).alias("b2"),
-        _bounds_col(F.col("g3")).alias("b3"),
-    )
-    # array_max over struct(run, gram): max count, ties → larger gram
-    best2 = F.array_max(_runs_col(F.col("g2"), F.col("b2")))
-    dup3 = F.aggregate(
-        _runs_col(F.col("g3"), F.col("b3")),
-        F.lit(0).cast("long"),
-        lambda acc, r: acc
-        + F.when(
-            r["run"] > 1, r["run"] * F.length(r["gram"]).cast("long")
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    wc = F.col("w")
-    n_chars = F.col("n_chars").cast("double")
-    return staged.select(
-        "doc_id",
-        (
-            F.lit(1.0) - F.size(F.array_distinct(wc)).cast("double") / F.size(wc)
-        ).alias("dup_word_frac"),
-        F.when(
-            F.size(wc) >= 2,
-            (best2["run"] * F.length(best2["gram"])).cast("double") / n_chars,
-        )
-        .otherwise(F.lit(0.0))
-        .alias("top_2gram_frac"),
-        F.when(F.size(wc) >= 3, dup3.cast("double") / n_chars)
-        .otherwise(F.lit(0.0))
-        .alias("dup_3gram_frac"),
+    from collections.abc import Iterator
+    from tectonic_spark.tables import spread_small_scan
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    # local fan-out only when the scan arrives in fewer splits than cores
+    # (no-op at real scale; the kernel is partition-local either way)
+    d = spread_small_scan(d, spark)
+
+    def signals(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in batches:
+            n_rows = len(pdf)
+            dup_w = [0.0] * n_rows
+            top2 = [0.0] * n_rows
+            dup3 = [0.0] * n_rows
+            texts = pdf["text"].tolist()
+            n_chars_col = pdf["n_chars"].tolist()
+            for i in range(n_rows):
+                w = texts[i].split(" ")
+                n = len(w)
+                n_chars = float(n_chars_col[i])
+                # 1.0 - (distinct/total): same two IEEE ops as the SQL
+                dup_w[i] = 1.0 - float(len(set(w))) / float(n)
+                if n >= 2:
+                    c2 = Counter(
+                        w[j] + " " + w[j + 1] for j in range(n - 1)
+                    )
+                    cnt, gram = max((c, g) for g, c in c2.items())
+                    top2[i] = float(cnt * len(gram)) / n_chars
+                if n >= 3:
+                    c3 = Counter(
+                        w[j] + " " + w[j + 1] + " " + w[j + 2]
+                        for j in range(n - 2)
+                    )
+                    s = sum(c * len(g) for g, c in c3.items() if c > 1)
+                    dup3[i] = float(s) / n_chars
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dup_word_frac": dup_w,
+                    "top_2gram_frac": top2,
+                    "dup_3gram_frac": dup3,
+                }
+            )
+
+    return d.mapInPandas(
+        signals,
+        "doc_id long, dup_word_frac double, top_2gram_frac double, "
+        "dup_3gram_frac double",
     )
 
 

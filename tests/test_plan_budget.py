@@ -31,7 +31,7 @@ EXCHANGE_BUDGET = {
     "c01_minhash_lsh": 8,
     "c02_cosine_topk": 2,
     "c03_token_stats": 0,  # pure per-row projection
-    "c04_repetition": 0,  # per-row fold, zero shuffles
+    "c04_repetition": 1,  # per-row Arrow kernel; 1 = local small-scan fan-out
     "c04_mixture_sampling": 0,  # stateless hash filter
     "c03_chunking": 0,  # posexplode, partition-local
     "c04_dsir": 7,

@@ -184,10 +184,15 @@ def test_q22_anti_join_not_nested_loop(spark, sf_dir):
 
 
 def test_c04_repetition_no_shuffle(spark, sf_dir):
-    """Repetition signals are a pure per-row computation: the plan must
-    contain no Exchange at all (scan -> project)."""
+    """Repetition signals are a pure per-row computation (r13: an Arrow
+    kernel): no HASH exchange may appear. The only Exchange allowed is
+    tables.spread_small_scan's keyless round-robin fan-out, which exists
+    only when the local scan has fewer splits than cores (a no-op at real
+    scale)."""
     plan = physical_plan(build(spark, sf_dir, "c04_repetition"))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # at most the local fan-out
+    assert "MapInPandas" in plan  # the per-row kernel
 
 
 def test_c04_packing_windows_partitioned(spark, sf_dir):
@@ -263,15 +268,19 @@ def test_q21_anti_join_is_sort_merge_on_orderkey(spark, sf_dir):
 
 
 def test_kmeans_assignment_never_shuffles_corpus(spark, sf_dir):
-    """Lloyd assignment is a map-side fold over ONE broadcast centroid-array
-    row: no hash exchange may ever carry vec_id (the corpus). The only data
-    exchanges are the K x DIM centroid-update partials and the K-row
-    centroid regroups — all independent of corpus size after partial agg."""
+    """Lloyd assignment is a map-side argmin: no hash exchange may ever
+    carry vec_id (the corpus). The only data exchanges are the K x DIM
+    centroid-update partials and the K-row centroid regroups — all
+    independent of corpus size after partial agg. r13: the interpreted
+    ``aggregate`` fold became a vectorized Arrow-batch kernel (same
+    arithmetic bit-for-bit, see clustering._assign; only the K x DIM
+    centroid matrix crosses the driver between iterations)."""
     plan = physical_plan(build(spark, sf_dir, "c02_kmeans"))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(vec_id" not in plan  # corpus never exchanged
-    assert "aggregate(" in plan  # the fold runs as a codegen expression
+    assert "ArrowEvalPython" in plan  # the vectorized assignment kernel
+    assert "aggregate(" not in plan  # the interpreted fold is gone
 
 
 def test_semantic_dedup_pairs_join_on_cluster_id(spark, sf_dir):
