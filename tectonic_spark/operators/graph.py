@@ -107,9 +107,15 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = deg.crossJoin(F.broadcast(scalars)).select(
         F.col("src").alias("node"), F.col("p_init").alias("p")
     )
+    # r13 (guide §2.4/§5): persist the per-iteration-invariant edge list.
+    # Without it every iteration's subplan re-derives orders⋈lineitem →
+    # distinct → mirror → deg join (the physical plan carried 102
+    # Exchange nodes / 16 SortMergeJoins at 4 iterations); with it the
+    # derivation runs once and each iteration reads the in-memory edge
+    # relation. Pure integer arithmetic — results are unchanged.
     ed = e.join(
         deg.select(F.col("src"), F.col("deg")), "src"
-    )  # (src, dst, deg)
+    ).persist()  # (src, dst, deg)
     for _ in range(PR_ITERS):
         contrib = ed.join(
             p.select(F.col("node").alias("src"), F.col("p").alias("ps")),

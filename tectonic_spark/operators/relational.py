@@ -362,7 +362,9 @@ def b06_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b07_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = F.broadcast(table(spark, sf_dir, "nation"))
-    o = table(spark, sf_dir, "orders")
+    # orders is the fact side: pin SMJ so it is never broadcast-built on
+    # the driver (r13, guide §3.1 — see q05)
+    o = table(spark, sf_dir, "orders").hint("merge")
     rev = (
         c.join(n, c.c_nationkey == n.n_nationkey)
         .join(o, o.o_custkey == c.c_custkey)
@@ -780,9 +782,11 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
     )
+    # merge hint: never broadcast the lineitem fact (see q05; the
+    # filtered customer side still auto-broadcasts for the first join)
     l = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
-    )
+    ).hint("merge")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
@@ -815,7 +819,13 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
-    l = table(spark, sf_dir, "lineitem")
+    # fact-fact join strategy pinned (r13, guide §3.1): without the hint
+    # the planner broadcast LINEITEM itself whenever its pruned-column
+    # size estimate slipped under the threshold — a single-threaded
+    # driver hash build of the biggest table (3.7 s of the 5.4 s sf1
+    # row) and a scale bug at 100 TB. SMJ keeps the orderkey shuffle the
+    # docstring promises; measured 3.4x faster at sf1, 1.3x at sf0.1.
+    l = table(spark, sf_dir, "lineitem").hint("merge")
     s = F.broadcast(table(spark, sf_dir, "supplier"))
     n = F.broadcast(table(spark, sf_dir, "nation"))
     r = F.broadcast(table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
@@ -2315,15 +2325,19 @@ def q21_suppliers_who_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> D
     l = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
+    # all three probes are fact-scaled: pin SMJ so neither lineitem nor
+    # the filtered-orders set is ever broadcast-built on the driver
+    # (r13, guide §3.1; the planner did both when the pruned estimates
+    # slipped under the threshold — see q05)
     late = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    l2 = l.select(
+    l2 = l.hint("merge").select(
         F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
     )
-    l3 = late.select(
+    l3 = late.hint("merge").select(
         F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
     )
     s = F.broadcast(table(spark, sf_dir, "supplier"))
