@@ -226,8 +226,14 @@ def c01_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     # shingles feed three sub-plans (sketching + both verification sides):
-    # persist instead of recomputing the CPU-heavy shingle construction 3x
+    # persist instead of recomputing the CPU-heavy shingle construction 3x.
+    # r13: materialize the cache EAGERLY — the three consumers launch as
+    # concurrent AQE/broadcast jobs, and racing a cold cache made each of
+    # them recompute the shingles from parquet (the sf1 profile showed
+    # three ~35 MB scan stages of 13-28 core-seconds each); one count()
+    # populates the cache once and the consumers all read it.
     sh = _shingle_df(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     # sketch per row with array kernels — NO explode + groupBy shuffle:
     # min over a transform of the shingle array is whole-stage-codegen'd
     # and the sketch never leaves its partition
@@ -627,6 +633,7 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    prev_count = edges.count()
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         # large-star: every neighbor LARGER than u links to the minimum of
@@ -652,9 +659,16 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        converged = (
-            small.exceptAll(edges).union(edges.exceptAll(small)).isEmpty()
+        # exact set-equality via counts (r13): both sides are DISTINCT
+        # (u, v) sets, so small == edges iff |small| == |edges| and
+        # |small ∪ edges| == |edges| — one cheap count over the fresh
+        # checkpoint plus one union-distinct count, replacing the two
+        # exceptAll set-differences the old check shuffled every round.
+        new_count = small.count()
+        converged = new_count == prev_count and (
+            small.union(edges).distinct().count() == prev_count
         )
+        prev_count = new_count
         edges = small
         if converged:
             break

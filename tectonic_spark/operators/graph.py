@@ -196,7 +196,10 @@ FROM deg d LEFT JOIN per_node p ON p.node = d.node
 def c06_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    # merge hint on the self-join probe side: lineitem is a fact — never
+    # build it as a driver-side broadcast hash (r13, guide §3.1; A/B at
+    # sf1: 24.6s -> 23.3s, and the scale hazard is gone)
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v")).hint("merge")
     pairs = (
         a.join(b, "k")
         .where(F.col("u") < F.col("v"))

@@ -47,7 +47,9 @@ EXCHANGE_BUDGET = {
     "c01_cross_snapshot_dedup": 2,
     # r5 rewrite: the closure join executes ONCE (explode, not a 3-way
     # union that re-ran the join per branch) — ceiling tightened 144 -> 56
-    "c06_triangle_count": 56,
+    # r13: the self-join probe carries a merge hint (lineitem must never
+    # be broadcast-built); SMJ adds a sort+exchange pair per appearance
+    "c06_triangle_count": 70,
     # round-5 additions (measured ceilings)
     # r7: +1 for the CONDITIONAL spread_small_scan repartition — it fires
     # at test scale (the doc_id scan arrives in fewer splits than cores;
