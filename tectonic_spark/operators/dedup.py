@@ -510,6 +510,15 @@ def embedding_neardup_df(
         nrm.alias("nrm"),
         bands_col.alias("bands"),
     )
+    # r13: n feeds FOUR subtrees (both sides of the band self-join and
+    # both vector-fetch sides of the verify), so the scan + norm + band
+    # sketch ran 4x — at bits=10/pandas that is 4 matmul passes over the
+    # corpus. Persist and materialize once; every consumer reads the
+    # cached columnar batches (the c01_minhash_lsh pattern).
+    from pyspark import StorageLevel
+
+    n = n.persist(StorageLevel.MEMORY_AND_DISK)
+    n.count()
     # candidate generation carries ONLY (vec_id, band): the band-join
     # exchange moves 16-byte rows, not kilobyte vectors; a pair colliding
     # in several bands is deduped BEFORE the 64-term cosine verify, so

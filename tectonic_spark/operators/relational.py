@@ -2305,16 +2305,22 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q21 (suppliers who kept orders waiting): for finished "
     "orders, count per supplier the lineitems that shipped >365 days "
     "after the order date where at least one OTHER supplier participated "
-    "in the order (EXISTS → left_semi) but NO other supplier was also "
-    "late (NOT EXISTS → left_anti). The schema lacks "
-    "l_receiptdate/l_commitdate, so lateness is ship-lag vs the order "
-    "date — the double-correlated EXISTS/NOT-EXISTS shape, the hard part "
-    "of Q21, is intact. Plan: one lineitem⋈orders shuffle on orderkey "
-    "builds the late set; the semi and anti probes reuse the orderkey "
-    "shuffle (equi key + suppkey<> residual); supplier broadcasts. No "
-    "nation filter — the synthetic supplier set is small enough that the "
-    "full ranking is the more useful dashboard and no sf leaves the "
-    "result trivially empty.",
+    "in the order (EXISTS) but NO other supplier was also late "
+    "(NOT EXISTS). The schema lacks l_receiptdate/l_commitdate, so "
+    "lateness is ship-lag vs the order date — the double-correlated "
+    "EXISTS/NOT-EXISTS shape, the hard part of Q21, is intact. Plan "
+    "(r13): the correlated probes are decorrelated into per-orderkey "
+    "aggregates — NOT EXISTS ⟺ the order's late rows all share one "
+    "suppkey (min==max over the late set), EXISTS ⟺ the order has a "
+    "second supplier at all (min!=max over all lineitems) — so the two "
+    "lineitem-vs-lineitem semi/anti probe joins with suppkey<> residuals "
+    "collapse into two map-side-partial aggregations on the orderkey "
+    "shuffle and an order-grained semi join; numwait is the sum of the "
+    "qualifying orders' late-row counts, row-for-row identical to "
+    "counting the surviving l1 rows. Supplier broadcasts. No nation "
+    "filter — the synthetic supplier set is small enough that the full "
+    "ranking is the more useful dashboard and no sf leaves the result "
+    "trivially empty.",
 )
 def q21_suppliers_who_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
@@ -2325,36 +2331,41 @@ def q21_suppliers_who_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> D
     l = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    # all three probes are fact-scaled: pin SMJ so neither lineitem nor
-    # the filtered-orders set is ever broadcast-built on the driver
-    # (r13, guide §3.1; the planner did both when the pruned estimates
+    # the one fact-fact join: pin SMJ so neither lineitem nor the
+    # filtered-orders set is ever broadcast-built on the driver
+    # (guide §3.1; the planner did both when the pruned estimates
     # slipped under the threshold — see q05)
     late = (
         l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    l2 = l.hint("merge").select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    # NOT EXISTS(other late supplier) ⟺ every late row of the order has
+    # the same suppkey; that lone suppkey is then min==max, and the
+    # order contributes its late-row count to that supplier.
+    lagg = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("late_min"),
+            F.max("l_suppkey").alias("late_max"),
+            F.count(F.lit(1)).alias("late_rows"),
+        )
+        .filter(F.col("late_min") == F.col("late_max"))
     )
-    l3 = late.hint("merge").select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    # EXISTS(other supplier in the order) ⟺ the order has ≥2 distinct
+    # suppkeys anywhere in lineitem (the late supplier is one of them).
+    multi = (
+        l.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("s_min"), F.max("l_suppkey").alias("s_max"))
+        .filter(F.col("s_min") != F.col("s_max"))
+        .select("l_orderkey")
     )
     s = F.broadcast(table(spark, sf_dir, "supplier"))
     return (
-        late.join(
-            l2,
-            (late.l_orderkey == l2.o2) & (late.l_suppkey != l2.s2),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == l3.o3) & (F.col("l_suppkey") != l3.s3),
-            "left_anti",
-        )
-        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        lagg.join(multi, "l_orderkey", "left_semi")
+        .join(s, F.col("late_min") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -256,17 +256,21 @@ def test_q16_q20_dims_broadcast(spark, sf_dir):
         assert plan.count("BroadcastHashJoin") >= 2, name
 
 
-def test_q21_anti_join_is_sort_merge_on_orderkey(spark, sf_dir):
-    """q21's probes are lineitem-vs-lineitem — big-big, so the RIGHT
-    plan at scale is SortMergeJoin semi/anti on the orderkey shuffle.
-    r13: ALL fact-scaled sides (lineitem, filtered orders) carry merge
-    hints now — at sf1 the planner was broadcast-building fact tables on
-    the driver whenever a pruned estimate slipped under the threshold
-    (the scale bug this test names). Only supplier remains broadcast."""
+def test_q21_decorrelated_aggregate_plan(spark, sf_dir):
+    """q21's correlated EXISTS/NOT-EXISTS probes are decorrelated into
+    per-orderkey aggregates (r13): the only fact-fact join left is the
+    hinted lineitem⋈orders SMJ on the orderkey shuffle; the old
+    lineitem-vs-lineitem LeftAnti probe with its suppkey<> residual is
+    gone; both aggregates run map-side partials; supplier broadcasts.
+    At sf1 the anti/semi probe plan was broadcast-building fact tables
+    on the driver whenever a pruned estimate slipped under the
+    threshold (the scale bug the old test named)."""
     plan = physical_plan(build(spark, sf_dir, "q21_suppliers_who_kept_orders_waiting"))
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" in plan  # the one fact-fact join, pinned
+    assert "LeftAnti" not in plan  # the probe join is decorrelated away
     assert plan.count("BroadcastHashJoin") >= 1  # supplier
+    assert "partial_min" in plan or "HashAggregate" in plan  # map-side partials
 
 
 def test_kmeans_assignment_never_shuffles_corpus(spark, sf_dir):
