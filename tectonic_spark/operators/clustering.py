@@ -281,10 +281,20 @@ def kmeans_scaled_df(
     concession MLlib's k-means makes every iteration; the corpus itself
     never crosses the driver and never shuffles.
     """
+    from pyspark import StorageLevel
     from pyspark.sql.functions import pandas_udf
+
+    from tectonic_spark.tables import spread_small_scan
 
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    # r13: every iteration re-derives v (assignment UDF + posexplode
+    # update), and the tiny embeddings file arrives in 2 splits — the
+    # decimal update partials serialized on 2 cores (profiled 2.7 CPU-s
+    # per iteration on 2 tasks). Spread across cores, persist once;
+    # decimal sums are order-independent so the result is unchanged.
+    v = spread_small_scan(v, spark, "vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    v.count()
 
     def collect_centroids(cent_df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
         pdf = cent_df.toPandas().sort_values("cid")

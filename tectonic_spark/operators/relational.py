@@ -223,9 +223,16 @@ def b04_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(map-side combine) on 6 grouping cells; scan prunes to 7 columns.",
 )
 def b05_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tectonic_spark.tables import spread_small_scan
+
     l = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
+    # r13: the sf0.1 lineitem file is ONE parquet row group, so the scan +
+    # the decimal-heavy partial aggregation serialize onto a single core.
+    # Spread only when the scan is truly serial (< cores/2 splits): no-op
+    # at sf1 (27 splits) and at scale — see tables.spread_small_scan.
+    l = spread_small_scan(l, spark, frac=0.5)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(

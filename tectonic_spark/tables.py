@@ -52,7 +52,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def spread_small_scan(df: DataFrame, spark: SparkSession, *key: str) -> DataFrame:
+def spread_small_scan(
+    df: DataFrame, spark: SparkSession, *key: str, frac: float = 1.0
+) -> DataFrame:
     """Repartition a scan ONLY when it arrives in fewer splits than cores.
 
     CPU-heavy kernels (shingling, PQ encoding) downstream of a tiny file
@@ -61,9 +63,17 @@ def spread_small_scan(df: DataFrame, spark: SparkSession, *key: str) -> DataFram
     thousands of splits, and an unconditional ``repartition`` there is a
     full shuffle of the raw corpus for nothing (VERDICT r5 item 2). The
     split count comes from the file listing — no job is executed.
+
+    ``frac`` tightens the trigger for CHEAP downstream work (r13): a plain
+    aggregation only gains from the extra shuffle when the scan is truly
+    serial (a single-row-group file), not when it is merely a little under
+    core count — measured on b05 at sf1, spreading a 27-split scan to 32
+    cost more than it saved (1.43s -> 1.62s) while at sf0.1 the 1-effective-
+    split scan gained 25% (1.45s -> 1.1s). CPU-heavy callers keep the
+    default trigger (any deficit vs cores is worth fixing there).
     """
     parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
+    if df.rdd.getNumPartitions() >= max(1.0, parallelism * frac):
         return df
     return df.repartition(parallelism, *key)
 
