@@ -271,6 +271,12 @@ def c01_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("x")).select(
         "doc_id", F.col("x.band").alias("band"), F.col("x.bh").alias("bh")
     )
+    # r13: the band self-join is two subtree copies of the SKETCH (2x md5
+    # per shingle + 8 array_min + band hashes — profiled as two ~13 CPU-s
+    # stages at sf1). Persist the slim (doc_id, band, bh) rows so the
+    # sketch runs once and both join sides read the cache.
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    bands.count()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
