@@ -1304,6 +1304,22 @@ def main() -> None:
             {
                 "metric": "headline_summary",
                 "headline_raw": value,
+                # r14 (VERDICT r13 item 1a): the driver keeps only the
+                # TAIL of bench output and builds PERF.per_query /
+                # scaling from the LAST parsed line — the per-query
+                # dicts rode the first (truncated) big row for two
+                # rounds, leaving the comparison empty. Ride them on
+                # the compact line too, plus the driver-contract
+                # value/unit/queries trio. Additions only; the big
+                # first row is unchanged.
+                "value": value,
+                "unit": "sec",
+                "queries": timings,
+                "sf1_queries_sec": extras.get("sf1_queries_sec"),
+                "sf1_total_sec": extras.get("sf1_total_sec"),
+                "cc_sf1_sec": extras.get("cc_sf1_sec"),
+                "cc_sf1_rounds": extras.get("cc_sf1_rounds"),
+                "cc_sf1_bound_ok": extras.get("cc_sf1_bound_ok"),
                 "headline_normalized": out["headline_normalized"],
                 # r12 (VERDICT r11 item 6): the sf1 contention flag
                 # rides the compact line the driver tail keeps, and the
