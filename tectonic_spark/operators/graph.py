@@ -82,8 +82,21 @@ def _pr_oracle() -> str:
     "— nothing crosses the driver.",
 )
 def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # r14 (guide §2.4/§5): the r13 plan still carried 92 Exchanges / 44
+    # BroadcastHashJoins because every per-iteration broadcast(scalars)
+    # subtree — and the deg sides of p0/ed — re-derived orders⋈lineitem →
+    # distinct from scratch (only ed itself was persisted; e0/deg/scalars
+    # were not, so e0 executed ~7x per run). Materialize the shared spine
+    # once: e0 (the distinct edge set, the expensive join), deg (node
+    # cardinality, cheap agg over the cache), and the ONE-ROW scalars via
+    # eager localCheckpoint so each iteration's broadcast reads a single
+    # checkpointed row instead of re-aggregating the graph. Pure integer
+    # arithmetic — results are unchanged; nothing new crosses the driver
+    # (localCheckpoint blocks live on executors).
     e0 = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -91,11 +104,18 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e0.count()
     e = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg.count()
     n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     scalars = n.select(
         F.expr(f"CAST({PR_BASE} div n_nodes AS BIGINT)").alias("p_init"),
@@ -103,19 +123,18 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_BASE} div n_nodes))"
             f" div {PR_DAMP_DEN} AS BIGINT)"
         ).alias("tele"),
-    )
+    ).localCheckpoint(eager=True)
     p = deg.crossJoin(F.broadcast(scalars)).select(
         F.col("src").alias("node"), F.col("p_init").alias("p")
     )
-    # r13 (guide §2.4/§5): persist the per-iteration-invariant edge list.
-    # Without it every iteration's subplan re-derives orders⋈lineitem →
-    # distinct → mirror → deg join (the physical plan carried 102
-    # Exchange nodes / 16 SortMergeJoins at 4 iterations); with it the
-    # derivation runs once and each iteration reads the in-memory edge
-    # relation. Pure integer arithmetic — results are unchanged.
+    # r13 (guide §2.4/§5): persist the per-iteration-invariant edge list
+    # (src, dst, deg); r14: its inputs are now cached, so the lazy persist
+    # materializes cheaply inside iteration 1 (the r13 eager-count A/B
+    # regressed when the build still raced sibling broadcast jobs — with
+    # the spine cached there is nothing left to race).
     ed = e.join(
         deg.select(F.col("src"), F.col("deg")), "src"
-    ).persist()  # (src, dst, deg)
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # (src, dst, deg)
     for _ in range(PR_ITERS):
         contrib = ed.join(
             p.select(F.col("node").alias("src"), F.col("p").alias("ps")),
@@ -194,22 +213,39 @@ FROM deg d LEFT JOIN per_node p ON p.node = d.node
     "join, both on bounded keys. Integer counts — exact cross-engine.",
 )
 def c06_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
     # merge hint on the self-join probe side: lineitem is a fact — never
     # build it as a driver-side broadcast hash (r13, guide §3.1; A/B at
     # sf1: 24.6s -> 23.3s, and the scale hazard is gone)
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v")).hint("merge")
+    # r14 (guide §2.4/§5): WITHOUT materialization this plan re-derived the
+    # lineitem self-join + distinct once per consumer — `oriented` feeds
+    # e1/e2/e3, deg feeds du/dv and the final left join, so the physical
+    # plan carried 138 Exchanges / 52 SortMergeJoins and the sf1 row sat at
+    # ~25 s with the pairs pipeline executing ~5x. Eager persist+count of
+    # the three shared relations (pairs: |E|; deg: node-cardinality;
+    # oriented: |E|) executes each once; every consumer reads the cached
+    # columnar batches. Eager, not lazy: e1/e2's sort-merge map stages
+    # launch concurrently and would race a cold cache (the r13 minhash
+    # lesson). Integer-exact values — results unchanged.
     pairs = (
         a.join(b, "k")
         .where(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pairs.count()
     und = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    deg = (
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    deg.count()
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     # plain equi-joins: deg is node-cardinality (NOT bounded) — forcing a
@@ -221,7 +257,8 @@ def c06_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = p.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    oriented.count()
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
     e3 = oriented.select(F.col("s").alias("a2"), F.col("t").alias("c2"))
