@@ -157,6 +157,59 @@ def test_quantization_kernel_cross_engine_parity(spark):
     assert got == want, list(zip(vals, got, want))
 
 
+def test_python_round6_matches_spark_round(spark):
+    """spark_round6 (the Arrow kernels' Python replica of F.round(_, 6))
+    must agree with the JVM digit-for-digit — including the vectorized
+    fast path's safety gate (r14). Adversaries: .5e-6 ties on both sides
+    of zero, values a few ulp off a tie, signed zero, subnormals, huge
+    magnitudes past the fast-path cap, NaN/Inf passthrough, plus a
+    deterministic random sweep across magnitudes."""
+    import math
+
+    import numpy as np
+
+    from tectonic_spark.operators.clustering import spark_round6
+
+    rng = np.random.RandomState(20260817)
+    rand = np.concatenate(
+        [
+            rng.randn(2000),
+            rng.randn(2000) * 1e-6,
+            rng.randn(2000) * 1e6,
+            rng.randn(500) * 1e12,
+            rng.randn(500) * 1e-300,
+            # land many values right at / within a few ulp of the tie
+            (np.floor(rng.rand(2000) * 2e6 - 1e6) + 0.5) / 1e6,
+            (np.floor(rng.rand(1000) * 2e6 - 1e6) + 0.5) / 1e6
+            + rng.choice([-1.0, 1.0], 1000) * 5e-13,
+        ]
+    )
+    edge = np.array(
+        [
+            0.0, -0.0, 5e-7, -5e-7, 1.5e-6, -1.5e-6, 2.5e-6, -2.5e-6,
+            0.1234565, -0.1234565, 0.9999995, -0.9999995,
+            4.999999999e-7, 5.000000001e-7, -4.999999999e-7,
+            5e-324, -5e-324, 2.2250738585072014e-308,
+            1e15 + 0.5, -(1e15 + 0.5), 4.5e9 + 5e-7,
+            math.inf, -math.inf, math.nan,
+            0.125, -0.125, 1.0000005, -1.0000005,
+        ]
+    )
+    vals = np.concatenate([rand, edge])
+    got = spark_round6(vals)
+    sdf = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    want = [
+        r.r for r in sdf.select(F.round("x", 6).alias("r")).collect()
+    ]
+    bad = [
+        (float(vals[i]), float(got[i]), want[i])
+        for i in range(len(vals))
+        # repr-compare: distinguishes -0.0 from 0.0 and NaN==NaN
+        if repr(float(got[i])) != repr(float(want[i]))
+    ]
+    assert not bad, f"{len(bad)} mismatches, first 10: {bad[:10]}"
+
+
 def test_kmeans_scaled_variant_agrees_with_fold(spark, sf_dir):
     """The matmul scale variant must reproduce the fold variant's final
     assignment exactly on the fixed test corpus (same 6dp-rounded
