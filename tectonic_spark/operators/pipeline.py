@@ -118,31 +118,52 @@ def c04_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup3 = [0.0] * n_rows
             texts = pdf["text"].tolist()
             n_chars_col = pdf["n_chars"].tolist()
+            saw_null = False
             for i in range(n_rows):
-                w = texts[i].split(" ")
+                t = texts[i]
+                nc = n_chars_col[i]
+                # r14 (ADVICE r13): real crawl text can be NULL and
+                # n_chars can be 0 — the old SQL path (and the oracle)
+                # emit NULL there (split(NULL) is NULL; x/0 is NULL in
+                # both engines), where .split()/float-division raised.
+                nc_f = float(nc) if nc is not None and nc == nc else None
+                div_ok = nc_f is not None and nc_f != 0.0
+                if t is None or t != t:
+                    dup_w[i] = None
+                    top2[i] = 0.0 if div_ok else None
+                    dup3[i] = 0.0 if div_ok else None
+                    saw_null = True
+                    continue
+                if not div_ok:
+                    top2[i] = None
+                    dup3[i] = None
+                    saw_null = True
+                w = t.split(" ")
                 n = len(w)
-                n_chars = float(n_chars_col[i])
                 # 1.0 - (distinct/total): same two IEEE ops as the SQL
                 dup_w[i] = 1.0 - float(len(set(w))) / float(n)
-                if n >= 2:
+                if n >= 2 and div_ok:
                     c2 = Counter(
                         w[j] + " " + w[j + 1] for j in range(n - 1)
                     )
                     cnt, gram = max((c, g) for g, c in c2.items())
-                    top2[i] = float(cnt * len(gram)) / n_chars
-                if n >= 3:
+                    top2[i] = float(cnt * len(gram)) / nc_f
+                if n >= 3 and div_ok:
                     c3 = Counter(
                         w[j] + " " + w[j + 1] + " " + w[j + 2]
                         for j in range(n - 2)
                     )
                     s = sum(c * len(g) for g, c in c3.items() if c > 1)
-                    dup3[i] = float(s) / n_chars
+                    dup3[i] = float(s) / nc_f
+            # nullable Float64 only when a NULL actually occurred: a
+            # float64 NaN would cross Arrow as NaN, not SQL NULL
+            dt = "Float64" if saw_null else "float64"
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "dup_word_frac": dup_w,
-                    "top_2gram_frac": top2,
-                    "dup_3gram_frac": dup3,
+                    "dup_word_frac": pd.array(dup_w, dtype=dt),
+                    "top_2gram_frac": pd.array(top2, dtype=dt),
+                    "dup_3gram_frac": pd.array(dup3, dtype=dt),
                 }
             )
 
