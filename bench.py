@@ -1081,6 +1081,15 @@ def _sf1_headroom(spark, sf_dir: str, base: dict[str, float]) -> dict:
         def timed(label: str, build) -> None:
             best = 1e9
             for _ in range(2):
+                # r14 measurement fix (VERDICT r13 item 8): builders that
+                # persist shared subtrees left their cache behind, so pass
+                # 2 reused pass 1's materialized blocks (CacheManager keys
+                # on the analyzed plan) — "best-of-2" was a warm-cache
+                # number. Clearing between passes makes every pass measure
+                # what a fresh run costs; the clear itself is outside the
+                # timed window. r13 numbers were warm-cache; comparisons
+                # are re-baselined in OPTIMIZATION_r14.md.
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 build().write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
@@ -1118,6 +1127,7 @@ def _sf1_headroom(spark, sf_dir: str, base: dict[str, float]) -> dict:
             connected_components,
         )
 
+        spark.catalog.clearCache()  # r14: cc timed from a cold cache too
         t0 = time.perf_counter()
         pairs = c01_minhash_lsh(spark, scaled).select("doc_a", "doc_b")
         labels, cc_rounds = connected_components(pairs)
@@ -1180,6 +1190,12 @@ def main() -> None:
         q = ops.REGISTRY[name]
         passes = []
         for _ in range(repeats):
+            # r14 measurement fix (VERDICT r13 item 8): clear leftover
+            # per-query caches so each pass measures a fresh run, not a
+            # reuse of pass 1's materialized blocks. Outside the timed
+            # window; r13 medians for cache-using queries (minhash) were
+            # warm-cache — re-baselined in OPTIMIZATION_r14.md.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             passes.append(time.perf_counter() - t0)

@@ -505,6 +505,13 @@ def embedding_neardup_df(
     the sf1 bench row runs bits=10 that way)."""
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    # r14 (guide §2, §1.2): the sf1 embeddings file is ONE input split, so
+    # the band sketch, the band-join probe, and the pre-distinct partial
+    # aggregate all ran on 1-2 tasks (isolated: sketch+pairs 3.3 s of the
+    # 4.6 s total). Spread ONLY when the scan has fewer splits than cores
+    # (the pq_codes_scaled pattern) — structurally inert at 100 TB where
+    # the scan already yields thousands of splits.
+    v = spread_small_scan(v, spark, "vec_id")
     nrm = F.sqrt(
         F.aggregate(
             F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
