@@ -136,15 +136,15 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.select(F.col("src"), F.col("deg")), "src"
     ).persist(StorageLevel.MEMORY_AND_DISK)  # (src, dst, deg)
     for _ in range(PR_ITERS):
-        # r14 (guide §3.1): hash-build the rank side instead of sort-merge
-        # — SMJ re-sorted the cached |2E|-row edge list EVERY iteration to
-        # join a node-cardinality rank table. Shuffled-hash streams the
-        # edges unsorted; the per-partition build is |V|/P × 16 B (AQE
-        # sizes P, skew-split applies), not a driver broadcast.
+        # r14 (guide §3.1): a shuffle_hash hint on the rank side (hash-build
+        # |V|, stream the cached |2E| edges unsorted instead of SMJ
+        # re-sorting them every iteration) was A/B'd — interleaved,
+        # cold-cache, 3 aligned pass pairs — and REVERTED: plain SMJ won
+        # every pair (5.215 vs 5.274 best). At sf1 the per-iteration sort of
+        # the cached edge list is cheaper than the hash-build overhead; the
+        # hint doctrine (r13) keeps only measured wins.
         contrib = ed.join(
-            p.select(F.col("node").alias("src"), F.col("p").alias("ps")).hint(
-                "shuffle_hash"
-            ),
+            p.select(F.col("node").alias("src"), F.col("p").alias("ps")),
             "src",
         ).select("dst", F.expr("ps div deg").alias("c"))
         p = (
@@ -266,20 +266,17 @@ def c06_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     oriented.count()
-    # r14 (guide §3.1): both closure joins build their |E|-row side as a
-    # SHUFFLED HASH instead of sort-merge. The wedge⋈e3 SMJ sorted the
-    # FULL WEDGE STREAM (sum of out-deg² rows — the largest relation in
-    # the query) just to probe a bounded edge set; hashing the edge side
-    # streams the wedges unsorted. Per-partition build memory is |E|/P ×
-    # 16 B with P scaled by AQE (and AQE skew-split applies to SHJ too),
-    # so this is not the q05 driver-broadcast hazard. A/B at sf1 below.
+    # r14 (guide §3.1): shuffle_hash hints on e2/e3 (hash-build the |E|-row
+    # side so the out-deg² wedge stream is never sorted) were A/B'd —
+    # interleaved, cold-cache — and REVERTED as a wash (plain 16.0 s vs
+    # hinted 16.47 s best; aligned pairs split 1-2 under rising
+    # contention). The structural argument (SMJ sorts the largest relation
+    # in the query to probe a bounded edge set) did not cash out at sf1
+    # because the sort runs on cached integer pairs; the hint doctrine
+    # (r13) keeps only measured wins.
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
-    e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c")).hint(
-        "shuffle_hash"
-    )
-    e3 = oriented.select(F.col("s").alias("a2"), F.col("t").alias("c2")).hint(
-        "shuffle_hash"
-    )
+    e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    e3 = oriented.select(F.col("s").alias("a2"), F.col("t").alias("c2"))
     # Per-triangle rows are never materialized into a union: the old shape
     # (tri UNION ALL ×3 → groupBy) re-executed the wedge-closure join once
     # per branch — 3 full join executions at ~10⁸ triangles (sf1: 73 s).

@@ -259,14 +259,12 @@ def b05_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="COUNT DISTINCT inside grouped agg (Spark expands to two-phase plan).",
 )
 def b05_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tectonic_spark.tables import spread_small_scan
-
     o = table(spark, sf_dir, "orders")
-    # r14 (guide §2; the b05_pricing_summary pattern): the sf0.1 orders
-    # file is one row group, so the scan + the two-phase distinct
-    # expansion serialize on one core until the first exchange. frac=0.5:
-    # spread only a TRULY serial scan — no-op at sf1 splits and at scale.
-    o = spread_small_scan(o, spark, frac=0.5)
+    # r14: spread_small_scan(frac=0.5) A/B'd and REVERTED (interleaved at
+    # sf0.1: plain 0.465 s vs spread 0.708 s best-of-4) — the distinct
+    # expansion's partial phase collapses rows in the scan stage, so the
+    # repartition re-shuffles raw rows for nothing (same result as the
+    # r13 b05_approx_distinct A/B).
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),

@@ -116,6 +116,11 @@ def _partial_topk(
 def c02_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    # r14: spread_small_scan A/B'd here and REVERTED (interleaved at
+    # sf0.1: plain 0.905 s vs spread 1.018 s best-of-4) — the partial
+    # top-k shrink already collapses the probe output, so the extra
+    # repartition of raw vectors costs more than the parallelism buys
+    # (the b05_approx_distinct lesson).
     n = v.select("vec_id", "e", _norm("e").alias("nrm"))
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
