@@ -537,11 +537,24 @@ def embedding_neardup_df(
     n = n.persist(StorageLevel.MEMORY_AND_DISK)
     n.count()
     # candidate generation carries ONLY (vec_id, band): the band-join
-    # exchange moves 16-byte rows, not kilobyte vectors; a pair colliding
-    # in several bands is deduped BEFORE the 64-term cosine verify, so
-    # each distinct pair pays the dot product exactly once. Vectors come
+    # exchange moves 16-byte rows, not kilobyte vectors. Vectors come
     # back via two id-joins (broadcast-able when the table fits; plain
     # hash joins at scale).
+    # r14 (guide §2.4): when band buckets are SPARSE (bits >= 8, the
+    # scale setting — buckets hold ~N/2^bits rows), the pair-dedup
+    # DISTINCT moves from before the verify to after the similarity
+    # filter: at bits=10/sf1 only 13% of raw collisions are cross-band
+    # duplicates (2.99M raw vs 2.60M distinct), so pre-deduping shuffled
+    # 2.6M rows to save 0.4M dot products; deduping the filter's
+    # survivors (99k rows at sf1) is a far smaller exchange. Duplicated
+    # pairs recompute an identical, deterministic cos_sim, so the
+    # post-filter distinct yields the same row set either way.
+    # Interleaved cold-cache A/B: sf1 bits=10 2.8-4.1 -> 2.5 s. DENSE
+    # buckets invert the trade (bits=4/sf1: near-dups collide in most of
+    # the 16 buckets per band, raw pairs ~8x distinct, verify explodes
+    # 57 s), so the small-bits setting keeps the early distinct — the
+    # same bucket-occupancy reasoning that makes n_bits the scale knob.
+    late_dedup = n_bits >= 8
     cand = n.select("vec_id", F.posexplode("bands").alias("band_idx", "band_val"))
     pairs = (
         cand.alias("x")
@@ -550,8 +563,9 @@ def embedding_neardup_df(
         .select(
             F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
         )
-        .distinct()
     )
+    if not late_dedup:
+        pairs = pairs.distinct()
     vecs = n.select("vec_id", "e", "nrm")
     a = vecs.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
@@ -563,12 +577,13 @@ def embedding_neardup_df(
         F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     sim = F.round(dot / (F.col("na") * F.col("nb")), 6)
-    return (
+    out = (
         pairs.join(a, "vec_a")
         .join(b, "vec_b")
         .select("vec_a", "vec_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.45)
     )
+    return out.distinct() if late_dedup else out
 
 
 # prefix-filtered candidates + exact verify (see _O_PREF_CAND: identical

@@ -87,18 +87,22 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     # r14 (guide §2.4/§5): the r13 plan still carried 92 Exchanges / 44
-    # BroadcastHashJoins because every per-iteration broadcast(scalars)
-    # subtree — and the deg sides of p0/ed — re-derived orders⋈lineitem →
-    # distinct from scratch (only ed itself was persisted; e0/deg/scalars
-    # were not, so e0 executed ~7x per run). Materialize the shared spine
-    # once: e0 (the distinct edge set, the expensive join), deg (node
-    # cardinality, cheap agg over the cache), and the ONE-ROW scalars via
-    # eager localCheckpoint so each iteration's broadcast reads a single
-    # checkpointed row instead of re-aggregating the graph. Pure integer
-    # arithmetic — results are unchanged; nothing new crosses the driver
-    # (localCheckpoint blocks live on executors).
+    # BroadcastHashJoins because every per-iteration scalar subtree — and
+    # the deg sides of p0/ed — re-derived orders⋈lineitem → distinct from
+    # scratch (only ed itself was persisted; e0/deg were not, so e0
+    # executed ~7x per run). Materialize the shared spine once: e0 (the
+    # distinct edge set, the expensive join) and deg (node cardinality,
+    # cheap agg over the cache). Pure integer arithmetic — results are
+    # unchanged.
+    # r14 (guide §3.1, the r13 q03/q05/b07 doctrine): without the hint the
+    # planner broadcast the pruned ORDERS side — a 75 MiB, 1.5M-row FACT
+    # hash built single-threaded on the driver, and a scale bug at 100 TB
+    # where orders is unbounded. Interleaved cold-cache A/B at sf1: wash to
+    # better locally (merge 3.7/2.6/1.8 vs plain-broadcast 7.9/4.9/1.5 s
+    # across three rounds); the hint removes the structural hazard.
     e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
@@ -115,17 +119,18 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg.count()
-    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    scalars = n.select(
-        F.expr(f"CAST({PR_BASE} div n_nodes AS BIGINT)").alias("p_init"),
-        F.expr(
-            f"CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_BASE} div n_nodes))"
-            f" div {PR_DAMP_DEN} AS BIGINT)"
-        ).alias("tele"),
-    ).localCheckpoint(eager=True)
-    p = deg.crossJoin(F.broadcast(scalars)).select(
-        F.col("src").alias("node"), F.col("p_init").alias("p")
+    # r14 (guide §5, the kmeans K×DIM precedent): the two iteration
+    # constants derive from ONE bounded scalar — the node count, which the
+    # eager deg materialization computes anyway — so fetch it (8 bytes
+    # across the driver) and inline p_init/tele as literals. This replaces
+    # the r13 localCheckpoint row + a broadcast-join subtree in p0 and in
+    # every iteration with plain literals: same integers (Python // ==
+    # BIGINT div on non-negative operands), bit-identical ranks.
+    n_nodes = deg.count()
+    p_init = PR_BASE // n_nodes
+    tele = ((PR_DAMP_DEN - PR_DAMP_NUM) * (PR_BASE // n_nodes)) // PR_DAMP_DEN
+    p = deg.select(
+        F.col("src").alias("node"), F.lit(p_init).cast("long").alias("p")
     )
     # r13 (guide §2.4/§5): persist the per-iteration-invariant edge list
     # (src, dst, deg); r14: its inputs are now cached, so the lazy persist
@@ -150,11 +155,10 @@ def c06_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = (
             contrib.groupBy("dst")
             .agg(F.sum("c").alias("s"))
-            .crossJoin(F.broadcast(scalars))
             .select(
                 F.col("dst").alias("node"),
                 F.expr(
-                    f"CAST(tele + ({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"
+                    f"CAST({tele} + ({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"
                     " AS BIGINT)"
                 ).alias("p"),
             )
@@ -276,7 +280,20 @@ def c06_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r13) keeps only measured wins.
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     e2 = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    e3 = oriented.select(F.col("s").alias("a2"), F.col("t").alias("c2"))
+    # r14 (guide §1.2 "per-task work", §3): the closing-edge probe key is
+    # PACKED into one BIGINT (a*2^32 + c — exact and collision-free:
+    # suppkey is a positive 32-bit int by schema, so a < 2^31 and
+    # 0 < c < 2^32). A two-column equi-join builds a generic
+    # UnsafeHashedRelation whose per-probe cost (hash an UnsafeRow, walk a
+    # BytesToBytesMap chain) dominated the whole query: the wedge stream
+    # (sum of out-deg² ≈ 137M rows at sf1) pays it once per wedge. A
+    # single-long key hits the LongHashedRelation fast path instead.
+    # Interleaved cold-cache A/B at sf1: closure 12.0-15.4 s → 2.4-3.1 s
+    # (~5x); identical join semantics (inner equality on an injective
+    # packing), so results are unchanged.
+    e3 = oriented.select(
+        (F.col("s").cast("long") * F.lit(1 << 32) + F.col("t")).alias("ac")
+    )
     # Per-triangle rows are never materialized into a union: the old shape
     # (tri UNION ALL ×3 → groupBy) re-executed the wedge-closure join once
     # per branch — 3 full join executions at ~10⁸ triangles (sf1: 73 s).
@@ -288,10 +305,10 @@ def c06_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set — see SCALING.md (graph density row).
     per_node = (
         e1.join(e2, "b")
-        .join(
-            e3,
-            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        .withColumn(
+            "ac", F.col("a").cast("long") * F.lit(1 << 32) + F.col("c")
         )
+        .join(e3, "ac")
         .select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))

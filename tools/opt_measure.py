@@ -45,6 +45,10 @@ def main() -> None:
     ap.add_argument("--plans-dir", default=None)
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--no-time", action="store_true")
+    # r14: persist-carrying builders reuse pass 1's cache blocks from pass
+    # 2 on (CacheManager keys on the analyzed plan); clearing between
+    # passes measures what a fresh run costs — same methodology as bench.py
+    ap.add_argument("--clear-cache", action="store_true")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -70,6 +74,8 @@ def main() -> None:
             continue
         passes = []
         for _ in range(args.repeats):
+            if args.clear_cache:
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             q.builder(spark, args.sf_dir).write.format("noop").mode(
                 "overwrite"
