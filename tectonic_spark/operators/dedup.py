@@ -659,9 +659,19 @@ def connected_components(
     the driver. Raises ``RuntimeError`` if ``max_rounds`` is exhausted
     instead of returning partial labels.
     """
+    # r14 (guide §2.4/§5): checkpoint the INPUT pair list first. nodes and
+    # edges both checkpoint off ``pairs``, and nodes' two union branches
+    # don't share work — so the caller's whole pair-generation pipeline
+    # (e.g. the LSH band join + Jaccard verify) executed ~3x before the
+    # first round started (isolated at sf1: ~9 s of the 13.7 s CC wall).
+    # One eager checkpoint of the 16-byte pair rows executes it once;
+    # nodes additionally fold their two branches into a single
+    # explode-distinct pass over the checkpoint.
+    pairs = pairs.localCheckpoint()
     nodes = (
-        pairs.selectExpr("doc_a AS node")
-        .union(pairs.selectExpr("doc_b AS node"))
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("node")
+        )
         .distinct()
         .localCheckpoint()
     )
