@@ -267,25 +267,63 @@ def c04_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.join(F.broadcast(offsets), "bucket").withColumn(
         "off", F.col("boff") + F.coalesce(F.sum("n").over(w_doc), F.lit(0).cast("long"))
     )
-    tok = d.select("doc_id", "off", F.posexplode("w").alias("pos", "tok")).select(
-        "doc_id", (F.col("off") + F.col("pos")).alias("gpos"), "tok"
+    # r14 (guide §2.3 "shuffle keys and metadata instead of payloads"):
+    # the old tail posexploded EVERY token into the seq_id exchange (~10M
+    # 40+-byte UnsafeRows at sf1) and then paid an interpreted
+    # array_sort + transform over 128 per-token structs PER SEQUENCE.
+    # A document's contribution to one sequence is a CONTIGUOUS token
+    # range, so pre-join it into ONE string segment map-side and shuffle
+    # one row per doc×sequence overlap (~max(docs, seqs) rows — ~75x
+    # fewer at sf1). Concatenation is associative: segments internally
+    # joined by ' ' and then joined by ' ' in gpos order rebuild the
+    # byte-identical sequence string, so md5 matches exactly (verified
+    # row-identical against the old plan and the oracle at sf1/sf0.1/
+    # sf0.01); n_tokens = sum of segment lengths; n_docs still counts
+    # distinct doc_id (a doc contributes at most one segment per seq).
+    # Interleaved cold-cache A/B at sf1: 3.0-3.5 -> 2.1-2.7 s.
+    # spread_small_scan on the documents scan was A/B'd on top and is a
+    # wash (2.12 plain vs 2.27 spread) — the heavy tail already runs
+    # after the bucket-window exchange, not on the 2-split scan.
+    seg = d.select(
+        "doc_id",
+        "w",
+        "n",
+        "off",
+        F.explode(
+            F.expr(
+                f"""
+          transform(
+            sequence(CAST(floor(off / {SEQ_LEN}) AS BIGINT),
+                     CAST(floor((off + n - 1) / {SEQ_LEN}) AS BIGINT)),
+            q -> struct(
+              q AS seq_id,
+              greatest(CAST(0 AS BIGINT), q * {SEQ_LEN} - off) AS st,
+              least(n, (q + 1) * {SEQ_LEN} - off) AS en))
+        """
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.seq_id").alias("seq_id"),
+        (F.col("off") + F.col("s.st")).alias("gpos_start"),
+        (F.col("s.en") - F.col("s.st")).alias("seg_n"),
+        F.array_join(
+            F.expr("slice(w, CAST(s.st + 1 AS INT), CAST(s.en - s.st AS INT))"),
+            " ",
+        ).alias("seg"),
     )
-    return (
-        tok.withColumn("seq_id", F.floor(F.col("gpos") / SEQ_LEN))
-        .groupBy("seq_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
-                        lambda s: s["tok"],
-                    ),
-                )
-            ).alias("seq_hash"),
-        )
+    return seg.groupBy("seq_id").agg(
+        F.sum("seg_n").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gpos_start", "seg"))),
+                    lambda s: s["seg"],
+                ),
+            )
+        ).alias("seq_hash"),
     )
 
 

@@ -104,6 +104,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
             continue
+        finally:
+            # r14 cache hygiene (ADVICE r13): persist-carrying builders
+            # (minhash, neardup, kmeans_scaled, pagerank, triangle, ...)
+            # otherwise accumulate MEMORY_AND_DISK blocks across the
+            # 244-query sweep until ContextCleaner happens to GC them.
+            spark.catalog.clearCache()
         if q.oracle is None:
             print(f"ok*   {name}: rows-only ({len(sdf)} rows)")
             continue
