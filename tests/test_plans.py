@@ -98,6 +98,30 @@ def test_embedding_neardup_is_banded_not_allpairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_neardup_late_dedup_emits_unique_pairs(spark, sf_dir):
+    """r14: at sparse-bucket settings (bits >= 8) the pair dedup runs
+    AFTER the similarity filter; a pair colliding in several bands must
+    still appear exactly once in the output."""
+    from pyspark.sql import functions as F
+
+    from tectonic_spark.operators.dedup import embedding_neardup_df
+
+    out = embedding_neardup_df(spark, sf_dir, n_bits=8, sketch="pandas")
+    dup = out.groupBy("vec_a", "vec_b").count().filter(F.col("count") > 1)
+    assert dup.isEmpty()
+
+
+def test_triangle_closure_probe_key_is_packed_long(spark, sf_dir):
+    """r14: the closing-edge join must probe on the single packed BIGINT
+    (a*2^32 + c — LongHashedRelation fast path), never on the two-column
+    (a, c) key whose generic hashed-relation probe dominated the query
+    (12-15 s vs 2.4-3.1 s for the sf1 closure)."""
+    plan = physical_plan(build(spark, sf_dir, "c06_triangle_count"))
+    assert "4294967296" in plan  # the packing multiplier
+    # the old composite condition printed as ((a#… = a2#…) AND (c#… = c2#…))
+    assert "a2#" not in plan and "c2#" not in plan
+
+
 def test_q07_broadcasts_all_dims(spark, sf_dir):
     # supplier + both nation roles broadcast; the only hash exchange is the
     # final group-by — lineitem never shuffles for the joins
