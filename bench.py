@@ -1049,6 +1049,11 @@ SF1_SUBSET = [
     # round-4b: the iterative integer-PageRank loop (4 dst-keyed shuffles
     # over the reused edge list)
     "c06_pagerank",
+    # r14 ADDITION (additions-only per the driver contract): the wedge
+    # closure is the heaviest graph row (137M wedges / 124M triangles at
+    # this scale) and was rewritten this round (packed long probe key,
+    # 19.0 -> 4.9 s idle); surface it in the driver-visible sf1 dict.
+    "c06_triangle_count",
 ]
 
 
